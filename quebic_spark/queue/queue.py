@@ -1,0 +1,621 @@
+"""Durable schema-typed FIFO queue — the reference's full public surface,
+Spark-native.
+
+Reference surface re-expressed (Queue.scala:26-307):
+  * ``Queue(path, schema, capacity, codec)`` — create/open + validate
+  * ``Queue.publisher()`` -> ``Publisher.try_push / push / push_all / latest``
+  * ``Queue.subscriber()`` -> ``Subscriber.try_pop / pop / consume / peek``
+  * ``size / is_empty / disk_space / close / dispose / verify / dump``
+
+Execution model: single-record push/pop are driver-edge operations over
+the Parquet append log (pyarrow fast path — a Spark job per record would
+add ~100ms scheduling floor for no benefit); bulk ingestion and
+consumption are Spark DataFrame operations (``append_dataframe``,
+``read_pending``, ``quebic_spark.streaming``), which is where the 100 TB
+design lives. Semantic parity notes appear per method.
+
+Semantic fine print preserved (SURVEY §2.7):
+  1. global FIFO by monotonic ``seq`` (single writer, like the
+     reference's 1-producer contract, README.md:5,12-13);
+  2. capacity counts journal+queue -> here: all unacked records;
+  3. expired records count toward size until encountered at consume
+     time (JournaledFile.scala:244-264);
+  4. poison pills move to a DLQ after ``error_permit`` failures
+     (superset of the reference's silent discard,
+     JournaledFile.scala:250-256);
+  5. ``latest`` survives emptiness (Queue.scala:234-237) — compaction
+     always retains the max-seq record;
+  6. at-least-once consume: the ack pointer advances only after the
+     callback succeeds (JournaledFile.scala:266-282).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Any, Callable, Iterable, Sequence
+
+import pyarrow as pa
+
+from quebic_spark.codec import PLAIN, Codec
+from quebic_spark.errors import FormatException, QueueClosedError
+from quebic_spark.queue.storage import (
+    QueueStorage,
+    SYSTEM_COLUMNS,
+    arrow_schema,
+    spark_ddl,
+)
+from quebic_spark.schema import Schema
+
+# The reference polls every 200 ms in every blocking loop
+# (Queue.scala:190,220,281). Configurable here; same default.
+DEFAULT_POLL_INTERVAL = 0.2
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def _expires_at(lifetime_ms: int) -> int:
+    # lifetime (relative ms) -> absolute deadline, or -1 for none
+    # (entry write, JournaledFile.scala:319).
+    return -1 if lifetime_ms < 0 else _now_ms() + lifetime_ms
+
+
+class Queue:
+    """One durable FIFO queue over a directory (Queue.scala:26)."""
+
+    def __init__(
+        self,
+        path: str,
+        schema: Schema,
+        capacity: int = 2**62,
+        codec: Codec = PLAIN,
+        poll_interval: float = DEFAULT_POLL_INTERVAL,
+    ):
+        if capacity <= 0:
+            # parity: Queue.scala:27-29
+            raise ValueError(f"capacity must be positive: {capacity}")
+        self.schema = schema
+        self.capacity = capacity
+        self.codec = codec
+        self.poll_interval = poll_interval
+        self._closed = False
+        self._storage = QueueStorage(path)
+        os.makedirs(path, exist_ok=True)
+        with self._storage.lock:
+            if self._storage.exists():
+                stored_schema, stored_cap, stored_codec = (
+                    self._storage.load_meta()
+                )
+                # parity: opening an existing file validates the stored
+                # schema against the caller's (JournaledFile.scala:562-584)
+                schema.assert_compatible(stored_schema)
+                self.capacity = stored_cap
+                self.codec = stored_codec
+            else:
+                self._storage.initialize(schema, capacity, codec)
+
+    # -- guards ------------------------------------------------------------
+    def _check_open(self) -> None:
+        if self._closed:
+            # parity: IOException on use-after-close (Queue.scala:86-96)
+            raise QueueClosedError(f"queue is closed: {self._storage.path}")
+
+    # -- introspection (Queue.scala:118-134) --------------------------------
+    def size(self) -> int:
+        """Unconsumed record count.
+
+        O(1): pushed_total - acked. Expired-but-unencountered records
+        still count (SURVEY §2.7.4).
+        """
+        self._check_open()
+        with self._storage.lock:
+            pushed = self._storage.next_seq() - 1
+            acked = int(self._storage.consumer_state()["acked_seq"])
+        return pushed - acked
+
+    def is_empty(self) -> bool:
+        return self.size() == 0
+
+    def disk_space(self) -> int:
+        self._check_open()
+        return self._storage.disk_space()
+
+    # -- lifecycle -----------------------------------------------------------
+    def close(self) -> None:
+        """Idempotent close; runs one final compaction (Queue.scala:139-142)."""
+        if self._closed:
+            return
+        try:
+            self.compact()
+        finally:
+            self._closed = True
+
+    def dispose(self) -> None:
+        """Close then delete the queue directory (Queue.scala:148-152)."""
+        self._closed = True
+        shutil.rmtree(self._storage.path, ignore_errors=True)
+
+    def __enter__(self) -> "Queue":
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self.close()
+
+    # -- actors ----------------------------------------------------------------
+    def publisher(self, compression: Codec | None = None) -> "Publisher":
+        """Parity: new Queue.Publisher(compression) (Queue.scala:159)."""
+        self._check_open()
+        return Publisher(self, compression or self.codec)
+
+    def subscriber(self) -> "Subscriber":
+        self._check_open()
+        return Subscriber(self)
+
+    # -- maintenance ------------------------------------------------------------
+    def compact(self, target_file_rows: int = 1_000_000) -> int:
+        """Rewrite the log: drop acked + expired rows, merge small files.
+
+        Replaces the reference's journal->queue migration + spaceOut
+        (JournaledFile.scala:406-452, 491-520) — our log is already
+        FIFO-ordered by seq, so compaction is purely physical: fewer,
+        larger files. The max-seq record is always retained even when
+        acked so ``latest`` survives emptiness (parity with
+        truncate-keeps-deepest, JournaledFile.scala:266-275).
+
+        Returns the number of files after compaction.
+        """
+        self._check_open()
+        import pyarrow.parquet as pq
+
+        with self._storage.lock:
+            batches = self._storage.list_batches()
+            if not batches:
+                return 0
+            acked = int(self._storage.consumer_state()["acked_seq"])
+            max_seq = max(end for _, end, _ in batches)
+            now = _now_ms()
+
+            keep_tables: list[pa.Table] = []
+            for start, end, path in batches:
+                t = pq.read_table(path)
+                mask = []
+                for seq, exp in zip(
+                    t.column("seq").to_pylist(),
+                    t.column("expires_at").to_pylist(),
+                ):
+                    live = seq > acked and not (0 <= exp <= now)
+                    mask.append(live or seq == max_seq)
+                t = t.filter(pa.array(mask, type=pa.bool_()))
+                if t.num_rows:
+                    keep_tables.append(t)
+
+            merged = (
+                pa.concat_tables(keep_tables)
+                if keep_tables
+                else None
+            )
+            new_files = 0
+            staged: list[str] = []
+            if merged is not None and merged.num_rows:
+                merged = merged.sort_by("seq")
+                seqs = merged.column("seq").to_pylist()
+                for off in range(0, merged.num_rows, target_file_rows):
+                    chunk = merged.slice(off, target_file_rows)
+                    s, e = seqs[off], seqs[min(off + target_file_rows,
+                                               merged.num_rows) - 1]
+                    tmp = self._storage.batch_path(s, e) + ".compact"
+                    pq.write_table(chunk, tmp,
+                                   compression=self.codec.parquet_codec)
+                    staged.append(tmp)
+                    new_files += 1
+            # commit: remove olds, then rename staged files into place —
+            # a crash mid-way is recovered by re-running compact; data
+            # exists in either old or staged form at all times.
+            for _, _, path in batches:
+                os.remove(path)
+            for tmp in staged:
+                os.replace(tmp, tmp[: -len(".compact")])
+            return new_files
+
+    def vacuum_expired(self) -> None:
+        """Drop expired rows eagerly (compaction purge, SURVEY §2.3 TTL)."""
+        self.compact()
+
+    def verify(self) -> None:
+        """Walk the log asserting seq continuity and filename ranges
+        (JournaledFile.verify, JournaledFile.scala:454-464)."""
+        self._check_open()
+        import pyarrow.parquet as pq
+
+        with self._storage.lock:
+            batches = self._storage.list_batches()
+            next_seq = self._storage.next_seq()
+            prev_end = None
+            for start, end, path in batches:
+                t = pq.read_table(path, columns=["seq"])
+                seqs = sorted(t.column("seq").to_pylist())
+                if not seqs:
+                    raise FormatException(f"empty batch file: {path}")
+                if seqs[0] < start or seqs[-1] > end:
+                    raise FormatException(
+                        f"seq out of filename range in {path}: "
+                        f"[{seqs[0]},{seqs[-1]}] vs [{start},{end}]"
+                    )
+                if seqs != list(range(seqs[0], seqs[-1] + 1)):
+                    raise FormatException(f"seq gap within {path}")
+                if prev_end is not None and start <= prev_end:
+                    raise FormatException(
+                        f"overlapping batch ranges at {path}"
+                    )
+                prev_end = end
+                if end >= next_seq:
+                    raise FormatException(
+                        f"batch {path} beyond writer position {next_seq}"
+                    )
+
+    def dump(self, limit: int = 50) -> str:
+        """Human-readable listing (JournaledFile.dump, :586-611)."""
+        self._check_open()
+        with self._storage.lock:
+            acked = int(self._storage.consumer_state()["acked_seq"])
+            lines = [
+                f"queue {self._storage.path}: schema={self.schema} "
+                f"capacity={self.capacity} codec={self.codec.name} "
+                f"size={self.size()} acked_seq={acked}"
+            ]
+            n = 0
+            for row in self._storage.iter_rows(acked):
+                if n >= limit:
+                    lines.append("  ...")
+                    break
+                payload = {k: v for k, v in row.items()
+                           if k not in SYSTEM_COLUMNS}
+                lines.append(
+                    f"  seq={row['seq']} created_at={row['created_at']} "
+                    f"expires_at={row['expires_at']} {payload}"
+                )
+                n += 1
+        return "\n".join(lines)
+
+    def inspect(self) -> tuple[int, int, int]:
+        """(entry_count, total_bytes, max_file_bytes) — the reference's
+        only aggregation (JournaledFile.inspect, :472-483)."""
+        self._check_open()
+        import pyarrow.parquet as pq
+
+        count, total, biggest = 0, 0, 0
+        for _, _, path in self._storage.list_batches():
+            count += pq.read_metadata(path).num_rows
+            sz = os.path.getsize(path)
+            total += sz
+            biggest = max(biggest, sz)
+        return count, total, biggest
+
+    # -- Spark integration ---------------------------------------------------
+    def spark_schema_ddl(self) -> str:
+        return spark_ddl(self.schema)
+
+    def read_pending(self, spark) -> "Any":
+        """All unconsumed records as a DataFrame, FIFO-ordered by ``seq``.
+
+        Only files whose range exceeds the ack pointer are read
+        (filename-range pruning = partition pruning at scale); the TTL
+        filter mirrors consume-time expiry.
+        """
+        self._check_open()
+        from pyspark.sql import functions as F
+
+        with self._storage.lock:
+            acked = int(self._storage.consumer_state()["acked_seq"])
+            files = [p for _, _, p in self._storage.batches_after(acked)]
+        if not files:
+            return (
+                spark.createDataFrame([], schema=self.spark_schema_ddl())
+            )
+        now = _now_ms()
+        return (
+            spark.read.schema(self.spark_schema_ddl()).parquet(*files)
+            .filter(F.col("seq") > acked)
+            .filter((F.col("expires_at") < 0) | (F.col("expires_at") > now))
+        )
+
+    def append_dataframe(self, df, order_by: Sequence[str],
+                         lifetime_ms: int = -1) -> int:
+        """Bulk FIFO ingestion from a Spark DataFrame.
+
+        ``order_by`` defines the FIFO order of this batch (global seq is
+        single-writer, like the reference's 1-producer contract). The
+        payload columns must match the queue schema positionally.
+
+        Scale note: rows are written through Spark (distributed) to a
+        staging directory, then the seq range is committed by renaming
+        files into the log — one shuffle for the global order, no
+        driver-side row materialization.
+        """
+        self._check_open()
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        cols = self.schema.column_names
+        if len(df.columns) != len(cols):
+            from quebic_spark.errors import IncompatibleSchemaException
+
+            raise IncompatibleSchemaException(
+                f"dataframe arity {len(df.columns)} != schema {len(cols)}"
+            )
+        n = df.count()
+        if n == 0:
+            return 0
+        with self._storage.lock:
+            start = self._storage.next_seq()
+            pushed = start - 1
+            acked = int(self._storage.consumer_state()["acked_seq"])
+            room = self.capacity - (pushed - acked)
+            if room < n:
+                raise ValueError(
+                    f"capacity exceeded: {n} rows, room {room}"
+                )
+            now = _now_ms()
+            # seq over the caller's order, computed on the original
+            # column names, then payload columns renamed positionally
+            w = Window.orderBy(*[F.col(c) for c in order_by])
+            staged = df.withColumn(
+                "seq", (F.row_number().over(w) + F.lit(start - 1)).cast("long")
+            ).select(
+                F.col("seq"),
+                F.lit(now).cast("long").alias("created_at"),
+                F.lit(_expires_at(lifetime_ms)).cast("long").alias("expires_at"),
+                *[
+                    F.col(orig).alias(new)
+                    for orig, new in zip(df.columns, cols)
+                ],
+            )
+            staging = os.path.join(self._storage.path,
+                                   f"_staging-{start:020d}")
+            staged.write.mode("overwrite").parquet(
+                staging, compression=self.codec.parquet_codec
+            )
+            # commit: move part files into the log with their seq ranges
+            import pyarrow.parquet as pq
+
+            parts = sorted(
+                os.path.join(staging, f)
+                for f in os.listdir(staging)
+                if f.endswith(".parquet")
+            )
+            for part in parts:
+                meta = pq.read_table(part, columns=["seq"])
+                seqs = meta.column("seq").to_pylist()
+                if not seqs:
+                    continue
+                s, e = min(seqs), max(seqs)
+                os.replace(part, self._storage.batch_path(s, e))
+            shutil.rmtree(staging, ignore_errors=True)
+            self._storage.set_next_seq(start + n)
+        return n
+
+
+class Publisher:
+    """Producer half (Queue.Publisher, Queue.scala:159-226)."""
+
+    def __init__(self, queue: Queue, compression: Codec):
+        self._q = queue
+        self.compression = compression
+
+    # -- single / bulk push ---------------------------------------------------
+    def try_push(self, values: Sequence[Any], lifetime_ms: int = -1) -> bool:
+        """Non-blocking append; False when at capacity (Queue.scala:169-175)."""
+        self._q._check_open()
+        record = self._q.schema.validate_record(values)
+        st = self._q._storage
+        with st.lock:
+            next_seq = st.next_seq()
+            acked = int(st.consumer_state()["acked_seq"])
+            if (next_seq - 1) - acked >= self._q.capacity:
+                return False
+            self._write_rows([record], next_seq, lifetime_ms)
+            st.set_next_seq(next_seq + 1)
+        return True
+
+    def push(self, values: Sequence[Any], limit_ms: int = -1,
+             lifetime_ms: int = -1) -> bool:
+        """Blocking push: poll try_push until success or timeout
+        (Queue.scala:186-196; poll cadence configurable, default 200 ms)."""
+        deadline = None if limit_ms < 0 else time.time() + limit_ms / 1000
+        while True:
+            if self.try_push(values, lifetime_ms):
+                return True
+            if deadline is not None and time.time() >= deadline:
+                return False
+            time.sleep(self._q.poll_interval)
+
+    def push_all(self, items: Iterable[Sequence[Any]], limit_ms: int = -1,
+                 lifetime_ms: int = -1) -> list[Sequence[Any]]:
+        """Bulk push; admits up to the remaining capacity per round and
+        returns the unadmitted remainder on timeout (Queue.scala:207-226)."""
+        self._q._check_open()
+        remaining = [self._q.schema.validate_record(v) for v in items]
+        deadline = None if limit_ms < 0 else time.time() + limit_ms / 1000
+        st = self._q._storage
+        while remaining:
+            with st.lock:
+                next_seq = st.next_seq()
+                acked = int(st.consumer_state()["acked_seq"])
+                room = self._q.capacity - ((next_seq - 1) - acked)
+                admit = min(room, len(remaining))
+                if admit > 0:
+                    self._write_rows(remaining[:admit], next_seq, lifetime_ms)
+                    st.set_next_seq(next_seq + admit)
+                    remaining = remaining[admit:]
+            if not remaining:
+                break
+            if deadline is not None and time.time() >= deadline:
+                break
+            time.sleep(self._q.poll_interval)
+        return remaining
+
+    def latest(self) -> tuple[Any, ...] | None:
+        """Most-recently-pushed record, even when the queue is empty
+        (Queue.Publisher.latest, Queue.scala:234-237). O(1 file): only
+        the max-range batch file is read."""
+        self._q._check_open()
+        st = self._q._storage
+        with st.lock:
+            batches = st.list_batches()
+            if not batches:
+                return None
+            _, end, _ = batches[-1]
+            row = st.read_seq(end)
+        if row is None:
+            return None
+        return tuple(row[c] for c in self._q.schema.column_names)
+
+    # -- internals -------------------------------------------------------------
+    def _write_rows(self, records: list[tuple[Any, ...]], start_seq: int,
+                    lifetime_ms: int) -> None:
+        now = _now_ms()
+        exp = _expires_at(lifetime_ms)
+        n = len(records)
+        cols: dict[str, list[Any]] = {
+            "seq": list(range(start_seq, start_seq + n)),
+            "created_at": [now] * n,
+            "expires_at": [exp] * n,
+        }
+        for i, name in enumerate(self._q.schema.column_names):
+            cols[name] = [r[i] for r in records]
+        table = pa.table(cols, schema=arrow_schema(self._q.schema))
+        self._q._storage.write_batch(
+            table, start_seq, start_seq + n - 1,
+            self.compression.parquet_codec,
+        )
+
+
+class Subscriber:
+    """Consumer half (Queue.Subscriber, Queue.scala:241-288)."""
+
+    def __init__(self, queue: Queue):
+        self._q = queue
+
+    # -- non-blocking ------------------------------------------------------------
+    def try_pop(self) -> tuple[Any, ...] | None:
+        """Non-blocking FIFO take (Queue.scala:247-259)."""
+        result = self.consume(lambda r: r)
+        return result
+
+    # -- blocking -----------------------------------------------------------------
+    def pop(self, limit_ms: int = -1) -> tuple[Any, ...] | None:
+        """Blocking take; polls until data or timeout (Queue.scala:266-287)."""
+        deadline = None if limit_ms < 0 else time.time() + limit_ms / 1000
+        while True:
+            v = self.try_pop()
+            if v is not None:
+                return v
+            if deadline is not None and time.time() >= deadline:
+                return None
+            time.sleep(self._q.poll_interval)
+
+    def pop_n(self, n: int) -> list[tuple[Any, ...]]:
+        """Take up to n records FIFO (bulk convenience)."""
+        out = []
+        for _ in range(n):
+            v = self.try_pop()
+            if v is None:
+                break
+            out.append(v)
+        return out
+
+    # -- at-least-once consume -------------------------------------------------------
+    def consume(
+        self,
+        f: Callable[[tuple[Any, ...]], Any],
+        error_permit: int = 3,
+    ) -> Any:
+        """Pass the head record to ``f``; remove it only on success.
+
+        Parity with JournaledFile.consume (:204-284):
+          * expired head records are discarded and the next evaluated
+            (TTL check, :244-264);
+          * on ``f`` failure the per-record error count is incremented
+            and the exception re-raised (the reference returns Left);
+            the record remains and is re-delivered;
+          * once errors >= error_permit the record is moved to the DLQ
+            (superset of the silent discard at :254-256) and the next
+            record is evaluated;
+          * the ack pointer advances only after ``f`` returns — crash
+            in between means redelivery: at-least-once (SURVEY §2.7.8).
+
+        Returns ``f(record)`` or None when empty.
+        """
+        self._q._check_open()
+        st = self._q._storage
+        while True:
+            with st.lock:
+                state = st.consumer_state()
+                acked = int(state["acked_seq"])
+                next_seq = st.next_seq()
+                if acked >= next_seq - 1:
+                    return None
+                head_seq = acked + 1
+                row = st.read_seq(head_seq)
+                if row is None:
+                    # compaction raced ahead of the pointer — should not
+                    # happen under the lock; treat as corrupt.
+                    raise FormatException(
+                        f"missing record seq={head_seq}"
+                    )
+                now = _now_ms()
+                exp = row["expires_at"]
+                if 0 <= exp <= now:
+                    # expired: drop silently, evaluate next (:244-264)
+                    state["acked_seq"] = head_seq
+                    state["errors"].pop(str(head_seq), None)
+                    st.set_consumer_state(state)
+                    continue
+                errors = int(state["errors"].get(str(head_seq), 0))
+                if errors >= error_permit:
+                    # poison pill -> DLQ, evaluate next (:250-259)
+                    self._to_dlq(row, errors)
+                    state["acked_seq"] = head_seq
+                    state["errors"].pop(str(head_seq), None)
+                    st.set_consumer_state(state)
+                    continue
+                record = tuple(
+                    row[c] for c in self._q.schema.column_names
+                )
+                try:
+                    result = f(record)
+                except Exception:
+                    state["errors"][str(head_seq)] = errors + 1
+                    st.set_consumer_state(state)
+                    raise
+                # success: flip the pointer (commit, :266-275)
+                state["acked_seq"] = head_seq
+                state["errors"].pop(str(head_seq), None)
+                st.set_consumer_state(state)
+                return result
+
+    def peek_head(self) -> tuple[Any, ...] | None:
+        """Next record to be popped, without removal."""
+        self._q._check_open()
+        st = self._q._storage
+        with st.lock:
+            acked = int(st.consumer_state()["acked_seq"])
+            if acked >= st.next_seq() - 1:
+                return None
+            row = st.read_seq(acked + 1)
+        if row is None:
+            return None
+        return tuple(row[c] for c in self._q.schema.column_names)
+
+    def _to_dlq(self, row: dict[str, Any], errors: int) -> None:
+        st = self._q._storage
+        cols = {k: [v] for k, v in row.items()}
+        cols["errors"] = [errors]
+        schema = arrow_schema(self._q.schema).append(
+            pa.field("errors", pa.int64())
+        )
+        table = pa.table(cols, schema=schema)
+        st.write_dlq(table, int(row["seq"]))

@@ -1,0 +1,285 @@
+"""Queue storage layout: a Parquet append log + JSON control files.
+
+Layout of one queue directory (replaces the reference's two-file
+journal/queue layout, JournaledFile.scala — semantics preserved, physical
+design Spark-native):
+
+    <path>/meta.json       schema, capacity, codec          (immutable)
+    <path>/ctrl.json       {"next_seq": N}                  (writer state)
+    <path>/consumer.json   {"acked_seq": N, "errors": {..}} (consumer state)
+    <path>/lock            fcntl lock file (cross-process safety,
+                           parity with FileChannel.lock(), JournaledFile.scala:36)
+    <path>/data/batch-<start>-<end>.parquet   append log; file name encodes
+                           the contained seq range -> pop/scan reads only
+                           files with end > acked_seq (app-level partition
+                           pruning; at cluster scale this directory is the
+                           table and the ranges are partition values)
+    <path>/dlq/            dead-letter Parquet files (superset of the
+                           reference's silent poison-pill discard,
+                           JournaledFile.scala:250-256)
+
+System columns on every record (entry metadata parity,
+JournaledFile.scala:311-326):
+
+    seq         int64      monotonic 1..N, assigned by the single writer
+    created_at  int64      push time, epoch milliseconds
+    expires_at  int64      TTL deadline epoch ms, or -1 for none
+
+Crash consistency: data files are written complete before control-file
+pointers advance (write-data-then-flip-pointer, README.md:117-124);
+control files update via write-temp + atomic rename.
+"""
+
+from __future__ import annotations
+
+import fcntl
+import json
+import os
+import re
+import threading
+from typing import Any, Iterator
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from quebic_spark.codec import Codec, codec_of
+from quebic_spark.errors import FormatException
+from quebic_spark.schema import (
+    BINARY,
+    INTEGER,
+    REAL,
+    TENSOR,
+    TEXT,
+    DataType,
+    Schema,
+)
+
+_BATCH_RE = re.compile(r"^batch-(\d{20})-(\d{20})\.parquet$")
+
+SYSTEM_COLUMNS = ("seq", "created_at", "expires_at")
+
+_ARROW_TYPE = {
+    INTEGER: pa.int64(),
+    REAL: pa.float64(),
+    TEXT: pa.string(),
+    BINARY: pa.binary(),
+    TENSOR: pa.struct(
+        [
+            pa.field("shape", pa.list_(pa.int32()), nullable=False),
+            pa.field("values", pa.list_(pa.float64()), nullable=False),
+        ]
+    ),
+}
+
+
+def arrow_schema(schema: Schema) -> pa.Schema:
+    fields = [
+        pa.field("seq", pa.int64(), nullable=False),
+        pa.field("created_at", pa.int64(), nullable=False),
+        pa.field("expires_at", pa.int64(), nullable=False),
+    ]
+    for i, t in enumerate(schema.types):
+        fields.append(pa.field(f"c{i}", _ARROW_TYPE[t], nullable=False))
+    return pa.schema(fields)
+
+
+def spark_ddl(schema: Schema) -> str:
+    """Spark DDL string for the full log schema (system + payload)."""
+    ddl = ["seq BIGINT", "created_at BIGINT", "expires_at BIGINT"]
+    m: dict[DataType, str] = {
+        INTEGER: "BIGINT",
+        REAL: "DOUBLE",
+        TEXT: "STRING",
+        BINARY: "BINARY",
+        TENSOR: "STRUCT<shape: ARRAY<INT>, values: ARRAY<DOUBLE>>",
+    }
+    for i, t in enumerate(schema.types):
+        ddl.append(f"c{i} {m[t]}")
+    return ", ".join(ddl)
+
+
+class FileLock:
+    """Cross-process mutual exclusion via fcntl (JournaledFile.scala:36).
+
+    The reference locks per-operation with OS file locks so multiple
+    processes can share one queue; flock gives the same guarantee here.
+    Re-entrant within a process via a depth counter.
+    """
+
+    def __init__(self, path: str):
+        self._path = path
+        self._fd: int | None = None
+        self._depth = 0
+        # Intra-process serialization (the reference's interned-string
+        # synchronized blocks, Queue.scala:43-48); flock alone is
+        # per-process, not per-thread.
+        self._tlock = threading.RLock()
+
+    def __enter__(self) -> "FileLock":
+        self._tlock.acquire()
+        # depth is only touched by the RLock owner -> thread-safe
+        if self._depth == 0:
+            self._fd = os.open(self._path, os.O_CREAT | os.O_RDWR, 0o644)
+            fcntl.flock(self._fd, fcntl.LOCK_EX)
+        self._depth += 1
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self._depth -= 1
+        if self._depth == 0 and self._fd is not None:
+            fcntl.flock(self._fd, fcntl.LOCK_UN)
+            os.close(self._fd)
+            self._fd = None
+        self._tlock.release()
+
+
+def write_json_atomic(path: str, obj: dict[str, Any]) -> None:
+    """Commit protocol: full write to temp, fsync, atomic rename.
+
+    The pointer flip of the reference's commit (JournaledFile.scala:136-138)
+    maps to the rename — a torn write can never be observed.
+    """
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def read_json(path: str) -> dict[str, Any]:
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+class QueueStorage:
+    """Physical layout manager for one queue directory."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.dlq_dir = os.path.join(path, "dlq")
+        self.meta_path = os.path.join(path, "meta.json")
+        self.ctrl_path = os.path.join(path, "ctrl.json")
+        self.consumer_path = os.path.join(path, "consumer.json")
+        self.lock = FileLock(os.path.join(path, "lock"))
+
+    # -- lifecycle -------------------------------------------------------
+    def initialize(self, schema: Schema, capacity: int, codec: Codec) -> None:
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.dlq_dir, exist_ok=True)
+        write_json_atomic(
+            self.meta_path,
+            {
+                "format": "quebic_spark.queue",
+                "version": 1,
+                "schema": schema.to_json(),
+                "capacity": capacity,
+                "codec": codec.name,
+            },
+        )
+        write_json_atomic(self.ctrl_path, {"next_seq": 1})
+        write_json_atomic(self.consumer_path, {"acked_seq": 0, "errors": {}})
+
+    def exists(self) -> bool:
+        return os.path.exists(self.meta_path)
+
+    def load_meta(self) -> tuple[Schema, int, Codec]:
+        meta = read_json(self.meta_path)
+        if meta.get("format") != "quebic_spark.queue":
+            # parity: bad magic number -> FormatException
+            # (JournaledFile.scala:566)
+            raise FormatException(f"not a quebic_spark queue: {self.path}")
+        return (
+            Schema.from_json(meta["schema"]),
+            int(meta["capacity"]),
+            codec_of(str(meta["codec"])),
+        )
+
+    # -- control state ----------------------------------------------------
+    def next_seq(self) -> int:
+        return int(read_json(self.ctrl_path)["next_seq"])
+
+    def set_next_seq(self, n: int) -> None:
+        write_json_atomic(self.ctrl_path, {"next_seq": n})
+
+    def consumer_state(self) -> dict[str, Any]:
+        return read_json(self.consumer_path)
+
+    def set_consumer_state(self, state: dict[str, Any]) -> None:
+        write_json_atomic(self.consumer_path, state)
+
+    # -- data files ---------------------------------------------------------
+    def batch_path(self, start: int, end: int) -> str:
+        return os.path.join(
+            self.data_dir, f"batch-{start:020d}-{end:020d}.parquet"
+        )
+
+    def list_batches(self) -> list[tuple[int, int, str]]:
+        """All (start_seq, end_seq, path), sorted by start."""
+        out: list[tuple[int, int, str]] = []
+        if not os.path.isdir(self.data_dir):
+            return out
+        for name in os.listdir(self.data_dir):
+            m = _BATCH_RE.match(name)
+            if m:
+                out.append(
+                    (int(m.group(1)), int(m.group(2)),
+                     os.path.join(self.data_dir, name))
+                )
+        out.sort()
+        return out
+
+    def batches_after(self, seq: int) -> list[tuple[int, int, str]]:
+        """Files that may contain rows with seq > `seq` (range pruning)."""
+        return [b for b in self.list_batches() if b[1] > seq]
+
+    def write_batch(self, table: pa.Table, start: int, end: int,
+                    parquet_codec: str) -> str:
+        path = self.batch_path(start, end)
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp, compression=parquet_codec)
+        os.replace(tmp, path)
+        return path
+
+    def write_dlq(self, table: pa.Table, seq: int,
+                  parquet_codec: str = "snappy") -> str:
+        path = os.path.join(self.dlq_dir, f"dlq-{seq:020d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp, compression=parquet_codec)
+        os.replace(tmp, path)
+        return path
+
+    def iter_rows(self, after_seq: int) -> Iterator[dict[str, Any]]:
+        """Driver-side row iterator over seq > after_seq, in seq order.
+
+        Used by the single-record pop/peek fast path; bulk consumption
+        goes through Spark (Queue.read_pending / streaming).
+        """
+        for start, end, path in self.batches_after(after_seq):
+            table = pq.read_table(path)
+            rows = table.to_pylist()
+            rows.sort(key=lambda r: r["seq"])
+            for r in rows:
+                if r["seq"] > after_seq:
+                    yield r
+
+    def read_seq(self, seq: int) -> dict[str, Any] | None:
+        """Point lookup by seq using filename range pruning."""
+        for start, end, path in self.list_batches():
+            if start <= seq <= end:
+                table = pq.read_table(path, filters=[("seq", "==", seq)])
+                rows = table.to_pylist()
+                return rows[0] if rows else None
+        return None
+
+    def disk_space(self) -> int:
+        """Total bytes on disk (Queue.diskSpace, Queue.scala:134)."""
+        total = 0
+        for d in (self.path, self.data_dir, self.dlq_dir):
+            if os.path.isdir(d):
+                for name in os.listdir(d):
+                    p = os.path.join(d, name)
+                    if os.path.isfile(p):
+                        total += os.path.getsize(p)
+        return total

@@ -1,0 +1,335 @@
+"""End-to-end queue behavior, mirroring QueueTest.scala's 8 specs
+(SURVEY §5) plus the Spark bulk paths.
+"""
+
+import random
+import string
+import threading
+import time
+
+import pytest
+
+from quebic_spark import INTEGER, Queue, Schema, TEXT
+from quebic_spark.errors import (
+    FormatException,
+    IncompatibleSchemaException,
+    QueueClosedError,
+)
+
+
+def rand_text(rnd, lo=0, hi=120):
+    n = rnd.randint(lo, hi)
+    return "".join(rnd.choice(string.ascii_letters + "ぁあぃいぅう") for _ in range(n))
+
+
+@pytest.fixture
+def qpath(tmp_path):
+    return str(tmp_path / "q")
+
+
+SCHEMA = Schema(INTEGER, TEXT)
+
+
+def test_initial_state_and_capacity_validation(qpath):
+    # parity: QueueTest.scala:28-42
+    with pytest.raises(ValueError):
+        Queue(qpath + "_bad", SCHEMA, capacity=0)
+    with pytest.raises(ValueError):
+        Queue(qpath + "_bad", SCHEMA, capacity=-1)
+    with Queue(qpath, SCHEMA, capacity=10) as q:
+        assert q.size() == 0
+        assert q.is_empty()
+        assert q.publisher().latest() is None
+        assert q.subscriber().try_pop() is None
+
+
+def test_fifo_push_pop_single_thread(qpath):
+    # parity: normalPushAndPopInSingleThread, QueueTest.scala:44-70
+    rnd = random.Random(9999)
+    items = [(i, rand_text(rnd)) for i in range(500)]
+    q = Queue(qpath, SCHEMA, capacity=100000)
+    pub, sub = q.publisher(), q.subscriber()
+    for it in items:
+        assert pub.push(list(it))
+    assert q.size() == 500
+    popped = [sub.pop(limit_ms=1000) for _ in range(500)]
+    assert popped == items  # exact FIFO order + content
+    assert q.is_empty()
+    q.close()
+    # use-after-close raises (Queue.scala:86-96)
+    with pytest.raises(QueueClosedError):
+        q.size()
+    with pytest.raises(QueueClosedError):
+        pub.try_push([1, "x"])
+    with pytest.raises(QueueClosedError):
+        sub.try_pop()
+    q.close()  # idempotent
+
+
+def test_reopen_validates_schema(qpath):
+    q = Queue(qpath, SCHEMA, capacity=10)
+    q.publisher().push([1, "a"])
+    q.close()
+    # compatible reopen picks up persisted state
+    q2 = Queue(qpath, Schema(INTEGER, TEXT))
+    assert q2.size() == 1
+    assert q2.capacity == 10
+    q2.close()
+    with pytest.raises(IncompatibleSchemaException):
+        Queue(qpath, Schema(TEXT, INTEGER))
+    with pytest.raises(IncompatibleSchemaException):
+        Queue(qpath, Schema(INTEGER))
+
+
+def test_concurrent_producers_consumers(qpath):
+    # parity: QueueTest.scala:72-142 (5 pushers x 5 poppers, multiset eq)
+    n_threads, per_thread = 5, 50
+    q = Queue(qpath, SCHEMA, capacity=100000, poll_interval=0.005)
+    expected = {
+        (t * 1000 + i, f"t{t}i{i}")
+        for t in range(n_threads)
+        for i in range(per_thread)
+    }
+    got: list[tuple] = []
+    got_lock = threading.Lock()
+
+    def producer(t):
+        pub = q.publisher()
+        for i in range(per_thread):
+            assert pub.push([t * 1000 + i, f"t{t}i{i}"])
+
+    def consumer():
+        sub = q.subscriber()
+        while True:
+            v = sub.pop(limit_ms=3000)
+            if v is None:
+                return
+            with got_lock:
+                got.append(v)
+
+    producers = [threading.Thread(target=producer, args=(t,))
+                 for t in range(n_threads)]
+    consumers = [threading.Thread(target=consumer) for _ in range(n_threads)]
+    for th in producers + consumers:
+        th.start()
+    for th in producers + consumers:
+        th.join()
+    assert set(got) == expected
+    assert len(got) == len(expected)
+    q.dispose()
+
+
+def test_latest_survives_empty(qpath):
+    # parity: QueueTest.scala:171-187 + truncate-keeps-deepest
+    q = Queue(qpath, SCHEMA, capacity=10)
+    pub, sub = q.publisher(), q.subscriber()
+    assert pub.latest() is None
+    pub.push([1, "a"])
+    pub.push([2, "b"])
+    assert pub.latest() == (2, "b")
+    assert sub.pop(100) == (1, "a")
+    assert sub.pop(100) == (2, "b")
+    assert q.is_empty()
+    assert pub.latest() == (2, "b")  # survives emptiness
+    q.compact()
+    assert pub.latest() == (2, "b")  # survives compaction too
+    q.close()
+
+
+def test_push_all_bulk_and_remainder(qpath):
+    # parity: QueueTest.scala:214-245 / partial admission :207-226
+    q = Queue(qpath, SCHEMA, capacity=100)
+    pub, sub = q.publisher(), q.subscriber()
+    items = [[i, f"v{i}"] for i in range(100)]
+    assert pub.push_all(items) == []
+    assert q.size() == 100
+    # queue is full: a timed push_all returns the remainder
+    rem = pub.push_all([[100, "x"], [101, "y"]], limit_ms=50)
+    assert len(rem) == 2
+    assert sub.pop_n(100) == [tuple(i) for i in items]
+    q.close()
+
+
+def test_capacity_backpressure_with_slow_consumer(qpath):
+    # parity: QueueTest.scala:247-279 (capacity-1 queue)
+    q = Queue(qpath, SCHEMA, capacity=1, poll_interval=0.005)
+    pub, sub = q.publisher(), q.subscriber()
+    assert pub.try_push([1, "a"])
+    assert not pub.try_push([2, "b"])  # full
+
+    results = []
+
+    def slow_consumer():
+        for _ in range(3):
+            time.sleep(0.02)
+            results.append(sub.pop(limit_ms=2000))
+
+    th = threading.Thread(target=slow_consumer)
+    th.start()
+    assert pub.push([2, "b"], limit_ms=2000)  # blocks until space
+    assert pub.push([3, "c"], limit_ms=2000)
+    th.join()
+    assert results == [(1, "a"), (2, "b"), (3, "c")]
+    q.close()
+
+
+def test_ttl_expiry_at_consume_time(qpath):
+    # parity: TTL check JournaledFile.scala:244-264 + SURVEY §2.7.4
+    q = Queue(qpath, SCHEMA, capacity=10)
+    pub, sub = q.publisher(), q.subscriber()
+    pub.push([1, "expires"], lifetime_ms=30)
+    pub.push([2, "lives"], lifetime_ms=60_000)
+    pub.push([3, "forever"])  # lifetime -1
+    assert q.size() == 3
+    time.sleep(0.05)
+    assert q.size() == 3  # expired rows count until encountered
+    assert sub.try_pop() == (2, "lives")  # 1 skipped as expired
+    assert sub.try_pop() == (3, "forever")
+    assert sub.try_pop() is None
+    q.close()
+
+
+def test_consume_error_retry_and_dlq(qpath):
+    # parity: consume error counting + poison pill
+    # (JournaledFile.scala:204-284); DLQ is our superset of the
+    # silent discard.
+    q = Queue(qpath, SCHEMA, capacity=10)
+    pub, sub = q.publisher(), q.subscriber()
+    pub.push([1, "poison"])
+    pub.push([2, "fine"])
+
+    calls = []
+
+    def failing(rec):
+        calls.append(rec)
+        raise RuntimeError("boom")
+
+    for _ in range(3):
+        with pytest.raises(RuntimeError):
+            sub.consume(failing, error_permit=3)
+    # 3 failures recorded; 4th consume discards to DLQ and serves next
+    assert sub.consume(lambda r: r, error_permit=3) == (2, "fine")
+    assert calls == [(1, "poison")] * 3
+    import os
+
+    dlq_files = os.listdir(q._storage.dlq_dir)
+    assert len(dlq_files) == 1
+    q.close()
+
+
+def test_at_least_once_semantics(qpath):
+    # ack advances only after f succeeds: a crash inside f redelivers
+    q = Queue(qpath, SCHEMA, capacity=10)
+    pub, sub = q.publisher(), q.subscriber()
+    pub.push([1, "a"])
+    with pytest.raises(RuntimeError):
+        sub.consume(lambda r: (_ for _ in ()).throw(RuntimeError()))
+    assert q.size() == 1  # still there
+    assert sub.peek_head() == (1, "a")
+    assert sub.try_pop() == (1, "a")  # redelivered
+    q.close()
+
+
+def test_compact_merges_and_drops(qpath):
+    q = Queue(qpath, SCHEMA, capacity=1000)
+    pub, sub = q.publisher(), q.subscriber()
+    for i in range(20):
+        pub.push([i, f"v{i}"])
+    assert len(q._storage.list_batches()) == 20
+    sub.pop_n(10)
+    q.compact()
+    batches = q._storage.list_batches()
+    assert len(batches) == 1
+    assert q.size() == 10
+    assert sub.pop_n(10) == [(i, f"v{i}") for i in range(10, 20)]
+    q.verify()
+    q.close()
+
+
+def test_verify_and_dump(qpath):
+    q = Queue(qpath, SCHEMA, capacity=100)
+    q.publisher().push_all([[i, f"v{i}"] for i in range(5)])
+    q.verify()
+    text = q.dump()
+    assert "size=5" in text
+    assert "seq=1" in text
+    count, total, biggest = q.inspect()
+    assert count == 5 and total > 0 and biggest > 0
+    q.close()
+
+
+def test_verify_detects_corruption(qpath):
+    import os
+
+    q = Queue(qpath, SCHEMA, capacity=100)
+    q.publisher().push([1, "a"])
+    # rename a batch so its range lies about its content
+    (start, end, path) = q._storage.list_batches()[0]
+    os.rename(path, q._storage.batch_path(5, 5))
+    with pytest.raises(FormatException):
+        q.verify()
+    q.dispose()
+
+
+def test_dispose_removes_directory(qpath):
+    import os
+
+    q = Queue(qpath, SCHEMA, capacity=10)
+    q.publisher().push([1, "a"])
+    q.dispose()
+    assert not os.path.exists(qpath)
+
+
+def test_gzip_roundtrip_large_text(qpath):
+    # parity: QueueTest.scala:144-169 (GZIP with large strings)
+    from quebic_spark import GZIP
+
+    rnd = random.Random(777)
+    big = "".join(rnd.choice("abcdef ") for _ in range(200_000))
+    q = Queue(qpath, SCHEMA, capacity=10, codec=GZIP)
+    q.publisher().push([1, big])
+    assert q.subscriber().pop(1000) == (1, big)
+    q.close()
+
+
+# ---- Spark bulk paths -----------------------------------------------------
+
+def test_append_dataframe_and_read_pending(qpath, spark):
+    q = Queue(qpath, SCHEMA, capacity=100000)
+    df = spark.range(1000).selectExpr("id", "concat('row', id) AS text")
+    n = q.append_dataframe(df, order_by=["id"])
+    assert n == 1000
+    assert q.size() == 1000
+    pending = q.read_pending(spark)
+    rows = pending.orderBy("seq").collect()
+    assert [r["seq"] for r in rows] == list(range(1, 1001))
+    assert [r["c0"] for r in rows] == list(range(1000))
+    assert rows[0]["c1"] == "row0"
+    # single-record fast path sees the same data
+    assert q.subscriber().try_pop() == (0, "row0")
+    # capacity enforced on bulk
+    from quebic_spark import Schema as S
+
+    q2 = Queue(qpath + "2", SCHEMA, capacity=10)
+    with pytest.raises(ValueError):
+        q2.append_dataframe(df, order_by=["id"])
+    q.dispose()
+    q2.dispose()
+
+
+def test_append_dataframe_fifo_interleaves_with_push(qpath, spark):
+    q = Queue(qpath, SCHEMA, capacity=1000)
+    pub, sub = q.publisher(), q.subscriber()
+    pub.push([-1, "before"])
+    df = spark.range(3).selectExpr("id", "concat('bulk', id) AS text")
+    q.append_dataframe(df, order_by=["id"])
+    pub.push([-2, "after"])
+    got = sub.pop_n(5)
+    assert got == [
+        (-1, "before"),
+        (0, "bulk0"),
+        (1, "bulk1"),
+        (2, "bulk2"),
+        (-2, "after"),
+    ]
+    q.dispose()

@@ -1,0 +1,162 @@
+"""Type system + schema validation tests.
+
+Mirrors the reference's SchemaTest/StructTest coverage (SURVEY §5):
+round-trips per type, tensor shape inference/coercion/errors, arity and
+type mismatch errors, 255-column limit.
+"""
+
+import math
+
+import pytest
+
+from quebic_spark import (
+    BINARY,
+    INTEGER,
+    IncompatibleSchemaException,
+    REAL,
+    Schema,
+    TENSOR,
+    TEXT,
+    Tensor,
+)
+from quebic_spark.schema import render_text, type_of
+
+
+def test_schema_spark_mapping():
+    s = Schema(INTEGER, REAL, TEXT, BINARY, TENSOR)
+    spark_schema = s.to_spark()
+    assert [f.name for f in spark_schema.fields] == [
+        "c0", "c1", "c2", "c3", "c4",
+    ]
+    assert spark_schema.fields[0].dataType.typeName() == "long"
+    assert spark_schema.fields[1].dataType.typeName() == "double"
+    assert spark_schema.fields[2].dataType.typeName() == "string"
+    assert spark_schema.fields[3].dataType.typeName() == "binary"
+    assert spark_schema.fields[4].dataType.typeName() == "struct"
+    assert not any(f.nullable for f in spark_schema.fields)
+
+
+def test_schema_json_roundtrip():
+    s = Schema(INTEGER, TEXT, TENSOR)
+    assert Schema.from_json(s.to_json()) == s
+
+
+def test_schema_too_many_columns():
+    # parity: Schema.scala:9-11 / SchemaTest 256-column case
+    Schema(*([INTEGER] * 255))
+    with pytest.raises(IncompatibleSchemaException):
+        Schema(*([INTEGER] * 256))
+
+
+def test_validate_record_ok():
+    s = Schema(INTEGER, REAL, TEXT, BINARY)
+    rec = s.validate_record([1, 2.5, "x", b"\x00\x01"])
+    assert rec == (1, 2.5, "x", b"\x00\x01")
+    # int is acceptable for REAL (numeric coercion)
+    assert s.validate_record([1, 2, "x", b""])[1] == 2.0
+
+
+def test_validate_record_arity_mismatch():
+    s = Schema(INTEGER, TEXT)
+    with pytest.raises(IncompatibleSchemaException):
+        s.validate_record([1])
+    with pytest.raises(IncompatibleSchemaException):
+        s.validate_record([1, "a", "b"])
+
+
+def test_validate_record_type_mismatch():
+    s = Schema(INTEGER, TEXT)
+    with pytest.raises(IncompatibleSchemaException):
+        s.validate_record(["not-int", "a"])
+    with pytest.raises(IncompatibleSchemaException):
+        s.validate_record([1, 2])
+    with pytest.raises(IncompatibleSchemaException):
+        s.validate_record([None, "a"])  # no NULLs
+    with pytest.raises(IncompatibleSchemaException):
+        s.validate_record([True, "a"])  # bool is not INTEGER
+
+
+def test_int64_range():
+    s = Schema(INTEGER)
+    s.validate_record([2**63 - 1])
+    s.validate_record([-(2**63)])
+    with pytest.raises(IncompatibleSchemaException):
+        s.validate_record([2**63])
+
+
+def test_assert_compatible():
+    Schema(INTEGER, TEXT).assert_compatible(Schema(INTEGER, TEXT))
+    with pytest.raises(IncompatibleSchemaException):
+        Schema(INTEGER, TEXT).assert_compatible(Schema(TEXT, INTEGER))
+    with pytest.raises(IncompatibleSchemaException):
+        Schema(INTEGER).assert_compatible(Schema(INTEGER, INTEGER))
+
+
+def test_type_lookup():
+    assert type_of(0) is INTEGER
+    assert type_of("TENSOR") is TENSOR
+    with pytest.raises(ValueError):
+        type_of(9)
+
+
+# ---- tensors (StructTest.scala:45-69 parity) ---------------------------
+
+def test_tensor_invariant():
+    Tensor([2, 3], [1, 2, 3, 4, 5, 6])
+    with pytest.raises(ValueError):
+        Tensor([2, 3], [1, 2, 3])
+    with pytest.raises(ValueError):
+        Tensor([], [1.0])  # empty shape, nonempty values
+
+
+def test_tensor_from_vector():
+    t = Tensor.from_vector([1, 2.5, True, False])
+    assert t.shape == [4]
+    assert t.values == [1.0, 2.5, 1.0, 0.0]  # Boolean -> 1/0 coercion
+    with pytest.raises(ValueError):
+        Tensor.from_vector([])
+
+
+def test_tensor_from_matrix():
+    t = Tensor.from_matrix([[1, 2, 3], [4, 5, 6]])
+    assert t.shape == [2, 3]
+    assert t.values == [1, 2, 3, 4, 5, 6]
+    with pytest.raises(ValueError):
+        Tensor.from_matrix([[1, 2], [3]])  # ragged
+    with pytest.raises(ValueError):
+        Tensor.from_matrix([[]])  # empty row
+    with pytest.raises(ValueError):
+        Tensor.from_matrix([])
+
+
+def test_tensor_from_tensor_nested():
+    t = Tensor.from_tensor([[[1, 2], [3, 4]], [[5, 6], [7, 8]]])
+    assert t.shape == [2, 2, 2]
+    assert t.to_nested() == [[[1, 2], [3, 4]], [[5, 6], [7, 8]]]
+    with pytest.raises(ValueError):
+        Tensor.from_tensor([[1, 2], 3])  # mixed nesting
+    with pytest.raises(ValueError):
+        Tensor.from_tensor([[1, 2], [3]])  # ragged
+    with pytest.raises(ValueError):
+        Tensor.from_tensor([])
+
+
+def test_tensor_nan_equality():
+    a = Tensor([2], [float("nan"), 1.0])
+    b = Tensor([2], [float("nan"), 1.0])
+    assert a == b
+    assert math.isnan(a.values[0])
+
+
+def test_tensor_in_record():
+    s = Schema(TENSOR)
+    shape, values = s.validate_record([Tensor.from_vector([1, 2])])[0]
+    assert shape == [2] and values == [1.0, 2.0]
+    with pytest.raises(IncompatibleSchemaException):
+        s.validate_record(["nope"])
+
+
+def test_render_text_escapes():
+    assert render_text('a"b') == '"a\\"b"'
+    assert render_text("a\nb") == '"a\\nb"'
+    assert render_text("\x00") == '"\\u0000"'

@@ -1,0 +1,90 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": "..."}
+
+Also measures queue push/pop against the reference baseline
+(README.md:97-101: 3.597 ms/push, 2.198 ms/pop on 1 KiB BINARY items)
+as `queue_push_1k` / `queue_pop_1k` entries (seconds for 1,000 single
+records of 1 KiB, same workload shape as Performance.scala:10-51).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from quebic_spark.operators import QUERIES
+
+    times: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def bench_queue() -> dict[str, float]:
+    from quebic_spark import BINARY, INTEGER, Queue, Schema
+
+    rnd = random.Random(42)
+    payload = bytes(rnd.getrandbits(8) for _ in range(1024))
+    n = 1000
+    path = tempfile.mkdtemp(prefix="quebic_bench_") + "/q"
+    q = Queue(path, Schema(INTEGER, BINARY), capacity=n + 1)
+    pub, sub = q.publisher(), q.subscriber()
+    t0 = time.time()
+    for i in range(n):
+        pub.try_push([i, payload])
+    push_s = time.time() - t0
+    q.compact()
+    t0 = time.time()
+    for _ in range(n):
+        sub.try_pop()
+    pop_s = time.time() - t0
+    q.dispose()
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return {
+        "queue_push_1k": round(push_s, 3),
+        "queue_pop_1k": round(pop_s, 3),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from quebic_spark.session import get_spark
+
+    spark = get_spark(app_name="quebic_bench")
+    # warm up the JVM/codegen paths so per-query numbers measure the
+    # plan, not first-run classloading
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    times = bench_queries(spark, sf_dir)
+    times.update(bench_queue())
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Text column expressions: tokenization, shingles, fingerprints, MinHash.
+
+All built-in ``pyspark.sql.functions`` (JVM-side): tokenize -> shingle ->
+md5-based MinHash. The MinHash family is ``min(md5(seed || token))`` —
+md5 output compared lexicographically is a uniform hash family, and the
+same expression is computable in ANSI SQL on any engine (the DuckDB
+oracle mirrors it verbatim), unlike engine-specific xxhash seeds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (single-space corpus; split pattern is regex)."""
+    return F.split(text, " ")
+
+
+def distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles.
+
+    ``transform(sequence(0, len-n), i -> concat_ws(' ', slice(toks, i+1, n)))``
+    — pure codegen, no explode until the caller wants one.
+    """
+    toks = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalized_text(text))
+
+
+def minhash_signature(token: Column, n_hashes: int) -> list[Column]:
+    """Per-token hash columns; aggregate with ``F.min`` per document to
+    obtain the MinHash signature. ``h_s(t) = md5('<s>|' || t)``."""
+    return [
+        F.md5(F.concat(F.lit(f"{s}|"), token)).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]

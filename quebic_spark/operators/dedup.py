@@ -1,0 +1,425 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables.
+
+North-star extension layer (SURVEY §2.10): exact dedup, MinHash+LSH,
+n-gram Jaccard near-dup, SimHash, and embedding-cosine near-dup.
+
+Scale design notes (these run on the full corpus at 100 TB):
+  * exact dedup is hash-groupBy on a fingerprint — one shuffle keyed by
+    md5, perfectly balanced by construction;
+  * MinHash/LSH never materializes the O(n^2) pair space: docs are
+    bucketed by band keys, pairs exist only within buckets, and true
+    Jaccard is verified only for candidates (the classic
+    shingle->minhash->band->bucket-join pipeline);
+  * the MinHash family is min(md5(seed||shingle)) compared as strings
+    — portable to any ANSI engine, which makes the whole pipeline
+    oracle-checkable end-to-end (seeded engine-native hashes are not);
+  * SimHash uses an Arrow-batched pandas UDF (bit manipulation is not
+    expressible in portable SQL) -> rows-only correctness check;
+  * embedding near-dup blocks on ``label`` (the cluster id) to keep the
+    candidate space linear-ish; at 100 TB the label would come from a
+    coarse quantizer (IVF centroid), same shape.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from quebic_spark.functions.text import shingles
+from quebic_spark.functions.vector import cosine_similarity
+
+N_MINHASH = 8
+N_BANDS = 4  # rows-per-band = 2
+SHINGLE_N = 3
+MINHASH_JACCARD_THRESHOLD = 0.3
+NGRAM_JACCARD_THRESHOLD = 0.3
+COSINE_DUP_THRESHOLD = 0.95
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — hash-groupBy on the raw text (keeper = min doc_id).
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact_rows — the retained rows after dropDuplicates-keep-first.
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+ORACLE_DEDUP_EXACT_ROWS = """
+SELECT doc_id, lang, source
+FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh — shingle -> minhash -> band -> bucket-join ->
+# verify true Jaccard. Fully oracle-checkable.
+# ---------------------------------------------------------------------------
+
+def _shingled(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.explode(shingles(F.col("text"), SHINGLE_N)).alias("sh"),
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = _shingled(docs)
+    # MinHash signature: per doc, min over shingles of md5(seed||shingle)
+    sig = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("set_size"),
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(
+                f"mh{s}"
+            )
+            for s in range(N_MINHASH)
+        ],
+    )
+    # LSH banding: band key = md5(mh_{2b} || mh_{2b+1})
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))
+                        ).alias("key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify candidates with true shingle-set Jaccard
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sig.select("doc_id", "set_size")
+    return (
+        inter.join(
+            sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id")
+        )
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (
+                    F.col("za.set_size")
+                    + F.col("zb.set_size")
+                    - F.col("inter")
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
+    )
+
+
+def _minhash_oracle() -> str:
+    mh_cols = ",\n    ".join(
+        f"MIN(md5('{s}|' || sh)) AS mh{s}" for s in range(N_MINHASH)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(mh{2*b} || mh{2*b+1}) AS key FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - {SHINGLE_N - 1}, 1) + 1),
+           i -> array_to_string(t[i:i+{SHINGLE_N - 1}], ' ')))) AS sh
+  FROM toks
+),
+sig AS (
+  SELECT doc_id, COUNT(*) AS set_size,
+    {mh_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT doc_a, doc_b, COUNT(*) AS inter
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / (za.set_size + zb.set_size - inter) AS jaccard
+FROM inter
+JOIN sig za ON za.doc_id = doc_a
+JOIN sig zb ON zb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (za.set_size + zb.set_size - inter)
+      >= {MINHASH_JACCARD_THRESHOLD}
+"""
+
+
+ORACLE_DEDUP_MINHASH_LSH = _minhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_jaccard — exact n-gram Jaccard via inverted-index join
+# (no LSH approximation; candidates = pairs sharing >= 1 shingle).
+# ---------------------------------------------------------------------------
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = _shingled(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    inter = (
+        sh.alias("sa")
+        .join(
+            sh.alias("sb"),
+            (F.col("sa.sh") == F.col("sb.sh"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("za.set_size") + F.col("zb.set_size") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+    )
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - {SHINGLE_N - 1}, 1) + 1),
+           i -> array_to_string(t[i:i+{SHINGLE_N - 1}], ' ')))) AS sh
+  FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh sa JOIN sh sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / (za.set_size + zb.set_size - inter) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = doc_a
+JOIN sizes zb ON zb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (za.set_size + zb.set_size - inter)
+      >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_cosine — near-dup pairs by cosine within label blocks.
+# ---------------------------------------------------------------------------
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+ORACLE_DEDUP_EMBEDDING_COSINE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+    AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+    >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash — 64-bit SimHash via Arrow-batched pandas UDF
+# (bit-level majority vote; not portable SQL -> rows-only check).
+# Deterministic: md5-derived per-token 64-bit hashes.
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    import hashlib
+
+    def sim(text: str) -> int:
+        acc = [0] * 64
+        for tok in set(text.split(" ")):
+            h = int.from_bytes(
+                hashlib.md5(tok.encode()).digest()[:8], "big"
+            )
+            for j in range(64):
+                acc[j] += 1 if (h >> j) & 1 else -1
+        v = 0
+        for j in range(64):
+            if acc[j] > 0:
+                v |= 1 << j
+        # to signed 64-bit
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return texts.map(sim)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + near-dup pairs at Hamming distance <= 3.
+
+    Banding trick for scale: 4 x 16-bit chunks; pairs at distance <= 3
+    must agree on >= 1 chunk, so the candidate join is chunk-blocked,
+    never O(n^2). Hamming distance via bit_count(xor) — JVM-side.
+    """
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _simhash64(F.col("text")).alias("simhash")
+    )
+    chunks = docs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk", "ck.key")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_exact_rows": q_dedup_exact_rows,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_exact_rows": ORACLE_DEDUP_EXACT_ROWS,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
+    # dedup_simhash: rows-only (bitwise ops not portable to ANSI SQL)
+}

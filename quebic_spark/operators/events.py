@@ -1,0 +1,241 @@
+"""Event-stream analytics over the ``events`` table.
+
+The reference's only "stream" is the queue itself (SURVEY §1.1); these
+are the Spark-provision streaming analytics (SURVEY §2.9/§2.10):
+tumbling/sliding/session windows and JSON prop extraction. Batch-mode
+queries here (oracle-checkable); the same window expressions run
+unchanged under Structured Streaming (see quebic_spark.streaming and
+the streaming tests).
+
+The events parquet stores TIMESTAMP(NANOS), which Spark 4 refuses to
+scan natively — ``_events`` reads it via the nanosAsLong legacy conf
+and truncates ns -> us, which bit-matches DuckDB's own ns -> us read
+(verified: ns // 1000 == duckdb epoch_us).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SESSION_GAP = "30 minutes"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # integer DIV, not `/`: double division of ~1.7e18 ns epochs loses
+    # unit-microsecond precision (2^53 mantissa)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+# ---------------------------------------------------------------------------
+# event_counts_hourly — tumbling window (F.window, streaming-identical).
+# ---------------------------------------------------------------------------
+
+def q_event_counts_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+ORACLE_EVENT_COUNTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# event_sliding_windows — 1h windows sliding by 30m (each event lands
+# in two windows). Oracle mirrors via UNION ALL of the two grids.
+# ---------------------------------------------------------------------------
+
+def q_event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+ORACLE_EVENT_SLIDING_WINDOWS = """
+WITH grid AS (
+  SELECT ts, time_bucket(INTERVAL '30 minutes', ts) AS w0 FROM events
+),
+assigned AS (
+  SELECT w0 AS window_start FROM grid
+  UNION ALL
+  SELECT w0 - INTERVAL '30 minutes' AS window_start FROM grid
+)
+SELECT window_start, COUNT(*) AS n_events
+FROM assigned
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# event_sessions — session windows (30 min gap) per user.
+# Spark: native session_window; oracle: gaps-and-islands (lag + cumsum).
+# ---------------------------------------------------------------------------
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            (
+                F.unix_micros("session_end") - F.unix_micros("session_start")
+            ).alias("duration_us"),
+        )
+    )
+
+
+ORACLE_EVENT_SESSIONS = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# event_json_props — JSON extraction from the props column + agg.
+# ---------------------------------------------------------------------------
+
+def q_event_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_EVENT_JSON_PROPS = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# event_funnel — per-user view -> click -> purchase ordering funnel.
+# ---------------------------------------------------------------------------
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    reached_view = F.col("first_view").isNotNull()
+    reached_click = reached_view & F.col("first_click").isNotNull() & (
+        F.col("first_click") > F.col("first_view")
+    )
+    reached_purchase = reached_click & F.col(
+        "first_purchase"
+    ).isNotNull() & (F.col("first_purchase") > F.col("first_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(reached_view.cast("long")).alias("n_view"),
+        F.sum(reached_click.cast("long")).alias("n_view_click"),
+        F.sum(reached_purchase.cast("long")).alias("n_view_click_purchase"),
+    )
+
+
+ORACLE_EVENT_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+    MIN(ts) FILTER (event_type = 'view') AS first_view,
+    MIN(ts) FILTER (event_type = 'click') AS first_click,
+    MIN(ts) FILTER (event_type = 'purchase') AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+  SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+  SUM(CASE WHEN first_view IS NOT NULL AND first_click IS NOT NULL
+            AND first_click > first_view THEN 1 ELSE 0 END) AS n_view_click,
+  SUM(CASE WHEN first_view IS NOT NULL AND first_click IS NOT NULL
+            AND first_click > first_view AND first_purchase IS NOT NULL
+            AND first_purchase > first_click THEN 1 ELSE 0 END)
+    AS n_view_click_purchase
+FROM per_user
+"""
+
+
+QUERIES = {
+    "event_counts_hourly": q_event_counts_hourly,
+    "event_sliding_windows": q_event_sliding_windows,
+    "event_sessions": q_event_sessions,
+    "event_json_props": q_event_json_props,
+    "event_funnel": q_event_funnel,
+}
+
+ORACLES = {
+    "event_counts_hourly": ORACLE_EVENT_COUNTS_HOURLY,
+    "event_sliding_windows": ORACLE_EVENT_SLIDING_WINDOWS,
+    "event_sessions": ORACLE_EVENT_SESSIONS,
+    "event_json_props": ORACLE_EVENT_JSON_PROPS,
+    "event_funnel": ORACLE_EVENT_FUNNEL,
+}

@@ -1,0 +1,208 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+North-star extension layer (SURVEY §2.10):
+  * brute-force cosine top-k — the exact baseline, oracle-checkable;
+  * LSH-bucketed top-k — the scale path: random-hyperplane signatures
+    shrink the candidate set from O(n) per query to one bucket; the
+    hyperplanes are seeded numpy literals embedded in BOTH the Spark
+    plan and the oracle SQL, so even the approximate path hash-matches.
+
+Scale notes: the query side is tiny and broadcast; the corpus side
+never shuffles (scan -> project -> broadcast-join -> partial top-k).
+At 100 TB the LSH variant becomes mandatory: bucket join keyed on the
+signature replaces the cross join, and per-bucket top-k is a bounded
+window. Brute force stays as the ground-truth harness for recall.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quebic_spark.functions.vector import cosine_similarity, dot_product
+
+TOP_K = 5
+QUERY_STRIDE = 50  # vec_id % STRIDE == 0 -> query set
+N_PLANES = 8
+PLANE_SEED = 42
+EMB_DIM = 64
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _planes() -> list[list[float]]:
+    """Seeded random hyperplanes, rounded so their decimal literals are
+    exactly representable the same way in both engines."""
+    rng = np.random.RandomState(PLANE_SEED)
+    planes = rng.randn(N_PLANES, EMB_DIM)
+    return [[round(float(x), 6) for x in row] for row in planes]
+
+
+# ---------------------------------------------------------------------------
+# ann_bruteforce_topk — exact cosine top-k per query vector.
+# ---------------------------------------------------------------------------
+
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter((F.col("vec_id") % QUERY_STRIDE) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cos = cosine_similarity(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+ORACLE_ANN_BRUTEFORCE_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id % {QUERY_STRIDE} = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))
+         * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+      AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, vec_id, cosine,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# ann_lsh_topk — random-hyperplane LSH bucketing + exact re-rank
+# within the bucket. Both sides share the same literal hyperplanes.
+# ---------------------------------------------------------------------------
+
+def _signature_col() -> F.Column:
+    bits = [
+        F.when(
+            dot_product(
+                F.col("embedding"),
+                F.array(*[F.lit(x) for x in plane]),
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in _planes()
+    ]
+    return F.concat(*bits)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn("bucket", _signature_col())
+    queries = emb.filter((F.col("vec_id") % QUERY_STRIDE) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cos = cosine_similarity(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _lsh_oracle() -> str:
+    def plane_literal(plane: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+
+    bits = " || ".join(
+        "CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"{plane_literal(p)}) >= 0 THEN '1' ELSE '0' END"
+        for p in _planes()
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {bits} AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+  FROM sigs WHERE vec_id % {QUERY_STRIDE} = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))
+         * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+      AS cosine
+  FROM sigs e JOIN q ON e.bucket = q.q_bucket AND e.vec_id != q.query_id
+)
+SELECT query_id, vec_id, cosine,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+ORACLE_ANN_LSH_TOPK = _lsh_oracle()
+
+
+# ---------------------------------------------------------------------------
+# embedding_label_centroids — per-label mean vector + stats (the IVF
+# coarse-quantizer building block; also a plain vector aggregation).
+# Mean vectors are element-wise sums -> order-sensitive in double, so
+# the output reduces to deterministic scalars: count + norm bounds.
+# ---------------------------------------------------------------------------
+
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    norm = F.sqrt(dot_product(F.col("embedding"), F.col("embedding")))
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+    )
+
+
+ORACLE_EMBEDDING_LABEL_STATS = """
+SELECT label, COUNT(*) AS n_vectors,
+  MIN(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS min_norm,
+  MAX(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS max_norm
+FROM embeddings
+GROUP BY label
+"""
+
+
+QUERIES = {
+    "ann_bruteforce_topk": q_ann_bruteforce_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_label_stats": q_embedding_label_stats,
+}
+
+ORACLES = {
+    "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE_TOPK,
+    "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
+    "embedding_label_stats": ORACLE_EMBEDDING_LABEL_STATS,
+}

@@ -1,0 +1,252 @@
+"""Text-analysis operators over the ``documents`` table.
+
+North-star extension layer (SURVEY §2.10) — absent from the reference,
+mandated for a large-scale training-data pipeline: per-document
+statistics, BPE-ish token counting, language ID, quality scoring,
+fingerprinting. All pure built-in functions (whole-stage codegen) —
+these run as a single scan + project at any scale, no shuffle at all
+except where a groupBy is the point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quebic_spark.functions.text import fingerprint, normalized_text, tokens
+
+# BPE-ish word/number/punct splitter; kept ASCII-simple so Java and RE2
+# regex dialects agree.
+BPE_PATTERN = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]"
+
+# tiny per-language stopword lexicon for the n-gram/stopword heuristic
+# language-ID (deterministic; the corpus vocabulary is synthetic, so
+# accuracy is not the point — the operator contract is).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# text_stats — per-document token/char statistics.
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks)
+    n_chars = F.length("text")
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        # avg token length: chars minus separators, over token count
+        ((n_chars - (n_toks - F.lit(1))).cast("double") / n_toks).alias(
+            "avg_token_len"
+        ),
+        (F.size(F.array_distinct(toks)).cast("double") / n_toks).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+ORACLE_TEXT_STATS = """
+SELECT doc_id,
+  len(string_split(text, ' ')) AS n_tokens,
+  length(text) AS n_chars,
+  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+     / len(string_split(text, ' ')) AS avg_token_len,
+  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+     / len(string_split(text, ' ')) AS distinct_ratio
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# token_counts — whitespace + BPE-ish regex token counts, corpus totals
+# per source.
+# ---------------------------------------------------------------------------
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "source",
+            F.size(tokens(F.col("text"))).alias("ws"),
+            F.regexp_count("text", F.lit(BPE_PATTERN)).alias("bpe"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+        )
+    )
+
+
+ORACLE_TOKEN_COUNTS = f"""
+SELECT source,
+  COUNT(*) AS n_docs,
+  SUM(len(string_split(text, ' '))) AS ws_tokens,
+  SUM(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS bpe_tokens
+FROM documents
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_fingerprints — md5 fingerprint over normalized text.
+# ---------------------------------------------------------------------------
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fingerprint"),
+        F.length(normalized_text(F.col("text"))).alias("norm_len"),
+    )
+
+
+ORACLE_DOC_FINGERPRINTS = """
+SELECT doc_id,
+  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+  length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_len
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# lang_id — stopword-marker heuristic with a fixed priority tie-break.
+# ---------------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+
+    def _hit_counter(words: tuple[str, ...]):
+        # closure factory: F.filter treats a 2-arg lambda as
+        # (element, index), so the word list must close over, not
+        # default-arg into, the lambda
+        return lambda t: t.isin(*words)
+
+    hits = {
+        lang: F.size(F.filter(toks, _hit_counter(words))).alias(
+            f"{lang}_hits"
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    scored = docs.select("doc_id", "lang", *hits.values())
+    langs = list(LANG_MARKERS)
+    # priority chain: first language (in declaration order) with the
+    # maximal hit count wins — same CASE chain as the oracle.
+    best = F.greatest(*[F.col(f"{lang}_hits") for lang in langs])
+    pred = F.when(F.col(f"{langs[0]}_hits") == best, F.lit(langs[0]))
+    for lang in langs[1:]:
+        pred = pred.when(F.col(f"{lang}_hits") == best, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_match"),
+    )
+
+
+def _oracle_lang_id() -> str:
+    hit_exprs = ",\n  ".join(
+        "len(list_filter(string_split(text, ' '), t -> t IN ({}))) AS {}_hits".format(
+            ", ".join(f"'{w}'" for w in words), lang
+        )
+        for lang, words in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    greatest = "greatest({})".format(
+        ", ".join(f"{lang}_hits" for lang in langs)
+    )
+    case = "CASE " + " ".join(
+        f"WHEN {lang}_hits = {greatest} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+  {hit_exprs}
+  FROM documents
+)
+SELECT doc_id, lang, {case} AS pred_lang,
+       ({case}) = lang AS is_match
+FROM scored
+"""
+
+
+ORACLE_LANG_ID = _oracle_lang_id()
+
+
+# ---------------------------------------------------------------------------
+# doc_quality — composite quality scoring with bucketing.
+# ---------------------------------------------------------------------------
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_toks
+    # length score: 1 at >=100 tokens, linear below
+    len_score = F.least(n_toks / F.lit(100.0), F.lit(1.0))
+    # no rounding: per-row double arithmetic is bit-deterministic, and
+    # round() semantics (half-up vs half-even) differ across engines
+    score = distinct_ratio * F.lit(0.5) + len_score * F.lit(0.5)
+    bucket = (
+        F.when(score >= 0.6, "high")
+        .when(score >= 0.35, "medium")
+        .otherwise("low")
+    )
+    return docs.select(
+        "doc_id",
+        score.alias("quality_score"),
+        bucket.alias("quality_bucket"),
+    )
+
+
+ORACLE_DOC_QUALITY = """
+WITH f AS (
+  SELECT doc_id,
+    CAST(len(string_split(text,' ')) AS DOUBLE) AS n_toks,
+    CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) AS n_distinct
+  FROM documents
+)
+SELECT doc_id,
+  n_distinct / n_toks * 0.5 + least(n_toks / 100.0, 1.0) * 0.5
+    AS quality_score,
+  CASE
+    WHEN n_distinct / n_toks * 0.5 + least(n_toks / 100.0, 1.0) * 0.5 >= 0.6 THEN 'high'
+    WHEN n_distinct / n_toks * 0.5 + least(n_toks / 100.0, 1.0) * 0.5 >= 0.35 THEN 'medium'
+    ELSE 'low'
+  END AS quality_bucket
+FROM f
+"""
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "token_counts": q_token_counts,
+    "doc_fingerprints": q_doc_fingerprints,
+    "lang_id": q_lang_id,
+    "doc_quality": q_doc_quality,
+}
+
+ORACLES = {
+    "text_stats": ORACLE_TEXT_STATS,
+    "token_counts": ORACLE_TOKEN_COUNTS,
+    "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
+    "lang_id": ORACLE_LANG_ID,
+    "doc_quality": ORACLE_DOC_QUALITY,
+}

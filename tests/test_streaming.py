@@ -1,0 +1,135 @@
+"""Structured Streaming consumer tests: availableNow consumption,
+crash-restart from checkpoint, DLQ routing, TTL filtering, and
+streaming window analytics over the events table.
+"""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from quebic_spark import INTEGER, Queue, Schema, TEXT
+from quebic_spark.streaming import StreamingConsumer, read_queue_stream
+
+SCHEMA = Schema(INTEGER, TEXT)
+
+
+@pytest.fixture
+def qpath(tmp_path):
+    return str(tmp_path / "q")
+
+
+def test_available_now_consumes_all(qpath, spark):
+    q = Queue(qpath, SCHEMA, capacity=10000)
+    q.publisher().push_all([[i, f"v{i}"] for i in range(100)])
+    got: list[tuple] = []
+
+    def f(df, batch_id):
+        got.extend((r["c0"], r["c1"]) for r in df.collect())
+
+    StreamingConsumer(spark, q).run_available(f)
+    assert sorted(got) == [(i, f"v{i}") for i in range(100)]
+    q.dispose()
+
+
+def test_checkpoint_restart_resumes(qpath, spark):
+    """Kill-and-resume: the second run must see only new records
+    (the reference's stop-and-restart story, README.md:17)."""
+    q = Queue(qpath, SCHEMA, capacity=10000)
+    q.publisher().push_all([[i, f"a{i}"] for i in range(50)])
+    first: list[int] = []
+    consumer = StreamingConsumer(spark, q)
+    consumer.run_available(
+        lambda df, _: first.extend(r["c0"] for r in df.collect())
+    )
+    assert sorted(first) == list(range(50))
+
+    # "restart": a fresh consumer with the same checkpoint dir
+    q.publisher().push_all([[i, f"b{i}"] for i in range(50, 80)])
+    second: list[int] = []
+    consumer2 = StreamingConsumer(spark, q)
+    consumer2.run_available(
+        lambda df, _: second.extend(r["c0"] for r in df.collect())
+    )
+    assert sorted(second) == list(range(50, 80))  # no redelivery
+    q.dispose()
+
+
+def test_dlq_after_error_permit(qpath, spark):
+    q = Queue(qpath, SCHEMA, capacity=1000)
+    q.publisher().push_all([[i, "x"] for i in range(10)])
+    calls = []
+
+    def failing(df, batch_id):
+        calls.append(batch_id)
+        raise RuntimeError("poison batch")
+
+    consumer = StreamingConsumer(spark, q, error_permit=3)
+    for _ in range(3):
+        try:
+            consumer.run_available(failing)
+        except Exception:
+            pass
+    # after error_permit failures the batch landed in the DLQ
+    dlq_files = [
+        f for f in os.listdir(q._storage.dlq_dir) if f.endswith(".parquet")
+    ]
+    assert dlq_files, "expected DLQ output"
+    dlq = spark.read.parquet(q._storage.dlq_dir)
+    assert dlq.count() == 10
+    assert dlq.filter(F.col("errors") >= 3).count() == 10
+    q.dispose()
+
+
+def test_streaming_ttl_filter(qpath, spark):
+    q = Queue(qpath, SCHEMA, capacity=1000)
+    q.publisher().push([1, "expires"], lifetime_ms=50)
+    q.publisher().push([2, "lives"])
+    time.sleep(0.1)
+    got: list[int] = []
+    StreamingConsumer(spark, q).run_available(
+        lambda df, _: got.extend(r["c0"] for r in df.collect())
+    )
+    assert got == [2]
+    q.dispose()
+
+
+def test_streaming_windowed_aggregation_over_queue(qpath, spark):
+    """Streaming window agg over a queue log: the §2.10
+    queue-as-stream composition (readStream -> window -> sink)."""
+    from quebic_spark import REAL
+
+    q = Queue(qpath, Schema(INTEGER, REAL), capacity=10000)
+    base = 1_700_000_000_000
+    items = [[base + i * 60_000, float(i)] for i in range(120)]  # 2h of minutes
+    q.publisher().push_all(items)
+
+    stream = read_queue_stream(spark, q)
+    events = stream.select(
+        F.timestamp_millis(F.col("c0")).alias("ts"), F.col("c1").alias("v")
+    )
+    agg = events.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out: list[tuple] = []
+    query = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(
+            lambda df, _: out.clear()
+            or out.extend(
+                (r["w"]["start"], r["n"]) for r in df.collect()
+            )
+        )
+        .option(
+            "checkpointLocation", os.path.join(q._storage.path, "ckpt_w")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    counts = sorted(n for _, n in out)
+    # 120 one-minute events starting on an hour boundary -> window split
+    assert sum(counts) == 120
+    assert len(out) >= 2
+    q.dispose()

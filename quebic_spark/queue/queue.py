@@ -294,6 +294,33 @@ class Queue:
             biggest = max(biggest, sz)
         return count, total, biggest
 
+    def aggregate(self, zero: Any, f: Callable[[Any, tuple[Any, ...]], Any]) -> Any:
+        """Fold over all pending records in FIFO order (the generic
+        traversal primitive, JournaledFile.aggregate :530-544).
+
+        Driver-side; for distributed folds use ``read_pending`` and a
+        DataFrame aggregation.
+        """
+        self._check_open()
+        acc = zero
+        with self._storage.lock:
+            acked = int(self._storage.consumer_state()["acked_seq"])
+        for row in self._storage.iter_rows(acked):
+            record = tuple(row[c] for c in self.schema.column_names)
+            acc = f(acc, record)
+        return acc
+
+    def foreach(self, f: Callable[[tuple[Any, ...]], None]) -> None:
+        """Visit all pending records (JournaledFile.foreach :551-553)."""
+        self.aggregate(None, lambda _, rec: f(rec))
+
+    def typed(self, converter) -> "Any":
+        """Queue[T] facade via a Value2Struct-style converter
+        (Queue.scala:301-307); see quebic_spark.queue.typed."""
+        from quebic_spark.queue.typed import TypedQueue
+
+        return TypedQueue(self, converter)
+
     # -- Spark integration ---------------------------------------------------
     def spark_schema_ddl(self) -> str:
         return spark_ddl(self.schema)

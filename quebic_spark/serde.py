@@ -1,0 +1,119 @@
+"""Record-level serialization: the ``Schema.serialize``/``deserialize``
+operation pair (Schema.scala:21-59), with per-record codec compression
+(Codec.scala:14-43).
+
+Byte-level compatibility with quebic's wire format (varint ints, 4-bit
+packed schema) is an explicit non-goal (SURVEY §7.5) — Parquet replaces
+it as the storage format. This module provides the *operation* for the
+literal per-record-BINARY mode: pack one validated record to bytes and
+back, deterministically, with optional GZIP.
+
+Format (big-endian):
+    INTEGER  8B signed
+    REAL     8B IEEE-754
+    TEXT     4B length + UTF-8 bytes
+    BINARY   4B length + raw bytes
+    TENSOR   4B ndim, 4B per dim, 8B per value (row-major)
+The whole record is then passed through the codec.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, Sequence
+
+from quebic_spark.codec import PLAIN, Codec
+from quebic_spark.errors import FormatException
+from quebic_spark.schema import (
+    BINARY,
+    INTEGER,
+    REAL,
+    TENSOR,
+    TEXT,
+    Schema,
+)
+from quebic_spark.tensor import Tensor
+
+
+def serialize_record(
+    schema: Schema, values: Sequence[Any], codec: Codec = PLAIN
+) -> bytes:
+    """Validate + pack one record (arity/type errors raise
+    IncompatibleSchemaException, parity with Schema.scala:22-31)."""
+    record = schema.validate_record(values)
+    out = bytearray()
+    for v, t in zip(record, schema.types):
+        if t is INTEGER:
+            out += struct.pack(">q", v)
+        elif t is REAL:
+            out += struct.pack(">d", v)
+        elif t is TEXT:
+            b = v.encode("utf-8")
+            out += struct.pack(">I", len(b)) + b
+        elif t is BINARY:
+            out += struct.pack(">I", len(v)) + v
+        elif t is TENSOR:
+            shape, vals = v
+            out += struct.pack(">I", len(shape))
+            out += struct.pack(f">{len(shape)}i", *shape)
+            out += struct.pack(f">{len(vals)}d", *vals)
+    return codec.encode(bytes(out))
+
+
+def deserialize_record(
+    schema: Schema, data: bytes, codec: Codec = PLAIN
+) -> tuple[Any, ...]:
+    """Unpack one record; trailing garbage or short reads raise
+    FormatException (parity with JournaledFile.scala:367-393)."""
+    raw = codec.decode(data)
+    off = 0
+    out: list[Any] = []
+
+    def need(n: int) -> None:
+        if off + n > len(raw):
+            raise FormatException(
+                f"short read at offset {off}: need {n}, have {len(raw) - off}"
+            )
+
+    for t in schema.types:
+        if t is INTEGER:
+            need(8)
+            out.append(struct.unpack_from(">q", raw, off)[0])
+            off += 8
+        elif t is REAL:
+            need(8)
+            out.append(struct.unpack_from(">d", raw, off)[0])
+            off += 8
+        elif t is TEXT:
+            need(4)
+            n = struct.unpack_from(">I", raw, off)[0]
+            off += 4
+            need(n)
+            out.append(raw[off : off + n].decode("utf-8"))
+            off += n
+        elif t is BINARY:
+            need(4)
+            n = struct.unpack_from(">I", raw, off)[0]
+            off += 4
+            need(n)
+            out.append(raw[off : off + n])
+            off += n
+        elif t is TENSOR:
+            need(4)
+            ndim = struct.unpack_from(">I", raw, off)[0]
+            off += 4
+            need(4 * ndim)
+            shape = list(struct.unpack_from(f">{ndim}i", raw, off))
+            off += 4 * ndim
+            n_vals = 1
+            for s in shape:
+                n_vals *= s
+            need(8 * n_vals)
+            vals = list(struct.unpack_from(f">{n_vals}d", raw, off))
+            off += 8 * n_vals
+            out.append(Tensor(shape, vals).as_row())
+    if off != len(raw):
+        raise FormatException(
+            f"record over-run: {len(raw) - off} trailing bytes"
+        )
+    return tuple(out)

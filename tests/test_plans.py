@@ -1,0 +1,70 @@
+"""Physical-plan regression tests: the plan shape IS the 100 TB story.
+
+Locks in: predicate pushdown into the parquet scan, column pruning,
+map-side partial aggregation, broadcast joins for dimension tables, and
+top-k compiling to TakeOrderedAndProject (no global sort).
+"""
+
+import re
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    from quebic_spark.operators.relational import q_pricing_summary
+
+    plan = _plan(q_pricing_summary(spark, sf_dir))
+    # the shipdate filter must reach the scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan
+    # the scan must not read all 11 lineitem columns
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    read_cols = [c.split("#")[0] for c in m.group(1).split(",")]
+    assert len(read_cols) == 7, read_cols
+    assert "l_orderkey" not in read_cols
+    # map-side combine
+    assert "partial_" in plan
+
+
+def test_star_join_broadcasts(spark, sf_dir):
+    from quebic_spark.operators.relational import q_region_revenue
+
+    plan = _plan(q_region_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    from quebic_spark.operators.relational import q_top_revenue_orders
+
+    plan = _plan(q_top_revenue_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # no global Sort node outside the top-k operator
+    assert "Sort [revenue" not in plan
+
+
+def test_ann_query_side_broadcasts(spark, sf_dir):
+    from quebic_spark.operators.similarity import q_ann_bruteforce_topk
+
+    plan = _plan(q_ann_bruteforce_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_queue_pending_scan_prunes_files(spark, tmp_path):
+    """read_pending must only list batch files beyond the ack pointer."""
+    from quebic_spark import INTEGER, Queue, Schema, TEXT
+
+    q = Queue(str(tmp_path / "q"), Schema(INTEGER, TEXT), capacity=1000)
+    pub, sub = q.publisher(), q.subscriber()
+    for i in range(10):
+        pub.push([i, f"v{i}"])
+    sub.pop_n(6)
+    plan = _plan(q.read_pending(spark))
+    # only 4 of the 10 batch files may appear in the scan
+    n_files = plan.count("batch-")
+    assert q.read_pending(spark).count() == 4
+    q.dispose()

@@ -1,0 +1,119 @@
+"""Record serde + typed-queue converter tests (SchemaTest/StructTest
+round-trip parity, SURVEY §5; Value2Struct contract, Queue.scala:301-307).
+"""
+
+import math
+import random
+
+import pytest
+
+from quebic_spark import (
+    BINARY,
+    GZIP,
+    INTEGER,
+    PLAIN,
+    Queue,
+    REAL,
+    Schema,
+    TENSOR,
+    TEXT,
+    Tensor,
+)
+from quebic_spark.errors import FormatException, IncompatibleSchemaException
+from quebic_spark.queue.typed import Converter
+from quebic_spark.serde import deserialize_record, serialize_record
+
+MIXED = Schema(INTEGER, REAL, TEXT, BINARY)
+
+# varint boundary set from SchemaTest.scala:51-62 — the reference's own
+# integer edge cases, still worth round-tripping even though our wire
+# format is fixed-width
+BOUNDARY_INTS = [
+    0, 252, 253, 254, 255, 256, 0xFFFF, 0x10000, 0xFFFFFFFF, 0x100000000,
+    2**63 - 1,
+]
+BOUNDARY_INTS += [-v for v in BOUNDARY_INTS[1:-1]] + [-(2**63)]
+
+
+@pytest.mark.parametrize("codec", [PLAIN, GZIP])
+def test_mixed_roundtrip(codec):
+    rnd = random.Random(55)
+    rec = [
+        rnd.randint(-(2**62), 2**62),
+        rnd.random() * 1e6,
+        "".join(chr(rnd.randint(0x20, 0x30A0)) for _ in range(1024)),
+        bytes(rnd.getrandbits(8) for _ in range(1024)),
+    ]
+    data = serialize_record(MIXED, rec, codec)
+    back = deserialize_record(MIXED, data, codec)
+    assert back[0] == rec[0] and back[1] == rec[1]
+    assert back[2] == rec[2] and back[3] == rec[3]
+
+
+@pytest.mark.parametrize("v", BOUNDARY_INTS)
+def test_integer_boundaries(v):
+    s = Schema(INTEGER)
+    assert deserialize_record(s, serialize_record(s, [v])) == (v,)
+
+
+def test_tensor_roundtrip_with_nan():
+    s = Schema(TENSOR)
+    t = Tensor([2, 2], [1.5, float("nan"), -3.0, 0.0])
+    shape, vals = deserialize_record(s, serialize_record(s, [t]))[0]
+    assert shape == [2, 2]
+    assert vals[0] == 1.5 and math.isnan(vals[1]) and vals[2] == -3.0
+
+
+def test_serialize_validates():
+    with pytest.raises(IncompatibleSchemaException):
+        serialize_record(MIXED, [1, 2.0, "x"])  # arity
+    with pytest.raises(IncompatibleSchemaException):
+        serialize_record(MIXED, [1, 2.0, 3, b""])  # type
+
+
+def test_deserialize_detects_corruption():
+    s = Schema(INTEGER, TEXT)
+    data = serialize_record(s, [7, "hello"])
+    with pytest.raises(FormatException):
+        deserialize_record(s, data[:-3])  # short read
+    with pytest.raises(FormatException):
+        deserialize_record(s, data + b"xx")  # over-run
+
+
+def test_typed_queue_converter(tmp_path):
+    class Item:
+        def __init__(self, id_, text):
+            self.id, self.text = id_, text
+
+        def __eq__(self, other):
+            return (self.id, self.text) == (other.id, other.text)
+
+    conv = Converter(
+        schema=Schema(INTEGER, TEXT),
+        from_obj=lambda it: [it.id, it.text],
+        to_obj=lambda rec: Item(rec[0], rec[1]),
+    )
+    q = Queue(str(tmp_path / "tq"), Schema(INTEGER, TEXT), capacity=100)
+    tq = q.typed(conv)
+    assert tq.push(Item(1, "one"))
+    assert tq.push_all([Item(2, "two"), Item(3, "three")]) == []
+    assert tq.size() == 3
+    assert tq.latest() == Item(3, "three")
+    assert tq.pop(1000) == Item(1, "one")
+    assert tq.consume(lambda it: it.text.upper()) == "TWO"
+    assert tq.try_pop() == Item(3, "three")
+    assert tq.is_empty()
+    q.close()
+
+
+def test_queue_aggregate_foreach(tmp_path):
+    q = Queue(str(tmp_path / "aq"), Schema(INTEGER, TEXT), capacity=100)
+    q.publisher().push_all([[i, f"v{i}"] for i in range(10)])
+    q.subscriber().pop_n(3)
+    # fold over pending only (FIFO order)
+    total = q.aggregate(0, lambda acc, rec: acc + rec[0])
+    assert total == sum(range(3, 10))
+    seen = []
+    q.foreach(lambda rec: seen.append(rec[0]))
+    assert seen == list(range(3, 10))
+    q.close()

@@ -418,6 +418,58 @@ WHERE EXISTS (SELECT 1 FROM orders
 """
 
 
+# ---------------------------------------------------------------------------
+# q_status_priority_cube — CUBE grouping sets (all 4 combinations).
+# ---------------------------------------------------------------------------
+
+def q_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dbl(F.sum(F.col("o_totalprice").cast(_PRICE))).alias("total_spend"),
+    )
+
+
+ORACLE_STATUS_PRIORITY_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_returnflag_pivot — pivot on linestatus with fixed values (the
+# oracle mirrors via conditional aggregation, which is what a pivot is).
+# ---------------------------------------------------------------------------
+
+def q_returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(_QTY)
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(qty))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        _dbl(F.coalesce(F.col("O"), F.lit(0))).alias("qty_open"),
+        _dbl(F.coalesce(F.col("F"), F.lit(0))).alias("qty_finished"),
+    )
+
+
+ORACLE_RETURNFLAG_PIVOT = """
+SELECT l_returnflag,
+  CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(10,2)))
+                FILTER (l_linestatus = 'O'), 0) AS DOUBLE) AS qty_open,
+  CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(10,2)))
+                FILTER (l_linestatus = 'F'), 0) AS DOUBLE) AS qty_finished
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -430,6 +482,8 @@ QUERIES = {
     "supplier_part_distinct": q_supplier_part_distinct,
     "monthly_order_volume": q_monthly_order_volume,
     "high_value_semijoin": q_high_value_semijoin,
+    "status_priority_cube": q_status_priority_cube,
+    "returnflag_pivot": q_returnflag_pivot,
 }
 
 ORACLES = {
@@ -444,4 +498,6 @@ ORACLES = {
     "supplier_part_distinct": ORACLE_SUPPLIER_PART_DISTINCT,
     "monthly_order_volume": ORACLE_MONTHLY_ORDER_VOLUME,
     "high_value_semijoin": ORACLE_HIGH_VALUE_SEMIJOIN,
+    "status_priority_cube": ORACLE_STATUS_PRIORITY_CUBE,
+    "returnflag_pivot": ORACLE_RETURNFLAG_PIVOT,
 }

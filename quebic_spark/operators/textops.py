@@ -235,12 +235,136 @@ FROM f
 """
 
 
+# ---------------------------------------------------------------------------
+# tfidf_top_terms — corpus term statistics + tf-idf, top 25 terms.
+# Scale: explode -> two-level aggregation (token stats, then corpus N
+# broadcast back); one shuffle keyed by token, balanced by vocabulary.
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_N = 25
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # tiny scalar; at scale a broadcast agg
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    stats = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf_total"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    # ln() differs by 1 ulp between JVM Math.log and DuckDB — round both
+    # sides to 6 decimals for the differential gate
+    idf = F.log(F.lit(float(n_docs)) / F.col("df"))
+    return (
+        stats.select(
+            "token",
+            "tf_total",
+            "df",
+            F.round(idf, 6).alias("idf"),
+            F.round(F.col("tf_total") * idf, 6).alias("tfidf_mass"),
+        )
+        .orderBy(F.col("tf_total").desc(), F.col("token"))
+        .limit(TFIDF_TOP_N)
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+stats AS (
+  SELECT token, COUNT(*) AS tf_total, COUNT(DISTINCT doc_id) AS df
+  FROM tok GROUP BY token
+)
+SELECT token, tf_total, df,
+       round(ln(n.n_docs / df), 6) AS idf,
+       round(tf_total * ln(n.n_docs / df), 6) AS tfidf_mass
+FROM stats, n
+ORDER BY tf_total DESC, token
+LIMIT {TFIDF_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# sentiment_scores — lexicon-join scoring (the deterministic stand-in
+# for model-based scoring): per-source aggregate of per-doc sentiment.
+# ---------------------------------------------------------------------------
+
+SENTIMENT_LEXICON: dict[str, int] = {
+    "fast": 2, "big": 1, "small": -1, "slow": -2, "error": -3,
+    "merge": 1, "spark": 2, "scan": 1, "hash": 1, "the": 0,
+}
+
+
+def q_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    lex = spark.createDataFrame(
+        sorted(SENTIMENT_LEXICON.items()), "token string, weight int"
+    )
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    per_doc = (
+        tok.join(F.broadcast(lex), "token")
+        .groupBy("doc_id", "source", "n_tokens")
+        .agg(F.sum("weight").alias("weight_sum"))
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.col("weight_sum").cast("double") / F.col("n_tokens")
+            ).alias("sentiment"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("sentiment").alias("min_sentiment"),
+        F.max("sentiment").alias("max_sentiment"),
+    )
+
+
+def _sentiment_oracle() -> str:
+    rows = ", ".join(
+        f"('{t}', {w})" for t, w in sorted(SENTIMENT_LEXICON.items())
+    )
+    return f"""
+WITH lex(token, weight) AS (VALUES {rows}),
+tok AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST(SUM(weight) AS DOUBLE) / n_tokens AS sentiment
+  FROM tok JOIN lex USING (token)
+  GROUP BY doc_id, source, n_tokens
+)
+SELECT source, COUNT(*) AS n_docs,
+       MIN(sentiment) AS min_sentiment,
+       MAX(sentiment) AS max_sentiment
+FROM per_doc
+GROUP BY source
+"""
+
+
+ORACLE_SENTIMENT_SCORES = _sentiment_oracle()
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "token_counts": q_token_counts,
     "doc_fingerprints": q_doc_fingerprints,
     "lang_id": q_lang_id,
     "doc_quality": q_doc_quality,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "sentiment_scores": q_sentiment_scores,
 }
 
 ORACLES = {
@@ -249,4 +373,6 @@ ORACLES = {
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
     "lang_id": ORACLE_LANG_ID,
     "doc_quality": ORACLE_DOC_QUALITY,
+    "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "sentiment_scores": ORACLE_SENTIMENT_SCORES,
 }

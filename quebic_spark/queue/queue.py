@@ -73,7 +73,13 @@ class Queue:
         capacity: int = 2**62,
         codec: Codec = PLAIN,
         poll_interval: float = DEFAULT_POLL_INTERVAL,
+        auto_compact_files: int | None = 256,
     ):
+        """``auto_compact_files``: compact when the log exceeds this many
+        batch files (the reference's timer-driven auto-migration,
+        Queue.scala:53-62, re-keyed from wall-clock to file count — the
+        quantity that actually degrades at scale). None disables.
+        """
         if capacity <= 0:
             # parity: Queue.scala:27-29
             raise ValueError(f"capacity must be positive: {capacity}")
@@ -81,6 +87,7 @@ class Queue:
         self.capacity = capacity
         self.codec = codec
         self.poll_interval = poll_interval
+        self.auto_compact_files = auto_compact_files
         self._closed = False
         self._storage = QueueStorage(path)
         os.makedirs(path, exist_ok=True)
@@ -445,6 +452,7 @@ class Publisher:
                 return False
             self._write_rows([record], next_seq, lifetime_ms)
             st.set_next_seq(next_seq + 1)
+            self._maybe_auto_compact()
         return True
 
     def push(self, values: Sequence[Any], limit_ms: int = -1,
@@ -477,6 +485,7 @@ class Publisher:
                     self._write_rows(remaining[:admit], next_seq, lifetime_ms)
                     st.set_next_seq(next_seq + admit)
                     remaining = remaining[admit:]
+                    self._maybe_auto_compact()
             if not remaining:
                 break
             if deadline is not None and time.time() >= deadline:
@@ -501,6 +510,11 @@ class Publisher:
         return tuple(row[c] for c in self._q.schema.column_names)
 
     # -- internals -------------------------------------------------------------
+    def _maybe_auto_compact(self) -> None:
+        limit = self._q.auto_compact_files
+        if limit is not None and len(self._q._storage.list_batches()) > limit:
+            self._q.compact()
+
     def _write_rows(self, records: list[tuple[Any, ...]], start_seq: int,
                     lifetime_ms: int) -> None:
         now = _now_ms()

@@ -1,6 +1,7 @@
 from quebic_spark.streaming.consumer import (
     StreamingConsumer,
+    queue_sink,
     read_queue_stream,
 )
 
-__all__ = ["StreamingConsumer", "read_queue_stream"]
+__all__ = ["StreamingConsumer", "queue_sink", "read_queue_stream"]

@@ -58,6 +58,25 @@ def read_queue_stream(
     )
 
 
+def queue_sink(queue: Queue, order_by: list[str]):
+    """A ``foreachBatch`` function that appends each micro-batch into a
+    queue — the queue as a streaming *sink* (the reference's producer
+    side driven by a stream instead of user calls). FIFO within a batch
+    follows ``order_by``; across batches, micro-batch order.
+
+    Usage::
+
+        df.writeStream.foreachBatch(queue_sink(out_q, ["ts"])).start()
+    """
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        queue.append_dataframe(batch_df, order_by=order_by)
+
+    return on_batch
+
+
 class StreamingConsumer:
     """``foreachBatch`` consumption with DLQ — the ``consume(f)`` of the
     streaming world.

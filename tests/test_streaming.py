@@ -95,6 +95,40 @@ def test_streaming_ttl_filter(qpath, spark):
     q.dispose()
 
 
+def test_queue_to_queue_relay(qpath, spark):
+    """queue as SOURCE and SINK: stream one queue into another with a
+    transform in between (the intermediate-buffer pipeline the
+    reference was built for, README.md:3-10 — Spark-shaped)."""
+    from quebic_spark.streaming import queue_sink
+
+    src = Queue(qpath + "_src", SCHEMA, capacity=10000)
+    dst = Queue(qpath + "_dst", SCHEMA, capacity=10000)
+    src.publisher().push_all([[i, f"v{i}"] for i in range(25)])
+
+    stream = read_queue_stream(spark, src).select(
+        F.col("c0"),
+        F.upper(F.col("c1")).alias("c1"),
+    )
+    q = (
+        stream.writeStream.foreachBatch(queue_sink(dst, order_by=["c0"]))
+        .option(
+            "checkpointLocation", os.path.join(src._storage.path, "relay")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = []
+    while True:
+        v = dst.subscriber().try_pop()
+        if v is None:
+            break
+        got.append(v)
+    assert [g[1] for g in got] == [f"V{i}" for i in range(25)]
+    src.dispose()
+    dst.dispose()
+
+
 def test_streaming_windowed_aggregation_over_queue(qpath, spark):
     """Streaming window agg over a queue log: the §2.10
     queue-as-stream composition (readStream -> window -> sink)."""

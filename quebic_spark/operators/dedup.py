@@ -435,7 +435,39 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# cardinality_sketch — HyperLogLog approximate distinct counts (the
+# sketch path for dedup planning at 100 TB: estimate before you
+# shuffle). HLL implementations differ across engines -> rows-only
+# check; the relative-error contract is asserted in-query against the
+# exact counts so the result is self-validating.
+# ---------------------------------------------------------------------------
+
+def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("exact_distinct_texts"),
+        F.approx_count_distinct("text", rsd=0.02).alias(
+            "approx_distinct_texts"
+        ),
+        F.countDistinct("source").alias("exact_distinct_sources"),
+        F.approx_count_distinct("source", rsd=0.02).alias(
+            "approx_distinct_sources"
+        ),
+    )
+    err = (
+        F.abs(
+            F.col("approx_distinct_texts")
+            - F.col("exact_distinct_texts")
+        ).cast("double")
+        / F.col("exact_distinct_texts")
+    )
+    return agg.withColumn("within_5pct", err <= 0.05)
+
+
 QUERIES = {
+    "cardinality_sketch": q_cardinality_sketch,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_rows": q_dedup_exact_rows,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,

@@ -470,6 +470,46 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# q_skew_safe_revenue — explicit two-stage salted aggregation
+# (quebic_spark.plans.skew). Exact-decimal partials make the result
+# identical to a direct groupBy, so the oracle is the plain SQL — the
+# query proves the salting rewrite is semantics-preserving.
+# ---------------------------------------------------------------------------
+
+def q_skew_safe_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quebic_spark.plans.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast(_PRICE) * (
+        _one() - F.col("l_discount").cast(_RATE)
+    )
+    out = salted_agg(
+        li,
+        group_cols=["l_returnflag"],
+        aggs={
+            "revenue_dec": (F.sum(revenue), "sum"),
+            "n_items": (F.count(F.lit(1)), "sum"),
+        },
+        salt_col=F.col("l_orderkey"),
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        _dbl(F.col("revenue_dec")).alias("revenue"),
+        "n_items",
+    )
+
+
+ORACLE_SKEW_SAFE_REVENUE = """
+SELECT l_returnflag,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -483,6 +523,7 @@ QUERIES = {
     "monthly_order_volume": q_monthly_order_volume,
     "high_value_semijoin": q_high_value_semijoin,
     "status_priority_cube": q_status_priority_cube,
+    "skew_safe_revenue": q_skew_safe_revenue,
     "returnflag_pivot": q_returnflag_pivot,
 }
 
@@ -499,5 +540,6 @@ ORACLES = {
     "monthly_order_volume": ORACLE_MONTHLY_ORDER_VOLUME,
     "high_value_semijoin": ORACLE_HIGH_VALUE_SEMIJOIN,
     "status_priority_cube": ORACLE_STATUS_PRIORITY_CUBE,
+    "skew_safe_revenue": ORACLE_SKEW_SAFE_REVENUE,
     "returnflag_pivot": ORACLE_RETURNFLAG_PIVOT,
 }

@@ -1,0 +1,15 @@
+from quebic_spark.plans.audit import (
+    executed_plan,
+    join_kinds,
+    pushed_filters,
+    scan_columns,
+)
+from quebic_spark.plans.skew import salted_agg
+
+__all__ = [
+    "executed_plan",
+    "join_kinds",
+    "pushed_filters",
+    "salted_agg",
+    "scan_columns",
+]

@@ -54,6 +54,53 @@ def test_ann_query_side_broadcasts(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_audit_helpers(spark, sf_dir):
+    from quebic_spark.operators.relational import (
+        q_pricing_summary,
+        q_region_revenue,
+    )
+    from quebic_spark.plans import join_kinds, pushed_filters, scan_columns
+
+    assert any(
+        "l_shipdate" in f for f in pushed_filters(q_pricing_summary(spark, sf_dir))
+    )
+    cols = scan_columns(q_pricing_summary(spark, sf_dir))
+    assert cols and len(cols[0]) == 7
+    kinds = join_kinds(q_region_revenue(spark, sf_dir))
+    assert kinds.get("BroadcastHashJoin", 0) >= 3
+    assert "CartesianProduct" not in kinds
+
+
+def test_salted_agg_equals_plain_groupby(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from quebic_spark.plans import salted_agg
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("decimal(10,2)")
+    salted = salted_agg(
+        li,
+        group_cols=["l_returnflag"],
+        aggs={
+            "s": (F.sum(qty), "sum"),
+            "n": (F.count(F.lit(1)), "sum"),
+            "mx": (F.max(qty), "max"),
+        },
+        salt_col=F.col("l_orderkey"),
+        n_salts=8,
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum(qty).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        F.max(qty).alias("mx"),
+    )
+    a = {r["l_returnflag"]: (r["s"], r["n"], r["mx"])
+         for r in salted.collect()}
+    b = {r["l_returnflag"]: (r["s"], r["n"], r["mx"])
+         for r in plain.collect()}
+    assert a == b
+
+
 def test_queue_pending_scan_prunes_files(spark, tmp_path):
     """read_pending must only list batch files beyond the ack pointer."""
     from quebic_spark import INTEGER, Queue, Schema, TEXT

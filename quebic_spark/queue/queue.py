@@ -162,14 +162,24 @@ class Queue:
         return Subscriber(self)
 
     # -- maintenance ------------------------------------------------------------
-    def compact(self, target_file_rows: int = 1_000_000) -> int:
-        """Rewrite the log: drop acked + expired rows, merge small files.
+    def compact(self, target_file_rows: int = 1_000_000,
+                small_file_rows: int = 65_536) -> int:
+        """Tiered log compaction: drop acked/expired rows, merge runs of
+        small files, leave large clean files untouched.
 
         Replaces the reference's journal->queue migration + spaceOut
         (JournaledFile.scala:406-452, 491-520) — our log is already
-        FIFO-ordered by seq, so compaction is purely physical: fewer,
-        larger files. The max-seq record is always retained even when
-        acked so ``latest`` survives emptiness (parity with
+        FIFO-ordered by seq, so compaction is purely physical. Tiering
+        matters at scale: a naive compact rewrites the entire log every
+        time (O(total) per call); this one rewrites only (a) files with
+        consumed rows, (b) files under ``small_file_rows`` — so steady
+        state cost is proportional to new data, not log size. Expired
+        rows inside large clean files are purged when those files next
+        become rewrite candidates (they are dropped at consume time
+        regardless — TTL parity, JournaledFile.scala:244-264).
+
+        The max-seq record is always retained even when acked so
+        ``latest`` survives emptiness (parity with
         truncate-keeps-deepest, JournaledFile.scala:266-275).
 
         Returns the number of files after compaction.
@@ -185,47 +195,76 @@ class Queue:
             max_seq = max(end for _, end, _ in batches)
             now = _now_ms()
 
-            keep_tables: list[pa.Table] = []
-            for start, end, path in batches:
-                t = pq.read_table(path)
-                mask = []
-                for seq, exp in zip(
-                    t.column("seq").to_pylist(),
-                    t.column("expires_at").to_pylist(),
+            def classify(start: int, end: int) -> str:
+                contains_max = end == max_seq
+                if end <= acked and not contains_max:
+                    return "drop"  # fully consumed
+                if (
+                    start > acked
+                    and (end - start + 1) >= small_file_rows
                 ):
-                    live = seq > acked and not (0 <= exp <= now)
-                    mask.append(live or seq == max_seq)
-                t = t.filter(pa.array(mask, type=pa.bool_()))
-                if t.num_rows:
-                    keep_tables.append(t)
+                    return "keep"  # large, fully unconsumed
+                return "rewrite"
 
-            merged = (
-                pa.concat_tables(keep_tables)
-                if keep_tables
-                else None
-            )
-            new_files = 0
+            # group adjacent rewrite files into runs so merged chunks
+            # never overlap kept files' seq ranges
+            runs: list[list[tuple[int, int, str]]] = [[]]
+            to_remove: list[str] = []
+            n_kept = 0
+            for start, end, path in batches:
+                kind = classify(start, end)
+                if kind == "drop":
+                    to_remove.append(path)
+                elif kind == "keep":
+                    n_kept += 1
+                    if runs[-1]:
+                        runs.append([])
+                else:
+                    runs[-1].append((start, end, path))
+
             staged: list[str] = []
-            if merged is not None and merged.num_rows:
-                merged = merged.sort_by("seq")
+            new_files = 0
+            for run in runs:
+                if not run:
+                    continue
+                tables = []
+                for start, end, path in run:
+                    t = pq.read_table(path)
+                    mask = [
+                        (seq > acked and not (0 <= exp <= now))
+                        or seq == max_seq
+                        for seq, exp in zip(
+                            t.column("seq").to_pylist(),
+                            t.column("expires_at").to_pylist(),
+                        )
+                    ]
+                    t = t.filter(pa.array(mask, type=pa.bool_()))
+                    if t.num_rows:
+                        tables.append(t)
+                    to_remove.append(path)
+                if not tables:
+                    continue
+                merged = pa.concat_tables(tables).sort_by("seq")
                 seqs = merged.column("seq").to_pylist()
                 for off in range(0, merged.num_rows, target_file_rows):
                     chunk = merged.slice(off, target_file_rows)
-                    s, e = seqs[off], seqs[min(off + target_file_rows,
-                                               merged.num_rows) - 1]
+                    s = seqs[off]
+                    e = seqs[min(off + target_file_rows,
+                                 merged.num_rows) - 1]
                     tmp = self._storage.batch_path(s, e) + ".compact"
                     pq.write_table(chunk, tmp,
                                    compression=self.codec.parquet_codec)
                     staged.append(tmp)
                     new_files += 1
-            # commit: remove olds, then rename staged files into place —
-            # a crash mid-way is recovered by re-running compact; data
-            # exists in either old or staged form at all times.
-            for _, _, path in batches:
+            # commit: remove rewritten/dropped files, then rename staged
+            # ones into place — a crash mid-way is recovered by re-running
+            # compact; every row exists in old or staged form throughout.
+            for path in to_remove:
                 os.remove(path)
             for tmp in staged:
                 os.replace(tmp, tmp[: -len(".compact")])
-            return new_files
+            self._storage.drop_row_cache()
+            return new_files + n_kept
 
     def vacuum_expired(self) -> None:
         """Drop expired rows eagerly (compaction purge, SURVEY §2.3 TTL)."""
@@ -251,8 +290,9 @@ class Queue:
                         f"seq out of filename range in {path}: "
                         f"[{seqs[0]},{seqs[-1]}] vs [{start},{end}]"
                     )
-                if seqs != list(range(seqs[0], seqs[-1] + 1)):
-                    raise FormatException(f"seq gap within {path}")
+                # gaps are legal (vacuumed TTL rows); duplicates are not
+                if len(set(seqs)) != len(seqs):
+                    raise FormatException(f"duplicate seq within {path}")
                 if prev_end is not None and start <= prev_end:
                     raise FormatException(
                         f"overlapping batch ranges at {path}"
@@ -364,10 +404,12 @@ class Queue:
         single-writer, like the reference's 1-producer contract). The
         payload columns must match the queue schema positionally.
 
-        Scale note: rows are written through Spark (distributed) to a
-        staging directory, then the seq range is committed by renaming
-        files into the log — one shuffle for the global order, no
-        driver-side row materialization.
+        Scale note: global seq assignment does NOT use a partition-less
+        window (which would funnel every row through one reducer).
+        Rows are range-partitioned on the order keys, ranked within
+        each partition, and offset by per-partition counts gathered in
+        one tiny driver aggregation — the classic scalable global
+        row-number. The staged files are then committed by rename.
         """
         self._check_open()
         from pyspark.sql import Window
@@ -393,37 +435,101 @@ class Queue:
                     f"capacity exceeded: {n} rows, room {room}"
                 )
             now = _now_ms()
-            # seq over the caller's order, computed on the original
-            # column names, then payload columns renamed positionally
-            w = Window.orderBy(*[F.col(c) for c in order_by])
-            staged = df.withColumn(
-                "seq", (F.row_number().over(w) + F.lit(start - 1)).cast("long")
-            ).select(
-                F.col("seq"),
-                F.lit(now).cast("long").alias("created_at"),
-                F.lit(_expires_at(lifetime_ms)).cast("long").alias("expires_at"),
+            exp = _expires_at(lifetime_ms)
+            # rename payload positionally to c0..cN first; order keys
+            # follow their columns through the rename
+            renamed = df.select(
                 *[
                     F.col(orig).alias(new)
                     for orig, new in zip(df.columns, cols)
-                ],
+                ]
             )
+            name_map = dict(zip(df.columns, cols))
+            order_cols = [F.col(name_map[c]) for c in order_by]
+            system_meta = [
+                F.lit(now).cast("long").alias("created_at"),
+                F.lit(exp).cast("long").alias("expires_at"),
+            ]
+            parts = None
+            if n <= 1_000_000:
+                # small batch: a single-reducer global window is cheaper
+                # than the extra jobs of the scalable path
+                w = Window.orderBy(*order_cols)
+                staged = renamed.select(
+                    (F.row_number().over(w) + F.lit(start - 1))
+                    .cast("long")
+                    .alias("seq"),
+                    *system_meta,
+                    *cols,
+                )
+            else:
+                # scalable global seq: ONE shuffle (range partition by
+                # the order keys), sort within partitions, then assign
+                # seq positionally per partition via mapInPandas with
+                # per-partition offsets from one tiny driver agg — no
+                # single reducer, no second shuffle, and each output
+                # partition holds a contiguous disjoint seq range
+                parts = (
+                    renamed.repartitionByRange(*order_cols)
+                    .sortWithinPartitions(*order_cols)
+                    .withColumn("_pid", F.spark_partition_id())
+                    # persist: range boundaries are sampled, so a second
+                    # evaluation could assign rows differently than the
+                    # count pass observed
+                    .persist()
+                )
+                counts = {
+                    r["_pid"]: r["cnt"]
+                    for r in parts.groupBy("_pid").agg(
+                        F.count(F.lit(1)).alias("cnt")
+                    ).collect()
+                }
+                offsets, acc = {}, 0
+                for pid in sorted(counts):
+                    offsets[pid] = acc
+                    acc += counts[pid]
+                seq_base = start
+
+                def number_partition(batches):
+                    pos = 0
+                    for pdf in batches:
+                        if len(pdf) == 0:
+                            continue
+                        off = offsets[int(pdf["_pid"].iloc[0])]
+                        first = seq_base + off + pos
+                        out = pdf[list(cols)].copy()
+                        out.insert(0, "expires_at", exp)
+                        out.insert(0, "created_at", now)
+                        out.insert(0, "seq",
+                                   range(first, first + len(pdf)))
+                        pos += len(pdf)
+                        yield out
+
+                staged = parts.mapInPandas(
+                    number_partition, self.spark_schema_ddl()
+                )
             staging = os.path.join(self._storage.path,
                                    f"_staging-{start:020d}")
-            staged.write.mode("overwrite").parquet(
-                staging, compression=self.codec.parquet_codec
-            )
+            try:
+                staged.write.mode("overwrite").parquet(
+                    staging, compression=self.codec.parquet_codec
+                )
+            finally:
+                if n > 1_000_000:
+                    parts.unpersist()
             # commit: move part files into the log with their seq ranges
             import pyarrow.parquet as pq
 
-            parts = sorted(
+            part_files = sorted(
                 os.path.join(staging, f)
                 for f in os.listdir(staging)
                 if f.endswith(".parquet")
             )
-            for part in parts:
+            for part in part_files:
                 meta = pq.read_table(part, columns=["seq"])
                 seqs = meta.column("seq").to_pylist()
                 if not seqs:
+                    os.remove(part)
                     continue
                 s, e = min(seqs), max(seqs)
                 os.replace(part, self._storage.batch_path(s, e))
@@ -602,11 +708,21 @@ class Subscriber:
                 head_seq = acked + 1
                 row = st.read_seq(head_seq)
                 if row is None:
-                    # compaction raced ahead of the pointer — should not
-                    # happen under the lock; treat as corrupt.
-                    raise FormatException(
-                        f"missing record seq={head_seq}"
-                    )
+                    # compaction vacuumed expired rows -> seq gap; jump
+                    # the pointer to the next stored record
+                    nxt = st.next_existing_seq(acked)
+                    if nxt is None:
+                        # everything pending was vacuumed
+                        state["acked_seq"] = next_seq - 1
+                        state["errors"] = {}
+                        st.set_consumer_state(state)
+                        return None
+                    row = st.read_seq(nxt)
+                    if row is None:
+                        raise FormatException(
+                            f"missing record seq={nxt}"
+                        )
+                    head_seq = nxt
                 now = _now_ms()
                 exp = row["expires_at"]
                 if 0 <= exp <= now:

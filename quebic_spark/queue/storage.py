@@ -282,9 +282,31 @@ class QueueStorage:
                 return found[0] if found else None
         return None
 
+    def drop_row_cache(self) -> None:
+        self._row_cache = None
+
+    def next_existing_seq(self, after: int) -> int | None:
+        """Smallest stored seq > after (compaction may vacuum expired
+        rows, leaving gaps in the sequence)."""
+        for start, end, path in self.batches_after(after):
+            if end - start + 1 <= self._CACHE_MAX_ROWS:
+                rows = self._cached_rows(path)
+                candidates = [s for s in rows if s > after]
+                if candidates:
+                    return min(candidates)
+            else:
+                table = pq.read_table(
+                    path, columns=["seq"],
+                    filters=[("seq", ">", after)],
+                )
+                seqs = table.column("seq").to_pylist()
+                if seqs:
+                    return min(seqs)
+        return None
+
     def _cached_rows(self, path: str) -> dict[int, dict[str, Any]]:
         mtime = os.path.getmtime(path)
-        cached = getattr(self, "_row_cache", None)
+        cached = getattr(self, "_row_cache", None) or None
         if cached is not None and cached[0] == (path, mtime):
             return cached[1]
         table = pq.read_table(path)

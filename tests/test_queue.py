@@ -246,6 +246,58 @@ def test_compact_merges_and_drops(qpath):
     q.close()
 
 
+def test_compact_vacuums_expired_and_consume_skips_gap(qpath):
+    """TTL purge at compaction creates seq gaps; consume must jump
+    them and verify must accept them."""
+    q = Queue(qpath, SCHEMA, capacity=1000)
+    pub, sub = q.publisher(), q.subscriber()
+    pub.push([1, "keep1"])
+    pub.push([2, "gone"], lifetime_ms=20)
+    pub.push([3, "gone2"], lifetime_ms=20)
+    pub.push([4, "keep2"])
+    time.sleep(0.05)
+    q.compact()
+    q.verify()
+    assert sub.try_pop() == (1, "keep1")
+    assert sub.try_pop() == (4, "keep2")  # jumped the 2,3 gap
+    assert sub.try_pop() is None
+    assert q.publisher().latest() == (4, "keep2")
+    q.close()
+
+
+def test_compact_vacuum_everything_pending(qpath):
+    q = Queue(qpath, SCHEMA, capacity=1000)
+    pub, sub = q.publisher(), q.subscriber()
+    pub.push([1, "gone"], lifetime_ms=20)
+    pub.push([2, "gone2"], lifetime_ms=20)
+    time.sleep(0.05)
+    q.compact()
+    assert sub.try_pop() is None
+    assert q.size() == 0
+    # latest survives even though both rows expired (max-seq retention)
+    assert pub.latest() == (2, "gone2")
+    q.close()
+
+
+def test_tiered_compact_leaves_large_files(qpath):
+    q = Queue(qpath, SCHEMA, capacity=100000)
+    pub, sub = q.publisher(), q.subscriber()
+    pub.push_all([[i, f"v{i}"] for i in range(100)])  # one big file
+    for i in range(100, 110):
+        pub.push([i, f"v{i}"])  # ten small files
+    big = q._storage.list_batches()[0]
+    import os as _os
+
+    mtime_before = _os.path.getmtime(big[2])
+    q.compact(small_file_rows=50)  # 100-row file counts as large
+    batches = q._storage.list_batches()
+    assert len(batches) == 2  # big file kept + small run merged
+    assert _os.path.getmtime(batches[0][2]) == mtime_before  # untouched
+    assert sub.pop_n(110) == [(i, f"v{i}") for i in range(110)]
+    q.verify()
+    q.close()
+
+
 def test_verify_and_dump(qpath):
     q = Queue(qpath, SCHEMA, capacity=100)
     q.publisher().push_all([[i, f"v{i}"] for i in range(5)])

@@ -17,6 +17,7 @@ from quebic_spark.operators import (
     queueops,
     relational,
     similarity,
+    temporal,
     textops,
 )
 
@@ -24,6 +25,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 for _mod in (relational, dedup, similarity, textops, events, multimodal,
-             queueops):
+             queueops, temporal):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

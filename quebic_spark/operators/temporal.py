@@ -1,0 +1,242 @@
+"""Temporal join operators: as-of join and range join over ``events``.
+
+Spark has no native ASOF or range join; these are the §2.10-style
+custom operators built as compositions of DataFrame primitives — the
+preference order (a) in the build mandate.
+
+  * as-of join: the union trick — interleave both sides sorted by
+    (key, ts) and carry the left side's last value forward with
+    ``last(col, ignorenulls=True)``. One shuffle, no pair explosion,
+    works at any scale and any key skew. (A naive implementation joins
+    every purchase to every earlier click and takes max — O(n^2) per
+    user.)
+  * range join: time-bucket both sides and join on (key, bucket) for
+    adjacent buckets, then filter the exact predicate. The bucket join
+    prunes the candidate space to O(pairs actually near each other);
+    DuckDB's native inequality-join optimizer serves as the
+    independent oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quebic_spark.operators.events import _events
+
+RANGE_WINDOW_S = 300  # 5 minutes
+
+
+# ---------------------------------------------------------------------------
+# asof_click_to_purchase — for each purchase, the most recent click of
+# the same user at-or-before the purchase (ASOF semantics: >=).
+# ---------------------------------------------------------------------------
+
+def q_asof_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ts"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        F.lit(0).alias("is_purchase"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ts"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(1).alias("is_purchase"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    # clicks sort before purchases at equal ts (is_purchase 0 < 1), so a
+    # click at exactly the purchase timestamp IS matched (>= semantics,
+    # same as DuckDB ASOF JOIN ON t >= t)
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "click_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn(
+            "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "last_click_id", F.last("click_id", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_purchase") == 1)
+        .select(
+            "user_id",
+            F.col("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("last_click_id").alias("click_id"),
+            F.col("last_click_ts").alias("click_ts"),
+            (
+                F.unix_micros("ts") - F.unix_micros("last_click_ts")
+            ).alias("gap_us"),
+        )
+    )
+
+
+# DuckDB's native ASOF JOIN is the independent oracle formulation.
+# Tie-break: if a user has two clicks at the same timestamp the as-of
+# match is ambiguous — the window form takes the max click_id; real
+# event ids are unique per (user, ts) in this data (microsecond stamps),
+# so both formulations agree.
+ORACLE_ASOF_CLICK_TO_PURCHASE = """
+WITH clicks AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.purchase_id, p.purchase_ts,
+       c.click_id, c.click_ts,
+       epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS gap_us
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# event_pairs_within_5min — bucketed range self-join: ordered pairs of
+# same-user events with 0 < gap <= 5 minutes.
+# ---------------------------------------------------------------------------
+
+def q_event_pairs_within_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    bucket = (F.col("us") / F.lit(RANGE_WINDOW_S * 1_000_000)).cast("long")
+    left = ev.withColumn("bucket", bucket)
+    # the later event's bucket is the earlier's or the one after, so
+    # the right (later) side probes its own bucket and the previous one
+    right = left.select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("us").alias("r_us"),
+        F.explode(
+            F.array(F.col("bucket"), F.col("bucket") - 1)
+        ).alias("r_bucket"),
+    )
+    gap = F.col("r_us") - F.col("us")
+    return (
+        left.join(
+            right,
+            (F.col("user_id") == F.col("r_user_id"))
+            & (F.col("bucket") == F.col("r_bucket")),
+        )
+        .filter(
+            (gap > 0) & (gap <= RANGE_WINDOW_S * 1_000_000)
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_id"),
+            F.col("r_event_id").alias("second_id"),
+            gap.alias("gap_us"),
+        )
+        .distinct()
+    )
+
+
+ORACLE_EVENT_PAIRS_WITHIN_5MIN = f"""
+SELECT a.user_id,
+       a.event_id AS first_id,
+       b.event_id AS second_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= {RANGE_WINDOW_S * 1_000_000}
+"""
+
+
+# ---------------------------------------------------------------------------
+# session_topk_events — sessionize (30 min gap), then top-2 events by
+# value per session: the "top-k within incremental sessions" composite.
+# ---------------------------------------------------------------------------
+
+def q_session_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    sessions = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    e, s = ev.alias("e"), sessions.alias("s")
+    joined = e.join(
+        s,
+        (F.col("e.user_id") == F.col("s.user_id"))
+        & (F.col("e.ts") >= F.col("s.session_start"))
+        & (F.col("e.ts") < F.col("s.session_end")),
+    ).select(
+        F.col("e.user_id").alias("user_id"),
+        "session_start",
+        "event_id",
+        "value",
+        "n_events",
+    )
+    w = Window.partitionBy("user_id", "session_start").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select(
+            "user_id", "session_start", "rk", "event_id", "value",
+            "n_events",
+        )
+    )
+
+
+ORACLE_SESSION_TOPK_EVENTS = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+tagged AS (
+  SELECT user_id, ts, event_id, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, session_id, MIN(ts) AS session_start,
+         COUNT(*) AS n_events
+  FROM tagged GROUP BY user_id, session_id
+)
+SELECT t.user_id, s.session_start,
+       ROW_NUMBER() OVER (PARTITION BY t.user_id, t.session_id
+                          ORDER BY t.value DESC, t.event_id) AS rk,
+       t.event_id, t.value, s.n_events
+FROM tagged t JOIN sessions s
+  ON t.user_id = s.user_id AND t.session_id = s.session_id
+QUALIFY rk <= 2
+"""
+
+
+QUERIES = {
+    "asof_click_to_purchase": q_asof_click_to_purchase,
+    "event_pairs_within_5min": q_event_pairs_within_5min,
+    "session_topk_events": q_session_topk_events,
+}
+
+ORACLES = {
+    "asof_click_to_purchase": ORACLE_ASOF_CLICK_TO_PURCHASE,
+    "event_pairs_within_5min": ORACLE_EVENT_PAIRS_WITHIN_5MIN,
+    "session_topk_events": ORACLE_SESSION_TOPK_EVENTS,
+}

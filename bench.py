@@ -42,7 +42,11 @@ def bench_queue() -> dict[str, float]:
     payload = bytes(rnd.getrandbits(8) for _ in range(1024))
     n = 1000
     path = tempfile.mkdtemp(prefix="quebic_bench_") + "/q"
-    q = Queue(path, Schema(INTEGER, BINARY), capacity=n + 1)
+    # parity with the reference's harness (Performance.scala:14-15):
+    # auto-migration effectively off, one manual compaction between the
+    # push and pop phases
+    q = Queue(path, Schema(INTEGER, BINARY), capacity=n + 1,
+              auto_compact_files=None)
     pub, sub = q.publisher(), q.subscriber()
     t0 = time.time()
     for i in range(n):

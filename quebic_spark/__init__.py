@@ -32,23 +32,31 @@ from quebic_spark.schema import (
 )
 from quebic_spark.tensor import Tensor
 from quebic_spark.codec import GZIP, PLAIN, Codec
-from quebic_spark.queue import Queue
+from quebic_spark.queue import Publisher, Queue, Subscriber
+from quebic_spark.queue.typed import Converter, TypedQueue
+from quebic_spark.serde import deserialize_record, serialize_record
 
 __version__ = "0.1.0"
 
 __all__ = [
     "BINARY",
     "Codec",
+    "Converter",
     "DataType",
     "FormatException",
     "GZIP",
     "INTEGER",
     "IncompatibleSchemaException",
     "PLAIN",
+    "Publisher",
     "Queue",
     "REAL",
     "Schema",
+    "Subscriber",
     "TENSOR",
     "TEXT",
     "Tensor",
+    "TypedQueue",
+    "deserialize_record",
+    "serialize_record",
 ]

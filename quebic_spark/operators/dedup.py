@@ -109,7 +109,10 @@ def _shingled(docs: DataFrame) -> DataFrame:
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sh = _shingled(docs)
+    # the shingle set feeds the signature agg AND both sides of the
+    # verify join — materialize once instead of re-exploding 4x (at
+    # cluster scale this is a persisted intermediate table)
+    sh = _shingled(docs).cache()
     # MinHash signature: per doc, min over shingles of md5(seed||shingle)
     sig = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("set_size"),
@@ -119,7 +122,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for s in range(N_MINHASH)
         ],
-    )
+    ).cache()
     # LSH banding: band key = md5(mh_{2b} || mh_{2b+1})
     bands = sig.select(
         "doc_id",
@@ -239,7 +242,7 @@ ORACLE_DEDUP_MINHASH_LSH = _minhash_oracle()
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sh = _shingled(docs)
+    sh = _shingled(docs).cache()  # feeds sizes + both join sides
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     inter = (
         sh.alias("sa")

@@ -39,13 +39,17 @@ class Tensor:
         values = [float(v) for v in values]
         if any(s < 0 for s in shape):
             raise ValueError(f"negative dimension in shape {shape}")
-        n = math.prod(shape) if shape else 0
-        # parity: Struct.scala:60-62 -- shape product must equal length;
-        # empty shape with nonempty values is invalid.
+        # parity: Struct.scala:60-62 -- shape product must equal length
+        # (prod of an empty shape is 1, as in Scala), and an empty shape
+        # with nonempty values is explicitly invalid; together these
+        # reject every empty-shape tensor.
+        n = math.prod(shape)
         if n != len(values):
             raise ValueError(
                 f"shape {shape} implies {n} values, got {len(values)}"
             )
+        if not shape and values:
+            raise ValueError("empty shape with nonempty values")
         self.shape = shape
         self.values = values
 

@@ -1,0 +1,133 @@
+"""Property-based tests (hypothesis): serde round-trips, tensor
+invariants, schema validation — the reference's seeded-random testing
+discipline (SURVEY §5) upgraded to generated properties.
+"""
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from quebic_spark import (
+    BINARY,
+    GZIP,
+    INTEGER,
+    PLAIN,
+    REAL,
+    Schema,
+    TENSOR,
+    TEXT,
+    Tensor,
+)
+from quebic_spark.errors import IncompatibleSchemaException
+from quebic_spark.serde import deserialize_record, serialize_record
+
+MIXED = Schema(INTEGER, REAL, TEXT, BINARY)
+
+finite_doubles = st.floats(allow_nan=False, allow_infinity=False)
+int64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    i=int64,
+    r=st.floats(allow_infinity=True, allow_nan=True),
+    t=st.text(max_size=300),
+    b=st.binary(max_size=300),
+    codec=st.sampled_from([PLAIN, GZIP]),
+)
+def test_mixed_record_roundtrip(i, r, t, b, codec):
+    rec = deserialize_record(
+        MIXED, serialize_record(MIXED, [i, r, t, b], codec), codec
+    )
+    assert rec[0] == i
+    assert (math.isnan(rec[1]) and math.isnan(r)) or rec[1] == r
+    assert rec[2] == t and rec[3] == b
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    shape=st.lists(st.integers(min_value=1, max_value=5), min_size=1,
+                   max_size=3),
+    data=st.data(),
+)
+def test_tensor_roundtrip(shape, data):
+    n = math.prod(shape)
+    values = data.draw(
+        st.lists(finite_doubles, min_size=n, max_size=n)
+    )
+    s = Schema(TENSOR)
+    tensor = Tensor(shape, values)
+    got_shape, got_values = deserialize_record(
+        s, serialize_record(s, [tensor])
+    )[0]
+    assert got_shape == shape and got_values == values
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    shape=st.lists(st.integers(min_value=0, max_value=6), min_size=0,
+                   max_size=3),
+    n_values=st.integers(min_value=0, max_value=300),
+)
+def test_tensor_invariant_never_silently_wrong(shape, n_values):
+    """Any (shape, values) pair either satisfies prod(shape)==len or
+    raises — never constructs an inconsistent tensor."""
+    values = [0.0] * n_values
+    # empty shape is never valid (prod([]) == 1 can't equal len 0, and
+    # the explicit reference check rejects len 1) — Struct.scala:60-62
+    expected = math.prod(shape)
+    if expected == n_values and shape:
+        t = Tensor(shape, values)
+        assert math.prod(t.shape) == len(t.values)
+    else:
+        try:
+            Tensor(shape, values)
+            raise AssertionError("should have raised")
+        except ValueError:
+            pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    nested=st.recursive(
+        st.floats(allow_nan=False, allow_infinity=False),
+        lambda children: st.lists(children, min_size=1, max_size=4),
+        max_leaves=30,
+    )
+)
+def test_from_tensor_accepts_iff_regular(nested):
+    """from_tensor either builds a tensor whose nesting round-trips, or
+    rejects irregular input — for any recursively generated nest."""
+    try:
+        t = Tensor.from_tensor(nested)
+    except ValueError:
+        return  # irregular nest rejected: fine
+    if isinstance(nested, list):
+        assert t.to_nested() == nested
+    else:
+        assert t.values == [float(nested)]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    values=st.lists(
+        st.one_of(int64, st.text(max_size=20)), max_size=4
+    )
+)
+def test_validation_never_accepts_wrong_arity_or_type(values):
+    s = Schema(INTEGER, TEXT)
+    ok = (
+        len(values) == 2
+        and isinstance(values[0], int)
+        and not isinstance(values[0], bool)
+        and isinstance(values[1], str)
+    )
+    if ok:
+        assert s.validate_record(values) == tuple(values)
+    else:
+        try:
+            s.validate_record(values)
+            raise AssertionError("should have raised")
+        except IncompatibleSchemaException:
+            pass

@@ -510,6 +510,94 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# q_price_percentiles — exact percentiles (linear interpolation) per
+# priority. Both engines interpolate identically on sorted doubles.
+# ---------------------------------------------------------------------------
+
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORACLE_PRICE_PERCENTILES = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_brand_name_similarity — string functions: levenshtein distance of
+# part names to their brand, length/affix predicates.
+# ---------------------------------------------------------------------------
+
+def q_brand_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    lev = F.levenshtein(F.upper("p_name"), F.upper("p_brand"))
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min(lev).alias("min_lev"),
+        F.max(lev).alias("max_lev"),
+        F.sum(F.col("p_name").startswith("a").cast("long")).alias(
+            "names_starting_a"
+        ),
+        F.sum((F.length("p_name") > 20).cast("long")).alias("long_names"),
+    )
+
+
+ORACLE_BRAND_NAME_SIMILARITY = """
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       MIN(levenshtein(upper(p_name), upper(p_brand))) AS min_lev,
+       MAX(levenshtein(upper(p_name), upper(p_brand))) AS max_lev,
+       SUM(CASE WHEN p_name LIKE 'a%' THEN 1 ELSE 0 END) AS names_starting_a,
+       SUM(CASE WHEN length(p_name) > 20 THEN 1 ELSE 0 END) AS long_names
+FROM part
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_above_avg_customers — scalar subquery via the SQL API (Catalyst
+# parses SQL and DataFrame code into the same plans; this exercises the
+# SQL entry point).
+# ---------------------------------------------------------------------------
+
+def q_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer_v
+        WHERE CAST(c_acctbal AS DECIMAL(12,2)) > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) / COUNT(*)
+                      AS DECIMAL(12,2))
+          FROM customer_v
+        )
+        """
+    )
+
+
+ORACLE_ABOVE_AVG_CUSTOMERS = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE CAST(c_acctbal AS DECIMAL(12,2)) > (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) / COUNT(*)
+              AS DECIMAL(12,2))
+  FROM customer
+)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -524,6 +612,9 @@ QUERIES = {
     "high_value_semijoin": q_high_value_semijoin,
     "status_priority_cube": q_status_priority_cube,
     "skew_safe_revenue": q_skew_safe_revenue,
+    "price_percentiles": q_price_percentiles,
+    "brand_name_similarity": q_brand_name_similarity,
+    "above_avg_customers": q_above_avg_customers,
     "returnflag_pivot": q_returnflag_pivot,
 }
 
@@ -541,5 +632,8 @@ ORACLES = {
     "high_value_semijoin": ORACLE_HIGH_VALUE_SEMIJOIN,
     "status_priority_cube": ORACLE_STATUS_PRIORITY_CUBE,
     "skew_safe_revenue": ORACLE_SKEW_SAFE_REVENUE,
+    "price_percentiles": ORACLE_PRICE_PERCENTILES,
+    "brand_name_similarity": ORACLE_BRAND_NAME_SIMILARITY,
+    "above_avg_customers": ORACLE_ABOVE_AVG_CUSTOMERS,
     "returnflag_pivot": ORACLE_RETURNFLAG_PIVOT,
 }

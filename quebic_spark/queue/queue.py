@@ -92,6 +92,9 @@ class Queue:
         self._storage = QueueStorage(path)
         os.makedirs(path, exist_ok=True)
         with self._storage.lock:
+            # crash recovery: sweep uncommitted staging artifacts left by
+            # a process killed mid-commit (committed state is rename-only)
+            self._storage.recover()
             if self._storage.exists():
                 stored_schema, stored_cap, stored_codec = (
                     self._storage.load_meta()

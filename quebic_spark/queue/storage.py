@@ -184,6 +184,32 @@ class QueueStorage:
     def exists(self) -> bool:
         return os.path.exists(self.meta_path)
 
+    def recover(self) -> list[str]:
+        """Sweep commit leftovers after a crash: staged ``.tmp`` /
+        ``.compact`` files and ``_staging-*`` spill dirs.
+
+        Safe because every committed artifact is a bare ``batch-*.parquet``
+        or control JSON moved into place by atomic rename
+        (write-data-then-flip-pointer, README.md:117-124): anything with
+        a staging suffix was never part of the committed state. Returns
+        the removed paths.
+        """
+        import shutil
+
+        removed: list[str] = []
+        for d in (self.path, self.data_dir, self.dlq_dir):
+            if not os.path.isdir(d):
+                continue
+            for name in os.listdir(d):
+                p = os.path.join(d, name)
+                if name.endswith((".tmp", ".compact")) and os.path.isfile(p):
+                    os.remove(p)
+                    removed.append(p)
+                elif name.startswith("_staging-") and os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(p)
+        return removed
+
     def load_meta(self) -> tuple[Schema, int, Codec]:
         meta = read_json(self.meta_path)
         if meta.get("format") != "quebic_spark.queue":

@@ -323,6 +323,37 @@ def test_verify_detects_corruption(qpath):
     q.dispose()
 
 
+def test_crash_recovery_sweeps_staging_artifacts(qpath):
+    """A process killed mid-commit leaves .tmp/.compact/_staging
+    orphans; reopening the queue must sweep them and preserve all
+    committed data (commit = atomic rename, so orphans are never part
+    of committed state)."""
+    import os
+
+    q = Queue(qpath, SCHEMA, capacity=100)
+    q.publisher().push_all([[i, f"v{i}"] for i in range(5)])
+    q.close()
+    # simulate a crash: orphan staging artifacts of all three kinds
+    st_dir = os.path.join(qpath, "data")
+    open(os.path.join(st_dir, "batch-" + "9" * 20 + "-" + "9" * 20
+                      + ".parquet.tmp"), "wb").close()
+    open(os.path.join(st_dir, "batch-" + "8" * 20 + "-" + "8" * 20
+                      + ".parquet.compact"), "wb").close()
+    os.makedirs(os.path.join(qpath, "_staging-00000000000000000099"))
+    open(os.path.join(qpath, "consumer.json.tmp"), "w").close()
+
+    q2 = Queue(qpath, SCHEMA)
+    leftovers = [
+        n for d in (qpath, st_dir) for n in os.listdir(d)
+        if n.endswith((".tmp", ".compact")) or n.startswith("_staging-")
+    ]
+    assert leftovers == []
+    assert q2.size() == 5
+    assert q2.subscriber().pop_n(5) == [(i, f"v{i}") for i in range(5)]
+    q2.verify()
+    q2.close()
+
+
 def test_dispose_removes_directory(qpath):
     import os
 

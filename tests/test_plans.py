@@ -101,6 +101,32 @@ def test_salted_agg_equals_plain_groupby(spark, sf_dir):
     assert a == b
 
 
+def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """Date-partitioned writes + partition-pruned reads: the physical
+    layout story for a 100 TB events table (partition by day; a
+    one-day query touches one directory)."""
+    from pyspark.sql import functions as F
+
+    from quebic_spark.operators.events import _events
+
+    ev = _events(spark, sf_dir).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_day")
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(out)
+
+    one_day = (
+        spark.read.parquet(out)
+        .filter(F.col("event_date") == "2024-01-05")
+    )
+    plan = _plan(one_day)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan
+    # the pruned scan must agree with a full-scan filter
+    full = ev.filter(F.col("event_date") == "2024-01-05").count()
+    assert one_day.count() == full > 0
+
+
 def test_queue_pending_scan_prunes_files(spark, tmp_path):
     """read_pending must only list batch files beyond the ack pointer."""
     from quebic_spark import INTEGER, Queue, Schema, TEXT

@@ -254,18 +254,34 @@ class Queue:
                     s = seqs[off]
                     e = seqs[min(off + target_file_rows,
                                  merged.num_rows) - 1]
-                    tmp = self._storage.batch_path(s, e) + ".compact"
-                    pq.write_table(chunk, tmp,
+                    # .tmp -> .compact rename marks the staged file
+                    # COMPLETE: recovery may only ever commit complete
+                    # staged files (storage.recover)
+                    staged_path = self._storage.batch_path(s, e) + ".compact"
+                    pq.write_table(chunk, staged_path + ".tmp",
                                    compression=self.codec.parquet_codec)
-                    staged.append(tmp)
+                    os.replace(staged_path + ".tmp", staged_path)
+                    staged.append(staged_path)
                     new_files += 1
-            # commit: remove rewritten/dropped files, then rename staged
-            # ones into place — a crash mid-way is recovered by re-running
-            # compact; every row exists in old or staged form throughout.
+            # commit order matters for crash safety: staged files are
+            # renamed into place FIRST (while their source olds still
+            # exist), olds removed second. A crash in between leaves
+            # duplicates, which only recovery/readers under the lock can
+            # observe — recover() completes the removal; a crash before
+            # any rename leaves complete .compact files that recover()
+            # commits. Every row exists in a committed or complete-staged
+            # file at every instant.
+            committed_targets = set()
+            for staged_path in staged:
+                target = staged_path[: -len(".compact")]
+                os.replace(staged_path, target)
+                committed_targets.add(target)
             for path in to_remove:
-                os.remove(path)
-            for tmp in staged:
-                os.replace(tmp, tmp[: -len(".compact")])
+                # a staged file may replace an old file of the same
+                # range/name in place — never remove what was just
+                # committed
+                if path not in committed_targets and os.path.exists(path):
+                    os.remove(path)
             self._storage.drop_row_cache()
             return new_files + n_kept
 

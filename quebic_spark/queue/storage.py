@@ -185,30 +185,62 @@ class QueueStorage:
         return os.path.exists(self.meta_path)
 
     def recover(self) -> list[str]:
-        """Sweep commit leftovers after a crash: staged ``.tmp`` /
-        ``.compact`` files and ``_staging-*`` spill dirs.
+        """Repair commit leftovers after a crash.
 
-        Safe because every committed artifact is a bare ``batch-*.parquet``
-        or control JSON moved into place by atomic rename
-        (write-data-then-flip-pointer, README.md:117-124): anything with
-        a staging suffix was never part of the committed state. Returns
-        the removed paths.
+        Two kinds of artifacts (write-data-then-flip-pointer discipline,
+        README.md:117-124):
+
+        * ``*.tmp`` files and ``_staging-*`` dirs were mid-write and
+          never part of any committed state -> swept.
+        * ``*.parquet.compact`` files are COMPLETE staged compaction
+          outputs (they are written to ``.tmp`` and atomically renamed
+          to ``.compact`` only when fully written). A crash between
+          staging and the old-file removal leaves them as the only
+          copy of their rows once olds are gone — so recovery FINISHES
+          the compaction: remove committed files whose seq range
+          overlaps a staged file, then rename the staged file into
+          place.
+
+        Returns the touched paths.
         """
         import shutil
 
-        removed: list[str] = []
+        touched: list[str] = []
+        # 1. sweep never-committed partials
         for d in (self.path, self.data_dir, self.dlq_dir):
             if not os.path.isdir(d):
                 continue
-            for name in os.listdir(d):
+            for name in list(os.listdir(d)):
                 p = os.path.join(d, name)
-                if name.endswith((".tmp", ".compact")) and os.path.isfile(p):
+                if name.endswith(".tmp") and os.path.isfile(p):
                     os.remove(p)
-                    removed.append(p)
+                    touched.append(p)
                 elif name.startswith("_staging-") and os.path.isdir(p):
                     shutil.rmtree(p, ignore_errors=True)
-                    removed.append(p)
-        return removed
+                    touched.append(p)
+        # 2. complete interrupted compactions
+        if os.path.isdir(self.data_dir):
+            staged = []
+            for name in os.listdir(self.data_dir):
+                if name.endswith(".compact"):
+                    m = _BATCH_RE.match(name[: -len(".compact")])
+                    if m:
+                        staged.append(
+                            (int(m.group(1)), int(m.group(2)),
+                             os.path.join(self.data_dir, name))
+                        )
+            if staged:
+                committed = self.list_batches()
+                for s, e, spath in staged:
+                    for cs, ce, cpath in committed:
+                        if cs <= e and s <= ce and os.path.exists(cpath):
+                            os.remove(cpath)
+                            touched.append(cpath)
+                    final = spath[: -len(".compact")]
+                    os.replace(spath, final)
+                    touched.append(final)
+                self.drop_row_cache()
+        return touched
 
     def load_meta(self) -> tuple[Schema, int, Codec]:
         meta = read_json(self.meta_path)

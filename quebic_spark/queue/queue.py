@@ -104,6 +104,15 @@ class Queue:
                 schema.assert_compatible(stored_schema)
                 self.capacity = stored_cap
                 self.codec = stored_codec
+                # write-then-flip: batch files land before next_seq
+                # advances, so rows at/beyond the pointer were never
+                # committed (their push never returned). A crash in
+                # that window leaves them; a later push would collide
+                # with their seqs — truncate them now.
+                next_seq = self._storage.next_seq()
+                for start, end, path in self._storage.list_batches():
+                    if start >= next_seq:
+                        os.remove(path)
             else:
                 self._storage.initialize(schema, capacity, codec)
 
@@ -191,7 +200,14 @@ class Queue:
         import pyarrow.parquet as pq
 
         with self._storage.lock:
-            batches = self._storage.list_batches()
+            # never touch files at/beyond the writer position: those
+            # rows are un-flipped (uncommitted) writes that open-time
+            # recovery truncates
+            next_seq = self._storage.next_seq()
+            batches = [
+                b for b in self._storage.list_batches()
+                if b[0] < next_seq
+            ]
             if not batches:
                 return 0
             acked = int(self._storage.consumer_state()["acked_seq"])

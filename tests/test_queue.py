@@ -391,6 +391,41 @@ def test_crash_recovery_completes_interrupted_compaction(qpath):
     q2.close()
 
 
+def test_crash_recovery_truncates_unflipped_writes(qpath):
+    """A crash between writing a batch file and advancing next_seq
+    leaves rows that were never committed (their push never returned);
+    reopening must truncate them so seqs are never reused twice."""
+    import pyarrow as pa_mod
+
+    from quebic_spark.queue.storage import arrow_schema
+
+    q = Queue(qpath, SCHEMA, capacity=100)
+    q.publisher().push_all([[i, f"v{i}"] for i in range(3)])
+    # simulate the crash window: a batch file at seq 4 exists but
+    # next_seq still says 4 is unassigned
+    table = pa_mod.table(
+        {
+            "seq": [4],
+            "created_at": [0],
+            "expires_at": [-1],
+            "c0": [99],
+            "c1": ["orphan"],
+        },
+        schema=arrow_schema(SCHEMA),
+    )
+    q._storage.write_batch(table, 4, 4, "snappy")
+    # abrupt death: no close() (close would run a normal compaction)
+
+    q2 = Queue(qpath, SCHEMA)
+    assert q2.size() == 3
+    pub2 = q2.publisher()
+    assert pub2.push([42, "fresh"])  # reuses seq 4 safely
+    got = q2.subscriber().pop_n(4)
+    assert got == [(0, "v0"), (1, "v1"), (2, "v2"), (42, "fresh")]
+    q2.verify()
+    q2.close()
+
+
 def test_dispose_removes_directory(qpath):
     import os
 

@@ -41,8 +41,16 @@ NGRAM_JACCARD_THRESHOLD = 0.3
 COSINE_DUP_THRESHOLD = 0.35
 
 
+def _fan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Small single-file inputs arrive as ONE partition; every operator
+    below does expensive per-row/per-pair work, so spread the scan
+    across the executors first (a no-op at real scale where the table
+    is already many files)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _fan(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -308,9 +316,9 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms precomputed per vector BEFORE the pair join: one fold per
     # pair instead of three (the values are bit-identical either way,
     # so the oracle is unaffected)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
-        "norm", l2_norm(F.col("embedding"))
-    )
+    emb = _fan(
+        spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ).withColumn("norm", l2_norm(F.col("embedding")))
     a, b = emb.alias("a"), emb.alias("b")
     cos = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.norm") * F.col("b.norm")
@@ -374,9 +382,19 @@ def _simhash64(texts: pd.Series) -> pd.Series:
         return v
 
     def sim(text: str) -> int:
+        # hash 3-gram shingles, not tokens: the corpus vocabulary is
+        # tiny, so token SETS are nearly identical across documents and
+        # token-basis simhashes collide en masse; shingles discriminate
+        # (same basis as the MinHash pipeline)
+        toks = text.split(" ")
+        feats = (
+            {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            if len(toks) >= 3
+            else {text}
+        )
         acc = np.zeros(64, dtype=np.int64)
-        for tok in set(text.split(" ")):
-            acc += token_bits(tok)
+        for f in feats:
+            acc += token_bits(f)
         v = int(
             np.bitwise_or.reduce(
                 (acc > 0).astype(np.uint64) << shifts

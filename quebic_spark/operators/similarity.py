@@ -30,7 +30,10 @@ EMB_DIM = 64
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # single-file input -> one partition; the cosine folds below are the
+    # expensive part, so spread the corpus across executors up front
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _planes() -> list[list[float]]:

@@ -32,7 +32,10 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-file input -> one partition; tokenize/explode pipelines
+    # below want parallelism from the start
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 # ---------------------------------------------------------------------------

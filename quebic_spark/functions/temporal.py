@@ -1,0 +1,103 @@
+"""Generic as-of join — the temporal operator Spark lacks, as a
+reusable composition of DataFrame primitives.
+
+``asof_join(left, right, ...)`` matches each left row with the nearest
+right row at-or-before (``backward``) or at-or-after (``forward``) its
+timestamp, per key — without materializing candidate pairs: both sides
+are interleaved, sorted once per key, and the right side's values are
+carried across with ``last(..., ignorenulls)`` /
+``first(..., ignorenulls)``. One shuffle on the key columns, O(n log n)
+per key, immune to key skew blowup (a naive time-inequality join is
+O(left x right) per key).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    direction: str = "backward",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Return ``left`` with, per row, the ``right_values`` of the
+    nearest ``right`` row per ``on`` key.
+
+    direction='backward': right_ts <= left_ts (most recent prior).
+    direction='forward':  right_ts >= left_ts (earliest following).
+    Ties at equal timestamps match (<= / >= semantics). Unmatched left
+    rows keep NULLs (left-join semantics).
+
+    If the right side has several rows at the same (key, ts) the
+    matched one is unspecified — pre-aggregate or dedup the right side
+    when that matters (same caveat as any ASOF join).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward: {direction}")
+    on = list(on)
+    left_cols = left.columns
+    tagged_left = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in left_cols if c not in on],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
+            for c in right_values
+        ],
+    )
+    tagged_right = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+            if c not in on
+        ],
+        *[F.col(c).alias(c + suffix) for c in right_values],
+    )
+    merged = tagged_left.unionByName(tagged_right)
+
+    # at equal _ts the right row must be visible to the left row:
+    # backward -> right sorts first (is_left 0 < 1); forward -> right
+    # sorts last and we look ahead
+    base = Window.partitionBy(*on)
+    if direction == "backward":
+        w = base.orderBy("_ts", "_is_left").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        carried = {
+            c: F.last(F.col(c + suffix), ignorenulls=True).over(w)
+            for c in right_values
+        }
+    else:
+        w = base.orderBy(
+            "_ts", F.col("_is_left").desc()
+        ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carried = {
+            c: F.first(F.col(c + suffix), ignorenulls=True).over(w)
+            for c in right_values
+        }
+
+    out = merged.select(
+        *on,
+        "_ts",
+        "_is_left",
+        *[c for c in left_cols if c not in on],
+        *[expr.alias(c + suffix) for c, expr in carried.items()],
+    )
+    return (
+        out.filter(F.col("_is_left") == 1)
+        .drop("_is_left")
+        .withColumnRenamed("_ts", left_ts)
+    )

@@ -1,0 +1,105 @@
+"""Generic asof_join tests: backward/forward, ties, unmatched rows."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from quebic_spark.functions.temporal import asof_join
+
+
+def ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture
+def frames(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T10:00:03"), 100.0),
+            (1, ts("2024-01-01T10:00:10"), 101.0),
+            (2, ts("2024-01-01T10:00:01"), 50.0),
+            (3, ts("2024-01-01T10:00:05"), 7.0),  # no quotes for key 3
+        ],
+        "key int, trade_ts timestamp, price double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T10:00:00"), 99.5),
+            (1, ts("2024-01-01T10:00:03"), 99.9),  # tie with 1st trade
+            (1, ts("2024-01-01T10:00:07"), 100.5),
+            (2, ts("2024-01-01T10:00:02"), 49.5),  # after key-2 trade
+        ],
+        "key int, quote_ts timestamp, quote double",
+    )
+    return trades, quotes
+
+
+def test_backward_asof(frames):
+    trades, quotes = frames
+    out = asof_join(
+        trades, quotes, on=["key"], left_ts="trade_ts",
+        right_ts="quote_ts", right_values=["quote"],
+    )
+    got = {
+        (r["key"], r["trade_ts"].isoformat()): r["quote_asof"]
+        for r in out.collect()
+    }
+    assert got[(1, "2024-01-01T10:00:03")] == 99.9  # tie matches (<=)
+    assert got[(1, "2024-01-01T10:00:10")] == 100.5
+    assert got[(2, "2024-01-01T10:00:01")] is None  # quote is later
+    assert got[(3, "2024-01-01T10:00:05")] is None  # no quotes at all
+    assert out.count() == 4  # left-join semantics
+
+
+def test_forward_asof(frames):
+    trades, quotes = frames
+    out = asof_join(
+        trades, quotes, on=["key"], left_ts="trade_ts",
+        right_ts="quote_ts", right_values=["quote"],
+        direction="forward",
+    )
+    got = {
+        (r["key"], r["trade_ts"].isoformat()): r["quote_asof"]
+        for r in out.collect()
+    }
+    assert got[(1, "2024-01-01T10:00:03")] == 99.9  # tie matches (>=)
+    assert got[(1, "2024-01-01T10:00:10")] is None  # nothing later
+    assert got[(2, "2024-01-01T10:00:01")] == 49.5
+
+
+def test_direction_validation(frames):
+    trades, quotes = frames
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, ["key"], "trade_ts", "quote_ts",
+                  ["quote"], direction="nearest")
+
+
+def test_asof_matches_temporal_query(spark, sf_dir):
+    """The generic operator agrees with the hand-built union-window
+    query on real events data (inner-match subset)."""
+    from quebic_spark.operators.events import _events
+    from quebic_spark.operators.temporal import q_asof_click_to_purchase
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    generic = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="purchase_ts",
+        right_ts="click_ts", right_values=["click_id"],
+    )
+    expected = {
+        (r["user_id"], r["purchase_id"]): r["click_id"]
+        for r in q_asof_click_to_purchase(spark, sf_dir).collect()
+    }
+    got = {
+        (r["user_id"], r["purchase_id"]): r["click_id_asof"]
+        for r in generic.collect()
+    }
+    assert got == expected

@@ -598,6 +598,85 @@ WHERE CAST(c_acctbal AS DECIMAL(12,2)) > (
 """
 
 
+# ---------------------------------------------------------------------------
+# q_urgent_vs_finished_outer — FULL OUTER join of two per-customer
+# aggregates; exercises outer-join NULL semantics + coalesce.
+# ---------------------------------------------------------------------------
+
+def q_urgent_vs_finished_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("u_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    finished = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("f_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_finished"))
+    )
+    joined = urgent.join(
+        finished, urgent.u_custkey == finished.f_custkey, "full_outer"
+    )
+    return joined.select(
+        F.coalesce("u_custkey", "f_custkey").alias("custkey"),
+        F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+        F.coalesce("n_finished", F.lit(0)).alias("n_finished"),
+        (F.col("u_custkey").isNull() | F.col("f_custkey").isNull()).alias(
+            "one_sided"
+        ),
+    )
+
+
+ORACLE_URGENT_VS_FINISHED_OUTER = """
+WITH urgent AS (
+  SELECT o_custkey AS u_custkey, COUNT(*) AS n_urgent
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+),
+finished AS (
+  SELECT o_custkey AS f_custkey, COUNT(*) AS n_finished
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+)
+SELECT COALESCE(u_custkey, f_custkey) AS custkey,
+       COALESCE(n_urgent, 0) AS n_urgent,
+       COALESCE(n_finished, 0) AS n_finished,
+       (u_custkey IS NULL OR f_custkey IS NULL) AS one_sided
+FROM urgent FULL OUTER JOIN finished ON u_custkey = f_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_order_date_parts — date-part extraction (year/quarter/month/day).
+# ---------------------------------------------------------------------------
+
+def q_order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.month("o_orderdate").alias("mon"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(F.dayofmonth("o_orderdate")).alias("first_dom"),
+            F.max(F.dayofmonth("o_orderdate")).alias("last_dom"),
+        )
+    )
+
+
+ORACLE_ORDER_DATE_PARTS = """
+SELECT EXTRACT(year FROM o_orderdate) AS yr,
+       EXTRACT(quarter FROM o_orderdate) AS qtr,
+       EXTRACT(month FROM o_orderdate) AS mon,
+       COUNT(*) AS n_orders,
+       MIN(EXTRACT(day FROM o_orderdate)) AS first_dom,
+       MAX(EXTRACT(day FROM o_orderdate)) AS last_dom
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -615,6 +694,8 @@ QUERIES = {
     "price_percentiles": q_price_percentiles,
     "brand_name_similarity": q_brand_name_similarity,
     "above_avg_customers": q_above_avg_customers,
+    "urgent_vs_finished_outer": q_urgent_vs_finished_outer,
+    "order_date_parts": q_order_date_parts,
     "returnflag_pivot": q_returnflag_pivot,
 }
 
@@ -635,5 +716,7 @@ ORACLES = {
     "price_percentiles": ORACLE_PRICE_PERCENTILES,
     "brand_name_similarity": ORACLE_BRAND_NAME_SIMILARITY,
     "above_avg_customers": ORACLE_ABOVE_AVG_CUSTOMERS,
+    "urgent_vs_finished_outer": ORACLE_URGENT_VS_FINISHED_OUTER,
+    "order_date_parts": ORACLE_ORDER_DATE_PARTS,
     "returnflag_pivot": ORACLE_RETURNFLAG_PIVOT,
 }

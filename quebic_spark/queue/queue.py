@@ -63,6 +63,22 @@ def _expires_at(lifetime_ms: int) -> int:
     return -1 if lifetime_ms < 0 else _now_ms() + lifetime_ms
 
 
+def _record_from_row(schema: Schema, row: dict[str, Any]) -> tuple[Any, ...]:
+    """Storage row -> typed record: TENSOR struct dicts come back as
+    Tensor values (the reference returns typed Struct values, not raw
+    encodings)."""
+    from quebic_spark.schema import TENSOR
+    from quebic_spark.tensor import Tensor
+
+    out = []
+    for name, t in zip(schema.column_names, schema.types):
+        v = row[name]
+        if t is TENSOR and isinstance(v, dict):
+            v = Tensor(v["shape"], v["values"])
+        out.append(v)
+    return tuple(out)
+
+
 class Queue:
     """One durable FIFO queue over a directory (Queue.scala:26)."""
 
@@ -388,7 +404,7 @@ class Queue:
         with self._storage.lock:
             acked = int(self._storage.consumer_state()["acked_seq"])
         for row in self._storage.iter_rows(acked):
-            record = tuple(row[c] for c in self.schema.column_names)
+            record = _record_from_row(self.schema, row)
             acc = f(acc, record)
         return acc
 
@@ -648,7 +664,7 @@ class Publisher:
             row = st.read_seq(end)
         if row is None:
             return None
-        return tuple(row[c] for c in self._q.schema.column_names)
+        return _record_from_row(self._q.schema, row)
 
     # -- internals -------------------------------------------------------------
     def _maybe_auto_compact(self) -> None:
@@ -774,9 +790,7 @@ class Subscriber:
                     state["errors"].pop(str(head_seq), None)
                     st.set_consumer_state(state)
                     continue
-                record = tuple(
-                    row[c] for c in self._q.schema.column_names
-                )
+                record = _record_from_row(self._q.schema, row)
                 try:
                     result = f(record)
                 except Exception:
@@ -800,7 +814,7 @@ class Subscriber:
             row = st.read_seq(acked + 1)
         if row is None:
             return None
-        return tuple(row[c] for c in self._q.schema.column_names)
+        return _record_from_row(self._q.schema, row)
 
     def _to_dlq(self, row: dict[str, Any], errors: int) -> None:
         st = self._q._storage

@@ -435,6 +435,40 @@ def test_dispose_removes_directory(qpath):
     assert not os.path.exists(qpath)
 
 
+def test_tensor_through_queue(qpath, spark):
+    """The reference's marquee TENSOR type end-to-end through queue
+    storage (struct<shape,values> parquet columns) and the Spark read
+    path (StructTest.scala:45-69 value semantics on the wire)."""
+    from quebic_spark import REAL, TENSOR, Tensor
+
+    schema = Schema(INTEGER, TENSOR, REAL)
+    q = Queue(qpath, schema, capacity=100)
+    pub, sub = q.publisher(), q.subscriber()
+    vec = Tensor.from_vector([1, 2.5, True])  # coercions apply
+    mat = Tensor.from_matrix([[1, 2], [3, 4]])
+    pub.push([1, vec, 0.5])
+    pub.push([2, mat, float("nan")])
+    assert q.size() == 2
+
+    got1 = sub.try_pop()
+    assert got1[0] == 1
+    assert got1[1] == Tensor([3], [1.0, 2.5, 1.0])  # typed value out
+    # Spark read path sees the same struct
+    import math
+
+    row = (
+        q.read_pending(spark).orderBy("seq").collect()[0]
+    )
+    assert row["c1"]["shape"] == [2, 2]
+    assert row["c1"]["values"] == [1.0, 2.0, 3.0, 4.0]
+    assert math.isnan(row["c2"])
+    got2 = sub.try_pop()
+    assert got2[1] == Tensor([2, 2], [1.0, 2.0, 3.0, 4.0])
+    assert math.isnan(got2[2])
+    assert q.publisher().latest()[1] == Tensor([2, 2], [1.0, 2.0, 3.0, 4.0])
+    q.close()
+
+
 def test_gzip_roundtrip_large_text(qpath):
     # parity: QueueTest.scala:144-169 (GZIP with large strings)
     from quebic_spark import GZIP

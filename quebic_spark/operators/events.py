@@ -164,7 +164,8 @@ def q_event_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENT_JSON_PROPS = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -213,12 +214,14 @@ WITH per_user AS (
   FROM events GROUP BY user_id
 )
 SELECT COUNT(*) AS n_users,
-  SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
-  SUM(CASE WHEN first_view IS NOT NULL AND first_click IS NOT NULL
-            AND first_click > first_view THEN 1 ELSE 0 END) AS n_view_click,
-  SUM(CASE WHEN first_view IS NOT NULL AND first_click IS NOT NULL
+  CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_view,
+  CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click IS NOT NULL
+            AND first_click > first_view THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_view_click,
+  CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click IS NOT NULL
             AND first_click > first_view AND first_purchase IS NOT NULL
-            AND first_purchase > first_click THEN 1 ELSE 0 END)
+            AND first_purchase > first_click THEN 1 ELSE 0 END) AS BIGINT)
     AS n_view_click_purchase
 FROM per_user
 """

@@ -558,8 +558,10 @@ SELECT p_brand,
        COUNT(*) AS n_parts,
        MIN(levenshtein(upper(p_name), upper(p_brand))) AS min_lev,
        MAX(levenshtein(upper(p_name), upper(p_brand))) AS max_lev,
-       SUM(CASE WHEN p_name LIKE 'a%' THEN 1 ELSE 0 END) AS names_starting_a,
-       SUM(CASE WHEN length(p_name) > 20 THEN 1 ELSE 0 END) AS long_names
+       CAST(SUM(CASE WHEN p_name LIKE 'a%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS names_starting_a,
+       CAST(SUM(CASE WHEN length(p_name) > 20 THEN 1 ELSE 0 END) AS BIGINT)
+         AS long_names
 FROM part
 GROUP BY p_brand
 """

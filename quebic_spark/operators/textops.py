@@ -100,8 +100,9 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TOKEN_COUNTS = f"""
 SELECT source,
   COUNT(*) AS n_docs,
-  SUM(len(string_split(text, ' '))) AS ws_tokens,
-  SUM(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS bpe_tokens
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+  CAST(SUM(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS BIGINT)
+    AS bpe_tokens
 FROM documents
 GROUP BY source
 """

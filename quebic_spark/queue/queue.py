@@ -45,6 +45,7 @@ from quebic_spark.queue.storage import (
     SYSTEM_COLUMNS,
     arrow_schema,
     spark_ddl,
+    write_json_atomic,
 )
 from quebic_spark.schema import Schema
 
@@ -295,25 +296,38 @@ class Queue:
                     os.replace(staged_path + ".tmp", staged_path)
                     staged.append(staged_path)
                     new_files += 1
-            # commit order matters for crash safety: staged files are
-            # renamed into place FIRST (while their source olds still
-            # exist), olds removed second. A crash in between leaves
-            # duplicates, which only recovery/readers under the lock can
-            # observe — recover() completes the removal; a crash before
-            # any rename leaves complete .compact files that recover()
-            # commits. Every row exists in a committed or complete-staged
-            # file at every instant.
-            committed_targets = set()
+            # commit protocol, crash-safe at every instant:
+            #   1. atomically write compact-commit.json naming the staged
+            #      files and the olds to delete (the manifest IS the
+            #      commit point — without it a crash leaves only complete
+            #      .compact files and recover()'s overlap rule finishes);
+            #   2. rename staged .compact files into place;
+            #   3. remove superseded olds;
+            #   4. remove the manifest.
+            # A crash anywhere in 2-4 is replayed by recover() from the
+            # manifest (rename-if-exists + delete-if-exists is
+            # idempotent). Every row exists in a committed or
+            # complete-staged file at every instant.
+            committed_targets = {
+                s[: -len(".compact")] for s in staged
+            }
+            # a staged file may replace an old file of the same
+            # range/name in place — never remove what was just committed
+            removals = [
+                p for p in to_remove if p not in committed_targets
+            ]
+            if staged or removals:
+                write_json_atomic(
+                    self._storage.compact_manifest_path,
+                    {"staged": staged, "remove": removals},
+                )
             for staged_path in staged:
-                target = staged_path[: -len(".compact")]
-                os.replace(staged_path, target)
-                committed_targets.add(target)
-            for path in to_remove:
-                # a staged file may replace an old file of the same
-                # range/name in place — never remove what was just
-                # committed
-                if path not in committed_targets and os.path.exists(path):
+                os.replace(staged_path, staged_path[: -len(".compact")])
+            for path in removals:
+                if os.path.exists(path):
                     os.remove(path)
+            if staged or removals:
+                os.remove(self._storage.compact_manifest_path)
             self._storage.drop_row_cache()
             return new_files + n_kept
 

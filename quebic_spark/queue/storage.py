@@ -162,6 +162,7 @@ class QueueStorage:
         self.meta_path = os.path.join(path, "meta.json")
         self.ctrl_path = os.path.join(path, "ctrl.json")
         self.consumer_path = os.path.join(path, "consumer.json")
+        self.compact_manifest_path = os.path.join(path, "compact-commit.json")
         self.lock = FileLock(os.path.join(path, "lock"))
 
     # -- lifecycle -------------------------------------------------------
@@ -192,14 +193,21 @@ class QueueStorage:
 
         * ``*.tmp`` files and ``_staging-*`` dirs were mid-write and
           never part of any committed state -> swept.
-        * ``*.parquet.compact`` files are COMPLETE staged compaction
-          outputs (they are written to ``.tmp`` and atomically renamed
-          to ``.compact`` only when fully written). A crash between
-          staging and the old-file removal leaves them as the only
-          copy of their rows once olds are gone — so recovery FINISHES
-          the compaction: remove committed files whose seq range
-          overlaps a staged file, then rename the staged file into
-          place.
+        * ``compact-commit.json`` is the compaction commit manifest: it
+          is written atomically BEFORE any staged file is renamed into
+          place and deleted only AFTER every superseded old file is
+          removed. Its presence means the rename/remove phase may be
+          half-done; replaying it (rename staged files still in
+          ``.compact`` form, delete listed olds that still exist) is
+          idempotent and always finishes the commit.
+        * ``*.parquet.compact`` files without a manifest are COMPLETE
+          staged compaction outputs from a crash BEFORE the commit
+          manifest was written (they are written to ``.tmp`` and
+          atomically renamed to ``.compact`` only when fully written,
+          and at that point every source old file still exists) — so
+          recovery FINISHES the compaction: remove committed files
+          whose seq range overlaps a staged file, then rename the
+          staged file into place.
 
         Returns the touched paths.
         """
@@ -218,7 +226,23 @@ class QueueStorage:
                 elif name.startswith("_staging-") and os.path.isdir(p):
                     shutil.rmtree(p, ignore_errors=True)
                     touched.append(p)
-        # 2. complete interrupted compactions
+        # 2. replay an interrupted compaction COMMIT (manifest present:
+        # renames may be done, so .compact markers can be gone — the
+        # manifest is the only record of which olds must still die)
+        if os.path.exists(self.compact_manifest_path):
+            manifest = read_json(self.compact_manifest_path)
+            for spath in manifest.get("staged", []):
+                if os.path.exists(spath):
+                    os.replace(spath, spath[: -len(".compact")])
+                    touched.append(spath)
+            for old in manifest.get("remove", []):
+                if os.path.exists(old):
+                    os.remove(old)
+                    touched.append(old)
+            os.remove(self.compact_manifest_path)
+            touched.append(self.compact_manifest_path)
+            self.drop_row_cache()
+        # 3. complete interrupted pre-commit compactions (no manifest)
         if os.path.isdir(self.data_dir):
             staged = []
             for name in os.listdir(self.data_dir):

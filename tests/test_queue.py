@@ -391,6 +391,37 @@ def test_crash_recovery_completes_interrupted_compaction(qpath):
     q2.close()
 
 
+def test_crash_recovery_replays_compaction_commit_manifest(qpath):
+    """A crash AFTER compaction renamed its staged files into place but
+    BEFORE the superseded olds were removed leaves no .compact marker —
+    the commit manifest is then the only record of which olds must die.
+    recover() must replay it, or the log keeps overlapping seq ranges
+    (verify() fails, readers see duplicates)."""
+    import os
+
+    q = Queue(qpath, SCHEMA, capacity=100, auto_compact_files=None)
+    q.publisher().push_all([[i, f"v{i}"] for i in range(10)])
+    q.subscriber().pop_n(4)  # ack 4 so compaction has rows to drop
+    real_remove = os.remove
+    try:
+        # crash window: every removal (olds + manifest) never happens
+        os.remove = lambda p: None
+        q.compact()
+    finally:
+        os.remove = real_remove
+    # abrupt death: no close() (close would run another compaction)
+    assert os.path.exists(q._storage.compact_manifest_path)
+    starts_ends = [(s, e) for s, e, _ in q._storage.list_batches()]
+    assert len(starts_ends) > 1  # olds + merged output coexist (overlap)
+
+    q2 = Queue(qpath, SCHEMA)
+    assert not os.path.exists(q2._storage.compact_manifest_path)
+    q2.verify()  # raises if overlapping seq ranges survived
+    assert q2.size() == 6
+    assert q2.subscriber().pop_n(6) == [(i, f"v{i}") for i in range(4, 10)]
+    q2.close()
+
+
 def test_crash_recovery_truncates_unflipped_writes(qpath):
     """A crash between writing a batch file and advancing next_seq
     leaves rows that were never committed (their push never returned);

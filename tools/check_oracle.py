@@ -49,6 +49,28 @@ def normalize(v) -> str:
     return str(v)
 
 
+def pandas_rows(df) -> list[tuple]:
+    """Rows of a pandas frame with numpy scalars unwrapped to Python types.
+
+    Both sides of the compare go through pandas (mirroring the driver's
+    gate): nullable int64 columns become float64 on BOTH sides (so they
+    still match), while a DuckDB HUGEINT (e.g. SUM(integer)) becomes
+    float64 only on the oracle side and is correctly flagged ("5.0" !=
+    Spark's "5" — the round-1 failure class that fetchall() masked).
+    """
+    import numpy as np
+
+    return [
+        tuple(
+            x.item() if isinstance(x, np.generic)
+            else x.tolist() if isinstance(x, np.ndarray)
+            else x
+            for x in row
+        )
+        for row in df.itertuples(index=False, name=None)
+    ]
+
+
 def frame_fingerprint(columns: list[str], rows: list[tuple]) -> tuple[int, list[str], str]:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     names = [columns[i] for i in order]
@@ -92,7 +114,7 @@ def main() -> int:
         try:
             sdf = fn(spark, args.sf)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            srows = pandas_rows(sdf.toPandas())
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
@@ -108,7 +130,9 @@ def main() -> int:
         try:
             rel = con.execute(oracles[name])
             dcols = [d[0] for d in rel.description]
-            drows = rel.fetchall()
+            # date_as_object keeps DATE as datetime.date (what Spark's
+            # toPandas yields) instead of midnight datetime64.
+            drows = pandas_rows(rel.fetchdf(date_as_object=True))
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1

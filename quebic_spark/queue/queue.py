@@ -106,6 +106,7 @@ class Queue:
         self.poll_interval = poll_interval
         self.auto_compact_files = auto_compact_files
         self._closed = False
+        self._compaction_pins = 0
         self._storage = QueueStorage(path)
         os.makedirs(path, exist_ok=True)
         with self._storage.lock:
@@ -191,8 +192,33 @@ class Queue:
         return Subscriber(self)
 
     # -- maintenance ------------------------------------------------------------
+    def pin_compaction(self) -> None:
+        """Disable compaction while a Structured Streaming reader is
+        attached to this queue's log.
+
+        The streaming file source tracks files it has processed BY PATH;
+        compaction rewrites/merges committed files under new names, so
+        every already-consumed row would be rediscovered as a "new" file
+        and redelivered. ``read_queue_stream`` pins automatically; call
+        :meth:`unpin_compaction` after the stream (and its checkpoint)
+        is permanently done.
+        """
+        self._compaction_pins += 1
+
+    def unpin_compaction(self) -> None:
+        self._compaction_pins = max(0, self._compaction_pins - 1)
+
+    def _stream_attached(self) -> bool:
+        # durable cross-process signal: StreamingConsumer's default
+        # checkpoint lives inside the queue directory; its presence
+        # means a stream may resume from it at any time
+        return self._compaction_pins > 0 or os.path.isdir(
+            os.path.join(self._storage.path, "checkpoint")
+        )
+
     def compact(self, target_file_rows: int = 1_000_000,
-                small_file_rows: int = 65_536) -> int:
+                small_file_rows: int = 65_536,
+                force: bool = False) -> int:
         """Tiered log compaction: drop acked/expired rows, merge runs of
         small files, leave large clean files untouched.
 
@@ -211,9 +237,15 @@ class Queue:
         ``latest`` survives emptiness (parity with
         truncate-keeps-deepest, JournaledFile.scala:266-275).
 
+        No-op while a streaming reader is attached (see
+        :meth:`pin_compaction`) unless ``force=True`` — rewriting files
+        under a live file-source stream redelivers consumed rows.
+
         Returns the number of files after compaction.
         """
         self._check_open()
+        if not force and self._stream_attached():
+            return len(self._storage.list_batches())
         import pyarrow.parquet as pq
 
         with self._storage.lock:
@@ -462,19 +494,32 @@ class Queue:
         )
 
     def append_dataframe(self, df, order_by: Sequence[str],
-                         lifetime_ms: int = -1) -> int:
+                         lifetime_ms: int = -1,
+                         small_batch_rows: int = 1_000_000) -> int:
         """Bulk FIFO ingestion from a Spark DataFrame.
 
         ``order_by`` defines the FIFO order of this batch (global seq is
         single-writer, like the reference's 1-producer contract). The
         payload columns must match the queue schema positionally.
 
-        Scale note: global seq assignment does NOT use a partition-less
-        window (which would funnel every row through one reducer).
-        Rows are range-partitioned on the order keys, ranked within
-        each partition, and offset by per-partition counts gathered in
-        one tiny driver aggregation — the classic scalable global
-        row-number. The staged files are then committed by rename.
+        Scale note: above ``small_batch_rows``, global seq assignment
+        does NOT use a partition-less window (which would funnel every
+        row through one reducer). Rows are range-partitioned on the
+        order keys, ranked within each partition, and offset by
+        per-partition counts gathered in one tiny driver aggregation —
+        the classic scalable global row-number. At or below the cutoff
+        a single-reducer global window is cheaper than the extra jobs
+        (this is the source of Spark's "WindowExec: No Partition
+        Defined" warning — expected, and bounded by the cutoff). Pass
+        ``small_batch_rows=0`` to force the scalable path.
+
+        The committed row count and ``next_seq`` are derived from the
+        STAGED output, not from a pre-write ``df.count()`` — a
+        nondeterministic source (sample/rand/shuffle-dependent input)
+        may change cardinality between evaluations, and trusting the
+        stale count would truncate or gap the log. The pre-write count
+        only selects the path and pre-checks capacity; capacity is
+        enforced again on the staged rows before any file is committed.
         """
         self._check_open()
         from pyspark.sql import Window
@@ -516,7 +561,7 @@ class Queue:
                 F.lit(exp).cast("long").alias("expires_at"),
             ]
             parts = None
-            if n <= 1_000_000:
+            if n <= small_batch_rows:
                 # small batch: a single-reducer global window is cheaper
                 # than the extra jobs of the scalable path
                 w = Window.orderBy(*order_cols)
@@ -580,9 +625,12 @@ class Queue:
                     staging, compression=self.codec.parquet_codec
                 )
             finally:
-                if n > 1_000_000:
+                if parts is not None:
                     parts.unpersist()
-            # commit: move part files into the log with their seq ranges
+            # commit: move part files into the log with their seq ranges.
+            # The staged output is the source of truth for how many rows
+            # were actually written — re-check capacity against it, and
+            # only then rename anything (abort = rmtree, nothing leaks).
             import pyarrow.parquet as pq
 
             part_files = sorted(
@@ -590,17 +638,25 @@ class Queue:
                 for f in os.listdir(staging)
                 if f.endswith(".parquet")
             )
+            ranges: list[tuple[str, int, int]] = []
+            actual = 0
             for part in part_files:
                 meta = pq.read_table(part, columns=["seq"])
                 seqs = meta.column("seq").to_pylist()
                 if not seqs:
-                    os.remove(part)
                     continue
-                s, e = min(seqs), max(seqs)
+                ranges.append((part, min(seqs), max(seqs)))
+                actual += len(seqs)
+            if actual > room:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise ValueError(
+                    f"capacity exceeded: {actual} rows staged, room {room}"
+                )
+            for part, s, e in ranges:
                 os.replace(part, self._storage.batch_path(s, e))
             shutil.rmtree(staging, ignore_errors=True)
-            self._storage.set_next_seq(start + n)
-        return n
+            self._storage.set_next_seq(start + actual)
+        return actual
 
 
 class Publisher:

@@ -107,6 +107,16 @@ def deserialize_record(
             off += 4 * ndim
             n_vals = 1
             for s in shape:
+                # dims are signed on the wire: a negative dim (corrupt
+                # or crafted input) would make n_vals negative, letting
+                # need() pass and struct raise the wrong error type —
+                # keep the FormatException contract. The product cannot
+                # wrap (Python ints) and need() bounds the allocation,
+                # so non-negativity is the only extra invariant.
+                if s < 0:
+                    raise FormatException(
+                        f"negative tensor dim {s} in shape {shape}"
+                    )
                 n_vals *= s
             need(8 * n_vals)
             vals = list(struct.unpack_from(f">{n_vals}d", raw, off))

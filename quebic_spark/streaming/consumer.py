@@ -43,11 +43,25 @@ def read_queue_stream(
     c0..cN) with expired rows filtered at read time (TTL parity,
     JournaledFile.scala:244-264 — the filter references
     current_timestamp so it re-evaluates per micro-batch).
+
+    Only committed ``batch-*.parquet`` files are listed
+    (``pathGlobFilter``) — in-flight ``*.tmp`` / ``*.compact`` partials
+    are invisible to micro-batches. Compaction on ``queue`` is pinned
+    off while the log is being streamed: the file source tracks
+    processed files by path, so a rewrite/merge would redeliver every
+    already-consumed row under a new file name. The pin covers this
+    process; the presence of the default checkpoint directory inside
+    the queue dir covers restarts from other processes. If you stream
+    with an EXTERNAL checkpoint from another process, disable
+    compaction there yourself (``auto_compact_files=None`` and no
+    ``close()``-triggered compact) for the stream's lifetime.
     """
+    queue.pin_compaction()
     reader = (
         spark.readStream.schema(queue.spark_schema_ddl())
         .format("parquet")
         .option("path", queue._storage.data_dir)
+        .option("pathGlobFilter", "batch-*.parquet")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -537,6 +537,41 @@ def test_append_dataframe_and_read_pending(qpath, spark):
     q2.dispose()
 
 
+def test_append_dataframe_scalable_path(qpath, spark):
+    """small_batch_rows=0 forces the range-partition + mapInPandas seq
+    assignment (the >cutoff path): no partition-less window, identical
+    FIFO result."""
+    q = Queue(qpath, SCHEMA, capacity=100000)
+    df = spark.range(500).selectExpr("id", "concat('row', id) AS text")
+    n = q.append_dataframe(df, order_by=["id"], small_batch_rows=0)
+    assert n == 500
+    q.verify()
+    assert q.subscriber().pop_n(500) == [
+        (i, f"row{i}") for i in range(500)
+    ]
+    q.dispose()
+
+
+def test_append_dataframe_nondeterministic_source(qpath, spark):
+    """A source whose cardinality can change between evaluations (rand
+    filter) must still leave a consistent log: committed count, size(),
+    next_seq, and verify() all agree with what was actually staged."""
+    from pyspark.sql import functions as F
+
+    q = Queue(qpath, SCHEMA, capacity=100000)
+    df = (
+        spark.range(1000)
+        .filter(F.rand() < 0.3)  # unseeded: re-evaluation may differ
+        .selectExpr("id", "concat('x', id) AS text")
+    )
+    n = q.append_dataframe(df, order_by=["id"])
+    assert q.size() == n
+    q.verify()  # seq continuity: no truncation, no gaps
+    assert len(q.subscriber().pop_n(n)) == n
+    assert q.is_empty()
+    q.dispose()
+
+
 def test_append_dataframe_fifo_interleaves_with_push(qpath, spark):
     q = Queue(qpath, SCHEMA, capacity=1000)
     pub, sub = q.publisher(), q.subscriber()

@@ -80,6 +80,25 @@ def test_deserialize_detects_corruption():
         deserialize_record(s, data + b"xx")  # over-run
 
 
+def test_deserialize_rejects_negative_tensor_dims():
+    """A corrupt/crafted negative dim must raise FormatException, not
+    escape as struct.error (dims are signed '>i' on the wire; a
+    negative product would slip past the length check)."""
+    import struct
+
+    s = Schema(TENSOR)
+    good = serialize_record(s, [Tensor([2, 2], [1.0, 2.0, 3.0, 4.0])])
+    # patch dim0 (bytes 4..8, after the 4-byte ndim) to -2
+    bad = good[:4] + struct.pack(">i", -2) + good[8:]
+    with pytest.raises(FormatException):
+        deserialize_record(s, bad)
+    # zero dims remain legal even alongside large dims: [4, 0] has 0
+    # values and must round-trip, not be rejected by a size bound
+    empty = serialize_record(s, [Tensor([4, 0], [])])
+    shape, vals = deserialize_record(s, empty)[0]
+    assert shape == [4, 0] and vals == []
+
+
 def test_typed_queue_converter(tmp_path):
     class Item:
         def __init__(self, id_, text):

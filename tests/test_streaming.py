@@ -129,6 +129,33 @@ def test_queue_to_queue_relay(qpath, spark):
     dst.dispose()
 
 
+def test_stream_pins_compaction_and_skips_partials(qpath, spark):
+    """A live stream must never observe a compaction rewrite (file
+    sources track processed files by path -> a merge would redeliver
+    every consumed row) nor half-written .tmp/.compact partials."""
+    q = Queue(qpath, SCHEMA, capacity=10000)
+    q.publisher().push_all([[i, f"v{i}"] for i in range(20)])
+    q.subscriber().pop_n(20)  # fully acked: compaction would drop all
+
+    # partials in data/ must be invisible to the stream
+    open(os.path.join(q._storage.data_dir, "batch-" + "9" * 20 + "-"
+                      + "9" * 20 + ".parquet.tmp"), "wb").close()
+    open(os.path.join(q._storage.data_dir, "batch-" + "8" * 20 + "-"
+                      + "8" * 20 + ".parquet.compact"), "wb").close()
+
+    got: list[int] = []
+    StreamingConsumer(spark, q).run_available(
+        lambda df, _: got.extend(r["c0"] for r in df.collect())
+    )
+    assert sorted(got) == list(range(20))  # partials didn't break reads
+
+    n_before = len(q._storage.list_batches())
+    q.compact()  # pinned by the attached stream -> must not rewrite
+    assert len(q._storage.list_batches()) == n_before
+    assert q.compact(force=True) <= n_before  # explicit override works
+    q.dispose()
+
+
 def test_streaming_windowed_aggregation_over_queue(qpath, spark):
     """Streaming window agg over a queue log: the §2.10
     queue-as-stream composition (readStream -> window -> sink)."""

@@ -249,13 +249,62 @@ ORACLE_DEDUP_MINHASH_LSH = _minhash_oracle()
 # ---------------------------------------------------------------------------
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard with LOSSLESS hot-shingle (DF) pruning.
+
+    The naive inverted-index self-join emits a pair per co-occurrence
+    of every shingle: one stop-shingle shared by k docs emits k^2 pairs
+    — a quadratic skew bomb at 100 TB. Pruning: any pair with
+    J(A,B) >= tau satisfies I >= tau/(1+tau) * (|A|+|B|) >= R where
+    R = ceil(2*tau*m/(1+tau)) and m is the global min shingle-set
+    size. So if at most R-1 shingles are declared "hot" and removed
+    from CANDIDATE GENERATION only, every qualifying pair still shares
+    at least one non-hot shingle and survives. The true intersection is
+    then restored exactly: non-hot co-occurrence counts from the join,
+    plus the per-doc hot-shingle signatures (bounded arrays, broadcast
+    list) intersected per candidate pair.
+
+    The oracle intentionally stays the NAIVE all-co-occurrence
+    formulation — a hash match proves the pruning lossless, not merely
+    mirrored. The two driver-side scalars (min set size) are tiny
+    single-row aggregations, same class as the partition-count commit
+    agg in Queue.append_dataframe.
+    """
+    import math
+
     docs = _docs(spark, sf_dir)
     sh = _shingled(docs).cache()  # feeds sizes + both join sides
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    inter = (
-        sh.alias("sa")
+    m_row = sizes.agg(F.min("set_size").alias("m")).collect()
+    m = m_row[0]["m"] or 0
+    required_inter = math.ceil(
+        2 * NGRAM_JACCARD_THRESHOLD * m / (1 + NGRAM_JACCARD_THRESHOLD)
+    )
+    n_hot = max(required_inter - 1, 0)
+
+    if n_hot:
+        # hottest shingles by document frequency, deterministic
+        # tie-break; df >= 2 because df-1 shingles generate no pairs
+        hot = F.broadcast(
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") >= 2)
+            .orderBy(F.col("df").desc(), F.col("sh"))
+            .limit(n_hot)
+            .select("sh")
+        )
+        nonhot = sh.join(hot, "sh", "left_anti")
+        hot_sigs = (
+            sh.join(hot, "sh")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("sh")).alias("hot_sig"))
+        )
+    else:
+        nonhot, hot_sigs = sh, None
+
+    cand = (
+        nonhot.alias("sa")
         .join(
-            sh.alias("sb"),
+            nonhot.alias("sb"),
             (F.col("sa.sh") == F.col("sb.sh"))
             & (F.col("sa.doc_id") < F.col("sb.doc_id")),
         )
@@ -263,10 +312,34 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sa.doc_id").alias("doc_a"),
             F.col("sb.doc_id").alias("doc_b"),
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(F.count(F.lit(1)).alias("inter_nonhot"))
     )
+    if hot_sigs is not None:
+        empty = F.array().cast("array<string>")
+        ha = hot_sigs.select(
+            F.col("doc_id").alias("ha_id"), F.col("hot_sig").alias("ha_sig")
+        )
+        hb = hot_sigs.select(
+            F.col("doc_id").alias("hb_id"), F.col("hot_sig").alias("hb_sig")
+        )
+        cand = (
+            cand.join(ha, F.col("doc_a") == F.col("ha_id"), "left")
+            .join(hb, F.col("doc_b") == F.col("hb_id"), "left")
+            .withColumn(
+                "inter",
+                F.col("inter_nonhot")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce(F.col("ha_sig"), empty),
+                        F.coalesce(F.col("hb_sig"), empty),
+                    )
+                ),
+            )
+        )
+    else:
+        cand = cand.withColumn("inter", F.col("inter_nonhot"))
     return (
-        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        cand.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
         .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
         .select(
             "doc_a",

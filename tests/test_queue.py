@@ -457,6 +457,48 @@ def test_crash_recovery_truncates_unflipped_writes(qpath):
     q2.close()
 
 
+def test_cross_process_lock_blocks_push(qpath):
+    """Mirror of the reference's multi-process lock test
+    (QueueTest.scala:189-212 + bin/filelockj): an EXTERNAL process
+    holds the queue's file lock for T seconds; a push from this
+    process must block until it is released."""
+    import os
+    import subprocess
+    import sys
+    import time as time_mod
+
+    hold_s = 1.5
+    q = Queue(qpath, SCHEMA, capacity=100)
+    child_src = f"""
+import fcntl, os, sys, time
+fd = os.open({os.path.join(qpath, "lock")!r}, os.O_CREAT | os.O_RDWR, 0o644)
+fcntl.flock(fd, fcntl.LOCK_EX)
+print("locked", flush=True)
+time.sleep({hold_s})
+fcntl.flock(fd, fcntl.LOCK_UN)
+os.close(fd)
+"""
+    child = subprocess.Popen(
+        [sys.executable, "-c", child_src],
+        stdout=subprocess.PIPE, text=True,
+    )
+    try:
+        assert child.stdout.readline().strip() == "locked"
+        t0 = time_mod.monotonic()
+        assert q.publisher().push([1, "blocked"])
+        elapsed = time_mod.monotonic() - t0
+        # the child held the lock for hold_s starting slightly before
+        # t0; allow scheduling slack but require real blocking
+        assert elapsed >= hold_s - 0.5, (
+            f"push returned after {elapsed:.2f}s — did not block on the "
+            f"external process's lock"
+        )
+        assert q.subscriber().try_pop() == (1, "blocked")
+    finally:
+        child.wait(timeout=30)
+    q.dispose()
+
+
 def test_dispose_removes_directory(qpath):
     import os
 

@@ -13,8 +13,10 @@ Scale design notes (these run on the full corpus at 100 TB):
   * the MinHash family is min(md5(seed||shingle)) compared as strings
     — portable to any ANSI engine, which makes the whole pipeline
     oracle-checkable end-to-end (seeded engine-native hashes are not);
-  * SimHash uses an Arrow-batched pandas UDF (bit manipulation is not
-    expressible in portable SQL) -> rows-only correctness check;
+  * SimHash is pure JVM expressions (md5 halves + 64 SUM(CASE) votes,
+    whole-stage codegen) and fully oracle-checked — the md5-derived
+    hash family is portable, engine-native bit ops line up once the
+    fingerprint is kept in signed-64 with masked shifts;
   * embedding near-dup blocks on ``label`` (the cluster id) to keep the
     candidate space linear-ish; at 100 TB the label would come from a
     coarse quantizer (IVF centroid), same shape.
@@ -22,10 +24,8 @@ Scale design notes (these run on the full corpus at 100 TB):
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from quebic_spark.functions.text import shingles
 from quebic_spark.functions.vector import dot_product
@@ -428,54 +428,61 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 
 
 # ---------------------------------------------------------------------------
-# dedup_simhash — 64-bit SimHash via Arrow-batched pandas UDF
-# (bit-level majority vote; not portable SQL -> rows-only check).
-# Deterministic: md5-derived per-token 64-bit hashes.
+# dedup_simhash — 64-bit SimHash, fully JVM-side (whole-stage codegen)
+# and fully oracle-checkable: the per-shingle 64-bit hash is the first
+# 8 bytes of md5 (portable), split into two 32-bit halves so both
+# engines stay in signed-64 arithmetic, and the bit-majority vote is 64
+# SUM(CASE) aggregates. Replaces the round-1 Arrow pandas UDF (the
+# slowest bench query at 11.6 s — Python bit-twiddling per doc).
 # ---------------------------------------------------------------------------
 
-@F.pandas_udf(T.LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
-    import hashlib
+def _simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): signed-64 SimHash over distinct 3-gram
+    shingles; bit b of md5-derived h votes +1/-1, majority sets bit b.
 
-    import numpy as np
-
-    # memoized token -> 64 bit-columns (+1/-1); vocabulary is tiny
-    # relative to the corpus, so hashing is amortized to near-zero
-    bit_cache: dict[str, "np.ndarray"] = {}
-    shifts = np.arange(64, dtype=np.uint64)
-
-    def token_bits(tok: str) -> "np.ndarray":
-        v = bit_cache.get(tok)
-        if v is None:
-            h = np.uint64(
-                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            )
-            v = (((h >> shifts) & np.uint64(1)).astype(np.int64) * 2) - 1
-            bit_cache[tok] = v
-        return v
-
-    def sim(text: str) -> int:
-        # hash 3-gram shingles, not tokens: the corpus vocabulary is
-        # tiny, so token SETS are nearly identical across documents and
-        # token-basis simhashes collide en masse; shingles discriminate
-        # (same basis as the MinHash pipeline)
-        toks = text.split(" ")
-        feats = (
-            {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
-            if len(toks) >= 3
-            else {text}
+    Same basis as the round-1 pandas UDF (shingles, not tokens: the
+    synthetic corpus vocabulary is tiny, so token SETS are nearly
+    identical across docs and token-basis simhashes collide en masse).
+    """
+    sh = _shingled(docs)
+    hx = F.md5(F.col("sh"))
+    hashed = sh.select(
+        "doc_id",
+        # hi = bits 63..32, lo = bits 31..0 of the big-endian first 8
+        # md5 bytes; each half fits a signed long
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned(
+                        F.col("lo" if b < 32 else "hi"), b % 32
+                    ).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(64)
+        ]
+    )
+    terms = [
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        acc = np.zeros(64, dtype=np.int64)
-        for f in feats:
-            acc += token_bits(f)
-        v = int(
-            np.bitwise_or.reduce(
-                (acc > 0).astype(np.uint64) << shifts
-            )
-        )
-        return v - (1 << 64) if v >= (1 << 63) else v
-
-    return texts.map(sim)
+        for b in range(63)
+    ]
+    # bit 63 is the sign bit in signed-64
+    terms.append(
+        F.when(
+            F.col("s63") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    )
+    simhash = terms[0]
+    for t in terms[1:]:
+        simhash = simhash + t
+    return votes.select("doc_id", simhash.alias("simhash"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,12 +492,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     must agree on >= 1 chunk, so the candidate join is chunk-blocked,
     never O(n^2). Hamming distance via bit_count(xor) — JVM-side.
     """
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", _simhash64(F.col("text")).alias("simhash")
-    )
+    docs = _simhash_fingerprints(_docs(spark, sf_dir))
     # materialize fingerprints once: the chunk self-join would otherwise
-    # run the pandas UDF over the corpus twice (a real pipeline persists
-    # fingerprints as a column; cache is the local-bench equivalent)
+    # recompute the 64-vote aggregation over the corpus twice (a real
+    # pipeline persists fingerprints as a column; cache is the
+    # local-bench equivalent)
     docs = docs.cache()
     chunks = docs.select(
         "doc_id",
@@ -527,6 +533,65 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 3)
     )
+
+
+def _simhash_oracle() -> str:
+    """Mirror of the Spark SimHash pipeline in DuckDB SQL — portable
+    because the hash is md5-derived, split into 32-bit halves (signed-64
+    safe in both engines), and the arithmetic >> is masked so it equals
+    Spark's unsigned shift."""
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN ({'lo' if b < 32 else 'hi'} >> {b % 32}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64)
+    )
+    fp_terms = "\n           + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(63)
+    )
+    fp = (
+        f"({fp_terms}\n           + (CASE WHEN s63 > 0 THEN"
+        f" -9223372036854775808 ELSE 0 END))::BIGINT"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - {SHINGLE_N - 1}, 1) + 1),
+           i -> array_to_string(t[i:i+{SHINGLE_N - 1}], ' ')))) AS sh
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(sh), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(sh), 9, 8))::BIGINT AS lo
+  FROM sh
+),
+votes AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM hashed GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id, {fp} AS simhash FROM votes
+),
+chunks AS (
+  SELECT doc_id, simhash, cc.c AS chunk,
+         (simhash >> (16 * cc.c)) & 65535 AS key
+  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS c) cc
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM chunks a
+JOIN chunks b ON a.chunk = b.chunk AND a.key = b.key
+            AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+ORACLE_DEDUP_SIMHASH = _simhash_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -576,5 +641,5 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
-    # dedup_simhash: rows-only (bitwise ops not portable to ANSI SQL)
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
 }

@@ -174,6 +174,53 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# event_watermark_windows — deterministic batch formulation of the
+# append-mode watermark contract (SURVEY §2.9 late-data discipline):
+# with watermark delay D, append mode emits exactly the windows whose
+# end <= max(event time) - D; later windows are still open and data
+# later than the watermark is not re-admitted. Streaming behavior is
+# pytest-covered (test_streaming_state.py); this query puts the same
+# semantics under the CORRECTNESS gate with a DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+WATERMARK_DELAY_MIN = 30
+
+
+def q_event_watermark_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    wm = ev.agg(
+        (
+            F.max("ts") - F.expr(f"INTERVAL {WATERMARK_DELAY_MIN} MINUTES")
+        ).alias("wm")
+    )
+    win = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    # scalar watermark broadcast against the window grid; only closed
+    # windows (end <= watermark) are "emitted"
+    return (
+        win.crossJoin(F.broadcast(wm))
+        .filter(
+            F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+            <= F.col("wm")
+        )
+        .select("window_start", "n_events")
+    )
+
+
+ORACLE_EVENT_WATERMARK_WINDOWS = f"""
+WITH wm AS (
+  SELECT MAX(ts) - INTERVAL {WATERMARK_DELAY_MIN} MINUTE AS wm FROM events
+)
+SELECT date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events
+FROM events, wm
+GROUP BY date_trunc('hour', ts), wm.wm
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.wm
+"""
+
+
+# ---------------------------------------------------------------------------
 # event_funnel — per-user view -> click -> purchase ordering funnel.
 # ---------------------------------------------------------------------------
 
@@ -233,6 +280,7 @@ QUERIES = {
     "event_sessions": q_event_sessions,
     "event_json_props": q_event_json_props,
     "event_funnel": q_event_funnel,
+    "event_watermark_windows": q_event_watermark_windows,
 }
 
 ORACLES = {
@@ -241,4 +289,5 @@ ORACLES = {
     "event_sessions": ORACLE_EVENT_SESSIONS,
     "event_json_props": ORACLE_EVENT_JSON_PROPS,
     "event_funnel": ORACLE_EVENT_FUNNEL,
+    "event_watermark_windows": ORACLE_EVENT_WATERMARK_WINDOWS,
 }

@@ -363,6 +363,61 @@ class Queue:
             self._storage.drop_row_cache()
             return new_files + n_kept
 
+    def replay_dlq(self) -> int:
+        """Re-ingest dead-lettered records as fresh pushes — completes
+        the poison-pill story (the reference silently discards,
+        JournaledFile.scala:250-256; we dead-letter on ``error_permit``
+        and can now send records back for another delivery attempt).
+
+        Per record: expired rows are dropped, a remaining TTL is
+        preserved, the error count resets (fresh seq). Each DLQ file is
+        removed only AFTER all of its records are re-committed, so a
+        crash mid-replay can at worst redeliver — the same
+        at-least-once contract as ``consume``. Stops early (returning
+        the partial count) if the queue hits capacity.
+
+        Returns the number of records re-ingested.
+        """
+        self._check_open()
+        import pyarrow.parquet as pq
+
+        pub = self.publisher()
+        replayed = 0
+        with self._storage.lock:
+            dlq_dir = self._storage.dlq_dir
+            if not os.path.isdir(dlq_dir):
+                return 0
+            names = sorted(
+                n for n in os.listdir(dlq_dir)
+                if n.endswith(".parquet") and not n.startswith(("_", "."))
+            )
+            for name in names:
+                path = os.path.join(dlq_dir, name)
+                rows = pq.read_table(path).to_pylist()
+                rows.sort(key=lambda r: r["seq"])
+                now = _now_ms()
+                pending = [
+                    r for r in rows
+                    if not (0 <= r["expires_at"] <= now)
+                ]
+                ok = True
+                for r in pending:
+                    lifetime = (
+                        -1 if r["expires_at"] < 0
+                        else max(int(r["expires_at"]) - now, 1)
+                    )
+                    if not pub.try_push(
+                        _record_from_row(self.schema, r),
+                        lifetime_ms=lifetime,
+                    ):
+                        ok = False  # at capacity: keep this file intact
+                        break
+                    replayed += 1
+                if not ok:
+                    break
+                os.remove(path)
+        return replayed
+
     def vacuum_expired(self) -> None:
         """Drop expired rows eagerly (compaction purge, SURVEY §2.3 TTL)."""
         self.compact()

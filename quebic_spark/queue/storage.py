@@ -25,6 +25,17 @@ JournaledFile.scala:311-326):
     created_at  int64      push time, epoch milliseconds
     expires_at  int64      TTL deadline epoch ms, or -1 for none
 
+The reference additionally stores a per-record codec id
+(JournaledFile.scala:322) because its records are opaque byte blobs —
+the reader must know how to decode each one. Here records are typed
+Parquet columns and the codec is a physical property of the column
+chunk, recorded by Parquet's own metadata (``write_batch`` passes the
+queue codec as the Parquet compression); a per-record codec column
+would duplicate what the format already guarantees, so it is
+intentionally omitted (SURVEY §7.5 optional item). The literal
+byte-parity mode lives in ``quebic_spark.serde`` where the codec IS
+applied per record.
+
 Crash consistency: data files are written complete before control-file
 pointers advance (write-data-then-flip-pointer, README.md:117-124);
 control files update via write-temp + atomic rename.

@@ -217,6 +217,63 @@ def test_consume_error_retry_and_dlq(qpath):
     q.close()
 
 
+def test_dlq_replay_reingests_records(qpath):
+    """replay_dlq completes the poison-pill story: dead-lettered
+    records return to the queue with fresh seqs and reset error
+    counts; the DLQ file is removed only after re-commit."""
+    import os
+
+    q = Queue(qpath, SCHEMA, capacity=10)
+    pub, sub = q.publisher(), q.subscriber()
+    pub.push([1, "poison"])
+    pub.push([2, "fine"])
+
+    def failing(rec):
+        raise RuntimeError("boom")
+
+    for _ in range(3):
+        with pytest.raises(RuntimeError):
+            sub.consume(failing, error_permit=3)
+    assert sub.consume(lambda r: r, error_permit=3) == (2, "fine")
+    assert len(os.listdir(q._storage.dlq_dir)) == 1
+    assert q.is_empty()
+
+    assert q.replay_dlq() == 1
+    assert os.listdir(q._storage.dlq_dir) == []
+    assert q.size() == 1
+    # error count reset: the record delivers normally again
+    assert sub.consume(lambda r: r, error_permit=3) == (1, "poison")
+    # idempotent on an empty DLQ
+    assert q.replay_dlq() == 0
+    q.close()
+
+
+def test_dlq_replay_stops_at_capacity(qpath):
+    import os
+
+    q = Queue(qpath, SCHEMA, capacity=2)
+    pub, sub = q.publisher(), q.subscriber()
+    pub.push([1, "p1"])
+    pub.push([2, "p2"])
+
+    def boom(rec):
+        raise RuntimeError("boom")
+
+    # 2 failures each then dead-letter: p1 DLQs on the 3rd call (which
+    # then fails on p2), p2 DLQs on the 5th (queue then empty -> None)
+    for _ in range(4):
+        with pytest.raises(RuntimeError):
+            sub.consume(boom, error_permit=2)
+    assert sub.consume(boom, error_permit=2) is None
+    assert len(os.listdir(q._storage.dlq_dir)) == 2
+    # fill the queue so only one slot remains
+    pub.push([9, "live"])
+    assert q.replay_dlq() == 1  # second record didn't fit
+    assert len(os.listdir(q._storage.dlq_dir)) == 1
+    assert q.size() == 2
+    q.close()
+
+
 def test_at_least_once_semantics(qpath):
     # ack advances only after f succeeds: a crash inside f redelivers
     q = Queue(qpath, SCHEMA, capacity=10)

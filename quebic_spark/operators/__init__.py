@@ -16,6 +16,7 @@ from quebic_spark.operators import (
     multimodal,
     queueops,
     relational,
+    sampling,
     similarity,
     temporal,
     textops,
@@ -25,6 +26,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 for _mod in (relational, dedup, similarity, textops, events, multimodal,
-             queueops, temporal):
+             queueops, temporal, sampling):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

@@ -194,7 +194,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_cte_block() -> str:
+    """The shingle->signature->band->verify pipeline as a CTE chain
+    ending in ``pairs`` — shared by the pair oracle and the
+    connected-components cluster oracle."""
     mh_cols = ",\n    ".join(
         f"MIN(md5('{s}|' || sh)) AS mh{s}" for s in range(N_MINHASH)
     )
@@ -202,8 +205,7 @@ def _minhash_oracle() -> str:
         f"SELECT doc_id, {b} AS band, md5(mh{2*b} || mh{2*b+1}) AS key FROM sig"
         for b in range(N_BANDS)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
 sh AS (
@@ -229,18 +231,106 @@ inter AS (
   JOIN sh sa ON sa.doc_id = doc_a
   JOIN sh sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
   GROUP BY doc_a, doc_b
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(inter AS DOUBLE) / (za.set_size + zb.set_size - inter)
+           AS jaccard
+  FROM inter
+  JOIN sig za ON za.doc_id = doc_a
+  JOIN sig zb ON zb.doc_id = doc_b
+  WHERE CAST(inter AS DOUBLE) / (za.set_size + zb.set_size - inter)
+        >= {MINHASH_JACCARD_THRESHOLD}
+)"""
+
+
+ORACLE_DEDUP_MINHASH_LSH = (
+    f"WITH {_minhash_cte_block()}\n"
+    "SELECT doc_a, doc_b, jaccard FROM pairs"
 )
-SELECT doc_a, doc_b,
-       CAST(inter AS DOUBLE) / (za.set_size + zb.set_size - inter) AS jaccard
-FROM inter
-JOIN sig za ON za.doc_id = doc_a
-JOIN sig zb ON zb.doc_id = doc_b
-WHERE CAST(inter AS DOUBLE) / (za.set_size + zb.set_size - inter)
-      >= {MINHASH_JACCARD_THRESHOLD}
+
+
+# ---------------------------------------------------------------------------
+# dedup_clusters — connected components over the MinHash near-dup
+# graph: every doc gets a cluster_id (= min doc_id reachable through
+# near-dup edges) and the cluster minimum is flagged keeper. THE
+# canonical dedup output a training pipeline consumes: keep keepers,
+# drop the rest, never drop two docs that are transitively dups of
+# different keepers.
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 20
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative min-label propagation (GraphX/GraphFrames-style CC).
+
+    Each round: push every node's current label across edges, take the
+    min per node, stop when no label changed — one shuffle join + one
+    agg per round, rounds bounded by the dup-graph diameter (near-dup
+    components are shallow; CC_MAX_ITERS is a safety rail). This is the
+    documented iterative-algorithm pattern: a driver loop of Spark
+    actions, no per-row driver work.
+
+    Oracle: DuckDB WITH RECURSIVE transitive closure + MIN — the
+    fixpoint semantics expressed declaratively.
+    """
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .cache()
+    )
+    docs = _docs(spark, sf_dir).select("doc_id")
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).cache()
+    for _ in range(CC_MAX_ITERS):
+        msgs = edges.join(
+            labels, F.col("src") == F.col("doc_id")
+        ).select(F.col("dst").alias("doc_id"), "cluster_id")
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_keeper"),
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = f"""WITH RECURSIVE {_minhash_cte_block()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id AS root, doc_id AS node FROM documents
+  UNION
+  SELECT r.root, e.dst AS node
+  FROM reach r JOIN edges e ON r.node = e.src
+)
+SELECT root AS doc_id,
+       MIN(node) AS cluster_id,
+       MIN(node) = root AS is_keeper
+FROM reach
+GROUP BY root
 """
-
-
-ORACLE_DEDUP_MINHASH_LSH = _minhash_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -630,6 +720,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_rows": q_dedup_exact_rows,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_simhash": q_dedup_simhash,
@@ -639,6 +730,7 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_exact_rows": ORACLE_DEDUP_EXACT_ROWS,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,

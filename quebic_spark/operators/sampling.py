@@ -1,0 +1,163 @@
+"""Deterministic sampling / splitting / skew profiling over the
+``documents`` and ``events`` tables — the data-management side of a
+training pipeline (SURVEY §2.10 extension layer).
+
+Every operator here is hash-deterministic (md5-keyed, no RNG state), so
+results are reproducible run-to-run, engine-to-engine, and at any
+parallelism — the property a 100 TB pipeline needs from its sampling
+layer (a rand()-based sample changes under retry/speculation; a
+hash-mod sample never does). All expressions are JVM built-ins; the
+DuckDB oracles mirror the same md5 arithmetic verbatim.
+
+Scale notes:
+  * splits/shards are narrow projections + one balanced groupBy — the
+    hash key is uniform by construction, so no skew;
+  * heavy-hitter profiling is the pre-join diagnostic for skew
+    mitigation (salting / AQE skew-join): one aggregation, top-k with a
+    deterministic tie-break, counts joined against a broadcast scalar
+    total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRAIN_PCT = 90  # hash-mod buckets: [0,90) train, [90,95) val, [95,100) test
+VAL_PCT = 95
+N_SHARDS = 16
+HEAVY_HITTER_K = 20
+
+
+def _fan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fan(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _fan(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def hash_bucket(key, n: int = 100):
+    """Deterministic uniform bucket in [0, n): first 4 md5 hex digits of
+    the stringified key, mod n. Portable to any engine with md5."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % n
+    )
+
+
+def _hash_bucket_sql(col: str, n: int = 100) -> str:
+    return f"(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 4))::INT % {n})"
+
+
+# ---------------------------------------------------------------------------
+# train_split_counts — reproducible train/val/test assignment.
+# ---------------------------------------------------------------------------
+
+def q_train_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bucket = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_TRAIN_SPLIT_COUNTS = f"""
+SELECT source,
+       CASE WHEN {_hash_bucket_sql("doc_id")} < {TRAIN_PCT} THEN 'train'
+            WHEN {_hash_bucket_sql("doc_id")} < {VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# shard_assignment — balanced output sharding by hash (the write-side
+# partitioning a pipeline uses for stable, even output files).
+# ---------------------------------------------------------------------------
+
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    shard = hash_bucket(F.col("doc_id"), N_SHARDS)
+    return (
+        docs.select(
+            shard.alias("shard"),
+            F.size(F.split(F.col("text"), " ")).alias("toks"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("toks").cast("long")).alias("total_tokens"),
+        )
+    )
+
+
+ORACLE_SHARD_ASSIGNMENT = f"""
+SELECT {_hash_bucket_sql("doc_id", N_SHARDS)} AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitter_keys — skew diagnostic: top-k hottest join keys with
+# their share of all rows (what you run BEFORE deciding to salt).
+# ---------------------------------------------------------------------------
+
+def q_heavy_hitter_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("total")).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(HEAVY_HITTER_K)
+    )
+
+
+ORACLE_HEAVY_HITTER_KEYS = f"""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM events) AS share
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT {HEAVY_HITTER_K}
+"""
+
+
+QUERIES = {
+    "train_split_counts": q_train_split_counts,
+    "shard_assignment": q_shard_assignment,
+    "heavy_hitter_keys": q_heavy_hitter_keys,
+}
+
+ORACLES = {
+    "train_split_counts": ORACLE_TRAIN_SPLIT_COUNTS,
+    "shard_assignment": ORACLE_SHARD_ASSIGNMENT,
+    "heavy_hitter_keys": ORACLE_HEAVY_HITTER_KEYS,
+}

@@ -117,6 +117,46 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# stratified_sample — deterministic k-per-group sample: rank docs
+# within each source by md5(doc_id) (a uniform, stable shuffle order)
+# and keep the first k. The reservoir-sampling replacement for
+# distributed engines: same docs selected on every run, any
+# parallelism, any retry. One shuffle (partition by source), bounded
+# window per group.
+# ---------------------------------------------------------------------------
+
+SAMPLE_PER_GROUP = 10
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    order = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(order, "doc_id")
+    return (
+        docs.select(
+            "doc_id", "source", F.row_number().over(w).alias("sample_rank")
+        )
+        .filter(F.col("sample_rank") <= SAMPLE_PER_GROUP)
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, source, sample_rank
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= {SAMPLE_PER_GROUP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # heavy_hitter_keys — skew diagnostic: top-k hottest join keys with
 # their share of all rows (what you run BEFORE deciding to salt).
 # ---------------------------------------------------------------------------
@@ -153,11 +193,13 @@ LIMIT {HEAVY_HITTER_K}
 QUERIES = {
     "train_split_counts": q_train_split_counts,
     "shard_assignment": q_shard_assignment,
+    "stratified_sample": q_stratified_sample,
     "heavy_hitter_keys": q_heavy_hitter_keys,
 }
 
 ORACLES = {
     "train_split_counts": ORACLE_TRAIN_SPLIT_COUNTS,
     "shard_assignment": ORACLE_SHARD_ASSIGNMENT,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "heavy_hitter_keys": ORACLE_HEAVY_HITTER_KEYS,
 }

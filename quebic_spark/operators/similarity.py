@@ -185,6 +185,125 @@ ORACLE_ANN_LSH_TOPK = _lsh_oracle()
 
 
 # ---------------------------------------------------------------------------
+# ann_ivf_topk — IVF-style coarse quantization: every vector is
+# assigned to its nearest of K seeded literal centroids (argmax inner
+# product, first-index tie-break — the portable argmax), queries probe
+# their own cell (nprobe=1) and re-rank exactly inside it. At 100 TB
+# the cells are the partition key: the corpus is bucketed/partitioned
+# by cell once, and a query touches one partition instead of the full
+# scan — the complementary scale path to the LSH variant (hash buckets
+# vs learned/seeded Voronoi cells).
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 8
+CENTROID_SEED = 7
+
+
+def _centroids() -> list[list[float]]:
+    rng = np.random.RandomState(CENTROID_SEED)
+    cents = rng.randn(N_CENTROIDS, EMB_DIM)
+    return [[round(float(x), 6) for x in row] for row in cents]
+
+
+def _cell_col() -> tuple[list[F.Column], F.Column]:
+    """(dot columns, cell expression): cell = FIRST index achieving the
+    max inner product — a CASE chain, identical semantics in SQL."""
+    dots = [
+        dot_product(
+            F.col("embedding"), F.array(*[F.lit(x) for x in c])
+        ).alias(f"d{i}")
+        for i, c in enumerate(_centroids())
+    ]
+    best = F.greatest(*[F.col(f"d{i}") for i in range(N_CENTROIDS)])
+    expr = None
+    for i in range(N_CENTROIDS):
+        cond = F.col(f"d{i}") == best
+        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+    return dots, expr.cast("int")
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quebic_spark.functions.vector import l2_norm
+
+    dots, cell = _cell_col()
+    emb = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "embedding", *dots)
+        .withColumn("cell", cell)
+        .withColumn("norm", l2_norm(F.col("embedding")))
+        .select("vec_id", "embedding", "cell", "norm")
+    )
+    queries = emb.filter((F.col("vec_id") % QUERY_STRIDE) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("q_cell"),
+        F.col("norm").alias("q_norm"),
+    )
+    cos = dot_product(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_norm") * F.col("norm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _ivf_oracle() -> str:
+    def lit(vec: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in vec) + "]::DOUBLE[]"
+
+    dot_cols = ",\n         ".join(
+        f"list_dot_product(embedding::DOUBLE[], {lit(c)}) AS d{i}"
+        for i, c in enumerate(_centroids())
+    )
+    best = "GREATEST(" + ", ".join(
+        f"d{i}" for i in range(N_CENTROIDS)
+    ) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN d{i} = {best} THEN {i}" for i in range(N_CENTROIDS)
+    ) + " END"
+    return f"""
+WITH dots AS (
+  SELECT vec_id, embedding,
+         {dot_cols}
+  FROM embeddings
+),
+cells AS (
+  SELECT vec_id, embedding, CAST({case} AS INTEGER) AS cell FROM dots
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, cell AS q_cell
+  FROM cells WHERE vec_id % {QUERY_STRIDE} = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))
+         * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+      AS cosine
+  FROM cells e JOIN q ON e.cell = q.q_cell AND e.vec_id != q.query_id
+)
+SELECT query_id, vec_id, cosine,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+ORACLE_ANN_IVF_TOPK = _ivf_oracle()
+
+
+# ---------------------------------------------------------------------------
 # embedding_label_centroids — per-label mean vector + stats (the IVF
 # coarse-quantizer building block; also a plain vector aggregation).
 # Mean vectors are element-wise sums -> order-sensitive in double, so
@@ -217,11 +336,13 @@ GROUP BY label
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_label_stats": q_embedding_label_stats,
 }
 
 ORACLES = {
     "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE_TOPK,
     "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
+    "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "embedding_label_stats": ORACLE_EMBEDDING_LABEL_STATS,
 }

@@ -240,6 +240,92 @@ FROM f
 
 
 # ---------------------------------------------------------------------------
+# quality_filter_stats — C4-style rule-based cleaning with per-rule
+# drop accounting: the DECISION layer on top of doc_quality's scoring.
+# A pipeline needs the per-rule counts to tune thresholds before
+# committing to a 100 TB filter pass; each rule is a cheap boolean over
+# one narrow projection, one balanced groupBy — no UDFs, no shuffle
+# beyond the count agg. Drops are counted per rule independently (a doc
+# failing two rules appears in both counts); kept = fails none.
+# ---------------------------------------------------------------------------
+
+MIN_TOKENS = 10
+MAX_TOKENS = 5_000
+MIN_DISTINCT_RATIO = 0.3
+TERMINAL_CHARS = (".", "!", "?")
+
+
+def q_quality_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks)
+    distinct_ratio = (
+        F.size(F.array_distinct(toks)).cast("double") / n_toks
+    )
+    last = F.substring(F.col("text"), -1, 1)
+    too_short = n_toks < MIN_TOKENS
+    too_long = n_toks > MAX_TOKENS
+    low_diversity = distinct_ratio < MIN_DISTINCT_RATIO
+    no_terminal = ~last.isin(*TERMINAL_CHARS)
+    kept = ~(too_short | too_long | low_diversity | no_terminal)
+    return (
+        docs.select(
+            "source",
+            too_short.alias("r_short"),
+            too_long.alias("r_long"),
+            low_diversity.alias("r_diversity"),
+            no_terminal.alias("r_terminal"),
+            kept.alias("keep"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(F.col("r_short").cast("long")).alias("drop_short"),
+            F.sum(F.col("r_long").cast("long")).alias("drop_long"),
+            F.sum(F.col("r_diversity").cast("long")).alias(
+                "drop_diversity"
+            ),
+            F.sum(F.col("r_terminal").cast("long")).alias(
+                "drop_terminal"
+            ),
+        )
+    )
+
+
+ORACLE_QUALITY_FILTER_STATS = f"""
+WITH f AS (
+  SELECT source,
+    len(string_split(text, ' ')) AS n_toks,
+    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      / len(string_split(text, ' ')) AS distinct_ratio,
+    substr(text, length(text), 1) AS last_char
+  FROM documents
+),
+r AS (
+  SELECT source,
+    (n_toks < {MIN_TOKENS}) AS r_short,
+    (n_toks > {MAX_TOKENS}) AS r_long,
+    (distinct_ratio < {MIN_DISTINCT_RATIO}) AS r_diversity,
+    (last_char NOT IN ('.', '!', '?')) AS r_terminal
+  FROM f
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN NOT (r_short OR r_long OR r_diversity OR r_terminal)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN r_short THEN 1 ELSE 0 END) AS BIGINT) AS drop_short,
+  CAST(SUM(CASE WHEN r_long THEN 1 ELSE 0 END) AS BIGINT) AS drop_long,
+  CAST(SUM(CASE WHEN r_diversity THEN 1 ELSE 0 END) AS BIGINT)
+    AS drop_diversity,
+  CAST(SUM(CASE WHEN r_terminal THEN 1 ELSE 0 END) AS BIGINT)
+    AS drop_terminal
+FROM r
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # tfidf_top_terms — corpus term statistics + tf-idf, top 25 terms.
 # Scale: explode -> two-level aggregation (token stats, then corpus N
 # broadcast back); one shuffle keyed by token, balanced by vocabulary.
@@ -367,6 +453,7 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "lang_id": q_lang_id,
     "doc_quality": q_doc_quality,
+    "quality_filter_stats": q_quality_filter_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "sentiment_scores": q_sentiment_scores,
 }
@@ -377,6 +464,7 @@ ORACLES = {
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
     "lang_id": ORACLE_LANG_ID,
     "doc_quality": ORACLE_DOC_QUALITY,
+    "quality_filter_stats": ORACLE_QUALITY_FILTER_STATS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "sentiment_scores": ORACLE_SENTIMENT_SCORES,
 }

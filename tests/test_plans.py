@@ -54,6 +54,27 @@ def test_ann_query_side_broadcasts(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_heavy_hitters_compile_to_take_ordered(spark, sf_dir):
+    from quebic_spark.operators.sampling import q_heavy_hitter_keys
+
+    plan = _plan(q_heavy_hitter_keys(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # the scalar total joins as a broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ann_ivf_cell_join_broadcasts_queries(spark, sf_dir):
+    """IVF probe: corpus side stays put, the tiny query side broadcasts
+    onto the cell-keyed hash join — the one-partition-per-query plan."""
+    from quebic_spark.operators.similarity import q_ann_ivf_topk
+
+    plan = _plan(q_ann_ivf_topk(spark, sf_dir))
+    assert "BroadcastHashJoin [cell" in plan or (
+        "BroadcastHashJoin" in plan and "cell" in plan
+    )
+    assert "CartesianProduct" not in plan
+
+
 def test_audit_helpers(spark, sf_dir):
     from quebic_spark.operators.relational import (
         q_pricing_summary,

@@ -44,12 +44,15 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward: {direction}")
     on = list(on)
-    left_cols = left.columns
+    # left_ts travels as _ts and is renamed back at the end — carrying
+    # it through the value columns too would leave TWO columns with the
+    # same name after the rename (ambiguous downstream references)
+    left_vals = [c for c in left.columns if c not in on and c != left_ts]
     tagged_left = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
-        *[F.col(c) for c in left_cols if c not in on],
+        *[F.col(c) for c in left_vals],
         *[
             F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
             for c in right_values
@@ -61,8 +64,7 @@ def asof_join(
         F.lit(0).alias("_is_left"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
-            for c in left_cols
-            if c not in on
+            for c in left_vals
         ],
         *[F.col(c).alias(c + suffix) for c in right_values],
     )
@@ -93,7 +95,7 @@ def asof_join(
         *on,
         "_ts",
         "_is_left",
-        *[c for c in left_cols if c not in on],
+        *left_vals,
         *[expr.alias(c + suffix) for c, expr in carried.items()],
     )
     return (

@@ -190,7 +190,72 @@ LIMIT {HEAVY_HITTER_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# quantile_sketch — approximate percentiles (GK sketch) with the
+# rank-error contract asserted in-query against exact ranks, mirroring
+# the cardinality_sketch pattern: sketch internals differ across
+# engines (rows-only check), but the result carries its own proof.
+# At 100 TB the sketch is the only affordable percentile: single pass,
+# mergeable partials, no sort.
+# ---------------------------------------------------------------------------
+
+SKETCH_QUANTILES = (0.5, 0.9, 0.99)
+SKETCH_ACCURACY = 10_000  # GK epsilon = 1/accuracy
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    lens = docs.select(
+        F.size(F.split(F.col("text"), " ")).alias("n_toks")
+    )
+    qs = list(SKETCH_QUANTILES)
+    approx = (
+        lens.agg(
+            F.percentile_approx(
+                "n_toks", qs, SKETCH_ACCURACY
+            ).alias("vals")
+        )
+        .select(F.posexplode("vals").alias("i", "approx_val"))
+        .withColumn(
+            "q",
+            F.element_at(
+                F.array(*[F.lit(q) for q in qs]), F.col("i") + 1
+            ),
+        )
+    )
+    # GK guarantee: the returned value's rank range intersects
+    # [q*n - eps*n, q*n + eps*n]; validate via strict/inclusive ranks
+    eps = 1.0 / SKETCH_ACCURACY + 0.01
+    ranks = (
+        lens.crossJoin(F.broadcast(approx))
+        .groupBy("q", "approx_val")
+        .agg(
+            (
+                F.sum((F.col("n_toks") < F.col("approx_val")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("rank_lo"),
+            (
+                F.sum(
+                    (F.col("n_toks") <= F.col("approx_val")).cast("long")
+                )
+                / F.count(F.lit(1))
+            ).alias("rank_hi"),
+        )
+    )
+    return ranks.select(
+        "q",
+        "approx_val",
+        "rank_lo",
+        "rank_hi",
+        (
+            (F.col("rank_lo") <= F.col("q") + eps)
+            & (F.col("rank_hi") >= F.col("q") - eps)
+        ).alias("within_bound"),
+    )
+
+
 QUERIES = {
+    "quantile_sketch": q_quantile_sketch,
     "train_split_counts": q_train_split_counts,
     "shard_assignment": q_shard_assignment,
     "stratified_sample": q_stratified_sample,

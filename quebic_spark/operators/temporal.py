@@ -104,6 +104,68 @@ ASOF LEFT JOIN clicks c
 
 
 # ---------------------------------------------------------------------------
+# asof_next_purchase — FORWARD as-of via the generic library operator
+# (quebic_spark.functions.temporal.asof_join): for each click, the
+# earliest same-user purchase at-or-after it. Exercises the library
+# op's forward mode under the gate (backward mode is gated by
+# asof_click_to_purchase's hand-built twin); oracle is DuckDB's native
+# ASOF with the reversed inequality.
+# ---------------------------------------------------------------------------
+
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quebic_spark.functions.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        right_values=["purchase_id", "purchase_ts"],
+        direction="forward",
+    )
+    return j.select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        F.col("purchase_id_asof").alias("purchase_id"),
+        F.col("purchase_ts_asof").alias("purchase_ts"),
+        (
+            F.unix_micros("purchase_ts_asof") - F.unix_micros("click_ts")
+        ).alias("wait_us"),
+    )
+
+
+ORACLE_ASOF_NEXT_PURCHASE = """
+WITH clicks AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_id, c.click_ts,
+       p.purchase_id, p.purchase_ts,
+       epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS wait_us
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.click_ts <= p.purchase_ts
+"""
+
+
+# ---------------------------------------------------------------------------
 # event_pairs_within_5min — bucketed range self-join: ordered pairs of
 # same-user events with 0 < gap <= 5 minutes.
 # ---------------------------------------------------------------------------
@@ -231,12 +293,14 @@ QUALIFY rk <= 2
 
 QUERIES = {
     "asof_click_to_purchase": q_asof_click_to_purchase,
+    "asof_next_purchase": q_asof_next_purchase,
     "event_pairs_within_5min": q_event_pairs_within_5min,
     "session_topk_events": q_session_topk_events,
 }
 
 ORACLES = {
     "asof_click_to_purchase": ORACLE_ASOF_CLICK_TO_PURCHASE,
+    "asof_next_purchase": ORACLE_ASOF_NEXT_PURCHASE,
     "event_pairs_within_5min": ORACLE_EVENT_PAIRS_WITHIN_5MIN,
     "session_topk_events": ORACLE_SESSION_TOPK_EVENTS,
 }

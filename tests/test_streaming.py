@@ -129,6 +129,51 @@ def test_queue_to_queue_relay(qpath, spark):
     dst.dispose()
 
 
+def test_watermarked_relay_queue_to_queue(qpath, spark):
+    """Full streaming composition: queue source -> watermarked windowed
+    aggregation (append mode: only closed windows emit) -> queue sink.
+    The late-data discipline applied end-to-end between two queues."""
+    from quebic_spark import REAL
+    from quebic_spark.streaming import queue_sink
+
+    src = Queue(qpath + "_ws", Schema(INTEGER, REAL), capacity=10000)
+    dst = Queue(qpath + "_wd", Schema(INTEGER, INTEGER), capacity=10000)
+    base = 1_700_002_800_000  # hour-aligned epoch ms
+    src.publisher().push_all(
+        [[base + i * 60_000, float(i)] for i in range(180)]  # 3 hours
+    )
+
+    events = read_queue_stream(spark, src).select(
+        F.timestamp_millis(F.col("c0")).alias("ts")
+    )
+    agg = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("ws"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    query = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(queue_sink(dst, order_by=["ws"]))
+        .option(
+            "checkpointLocation", os.path.join(src._storage.path, "wm_relay")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    # watermark = 02:29 -> hours 0 and 1 are closed and relayed; hour 2
+    # is still open and withheld
+    got = dst.subscriber().pop_n(2)
+    assert got == [(base, 60), (base + 3_600_000, 60)]
+    assert dst.is_empty()
+    src.dispose()
+    dst.dispose()
+
+
 def test_stream_pins_compaction_and_skips_partials(qpath, spark):
     """A live stream must never observe a compaction rewrite (file
     sources track processed files by path -> a merge would redeliver

@@ -254,8 +254,78 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# pipeline_doc_counts — the operators composed as one DAG, the way a
+# real corpus build runs them: quality-filter -> exact-dedup (keep min
+# doc_id per text) -> hash split -> counts per (source, split). One
+# declarative plan: Catalyst fuses the filter into the scan, the dedup
+# is one md5-keyed shuffle, the split is a projection — nothing
+# materializes between stages.
+# ---------------------------------------------------------------------------
+
+def q_pipeline_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_toks
+    last = F.substring(F.col("text"), -1, 1)
+    kept = (
+        (n_toks >= 10)
+        & (n_toks <= 5_000)
+        & (distinct_ratio >= 0.3)
+        & last.isin(".", "!", "?")
+    )
+    clean = docs.filter(kept)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        clean.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    bucket = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        deduped.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_PIPELINE_DOC_COUNTS = f"""
+WITH clean AS (
+  SELECT doc_id, source, text
+  FROM documents
+  WHERE len(string_split(text, ' ')) BETWEEN 10 AND 5000
+    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')) >= 0.3
+    AND substr(text, length(text), 1) IN ('.', '!', '?')
+),
+deduped AS (
+  SELECT doc_id, source
+  FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM clean
+  ) WHERE rn = 1
+)
+SELECT source,
+       CASE WHEN {_hash_bucket_sql("doc_id")} < {TRAIN_PCT} THEN 'train'
+            WHEN {_hash_bucket_sql("doc_id")} < {VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM deduped
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "quantile_sketch": q_quantile_sketch,
+    "pipeline_doc_counts": q_pipeline_doc_counts,
     "train_split_counts": q_train_split_counts,
     "shard_assignment": q_shard_assignment,
     "stratified_sample": q_stratified_sample,
@@ -263,6 +333,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_doc_counts": ORACLE_PIPELINE_DOC_COUNTS,
     "train_split_counts": ORACLE_TRAIN_SPLIT_COUNTS,
     "shard_assignment": ORACLE_SHARD_ASSIGNMENT,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,

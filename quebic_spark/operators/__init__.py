@@ -2,6 +2,25 @@
 
 ``QUERIES`` maps name -> (spark, sf_dir) -> DataFrame.
 ``ORACLES`` maps name -> ANSI SQL for DuckDB (absent => rows-only check).
+
+The driver's correctness gate records the FIRST 50 registry entries
+(CORRECTNESS_r02 showed entries 51+ silently dropped), so the gate
+surface is curated explicitly:
+
+* ``GATE_ORDER`` — exactly the queries the driver checks, newest /
+  most-recently-changed first so a future overflow drops the oldest,
+  most-stable gates instead of the newest code.
+* ``RETIRED_GATES`` — queries whose gate is redundant with another
+  entry's operator coverage (e.g. ``dedup_exact_rows`` gates the same
+  md5-groupBy operator as ``dedup_exact``). They remain fully
+  implemented and oracle-paired; ``tests/test_registry.py`` runs each
+  against its DuckDB oracle at sf0.001 so they keep hash-level
+  evidence — they just don't spend one of the 50 driver slots.
+
+Every query defined by an operator module must appear in exactly one of
+the two lists; the import-time assertion below fails the build
+otherwise (so adding a query without curating the gate is a hard error,
+not a silent evidence gap).
 """
 
 from __future__ import annotations
@@ -22,10 +41,111 @@ from quebic_spark.operators import (
     textops,
 )
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
+_MODULES = (relational, dedup, similarity, textops, events, multimodal,
+            queueops, temporal, sampling)
 
-for _mod in (relational, dedup, similarity, textops, events, multimodal,
-             queueops, temporal, sampling):
-    QUERIES.update(_mod.QUERIES)
-    ORACLES.update(_mod.ORACLES)
+ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ALL_ORACLES: dict[str, str] = {}
+for _mod in _MODULES:
+    ALL_QUERIES.update(_mod.QUERIES)
+    ALL_ORACLES.update(_mod.ORACLES)
+
+# Driver gate window (max 50 recorded): new / recently-changed first.
+GATE_ORDER: tuple[str, ...] = (
+    # --- r3: first driver gate for these (registry overflowed in r2) ---
+    "train_split_counts",
+    "shard_assignment",
+    "stratified_sample",
+    "heavy_hitter_keys",
+    "quantile_sketch",
+    "pipeline_doc_counts",
+    "event_pairs_within_5min",
+    "session_topk_events",
+    # --- r3: behavior or plan changed this round ---
+    "cardinality_sketch",
+    "ann_ivf_topk",
+    "dedup_clusters",
+    "multimodal_decode",
+    # --- stable since r2 (driver-green in CORRECTNESS_r02) ---
+    "pricing_summary",
+    "region_revenue",
+    "top_orders_per_segment",
+    "customer_order_stats",
+    "customers_without_orders",
+    "part_supplier_overlap",
+    "monthly_order_volume",
+    "high_value_semijoin",
+    "status_priority_cube",
+    "skew_safe_revenue",
+    "price_percentiles",
+    "brand_name_similarity",
+    "above_avg_customers",
+    "urgent_vs_finished_outer",
+    "returnflag_pivot",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "embedding_label_stats",
+    "token_counts",
+    "doc_fingerprints",
+    "lang_id",
+    "doc_quality",
+    "quality_filter_stats",
+    "tfidf_top_terms",
+    "sentiment_scores",
+    "event_sliding_windows",
+    "event_sessions",
+    "event_json_props",
+    "event_funnel",
+    "event_watermark_windows",
+    "multimodal_manifest",
+    "queue_fifo_roundtrip",
+    "asof_click_to_purchase",
+)
+
+# Gates whose operator coverage is subsumed by a GATE_ORDER entry.
+# Each stays oracle-checked in tests/test_registry.py.
+RETIRED_GATES: dict[str, str] = {
+    "dedup_exact_rows": "same md5-groupBy dedup operator as dedup_exact",
+    "order_date_parts": "date-part extraction subsumed by "
+                        "monthly_order_volume (date_trunc bucketing)",
+    "asof_next_purchase": "forward as-of; generic asof_join lib op also "
+                          "covered by tests/test_temporal_lib.py, backward "
+                          "mode gated by asof_click_to_purchase",
+    "top_revenue_orders": "global top-k (TakeOrderedAndProject) gated by "
+                          "heavy_hitter_keys; ranked per-group top-k by "
+                          "top_orders_per_segment",
+    "event_counts_hourly": "tumbling hourly window subsumed by "
+                           "event_watermark_windows; countDistinct gated "
+                           "by tfidf_top_terms",
+    "text_stats": "per-doc token/char stats subsumed by doc_quality "
+                  "(distinct_ratio + length scoring)",
+    "supplier_part_distinct": "multi-countDistinct agg; countDistinct "
+                              "gated by tfidf_top_terms, broadcast "
+                              "dim join by region_revenue",
+    "order_priority_rollup": "ROLLUP grouping sets subsumed by "
+                             "status_priority_cube (CUBE)",
+}
+
+assert len(GATE_ORDER) <= 50, (
+    f"driver gate records only 50 entries; GATE_ORDER has {len(GATE_ORDER)}"
+)
+assert len(set(GATE_ORDER)) == len(GATE_ORDER), "duplicate gate entries"
+_curated = set(GATE_ORDER) | set(RETIRED_GATES)
+_defined = set(ALL_QUERIES)
+assert _curated == _defined, (
+    f"registry curation out of sync: uncurated={_defined - _curated}, "
+    f"unknown={_curated - _defined}"
+)
+assert not (set(GATE_ORDER) & set(RETIRED_GATES)), "gate both live and retired"
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    name: ALL_QUERIES[name] for name in GATE_ORDER
+}
+ORACLES: dict[str, str] = {
+    name: ALL_ORACLES[name] for name in GATE_ORDER if name in ALL_ORACLES
+}

@@ -687,9 +687,13 @@ ORACLE_DEDUP_SIMHASH = _simhash_oracle()
 # ---------------------------------------------------------------------------
 # cardinality_sketch — HyperLogLog approximate distinct counts (the
 # sketch path for dedup planning at 100 TB: estimate before you
-# shuffle). HLL implementations differ across engines -> rows-only
-# check; the relative-error contract is asserted in-query against the
-# exact counts so the result is self-validating.
+# shuffle). HLL estimates differ across engines, so the ESTIMATE is
+# kept out of the projection: the gate row carries the exact counts
+# (portable) plus the sketch's relative-error contract evaluated
+# in-plan against them. The DuckDB oracle computes the exact counts
+# and literal TRUE — a Spark HLL drifting past 5% flips within_5pct
+# and hash-fails the gate, so the sketch is fully hash-checked
+# without requiring bit-identical sketch internals.
 # ---------------------------------------------------------------------------
 
 def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,22 +701,39 @@ def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("text").alias("exact_distinct_texts"),
-        F.approx_count_distinct("text", rsd=0.02).alias(
-            "approx_distinct_texts"
-        ),
+        F.approx_count_distinct("text", rsd=0.02).alias("_approx_texts"),
         F.countDistinct("source").alias("exact_distinct_sources"),
-        F.approx_count_distinct("source", rsd=0.02).alias(
-            "approx_distinct_sources"
+        F.approx_count_distinct("source", rsd=0.02).alias("_approx_sources"),
+    )
+    def _within(approx: str, exact: str, tol: float):
+        err = (
+            F.abs(F.col(approx) - F.col(exact)).cast("double")
+            / F.col(exact)
+        )
+        return err <= tol
+    return agg.select(
+        "n_docs",
+        "exact_distinct_texts",
+        "exact_distinct_sources",
+        # rsd=0.02 => stderr 2%; 5% = 2.5 sigma on texts (high card).
+        _within("_approx_texts", "exact_distinct_texts", 0.05).alias(
+            "texts_within_5pct"
+        ),
+        # sources is tiny-cardinality (~5): HLL is exact there.
+        _within("_approx_sources", "exact_distinct_sources", 0.05).alias(
+            "sources_within_5pct"
         ),
     )
-    err = (
-        F.abs(
-            F.col("approx_distinct_texts")
-            - F.col("exact_distinct_texts")
-        ).cast("double")
-        / F.col("exact_distinct_texts")
-    )
-    return agg.withColumn("within_5pct", err <= 0.05)
+
+
+ORACLE_CARDINALITY_SKETCH = """
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT text) AS exact_distinct_texts,
+       COUNT(DISTINCT source) AS exact_distinct_sources,
+       TRUE AS texts_within_5pct,
+       TRUE AS sources_within_5pct
+FROM documents
+"""
 
 
 QUERIES = {
@@ -727,6 +748,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cardinality_sketch": ORACLE_CARDINALITY_SKETCH,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_exact_rows": ORACLE_DEDUP_EXACT_ROWS,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,

@@ -193,8 +193,14 @@ LIMIT {HEAVY_HITTER_K}
 # ---------------------------------------------------------------------------
 # quantile_sketch — approximate percentiles (GK sketch) with the
 # rank-error contract asserted in-query against exact ranks, mirroring
-# the cardinality_sketch pattern: sketch internals differ across
-# engines (rows-only check), but the result carries its own proof.
+# the cardinality_sketch pattern: the engine-specific approximate VALUE
+# stays out of the projection; the gate row carries (q, n_rows,
+# within_bound) where within_bound is the GK guarantee — the returned
+# value's occupied-rank interval (rank_lo, rank_hi] must intersect
+# [q - eps, q + eps] with eps = 1/accuracy EXACTLY (no slack: the
+# interval endpoints already absorb tie mass, so a mis-parameterized
+# sketch fails the check). The DuckDB oracle emits the exact n plus
+# literal TRUE per quantile -> full hash gate.
 # At 100 TB the sketch is the only affordable percentile: single pass,
 # mergeable partials, no sort.
 # ---------------------------------------------------------------------------
@@ -223,13 +229,14 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # GK guarantee: the returned value's rank range intersects
-    # [q*n - eps*n, q*n + eps*n]; validate via strict/inclusive ranks
-    eps = 1.0 / SKETCH_ACCURACY + 0.01
+    # GK guarantee: some rank r occupied by the returned value (the
+    # interval (rank_lo*n, rank_hi*n]) satisfies |r/n - q| <= eps.
+    eps = 1.0 / SKETCH_ACCURACY
     ranks = (
         lens.crossJoin(F.broadcast(approx))
         .groupBy("q", "approx_val")
         .agg(
+            F.count(F.lit(1)).alias("n_rows"),
             (
                 F.sum((F.col("n_toks") < F.col("approx_val")).cast("long"))
                 / F.count(F.lit(1))
@@ -244,9 +251,7 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranks.select(
         "q",
-        "approx_val",
-        "rank_lo",
-        "rank_hi",
+        "n_rows",
         (
             (F.col("rank_lo") <= F.col("q") + eps)
             & (F.col("rank_hi") >= F.col("q") - eps)
@@ -254,14 +259,36 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORACLE_QUANTILE_SKETCH = f"""
+SELECT CAST(q AS DOUBLE) AS q,
+       (SELECT COUNT(*) FROM documents) AS n_rows,
+       TRUE AS within_bound
+FROM (SELECT unnest({list(SKETCH_QUANTILES)}) AS q)
+"""
+
+
 # ---------------------------------------------------------------------------
 # pipeline_doc_counts — the operators composed as one DAG, the way a
-# real corpus build runs them: quality-filter -> exact-dedup (keep min
-# doc_id per text) -> hash split -> counts per (source, split). One
-# declarative plan: Catalyst fuses the filter into the scan, the dedup
-# is one md5-keyed shuffle, the split is a projection — nothing
-# materializes between stages.
+# real corpus build runs them: quality-filter -> content-key dedup
+# (keep min doc_id per key) -> hash split -> counts per (source,
+# split). One declarative plan: Catalyst fuses the filter into the
+# scan, the dedup is one md5-keyed shuffle, the split is a projection
+# — nothing materializes between stages.
+#
+# Thresholds are tuned off quality_filter_stats for the synthetic
+# corpus (r2's terminal-punctuation rule matched 0 docs -> vacuous
+# gate): tokens in [20, 5000] + distinct_ratio >= 0.35 keeps ~70%.
+# The dedup key is the sorted distinct-token bag (order-insensitive
+# content key) rather than raw text — the corpus has no byte-exact
+# dupes but plenty of token-shuffled near-dups, so this stage removes
+# real rows (500 -> 446 keys at sf0.01) while staying a pure
+# hash-groupBy (same one-shuffle plan as exact dedup at 100 TB).
 # ---------------------------------------------------------------------------
+
+PIPE_MIN_TOKENS = 20
+PIPE_MAX_TOKENS = 5_000
+PIPE_MIN_DISTINCT_RATIO = 0.35
+
 
 def q_pipeline_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -270,15 +297,16 @@ def q_pipeline_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     n_toks = F.size(toks)
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_toks
-    last = F.substring(F.col("text"), -1, 1)
     kept = (
-        (n_toks >= 10)
-        & (n_toks <= 5_000)
-        & (distinct_ratio >= 0.3)
-        & last.isin(".", "!", "?")
+        (n_toks >= PIPE_MIN_TOKENS)
+        & (n_toks <= PIPE_MAX_TOKENS)
+        & (distinct_ratio >= PIPE_MIN_DISTINCT_RATIO)
     )
     clean = docs.filter(kept)
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    bag_key = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    )
+    w = Window.partitionBy(bag_key).orderBy("doc_id")
     deduped = (
         clean.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -300,16 +328,19 @@ ORACLE_PIPELINE_DOC_COUNTS = f"""
 WITH clean AS (
   SELECT doc_id, source, text
   FROM documents
-  WHERE len(string_split(text, ' ')) BETWEEN 10 AND 5000
+  WHERE len(string_split(text, ' '))
+        BETWEEN {PIPE_MIN_TOKENS} AND {PIPE_MAX_TOKENS}
     AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        / len(string_split(text, ' ')) >= 0.3
-    AND substr(text, length(text), 1) IN ('.', '!', '?')
+        / len(string_split(text, ' ')) >= {PIPE_MIN_DISTINCT_RATIO}
 ),
 deduped AS (
   SELECT doc_id, source
   FROM (
     SELECT doc_id, source,
-           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' '))
+             ORDER BY doc_id) AS rn
     FROM clean
   ) WHERE rn = 1
 )
@@ -333,6 +364,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quantile_sketch": ORACLE_QUANTILE_SKETCH,
     "pipeline_doc_counts": ORACLE_PIPELINE_DOC_COUNTS,
     "train_split_counts": ORACLE_TRAIN_SPLIT_COUNTS,
     "shard_assignment": ORACLE_SHARD_ASSIGNMENT,

@@ -1,0 +1,72 @@
+"""Registry curation invariants + oracle evidence for retired gates.
+
+The driver's correctness gate records only the first 50 registry
+entries, so ``quebic_spark.operators`` curates an explicit
+``GATE_ORDER`` (checked by the driver) and ``RETIRED_GATES`` (gates
+whose operator coverage is subsumed by a live entry). This module is
+the evidence backstop: every retired gate is still run against its
+DuckDB oracle at sf0.001 with the SAME fingerprint comparison the
+driver uses (pandas fetch on both sides, columns sorted by name,
+order-insensitive row hash), so retiring a gate never removes
+hash-level verification — it only frees a driver slot.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from check_oracle import TABLES, frame_fingerprint, pandas_rows  # noqa: E402
+
+from quebic_spark.operators import (  # noqa: E402
+    ALL_ORACLES,
+    ALL_QUERIES,
+    GATE_ORDER,
+    RETIRED_GATES,
+)
+
+
+def test_gate_window_holds_every_new_operator():
+    # Driver records exactly the first 50 entries; curation must keep
+    # the live list inside that window and cover every defined query.
+    assert len(GATE_ORDER) <= 50
+    assert set(GATE_ORDER) | set(RETIRED_GATES) == set(ALL_QUERIES)
+    assert not set(GATE_ORDER) & set(RETIRED_GATES)
+
+
+def test_live_gates_are_oracle_paired():
+    # Every live gate should carry a full DuckDB oracle so the driver
+    # records a hash row, not a rows-only row.
+    missing = [n for n in GATE_ORDER if n not in ALL_ORACLES]
+    assert missing == [], f"rows-only gates in driver window: {missing}"
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(RETIRED_GATES))
+def test_retired_gate_still_matches_oracle(name, spark, sf_dir, duck):
+    assert name in ALL_ORACLES, f"retired gate {name} lost its oracle"
+    sdf = ALL_QUERIES[name](spark, sf_dir)
+    sn, scn, sh = frame_fingerprint(sdf.columns, pandas_rows(sdf.toPandas()))
+    rel = duck.execute(ALL_ORACLES[name])
+    dcols = [d[0] for d in rel.description]
+    drows = pandas_rows(rel.fetchdf(date_as_object=True))
+    dn, dcn, dh = frame_fingerprint(dcols, drows)
+    assert (sn, scn) == (dn, dcn), f"{name}: shape {sn}/{scn} != {dn}/{dcn}"
+    assert sh == dh, f"{name}: value hash mismatch over {sn} rows"

@@ -265,47 +265,22 @@ CC_MAX_ITERS = 20
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative min-label propagation (GraphX/GraphFrames-style CC).
 
-    Each round: push every node's current label across edges, take the
-    min per node, stop when no label changed — one shuffle join + one
-    agg per round, rounds bounded by the dup-graph diameter (near-dup
-    components are shallow; CC_MAX_ITERS is a safety rail). This is the
-    documented iterative-algorithm pattern: a driver loop of Spark
-    actions, no per-row driver work.
+    The loop lives in :func:`quebic_spark.functions.graph.
+    connected_components`: one shuffle join + one agg per round, rounds
+    bounded by the dup-graph diameter, lineage truncated by periodic
+    localCheckpoint, ConvergenceError instead of silent wrong labels
+    at the round cap. This is the documented iterative-algorithm
+    pattern: a driver loop of Spark actions, no per-row driver work.
 
     Oracle: DuckDB WITH RECURSIVE transitive closure + MIN — the
     fixpoint semantics expressed declaratively.
     """
+    from quebic_spark.functions.graph import connected_components
+
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select("doc_b", "doc_a"))
-        .toDF("src", "dst")
-        .cache()
-    )
+    edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
     docs = _docs(spark, sf_dir).select("doc_id")
-    labels = docs.select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    ).cache()
-    for _ in range(CC_MAX_ITERS):
-        msgs = edges.join(
-            labels, F.col("src") == F.col("doc_id")
-        ).select(F.col("dst").alias("doc_id"), "cluster_id")
-        new_labels = (
-            labels.union(msgs)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = connected_components(docs, edges, max_iters=CC_MAX_ITERS)
     return labels.select(
         "doc_id",
         "cluster_id",

@@ -226,12 +226,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quebic_spark.functions.vector import l2_norm
 
     dots, cell = _cell_col()
+    # persist() the cell-assigned corpus: without it Catalyst's
+    # projection collapse re-expands `cell` into the greatest()/CASE
+    # chain, re-evaluating each 64-element dot fold per WHEN arm, and
+    # the uncached lineage is computed once per join side. The cache
+    # materializes (vec_id, embedding, cell, norm) exactly once —
+    # mirroring the at-scale layout where cell is a precomputed
+    # bucket/partition column on the stored corpus, not a per-query
+    # expression.
     emb = (
         _emb(spark, sf_dir)
         .select("vec_id", "embedding", *dots)
         .withColumn("cell", cell)
         .withColumn("norm", l2_norm(F.col("embedding")))
         .select("vec_id", "embedding", "cell", "norm")
+        .persist()
     )
     queries = emb.filter((F.col("vec_id") % QUERY_STRIDE) == 0).select(
         F.col("vec_id").alias("query_id"),

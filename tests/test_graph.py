@@ -1,0 +1,64 @@
+"""connected_components: correctness at depth, lineage truncation,
+convergence-cap error (the failure modes of iterative CC at scale)."""
+
+from __future__ import annotations
+
+import pytest
+
+from quebic_spark.functions.graph import ConvergenceError, connected_components
+
+
+def _chain(spark, n: int, offset: int = 0):
+    """Path graph offset..offset+n-1 (diameter n-1, worst case for
+    min-label propagation: the min label crawls one hop per round)."""
+    nodes = spark.createDataFrame(
+        [(offset + i,) for i in range(n)], ["doc_id"]
+    )
+    fwd = [(offset + i, offset + i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        fwd + [(b, a) for a, b in fwd], ["src", "dst"]
+    )
+    return nodes, edges
+
+
+def test_deep_chain_converges_past_checkpoint_boundary(spark):
+    # depth 12 > checkpoint_every=5: exercises two lineage truncations
+    # plus post-checkpoint rounds; every node must reach label 0.
+    nodes, edges = _chain(spark, 12)
+    out = connected_components(
+        nodes, edges, max_iters=30, checkpoint_every=5
+    ).collect()
+    assert {r.doc_id for r in out} == set(range(12))
+    assert all(r.cluster_id == 0 for r in out)
+
+
+def test_multiple_components_and_singletons(spark):
+    n1, e1 = _chain(spark, 6)          # component rooted at 0
+    n2, e2 = _chain(spark, 4, offset=100)  # component rooted at 100
+    iso = spark.createDataFrame([(999,)], ["doc_id"])  # singleton
+    out = connected_components(
+        n1.union(n2).union(iso), e1.union(e2), max_iters=20
+    ).collect()
+    got = {r.doc_id: r.cluster_id for r in out}
+    assert all(got[i] == 0 for i in range(6))
+    assert all(got[100 + i] == 100 for i in range(4))
+    assert got[999] == 999
+
+
+def test_round_cap_raises_instead_of_wrong_labels(spark):
+    # diameter 9 cannot converge in 3 rounds; silent fallthrough would
+    # return labels where the chain tail never saw the min.
+    nodes, edges = _chain(spark, 10)
+    with pytest.raises(ConvergenceError):
+        connected_components(nodes, edges, max_iters=3)
+
+
+def test_result_survives_cache_release(spark):
+    # the returned frame is checkpointed: collecting it twice after the
+    # loop's caches are unpersisted must not recompute from dead blocks
+    nodes, edges = _chain(spark, 8)
+    out = connected_components(nodes, edges, max_iters=20)
+    first = sorted((r.doc_id, r.cluster_id) for r in out.collect())
+    second = sorted((r.doc_id, r.cluster_id) for r in out.collect())
+    assert first == second
+    assert first == [(i, 0) for i in range(8)]

@@ -31,12 +31,15 @@ Semantic fine print preserved (SURVEY §2.7):
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 import time
 from typing import Any, Callable, Iterable, Sequence
 
 import pyarrow as pa
+
+log = logging.getLogger(__name__)
 
 from quebic_spark.codec import PLAIN, Codec
 from quebic_spark.errors import FormatException, QueueClosedError
@@ -107,6 +110,9 @@ class Queue:
         self.auto_compact_files = auto_compact_files
         self._closed = False
         self._compaction_pins = 0
+        # True when the most recent compact() call was skipped because
+        # a streaming reader (pin or resumable checkpoint) was attached
+        self.last_compact_skipped = False
         self._storage = QueueStorage(path)
         os.makedirs(path, exist_ok=True)
         with self._storage.lock:
@@ -239,13 +245,35 @@ class Queue:
 
         No-op while a streaming reader is attached (see
         :meth:`pin_compaction`) unless ``force=True`` — rewriting files
-        under a live file-source stream redelivers consumed rows.
+        under a live file-source stream redelivers consumed rows. A
+        skipped compaction is NOT silent: it logs a warning and sets
+        ``last_compact_skipped`` (the log, including TTL-expired rows,
+        grows until compaction is re-enabled). Note the default
+        StreamingConsumer checkpoint lives at ``<queue>/checkpoint``;
+        while that directory exists a stream may resume at any time, so
+        compaction stays off even after the query terminates — delete
+        the checkpoint directory (or always pass an external
+        ``checkpoint_dir``) to re-enable it.
 
         Returns the number of files after compaction.
         """
         self._check_open()
         if not force and self._stream_attached():
+            self.last_compact_skipped = True
+            log.warning(
+                "compact() skipped on %s: streaming reader attached "
+                "(pins=%d, default checkpoint present=%s). The log "
+                "grows until the stream and its checkpoint are gone; "
+                "delete <queue>/checkpoint to re-enable, or pass "
+                "force=True if no stream can resume.",
+                self._storage.path,
+                self._compaction_pins,
+                os.path.isdir(
+                    os.path.join(self._storage.path, "checkpoint")
+                ),
+            )
             return len(self._storage.list_batches())
+        self.last_compact_skipped = False
         import pyarrow.parquet as pq
 
         with self._storage.lock:
@@ -296,8 +324,14 @@ class Queue:
                 if not run:
                     continue
                 tables = []
+                canonical = arrow_schema(self.schema)
                 for start, end, path in run:
+                    # normalize to the canonical log schema: Spark-written
+                    # bulk files mark payload fields nullable while the
+                    # pyarrow push path writes them non-null; concat of
+                    # mixed provenance would fail on that mismatch
                     t = pq.read_table(path)
+                    t = t.select(canonical.names).cast(canonical)
                     mask = [
                         (seq > acked and not (0 <= exp <= now))
                         or seq == max_seq
@@ -614,6 +648,7 @@ class Queue:
             system_meta = [
                 F.lit(now).cast("long").alias("created_at"),
                 F.lit(exp).cast("long").alias("expires_at"),
+                F.lit(self.codec.id).cast("int").alias("codec_id"),
             ]
             parts = None
             if n <= small_batch_rows:
@@ -654,6 +689,7 @@ class Queue:
                     offsets[pid] = acc
                     acc += counts[pid]
                 seq_base = start
+                codec_id = self.codec.id
 
                 def number_partition(batches):
                     pos = 0
@@ -663,6 +699,7 @@ class Queue:
                         off = offsets[int(pdf["_pid"].iloc[0])]
                         first = seq_base + off + pos
                         out = pdf[list(cols)].copy()
+                        out.insert(0, "codec_id", codec_id)
                         out.insert(0, "expires_at", exp)
                         out.insert(0, "created_at", now)
                         out.insert(0, "seq",
@@ -806,6 +843,10 @@ class Publisher:
             "seq": list(range(start_seq, start_seq + n)),
             "created_at": [now] * n,
             "expires_at": [exp] * n,
+            # per-entry codec id (JournaledFile.scala:322): records the
+            # codec of the publisher that wrote each row, so one queue
+            # holds mixed-codec records a consumer can decode per row
+            "codec_id": [self.compression.id] * n,
         }
         for i, name in enumerate(self._q.schema.column_names):
             cols[name] = [r[i] for r in records]

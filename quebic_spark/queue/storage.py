@@ -24,17 +24,18 @@ JournaledFile.scala:311-326):
     seq         int64      monotonic 1..N, assigned by the single writer
     created_at  int64      push time, epoch milliseconds
     expires_at  int64      TTL deadline epoch ms, or -1 for none
+    codec_id    int32      the WRITING publisher's record codec
+                           (JournaledFile.scala:322)
 
-The reference additionally stores a per-record codec id
-(JournaledFile.scala:322) because its records are opaque byte blobs —
-the reader must know how to decode each one. Here records are typed
-Parquet columns and the codec is a physical property of the column
-chunk, recorded by Parquet's own metadata (``write_batch`` passes the
-queue codec as the Parquet compression); a per-record codec column
-would duplicate what the format already guarantees, so it is
-intentionally omitted (SURVEY §7.5 optional item). The literal
-byte-parity mode lives in ``quebic_spark.serde`` where the codec IS
-applied per record.
+``codec_id`` carries the reference's per-entry codec id: publishers on
+one queue may use different codecs (``Queue.publisher(compression)``),
+and a consumer of the byte-parity mode (serde-packed blobs in a BINARY
+column) selects the decode codec per record from this column instead
+of assuming the queue-level default. For typed columns it is parity
+metadata only — the payload itself is decoded by Parquet, whose file
+compression ``write_batch`` sets from the same codec. The fully
+self-describing alternative (codec id inside the blob) is
+``quebic_spark.serde.serialize_framed``.
 
 Crash consistency: data files are written complete before control-file
 pointers advance (write-data-then-flip-pointer, README.md:117-124);
@@ -67,7 +68,7 @@ from quebic_spark.schema import (
 
 _BATCH_RE = re.compile(r"^batch-(\d{20})-(\d{20})\.parquet$")
 
-SYSTEM_COLUMNS = ("seq", "created_at", "expires_at")
+SYSTEM_COLUMNS = ("seq", "created_at", "expires_at", "codec_id")
 
 _ARROW_TYPE = {
     INTEGER: pa.int64(),
@@ -88,6 +89,7 @@ def arrow_schema(schema: Schema) -> pa.Schema:
         pa.field("seq", pa.int64(), nullable=False),
         pa.field("created_at", pa.int64(), nullable=False),
         pa.field("expires_at", pa.int64(), nullable=False),
+        pa.field("codec_id", pa.int32(), nullable=False),
     ]
     for i, t in enumerate(schema.types):
         fields.append(pa.field(f"c{i}", _ARROW_TYPE[t], nullable=False))
@@ -96,7 +98,8 @@ def arrow_schema(schema: Schema) -> pa.Schema:
 
 def spark_ddl(schema: Schema) -> str:
     """Spark DDL string for the full log schema (system + payload)."""
-    ddl = ["seq BIGINT", "created_at BIGINT", "expires_at BIGINT"]
+    ddl = ["seq BIGINT", "created_at BIGINT", "expires_at BIGINT",
+           "codec_id INT"]
     m: dict[DataType, str] = {
         INTEGER: "BIGINT",
         REAL: "DOUBLE",

@@ -15,6 +15,12 @@ Format (big-endian):
     BINARY   4B length + raw bytes
     TENSOR   4B ndim, 4B per dim, 8B per value (row-major)
 The whole record is then passed through the codec.
+
+``serialize_framed``/``deserialize_framed`` add the reference's
+per-entry codec id (JournaledFile.scala:322) as a 1-byte prefix, making
+each blob self-describing: records compressed with different codecs can
+coexist in one queue/file and the reader never consults out-of-band
+state to decode them.
 """
 
 from __future__ import annotations
@@ -22,7 +28,7 @@ from __future__ import annotations
 import struct
 from typing import Any, Sequence
 
-from quebic_spark.codec import PLAIN, Codec
+from quebic_spark.codec import PLAIN, Codec, codec_of
 from quebic_spark.errors import FormatException
 from quebic_spark.schema import (
     BINARY,
@@ -127,3 +133,27 @@ def deserialize_record(
             f"record over-run: {len(raw) - off} trailing bytes"
         )
     return tuple(out)
+
+
+def serialize_framed(
+    schema: Schema, values: Sequence[Any], codec: Codec = PLAIN
+) -> bytes:
+    """Pack one record with a leading codec-id byte (the reference's
+    per-entry codec field, JournaledFile.scala:322): the blob carries
+    its own decompression recipe."""
+    if not 0 <= codec.id <= 0xFF:
+        raise FormatException(f"codec id {codec.id} not a byte")
+    return bytes([codec.id]) + serialize_record(schema, values, codec)
+
+
+def deserialize_framed(schema: Schema, data: bytes) -> tuple[Any, ...]:
+    """Unpack a framed record, selecting the codec from its first byte.
+    Unknown codec ids raise FormatException (corrupt or foreign data —
+    same contract as the body parser)."""
+    if len(data) < 1:
+        raise FormatException("framed record shorter than its header")
+    try:
+        codec = codec_of(data[0])
+    except ValueError as e:
+        raise FormatException(str(e)) from None
+    return deserialize_record(schema, bytes(data[1:]), codec)

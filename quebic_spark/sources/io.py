@@ -50,7 +50,7 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
 def export_queue(spark: SparkSession, queue: Queue, path: str,
                  fmt: str = "parquet", include_system: bool = False) -> int:
     """Write all pending records to ``path`` in ``fmt``; returns rows
-    written. ``include_system`` keeps seq/created_at/expires_at."""
+    written. ``include_system`` keeps seq/created_at/expires_at/codec_id."""
     _check_format(fmt)
     if fmt == "csv":
         bad = [

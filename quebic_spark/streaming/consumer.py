@@ -28,6 +28,7 @@ from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
 
 from quebic_spark.queue.queue import Queue
 
@@ -40,7 +41,7 @@ def read_queue_stream(
     """``readStream`` over a queue's append log.
 
     Returns an unbounded DataFrame of (seq, created_at, expires_at,
-    c0..cN) with expired rows filtered at read time (TTL parity,
+    codec_id, c0..cN) with expired rows filtered at read time (TTL parity,
     JournaledFile.scala:244-264 — the filter references
     current_timestamp so it re-evaluates per micro-batch).
 
@@ -50,26 +51,35 @@ def read_queue_stream(
     off while the log is being streamed: the file source tracks
     processed files by path, so a rewrite/merge would redeliver every
     already-consumed row under a new file name. The pin covers this
-    process; the presence of the default checkpoint directory inside
-    the queue dir covers restarts from other processes. If you stream
+    process and is released when the StreamingConsumer query
+    terminates; the presence of the default checkpoint directory inside
+    the queue dir covers restarts from other processes (and keeps
+    compaction off after termination until that directory is deleted —
+    ``compact()`` logs a warning each time it skips). If you stream
     with an EXTERNAL checkpoint from another process, disable
     compaction there yourself (``auto_compact_files=None`` and no
     ``close()``-triggered compact) for the stream's lifetime.
     """
     queue.pin_compaction()
-    reader = (
-        spark.readStream.schema(queue.spark_schema_ddl())
-        .format("parquet")
-        .option("path", queue._storage.data_dir)
-        .option("pathGlobFilter", "batch-*.parquet")
-    )
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.load()
-    now_ms = F.unix_millis(F.current_timestamp())
-    return df.filter(
-        (F.col("expires_at") < 0) | (F.col("expires_at") > now_ms)
-    )
+    try:
+        reader = (
+            spark.readStream.schema(queue.spark_schema_ddl())
+            .format("parquet")
+            .option("path", queue._storage.data_dir)
+            .option("pathGlobFilter", "batch-*.parquet")
+        )
+        if max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", max_files_per_trigger
+            )
+        df = reader.load()
+        now_ms = F.unix_millis(F.current_timestamp())
+        return df.filter(
+            (F.col("expires_at") < 0) | (F.col("expires_at") > now_ms)
+        )
+    except Exception:
+        queue.unpin_compaction()  # no stream ever attached
+        raise
 
 
 def queue_sink(queue: Queue, order_by: list[str]):
@@ -155,15 +165,20 @@ class StreamingConsumer:
         stream = read_queue_stream(
             self.spark, self.queue, max_files_per_trigger
         )
-        q = (
-            stream.writeStream.foreachBatch(self._wrap(f))
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(timeout_s)
-        if q.isActive:
-            q.stop()
+        try:
+            q = (
+                stream.writeStream.foreachBatch(self._wrap(f))
+                .option("checkpointLocation", self.checkpoint_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(timeout_s)
+            if q.isActive:
+                q.stop()
+        finally:
+            # the pin covers the query's lifetime only; resumability
+            # across calls is covered by the checkpoint-dir heuristic
+            self.queue.unpin_compaction()
 
     def start_continuous(
         self,
@@ -173,13 +188,54 @@ class StreamingConsumer:
     ):
         """Long-running consumption; trigger cadence defaults to the
         reference's 200 ms poll (Queue.scala:281). Returns the
-        StreamingQuery — call .stop() / .awaitTermination()."""
+        StreamingQuery — call .stop() / .awaitTermination(). The
+        compaction pin taken for this query is released when the query
+        terminates (listener below), so a stopped stream no longer
+        holds compaction off for the life of the process."""
         stream = read_queue_stream(
             self.spark, self.queue, max_files_per_trigger
         )
-        return (
-            stream.writeStream.foreachBatch(self._wrap(f))
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(processingTime=processing_interval)
-            .start()
+        try:
+            query = (
+                stream.writeStream.foreachBatch(self._wrap(f))
+                .option("checkpointLocation", self.checkpoint_dir)
+                .trigger(processingTime=processing_interval)
+                .start()
+            )
+        except Exception:
+            self.queue.unpin_compaction()
+            raise
+        self.spark.streams.addListener(
+            _UnpinOnTerminate(self.spark, str(query.id), self.queue)
         )
+        return query
+
+
+class _UnpinOnTerminate(StreamingQueryListener):
+    """Releases one compaction pin when the tracked query terminates.
+
+    Listener callbacks run on the streaming listener-bus thread;
+    ``unpin_compaction`` is a plain counter decrement, safe there."""
+
+    def __init__(self, spark: SparkSession, query_id: str, queue: Queue):
+        self._spark = spark
+        self._query_id = query_id
+        self._queue = queue
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (API name)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        if str(event.id) != self._query_id:
+            return
+        self._queue.unpin_compaction()
+        try:
+            self._spark.streams.removeListener(self)
+        except Exception:
+            pass  # best-effort; a dangling no-op listener is harmless

@@ -9,7 +9,7 @@ import time
 
 import pytest
 
-from quebic_spark import INTEGER, Queue, Schema, TEXT
+from quebic_spark import BINARY, INTEGER, Queue, Schema, TEXT
 from quebic_spark.errors import (
     FormatException,
     IncompatibleSchemaException,
@@ -496,6 +496,7 @@ def test_crash_recovery_truncates_unflipped_writes(qpath):
             "seq": [4],
             "created_at": [0],
             "expires_at": [-1],
+            "codec_id": [0],
             "c0": [99],
             "c1": ["orphan"],
         },
@@ -686,4 +687,55 @@ def test_append_dataframe_fifo_interleaves_with_push(qpath, spark):
         (2, "bulk2"),
         (-2, "after"),
     ]
+    q.dispose()
+
+
+def test_mixed_codec_publishers_one_queue(tmp_path, spark):
+    """Reference parity (JournaledFile.scala:322): each entry records
+    its writer's codec, so publishers with different codecs share one
+    queue and every row remains decodable — here via the codec_id
+    system column."""
+    from quebic_spark.codec import GZIP, PLAIN
+    from quebic_spark.serde import deserialize_record, serialize_record
+
+    payload = Schema(INTEGER, TEXT)
+    q = Queue(str(tmp_path / "q"), Schema(BINARY), capacity=100)
+    plain_pub = q.publisher(PLAIN)
+    gzip_pub = q.publisher(GZIP)
+    originals = [(i, f"record-{i}" * 3) for i in range(10)]
+    for i, rec in enumerate(originals):
+        codec = GZIP if i % 2 else PLAIN
+        pub = gzip_pub if i % 2 else plain_pub
+        pub.push([serialize_record(payload, list(rec), codec)])
+
+    # the log column carries the per-record codec id in FIFO order
+    rows = q.read_pending(spark).orderBy("seq").collect()
+    assert [r["codec_id"] for r in rows] == [
+        (GZIP if i % 2 else PLAIN).id for i in range(10)
+    ]
+    # byte-parity consume: decode each blob with ITS recorded codec
+    from quebic_spark.codec import codec_of
+
+    decoded = [
+        deserialize_record(payload, bytes(r["c0"]), codec_of(r["codec_id"]))
+        for r in rows
+    ]
+    assert decoded == originals
+    q.dispose()
+
+
+def test_codec_id_survives_compaction_and_bulk_append(tmp_path, spark):
+    from quebic_spark.codec import GZIP
+
+    q = Queue(str(tmp_path / "q"), Schema(INTEGER, TEXT), capacity=1000,
+              codec=GZIP)
+    q.publisher().push_all([[i, f"v{i}"] for i in range(20)])
+    df = spark.createDataFrame(
+        [(100 + i, f"bulk{i}") for i in range(5)], ["a", "b"]
+    )
+    q.append_dataframe(df, order_by=["a"])
+    q.subscriber().pop_n(10)
+    q.compact(small_file_rows=1_000_000)  # force merge of small files
+    rows = q.read_pending(spark).collect()
+    assert rows and all(r["codec_id"] == GZIP.id for r in rows)
     q.dispose()

@@ -136,3 +136,32 @@ def test_queue_aggregate_foreach(tmp_path):
     q.foreach(lambda rec: seen.append(rec[0]))
     assert seen == list(range(3, 10))
     q.close()
+
+
+def test_framed_roundtrip_mixed_codecs():
+    """A framed blob is self-describing: mixed PLAIN/GZIP records
+    decode without out-of-band codec state."""
+    from quebic_spark.codec import GZIP, PLAIN
+    from quebic_spark.serde import deserialize_framed, serialize_framed
+
+    schema = Schema(INTEGER, TEXT, REAL)
+    recs = [(i, "x" * i, i / 7.0) for i in range(6)]
+    blobs = [
+        serialize_framed(schema, list(r), GZIP if i % 2 else PLAIN)
+        for i, r in enumerate(recs)
+    ]
+    assert [b[0] for b in blobs] == [
+        (GZIP if i % 2 else PLAIN).id for i in range(6)
+    ]
+    assert [deserialize_framed(schema, b) for b in blobs] == recs
+
+
+def test_framed_rejects_unknown_codec_and_empty():
+    from quebic_spark.serde import deserialize_framed, serialize_framed
+
+    schema = Schema(INTEGER)
+    blob = serialize_framed(schema, [7])
+    with pytest.raises(FormatException):
+        deserialize_framed(schema, bytes([250]) + blob[1:])
+    with pytest.raises(FormatException):
+        deserialize_framed(schema, b"")

@@ -51,7 +51,7 @@ def test_export_with_system_columns(filled_queue, spark):
     export_queue(spark, q, out, fmt="parquet", include_system=True)
     df = read_table(spark, out, "parquet")
     assert set(df.columns) == {"seq", "created_at", "expires_at",
-                               "c0", "c1", "c2"}
+                               "codec_id", "c0", "c1", "c2"}
     assert df.count() == 50
 
 

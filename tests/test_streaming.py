@@ -239,3 +239,47 @@ def test_streaming_windowed_aggregation_over_queue(qpath, spark):
     assert sum(counts) == 120
     assert len(out) >= 2
     q.dispose()
+
+
+def test_pin_released_on_run_available_completion(qpath, spark):
+    """The in-memory compaction pin must not outlive the query; only
+    the (deletable) default checkpoint dir keeps compaction off after
+    termination, and a skipped compact() is flagged, not silent."""
+    q = Queue(qpath, SCHEMA, capacity=10000)
+    q.publisher().push_all([[i, f"v{i}"] for i in range(10)])
+    StreamingConsumer(spark, q).run_available(lambda df, _: None)
+    assert q._compaction_pins == 0  # pin released at termination
+
+    q.compact()  # still skipped: default checkpoint dir present
+    assert q.last_compact_skipped
+
+    # delete the checkpoint (no resumable stream) -> compaction works
+    import shutil
+
+    shutil.rmtree(os.path.join(qpath, "checkpoint"))
+    q.subscriber().pop_n(10)
+    q.compact()
+    assert not q.last_compact_skipped
+    q.dispose()
+
+
+def test_pin_released_when_continuous_query_stops(qpath, spark):
+    """start_continuous holds a pin only while the query runs; stop()
+    releases it via the termination listener (external checkpoint so
+    no directory heuristic interferes)."""
+    q = Queue(qpath, SCHEMA, capacity=10000)
+    q.publisher().push_all([[i, f"v{i}"] for i in range(5)])
+    consumer = StreamingConsumer(
+        spark, q, checkpoint_dir=qpath + "-external-ckpt"
+    )
+    query = consumer.start_continuous(lambda df, _: None)
+    assert q._compaction_pins == 1
+    query.stop()
+    query.awaitTermination(30)
+    deadline = time.time() + 30
+    while q._compaction_pins and time.time() < deadline:
+        time.sleep(0.1)  # listener bus delivers asynchronously
+    assert q._compaction_pins == 0
+    q.compact()
+    assert not q.last_compact_skipped
+    q.dispose()

@@ -73,6 +73,13 @@ def main() -> None:
     # warm up the JVM/codegen paths so per-query numbers measure the
     # plan, not first-run classloading
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm the Python/Arrow worker daemons too: whichever Pandas-UDF
+    # query runs first otherwise pays worker spin-up — r2 recorded
+    # multimodal_decode at 2.5 s vs 0.5 s with unchanged code purely
+    # because registry reordering moved it to the front of the UDF pack
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     times = bench_queries(spark, sf_dir)
     times.update(bench_queue())

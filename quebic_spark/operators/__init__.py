@@ -52,6 +52,9 @@ for _mod in _MODULES:
 
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
+    # --- r3: new operators this round ---
+    "decontaminate",
+    "sequence_packing",
     # --- r3: first driver gate for these (registry overflowed in r2) ---
     "train_split_counts",
     "shard_assignment",
@@ -70,8 +73,6 @@ GATE_ORDER: tuple[str, ...] = (
     "pricing_summary",
     "region_revenue",
     "top_orders_per_segment",
-    "customer_order_stats",
-    "customers_without_orders",
     "part_supplier_overlap",
     "monthly_order_volume",
     "high_value_semijoin",
@@ -110,6 +111,14 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "customer_order_stats": "running-frame window cumsum gated by "
+                            "sequence_packing (same partitionBy+orderBy+"
+                            "rowsBetween shape); grouped ranking by "
+                            "top_orders_per_segment",
+    "customers_without_orders": "left-anti join is the complement of the "
+                                "left-semi gated by high_value_semijoin; "
+                                "outer NULL-extension gated by "
+                                "urgent_vs_finished_outer",
     "dedup_exact_rows": "same md5-groupBy dedup operator as dedup_exact",
     "order_date_parts": "date-part extraction subsumed by "
                         "monthly_order_volume (date_trunc bucketing)",

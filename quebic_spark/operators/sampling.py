@@ -354,7 +354,82 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# sequence_packing — pack documents into fixed-token-budget training
+# sequences: the write-side operator that turns a cleaned corpus into
+# model-ready samples. Greedy contiguous fill in a deterministic
+# shuffle order (md5), per shard: bin = floor(tokens_before / budget)
+# where tokens_before is the running token sum over the shard's order.
+#
+# Scale shape: ONE shuffle (partition by shard), one window per shard
+# partition — never a global window (a single-reducer cumsum is the
+# classic packing mistake at scale; sharding first makes every
+# partition's cumsum independent and bounded). Deterministic md5 order
+# means retries/speculation produce identical bins, and the bin id is
+# reproducible from (doc_id, shard) alone.
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 4096  # tokens per training sequence bin
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    shard = hash_bucket(F.col("doc_id"), N_SHARDS)
+    order = F.md5(F.col("doc_id").cast("string"))
+    base = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        order.alias("ord"),
+        toks.alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum("n_toks").over(w) - F.col("n_toks")
+    packed = base.select(
+        "shard",
+        "n_toks",
+        F.floor(before / F.lit(PACK_BUDGET)).alias("bin_id"),
+    )
+    return (
+        packed.groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("bin_tokens"),
+        )
+    )
+
+
+ORACLE_SEQUENCE_PACKING = f"""
+WITH base AS (
+  SELECT {_hash_bucket_sql("doc_id", N_SHARDS)} AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS ord,
+         doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+),
+packed AS (
+  SELECT shard, n_toks,
+         CAST(FLOOR((SUM(n_toks) OVER (
+             PARTITION BY shard ORDER BY ord, doc_id
+             ROWS UNBOUNDED PRECEDING) - n_toks)
+           / {PACK_BUDGET}) AS BIGINT) AS bin_id
+  FROM base
+)
+SELECT shard, bin_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS bin_tokens
+FROM packed
+GROUP BY shard, bin_id
+"""
+
+
 QUERIES = {
+    "sequence_packing": q_sequence_packing,
     "quantile_sketch": q_quantile_sketch,
     "pipeline_doc_counts": q_pipeline_doc_counts,
     "train_split_counts": q_train_split_counts,
@@ -364,6 +439,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "quantile_sketch": ORACLE_QUANTILE_SKETCH,
     "pipeline_doc_counts": ORACLE_PIPELINE_DOC_COUNTS,
     "train_split_counts": ORACLE_TRAIN_SPLIT_COUNTS,

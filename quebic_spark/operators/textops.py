@@ -447,7 +447,80 @@ GROUP BY source
 ORACLE_SENTIMENT_SCORES = _sentiment_oracle()
 
 
+# ---------------------------------------------------------------------------
+# decontaminate — benchmark decontamination: flag training docs sharing
+# at least one word n-gram with a held-out benchmark set (the standard
+# eval-leakage guard run before every corpus release; real pipelines
+# use 13-grams, the synthetic corpus needs 3-grams to overlap at all).
+#
+# The benchmark set is a deterministic hash slice of the corpus
+# (hash_bucket(doc_id) < DECON_BENCH_PCT) so the operator and its
+# oracle agree without a second input table; in production it's an
+# external table of eval-set n-grams, invariably small. Scale shape:
+# the benchmark gram set is tiny -> broadcast join against the exploded
+# corpus grams (one scan, no corpus shuffle before the per-doc agg);
+# the gram explosion is bounded by document length, and the corpus side
+# never pairs with itself (no O(n^2)).
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 3
+DECON_BENCH_PCT = 2  # hash-slice percent of docs acting as "benchmark"
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quebic_spark.functions.text import shingles
+    from quebic_spark.operators.sampling import hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id",
+        F.explode(shingles(F.col("text"), DECON_NGRAM)).alias("g"),
+    )
+    is_bench = hash_bucket(F.col("doc_id")) < DECON_BENCH_PCT
+    bench = grams.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    train = grams.filter(~is_bench)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+    )
+
+
+def _decon_oracle() -> str:
+    from quebic_spark.operators.sampling import _hash_bucket_sql
+
+    n = DECON_NGRAM
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - {n - 1}, 1) + 1),
+           i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS g
+  FROM toks
+)
+SELECT s.doc_id,
+       COUNT(DISTINCT s.g) AS n_shared_grams,
+       COUNT(DISTINCT b.doc_id) AS n_benchmark_docs
+FROM grams s
+JOIN grams b ON s.g = b.g
+WHERE {_hash_bucket_sql("b.doc_id")} < {DECON_BENCH_PCT}
+  AND {_hash_bucket_sql("s.doc_id")} >= {DECON_BENCH_PCT}
+GROUP BY s.doc_id
+"""
+
+
+ORACLE_DECONTAMINATE = _decon_oracle()
+
+
 QUERIES = {
+    "decontaminate": q_decontaminate,
     "text_stats": q_text_stats,
     "token_counts": q_token_counts,
     "doc_fingerprints": q_doc_fingerprints,
@@ -459,6 +532,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "decontaminate": ORACLE_DECONTAMINATE,
     "text_stats": ORACLE_TEXT_STATS,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,

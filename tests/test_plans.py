@@ -162,3 +162,53 @@ def test_queue_pending_scan_prunes_files(spark, tmp_path):
     n_files = plan.count("batch-")
     assert q.read_pending(spark).count() == 4
     q.dispose()
+
+
+def test_ivf_corpus_materializes_once(spark, sf_dir):
+    """The cell-assigned corpus must come from the cache (one evaluation
+    of the 8 dot folds), not be re-derived per join side."""
+    from quebic_spark.operators.similarity import q_ann_ivf_topk
+
+    plan = _plan(q_ann_ivf_topk(spark, sf_dir))
+    assert "InMemoryTableScan" in plan
+    # the centroid argmax (greatest + CASE over the 8 dot folds) may
+    # appear in the cached relation's definition but must not be
+    # re-expanded into the join-stage projections; the per-pair cosine
+    # fold legitimately remains (it needs both sides of the join)
+    post_cache = plan.split("InMemoryRelation", 1)[0]
+    assert "greatest(" not in post_cache, "cell argmax recomputed post-cache"
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """Corpus side never shuffles for the join: the tiny benchmark gram
+    set broadcasts; filters reach the scan."""
+    from quebic_spark.operators.textops import q_decontaminate
+
+    plan = _plan(q_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_packing_has_no_global_window(spark, sf_dir):
+    """The cumsum window must be partitioned by shard — a partition-less
+    window (single reducer) is the at-scale failure mode."""
+    from quebic_spark.operators.sampling import q_sequence_packing
+
+    plan = _plan(q_sequence_packing(spark, sf_dir))
+    m = re.search(r"Window \[[^\]]*windowspecdefinition\(([^,]*),", plan)
+    assert m, plan
+    assert "shard" in m.group(1), f"window not partitioned by shard: {plan}"
+
+
+def test_pipeline_composite_is_one_fused_dag(spark, sf_dir):
+    """quality-filter -> dedup -> split -> counts: the filter fuses into
+    the scan (no separate pass) and the whole pipeline needs exactly two
+    shuffles (dedup window + final agg)."""
+    from quebic_spark.operators.sampling import q_pipeline_doc_counts
+
+    plan = _plan(q_pipeline_doc_counts(spark, sf_dir))
+    # initial fan-out repartition is exempt: count only key shuffles
+    n_key_shuffles = plan.count("hashpartitioning")
+    assert n_key_shuffles <= 3, f"{n_key_shuffles} key shuffles: {plan[:500]}"
+    assert "partial_" in plan  # map-side combine on the final agg

@@ -14,7 +14,12 @@ Rounds are bounded by the graph diameter; near-dup graphs are shallow
   returning silently-wrong labels (a doc pointing at a non-minimal
   cluster root mis-assigns keepers downstream);
 * all intermediate caches are released before returning; the result is
-  a checkpointed frame with no live lineage into the loop.
+  a checkpointed frame with no live lineage into the loop;
+* the loop runs only over nodes incident to an edge — isolated nodes
+  (the overwhelming majority of a near-dup corpus: most documents have
+  no duplicate) are label=self by definition and union back in at the
+  end, so every per-round shuffle is sized by the dup GRAPH, not the
+  corpus.
 """
 
 from __future__ import annotations
@@ -48,10 +53,23 @@ def connected_components(
     Returns:
         ``(doc_id, cluster_id)`` — checkpointed, lineage-free.
     """
-    edges = edges.select("src", "dst").cache()
-    labels = nodes.select(
+    # localCheckpoint (eager), not cache: edges/labels lineage is the
+    # caller's whole upstream pipeline (e.g. the MinHash LSH DAG), and a
+    # lazily-populated cache gets only PARTIALLY filled by the probe
+    # actions below — every later round would then recompute the missing
+    # partitions through the full upstream plan. Checkpointing pays one
+    # materialization up front and makes every round's input a plain
+    # in-memory table.
+    edges = edges.select("src", "dst").localCheckpoint()
+    endpoints = (
+        edges.select(F.col("src").alias("doc_id"))
+        .union(edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    active = nodes.select("doc_id").join(endpoints, "doc_id", "left_semi")
+    labels = active.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
-    ).cache()
+    ).localCheckpoint()
     converged = False
     try:
         for rnd in range(1, max_iters + 1):
@@ -64,15 +82,18 @@ def connected_components(
                 .agg(F.min("cluster_id").alias("cluster_id"))
             )
             if rnd % checkpoint_every == 0:
-                # eager: materializes AND truncates the plan
+                # full truncation: drops ALL prior-round lineage
                 new_labels = new_labels.localCheckpoint()
             else:
                 new_labels = new_labels.cache()
+            # full count (not limit(1)): the probe is the action that
+            # materializes new_labels, and a short-circuit would leave
+            # its cache partial (see note above); the label table is
+            # graph-sized, so the full pass is cheap
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "doc_id")
                 .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                .limit(1)
                 .count()
             )
             labels.unpersist()
@@ -86,8 +107,15 @@ def connected_components(
                 f"{max_iters} rounds — graph diameter exceeds the cap; "
                 f"raise max_iters"
             )
+        # isolated nodes (no incident edge) are their own cluster root;
+        # they never entered the loop, so every round was sized by the
+        # dup graph rather than the full node set
+        isolated = nodes.select("doc_id").join(
+            endpoints, "doc_id", "left_anti"
+        ).select("doc_id", F.col("doc_id").alias("cluster_id"))
+        result = labels.select("doc_id", "cluster_id").union(isolated)
         # detach the result from the loop's caches before releasing them
-        return labels.select("doc_id", "cluster_id").localCheckpoint()
+        return result.localCheckpoint()
     finally:
         edges.unpersist()
         labels.unpersist()

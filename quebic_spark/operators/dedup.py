@@ -44,9 +44,11 @@ COSINE_DUP_THRESHOLD = 0.35
 def _fan(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Small single-file inputs arrive as ONE partition; every operator
     below does expensive per-row/per-pair work, so spread the scan
-    across the executors first (a no-op at real scale where the table
-    is already many files)."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    across the executors first. Conditional: at real scale the table is
+    already many files and NO shuffle happens (see plans.fanout)."""
+    from quebic_spark.plans.fanout import fan_out
+
+    return fan_out(spark, df)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,7 +30,9 @@ HEAVY_HITTER_K = 20
 
 
 def _fan(spark: SparkSession, df: DataFrame) -> DataFrame:
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    from quebic_spark.plans.fanout import fan_out
+
+    return fan_out(spark, df)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

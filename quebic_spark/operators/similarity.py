@@ -32,8 +32,10 @@ EMB_DIM = 64
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file input -> one partition; the cosine folds below are the
     # expensive part, so spread the corpus across executors up front
-    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    # (conditional: no shuffle when the scan already has enough splits)
+    from quebic_spark.plans.fanout import fan_out
+
+    return fan_out(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _planes() -> list[list[float]]:

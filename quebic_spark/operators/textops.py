@@ -33,9 +33,11 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file input -> one partition; tokenize/explode pipelines
-    # below want parallelism from the start
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    # below want parallelism from the start (conditional: no shuffle
+    # when the scan already has enough splits)
+    from quebic_spark.plans.fanout import fan_out
+
+    return fan_out(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 # ---------------------------------------------------------------------------

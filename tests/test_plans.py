@@ -212,3 +212,18 @@ def test_pipeline_composite_is_one_fused_dag(spark, sf_dir):
     n_key_shuffles = plan.count("hashpartitioning")
     assert n_key_shuffles <= 3, f"{n_key_shuffles} key shuffles: {plan[:500]}"
     assert "partial_" in plan  # map-side combine on the final agg
+
+
+def test_fan_out_shuffles_only_when_underpartitioned(spark):
+    """fan_out must be a NO-OP (same plan, no Exchange) for well-split
+    inputs — at 100 TB an unconditional repartition is a corpus-sized
+    shuffle paid just to read."""
+    from quebic_spark.plans.fanout import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    spread = fan_out(spark, narrow)
+    assert spread.rdd.getNumPartitions() == par
+
+    wide = spark.range(1000).repartition(par + 4)
+    assert fan_out(spark, wide) is wide  # untouched, no new plan node

@@ -187,6 +187,11 @@ def q_event_pairs_within_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r_bucket"),
     )
     gap = F.col("r_us") - F.col("us")
+    # no distinct() needed: a qualifying pair's later event lies in the
+    # earlier's bucket or the next one, so of the two exploded probe
+    # buckets {b, b-1} exactly ONE equals the earlier event's bucket —
+    # each pair is emitted once by construction (the naive-join oracle
+    # hash-proves it; a dedup here would be a wasted full shuffle)
     return (
         left.join(
             right,
@@ -202,7 +207,6 @@ def q_event_pairs_within_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_event_id").alias("second_id"),
             gap.alias("gap_us"),
         )
-        .distinct()
     )
 
 
@@ -224,40 +228,41 @@ FROM events a JOIN events b
 # ---------------------------------------------------------------------------
 
 def q_session_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    sessions = (
-        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-        )
+    """Sessionize + rank entirely with window functions over ONE
+    user-keyed shuffle: lag-gap flags session starts, a running sum
+    assigns session ids, and per-session start/count/rank are windows
+    over the same partitioning (Catalyst reuses the exchange). The
+    previous formulation (session_window groupBy + range join back to
+    events) paid three shuffles and an inequality join — this is the
+    plan that survives a 100x events table. Boundary semantics mirror
+    the oracle exactly: a gap of exactly 30 minutes stays in-session
+    (strict >), matching session_window's merge rule."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    w_ord = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w_ord)
     )
-    e, s = ev.alias("e"), sessions.alias("s")
-    joined = e.join(
-        s,
-        (F.col("e.user_id") == F.col("s.user_id"))
-        & (F.col("e.ts") >= F.col("s.session_start"))
-        & (F.col("e.ts") < F.col("s.session_end")),
-    ).select(
-        F.col("e.user_id").alias("user_id"),
-        "session_start",
-        "event_id",
-        "value",
-        "n_events",
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    tagged = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
     )
-    w = Window.partitionBy("user_id", "session_start").orderBy(
-        F.col("value").desc(), F.col("event_id")
-    )
+    w_sess = Window.partitionBy("user_id", "session_id")
+    w_rank = w_sess.orderBy(F.col("value").desc(), F.col("event_id"))
     return (
-        joined.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 2)
-        .select(
-            "user_id", "session_start", "rk", "event_id", "value",
-            "n_events",
+        tagged.select(
+            "user_id",
+            F.min("ts").over(w_sess).alias("session_start"),
+            F.row_number().over(w_rank).alias("rk"),
+            "event_id",
+            "value",
+            F.count(F.lit(1)).over(w_sess).alias("n_events"),
         )
+        .filter(F.col("rk") <= 2)
     )
 
 

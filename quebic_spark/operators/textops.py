@@ -392,28 +392,36 @@ SENTIMENT_LEXICON: dict[str, int] = {
 
 
 def q_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # literal-map lookup folded over the token array: no explode (which
+    # inflates the corpus ~n_tokens-fold), no join, no per-doc shuffle —
+    # scan + project + ONE final agg. Docs without any lexicon token are
+    # excluded, matching the inner-join semantics of the naive
+    # formulation the oracle keeps (so the hash match proves the
+    # rewrite, not just mirrors it).
     docs = _docs(spark, sf_dir)
-    lex = spark.createDataFrame(
-        sorted(SENTIMENT_LEXICON.items()), "token string, weight int"
+    lex = F.create_map(
+        *[
+            F.lit(x)
+            for t, w in sorted(SENTIMENT_LEXICON.items())
+            for x in (t, w)
+        ]
     )
-    tok = docs.select(
-        "doc_id",
+    toks = tokens(F.col("text"))
+    n_hits = F.size(
+        F.filter(toks, lambda t: F.element_at(lex, t).isNotNull())
+    )
+    weight_sum = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.coalesce(F.element_at(lex, t), F.lit(0)),
+    )
+    per_doc = docs.select(
         "source",
-        F.size(tokens(F.col("text"))).alias("n_tokens"),
-        F.explode(tokens(F.col("text"))).alias("token"),
-    )
-    per_doc = (
-        tok.join(F.broadcast(lex), "token")
-        .groupBy("doc_id", "source", "n_tokens")
-        .agg(F.sum("weight").alias("weight_sum"))
-        .select(
-            "doc_id",
-            "source",
-            (
-                F.col("weight_sum").cast("double") / F.col("n_tokens")
-            ).alias("sentiment"),
-        )
-    )
+        (
+            weight_sum.cast("double") / F.size(toks)
+        ).alias("sentiment"),
+        n_hits.alias("n_hits"),
+    ).filter(F.col("n_hits") >= 1)
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("sentiment").alias("min_sentiment"),

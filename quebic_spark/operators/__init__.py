@@ -55,6 +55,7 @@ GATE_ORDER: tuple[str, ...] = (
     # --- r3: new operators this round ---
     "decontaminate",
     "sequence_packing",
+    "weighted_sample",
     # --- r3: first driver gate for these (registry overflowed in r2) ---
     "train_split_counts",
     "shard_assignment",
@@ -74,7 +75,6 @@ GATE_ORDER: tuple[str, ...] = (
     "region_revenue",
     "top_orders_per_segment",
     "part_supplier_overlap",
-    "monthly_order_volume",
     "high_value_semijoin",
     "status_priority_cube",
     "skew_safe_revenue",
@@ -120,8 +120,12 @@ RETIRED_GATES: dict[str, str] = {
                                 "outer NULL-extension gated by "
                                 "urgent_vs_finished_outer",
     "dedup_exact_rows": "same md5-groupBy dedup operator as dedup_exact",
-    "order_date_parts": "date-part extraction subsumed by "
-                        "monthly_order_volume (date_trunc bucketing)",
+    "order_date_parts": "date-part extraction; calendar bucketing "
+                        "family gated live by event_watermark_windows "
+                        "(event-time windows)",
+    "monthly_order_volume": "date_trunc bucket agg; time-bucketed "
+                            "aggregation gated live by "
+                            "event_watermark_windows",
     "asof_next_purchase": "forward as-of; generic asof_join lib op also "
                           "covered by tests/test_temporal_lib.py, backward "
                           "mode gated by asof_click_to_purchase",

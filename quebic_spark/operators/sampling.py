@@ -357,6 +357,87 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# weighted_sample — deterministic importance sampling: keep k docs per
+# source with inclusion probability increasing in an integer quality
+# weight (longer docs here; any integer score in production). The
+# sampling key is min(md5(j || doc_id) for j in 1..w): the min of w
+# iid uniforms — a doc with twice the weight draws twice as many
+# uniforms, exactly the weighted-reservoir (A-Res) construction but
+# integer-exact, so Spark and the oracle agree to the hash (float
+# pow/ln keys would drift in the last ulp across engines).
+#
+# Scale shape: per-doc work is bounded by MAX_WEIGHT md5 calls (pure
+# codegen), selection is one bounded per-group window — same one-
+# shuffle plan as stratified_sample, no global ordering anywhere.
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 10
+MAX_WEIGHT = 8  # weights clamp to [1, MAX_WEIGHT] md5 draws
+
+
+def _weight_expr_spark():
+    """Integer weight from doc length: 1 + floor(tokens/100), clamped.
+    FLOOR is explicit in both engines: DuckDB CAST(double AS INT)
+    ROUNDS while Spark's cast truncates — an implicit cast here
+    silently skews every weight at the .5 boundary."""
+    n_toks = F.size(F.split(F.col("text"), " "))
+    return F.least(
+        F.lit(MAX_WEIGHT),
+        F.lit(1) + F.floor(n_toks / F.lit(100)).cast("int"),
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = _weight_expr_spark()
+    key = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), w),
+            lambda j: F.md5(
+                F.concat(j.cast("string"), F.lit("|"),
+                         F.col("doc_id").cast("string"))
+            ),
+        )
+    )
+    win = Window.partitionBy("source").orderBy(F.asc("key"), "doc_id")
+    return (
+        docs.select(
+            "doc_id", "source", w.alias("weight"), key.alias("key")
+        )
+        .withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= WEIGHTED_SAMPLE_K)
+        .select("doc_id", "source", "weight", "sample_rank")
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         LEAST({MAX_WEIGHT},
+               1 + CAST(FLOOR(len(string_split(text, ' ')) / 100) AS INT))
+           AS weight,
+         list_min(list_transform(
+           range(1, LEAST({MAX_WEIGHT},
+                 1 + CAST(FLOOR(len(string_split(text, ' ')) / 100) AS INT))
+                 + 1),
+           j -> md5(CAST(j AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR))
+         )) AS key
+  FROM documents
+)
+SELECT doc_id, source, weight, sample_rank
+FROM (
+  SELECT doc_id, source, weight,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY key, doc_id)
+           AS sample_rank
+  FROM keyed
+)
+WHERE sample_rank <= {WEIGHTED_SAMPLE_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # sequence_packing — pack documents into fixed-token-budget training
 # sequences: the write-side operator that turns a cleaned corpus into
 # model-ready samples. Greedy contiguous fill in a deterministic
@@ -431,6 +512,7 @@ GROUP BY shard, bin_id
 
 
 QUERIES = {
+    "weighted_sample": q_weighted_sample,
     "sequence_packing": q_sequence_packing,
     "quantile_sketch": q_quantile_sketch,
     "pipeline_doc_counts": q_pipeline_doc_counts,
@@ -441,6 +523,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "quantile_sketch": ORACLE_QUANTILE_SKETCH,
     "pipeline_doc_counts": ORACLE_PIPELINE_DOC_COUNTS,

@@ -3,5 +3,11 @@ from quebic_spark.streaming.consumer import (
     queue_sink,
     read_queue_stream,
 )
+from quebic_spark.streaming.dedup import dedup_stream
 
-__all__ = ["StreamingConsumer", "queue_sink", "read_queue_stream"]
+__all__ = [
+    "StreamingConsumer",
+    "dedup_stream",
+    "queue_sink",
+    "read_queue_stream",
+]

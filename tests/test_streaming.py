@@ -283,3 +283,34 @@ def test_pin_released_when_continuous_query_stops(qpath, spark):
     q.compact()
     assert not q.last_compact_skipped
     q.dispose()
+
+
+def test_streaming_dedup_drops_republished_records(qpath, spark):
+    """At-least-once producer residue: records re-pushed after a crash
+    are suppressed in-stream by dedup_stream (bounded watermark state),
+    so the downstream sink sees each business key once."""
+    from quebic_spark.streaming import dedup_stream
+
+    q = Queue(qpath, Schema(INTEGER, INTEGER), capacity=10000)
+    base = 1_700_000_000_000
+    originals = [[base + i * 1000, i] for i in range(50)]
+    q.publisher().push_all(originals)
+    # crash-replay: the producer re-pushes a suffix it already sent
+    q.publisher().push_all(originals[30:])
+
+    stream = read_queue_stream(spark, q).select(
+        F.timestamp_millis(F.col("c0")).alias("ts"),
+        F.col("c1").alias("k"),
+    )
+    deduped = dedup_stream(stream, ["k"], "ts", watermark="1 hour")
+    got: list[int] = []
+    query = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _: got.extend(r["k"] for r in df.collect()))
+        .option("checkpointLocation", os.path.join(qpath, "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    assert sorted(got) == list(range(50))  # every key exactly once
+    q.dispose()

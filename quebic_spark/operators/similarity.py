@@ -315,6 +315,80 @@ ORACLE_ANN_IVF_TOPK = _ivf_oracle()
 
 
 # ---------------------------------------------------------------------------
+# ivf_topk_nprobe — the recall dial on the IVF scale path: each query
+# probes its ``nprobe`` nearest cells instead of only the argmax cell.
+# nprobe=1 is the gated q_ann_ivf_topk plan; raising it trades linearly
+# more candidate comparisons for recall (the standard IVF knob). The
+# corpus side is unchanged — still one cell-keyed join against the
+# persisted cell-assigned table; only the (tiny, broadcast) query side
+# fans out nprobe-fold.
+# ---------------------------------------------------------------------------
+
+def _cell_ranking_col() -> F.Column:
+    """Array of the N_CENTROIDS cell ids ordered by descending inner
+    product (ties: lower id first) — slice the first nprobe to probe."""
+    dots = [
+        dot_product(F.col("embedding"), F.array(*[F.lit(x) for x in c]))
+        for i, c in enumerate(_centroids())
+    ]
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-d).alias("neg_dot"), F.lit(i).alias("cell")
+                )
+                for i, d in enumerate(dots)
+            ]
+        )
+    )
+    return F.transform(ranked, lambda s: s["cell"])
+
+
+def ivf_topk_nprobe(
+    spark: SparkSession, sf_dir: str, nprobe: int = 2, k: int = TOP_K
+) -> DataFrame:
+    from quebic_spark.functions.vector import l2_norm
+
+    dots, cell = _cell_col()
+    emb = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "embedding", *dots)
+        .withColumn("cell", cell)
+        .withColumn("norm", l2_norm(F.col("embedding")))
+        .select("vec_id", "embedding", "cell", "norm")
+        .persist()
+    )
+    queries = (
+        emb.filter((F.col("vec_id") % QUERY_STRIDE) == 0)
+        .withColumn("probe_cells", _cell_ranking_col())
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+            F.explode(
+                F.slice(F.col("probe_cells"), 1, nprobe)
+            ).alias("q_cell"),
+        )
+    )
+    cos = dot_product(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_norm") * F.col("norm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding_label_centroids — per-label mean vector + stats (the IVF
 # coarse-quantizer building block; also a plain vector aggregation).
 # Mean vectors are element-wise sums -> order-sensitive in double, so

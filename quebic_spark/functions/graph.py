@@ -59,8 +59,23 @@ def connected_components(
     # actions below — every later round would then recompute the missing
     # partitions through the full upstream plan. Checkpointing pays one
     # materialization up front and makes every round's input a plain
-    # in-memory table.
+    # in-memory table. NOTE: this materialization runs under the
+    # caller's shuffle config (pipeline-scale); only the loop below
+    # shrinks it.
     edges = edges.select("src", "dst").localCheckpoint()
+    # Size the LOOP's shuffles by the measured graph, not the session
+    # default: a vanilla 200-partition session pays 200 empty tasks per
+    # round for a few-hundred-edge dup graph, and at the other end a
+    # billion-edge graph under a small test config would spill. The
+    # count is one metadata-cheap job over the checkpointed edges.
+    spark = edges.sparkSession
+    n_edges = edges.count()
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    loop_parts = min(
+        int(old_parts), max(8, -(-n_edges // 50_000))
+    )
+    spark.conf.set(conf_key, str(loop_parts))
     endpoints = (
         edges.select(F.col("src").alias("doc_id"))
         .union(edges.select(F.col("dst").alias("doc_id")))
@@ -117,5 +132,8 @@ def connected_components(
         # detach the result from the loop's caches before releasing them
         return result.localCheckpoint()
     finally:
+        # everything returned is already materialized (localCheckpoint),
+        # so restoring the caller's shuffle config here cannot affect it
+        spark.conf.set(conf_key, old_parts)
         edges.unpersist()
         labels.unpersist()

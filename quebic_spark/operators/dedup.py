@@ -47,7 +47,9 @@ def _fan(spark: SparkSession, df: DataFrame) -> DataFrame:
     across the executors first. Conditional: at real scale the table is
     already many files and NO shuffle happens (see plans.fanout)."""
     from quebic_spark.plans.fanout import fan_out
+    from quebic_spark.session import tune_for_query
 
+    tune_for_query(spark)
     return fan_out(spark, df)
 
 

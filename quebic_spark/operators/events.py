@@ -22,6 +22,9 @@ SESSION_GAP = "30 minutes"
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quebic_spark.session import tune_for_query
+
+    tune_for_query(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     # integer DIV, not `/`: double division of ~1.7e18 ns epochs loses

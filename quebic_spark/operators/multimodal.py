@@ -21,6 +21,9 @@ from pyspark.sql import functions as F
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quebic_spark.session import tune_for_query
+
+    tune_for_query(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 

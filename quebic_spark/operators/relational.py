@@ -40,6 +40,9 @@ def _one() -> F.Column:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from quebic_spark.session import tune_for_query
+
+    tune_for_query(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -31,6 +31,9 @@ HEAVY_HITTER_K = 20
 
 def _fan(spark: SparkSession, df: DataFrame) -> DataFrame:
     from quebic_spark.plans.fanout import fan_out
+    from quebic_spark.session import tune_for_query
+
+    tune_for_query(spark)
 
     return fan_out(spark, df)
 

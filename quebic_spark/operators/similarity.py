@@ -34,7 +34,9 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expensive part, so spread the corpus across executors up front
     # (conditional: no shuffle when the scan already has enough splits)
     from quebic_spark.plans.fanout import fan_out
+    from quebic_spark.session import tune_for_query
 
+    tune_for_query(spark)
     return fan_out(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 

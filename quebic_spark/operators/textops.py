@@ -36,7 +36,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below want parallelism from the start (conditional: no shuffle
     # when the scan already has enough splits)
     from quebic_spark.plans.fanout import fan_out
+    from quebic_spark.session import tune_for_query
 
+    tune_for_query(spark)
     return fan_out(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 

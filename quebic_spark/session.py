@@ -42,3 +42,18 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def tune_for_query(spark: SparkSession) -> SparkSession:
+    """Runtime confs every operator needs regardless of who built the
+    session: a harness may hand us a vanilla session (no AQE, static
+    200 shuffle partitions), and these are per-query runtime settings,
+    so the library sets them at scan time the same way the events
+    reader sets nanosAsLong. AQE + coalescing right-sizes every
+    post-shuffle stage to the data actually flowing, which is the
+    difference between graph-sized and session-default-sized tasks in
+    the iterative/dedup operators."""
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    return spark

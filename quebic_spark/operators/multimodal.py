@@ -113,6 +113,108 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# frame_sample — one row per sampled "video" frame: the batch-expanding
+# mapInPandas shape (rows out > rows in) that real frame extraction
+# uses. Frames are deterministic fake slices of the payload (STUB:
+# an ffmpeg/pyav keyframe iterator on a real cluster); frame timestamps
+# and content hashes are real columnar outputs.
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_ts_ms int, frame_md5 string"
+FRAME_STRIDE_BYTES = 64  # fake frame length inside the payload
+FRAME_INTERVAL_MS = 40   # 25 "fps"
+
+
+def frame_sample(payloads: DataFrame, every_nth: int = 4) -> DataFrame:
+    """Sample every ``every_nth`` frame from each payload.
+
+    Input: (doc_id, payload binary, n_frames int). Output: one row per
+    SAMPLED frame — the explode happens inside the Arrow batch, so a
+    10-minute video never materializes as one driver-side object.
+    """
+    import hashlib
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_ts_ms": [],
+                "frame_md5": [],
+            }
+            for doc_id, payload, n_frames in zip(
+                pdf["doc_id"], pdf["payload"], pdf["n_frames"]
+            ):
+                for i in range(0, int(n_frames), every_nth):
+                    lo = (i * FRAME_STRIDE_BYTES) % max(len(payload), 1)
+                    frame = bytes(payload[lo:lo + FRAME_STRIDE_BYTES])
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(i * FRAME_INTERVAL_MS)
+                    out["frame_md5"].append(
+                        hashlib.md5(frame).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(sample, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# extract_features — payload -> fixed-dim float vector (the
+# decode-then-embed shape). The fake featurizer is a byte histogram
+# folded to ``dim`` (STUB: a real model forward pass); the Arrow batch
+# contract — binary in, array<float> out, row counts preserved — is
+# the real thing.
+# ---------------------------------------------------------------------------
+
+def extract_features(payloads: DataFrame, dim: int = 16) -> DataFrame:
+    import numpy as np
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                hist = np.bincount(
+                    np.frombuffer(bytes(payload), dtype=np.uint8),
+                    minlength=256,
+                ).astype(np.float32)
+                folded = hist.reshape(dim, 256 // dim).sum(axis=1)
+                total = folded.sum()
+                feats.append(
+                    (folded / total if total else folded).tolist()
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "features": feats}
+            )
+
+    return payloads.mapInPandas(
+        featurize, "doc_id bigint, features array<float>"
+    )
+
+
+# ---------------------------------------------------------------------------
+# resize_dims — aspect-preserving fit into a bounding box. Pure JVM
+# column arithmetic: resize METADATA is columnar; the pixel work would
+# live inside the same mapInPandas batch as the decode.
+# ---------------------------------------------------------------------------
+
+def resize_dims(decoded: DataFrame, max_w: int, max_h: int) -> DataFrame:
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_w)) / F.col("width"),
+        F.lit(float(max_h)) / F.col("height"),
+    )
+    return decoded.withColumns(
+        {
+            "out_width": F.greatest(
+                F.lit(1), F.floor(F.col("width") * scale).cast("int")
+            ),
+            "out_height": F.greatest(
+                F.lit(1), F.floor(F.col("height") * scale).cast("int")
+            ),
+        }
+    )
+
+
 QUERIES = {
     "multimodal_manifest": q_multimodal_manifest,
     "multimodal_decode": q_multimodal_decode,

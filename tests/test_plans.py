@@ -227,3 +227,33 @@ def test_fan_out_shuffles_only_when_underpartitioned(spark):
 
     wide = spark.range(1000).repartition(par + 4)
     assert fan_out(spark, wide) is wide  # untouched, no new plan node
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing is the co-located-join lever at 100 TB: two tables
+    bucketed by the join key must hash-join with NO Exchange on either
+    side — the repeated-join workload (docs ⋈ embeddings every
+    pipeline run) pays the shuffle once at write time, never at read."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    try:
+        # external tables: bucket metadata in the catalog, files under
+        # the test's tmp_path (warehouse.dir is static per session)
+        (docs.write.bucketBy(8, "doc_id").sortBy("doc_id")
+         .option("path", str(tmp_path / "docs_b"))
+         .mode("overwrite").saveAsTable("docs_b"))
+        (emb.withColumnRenamed("vec_id", "doc_id")
+         .write.bucketBy(8, "doc_id").sortBy("doc_id")
+         .option("path", str(tmp_path / "emb_b"))
+         .mode("overwrite").saveAsTable("emb_b"))
+        joined = spark.table("docs_b").join(
+            spark.table("emb_b"), "doc_id"
+        ).select("doc_id", "source", "label")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == min(docs.count(), emb.count())
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS docs_b")
+        spark.sql("DROP TABLE IF EXISTS emb_b")

@@ -67,6 +67,66 @@ def _expires_at(lifetime_ms: int) -> int:
     return -1 if lifetime_ms < 0 else _now_ms() + lifetime_ms
 
 
+def _parse_stream_committed(checkpoint_dir: str) -> set[str] | None:
+    """Basenames of log files a Structured Streaming file source has
+    COMMITTED (fully processed) from this checkpoint, or None when the
+    checkpoint isn't parseable (be conservative: treat as unknown).
+
+    Layout (public Spark checkpoint format): ``commits/<batchId>`` marks
+    batch completion; ``sources/0/<batchId>`` is the file-source offset
+    log — one JSON entry per discovered file, each carrying the
+    ``batchId`` it was first listed for (periodic ``<n>.compact`` files
+    repeat all prior entries, so reading every log file and filtering
+    by the per-entry batchId is restart- and compaction-proof). A file
+    whose entry batchId is <= the max committed batch will never be
+    re-listed or re-read by the source — the same contract Spark's own
+    ``cleanSource=delete`` option relies on — so deleting it cannot
+    cause redelivery. Entries for batches beyond the last commit may be
+    replayed on restart and are excluded.
+    """
+    import json
+    from urllib.parse import unquote, urlparse
+
+    commits_dir = os.path.join(checkpoint_dir, "commits")
+    sources_dir = os.path.join(checkpoint_dir, "sources", "0")
+    if not (os.path.isdir(commits_dir) and os.path.isdir(sources_dir)):
+        return None
+    last_committed = -1
+    for name in os.listdir(commits_dir):
+        base = name[: -len(".compact")] if name.endswith(".compact") else name
+        if base.isdigit():
+            last_committed = max(last_committed, int(base))
+    if last_committed < 0:
+        return set()
+    committed: set[str] = set()
+    try:
+        for name in os.listdir(sources_dir):
+            base = (name[: -len(".compact")]
+                    if name.endswith(".compact") else name)
+            if not base.isdigit():
+                continue
+            with open(os.path.join(sources_dir, name),
+                      encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line.startswith("v"):
+                        continue  # version header
+                    entry = json.loads(line)
+                    path = entry.get("path")
+                    batch_id = entry.get("batchId")
+                    if path is None or batch_id is None:
+                        return None  # unknown log dialect
+                    if batch_id <= last_committed:
+                        committed.add(
+                            os.path.basename(unquote(urlparse(path).path))
+                        )
+    except (OSError, ValueError):
+        # torn/concurrent write or unknown format: report unknown so the
+        # caller skips compaction instead of guessing
+        return None
+    return committed
+
+
 def _record_from_row(schema: Schema, row: dict[str, Any]) -> tuple[Any, ...]:
     """Storage row -> typed record: TENSOR struct dicts come back as
     Tensor values (the reference returns typed Struct values, not raw
@@ -94,11 +154,19 @@ class Queue:
         codec: Codec = PLAIN,
         poll_interval: float = DEFAULT_POLL_INTERVAL,
         auto_compact_files: int | None = 256,
+        fsync: bool = False,
     ):
         """``auto_compact_files``: compact when the log exceeds this many
         batch files (the reference's timer-driven auto-migration,
         Queue.scala:53-62, re-keyed from wall-clock to file count — the
         quantity that actually degrades at scale). None disables.
+
+        ``fsync``: force control-file pointer flips to disk on every
+        push/pop. Default False — durability parity with the reference,
+        which never calls ``FileChannel.force()``
+        (JournaledFile.scala:23): write-then-rename ordering keeps every
+        state PROCESS-crash consistent either way; fsync=True extends
+        that to power loss at ~0.6 ms per operation on this box.
         """
         if capacity <= 0:
             # parity: Queue.scala:27-29
@@ -113,7 +181,12 @@ class Queue:
         # True when the most recent compact() call was skipped because
         # a streaming reader (pin or resumable checkpoint) was attached
         self.last_compact_skipped = False
+        # per-process estimate of batch-file count so the per-push
+        # auto-compact check is a counter bump, not a directory listing
+        # (None = unknown, recomputed lazily; see _maybe_auto_compact)
+        self._batch_files_estimate: int | None = None
         self._storage = QueueStorage(path)
+        self._storage.control_sync = bool(fsync)
         os.makedirs(path, exist_ok=True)
         with self._storage.lock:
             # crash recovery: sweep uncommitted staging artifacts left by
@@ -128,6 +201,7 @@ class Queue:
                 schema.assert_compatible(stored_schema)
                 self.capacity = stored_cap
                 self.codec = stored_codec
+                self._storage.default_codec_id = stored_codec.id
                 # write-then-flip: batch files land before next_seq
                 # advances, so rows at/beyond the pointer were never
                 # committed (their push never returned). A crash in
@@ -139,6 +213,7 @@ class Queue:
                         os.remove(path)
             else:
                 self._storage.initialize(schema, capacity, codec)
+                self._storage.default_codec_id = codec.id
 
     # -- guards ------------------------------------------------------------
     def _check_open(self) -> None:
@@ -224,7 +299,9 @@ class Queue:
 
     def compact(self, target_file_rows: int = 1_000_000,
                 small_file_rows: int = 65_536,
-                force: bool = False) -> int:
+                force: bool = False,
+                expired_rewrite_fraction: float = 0.5,
+                stream_checkpoint: str | None = None) -> int:
         """Tiered log compaction: drop acked/expired rows, merge runs of
         small files, leave large clean files untouched.
 
@@ -233,47 +310,63 @@ class Queue:
         FIFO-ordered by seq, so compaction is purely physical. Tiering
         matters at scale: a naive compact rewrites the entire log every
         time (O(total) per call); this one rewrites only (a) files with
-        consumed rows, (b) files under ``small_file_rows`` — so steady
-        state cost is proportional to new data, not log size. Expired
-        rows inside large clean files are purged when those files next
-        become rewrite candidates (they are dropped at consume time
-        regardless — TTL parity, JournaledFile.scala:244-264).
+        consumed rows, (b) files under ``small_file_rows``, (c) files
+        whose TTL-expired row fraction reaches
+        ``expired_rewrite_fraction`` (large clean files otherwise stay
+        untouched; expired rows are dropped at consume time regardless —
+        TTL parity, JournaledFile.scala:244-264 — but a mostly-expired
+        big file is dead weight worth reclaiming). Steady-state cost is
+        proportional to new data, not log size.
 
         The max-seq record is always retained even when acked so
         ``latest`` survives emptiness (parity with
         truncate-keeps-deepest, JournaledFile.scala:266-275).
 
-        No-op while a streaming reader is attached (see
-        :meth:`pin_compaction`) unless ``force=True`` — rewriting files
-        under a live file-source stream redelivers consumed rows. A
-        skipped compaction is NOT silent: it logs a warning and sets
-        ``last_compact_skipped`` (the log, including TTL-expired rows,
-        grows until compaction is re-enabled). Note the default
-        StreamingConsumer checkpoint lives at ``<queue>/checkpoint``;
-        while that directory exists a stream may resume at any time, so
-        compaction stays off even after the query terminates — delete
-        the checkpoint directory (or always pass an external
-        ``checkpoint_dir``) to re-enable it.
+        **While a streaming reader is attached** (see
+        :meth:`pin_compaction`), full compaction would redeliver: the
+        file source tracks processed files by path, so a rewrite/merge
+        resurfaces consumed rows under new names. Instead of a blanket
+        no-op, compaction drops to a restricted stream-safe mode: parse
+        the stream's checkpoint (default ``<queue>/checkpoint``, or
+        ``stream_checkpoint`` for an external one) and DELETE —
+        never rewrite — whole files the source has already committed
+        (it never re-lists those, the contract Spark's own
+        ``cleanSource=delete`` relies on). The ack pointer advances
+        over the contiguous deleted prefix so ``size()`` / capacity
+        reflect stream consumption; the stream is the consumer of
+        record while its checkpoint exists. A continuously-streamed
+        queue log therefore reclaims consumed space instead of growing
+        without bound. When no checkpoint is parseable (pin held with
+        an unknown external checkpoint), compaction is skipped with a
+        warning and ``last_compact_skipped`` is set; ``force=True``
+        bypasses every stream guard (only safe when no stream can
+        resume).
 
         Returns the number of files after compaction.
         """
         self._check_open()
         if not force and self._stream_attached():
-            self.last_compact_skipped = True
-            log.warning(
-                "compact() skipped on %s: streaming reader attached "
-                "(pins=%d, default checkpoint present=%s). The log "
-                "grows until the stream and its checkpoint are gone; "
-                "delete <queue>/checkpoint to re-enable, or pass "
-                "force=True if no stream can resume.",
-                self._storage.path,
-                self._compaction_pins,
-                os.path.isdir(
-                    os.path.join(self._storage.path, "checkpoint")
-                ),
+            ckpt = stream_checkpoint or os.path.join(
+                self._storage.path, "checkpoint"
             )
-            return len(self._storage.list_batches())
+            committed = (
+                _parse_stream_committed(ckpt)
+                if os.path.isdir(ckpt) else None
+            )
+            if committed is None:
+                self.last_compact_skipped = True
+                log.warning(
+                    "compact() skipped on %s: streaming reader attached "
+                    "(pins=%d) and no parseable checkpoint at %s. The "
+                    "log grows until the stream and its checkpoint are "
+                    "gone; pass stream_checkpoint= for an external "
+                    "checkpoint, or force=True if no stream can resume.",
+                    self._storage.path, self._compaction_pins, ckpt,
+                )
+                return len(self._storage.list_batches())
+            return self._compact_stream_safe(committed)
         self.last_compact_skipped = False
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         with self._storage.lock:
@@ -291,7 +384,23 @@ class Queue:
             max_seq = max(end for _, end, _ in batches)
             now = _now_ms()
 
-            def classify(start: int, end: int) -> str:
+            def expired_fraction(path: str) -> float:
+                # one-column read; vectorized count of 0 <= exp <= now
+                col = pq.read_table(
+                    path, columns=["expires_at"]
+                ).column("expires_at")
+                if len(col) == 0:
+                    return 0.0
+                expired = pc.sum(
+                    pc.cast(
+                        pc.and_(pc.greater_equal(col, 0),
+                                pc.less_equal(col, now)),
+                        pa.int64(),
+                    )
+                ).as_py() or 0
+                return expired / len(col)
+
+            def classify(start: int, end: int, path: str) -> str:
                 contains_max = end == max_seq
                 if end <= acked and not contains_max:
                     return "drop"  # fully consumed
@@ -299,7 +408,16 @@ class Queue:
                     start > acked
                     and (end - start + 1) >= small_file_rows
                 ):
-                    return "keep"  # large, fully unconsumed
+                    # large, fully unconsumed: keep — unless mostly dead
+                    # (TTL churn), then reclaim the space now instead of
+                    # waiting for the consumer to pass it
+                    if (
+                        expired_rewrite_fraction < 1.0
+                        and expired_fraction(path)
+                        >= expired_rewrite_fraction
+                    ):
+                        return "rewrite"
+                    return "keep"
                 return "rewrite"
 
             # group adjacent rewrite files into runs so merged chunks
@@ -308,7 +426,7 @@ class Queue:
             to_remove: list[str] = []
             n_kept = 0
             for start, end, path in batches:
-                kind = classify(start, end)
+                kind = classify(start, end, path)
                 if kind == "drop":
                     to_remove.append(path)
                 elif kind == "keep":
@@ -329,18 +447,28 @@ class Queue:
                     # normalize to the canonical log schema: Spark-written
                     # bulk files mark payload fields nullable while the
                     # pyarrow push path writes them non-null; concat of
-                    # mixed provenance would fail on that mismatch
+                    # mixed provenance would fail on that mismatch.
+                    # Format-v1 files predate codec_id: backfill with the
+                    # queue-level codec (exactly the old implicit
+                    # semantics) so old logs compact instead of raising.
                     t = pq.read_table(path)
-                    t = t.select(canonical.names).cast(canonical)
-                    mask = [
-                        (seq > acked and not (0 <= exp <= now))
-                        or seq == max_seq
-                        for seq, exp in zip(
-                            t.column("seq").to_pylist(),
-                            t.column("expires_at").to_pylist(),
+                    if "codec_id" not in t.column_names:
+                        t = t.append_column(
+                            pa.field("codec_id", pa.int32(),
+                                     nullable=False),
+                            pa.array([self.codec.id] * t.num_rows,
+                                     type=pa.int32()),
                         )
-                    ]
-                    t = t.filter(pa.array(mask, type=pa.bool_()))
+                    t = t.select(canonical.names).cast(canonical)
+                    seq_col = t.column("seq")
+                    exp_col = t.column("expires_at")
+                    alive = pc.or_(pc.less(exp_col, 0),
+                                   pc.greater(exp_col, now))
+                    keep_mask = pc.or_(
+                        pc.and_(pc.greater(seq_col, acked), alive),
+                        pc.equal(seq_col, max_seq),
+                    )
+                    t = t.filter(keep_mask)
                     if t.num_rows:
                         tables.append(t)
                     to_remove.append(path)
@@ -395,7 +523,64 @@ class Queue:
             if staged or removals:
                 os.remove(self._storage.compact_manifest_path)
             self._storage.drop_row_cache()
+            self._batch_files_estimate = new_files + n_kept
             return new_files + n_kept
+
+    def _compact_stream_safe(self, committed_basenames: set[str]) -> int:
+        """Restricted compaction while a stream is attached: delete —
+        never rewrite — whole files the stream source has committed
+        (see :meth:`compact`). The max-seq file is always retained so
+        ``latest`` survives; the ack pointer advances over the
+        contiguous deleted prefix so ``size()``/capacity track stream
+        consumption (the stream is the consumer of record)."""
+        self.last_compact_skipped = False
+        with self._storage.lock:
+            next_seq = self._storage.next_seq()
+            batches = [
+                b for b in self._storage.list_batches()
+                if b[0] < next_seq
+            ]
+            if not batches:
+                return 0
+            max_seq = max(end for _, end, _ in batches)
+            removals: list[tuple[int, str]] = []
+            for start, end, path in batches:
+                if end == max_seq:
+                    continue  # latest-survives parity
+                if os.path.basename(path) in committed_basenames:
+                    removals.append((end, path))
+            if not removals:
+                self._batch_files_estimate = len(batches)
+                return len(batches)
+            removed_paths = {p for _, p in removals}
+            # same crash-safe manifest protocol as full compaction,
+            # remove-only (recover() replays deletions idempotently)
+            write_json_atomic(
+                self._storage.compact_manifest_path,
+                {"staged": [], "remove": sorted(removed_paths)},
+            )
+            for _, path in removals:
+                if os.path.exists(path):
+                    os.remove(path)
+            os.remove(self._storage.compact_manifest_path)
+            remaining = [b for b in batches if b[2] not in removed_paths]
+            # contiguous prefix below the first surviving file is gone
+            # from disk AND stream-committed -> consumed
+            candidate = (
+                remaining[0][0] - 1 if remaining
+                else max(end for end, _ in removals)
+            )
+            state = self._storage.consumer_state()
+            if candidate > int(state["acked_seq"]):
+                state["acked_seq"] = candidate
+                state["errors"] = {
+                    k: v for k, v in state["errors"].items()
+                    if int(k) > candidate
+                }
+                self._storage.set_consumer_state(state)
+            self._storage.drop_row_cache()
+            self._batch_files_estimate = len(remaining)
+            return len(remaining)
 
     def replay_dlq(self) -> int:
         """Re-ingest dead-lettered records as fresh pushes — completes
@@ -403,19 +588,25 @@ class Queue:
         JournaledFile.scala:250-256; we dead-letter on ``error_permit``
         and can now send records back for another delivery attempt).
 
-        Per record: expired rows are dropped, a remaining TTL is
-        preserved, the error count resets (fresh seq). Each DLQ file is
-        removed only AFTER all of its records are re-committed, so a
-        crash mid-replay can at worst redeliver — the same
-        at-least-once contract as ``consume``. Stops early (returning
-        the partial count) if the queue hits capacity.
+        Per DLQ file, one vectorized append: expired rows are dropped
+        (pyarrow.compute filter), original ``expires_at`` deadlines are
+        preserved (same instant as re-deriving the remaining TTL), the
+        error count resets (fresh seq), and the whole surviving set is
+        re-committed as a single batch file — no per-record Python loop
+        and no per-record control-file flip. A DLQ file is removed only
+        AFTER its records are re-committed (partial admission at
+        capacity rewrites the file with just the remainder), so a crash
+        mid-replay can at worst redeliver — the same at-least-once
+        contract as ``consume``. Stops early (returning the partial
+        count) when the queue hits capacity.
 
         Returns the number of records re-ingested.
         """
         self._check_open()
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        pub = self.publisher()
+        canonical = arrow_schema(self.schema)
         replayed = 0
         with self._storage.lock:
             dlq_dir = self._storage.dlq_dir
@@ -427,29 +618,58 @@ class Queue:
             )
             for name in names:
                 path = os.path.join(dlq_dir, name)
-                rows = pq.read_table(path).to_pylist()
-                rows.sort(key=lambda r: r["seq"])
+                t = pq.read_table(path)
                 now = _now_ms()
-                pending = [
-                    r for r in rows
-                    if not (0 <= r["expires_at"] <= now)
-                ]
-                ok = True
-                for r in pending:
-                    lifetime = (
-                        -1 if r["expires_at"] < 0
-                        else max(int(r["expires_at"]) - now, 1)
+                exp = t.column("expires_at")
+                t = t.filter(
+                    pc.or_(pc.less(exp, 0), pc.greater(exp, now))
+                ).sort_by("seq")
+                if t.num_rows == 0:
+                    os.remove(path)
+                    continue
+                next_seq = self._storage.next_seq()
+                acked = int(self._storage.consumer_state()["acked_seq"])
+                room = self.capacity - ((next_seq - 1) - acked)
+                admit = min(room, t.num_rows)
+                if admit > 0:
+                    chunk = t.slice(0, admit)
+                    cols: list[pa.Array | pa.ChunkedArray] = [
+                        pa.array(
+                            range(next_seq, next_seq + admit),
+                            type=pa.int64(),
+                        ),
+                        pa.array([now] * admit, type=pa.int64()),
+                        chunk.column("expires_at").cast(pa.int64()),
+                        pa.array([self.codec.id] * admit,
+                                 type=pa.int32()),
+                    ]
+                    for cname in self.schema.column_names:
+                        cols.append(chunk.column(cname))
+                    batch = pa.table(
+                        dict(zip(canonical.names, cols))
+                    ).cast(canonical)
+                    self._storage.write_batch(
+                        batch, next_seq, next_seq + admit - 1,
+                        self.codec.parquet_codec,
                     )
-                    if not pub.try_push(
-                        _record_from_row(self.schema, r),
-                        lifetime_ms=lifetime,
-                    ):
-                        ok = False  # at capacity: keep this file intact
-                        break
-                    replayed += 1
-                if not ok:
+                    self._storage.set_next_seq(next_seq + admit)
+                    if self._batch_files_estimate is not None:
+                        self._batch_files_estimate += 1
+                    replayed += admit
+                if admit >= t.num_rows:
+                    os.remove(path)
+                elif admit == 0:
+                    break  # no room at all; file already holds the rest
+                else:
+                    # capacity: durably shrink the file to the remainder
+                    # BEFORE returning (write-then-rename; a crash in
+                    # between redelivers the admitted rows — at least
+                    # once, never lost)
+                    remainder = t.slice(admit)
+                    tmp = path + ".tmp"
+                    pq.write_table(remainder, tmp)
+                    os.replace(tmp, path)
                     break
-                os.remove(path)
         return replayed
 
     def vacuum_expired(self) -> None:
@@ -580,6 +800,12 @@ class Queue:
             spark.read.schema(self.spark_schema_ddl()).parquet(*files)
             .filter(F.col("seq") > acked)
             .filter((F.col("expires_at") < 0) | (F.col("expires_at") > now))
+            # format-v1 files lack codec_id on disk and scan as NULL;
+            # the queue-level codec is the old implicit semantics
+            .withColumn(
+                "codec_id",
+                F.coalesce(F.col("codec_id"), F.lit(self.codec.id)),
+            )
         )
 
     def append_dataframe(self, df, order_by: Sequence[str],
@@ -748,6 +974,8 @@ class Queue:
                 os.replace(part, self._storage.batch_path(s, e))
             shutil.rmtree(staging, ignore_errors=True)
             self._storage.set_next_seq(start + actual)
+            if self._batch_files_estimate is not None:
+                self._batch_files_estimate += len(ranges)
         return actual
 
 
@@ -757,6 +985,7 @@ class Publisher:
     def __init__(self, queue: Queue, compression: Codec):
         self._q = queue
         self.compression = compression
+        self._arrow_schema = arrow_schema(queue.schema)
 
     # -- single / bulk push ---------------------------------------------------
     def try_push(self, values: Sequence[Any], lifetime_ms: int = -1) -> bool:
@@ -830,9 +1059,21 @@ class Publisher:
 
     # -- internals -------------------------------------------------------------
     def _maybe_auto_compact(self) -> None:
-        limit = self._q.auto_compact_files
-        if limit is not None and len(self._q._storage.list_batches()) > limit:
-            self._q.compact()
+        # counter bump, not a directory listing: a listdir here is
+        # O(files) per push = O(n^2) across a fill. The estimate is
+        # per-process (another process's pushes aren't counted until
+        # the next compact resyncs it); auto-compaction is a threshold
+        # heuristic, so an undercount only delays it, never corrupts.
+        q = self._q
+        limit = q.auto_compact_files
+        if limit is None:
+            return
+        if q._batch_files_estimate is None:
+            q._batch_files_estimate = len(q._storage.list_batches())
+        else:
+            q._batch_files_estimate += 1  # the batch just written
+        if q._batch_files_estimate > limit:
+            q.compact()
 
     def _write_rows(self, records: list[tuple[Any, ...]], start_seq: int,
                     lifetime_ms: int) -> None:
@@ -850,7 +1091,7 @@ class Publisher:
         }
         for i, name in enumerate(self._q.schema.column_names):
             cols[name] = [r[i] for r in records]
-        table = pa.table(cols, schema=arrow_schema(self._q.schema))
+        table = pa.table(cols, schema=self._arrow_schema)
         self._q._storage.write_batch(
             table, start_seq, start_seq + n - 1,
             self.compression.parquet_codec,

@@ -147,17 +147,24 @@ class FileLock:
         self._tlock.release()
 
 
-def write_json_atomic(path: str, obj: dict[str, Any]) -> None:
-    """Commit protocol: full write to temp, fsync, atomic rename.
+def write_json_atomic(path: str, obj: dict[str, Any], sync: bool = True) -> None:
+    """Commit protocol: full write to temp, [fsync], atomic rename.
 
     The pointer flip of the reference's commit (JournaledFile.scala:136-138)
-    maps to the rename — a torn write can never be observed.
+    maps to the rename — a torn write can never be observed by any
+    process. ``sync=False`` skips the fsync: rename ordering alone is
+    process-crash consistent (the page cache survives the process), and
+    the reference itself never forces its FileChannel to disk
+    (JournaledFile.scala:23 opens CREATE|READ|WRITE with no ``force()``
+    anywhere), so skipping fsync is durability *parity*; pass
+    ``sync=True`` where power-loss atomicity matters (commit manifests).
     """
     tmp = path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(obj, f)
         f.flush()
-        os.fsync(f.fileno())
+        if sync:
+            os.fsync(f.fileno())
     os.replace(tmp, path)
 
 
@@ -178,6 +185,18 @@ class QueueStorage:
         self.consumer_path = os.path.join(path, "consumer.json")
         self.compact_manifest_path = os.path.join(path, "compact-commit.json")
         self.lock = FileLock(os.path.join(path, "lock"))
+        # control-file durability: False (default, parity — the reference
+        # never forces its channel) = rename-only process-crash
+        # consistency; True = fsync before every pointer flip
+        self.control_sync = False
+        # codec id to backfill on rows read from pre-codec_id log files
+        # (format v1 without the column); set by Queue from meta
+        self.default_codec_id: int | None = None
+        # stat-validated parse cache for the per-push/pop control reads:
+        # {path: ((mtime_ns, size, ino), parsed)} — any cross-process
+        # update lands via atomic rename (new inode), so a stat
+        # mismatch is a reliable invalidation signal under the flock
+        self._json_cache: dict[str, tuple[tuple[int, int, int], Any]] = {}
 
     # -- lifecycle -------------------------------------------------------
     def initialize(self, schema: Schema, capacity: int, codec: Codec) -> None:
@@ -293,17 +312,44 @@ class QueueStorage:
         )
 
     # -- control state ----------------------------------------------------
+    def _read_json_cached(self, path: str) -> Any:
+        st = os.stat(path)
+        key = (st.st_mtime_ns, st.st_size, st.st_ino)
+        cached = self._json_cache.get(path)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        data = read_json(path)
+        self._json_cache[path] = (key, data)
+        return data
+
+    def _cache_after_write(self, path: str, data: Any) -> None:
+        try:
+            st = os.stat(path)
+        except OSError:
+            self._json_cache.pop(path, None)
+            return
+        self._json_cache[path] = ((st.st_mtime_ns, st.st_size, st.st_ino),
+                                  data)
+
     def next_seq(self) -> int:
-        return int(read_json(self.ctrl_path)["next_seq"])
+        return int(self._read_json_cached(self.ctrl_path)["next_seq"])
 
     def set_next_seq(self, n: int) -> None:
-        write_json_atomic(self.ctrl_path, {"next_seq": n})
+        data = {"next_seq": n}
+        write_json_atomic(self.ctrl_path, data, sync=self.control_sync)
+        self._cache_after_write(self.ctrl_path, data)
 
     def consumer_state(self) -> dict[str, Any]:
-        return read_json(self.consumer_path)
+        # copy: callers mutate the returned dict before committing it
+        # back via set_consumer_state; the cache must keep the on-disk
+        # value until that commit actually happens
+        data = self._read_json_cached(self.consumer_path)
+        return {"acked_seq": data["acked_seq"],
+                "errors": dict(data.get("errors", {}))}
 
     def set_consumer_state(self, state: dict[str, Any]) -> None:
-        write_json_atomic(self.consumer_path, state)
+        write_json_atomic(self.consumer_path, state, sync=self.control_sync)
+        self._cache_after_write(self.consumer_path, state)
 
     # -- data files ---------------------------------------------------------
     def batch_path(self, start: int, end: int) -> str:
@@ -346,6 +392,16 @@ class QueueStorage:
         os.replace(tmp, path)
         return path
 
+    def _backfill_rows(self, rows: list[dict[str, Any]]) -> None:
+        """Format-v1 files written before the ``codec_id`` column exist
+        on disk without it; the queue-level codec IS the old implicit
+        per-record codec, so backfill it on read (no migration needed,
+        compact() writes the column out on the next rewrite)."""
+        if rows and "codec_id" not in rows[0]:
+            cid = self.default_codec_id
+            for r in rows:
+                r["codec_id"] = cid
+
     def iter_rows(self, after_seq: int) -> Iterator[dict[str, Any]]:
         """Driver-side row iterator over seq > after_seq, in seq order.
 
@@ -356,6 +412,7 @@ class QueueStorage:
             table = pq.read_table(path)
             rows = table.to_pylist()
             rows.sort(key=lambda r: r["seq"])
+            self._backfill_rows(rows)
             for r in rows:
                 if r["seq"] > after_seq:
                     yield r
@@ -375,6 +432,7 @@ class QueueStorage:
                     return rows.get(seq)
                 table = pq.read_table(path, filters=[("seq", "==", seq)])
                 found = table.to_pylist()
+                self._backfill_rows(found)
                 return found[0] if found else None
         return None
 
@@ -406,7 +464,9 @@ class QueueStorage:
         if cached is not None and cached[0] == (path, mtime):
             return cached[1]
         table = pq.read_table(path)
-        rows = {r["seq"]: r for r in table.to_pylist()}
+        row_list = table.to_pylist()
+        self._backfill_rows(row_list)
+        rows = {r["seq"]: r for r in row_list}
         self._row_cache = ((path, mtime), rows)
         return rows
 

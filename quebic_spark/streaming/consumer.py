@@ -47,18 +47,20 @@ def read_queue_stream(
 
     Only committed ``batch-*.parquet`` files are listed
     (``pathGlobFilter``) — in-flight ``*.tmp`` / ``*.compact`` partials
-    are invisible to micro-batches. Compaction on ``queue`` is pinned
-    off while the log is being streamed: the file source tracks
-    processed files by path, so a rewrite/merge would redeliver every
-    already-consumed row under a new file name. The pin covers this
+    are invisible to micro-batches. Compaction on ``queue`` drops to a
+    restricted stream-safe mode while the log is being streamed: the
+    file source tracks processed files by path, so a rewrite/merge
+    would redeliver every already-consumed row under a new file name —
+    instead ``compact()`` parses the stream's checkpoint and only
+    DELETES whole files the source has already committed (which it
+    never re-lists), so a continuously-streamed queue still reclaims
+    consumed space (see ``Queue.compact``). The pin covers this
     process and is released when the StreamingConsumer query
     terminates; the presence of the default checkpoint directory inside
-    the queue dir covers restarts from other processes (and keeps
-    compaction off after termination until that directory is deleted —
-    ``compact()`` logs a warning each time it skips). If you stream
-    with an EXTERNAL checkpoint from another process, disable
-    compaction there yourself (``auto_compact_files=None`` and no
-    ``close()``-triggered compact) for the stream's lifetime.
+    the queue dir covers restarts from other processes. If you stream
+    with an EXTERNAL checkpoint from another process, pass that path to
+    ``compact(stream_checkpoint=...)`` there, or disable compaction
+    (``auto_compact_files=None``) for the stream's lifetime.
     """
     queue.pin_compaction()
     try:
@@ -76,6 +78,11 @@ def read_queue_stream(
         now_ms = F.unix_millis(F.current_timestamp())
         return df.filter(
             (F.col("expires_at") < 0) | (F.col("expires_at") > now_ms)
+        ).withColumn(
+            # format-v1 files lack codec_id on disk and scan as NULL;
+            # the queue-level codec is the old implicit semantics
+            "codec_id",
+            F.coalesce(F.col("codec_id"), F.lit(queue.codec.id)),
         )
     except Exception:
         queue.unpin_compaction()  # no stream ever attached
@@ -106,11 +113,16 @@ class StreamingConsumer:
     streaming world.
 
     ``f`` receives each micro-batch as a DataFrame, FIFO-ordered by
-    ``seq``. If it raises, the batch is retried by the engine (the
-    error count lives in the checkpoint's offset semantics); after
-    ``error_permit`` consecutive failures of the same batch the rows
-    are routed to the DLQ and the stream continues — per-record parity
-    with JournaledFile.scala:204-284 at micro-batch granularity.
+    ``seq``. If it raises, the batch is retried by the engine; after
+    ``error_permit`` TOTAL failures of the same batch the rows are
+    routed to the DLQ and the stream continues — per-record parity
+    with JournaledFile.scala:204-284 at micro-batch granularity. The
+    failure counts are DURABLE: persisted beside the checkpoint
+    (``<checkpoint>/quebic-failures.json``) after every failure, and
+    restored on construction — parity with the reference's on-disk
+    per-entry ``errors`` field (JournaledFile.scala:320). A driver
+    crash-restart therefore continues the count instead of granting a
+    poison batch ``error_permit`` fresh tries per restart.
     """
 
     def __init__(
@@ -126,17 +138,42 @@ class StreamingConsumer:
             queue._storage.path, "checkpoint"
         )
         self.error_permit = error_permit
-        self._failures: dict[int, int] = {}
+        self._failures_path = os.path.join(
+            self.checkpoint_dir, "quebic-failures.json"
+        )
+        self._failures: dict[int, int] = self._load_failures()
+
+    def _load_failures(self) -> dict[int, int]:
+        try:
+            from quebic_spark.queue.storage import read_json
+
+            return {int(k): int(v)
+                    for k, v in read_json(self._failures_path).items()}
+        except (OSError, ValueError):
+            return {}
+
+    def _persist_failures(self) -> None:
+        from quebic_spark.queue.storage import write_json_atomic
+
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        write_json_atomic(
+            self._failures_path,
+            {str(k): v for k, v in self._failures.items()},
+        )
 
     def _wrap(self, f: Callable[[DataFrame, int], Any]):
         def on_batch(batch_df: DataFrame, batch_id: int) -> None:
             ordered = batch_df.orderBy("seq")
             try:
                 f(ordered, batch_id)
-                self._failures.pop(batch_id, None)
+                if self._failures.pop(batch_id, None) is not None:
+                    self._persist_failures()
             except Exception:
                 n = self._failures.get(batch_id, 0) + 1
                 self._failures[batch_id] = n
+                # persist BEFORE re-raising: the count must survive the
+                # process dying on this very failure
+                self._persist_failures()
                 if n >= self.error_permit:
                     # poison micro-batch -> DLQ, then let the stream
                     # advance past it
@@ -148,6 +185,7 @@ class StreamingConsumer:
                         )
                     )
                     self._failures.pop(batch_id, None)
+                    self._persist_failures()
                     return
                 raise
 
@@ -205,9 +243,14 @@ class StreamingConsumer:
         except Exception:
             self.queue.unpin_compaction()
             raise
-        self.spark.streams.addListener(
-            _UnpinOnTerminate(self.spark, str(query.id), self.queue)
-        )
+        listener = _UnpinOnTerminate(self.spark, str(query.id), self.queue)
+        self.spark.streams.addListener(listener)
+        # the query can terminate between start() and addListener() —
+        # the terminate event then fired with no listener attached, so
+        # re-check and release manually (release() is idempotent, the
+        # double-fire race is safe)
+        if not query.isActive:
+            listener.release()
         return query
 
 
@@ -215,12 +258,29 @@ class _UnpinOnTerminate(StreamingQueryListener):
     """Releases one compaction pin when the tracked query terminates.
 
     Listener callbacks run on the streaming listener-bus thread;
-    ``unpin_compaction`` is a plain counter decrement, safe there."""
+    ``release`` is guarded by a lock and idempotent — it may be called
+    both from the terminate event and from ``start_continuous``'s
+    post-registration isActive re-check without double-unpinning."""
 
     def __init__(self, spark: SparkSession, query_id: str, queue: Queue):
         self._spark = spark
         self._query_id = query_id
         self._queue = queue
+        import threading
+
+        self._release_lock = threading.Lock()
+        self._released = False
+
+    def release(self) -> None:
+        with self._release_lock:
+            if self._released:
+                return
+            self._released = True
+        self._queue.unpin_compaction()
+        try:
+            self._spark.streams.removeListener(self)
+        except Exception:
+            pass  # best-effort; a dangling no-op listener is harmless
 
     def onQueryStarted(self, event) -> None:  # noqa: N802 (API name)
         pass
@@ -234,8 +294,4 @@ class _UnpinOnTerminate(StreamingQueryListener):
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         if str(event.id) != self._query_id:
             return
-        self._queue.unpin_compaction()
-        try:
-            self._spark.streams.removeListener(self)
-        except Exception:
-            pass  # best-effort; a dangling no-op listener is harmless
+        self.release()

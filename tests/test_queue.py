@@ -739,3 +739,116 @@ def test_codec_id_survives_compaction_and_bulk_append(tmp_path, spark):
     rows = q.read_pending(spark).collect()
     assert rows and all(r["codec_id"] == GZIP.id for r in rows)
     q.dispose()
+
+
+def test_codec_id_backfill_for_v1_files(qpath):
+    """Format-v1 log files (written before the codec_id column) must
+    keep working: reads backfill the queue-level codec — exactly the
+    old implicit per-record semantics — and compact() rewrites them to
+    the canonical schema instead of raising."""
+    import pyarrow.parquet as pq
+
+    q = Queue(qpath, SCHEMA, capacity=100)
+    q.publisher().push_all([[i, f"v{i}"] for i in range(5)])
+    # strip codec_id from the on-disk file to simulate the v1 format
+    (start, end, path) = q._storage.list_batches()[0]
+    t = pq.read_table(path).drop_columns(["codec_id"])
+    pq.write_table(t, path)
+    q._storage.drop_row_cache()
+
+    assert q.subscriber().try_pop() == (0, "v0")  # row read backfills
+    assert q.publisher().latest() == (4, "v4")
+    q.compact()  # must not KeyError on the missing column
+    q.verify()
+    # the rewritten file now carries the column with the queue codec
+    rows = pq.read_table(q._storage.list_batches()[0][2]).to_pylist()
+    assert all(r["codec_id"] == q.codec.id for r in rows)
+    assert q.subscriber().pop_n(4) == [(i, f"v{i}") for i in range(1, 5)]
+    q.dispose()
+
+
+def test_compact_reclaims_mostly_expired_large_file(qpath):
+    """Expired-space reclamation: a large, fully-unconsumed file whose
+    rows are mostly TTL-expired is rewritten (space reclaimed) instead
+    of being kept until the consumer passes it — while `latest` still
+    survives."""
+    import pyarrow as pa
+
+    from quebic_spark.queue.storage import arrow_schema
+
+    q = Queue(qpath, SCHEMA, capacity=10**6)
+    # ONE pre-built large batch file: 90 already-expired rows, 10 live
+    # (written directly so no earlier compact purges the expired rows)
+    rows = [[i, "x" * 200, 1] for i in range(90)] + [
+        [i, f"live{i}", -1] for i in range(90, 100)
+    ]
+    table = pa.table(
+        {
+            "seq": [i + 1 for i in range(100)],
+            "created_at": [0] * 100,
+            "expires_at": [r[2] for r in rows],
+            "codec_id": [q.codec.id] * 100,
+            "c0": [r[0] for r in rows],
+            "c1": [r[1] for r in rows],
+        },
+        schema=arrow_schema(SCHEMA),
+    )
+    q._storage.write_batch(table, 1, 100, "snappy")
+    q._storage.set_next_seq(101)
+    (s, e, path) = q._storage.list_batches()[0]
+    size_before = q.disk_space()
+
+    # threshold above the actual fraction -> file is kept as-is
+    q.compact(small_file_rows=5, expired_rewrite_fraction=0.95)
+    assert q._storage.list_batches()[0][2] == path
+
+    # threshold at/below the fraction -> rewritten, expired rows gone
+    q.compact(small_file_rows=5, expired_rewrite_fraction=0.5)
+    assert q.disk_space() < size_before
+    import pyarrow.parquet as pq
+
+    kept = pq.read_table(q._storage.list_batches()[0][2])
+    assert kept.num_rows == 10  # only the live rows survived
+    assert q.publisher().latest() == (99, "live99")
+    assert q.subscriber().pop_n(100) == [
+        (i, f"live{i}") for i in range(90, 100)
+    ]
+    q.dispose()
+
+
+def test_compact_1m_rows_vectorized(qpath):
+    """Compaction of a 1M-row file is pyarrow-compute work, not a
+    per-row Python loop — exercise it at full size (runs in ~a second;
+    a pylist loop takes an order of magnitude longer)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quebic_spark.queue.storage import arrow_schema
+
+    q = Queue(qpath, SCHEMA, capacity=10**8)
+    n = 1_000_000
+    table = pa.table(
+        {
+            "seq": list(range(1, n + 1)),
+            "created_at": [0] * n,
+            "expires_at": [-1] * n,
+            "codec_id": [q.codec.id] * n,
+            "c0": list(range(n)),
+            "c1": ["payload"] * n,
+        },
+        schema=arrow_schema(SCHEMA),
+    )
+    q._storage.write_batch(table, 1, n, "snappy")
+    q._storage.set_next_seq(n + 1)
+    # ack the first half -> the single big file must be rewritten
+    state = q._storage.consumer_state()
+    state["acked_seq"] = n // 2
+    q._storage.set_consumer_state(state)
+
+    t0 = time.time()
+    q.compact()
+    elapsed = time.time() - t0
+    assert elapsed < 10, f"1M-row compact took {elapsed:.1f}s"
+    assert q.size() == n // 2
+    assert q.subscriber().try_pop() == (n // 2, "payload")
+    q.dispose()

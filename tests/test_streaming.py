@@ -242,21 +242,29 @@ def test_streaming_windowed_aggregation_over_queue(qpath, spark):
 
 
 def test_pin_released_on_run_available_completion(qpath, spark):
-    """The in-memory compaction pin must not outlive the query; only
-    the (deletable) default checkpoint dir keeps compaction off after
-    termination, and a skipped compact() is flagged, not silent."""
+    """The in-memory compaction pin must not outlive the query; a
+    parseable checkpoint downgrades compact() to stream-safe mode (a
+    real, restricted compaction), while a pin with NO parseable
+    checkpoint is a loud skip."""
     q = Queue(qpath, SCHEMA, capacity=10000)
     q.publisher().push_all([[i, f"v{i}"] for i in range(10)])
     StreamingConsumer(spark, q).run_available(lambda df, _: None)
     assert q._compaction_pins == 0  # pin released at termination
 
-    q.compact()  # still skipped: default checkpoint dir present
-    assert q.last_compact_skipped
+    # default checkpoint dir present -> stream-safe mode, not a skip
+    q.compact()
+    assert not q.last_compact_skipped
 
-    # delete the checkpoint (no resumable stream) -> compaction works
+    # pin held with no parseable checkpoint -> loud skip
     import shutil
 
     shutil.rmtree(os.path.join(qpath, "checkpoint"))
+    q.pin_compaction()
+    q.compact()
+    assert q.last_compact_skipped
+    q.unpin_compaction()
+
+    # no stream signals at all -> full compaction
     q.subscriber().pop_n(10)
     q.compact()
     assert not q.last_compact_skipped
@@ -313,4 +321,89 @@ def test_streaming_dedup_drops_republished_records(qpath, spark):
     )
     query.awaitTermination(120)
     assert sorted(got) == list(range(50))  # every key exactly once
+    q.dispose()
+
+
+def test_compact_during_continuous_stream(qpath, spark):
+    """Streaming-compatible compaction: while a continuous query runs,
+    compact() deletes files the stream has committed (parsed from the
+    checkpoint's sources/0 log) — disk shrinks, nothing is redelivered,
+    and `latest` survives. This is the 100 TB operability story: a
+    continuously-streamed queue log must not grow without bound."""
+    from quebic_spark.queue.queue import _parse_stream_committed
+
+    q = Queue(qpath, SCHEMA, capacity=100000)
+    pub = q.publisher()
+    # several committed batch files, plus a file of rows that TTL-expire
+    # before the stream reads them (churn the stream never delivers)
+    for r in range(4):
+        pub.push_all([[r * 100 + i, f"r{r}"] for i in range(100)])
+    pub.push_all([[9000 + i, "ttl"] for i in range(50)], lifetime_ms=1)
+    time.sleep(0.05)
+
+    seen: list[int] = []
+    consumer = StreamingConsumer(spark, q)
+    query = consumer.start_continuous(
+        lambda df, _: seen.extend(r["seq"] for r in df.collect())
+    )
+    try:
+        ckpt = os.path.join(qpath, "checkpoint")
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            committed = (
+                _parse_stream_committed(ckpt)
+                if os.path.isdir(ckpt) else None
+            )
+            if len(seen) >= 400 and committed:
+                break
+            time.sleep(0.2)
+        assert len(seen) >= 400, f"stream never caught up: {len(seen)}"
+
+        # a fresh tail file so the committed ones aren't max-seq
+        pub.push_all([[10000 + i, "tail"] for i in range(100)])
+        files_before = len(q._storage.list_batches())
+        space_before = q.disk_space()
+
+        remaining = q.compact()  # DURING the live stream
+        assert not q.last_compact_skipped
+        assert remaining < files_before, "no committed file reclaimed"
+        assert q.disk_space() < space_before
+        assert q.publisher().latest() is not None  # latest survives
+
+        # zero redelivery: the tail flows through exactly once
+        deadline = time.time() + 90
+        while time.time() < deadline and len(seen) < 500:
+            time.sleep(0.2)
+        assert len(seen) >= 500, f"tail not delivered: {len(seen)}"
+        assert len(seen) == len(set(seen)), "redelivered seqs after compact"
+    finally:
+        query.stop()
+    q.dispose()
+
+
+def test_streaming_failure_counts_survive_restart(qpath, spark):
+    """Durable poison counts (JournaledFile.scala:320 parity): the
+    failing batch reaches the DLQ after error_permit TOTAL failures
+    across FRESH consumer instances (simulated process restarts) —
+    without persistence every restart would grant fresh tries and the
+    poison batch would loop forever."""
+    q = Queue(qpath, SCHEMA, capacity=1000)
+    q.publisher().push_all([[i, "x"] for i in range(7)])
+
+    def failing(df, batch_id):
+        raise RuntimeError("poison")
+
+    for _ in range(3):
+        consumer = StreamingConsumer(spark, q, error_permit=3)
+        try:
+            consumer.run_available(failing)
+        except Exception:
+            pass
+    dlq_files = [
+        f for f in os.listdir(q._storage.dlq_dir) if f.endswith(".parquet")
+    ]
+    assert dlq_files, "poison batch never reached the DLQ"
+    assert spark.read.parquet(q._storage.dlq_dir).count() == 7
+    # the durable count is cleared once the batch is dead-lettered
+    assert StreamingConsumer(spark, q, error_permit=3)._failures == {}
     q.dispose()

@@ -73,13 +73,20 @@ def bench_queue() -> dict[str, float]:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
         return push_s, pop_s
 
-    # best-of-3, same rationale as bench_queries: these are fsync-bound
-    # loops and background load swings them 2-3x run to run; a cycle is
-    # a few seconds, so the extra runs are cheap insurance
+    # best-of-3, same rationale as bench_queries: these are
+    # rename/metadata-bound loops and background load swings them 2-3x
+    # run to run; a cycle is a few seconds, so the extra runs are cheap
+    # insurance. Medians are reported alongside (see main()) so the
+    # best-of-k choice is visible, not hidden.
     cycles = [one_cycle() for _ in range(3)]
+    pushes = sorted(c[0] for c in cycles)
+    pops = sorted(c[1] for c in cycles)
     return {
-        "queue_push_1k": round(min(c[0] for c in cycles), 3),
-        "queue_pop_1k": round(min(c[1] for c in cycles), 3),
+        "queue_push_1k": round(pushes[0], 3),
+        "queue_pop_1k": round(pops[0], 3),
+    }, {
+        "queue_push_1k_median": round(pushes[len(pushes) // 2], 3),
+        "queue_pop_1k_median": round(pops[len(pops) // 2], 3),
     }
 
 
@@ -100,7 +107,8 @@ def main() -> None:
     ).count()
 
     times = bench_queries(spark, sf_dir)
-    times.update(bench_queue())
+    queue_best, queue_median = bench_queue()
+    times.update(queue_best)
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -110,6 +118,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf_dir,
+                # methodology is part of the record: round-over-round
+                # totals are only comparable when the sampling method
+                # matches (queries best-of-2, queue cycles best-of-3;
+                # queue medians reported for the load-swing context)
+                "method": "queries_best_of_2;queue_best_of_3",
+                "queue_median": queue_median,
             }
         )
     )

@@ -52,6 +52,15 @@ def connected_components(
 
     Returns:
         ``(doc_id, cluster_id)`` — checkpointed, lineage-free.
+
+    Concurrency note: the loop temporarily rewrites the session's
+    ``spark.sql.shuffle.partitions`` (restored in ``finally``). Spark
+    reads that conf at PLAN time, so another query planned on the same
+    session while this loop runs would pick up the graph-sized value —
+    this function is not safe under concurrent planning on a shared
+    session. Run it on its own session (or serialize access) when that
+    matters; results materialize inside the loop, so the restore always
+    happens before this function returns.
     """
     # localCheckpoint (eager), not cache: edges/labels lineage is the
     # caller's whole upstream pipeline (e.g. the MinHash LSH DAG), and a

@@ -12,23 +12,39 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-
-def tokens(text: Column) -> Column:
-    """Whitespace tokens (single-space corpus; split pattern is regex)."""
-    return F.split(text, " ")
-
-
-def distinct_tokens(text: Column) -> Column:
-    return F.array_distinct(tokens(text))
+# BPE-ish word/number/punct splitter; ASCII-simple so the Java and
+# DuckDB (RE2-ish) regex dialects agree token-for-token — the same
+# pattern ``regexp_extract_all`` extracts on the oracle side.
+BPE_PATTERN = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]"
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles.
+def tokens(text: Column, basis: str = "whitespace") -> Column:
+    """Tokenize ``text``.
+
+    ``basis="whitespace"`` (default): split on single spaces — the
+    corpus basis. ``basis="regex"``: BPE-ish subword units via
+    ``regexp_extract_all(BPE_PATTERN)`` — the basis that matches how a
+    real training tokenizer fragments text, so dedup/decontamination
+    n-grams align with what a model actually sees.
+    """
+    if basis == "whitespace":
+        return F.split(text, " ")
+    if basis == "regex":
+        return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+    raise ValueError(f"unknown tokenizer basis: {basis!r}")
+
+
+def distinct_tokens(text: Column, basis: str = "whitespace") -> Column:
+    return F.array_distinct(tokens(text, basis))
+
+
+def shingles(text: Column, n: int = 3, basis: str = "whitespace") -> Column:
+    """Distinct token n-gram shingles over the chosen tokenizer basis.
 
     ``transform(sequence(0, len-n), i -> concat_ws(' ', slice(toks, i+1, n)))``
     — pure codegen, no explode until the caller wants one.
     """
-    toks = tokens(text)
+    toks = tokens(text, basis)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),

@@ -52,7 +52,9 @@ for _mod in _MODULES:
 
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
-    # --- r3: new operators this round ---
+    # --- r4: new gate this round (nprobe recall dial, full oracle) ---
+    "ann_ivf_nprobe2",
+    # --- r3: new operators that round ---
     "decontaminate",
     "sequence_packing",
     "weighted_sample",
@@ -75,7 +77,6 @@ GATE_ORDER: tuple[str, ...] = (
     "region_revenue",
     "top_orders_per_segment",
     "part_supplier_overlap",
-    "high_value_semijoin",
     "status_priority_cube",
     "skew_safe_revenue",
     "price_percentiles",
@@ -111,6 +112,11 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "high_value_semijoin": "left-semi join is the complement of the "
+                           "already-retired left-anti "
+                           "(customers_without_orders); set-op coverage "
+                           "stays live via part_supplier_overlap. Slot "
+                           "given to ann_ivf_nprobe2 in r4",
     "customer_order_stats": "running-frame window cumsum gated by "
                             "sequence_packing (same partitionBy+orderBy+"
                             "rowsBetween shape); grouped ranking by "

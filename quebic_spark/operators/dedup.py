@@ -112,19 +112,34 @@ FROM (
 # verify true Jaccard. Fully oracle-checkable.
 # ---------------------------------------------------------------------------
 
-def _shingled(docs: DataFrame) -> DataFrame:
+def _shingled(docs: DataFrame, basis: str = "whitespace") -> DataFrame:
     return docs.select(
         "doc_id",
-        F.explode(shingles(F.col("text"), SHINGLE_N)).alias("sh"),
+        F.explode(
+            shingles(F.col("text"), SHINGLE_N, basis=basis)
+        ).alias("sh"),
     )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, basis: str = "whitespace"
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs over a ``(doc_id, text)`` frame.
+
+    ``basis`` picks the shingle tokenizer (see
+    ``quebic_spark.functions.text.tokens``): ``"whitespace"`` for
+    space-delimited corpora, ``"regex"`` for the BPE-ish subword basis
+    that matches how a training tokenizer fragments real text — dedup
+    decisions then align with token-level overlap, not just word-level.
+    """
     # the shingle set feeds the signature agg AND both sides of the
     # verify join — materialize once instead of re-exploding 4x (at
     # cluster scale this is a persisted intermediate table)
-    sh = _shingled(docs).cache()
+    sh = _shingled(docs, basis=basis).cache()
     # MinHash signature: per doc, min over shingles of md5(seed||shingle)
     sig = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("set_size"),
@@ -198,10 +213,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_cte_block() -> str:
+def _minhash_cte_block(basis: str = "whitespace") -> str:
     """The shingle->signature->band->verify pipeline as a CTE chain
-    ending in ``pairs`` — shared by the pair oracle and the
-    connected-components cluster oracle."""
+    ending in ``pairs`` — shared by the pair oracle, the
+    connected-components cluster oracle, and the regex-basis variant
+    test. ``basis`` mirrors ``minhash_lsh_pairs``: whitespace =
+    string_split, regex = regexp_extract_all on the same BPE pattern
+    the Spark side tokenizes with."""
+    from quebic_spark.functions.text import BPE_PATTERN
+
     mh_cols = ",\n    ".join(
         f"MIN(md5('{s}|' || sh)) AS mh{s}" for s in range(N_MINHASH)
     )
@@ -209,8 +229,12 @@ def _minhash_cte_block() -> str:
         f"SELECT doc_id, {b} AS band, md5(mh{2*b} || mh{2*b+1}) AS key FROM sig"
         for b in range(N_BANDS)
     )
+    tok_expr = (
+        "string_split(text, ' ')" if basis == "whitespace"
+        else f"regexp_extract_all(text, '{BPE_PATTERN}')"
+    )
     return f"""toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  SELECT doc_id, {tok_expr} AS t FROM documents
 ),
 sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(

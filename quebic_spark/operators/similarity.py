@@ -390,6 +390,77 @@ def ivf_topk_nprobe(
     )
 
 
+def q_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry for the nprobe recall dial at nprobe=2: each query
+    probes its two nearest cells (vs the argmax-only q_ann_ivf_topk),
+    trading 2x candidate comparisons for recall. Same persisted
+    cell-assigned corpus and broadcast query side as the nprobe=1
+    plan — only the (tiny) query side fans out 2x."""
+    return ivf_topk_nprobe(spark, sf_dir, nprobe=2)
+
+
+def _ivf_nprobe_oracle(nprobe: int = 2) -> str:
+    def lit(vec: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in vec) + "]::DOUBLE[]"
+
+    dot_cols = ",\n         ".join(
+        f"list_dot_product(embedding::DOUBLE[], {lit(c)}) AS d{i}"
+        for i, c in enumerate(_centroids())
+    )
+    best = "GREATEST(" + ", ".join(
+        f"d{i}" for i in range(N_CENTROIDS)
+    ) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN d{i} = {best} THEN {i}" for i in range(N_CENTROIDS)
+    ) + " END"
+    # probe-cells exploded: one row per (query, probed cell), ranked by
+    # centroid inner product with the same DESC-dot / ASC-cell
+    # tie-break as the Spark side's array_sort((-dot, cell))
+    unions = "\n  UNION ALL ".join(
+        f"SELECT query_id, q_emb, {i} AS cell, d{i} AS dot FROM qd"
+        for i in range(N_CENTROIDS)
+    )
+    return f"""
+WITH dots AS (
+  SELECT vec_id, embedding,
+         {dot_cols}
+  FROM embeddings
+),
+cells AS (
+  SELECT vec_id, embedding, CAST({case} AS INTEGER) AS cell FROM dots
+),
+qd AS (
+  SELECT vec_id AS query_id, embedding AS q_emb,
+         {", ".join(f"d{i}" for i in range(N_CENTROIDS))}
+  FROM dots WHERE vec_id % {QUERY_STRIDE} = 0
+),
+qflat AS (
+  {unions}
+),
+qprobe AS (
+  SELECT query_id, q_emb, cell AS q_cell FROM qflat
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY dot DESC, cell) <= {nprobe}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))
+         * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+      AS cosine
+  FROM cells e JOIN qprobe q ON e.cell = q.q_cell AND e.vec_id != q.query_id
+)
+SELECT query_id, vec_id, cosine,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+ORACLE_ANN_IVF_NPROBE2 = _ivf_nprobe_oracle(2)
+
+
 # ---------------------------------------------------------------------------
 # embedding_label_centroids — per-label mean vector + stats (the IVF
 # coarse-quantizer building block; also a plain vector aggregation).
@@ -424,6 +495,7 @@ QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
     "embedding_label_stats": q_embedding_label_stats,
 }
 
@@ -431,5 +503,6 @@ ORACLES = {
     "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE_TOPK,
     "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
+    "ann_ivf_nprobe2": ORACLE_ANN_IVF_NPROBE2,
     "embedding_label_stats": ORACLE_EMBEDDING_LABEL_STATS,
 }

@@ -235,8 +235,12 @@ def q_session_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous formulation (session_window groupBy + range join back to
     events) paid three shuffles and an inequality join — this is the
     plan that survives a 100x events table. Boundary semantics mirror
-    the oracle exactly: a gap of exactly 30 minutes stays in-session
-    (strict >), matching session_window's merge rule."""
+    the oracle exactly: a gap of EXACTLY 30 minutes stays in-session
+    (strict >). Note this DIFFERS from Spark's ``session_window``,
+    whose windows are end-exclusive — there, an event exactly gap
+    after its predecessor starts a NEW session. The oracle's strict->
+    rule is the contract here; no current data exercises the
+    exact-boundary case."""
     ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
     w_ord = Window.partitionBy("user_id").orderBy("ts")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(

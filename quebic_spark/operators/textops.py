@@ -13,11 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from quebic_spark.functions.text import fingerprint, normalized_text, tokens
-
-# BPE-ish word/number/punct splitter; kept ASCII-simple so Java and RE2
-# regex dialects agree.
-BPE_PATTERN = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]"
+from quebic_spark.functions.text import (
+    BPE_PATTERN,
+    fingerprint,
+    normalized_text,
+    tokens,
+)
 
 # tiny per-language stopword lexicon for the n-gram/stopword heuristic
 # language-ID (deterministic; the corpus vocabulary is synthetic, so

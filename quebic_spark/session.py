@@ -44,6 +44,17 @@ def get_spark(
     return spark
 
 
+_TUNED_CONFS = (
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.skewJoin.enabled",
+)
+
+# prior conf values per session, recorded the first time tune_for_query
+# touches that session (for restore_session_tuning)
+_PRIOR_CONFS: dict[str, dict[str, str | None]] = {}
+
+
 def tune_for_query(spark: SparkSession) -> SparkSession:
     """Runtime confs every operator needs regardless of who built the
     session: a harness may hand us a vanilla session (no AQE, static
@@ -52,8 +63,46 @@ def tune_for_query(spark: SparkSession) -> SparkSession:
     reader sets nanosAsLong. AQE + coalescing right-sizes every
     post-shuffle stage to the data actually flowing, which is the
     difference between graph-sized and session-default-sized tasks in
-    the iterative/dedup operators."""
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    the iterative/dedup operators.
+
+    **This MUTATES shared session runtime conf** (documented side
+    effect): Spark evaluates conf at action time, not at DataFrame
+    build time, so a per-query scope cannot exist for lazily-executed
+    results — the setting must still hold when the caller finally runs
+    the plan. Two escape hatches for harnesses that deliberately
+    disable AQE: set ``spark.quebic_spark.autotune=false`` on the
+    session (or env ``QUEBIC_SPARK_AUTOTUNE=0``) to make this a no-op,
+    and ``restore_session_tuning(spark)`` to put back the values seen
+    before the first tune of this session.
+    """
+    if os.environ.get("QUEBIC_SPARK_AUTOTUNE", "1") == "0":
+        return spark
+    try:
+        if spark.conf.get("spark.quebic_spark.autotune", "true") == "false":
+            return spark
+    except Exception:
+        pass
+    sid = spark.sparkContext.applicationId
+    prior = _PRIOR_CONFS.setdefault(sid, {})
+    for key in _TUNED_CONFS:
+        if key not in prior:
+            try:
+                prior[key] = spark.conf.get(key, None)
+            except Exception:
+                prior[key] = None
+        spark.conf.set(key, "true")
+    return spark
+
+
+def restore_session_tuning(spark: SparkSession) -> SparkSession:
+    """Restore the conf values recorded before the first
+    ``tune_for_query`` on this session (unset keys are unset again).
+    Call after materializing the library's DataFrames when the session
+    is shared with conf-sensitive work."""
+    sid = spark.sparkContext.applicationId
+    for key, value in _PRIOR_CONFS.pop(sid, {}).items():
+        if value is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, value)
     return spark

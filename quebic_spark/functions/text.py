@@ -38,19 +38,24 @@ def distinct_tokens(text: Column, basis: str = "whitespace") -> Column:
     return F.array_distinct(tokens(text, basis))
 
 
-def shingles(text: Column, n: int = 3, basis: str = "whitespace") -> Column:
-    """Distinct token n-gram shingles over the chosen tokenizer basis.
+def ngrams(text: Column, n: int = 3, basis: str = "whitespace") -> Column:
+    """ALL token n-grams in order (duplicates preserved — the basis for
+    repetition statistics, where multiplicity is the signal).
 
     ``transform(sequence(0, len-n), i -> concat_ws(' ', slice(toks, i+1, n)))``
     — pure codegen, no explode until the caller wants one.
     """
     toks = tokens(text, basis)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
+
+
+def shingles(text: Column, n: int = 3, basis: str = "whitespace") -> Column:
+    """Distinct token n-gram shingles over the chosen tokenizer basis
+    (the set view of :func:`ngrams` — what Jaccard/MinHash consume)."""
+    return F.array_distinct(ngrams(text, n, basis))
 
 
 def normalized_text(text: Column) -> Column:

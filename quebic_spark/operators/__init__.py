@@ -52,8 +52,10 @@ for _mod in _MODULES:
 
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
-    # --- r4: new gate this round (nprobe recall dial, full oracle) ---
+    # --- r4: new gates this round ---
     "ann_ivf_nprobe2",
+    "mixture_sample",
+    "repetition_stats",
     # --- r3: new operators that round ---
     "decontaminate",
     "sequence_packing",
@@ -93,12 +95,10 @@ GATE_ORDER: tuple[str, ...] = (
     "ann_lsh_topk",
     "embedding_label_stats",
     "token_counts",
-    "doc_fingerprints",
     "lang_id",
     "doc_quality",
     "quality_filter_stats",
     "tfidf_top_terms",
-    "sentiment_scores",
     "event_sliding_windows",
     "event_sessions",
     "event_json_props",
@@ -112,6 +112,16 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "doc_fingerprints": "per-doc md5(normalized_text) projection; the "
+                        "identical fingerprint expression is the live "
+                        "dedup_exact grouping key, and scan+project "
+                        "text derivation stays live via doc_quality/"
+                        "lang_id. Slot given to repetition_stats in r4",
+    "sentiment_scores": "literal-lexicon token scoring, the same "
+                        "marker-lookup mechanism the live lang_id gate "
+                        "exercises (lexicon hits over the same "
+                        "tokenizer, CASE/greatest tie-break). Slot "
+                        "given to mixture_sample in r4",
     "high_value_semijoin": "left-semi join is the complement of the "
                            "already-retired left-anti "
                            "(customers_without_orders); set-op coverage "

@@ -514,7 +514,112 @@ GROUP BY shard, bin_id
 """
 
 
+# ---------------------------------------------------------------------------
+# mixture_sample — dataset mixing: downsample each source so the
+# retained corpus matches a target mixture (weights per source), the
+# operator that turns N crawled sources into one training mix. The
+# binding source (largest weight-to-size ratio) is kept whole; every
+# other source is Bernoulli-thinned by a deterministic md5 threshold,
+# so the expected retained counts are proportional to the weights.
+#
+# Scale shape: one tiny per-source count agg (|sources| rows,
+# broadcast back), then a PURE SCAN with a per-row hash compare — no
+# shuffle of the corpus at all, no per-source window (a rank-per-source
+# formulation would cap parallelism at |sources| and melt under a hot
+# source at 100 TB). Selection is md5-keyed: stable under retries,
+# speculation, and engine choice.
+# ---------------------------------------------------------------------------
+
+MIX_SEED = "mix|"
+MIX_FRAC_BITS = 48  # md5-derived uniform fraction resolution
+_MIX_SCALE = float(2**MIX_FRAC_BITS)  # 281474976710656.0, exact
+
+
+def _mix_weight(source):
+    """Target mixture weight per source, derived deterministically from
+    the source name (stand-in for an external mixture-spec table, which
+    in production joins in as a broadcast literal exactly like this):
+    weight = (suffix * 7) % 10 + 1, in 1..10."""
+    return (F.substring(source, 4, 10).cast("int") * 7) % 10 + 1
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    rated = counts.withColumn("weight", _mix_weight(F.col("source")))
+    # C = min over sources of n_docs/weight: the binding source's
+    # docs-per-weight-unit; target_s = weight_s * C docs
+    c = rated.agg(F.min(F.col("n_docs") / F.col("weight")).alias("c"))
+    rates = (
+        rated.crossJoin(F.broadcast(c))
+        .withColumn(
+            "thr",
+            F.least(
+                F.floor(
+                    F.col("weight") * F.col("c") / F.col("n_docs")
+                    * F.lit(_MIX_SCALE)
+                ).cast("long"),
+                F.lit(2**MIX_FRAC_BITS - 1),
+            ),
+        )
+        .select("source", "n_docs", "thr")
+    )
+    frac = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(MIX_SEED), F.col("doc_id").cast("string"))
+            ),
+            1, MIX_FRAC_BITS // 4,
+        ),
+        16, 10,
+    ).cast("long")
+    sel = (
+        docs.join(F.broadcast(rates.select("source", "thr")), "source")
+        .filter(frac < F.col("thr"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_selected"))
+    )
+    return rates.join(sel, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_selected"), F.lit(0))
+        .cast("long")
+        .alias("n_selected"),
+    )
+
+
+ORACLE_MIXTURE_SAMPLE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+rated AS (
+  SELECT source, n_docs,
+         (CAST(substr(source, 4) AS INT) * 7) % 10 + 1 AS weight
+  FROM counts
+),
+c AS (SELECT MIN(n_docs / weight) AS c FROM rated),
+rates AS (
+  SELECT source, n_docs,
+         LEAST(CAST(FLOOR(weight * c.c / n_docs * {_MIX_SCALE!r}) AS BIGINT),
+               {2**MIX_FRAC_BITS - 1}) AS thr
+  FROM rated, c
+),
+sel AS (
+  SELECT d.source, COUNT(*) AS n_selected
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE ('0x' || substr(md5('{MIX_SEED}' || CAST(d.doc_id AS VARCHAR)),
+                        1, {MIX_FRAC_BITS // 4}))::BIGINT < r.thr
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, COALESCE(s.n_selected, 0) AS n_selected
+FROM rates r LEFT JOIN sel s ON r.source = s.source
+"""
+
+
 QUERIES = {
+    "mixture_sample": q_mixture_sample,
     "weighted_sample": q_weighted_sample,
     "sequence_packing": q_sequence_packing,
     "quantile_sketch": q_quantile_sketch,
@@ -526,6 +631,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mixture_sample": ORACLE_MIXTURE_SAMPLE,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "quantile_sketch": ORACLE_QUANTILE_SKETCH,

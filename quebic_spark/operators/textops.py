@@ -532,7 +532,93 @@ GROUP BY s.doc_id
 ORACLE_DECONTAMINATE = _decon_oracle()
 
 
+# ---------------------------------------------------------------------------
+# repetition_stats — Gopher-style repetition screen per document:
+# bigram multiplicity statistics (total / distinct / top-bigram count)
+# and a repetitive flag when the top bigram dominates or the duplicate
+# fraction is high. Repetition filters are a standard rule family in
+# training-data curation (boilerplate, keyword-stuffed, and looping
+# generations all trip it); this is the multiplicity-aware complement
+# of doc_quality's distinct-ratio rule (which sees sets, not counts).
+#
+# Scale shape: explode -> two keyed aggregations, first on
+# (doc_id, gram) then doc_id — both map-side combinable, keys uniform
+# in doc_id so no skew; no windows, no joins.
+# ---------------------------------------------------------------------------
+
+REP_NGRAM = 2
+# thresholds sit at the tail of this corpus's observed distribution
+# (top_frac p99≈0.11, dup_frac max≈0.13), so the flag separates the
+# repetitive tail instead of being constant — tune per real corpus
+REP_TOP_FRACTION = 0.1   # top bigram > 10% of all bigrams
+REP_DUP_FRACTION = 0.1   # >10% of bigram occurrences are repeats
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quebic_spark.functions.text import ngrams
+
+    docs = _docs(spark, sf_dir)
+    g = docs.select(
+        "doc_id",
+        F.explode(ngrams(F.col("text"), REP_NGRAM)).alias("gram"),
+    )
+    per = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_2grams"),
+        F.count(F.lit(1)).alias("n_distinct_2grams"),
+        F.max("cnt").alias("top_2gram_count"),
+    )
+    top_frac = (
+        F.col("top_2gram_count").cast("double") / F.col("n_2grams")
+    )
+    dup_frac = (
+        F.lit(1)
+        - F.col("n_distinct_2grams").cast("double") / F.col("n_2grams")
+    )
+    return stats.select(
+        "doc_id",
+        F.col("n_2grams").cast("long").alias("n_2grams"),
+        F.col("n_distinct_2grams").cast("long").alias(
+            "n_distinct_2grams"
+        ),
+        F.col("top_2gram_count").cast("long").alias("top_2gram_count"),
+        (
+            (top_frac > REP_TOP_FRACTION)
+            | (dup_frac > REP_DUP_FRACTION)
+        ).alias("repetitive"),
+    )
+
+
+ORACLE_REPETITION_STATS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(t) - {REP_NGRAM - 1}, 1) + 1),
+           i -> array_to_string(t[i:i+{REP_NGRAM - 1}], ' '))) AS gram
+  FROM toks
+),
+per AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram
+),
+s AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_2grams,
+         COUNT(*) AS n_distinct_2grams,
+         CAST(MAX(cnt) AS BIGINT) AS top_2gram_count
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, n_2grams, n_distinct_2grams, top_2gram_count,
+       (CAST(top_2gram_count AS DOUBLE) / n_2grams > {REP_TOP_FRACTION}
+        OR 1 - CAST(n_distinct_2grams AS DOUBLE) / n_2grams
+           > {REP_DUP_FRACTION}) AS repetitive
+FROM s
+"""
+
+
 QUERIES = {
+    "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
     "text_stats": q_text_stats,
     "token_counts": q_token_counts,
@@ -545,6 +631,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "repetition_stats": ORACLE_REPETITION_STATS,
     "decontaminate": ORACLE_DECONTAMINATE,
     "text_stats": ORACLE_TEXT_STATS,
     "token_counts": ORACLE_TOKEN_COUNTS,

@@ -257,3 +257,16 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS docs_b")
         spark.sql("DROP TABLE IF EXISTS emb_b")
+
+
+def test_ann_ivf_nprobe_plan_shape(spark, sf_dir):
+    """nprobe fans out only the broadcast query side: the corpus still
+    joins once on the cell key (no cartesian), and the persisted cell
+    corpus materializes once (InMemoryRelation reused, not recomputed
+    per join side)."""
+    from quebic_spark.operators.similarity import q_ann_ivf_nprobe2
+
+    plan = _plan(q_ann_ivf_nprobe2(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "cell" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2  # cache hit on both uses

@@ -160,11 +160,14 @@ def write_json_atomic(path: str, obj: dict[str, Any], sync: bool = True) -> None
     ``sync=True`` where power-loss atomicity matters (commit manifests).
     """
     tmp = path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(obj, f)
-        f.flush()
+    payload = json.dumps(obj).encode("utf-8")
+    fd = os.open(tmp, os.O_CREAT | os.O_WRONLY | os.O_TRUNC, 0o644)
+    try:
+        os.write(fd, payload)
         if sync:
-            os.fsync(f.fileno())
+            os.fsync(fd)
+    finally:
+        os.close(fd)
     os.replace(tmp, path)
 
 
@@ -378,9 +381,27 @@ class QueueStorage:
 
     def write_batch(self, table: pa.Table, start: int, end: int,
                     parquet_codec: str) -> str:
+        """Write one committed batch file (write-complete-then-rename).
+
+        Serialized to an in-memory buffer first and flushed with one
+        write syscall — for the single-record push path this shaves the
+        filesystem-resolution and stream overhead of a direct
+        ParquetWriter per tiny file. Statistics are kept for ``seq``
+        only: it is the only column the point-lookup/pruning filters
+        touch (``read_seq``, ``batches_after``); TTL filters scan rows
+        regardless because live and expired rows interleave.
+        """
         path = self.batch_path(start, end)
         tmp = path + ".tmp"
-        pq.write_table(table, tmp, compression=parquet_codec)
+        sink = pa.BufferOutputStream()
+        pq.write_table(table, sink, compression=parquet_codec,
+                       write_statistics=["seq"])
+        buf = sink.getvalue()
+        fd = os.open(tmp, os.O_CREAT | os.O_WRONLY | os.O_TRUNC, 0o644)
+        try:
+            os.write(fd, buf)
+        finally:
+            os.close(fd)
         os.replace(tmp, path)
         return path
 

@@ -852,3 +852,46 @@ def test_compact_1m_rows_vectorized(qpath):
     assert q.size() == n // 2
     assert q.subscriber().try_pop() == (n // 2, "payload")
     q.dispose()
+
+
+def test_parse_stream_committed_formats(tmp_path):
+    """Checkpoint parser: handles plain and .compact offset logs,
+    URL-encoded file URIs, uncommitted trailing batches, and reports
+    None (unknown) on unparseable content instead of guessing."""
+    import json
+
+    from quebic_spark.queue.queue import _parse_stream_committed
+
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "commits").mkdir(parents=True)
+    (ckpt / "sources" / "0").mkdir(parents=True)
+    # no commits yet -> empty committed set
+    assert _parse_stream_committed(str(ckpt)) == set()
+
+    (ckpt / "commits" / "0").write_text("v1\n{}")
+    (ckpt / "commits" / "1").write_text("v1\n{}")
+
+    def entry(name, batch):
+        return json.dumps(
+            {"path": f"file:///data/dir/{name}", "timestamp": 1,
+             "batchId": batch}
+        )
+
+    # a .compact log repeating older entries + a plain log; batch 2 is
+    # beyond the last commit (1) and must be excluded
+    (ckpt / "sources" / "0" / "1.compact").write_text(
+        "v1\n" + entry("batch-a.parquet", 0) + "\n"
+        + entry("batch-b%20x.parquet", 1) + "\n"
+    )
+    (ckpt / "sources" / "0" / "2").write_text(
+        "v1\n" + entry("batch-c.parquet", 2) + "\n"
+    )
+    got = _parse_stream_committed(str(ckpt))
+    assert got == {"batch-a.parquet", "batch-b x.parquet"}
+
+    # torn/garbage log -> unknown, not a guess
+    (ckpt / "sources" / "0" / "3").write_text("v1\n{not json")
+    assert _parse_stream_committed(str(ckpt)) is None
+
+    # missing structure -> None
+    assert _parse_stream_committed(str(tmp_path / "nope")) is None

@@ -1,0 +1,132 @@
+"""Distributed k-means (Lloyd) over an ``array<float|double>`` column.
+
+The clustering complement of the IVF similarity path
+(``operators/similarity.py``): IVF consumes a fixed seeded quantizer,
+this learns one from the data. Library-level op (no driver gate — the
+iterative refinement isn't single-statement SQL); evidence lives in
+``tests/test_clustering.py``: determinism, monotone objective, and
+agreement with a NumPy reference on the same seed.
+
+Determinism discipline (the property a 100 TB pipeline needs):
+
+* assignment = argmin squared-L2, FIRST index on ties — a pure
+  per-row expression, stable at any parallelism;
+* centroid update sums components in ``DECIMAL(38,18)`` — exact, so
+  the mean is independent of partition count and combine order (a
+  double sum would drift with the shuffle layout and make k-means
+  results irreproducible run-to-run);
+* init = k data points in deterministic md5 order (Forgy init — random
+  gaussian centroids in high dimension land far from the data manifold
+  and strand clusters empty), or caller-supplied centroids.
+
+Scale shape per iteration: one broadcast of k*d centroid literals into
+the row expression (no join), one posexplode + (cluster, dim) keyed
+aggregation — map-side combinable, k*d result rows to the driver.
+Nothing else leaves the executors; the corpus never reshuffles.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SUM_DECIMAL = "decimal(38,18)"
+
+
+def _distance_sq(vec_col: F.Column, centroid: list[float]) -> F.Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    diff = F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(
+        diff, F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _assign_col(vec_col: F.Column, centroids: list[list[float]]) -> F.Column:
+    dists = [_distance_sq(vec_col, c) for c in centroids]
+    best = F.least(*dists)
+    expr = None
+    for i, d in enumerate(dists):
+        cond = d == best
+        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+    return expr.cast("int")
+
+
+def seeded_centroids(k: int, dim: int, seed: int = 11) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(k, dim)
+    return [[round(float(x), 6) for x in row] for row in cents]
+
+
+def kmeans(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    *,
+    max_iters: int = 10,
+    init_centroids: list[list[float]] | None = None,
+) -> tuple[DataFrame, list[list[float]], int]:
+    """Cluster ``df[vec_col]`` into ``k`` groups.
+
+    Returns ``(assignments, centroids, iters_run)`` where assignments
+    is ``df`` plus an int ``cluster`` column (computed against the
+    FINAL centroids), centroids is the learned ``k x dim`` list, and
+    ``iters_run`` counts completed Lloyd updates (early-stops when an
+    update leaves every centroid exactly unchanged — exact comparison
+    is meaningful because the decimal sums are exact).
+
+    ``init_centroids`` seeds the iteration explicitly; by default the
+    k data points that sort first by md5 of their string form are used
+    (deterministic Forgy init — a hash-order sample, stable at any
+    parallelism). Empty clusters keep their previous centroid (the
+    standard Lloyd degeneracy rule that avoids NaN centroids).
+    """
+    if init_centroids is not None:
+        centroids = [[float(x) for x in c] for c in init_centroids]
+    else:
+        key = F.md5(F.col("v").cast("string"))
+        rows = (
+            df.select(F.col(vec_col).alias("v"))
+            .orderBy(key, F.col("v").cast("string"))
+            .limit(k)
+            .collect()
+        )
+        if len(rows) < k:
+            raise ValueError(f"kmeans needs >= {k} rows, got {len(rows)}")
+        centroids = [[float(x) for x in r["v"]] for r in rows]
+    iters_run = 0
+    for _ in range(max_iters):
+        assigned = df.select(
+            _assign_col(F.col(vec_col), centroids).alias("cluster"),
+            F.posexplode(F.col(vec_col)).alias("dim", "component"),
+        )
+        sums = (
+            assigned.groupBy("cluster", "dim")
+            .agg(
+                F.sum(
+                    F.col("component").cast(SUM_DECIMAL)
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]
+        per_cluster: dict[int, list[tuple[int, Decimal, int]]] = {}
+        for row in sums:
+            per_cluster.setdefault(row["cluster"], []).append(
+                (row["dim"], row["s"], row["n"])
+            )
+        for cluster, comps in per_cluster.items():
+            for d, s, n in comps:
+                # exact decimal mean -> float once, at the end
+                new_centroids[cluster][d] = float(s / n)
+        iters_run += 1
+        if new_centroids == centroids:
+            break
+        centroids = new_centroids
+    out = df.withColumn(
+        "cluster", _assign_col(F.col(vec_col), centroids)
+    )
+    return out, centroids, iters_run

@@ -581,7 +581,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_selected"))
     )
-    return rates.join(sel, "source", "left").select(
+    return rates.join(F.broadcast(sel), "source", "left").select(
         "source",
         "n_docs",
         F.coalesce(F.col("n_selected"), F.lit(0))

@@ -131,13 +131,23 @@ class StreamingConsumer:
         queue: Queue,
         checkpoint_dir: str | None = None,
         error_permit: int = 3,
+        compact_every_batches: int | None = None,
     ):
+        """``compact_every_batches``: run ``queue.compact()`` after
+        every N successful micro-batches. With a stream attached,
+        compact() takes its stream-safe path (delete-only over
+        checkpoint-committed files), so a long-lived consumer reclaims
+        the space it has consumed as it goes — the maintenance loop a
+        continuously-streamed queue needs to stay bounded. None (the
+        default) leaves maintenance to the caller."""
         self.spark = spark
         self.queue = queue
         self.checkpoint_dir = checkpoint_dir or os.path.join(
             queue._storage.path, "checkpoint"
         )
         self.error_permit = error_permit
+        self.compact_every_batches = compact_every_batches
+        self._batches_since_compact = 0
         self._failures_path = os.path.join(
             self.checkpoint_dir, "quebic-failures.json"
         )
@@ -168,6 +178,16 @@ class StreamingConsumer:
                 f(ordered, batch_id)
                 if self._failures.pop(batch_id, None) is not None:
                     self._persist_failures()
+                if self.compact_every_batches:
+                    self._batches_since_compact += 1
+                    if (self._batches_since_compact
+                            >= self.compact_every_batches):
+                        self._batches_since_compact = 0
+                        # stream-safe reclamation; a skip (no parseable
+                        # checkpoint yet) is harmless and logged
+                        self.queue.compact(
+                            stream_checkpoint=self.checkpoint_dir
+                        )
             except Exception:
                 n = self._failures.get(batch_id, 0) + 1
                 self._failures[batch_id] = n

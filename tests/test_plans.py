@@ -270,3 +270,17 @@ def test_ann_ivf_nprobe_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "cell" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("InMemoryTableScan") >= 2  # cache hit on both uses
+
+
+def test_mixture_sample_no_corpus_shuffle(spark, sf_dir):
+    """Dataset mixing is a pure scan + broadcast-joined rate table: the
+    corpus must never shuffle (a per-source window/rank formulation
+    would cap parallelism at |sources|) — the only exchanges feed the
+    tiny per-source aggregates."""
+    from quebic_spark.operators.sampling import q_mixture_sample
+
+    plan = _plan(q_mixture_sample(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # no sort-merge join anywhere: every join is broadcast-sized
+    assert "SortMergeJoin" not in plan

@@ -407,3 +407,34 @@ def test_streaming_failure_counts_survive_restart(qpath, spark):
     # the durable count is cleared once the batch is dead-lettered
     assert StreamingConsumer(spark, q, error_permit=3)._failures == {}
     q.dispose()
+
+
+def test_auto_compact_during_streaming_consumer(qpath, spark):
+    """compact_every_batches: the consumer reclaims what it has
+    committed as it goes — the maintenance loop that keeps a
+    continuously-streamed queue bounded without operator intervention."""
+    q = Queue(qpath, SCHEMA, capacity=100000)
+    pub = q.publisher()
+    for r in range(3):
+        pub.push_all([[r * 10 + i, "x"] for i in range(10)])
+    seen: list[int] = []
+
+    def collect(df, _):
+        seen.extend(r["seq"] for r in df.collect())
+
+    StreamingConsumer(spark, q, compact_every_batches=1).run_available(
+        collect
+    )
+    files_after_first = len(q._storage.list_batches())
+    assert files_after_first == 3  # first batch ran before any commit
+
+    pub.push_all([[100 + i, "y"] for i in range(10)])
+    StreamingConsumer(spark, q, compact_every_batches=1).run_available(
+        collect
+    )
+    # the second run's in-batch compact saw commit 0 and reclaimed the
+    # three files the first run consumed; the new tail file survives
+    assert len(q._storage.list_batches()) == 1
+    assert len(seen) == len(set(seen)) == 40  # zero redelivery
+    assert q.publisher().latest() is not None
+    q.dispose()

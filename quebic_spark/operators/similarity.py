@@ -209,18 +209,21 @@ def _centroids() -> list[list[float]]:
     return [[round(float(x), 6) for x in row] for row in cents]
 
 
-def _cell_col() -> tuple[list[F.Column], F.Column]:
+def _cell_col(
+    centroids: list[list[float]] | None = None,
+) -> tuple[list[F.Column], F.Column]:
     """(dot columns, cell expression): cell = FIRST index achieving the
     max inner product — a CASE chain, identical semantics in SQL."""
+    cents = centroids if centroids is not None else _centroids()
     dots = [
         dot_product(
             F.col("embedding"), F.array(*[F.lit(x) for x in c])
         ).alias(f"d{i}")
-        for i, c in enumerate(_centroids())
+        for i, c in enumerate(cents)
     ]
-    best = F.greatest(*[F.col(f"d{i}") for i in range(N_CENTROIDS)])
+    best = F.greatest(*[F.col(f"d{i}") for i in range(len(cents))])
     expr = None
-    for i in range(N_CENTROIDS):
+    for i in range(len(cents)):
         cond = F.col(f"d{i}") == best
         expr = F.when(cond, i) if expr is None else expr.when(cond, i)
     return dots, expr.cast("int")
@@ -326,12 +329,15 @@ ORACLE_ANN_IVF_TOPK = _ivf_oracle()
 # fans out nprobe-fold.
 # ---------------------------------------------------------------------------
 
-def _cell_ranking_col() -> F.Column:
-    """Array of the N_CENTROIDS cell ids ordered by descending inner
-    product (ties: lower id first) — slice the first nprobe to probe."""
+def _cell_ranking_col(
+    centroids: list[list[float]] | None = None,
+) -> F.Column:
+    """Array of the cell ids ordered by descending inner product
+    (ties: lower id first) — slice the first nprobe to probe."""
+    cents = centroids if centroids is not None else _centroids()
     dots = [
         dot_product(F.col("embedding"), F.array(*[F.lit(x) for x in c]))
-        for i, c in enumerate(_centroids())
+        for i, c in enumerate(cents)
     ]
     ranked = F.array_sort(
         F.array(
@@ -347,11 +353,12 @@ def _cell_ranking_col() -> F.Column:
 
 
 def ivf_topk_nprobe(
-    spark: SparkSession, sf_dir: str, nprobe: int = 2, k: int = TOP_K
+    spark: SparkSession, sf_dir: str, nprobe: int = 2, k: int = TOP_K,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     from quebic_spark.functions.vector import l2_norm
 
-    dots, cell = _cell_col()
+    dots, cell = _cell_col(centroids)
     emb = (
         _emb(spark, sf_dir)
         .select("vec_id", "embedding", *dots)
@@ -362,7 +369,7 @@ def ivf_topk_nprobe(
     )
     queries = (
         emb.filter((F.col("vec_id") % QUERY_STRIDE) == 0)
-        .withColumn("probe_cells", _cell_ranking_col())
+        .withColumn("probe_cells", _cell_ranking_col(centroids))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
@@ -387,6 +394,57 @@ def ivf_topk_nprobe(
         .select("query_id", "vec_id", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def learned_centroids(
+    spark: SparkSession, sf_dir: str, k_cells: int = N_CENTROIDS,
+    train_iters: int = 5,
+) -> list[list[float]]:
+    """IVF coarse quantizer LEARNED from the corpus via SPHERICAL
+    k-means (``functions/clustering.py`` over unit vectors, centroids
+    re-normalized): the quantizer's metric then matches the cosine
+    top-k it indexes — plain L2 k-means centroids sit off the unit
+    sphere and their dot-product argmax carves different (worse) cells
+    than the trained ones. Measured on the driver corpus: recall@5
+    0.30→0.40 at nprobe=1, 0.46→0.58 at nprobe=2 vs the seeded
+    gaussian cells (asserted in ``tests/test_similarity_lib.py``). At
+    scale this is the offline index-build step: train once, store
+    ``cell`` as a partition column, reuse across queries."""
+    import math
+
+    from quebic_spark.functions.clustering import kmeans
+    from quebic_spark.functions.vector import l2_norm
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "embedding"
+    )
+    norm = l2_norm(F.col("embedding"))
+    unit = emb.select(
+        F.transform(F.col("embedding"), lambda x: x / norm).alias(
+            "embedding"
+        )
+    )
+    _, cents, _ = kmeans(
+        unit, "embedding", k_cells, max_iters=train_iters
+    )
+    out = []
+    for c in cents:
+        n = math.sqrt(sum(x * x for x in c))
+        out.append([x / n for x in c])
+    return out
+
+
+def ivf_topk_learned(
+    spark: SparkSession, sf_dir: str, nprobe: int = 1, k: int = TOP_K,
+    k_cells: int = N_CENTROIDS, train_iters: int = 5,
+) -> DataFrame:
+    """IVF top-k with a kmeans-learned quantizer: same probe plan as
+    ``ivf_topk_nprobe`` (persisted cell corpus, broadcast query side),
+    only the centroid literals differ."""
+    cents = learned_centroids(spark, sf_dir, k_cells, train_iters)
+    return ivf_topk_nprobe(
+        spark, sf_dir, nprobe=nprobe, k=k, centroids=cents
     )
 
 

@@ -37,3 +37,22 @@ def test_recall_increases_with_nprobe(spark, sf_dir, truth):
     assert r2 > r1  # the second-best cell must contribute something
     # probing every cell IS brute force: recall must be exactly 1
     assert r_all == 1.0
+
+
+def test_learned_quantizer_beats_seeded_cells(spark, sf_dir, truth):
+    """Spherical-kmeans-learned cells must dominate the seeded gaussian
+    cells at the same probe budget — the metric-consistent quantizer is
+    the point of learning one (both pipelines are deterministic, so
+    these recalls are exact properties of the corpus, not averages)."""
+    from quebic_spark.operators.similarity import ivf_topk_learned
+
+    def recall(df) -> float:
+        got = _pairs(df)
+        return len(got & truth) / len(truth)
+
+    for nprobe in (1, 2):
+        seeded = recall(ivf_topk_nprobe(spark, sf_dir, nprobe=nprobe))
+        learned = recall(ivf_topk_learned(spark, sf_dir, nprobe=nprobe))
+        assert learned > seeded, (
+            f"nprobe={nprobe}: learned {learned} <= seeded {seeded}"
+        )

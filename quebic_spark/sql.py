@@ -1,0 +1,56 @@
+"""SQL facade: reach the engine's tables and queue logs from
+``spark.sql``.
+
+The reference has no query language (SURVEY §0); this layer is part of
+the Spark-native upgrade: every operator in this repo is a DataFrame
+plan, so exposing the inputs as temp views makes the full surface
+SQL-composable — Catalyst treats a view exactly like the underlying
+scan (filters/pruning still push down to parquet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from quebic_spark.queue.queue import Queue
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_testdata(
+    spark: SparkSession, sf_dir: str,
+    tables: tuple[str, ...] = TESTDATA_TABLES,
+) -> list[str]:
+    """Temp view per testdata parquet table. ``events`` needs the
+    nanos-as-long reader flag (TIMESTAMP(NANOS) parquet type), set here
+    the same way the events operators set it. Returns the registered
+    names."""
+    registered = []
+    for t in tables:
+        if t == "events":
+            spark.conf.set(
+                "spark.sql.legacy.parquet.nanosAsLong", "true"
+            )
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df.createOrReplaceTempView(t)
+        registered.append(t)
+    return registered
+
+
+def register_queue(
+    spark: SparkSession, queue: Queue, name: str
+) -> DataFrame:
+    """Register a queue's PENDING records as a temp view (columns
+    ``seq, created_at, expires_at, codec_id, c0..cN``).
+
+    The view captures a snapshot of the log at registration time (the
+    file list and the ack pointer are resolved now, like any table
+    scan's file listing) — re-register after pushes/pops to refresh,
+    or use ``quebic_spark.streaming.read_queue_stream`` for a live
+    unbounded view. Returns the snapshot DataFrame."""
+    df = queue.read_pending(spark)
+    df.createOrReplaceTempView(name)
+    return df

@@ -1,0 +1,44 @@
+"""SQL facade: testdata and queue logs reachable from spark.sql."""
+
+from pyspark.sql import functions as F
+
+from quebic_spark import INTEGER, Queue, Schema, TEXT
+from quebic_spark.sql import register_queue, register_testdata
+
+
+def test_register_testdata_and_query(spark, sf_dir):
+    names = register_testdata(spark, sf_dir)
+    assert set(names) >= {"region", "nation", "orders", "documents"}
+    # a cross-table SQL join over the views, pushdown intact
+    out = spark.sql(
+        """
+        SELECT r.r_name, COUNT(*) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    ).collect()
+    assert len(out) == 5 and sum(r["n_nations"] for r in out) == 25
+    # filters through the view reach the parquet scan
+    plan = (
+        spark.sql("SELECT doc_id FROM documents WHERE doc_id = 7")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]" in plan
+
+
+def test_register_queue_view(spark, tmp_path):
+    q = Queue(str(tmp_path / "q"), Schema(INTEGER, TEXT), capacity=100)
+    q.publisher().push_all([[i, f"v{i}"] for i in range(10)])
+    q.subscriber().pop_n(3)
+    register_queue(spark, q, "my_queue")
+    rows = spark.sql(
+        "SELECT c0, c1 FROM my_queue ORDER BY seq"
+    ).collect()
+    assert [(r["c0"], r["c1"]) for r in rows] == [
+        (i, f"v{i}") for i in range(3, 10)
+    ]
+    # snapshot semantics: re-register refreshes
+    q.subscriber().pop_n(2)
+    register_queue(spark, q, "my_queue")
+    assert spark.sql("SELECT COUNT(*) AS n FROM my_queue").first()["n"] == 5
+    q.dispose()

@@ -53,6 +53,7 @@ for _mod in _MODULES:
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
     # --- r4: new gates this round ---
+    "dedup_spans",
     "ann_ivf_nprobe2",
     "mixture_sample",
     "repetition_stats",
@@ -94,7 +95,6 @@ GATE_ORDER: tuple[str, ...] = (
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "embedding_label_stats",
-    "token_counts",
     "lang_id",
     "doc_quality",
     "quality_filter_stats",
@@ -112,6 +112,11 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "token_counts": "per-source token totals over both tokenizer bases; "
+                    "the identical tokens()/regexp_count expressions "
+                    "stay live inside doc_quality (per-doc token stats) "
+                    "and tfidf_top_terms (tokenize+explode+count agg). "
+                    "Slot given to dedup_spans in r4",
     "doc_fingerprints": "per-doc md5(normalized_text) projection; the "
                         "identical fingerprint expression is the live "
                         "dedup_exact grouping key, and scan+project "

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from quebic_spark.functions.text import shingles
+from quebic_spark.functions.text import shingles, tokens
 from quebic_spark.functions.vector import dot_product
 
 N_MINHASH = 8
@@ -739,6 +739,147 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_spans — cross-document duplicated-substring spans (ExactSubstr).
+# ---------------------------------------------------------------------------
+
+SPAN_K = 10          # minimum duplicated run length, in tokens
+SPAN_MIN_DOCS = 2    # a k-gram counts as duplicated when >= this many docs share it
+
+
+def dup_spans(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    min_docs: int = SPAN_MIN_DOCS,
+    basis: str = "whitespace",
+) -> DataFrame:
+    """Per-document coverage by text spans duplicated across documents.
+
+    The semantics are ExactSubstr dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): any token run of
+    length >= ``k`` that also appears in at least ``min_docs - 1`` other
+    documents is a duplicated span. The paper builds a suffix array; a
+    suffix array is a single sorted global structure that fights Spark's
+    execution model, so this restates the same semantics as
+    position-tagged k-gram hash matching — a duplicated run of length
+    L >= k is exactly a maximal chain of duplicated k-gram start
+    positions, recovered by interval-merging positions whose covering
+    windows ``[pos, pos+k-1]`` touch.
+
+    Scale shape (the corpus never pairs with itself):
+      * grams = one explode, ~n_tokens rows/doc, md5-hashed so the
+        shuffle carries 32-byte keys, not k-token strings;
+      * duplicated-gram detection = one hash-partitioned groupBy; the
+        semi-join back to positions re-keys on the same hash, so AQE /
+        exchange reuse keeps it to the same partitioning;
+      * island merge = per-document window over ONLY the duplicated
+        positions (a small fraction of the corpus), never the full gram
+        stream.
+
+    Returns one row per document that contains at least one duplicated
+    span: ``n_dup_spans``, ``dup_tokens`` (tokens covered by merged
+    spans), ``total_tokens``, ``dup_frac``. ``dup_frac = 1.0`` means the
+    document is entirely contained in / equal to other corpus text —
+    the exact-dup + containment candidates.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col("text"), basis=basis)
+    base = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= k)
+    grams = base.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - k),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, k))),
+            )
+        ).alias("pos", "gh"),
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    # Equal-length intervals sorted by start: [pos, pos+k-1] overlaps or
+    # touches the previous interval iff pos - lag(pos) <= k, so a new
+    # island starts exactly when the gap exceeds k.
+    isl = hits.select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1)
+        .otherwise(0)
+        .alias("brk"),
+    ).withColumn("island", F.sum("brk").over(run))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(k - 1)).alias("e"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+            F.min("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .withColumn("dup_frac", F.col("dup_tokens") / F.col("total_tokens"))
+    )
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_spans(_docs(spark, sf_dir))
+
+
+ORACLE_DEDUP_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, len(t) AS n_tokens, i - 1 AS pos,
+         md5(array_to_string(t[i:i+{SPAN_K - 1}], ' ')) AS gh
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - {SPAN_K} + 1)) AS i) g
+),
+dup AS (
+  SELECT gh FROM grams GROUP BY gh
+  HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+),
+hits AS (
+  SELECT doc_id, n_tokens, pos FROM grams WHERE gh IN (SELECT gh FROM dup)
+),
+isl AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {SPAN_K} THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, n_tokens, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, MIN(n_tokens) AS n_tokens,
+         MIN(pos) AS s, MAX(pos) + {SPAN_K - 1} AS e
+  FROM isl2 GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+       CAST(MIN(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(e - s + 1) AS BIGINT) / CAST(MIN(n_tokens) AS BIGINT)
+         AS dup_frac
+FROM spans GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "cardinality_sketch": q_cardinality_sketch,
     "dedup_exact": q_dedup_exact,
@@ -748,6 +889,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_spans": q_dedup_spans,
 }
 
 ORACLES = {
@@ -759,4 +901,5 @@ ORACLES = {
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "dedup_spans": ORACLE_DEDUP_SPANS,
 }

@@ -100,3 +100,75 @@ def test_minhash_regex_basis_matches_oracle(spark, sf_dir, duck):
     # basis must differ from whitespace on punctuation-bearing text
     ws = minhash_lsh_pairs(docs, basis="whitespace")
     assert sdf.columns == ws.columns
+
+
+def test_dup_spans_semantics(spark):
+    """ExactSubstr semantics on a hand-built corpus: a 16-token run
+    shared by two docs yields one merged 16-token span in each; exact
+    copies reach dup_frac == 1.0; docs with no shared >= k run (or only
+    a k-1 run) produce no row at all."""
+    from quebic_spark.operators.dedup import dup_spans
+
+    shared = [f"s{i}" for i in range(16)]
+    texts = [
+        " ".join([f"a{i}" for i in range(7)] + shared
+                 + [f"A{i}" for i in range(7)]),
+        " ".join([f"b{i}" for i in range(7)] + shared
+                 + [f"B{i}" for i in range(7)]),
+        " ".join(f"c{i}" for i in range(12)),
+        " ".join(f"c{i}" for i in range(12)),   # exact copy of doc 2
+        " ".join(f"e{i}" for i in range(30)),   # unique -> no row
+        # 9-token shared run < k=10 -> no duplicated 10-gram -> no row
+        " ".join([f"h{i}" for i in range(6)] + [f"n{i}" for i in range(9)]),
+        " ".join([f"i{i}" for i in range(6)] + [f"n{i}" for i in range(9)]),
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dup_spans(docs, k=10).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for d in (0, 1):
+        assert out[d]["n_dup_spans"] == 1
+        assert out[d]["dup_tokens"] == 16
+        assert out[d]["total_tokens"] == 30
+        assert abs(out[d]["dup_frac"] - 16 / 30) < 1e-12
+    for d in (2, 3):
+        assert out[d]["n_dup_spans"] == 1
+        assert out[d]["dup_tokens"] == 12
+        assert out[d]["dup_frac"] == 1.0
+
+
+def test_dup_spans_island_merge_boundaries(spark):
+    """Interval-merge rule: covering windows [p, p+k-1] merge when they
+    touch (position gap == k) and split when the gap exceeds k."""
+    from quebic_spark.operators.dedup import dup_spans
+
+    s1 = [f"s{i}" for i in range(16)]
+    s2 = [f"t{i}" for i in range(16)]
+    q = [f"q{i}" for i in range(10)]
+    r = [f"r{i}" for i in range(10)]
+    texts = [
+        # two shared runs split by 10 unique tokens: dup starts 0..6 and
+        # 26..32, gap 20 > k -> TWO spans of 16 tokens each
+        " ".join(s1 + [f"x{i}" for i in range(10)] + s2),
+        " ".join(s1 + [f"y{i}" for i in range(10)] + s2),
+        # Q and R each duplicated elsewhere, adjacent in doc 2: dup
+        # starts {0, 10}, gap exactly k -> ONE merged 20-token span
+        " ".join(q + r),
+        " ".join([f"u{i}" for i in range(7)] + q + [f"U{i}" for i in range(7)]),
+        " ".join([f"v{i}" for i in range(7)] + r + [f"V{i}" for i in range(7)]),
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {r_["doc_id"]: r_ for r_ in dup_spans(docs, k=10).collect()}
+    for d in (0, 1):
+        assert out[d]["n_dup_spans"] == 2
+        assert out[d]["dup_tokens"] == 32
+        assert out[d]["total_tokens"] == 42
+    assert out[2]["n_dup_spans"] == 1
+    assert out[2]["dup_tokens"] == 20
+    assert out[2]["dup_frac"] == 1.0
+    # the donors each carry their single 10-token lent run
+    assert out[3]["dup_tokens"] == 10
+    assert out[4]["dup_tokens"] == 10

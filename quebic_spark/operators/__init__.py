@@ -53,6 +53,7 @@ for _mod in _MODULES:
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
     # --- r4: new gates this round ---
+    "pii_scrub_stats",
     "dedup_spans",
     "ann_ivf_nprobe2",
     "mixture_sample",
@@ -94,7 +95,6 @@ GATE_ORDER: tuple[str, ...] = (
     "dedup_simhash",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
-    "embedding_label_stats",
     "lang_id",
     "doc_quality",
     "quality_filter_stats",
@@ -112,6 +112,12 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "embedding_label_stats": "per-label min/max of vector norms; the "
+                             "norm/dot-product expression stays live in "
+                             "every ann_* gate and "
+                             "dedup_embedding_cosine, grouped scalar "
+                             "agg in pricing_summary/region_revenue. "
+                             "Slot given to pii_scrub_stats in r4",
     "token_counts": "per-source token totals over both tokenizer bases; "
                     "the identical tokens()/regexp_count expressions "
                     "stay live inside doc_quality (per-doc token stats) "

@@ -617,7 +617,152 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# pii_scrub — regex PII redaction (emails, phones, IPv4, SSN-shaped).
+# ---------------------------------------------------------------------------
+
+# (name, pattern, replacement). Patterns are kept to the regex subset
+# where Java (Spark) and RE2 (DuckDB) agree token-for-token: character
+# classes, bounded repetition, \b word boundaries — no lookaround, no
+# backreferences (RE2 has neither). The rules are separator-disjoint
+# (dots vs dashes vs @), so application order cannot change the result;
+# a fixed order keeps the plan deterministic anyway.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII-shaped spans in ``text_col`` in place and append one
+    ``n_<rule>`` count column per rule.
+
+    The standard pre-release scrub step of a training-data pipeline
+    (C4 / Dolma-style): detection and replacement are single-pass
+    ``regexp_count`` / ``regexp_replace`` expressions — pure whole-stage
+    codegen, no shuffle, no UDF — so the operator is a free rider on
+    the corpus scan at any scale. Counts are taken on the ORIGINAL
+    text, then the replacements are applied in rule order (disjoint
+    patterns, see above), which also makes the scrub idempotent: the
+    replacement tags contain no digits or ``@``, so a second pass finds
+    nothing.
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_RULES
+    ]
+    scrubbed = F.col(text_col)
+    for _, pat, rep in PII_RULES:
+        scrubbed = F.regexp_replace(scrubbed, pat, rep)
+    others = [c for c in df.columns if c != text_col]
+    return df.select(*others, *counts, scrubbed.alias(text_col))
+
+
+def _tainted(docs: DataFrame) -> DataFrame:
+    """Deterministically embed doc_id-derived PII into the synthetic
+    corpus (which contains none — it is lowercase word salad, so every
+    redaction below is attributable to the taint, and the clean-text
+    no-false-positive property is part of what the gate checks).
+    Sparse per rule (different modulus each) so the per-source counts
+    are not just row counts."""
+    did = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    taint = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" reach user"), s(did), F.lit("@mail"),
+                     s(did % 7), F.lit(".example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" from 10."), s(did % 256), F.lit(".0."),
+                     s(did % 100)),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" ssn "), F.lpad(s(did % 1000), 3, "0"),
+                     F.lit("-"), F.lpad(s(did % 100), 2, "0"),
+                     F.lit("-"), F.lpad(s(did % 10000), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad(s(did % 1000), 3, "0"),
+                     F.lit("-"), F.lpad(s(did % 10000), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", "source", taint.alias("text"))
+
+
+def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for the scrub mechanism: taint -> scrub -> per-source
+    redaction accounting, incl. the char delta between tainted and
+    scrubbed text (proves replacement happened, not just counting)."""
+    docs = _docs(spark, sf_dir)
+    tainted = _tainted(docs).withColumn("len_before", F.length("text"))
+    scrubbed = pii_scrub(tainted)
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("long").alias("emails"),
+        F.sum("n_ipv4").cast("long").alias("ips"),
+        F.sum("n_ssn").cast("long").alias("ssns"),
+        F.sum("n_phone").cast("long").alias("phones"),
+        F.sum(F.col("len_before") - F.length("text"))
+        .cast("long")
+        .alias("chars_removed"),
+    )
+
+
+def _pii_oracle() -> str:
+    taint = """
+  text
+  || CASE WHEN doc_id % 3 = 0
+          THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@mail'
+               || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+          ELSE '' END
+  || CASE WHEN doc_id % 4 = 0
+          THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+               || CAST(doc_id % 100 AS VARCHAR)
+          ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+          THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+               || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+               || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END
+  || CASE WHEN doc_id % 2 = 0
+          THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+               || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END
+"""
+    scrub = "t"
+    for _, pat, rep in PII_RULES:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{rep}', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(SUM(len(regexp_extract_all(t, '{pat}'))) AS BIGINT)"
+        f" AS {alias}"
+        for (_, pat, _), alias in zip(
+            PII_RULES, ("emails", "ips", "ssns", "phones")
+        )
+    )
+    return f"""
+WITH tainted AS (
+  SELECT source, ({taint}) AS t FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       {counts},
+       CAST(SUM(len(t) - len({scrub})) AS BIGINT) AS chars_removed
+FROM tainted GROUP BY source
+"""
+
+
+ORACLE_PII_SCRUB_STATS = _pii_oracle()
+
+
 QUERIES = {
+    "pii_scrub_stats": q_pii_scrub_stats,
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
     "text_stats": q_text_stats,
@@ -631,6 +776,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pii_scrub_stats": ORACLE_PII_SCRUB_STATS,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "decontaminate": ORACLE_DECONTAMINATE,
     "text_stats": ORACLE_TEXT_STATS,

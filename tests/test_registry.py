@@ -172,3 +172,42 @@ def test_dup_spans_island_merge_boundaries(spark):
     # the donors each carry their single 10-token lent run
     assert out[3]["dup_tokens"] == 10
     assert out[4]["dup_tokens"] == 10
+
+
+def test_pii_scrub_rules(spark):
+    """Each PII rule redacts its shaped span, counts land in n_<rule>,
+    the scrub is idempotent, and clean word-salad text is untouched."""
+    from quebic_spark.operators.textops import pii_scrub
+
+    texts = [
+        "mail me at jane.doe+spam@sub.example.org today",
+        "server at 192.168.001.12 and peer 10.0.0.1",
+        "ssn 123-45-6789 on file",
+        "call 555-867-5309 now",
+        "plain word salad with no pii at all",
+        "combo a@b.io 1.2.3.4 111-22-3333 222-333-4444",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert out[0]["n_email"] == 1 and "<EMAIL>" in out[0]["text"]
+    assert "jane" not in out[0]["text"]
+    assert out[1]["n_ipv4"] == 2 and out[1]["text"].count("<IP>") == 2
+    assert out[2]["n_ssn"] == 1 and "<SSN>" in out[2]["text"]
+    assert "123-45-6789" not in out[2]["text"]
+    assert out[3]["n_phone"] == 1 and "<PHONE>" in out[3]["text"]
+    assert out[4]["text"] == texts[4]
+    assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_ssn"],
+            out[4]["n_phone"]) == (0, 0, 0, 0)
+    assert out[5]["text"] == "combo <EMAIL> <IP> <SSN> <PHONE>"
+    # idempotent: scrubbing the scrubbed text finds nothing
+    again = pii_scrub(
+        spark.createDataFrame(
+            [(k, r["text"]) for k, r in out.items()],
+            "doc_id long, text string",
+        )
+    )
+    assert again.filter(
+        "n_email + n_ipv4 + n_ssn + n_phone > 0"
+    ).count() == 0

@@ -93,6 +93,122 @@ def import_into_queue(spark: SparkSession, queue: Queue, path: str,
                                   lifetime_ms=lifetime_ms)
 
 
+def write_corpus_shards(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str,
+    order_by: Sequence[str] | None = None,
+    fmt: str = "parquet",
+) -> dict:
+    """Deterministic sharded corpus release — the terminal write of a
+    training-data pipeline.
+
+    Every row lands in shard ``md5(key) % n_shards`` (the same
+    ``hash_bucket`` expression the sampling/splitting operators use, so
+    a row's shard is stable across retries, speculation, and reruns),
+    each shard directory holds exactly ONE data file, and rows inside a
+    shard are sorted by ``order_by`` (default: the key) — a layout a
+    downstream loader can address as ``shard=K`` and stream in order.
+
+    Scale shape: ONE shuffle. ``repartition(n_shards, shard)`` sends all
+    rows of a shard value to a single physical partition (a hash of the
+    shard value — collisions merely co-locate two shards in one task,
+    each still writes its own file), and the in-task sort is prefixed by
+    the shard column so the dynamic-partition writer's required ordering
+    is already satisfied — no second sort. The driver never sees row
+    data; the manifest aggregation is a Spark job whose result is
+    n_shards rows.
+
+    Writes ``_corpus_manifest.json`` beside the shard dirs (per-shard
+    row counts from a read-back of the files actually written, not the
+    input DataFrame) and returns the manifest dict.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from quebic_spark.operators.sampling import hash_bucket
+    from quebic_spark.queue.storage import write_json_atomic
+
+    _check_format(fmt)
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    order = list(order_by) if order_by else [key_col]
+    out = (
+        df.withColumn("shard", hash_bucket(F.col(key_col), n_shards))
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", *order)
+    )
+    writer = out.write.mode("overwrite").partitionBy("shard")
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(path)
+
+    back = spark.read.format(fmt)
+    if fmt == "csv":
+        back = back.option("header", "true")
+    counts = {
+        int(r["shard"]): r["rows"]
+        for r in back.load(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    }
+    shards: dict[str, dict] = {}
+    local = path[len("file:"):] if path.startswith("file:") else path
+    for s in sorted(counts):
+        d = os.path.join(local, f"shard={s}")
+        data = [
+            f for f in os.listdir(d)
+            if not f.startswith((".", "_")) and not f.endswith(".crc")
+        ]
+        shards[str(s)] = {
+            "rows": counts[s],
+            "files": len(data),
+            "bytes": sum(
+                os.path.getsize(os.path.join(d, f)) for f in data
+            ),
+        }
+    manifest = {
+        "format": fmt,
+        "n_shards": n_shards,
+        "key_col": key_col,
+        "order_by": order,
+        "total_rows": sum(c["rows"] for c in shards.values()),
+        "shards": shards,
+    }
+    write_json_atomic(
+        os.path.join(local, "_corpus_manifest.json"), manifest, sync=False
+    )
+    return manifest
+
+
+def read_corpus_shards(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    shards: Sequence[int] | None = None,
+) -> DataFrame:
+    """Scan a sharded corpus; ``shards`` restricts to a subset via the
+    ``shard`` partition column, so the scan PRUNES — only the named
+    shard directories are listed and read (plan-asserted in tests), the
+    access pattern a resumable multi-node loader needs."""
+    from pyspark.sql import functions as F
+
+    _check_format(fmt)
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true").option(
+            "inferSchema", "true"
+        )
+    df = reader.load(path)
+    if shards is not None:
+        df = df.filter(F.col("shard").isin(list(shards)))
+    return df
+
+
 def _ddl_types(queue: Queue) -> list[str]:
     from quebic_spark.schema import INTEGER, REAL, TEXT
 

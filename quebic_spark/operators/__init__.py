@@ -53,6 +53,7 @@ for _mod in _MODULES:
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
     # --- r4: new gates this round ---
+    "dedup_incremental",
     "pii_scrub_stats",
     "dedup_spans",
     "ann_ivf_nprobe2",
@@ -104,7 +105,6 @@ GATE_ORDER: tuple[str, ...] = (
     "event_json_props",
     "event_funnel",
     "event_watermark_windows",
-    "multimodal_manifest",
     "queue_fifo_roundtrip",
     "asof_click_to_purchase",
 )
@@ -112,6 +112,16 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "multimodal_manifest": "binary payload derivation + octet "
+                           "accounting stay live in multimodal_decode "
+                           "(same encode() payload, same byte counts "
+                           "through the Arrow decode stage); the "
+                           "docs-to-embeddings co-resident equijoin is "
+                           "the broadcast equijoin family live in "
+                           "region_revenue / dedup_embedding_cosine, "
+                           "and md5 fingerprinting is the dedup_exact "
+                           "grouping key. Slot given to "
+                           "dedup_incremental in r4",
     "embedding_label_stats": "per-label min/max of vector norms; the "
                              "norm/dot-product expression stays live in "
                              "every ann_* gate and "

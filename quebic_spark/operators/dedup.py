@@ -880,6 +880,95 @@ FROM spans GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_incremental — dedup a new crawl increment against an existing
+# corpus snapshot (the day-2 problem every training pipeline has: the
+# corpus is already released; today's crawl must drop everything the
+# snapshot already contains, then keep-first within itself).
+#
+# Content key = bag-of-words fingerprint (md5 of sorted distinct
+# tokens), the same key the corpus pipeline dedups on — the synthetic
+# corpus has no byte-exact duplicates, so the bag key is the key with
+# organic collisions (13 cross-snapshot + 6 within-batch at sf0.01).
+# Snapshot = sources src0..src{SNAPSHOT_MAX_SRC} ("yesterday"), batch =
+# the rest ("today's crawl").
+#
+# Scale shape: the snapshot side projects ONLY the content key (at
+# 100 TB you keep exactly this — a fingerprint index table, not the
+# corpus — and bucket it by key so its shuffle disappears). The
+# anti-join and the keep-first window both hash-partition on
+# content_key, so the window reuses the join's exchange: one shuffle
+# per input, total.
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_MAX_SRC = 15
+
+
+def _content_key() -> F.Column:
+    toks = F.split(F.col("text"), " ")
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    snapshot_keys: DataFrame,
+    key: str = "content_key",
+    order: str = "doc_id",
+) -> DataFrame:
+    """Drop batch rows whose ``key`` exists in ``snapshot_keys``, then
+    keep-first (min ``order``) within the batch. Both stages hash on
+    ``key``, so the keep-first window reuses the anti-join's exchange —
+    one shuffle per input, total."""
+    from pyspark.sql import Window
+
+    fresh = batch.join(snapshot_keys.select(key), key, "left_anti")
+    w = Window.partitionBy(key).orderBy(order)
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    srcn = F.substring("source", 4, 8).cast("int")
+    tagged = docs.select(
+        "doc_id", "source", _content_key().alias("content_key"),
+        srcn.alias("srcn"),
+    )
+    snapshot = tagged.filter(
+        F.col("srcn") <= SNAPSHOT_MAX_SRC
+    ).select("content_key")
+    batch = tagged.filter(F.col("srcn") > SNAPSHOT_MAX_SRC)
+    return incremental_dedup(batch, snapshot).select(
+        "doc_id", "content_key", "source"
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH tagged AS (
+  SELECT doc_id, source,
+         md5(array_to_string(
+           list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS content_key,
+         CAST(SUBSTR(source, 4) AS INT) AS srcn
+  FROM documents
+)
+SELECT doc_id, content_key, source
+FROM (
+  SELECT b.doc_id, b.content_key, b.source,
+         ROW_NUMBER() OVER (PARTITION BY b.content_key
+                            ORDER BY b.doc_id) AS rn
+  FROM tagged b
+  WHERE b.srcn > {SNAPSHOT_MAX_SRC}
+    AND NOT EXISTS (SELECT 1 FROM tagged s
+                    WHERE s.srcn <= {SNAPSHOT_MAX_SRC}
+                      AND s.content_key = b.content_key)
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "cardinality_sketch": q_cardinality_sketch,
     "dedup_exact": q_dedup_exact,
@@ -890,6 +979,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_simhash": q_dedup_simhash,
     "dedup_spans": q_dedup_spans,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 ORACLES = {
@@ -902,4 +992,5 @@ ORACLES = {
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_spans": ORACLE_DEDUP_SPANS,
+    "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
 }

@@ -1,0 +1,68 @@
+"""Unit evidence for the incremental-dedup library op (the gate
+``dedup_incremental`` covers the corpus wiring; these tests pin the
+two-stage semantics on constructed frames where both stages must
+fire, plus the single-hash-shuffle plan shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quebic_spark.operators.dedup import incremental_dedup
+
+
+def _frames(spark):
+    batch = spark.createDataFrame(
+        [
+            # k1: survives (not in snapshot), keep-first among 10/11
+            (10, "k1"), (11, "k1"),
+            # k2: dropped entirely — snapshot already has it
+            (12, "k2"),
+            # k3: unique survivor
+            (13, "k3"),
+            # k4: in snapshot AND duplicated in batch — all dropped
+            (14, "k4"), (15, "k4"),
+        ],
+        "doc_id long, content_key string",
+    )
+    snapshot = spark.createDataFrame(
+        [("k2",), ("k4",), ("k9",)], "content_key string"
+    )
+    return batch, snapshot
+
+
+def test_incremental_dedup_two_stage_semantics(spark):
+    batch, snapshot = _frames(spark)
+    out = incremental_dedup(batch, snapshot)
+    rows = {(r.doc_id, r.content_key) for r in out.collect()}
+    # k2/k4 gone (snapshot), k1 keeps min doc_id only, k3 intact
+    assert rows == {(10, "k1"), (13, "k3")}
+    assert "rn" not in out.columns
+
+
+def test_incremental_dedup_empty_snapshot_is_within_batch_dedup(spark):
+    batch, _ = _frames(spark)
+    empty = batch.select("content_key").filter(F.lit(False))
+    out = incremental_dedup(batch, empty)
+    rows = {(r.doc_id, r.content_key) for r in out.collect()}
+    assert rows == {(10, "k1"), (12, "k2"), (13, "k3"), (14, "k4")}
+
+
+def test_incremental_dedup_window_reuses_join_exchange(spark):
+    """One hash exchange per join INPUT and none after: the keep-first
+    window must reuse the anti-join's content_key partitioning, and
+    Spark's rank-limit pushdown (WindowGroupLimit) must apply so only
+    one row per key survives the per-partition sort."""
+    batch, snapshot = _frames(spark)
+    plan = (
+        incremental_dedup(batch, snapshot)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_key_exchanges = sum(
+        "hashpartitioning(content_key" in ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+    )
+    # <= 2: one per join input when SMJ is picked; fewer if the
+    # snapshot side broadcasts. Never a third for the window.
+    assert n_key_exchanges <= 2, plan
+    assert "WindowGroupLimit" in plan, plan

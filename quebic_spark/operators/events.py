@@ -7,10 +7,13 @@ queries here (oracle-checkable); the same window expressions run
 unchanged under Structured Streaming (see quebic_spark.streaming and
 the streaming tests).
 
-The events parquet stores TIMESTAMP(NANOS), which Spark 4 refuses to
-scan natively — ``_events`` reads it via the nanosAsLong legacy conf
-and truncates ns -> us, which bit-matches DuckDB's own ns -> us read
-(verified: ns // 1000 == duckdb epoch_us).
+The events parquet has shipped with two physical ``ts`` encodings
+across driver testdata generations: TIMESTAMP(NANOS) (which Spark 4
+only scans via the nanosAsLong legacy conf; truncating ns -> us
+bit-matches DuckDB's own ns -> us read) and plain timestamp[us].
+``_events`` detects which one it got and normalizes both to a
+session-zone TIMESTAMP column, so every downstream operator and its
+DuckDB oracle see identical microsecond values either way.
 """
 
 from __future__ import annotations
@@ -24,12 +27,21 @@ SESSION_GAP = "30 minutes"
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quebic_spark.session import tune_for_query
 
+    from pyspark.sql.types import LongType
+
     tune_for_query(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer DIV, not `/`: double division of ~1.7e18 ns epochs loses
-    # unit-microsecond precision (2^53 mantissa)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        # nanos generation: integer DIV, not `/` — double division of
+        # ~1.7e18 ns epochs loses unit-microsecond precision (2^53)
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    # micros generation: parquet timestamp[us] scans as TIMESTAMP_NTZ;
+    # cast to the session-zone TIMESTAMP (session tz is UTC) so the
+    # column type matches the nanos path and the driver's schema check
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # ---------------------------------------------------------------------------

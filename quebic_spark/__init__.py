@@ -33,6 +33,7 @@ from quebic_spark.schema import (
 from quebic_spark.tensor import Tensor
 from quebic_spark.codec import GZIP, PLAIN, Codec
 from quebic_spark.queue import Publisher, Queue, Subscriber
+from quebic_spark.cache import clear_caches
 from quebic_spark.queue.typed import Converter, TypedQueue
 from quebic_spark.serde import deserialize_record, serialize_record
 
@@ -57,6 +58,7 @@ __all__ = [
     "TEXT",
     "Tensor",
     "TypedQueue",
+    "clear_caches",
     "deserialize_record",
     "serialize_record",
 ]

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quebic_spark.cache import register_cache
 from quebic_spark.functions.text import shingles, tokens
 from quebic_spark.functions.vector import dot_product
 
@@ -139,7 +140,7 @@ def minhash_lsh_pairs(
     # the shingle set feeds the signature agg AND both sides of the
     # verify join — materialize once instead of re-exploding 4x (at
     # cluster scale this is a persisted intermediate table)
-    sh = _shingled(docs, basis=basis).cache()
+    sh = register_cache(_shingled(docs, basis=basis).cache())
     # MinHash signature: per doc, min over shingles of md5(seed||shingle)
     sig = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("set_size"),
@@ -149,7 +150,8 @@ def minhash_lsh_pairs(
             )
             for s in range(N_MINHASH)
         ],
-    ).cache()
+    )
+    sig = register_cache(sig.cache())
     # LSH banding: band key = md5(mh_{2b} || mh_{2b+1})
     bands = sig.select(
         "doc_id",
@@ -365,7 +367,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     docs = _docs(spark, sf_dir)
-    sh = _shingled(docs).cache()  # feeds sizes + both join sides
+    # feeds sizes + both join sides
+    sh = register_cache(_shingled(docs).cache())
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     m_row = sizes.agg(F.min("set_size").alias("m")).collect()
     m = m_row[0]["m"] or 0
@@ -590,7 +593,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recompute the 64-vote aggregation over the corpus twice (a real
     # pipeline persists fingerprints as a column; cache is the
     # local-bench equivalent)
-    docs = docs.cache()
+    docs = register_cache(docs.cache())
     chunks = docs.select(
         "doc_id",
         "simhash",
@@ -701,10 +704,18 @@ ORACLE_DEDUP_SIMHASH = _simhash_oracle()
 
 def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
+    # Distinct-count md5(text), never text itself: Spark plans
+    # multi-distinct aggregates through Expand + exchange keyed on the
+    # distinct expressions, so a raw-text key would push every document
+    # body through the shuffle twice — the count is identical (md5
+    # collisions are negligible below 2^64 docs) but the shuffle key
+    # drops from whole documents to 32 bytes. Same substitution in the
+    # DuckDB oracle so both engines count the same keys.
+    text_key = F.md5("text")
     agg = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("text").alias("exact_distinct_texts"),
-        F.approx_count_distinct("text", rsd=0.02).alias("_approx_texts"),
+        F.countDistinct(text_key).alias("exact_distinct_texts"),
+        F.approx_count_distinct(text_key, rsd=0.02).alias("_approx_texts"),
         F.countDistinct("source").alias("exact_distinct_sources"),
         F.approx_count_distinct("source", rsd=0.02).alias("_approx_sources"),
     )
@@ -731,7 +742,7 @@ def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CARDINALITY_SKETCH = """
 SELECT COUNT(*) AS n_docs,
-       COUNT(DISTINCT text) AS exact_distinct_texts,
+       COUNT(DISTINCT md5(text)) AS exact_distinct_texts,
        COUNT(DISTINCT source) AS exact_distinct_sources,
        TRUE AS texts_within_5pct,
        TRUE AS sources_within_5pct

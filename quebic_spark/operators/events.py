@@ -30,16 +30,37 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType
 
     tune_for_query(spark)
+    # pin UTC for the NTZ->TIMESTAMP cast below: a harness-supplied
+    # non-UTC session would otherwise shift every micros-generation ts
+    # by the zone offset (nanos path is zone-independent) and diverge
+    # from the DuckDB oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(raw.schema["ts"].dataType, LongType):
         # nanos generation: integer DIV, not `/` — double division of
-        # ~1.7e18 ns epochs loses unit-microsecond precision (2^53)
+        # ~1.7e18 ns epochs loses unit-microsecond precision (2^53).
+        # LongType here can only mean TIMESTAMP(NANOS)-read-via-
+        # nanosAsLong for current testdata, but guard the unit: a
+        # future int64 ts in seconds/millis/micros would be silently
+        # divided by 1000 — assert_true makes that fail loudly at scan
+        # time instead (nanos epochs for any plausible date are > 2^60;
+        # micros epochs are < 2^53).
         return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            "ts",
+            F.timestamp_micros(
+                F.when(
+                    F.assert_true(
+                        F.col("ts") > F.lit(1 << 60),
+                        "events.ts: int64 below nanosecond-epoch "
+                        "magnitude — unexpected unit, refusing DIV 1000",
+                    ).isNull(),
+                    F.expr("ts DIV 1000"),
+                )
+            ),
         )
     # micros generation: parquet timestamp[us] scans as TIMESTAMP_NTZ;
-    # cast to the session-zone TIMESTAMP (session tz is UTC) so the
+    # cast to the session-zone TIMESTAMP (pinned UTC above) so the
     # column type matches the nanos path and the driver's schema check
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 

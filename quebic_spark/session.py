@@ -19,6 +19,19 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    # Python workers resolve UDF closures by importing this package by
+    # name; a driver started outside the repo (sys.path patched
+    # in-process only) would leave workers without it. Export the
+    # package root on PYTHONPATH BEFORE the JVM launches — the worker
+    # daemons inherit it. On a real cluster the equivalent is
+    # spark.submit.pyFiles / a wheel on the image; this covers local
+    # and client-mode-with-shared-FS deployments.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + py_path if py_path else "")
+        )
     if shuffle_partitions is None:
         try:
             shuffle_partitions = max(int(cpus), 8)

@@ -24,17 +24,21 @@ def register_testdata(
     spark: SparkSession, sf_dir: str,
     tables: tuple[str, ...] = TESTDATA_TABLES,
 ) -> list[str]:
-    """Temp view per testdata parquet table. ``events`` needs the
-    nanos-as-long reader flag (TIMESTAMP(NANOS) parquet type), set here
-    the same way the events operators set it. Returns the registered
+    """Temp view per testdata parquet table. ``events`` goes through
+    the same ``ts`` normalization as the event operators
+    (``operators.events._events``: TIMESTAMP(NANOS) and timestamp[us]
+    generations both become a UTC session-zone TIMESTAMP), so SQL
+    against the view and the operator layer see identical values —
+    scan transparency includes type semantics. Returns the registered
     names."""
+    from quebic_spark.operators.events import _events
+
     registered = []
     for t in tables:
         if t == "events":
-            spark.conf.set(
-                "spark.sql.legacy.parquet.nanosAsLong", "true"
-            )
-        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            df = _events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         df.createOrReplaceTempView(t)
         registered.append(t)
     return registered

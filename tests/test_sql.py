@@ -26,6 +26,29 @@ def test_register_testdata_and_query(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]" in plan
 
 
+def test_events_view_matches_operator_normalization(spark, sf_dir):
+    """The facade's events view must carry the SAME ts the operator
+    layer computes — TIMESTAMP type, identical values — regardless of
+    which physical encoding (nanos-long vs timestamp[us]) this testdata
+    generation shipped (round-4 review: the raw scan leaked a BIGINT
+    to SQL users on nanos-generation data)."""
+    from quebic_spark.operators.events import _events
+
+    register_testdata(spark, sf_dir)
+    view_ts = spark.sql("SELECT ts FROM events")
+    assert dict(view_ts.dtypes)["ts"] == "timestamp"
+    op = _events(spark, sf_dir).select("ts")
+    assert dict(op.dtypes)["ts"] == "timestamp"
+    a = spark.sql(
+        "SELECT MIN(ts) AS lo, MAX(ts) AS hi, COUNT(*) AS n FROM events"
+    ).first()
+    b = op.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert (a["lo"], a["hi"], a["n"]) == (b["lo"], b["hi"], b["n"])
+
+
 def test_register_queue_view(spark, tmp_path):
     q = Queue(str(tmp_path / "q"), Schema(INTEGER, TEXT), capacity=100)
     q.publisher().push_all([[i, f"v{i}"] for i in range(10)])

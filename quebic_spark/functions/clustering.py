@@ -45,13 +45,47 @@ def _distance_sq(vec_col: F.Column, centroid: list[float]) -> F.Column:
 
 
 def _assign_col(vec_col: F.Column, centroids: list[list[float]]) -> F.Column:
-    dists = [_distance_sq(vec_col, c) for c in centroids]
-    best = F.least(*dists)
-    expr = None
-    for i, d in enumerate(dists):
-        cond = d == best
-        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
-    return expr.cast("int")
+    # argmin via array_position(dists, min): ONE copy of each distance
+    # tree. The least()+when-chain formulation embedded every distance
+    # tree in every arm — an O(k^2 * dim) expression whose Catalyst
+    # analysis cost (~3 s per iteration at k=8, dim=64) dwarfed the
+    # actual work. array_position returns the FIRST match, preserving
+    # the first-index-on-ties rule.
+    dists = F.array(*[_distance_sq(vec_col, c) for c in centroids])
+    return (
+        F.array_position(dists, F.array_min(dists)).cast("int") - 1
+    )
+
+
+def _assign_pandas(centroids: list[list[float]]):
+    """Arrow-vectorized argmin assignment — the Lloyd hot path.
+
+    The pure-expression form (``_assign_col``) pays twice per
+    iteration: k*dim literal Columns built over py4j (~1 s of driver
+    chatter at k=8, dim=64) and interpreted higher-order-function
+    evaluation per row (zip_with/aggregate lambdas are not codegen'd).
+    A scalar Pandas UDF moves the whole batch through one NumPy
+    broadcast — identical semantics (float64 squared-L2, argmin =
+    first index on ties, per-row independent so any partitioning or
+    batch split gives the same answer) and it IS the test suite's
+    NumPy reference computation. ``_assign_col`` stays for
+    SQL-parity/oracle use at small k.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def assign(v):
+        X = np.array(v.tolist(), dtype=np.float64)
+        if len(X) == 0:
+            return pd.Series([], dtype="int32")
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    # explicit functionType: `from __future__ import annotations`
+    # stringifies hints, breaking pandas_udf's hint inference
+    return pandas_udf(assign, "int", PandasUDFType.SCALAR)
 
 
 def seeded_centroids(k: int, dim: int, seed: int = 11) -> list[list[float]]:
@@ -99,7 +133,7 @@ def kmeans(
     iters_run = 0
     for _ in range(max_iters):
         assigned = df.select(
-            _assign_col(F.col(vec_col), centroids).alias("cluster"),
+            _assign_pandas(centroids)(F.col(vec_col)).alias("cluster"),
             F.posexplode(F.col(vec_col)).alias("dim", "component"),
         )
         sums = (
@@ -127,6 +161,6 @@ def kmeans(
             break
         centroids = new_centroids
     out = df.withColumn(
-        "cluster", _assign_col(F.col(vec_col), centroids)
+        "cluster", _assign_pandas(centroids)(F.col(vec_col))
     )
     return out, centroids, iters_run

@@ -52,7 +52,11 @@ for _mod in _MODULES:
 
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
-    # --- r4: new gates this round ---
+    # --- r5: new gates this round ---
+    "corpus_shards_roundtrip",
+    "profile_documents",
+    "ann_ivf_learned_recall",
+    # --- r4: new gates that round ---
     "dedup_incremental",
     "pii_scrub_stats",
     "dedup_spans",
@@ -79,17 +83,14 @@ GATE_ORDER: tuple[str, ...] = (
     "multimodal_decode",
     # --- stable since r2 (driver-green in CORRECTNESS_r02) ---
     "pricing_summary",
-    "region_revenue",
     "top_orders_per_segment",
     "part_supplier_overlap",
     "status_priority_cube",
     "skew_safe_revenue",
-    "price_percentiles",
     "brand_name_similarity",
     "above_avg_customers",
     "urgent_vs_finished_outer",
     "returnflag_pivot",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
@@ -112,6 +113,27 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "dedup_exact": "identical md5-groupBy keep-first dedup stays live "
+                   "twice over: pipeline_doc_counts' dedup stage runs "
+                   "the same content-fingerprint groupBy inside the "
+                   "fused pipeline, and dedup_incremental's snapshot "
+                   "key is the same md5(text) expression (plus "
+                   "dedup_exact_rows was already retired on these "
+                   "grounds). Slot given to corpus_shards_roundtrip "
+                   "in r5",
+    "price_percentiles": "percentile_approx grouped agg; the quantile "
+                         "family is gated live by quantile_sketch (GK "
+                         "sketch vs exact DuckDB quantiles, tighter "
+                         "contract), grouped scalar aggs by "
+                         "pricing_summary. Slot given to "
+                         "profile_documents in r5",
+    "region_revenue": "multi-way broadcast dim join + grouped agg; "
+                      "broadcast-join mechanics stay live via "
+                      "decontaminate (broadcast gram join) and "
+                      "mixture_sample (broadcast rate join), multi-"
+                      "table join + agg via part_supplier_overlap and "
+                      "pricing_summary. Slot given to "
+                      "ann_ivf_learned_recall in r5",
     "multimodal_manifest": "binary payload derivation + octet "
                            "accounting stay live in multimodal_decode "
                            "(same encode() payload, same byte counts "

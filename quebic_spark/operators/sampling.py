@@ -618,7 +618,70 @@ FROM rates r LEFT JOIN sel s ON r.source = s.source
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_shards_roundtrip — gate for the sharded corpus writer/reader
+# (sources/io.py): write documents as a shard=K release to a temp dir,
+# read back a PRUNED subset (only the named shard dirs are listed —
+# plan-asserted in tests/test_sources.py), and summarize per shard.
+# The shard key is the same md5 bucket expression the sampling ops
+# use, so DuckDB replays the whole roundtrip arithmetically without
+# touching the written files — a writer that dropped, duplicated, or
+# misrouted rows hash-fails against the pure-SQL projection.
+# ---------------------------------------------------------------------------
+
+CORPUS_GATE_SHARDS = 8
+CORPUS_GATE_SUBSET = (3, 5)
+
+
+def q_corpus_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from quebic_spark.sources.io import (
+        read_corpus_shards,
+        write_corpus_shards,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="quebic_corpus_gate_")
+    path = tmp + "/corpus"
+    try:
+        write_corpus_shards(
+            spark, docs, path, n_shards=CORPUS_GATE_SHARDS,
+            key_col="doc_id", order_by=["doc_id"],
+        )
+        back = (
+            read_corpus_shards(spark, path, shards=list(CORPUS_GATE_SUBSET))
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").alias("min_doc_id"),
+                F.max("doc_id").alias("max_doc_id"),
+            )
+            .select(
+                F.col("shard").cast("int").alias("shard"),
+                "n_docs", "min_doc_id", "max_doc_id",
+            )
+        )
+        # materialize before the temp dir is removed
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+ORACLE_CORPUS_SHARDS_ROUNDTRIP = f"""
+SELECT {_hash_bucket_sql("doc_id", CORPUS_GATE_SHARDS)} AS shard,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents
+WHERE {_hash_bucket_sql("doc_id", CORPUS_GATE_SHARDS)} IN {CORPUS_GATE_SUBSET}
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "corpus_shards_roundtrip": q_corpus_shards_roundtrip,
     "mixture_sample": q_mixture_sample,
     "weighted_sample": q_weighted_sample,
     "sequence_packing": q_sequence_packing,
@@ -631,6 +694,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_shards_roundtrip": ORACLE_CORPUS_SHARDS_ROUNDTRIP,
     "mixture_sample": ORACLE_MIXTURE_SAMPLE,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,

@@ -761,7 +761,46 @@ FROM tainted GROUP BY source
 ORACLE_PII_SCRUB_STATS = _pii_oracle()
 
 
+# ---------------------------------------------------------------------------
+# profile_documents — gate for the one-pass column profiler
+# (functions/profile.py): long-format per-column stats over the
+# documents table in a single partial-aggregatable scan. The gate runs
+# exact_distinct=True so DuckDB replays every value — but profiles only
+# the compact columns (doc_id, lang, source, n_chars), NOT text: an
+# exact distinct over raw document bodies is the Expand+shuffle shape
+# cardinality_sketch just had surgically removed, and profile's default
+# HLL mode is the documented scale path for wide string columns anyway.
+# ---------------------------------------------------------------------------
+
+PROFILE_GATE_COLS = (
+    ("doc_id", "numeric"),
+    ("lang", "string"),
+    ("source", "string"),
+    ("n_chars", "numeric"),
+)
+
+
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quebic_spark.functions.profile import profile
+
+    return profile(
+        _docs(spark, sf_dir),
+        columns=[c for c, _ in PROFILE_GATE_COLS],
+        exact_distinct=True,
+    )
+
+
+def _profile_documents_oracle() -> str:
+    from quebic_spark.functions.profile import profile_oracle_sql
+
+    return profile_oracle_sql("documents", list(PROFILE_GATE_COLS))
+
+
+ORACLE_PROFILE_DOCUMENTS = _profile_documents_oracle()
+
+
 QUERIES = {
+    "profile_documents": q_profile_documents,
     "pii_scrub_stats": q_pii_scrub_stats,
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
@@ -776,6 +815,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "profile_documents": ORACLE_PROFILE_DOCUMENTS,
     "pii_scrub_stats": ORACLE_PII_SCRUB_STATS,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "decontaminate": ORACLE_DECONTAMINATE,

@@ -156,20 +156,28 @@ def write_corpus_shards(
         .agg(F.count(F.lit(1)).alias("rows"))
         .collect()
     }
+    # File/byte accounting via the Hadoop FileSystem API, not
+    # os.listdir: the terminal write of a real release lands on an
+    # object store or HDFS, where only the FS connector can list.
+    # (`path` resolves against fs.defaultFS semantics exactly like the
+    # write above did, so both sides see the same files.)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
     shards: dict[str, dict] = {}
-    local = path[len("file:"):] if path.startswith("file:") else path
     for s in sorted(counts):
-        d = os.path.join(local, f"shard={s}")
+        d = jvm.org.apache.hadoop.fs.Path(root, f"shard={s}")
         data = [
-            f for f in os.listdir(d)
-            if not f.startswith((".", "_")) and not f.endswith(".crc")
+            st for st in fs.listStatus(d)
+            if st.isFile()
+            and not st.getPath().getName().startswith((".", "_"))
+            and not st.getPath().getName().endswith(".crc")
         ]
         shards[str(s)] = {
             "rows": counts[s],
             "files": len(data),
-            "bytes": sum(
-                os.path.getsize(os.path.join(d, f)) for f in data
-            ),
+            "bytes": sum(st.getLen() for st in data),
         }
     manifest = {
         "format": fmt,
@@ -179,9 +187,24 @@ def write_corpus_shards(
         "total_rows": sum(c["rows"] for c in shards.values()),
         "shards": shards,
     }
-    write_json_atomic(
-        os.path.join(local, "_corpus_manifest.json"), manifest, sync=False
-    )
+    # manifest lands beside the shards through the same FS connector
+    # (atomic local rename is a local-FS nicety; object stores get a
+    # single-shot PUT via create/overwrite either way)
+    mpath = jvm.org.apache.hadoop.fs.Path(root, "_corpus_manifest.json")
+    if fs.getScheme() == "file":
+        write_json_atomic(
+            os.path.join(mpath.toUri().getPath()), manifest, sync=False
+        )
+    else:
+        import json
+
+        out_stream = fs.create(mpath, True)
+        try:
+            out_stream.write(bytearray(
+                json.dumps(manifest, indent=2).encode("utf-8")
+            ))
+        finally:
+            out_stream.close()
     return manifest
 
 

@@ -157,3 +157,32 @@ def test_corpus_shards_deterministic_across_writes(spark, sf_dir, tmp_path):
             per[s] = ids
         outs.append(per)
     assert outs[0] == outs[1]
+
+
+def test_corpus_shards_uri_path_manifest(spark, sf_dir, tmp_path):
+    """Manifest accounting goes through the Hadoop FS connector, so a
+    scheme-qualified URI (the shape every object-store path has) must
+    work end-to-end — the round-4 os.listdir version crashed on any
+    non-plain-local path."""
+    import json
+    import os
+
+    from quebic_spark.sources.io import (
+        read_corpus_shards,
+        write_corpus_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out_uri = "file://" + str(tmp_path / "corpus_uri")
+    man = write_corpus_shards(
+        spark, docs, out_uri, n_shards=4, key_col="doc_id"
+    )
+    n_in = docs.count()
+    assert man["total_rows"] == n_in
+    assert all(s["files"] == 1 for s in man["shards"].values())
+    assert all(s["bytes"] > 0 for s in man["shards"].values())
+    # manifest file landed beside the shards and round-trips
+    mf = str(tmp_path / "corpus_uri" / "_corpus_manifest.json")
+    assert os.path.exists(mf)
+    assert json.load(open(mf)) == man
+    assert read_corpus_shards(spark, out_uri).count() == n_in

@@ -2,10 +2,16 @@
 
 North-star extension layer (SURVEY §2.10): image/audio/video are
 ``binary`` columns with metadata structs; decode / feature-extraction
-runs as Arrow-batched ``mapInPandas``. The container has no imaging
-libs, so the decode step is a clearly-marked deterministic fake behind
-the real Spark plumbing (schema, batching, partitioning) — swap
-``_fake_decode`` for a PIL/ffmpeg call on a real cluster.
+runs as Arrow-batched ``mapInPandas``. Two decode tiers:
+
+* REAL decoders for formats parseable with stdlib + numpy (24-bit BMP
+  header+pixel parsing, PCM WAV via the wave module) — ``decode_media``
+  auto-detects by magic bytes;
+* the clearly-marked deterministic stub (``_fake_decode`` /
+  ``_stub_dims``) for everything needing PIL/ffmpeg, which this
+  container does not have — swap in the real call on a real cluster.
+  Unknown formats fall back to the stub path (flagged via ``fmt``)
+  instead of failing the scan.
 
 ``documents ⋈ embeddings`` on ``doc_id = vec_id`` plays the role of the
 text+vector multimodal pair in the driver testdata.
@@ -213,6 +219,171 @@ def resize_dims(decoded: DataFrame, max_w: int, max_h: int) -> DataFrame:
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders — formats parseable with stdlib + numpy alone (the
+# container has no PIL/ffmpeg; BMP and PCM-WAV need neither). These are
+# actual byte-level decoders, not stubs: they parse headers, validate
+# magic/geometry, and touch every pixel/sample (mean value proves it).
+# ``decode_media`` auto-detects per row and falls back to the
+# deterministic stub arithmetic for unknown payloads, so one pipeline
+# handles a mixed-format corpus and the stub path stays exercised on
+# the synthetic text payloads.
+# ---------------------------------------------------------------------------
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, fmt string, payload_bytes int, width int, "
+    "height int, n_frames int, sample_rate int, channels int, "
+    "mean_value double"
+)
+
+
+def detect_format(payload: bytes) -> str:
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        return "bmp"
+    if (
+        payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+        and len(payload) >= 44
+    ):
+        return "wav"
+    return "unknown"
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse a BITMAPINFOHEADER BMP (uncompressed 24-bit): header
+    geometry + full pixel scan (rows are 4-byte aligned, bottom-up)."""
+    import struct
+
+    import numpy as np
+
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or planes != 1 or compression != 0 or bpp != 24:
+        raise ValueError(
+            f"unsupported BMP: hdr={hdr_size} planes={planes} "
+            f"bpp={bpp} compression={compression}"
+        )
+    height_abs = abs(height)
+    row_bytes = ((bpp * width + 31) // 32) * 4
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * height_abs,
+        offset=data_off,
+    ).reshape(height_abs, row_bytes)[:, : width * 3]
+    return {
+        "fmt": "bmp",
+        "width": width,
+        "height": height_abs,
+        "n_frames": 1,
+        "sample_rate": None,
+        "channels": 3,
+        "mean_value": float(px.mean()) if px.size else 0.0,
+    }
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode PCM WAV via the stdlib wave module: real sample frames
+    out, mean absolute amplitude over all channels."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_frames = w.getnframes()
+        width = w.getsampwidth()
+        raw = w.readframes(n_frames)
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+        if dtype is None:
+            raise ValueError(f"unsupported WAV sample width {width}")
+        samples = np.frombuffer(raw, dtype=dtype)
+        return {
+            "fmt": "wav",
+            "width": None,
+            "height": None,
+            "n_frames": n_frames,
+            "sample_rate": w.getframerate(),
+            "channels": w.getnchannels(),
+            "mean_value": (
+                float(np.abs(samples.astype(np.float64)).mean())
+                if samples.size else 0.0
+            ),
+        }
+
+
+def _stub_dims(n: int) -> dict:
+    # same arithmetic as _fake_decode — the documented deterministic
+    # fallback for formats the container cannot decode
+    return {
+        "fmt": "unknown-stub",
+        "width": n % 640 + 1,
+        "height": n % 480 + 1,
+        "n_frames": n % 16 + 1,
+        "sample_rate": None,
+        "channels": None,
+        "mean_value": None,
+    }
+
+
+def decode_media(payloads: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) -> typed media metadata, one row per
+    input row. Real BMP/WAV decoding in-batch; unknown formats get the
+    deterministic stub dims (flagged by ``fmt``), so a mixed corpus
+    never fails mid-scan — quarantine/filter on ``fmt`` downstream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                kind = detect_format(payload)
+                if kind == "bmp":
+                    d = decode_bmp(payload)
+                elif kind == "wav":
+                    d = decode_wav(payload)
+                else:
+                    d = _stub_dims(len(payload))
+                d["doc_id"] = doc_id
+                d["payload_bytes"] = len(payload)
+                rows.append(d)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "payload_bytes", "width",
+                    "height", "n_frames", "sample_rate", "channels",
+                    "mean_value",
+                ],
+            )
+
+    return payloads.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def encode_bmp(width: int, height: int, rgb: "list[list[tuple]]") -> bytes:
+    """Test-support encoder: rows of (r, g, b) top-down -> 24-bit BMP
+    bytes (bottom-up, 4-byte-aligned rows), the exact layout
+    ``decode_bmp`` parses."""
+    import struct
+
+    row_bytes = ((24 * width + 31) // 32) * 4
+    pad = row_bytes - width * 3
+    body = b""
+    for row in reversed(rgb):  # BMP stores bottom-up
+        for r, g, b in row:
+            body += bytes((b, g, r))  # little-endian BGR
+        body += b"\x00" * pad
+    data_off = 54
+    size = data_off + len(body)
+    header = (
+        b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+            2835, 2835, 0, 0,
+        )
+    )
+    return header + body
 
 
 QUERIES = {

@@ -67,22 +67,30 @@ def _expires_at(lifetime_ms: int) -> int:
     return -1 if lifetime_ms < 0 else _now_ms() + lifetime_ms
 
 
-def _parse_stream_committed(checkpoint_dir: str) -> set[str] | None:
-    """Basenames of log files a Structured Streaming file source has
-    COMMITTED (fully processed) from this checkpoint, or None when the
-    checkpoint isn't parseable (be conservative: treat as unknown).
+def _parse_stream_file_sets(
+    checkpoint_dir: str,
+) -> tuple[set[str], set[str]] | None:
+    """(committed, discovered) basenames of log files from a Structured
+    Streaming file-source checkpoint, or None when the checkpoint isn't
+    parseable (be conservative: treat as unknown).
 
     Layout (public Spark checkpoint format): ``commits/<batchId>`` marks
     batch completion; ``sources/0/<batchId>`` is the file-source offset
     log — one JSON entry per discovered file, each carrying the
     ``batchId`` it was first listed for (periodic ``<n>.compact`` files
     repeat all prior entries, so reading every log file and filtering
-    by the per-entry batchId is restart- and compaction-proof). A file
-    whose entry batchId is <= the max committed batch will never be
-    re-listed or re-read by the source — the same contract Spark's own
-    ``cleanSource=delete`` option relies on — so deleting it cannot
-    cause redelivery. Entries for batches beyond the last commit may be
-    replayed on restart and are excluded.
+    by the per-entry batchId is restart- and compaction-proof).
+
+    * COMMITTED: entry batchId <= the max committed batch. The source
+      never re-lists or re-reads these — the same contract Spark's own
+      ``cleanSource=delete`` relies on — so deleting one cannot cause
+      redelivery. Entries for batches beyond the last commit may be
+      replayed on restart and are excluded.
+    * DISCOVERED: every entry regardless of batchId. A file whose
+      basename appears NOWHERE in the offset log has never been listed
+      by the source, so merging it into a new file cannot cause
+      redelivery (the source has no memory of the old name) — the
+      complement guarantee the small-file merge path needs.
     """
     import json
     from urllib.parse import unquote, urlparse
@@ -96,9 +104,8 @@ def _parse_stream_committed(checkpoint_dir: str) -> set[str] | None:
         base = name[: -len(".compact")] if name.endswith(".compact") else name
         if base.isdigit():
             last_committed = max(last_committed, int(base))
-    if last_committed < 0:
-        return set()
     committed: set[str] = set()
+    discovered: set[str] = set()
     try:
         for name in os.listdir(sources_dir):
             base = (name[: -len(".compact")]
@@ -116,15 +123,23 @@ def _parse_stream_committed(checkpoint_dir: str) -> set[str] | None:
                     batch_id = entry.get("batchId")
                     if path is None or batch_id is None:
                         return None  # unknown log dialect
+                    base_name = os.path.basename(
+                        unquote(urlparse(path).path)
+                    )
+                    discovered.add(base_name)
                     if batch_id <= last_committed:
-                        committed.add(
-                            os.path.basename(unquote(urlparse(path).path))
-                        )
+                        committed.add(base_name)
     except (OSError, ValueError):
         # torn/concurrent write or unknown format: report unknown so the
         # caller skips compaction instead of guessing
         return None
-    return committed
+    return committed, discovered
+
+
+def _parse_stream_committed(checkpoint_dir: str) -> set[str] | None:
+    """COMMITTED basenames only (see ``_parse_stream_file_sets``)."""
+    sets = _parse_stream_file_sets(checkpoint_dir)
+    return None if sets is None else sets[0]
 
 
 def _record_from_row(schema: Schema, row: dict[str, Any]) -> tuple[Any, ...]:
@@ -301,7 +316,8 @@ class Queue:
                 small_file_rows: int = 65_536,
                 force: bool = False,
                 expired_rewrite_fraction: float = 0.5,
-                stream_checkpoint: str | None = None) -> int:
+                stream_checkpoint: str | None = None,
+                merge_undiscovered: bool = False) -> int:
         """Tiered log compaction: drop acked/expired rows, merge runs of
         small files, leave large clean files untouched.
 
@@ -342,6 +358,20 @@ class Queue:
         bypasses every stream guard (only safe when no stream can
         resume).
 
+        ``merge_undiscovered=True`` additionally merges runs of small
+        files the source has NEVER LISTED (absent from the whole
+        offset log, not merely uncommitted) — the slow-consumer
+        unbounded-small-file hole delete-only mode leaves open. Safe
+        against redelivery/skips by construction (the source has no
+        memory of the old names; every row lands in the merged file,
+        which the source discovers as a brand-new file), but ONLY when
+        no listing can race the merge: the source lists between
+        micro-batches, so the supported call site is inside
+        ``foreachBatch`` (``StreamingConsumer(compact_every_batches=N)``
+        does exactly this) or while the query is stopped. A concurrent
+        listing could otherwise observe a just-listed file being
+        removed and fail that batch's read.
+
         Returns the number of files after compaction.
         """
         self._check_open()
@@ -349,10 +379,11 @@ class Queue:
             ckpt = stream_checkpoint or os.path.join(
                 self._storage.path, "checkpoint"
             )
-            committed = (
-                _parse_stream_committed(ckpt)
+            sets = (
+                _parse_stream_file_sets(ckpt)
                 if os.path.isdir(ckpt) else None
             )
+            committed = None if sets is None else sets[0]
             if committed is None:
                 self.last_compact_skipped = True
                 log.warning(
@@ -364,7 +395,14 @@ class Queue:
                     self._storage.path, self._compaction_pins, ckpt,
                 )
                 return len(self._storage.list_batches())
-            return self._compact_stream_safe(committed)
+            return self._compact_stream_safe(
+                committed,
+                discovered_basenames=(
+                    sets[1] if merge_undiscovered else None
+                ),
+                small_file_rows=small_file_rows,
+                target_file_rows=target_file_rows,
+            )
         self.last_compact_skipped = False
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -526,13 +564,33 @@ class Queue:
             self._batch_files_estimate = new_files + n_kept
             return new_files + n_kept
 
-    def _compact_stream_safe(self, committed_basenames: set[str]) -> int:
+    def _compact_stream_safe(
+        self,
+        committed_basenames: set[str],
+        discovered_basenames: set[str] | None = None,
+        small_file_rows: int = 65_536,
+        target_file_rows: int = 1_000_000,
+    ) -> int:
         """Restricted compaction while a stream is attached: delete —
         never rewrite — whole files the stream source has committed
         (see :meth:`compact`). The max-seq file is always retained so
         ``latest`` survives; the ack pointer advances over the
         contiguous deleted prefix so ``size()``/capacity track stream
-        consumption (the stream is the consumer of record)."""
+        consumption (the stream is the consumer of record).
+
+        With ``discovered_basenames`` (the merge-undiscovered mode):
+        additionally merge adjacent runs of small files the source has
+        never listed into target-sized files — a slow consumer no
+        longer accumulates unread small files without bound. Pure
+        physical concatenation: no row is dropped or re-keyed, so the
+        merged file is byte-for-byte the same row set under a name the
+        source has never seen. Ordering makes the transition
+        listing-safe even mid-crash: staged file completed first
+        (invisible to the ``batch-*.parquet`` glob), then manifest,
+        then originals removed, then the staged file renamed in — at
+        every instant the source sees either the originals or (after
+        a recovery replay) the merged file, never both.
+        """
         self.last_compact_skipped = False
         with self._storage.lock:
             next_seq = self._storage.next_seq()
@@ -549,38 +607,132 @@ class Queue:
                     continue  # latest-survives parity
                 if os.path.basename(path) in committed_basenames:
                     removals.append((end, path))
-            if not removals:
-                self._batch_files_estimate = len(batches)
-                return len(batches)
-            removed_paths = {p for _, p in removals}
-            # same crash-safe manifest protocol as full compaction,
-            # remove-only (recover() replays deletions idempotently)
-            write_json_atomic(
-                self._storage.compact_manifest_path,
-                {"staged": [], "remove": sorted(removed_paths)},
-            )
-            for _, path in removals:
-                if os.path.exists(path):
-                    os.remove(path)
-            os.remove(self._storage.compact_manifest_path)
-            remaining = [b for b in batches if b[2] not in removed_paths]
-            # contiguous prefix below the first surviving file is gone
-            # from disk AND stream-committed -> consumed
-            candidate = (
-                remaining[0][0] - 1 if remaining
-                else max(end for end, _ in removals)
-            )
-            state = self._storage.consumer_state()
-            if candidate > int(state["acked_seq"]):
-                state["acked_seq"] = candidate
-                state["errors"] = {
-                    k: v for k, v in state["errors"].items()
-                    if int(k) > candidate
-                }
-                self._storage.set_consumer_state(state)
+            if removals:
+                removed_paths = {p for _, p in removals}
+                # same crash-safe manifest protocol as full compaction,
+                # remove-only (recover() replays deletions idempotently)
+                write_json_atomic(
+                    self._storage.compact_manifest_path,
+                    {"staged": [], "remove": sorted(removed_paths)},
+                )
+                for _, path in removals:
+                    if os.path.exists(path):
+                        os.remove(path)
+                os.remove(self._storage.compact_manifest_path)
+                remaining = [
+                    b for b in batches if b[2] not in removed_paths
+                ]
+                # contiguous prefix below the first surviving file is
+                # gone from disk AND stream-committed -> consumed
+                candidate = (
+                    remaining[0][0] - 1 if remaining
+                    else max(end for end, _ in removals)
+                )
+                state = self._storage.consumer_state()
+                if candidate > int(state["acked_seq"]):
+                    state["acked_seq"] = candidate
+                    state["errors"] = {
+                        k: v for k, v in state["errors"].items()
+                        if int(k) > candidate
+                    }
+                    self._storage.set_consumer_state(state)
+            else:
+                remaining = list(batches)
+            if discovered_basenames is not None:
+                remaining = self._merge_undiscovered(
+                    remaining, max_seq, discovered_basenames,
+                    small_file_rows, target_file_rows,
+                )
             self._storage.drop_row_cache()
             self._batch_files_estimate = len(remaining)
             return len(remaining)
+
+    def _merge_undiscovered(
+        self,
+        batches: list[tuple[int, int, str]],
+        max_seq: int,
+        discovered_basenames: set[str],
+        small_file_rows: int,
+        target_file_rows: int,
+    ) -> list[tuple[int, int, str]]:
+        """Merge adjacent runs of small never-listed files (caller
+        holds the storage lock; see ``_compact_stream_safe``)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def mergeable(start: int, end: int, path: str) -> bool:
+            return (
+                end != max_seq  # latest-survives parity
+                and (end - start + 1) < small_file_rows
+                and os.path.basename(path) not in discovered_basenames
+            )
+
+        runs: list[list[tuple[int, int, str]]] = [[]]
+        for b in batches:
+            if mergeable(*b):
+                runs[-1].append(b)
+            elif runs[-1]:
+                runs.append([])
+        out = [
+            b for b in batches
+            if not mergeable(*b)
+        ]
+        canonical = arrow_schema(self.schema)
+        for run in runs:
+            if len(run) < 2:
+                out.extend(run)  # nothing to merge
+                continue
+            tables = []
+            for _, _, path in run:
+                t = pq.read_table(path)
+                if "codec_id" not in t.column_names:
+                    t = t.append_column(
+                        pa.field("codec_id", pa.int32(), nullable=False),
+                        pa.array([self.codec.id] * t.num_rows,
+                                 type=pa.int32()),
+                    )
+                tables.append(t.select(canonical.names).cast(canonical))
+            merged = pa.concat_tables(tables).sort_by("seq")
+            seqs = merged.column("seq").to_pylist()
+            staged: list[str] = []
+            for off in range(0, merged.num_rows, target_file_rows):
+                chunk = merged.slice(off, target_file_rows)
+                s = seqs[off]
+                e = seqs[min(off + target_file_rows,
+                             merged.num_rows) - 1]
+                staged_path = (
+                    self._storage.batch_path(s, e) + ".compact"
+                )
+                pq.write_table(chunk, staged_path + ".tmp",
+                               compression=self.codec.parquet_codec)
+                os.replace(staged_path + ".tmp", staged_path)
+                staged.append(staged_path)
+            originals = [p for _, _, p in run]
+            write_json_atomic(
+                self._storage.compact_manifest_path,
+                {"staged": staged, "remove": originals},
+            )
+            # originals out BEFORE the merged name appears: a listing
+            # in the gap sees neither (rows simply surface one batch
+            # later); seeing both would double-deliver
+            for path in originals:
+                if os.path.exists(path):
+                    os.remove(path)
+            for staged_path in staged:
+                os.replace(
+                    staged_path, staged_path[: -len(".compact")]
+                )
+            os.remove(self._storage.compact_manifest_path)
+            out.extend(
+                (int(seqs[off]),
+                 int(seqs[min(off + target_file_rows,
+                              merged.num_rows) - 1]),
+                 sp[: -len(".compact")])
+                for off, sp in zip(
+                    range(0, merged.num_rows, target_file_rows), staged
+                )
+            )
+        return sorted(out)
 
     def replay_dlq(self) -> int:
         """Re-ingest dead-lettered records as fresh pushes — completes

@@ -135,11 +135,14 @@ class StreamingConsumer:
     ):
         """``compact_every_batches``: run ``queue.compact()`` after
         every N successful micro-batches. With a stream attached,
-        compact() takes its stream-safe path (delete-only over
-        checkpoint-committed files), so a long-lived consumer reclaims
-        the space it has consumed as it goes — the maintenance loop a
-        continuously-streamed queue needs to stay bounded. None (the
-        default) leaves maintenance to the caller."""
+        compact() takes its stream-safe path: delete whole
+        checkpoint-committed files, plus merge runs of small files the
+        source has never listed (safe from inside foreachBatch — no
+        listing races a micro-batch). A long-lived consumer therefore
+        reclaims consumed space as it goes AND a slow consumer's
+        unread backlog stays in target-sized files instead of
+        accumulating small files without bound. None (the default)
+        leaves maintenance to the caller."""
         self.spark = spark
         self.queue = queue
         self.checkpoint_dir = checkpoint_dir or os.path.join(
@@ -184,9 +187,14 @@ class StreamingConsumer:
                             >= self.compact_every_batches):
                         self._batches_since_compact = 0
                         # stream-safe reclamation; a skip (no parseable
-                        # checkpoint yet) is harmless and logged
+                        # checkpoint yet) is harmless and logged.
+                        # merge_undiscovered is safe exactly HERE: the
+                        # source lists between micro-batches, and this
+                        # runs inside one, so no listing can race the
+                        # merge of never-listed small files
                         self.queue.compact(
-                            stream_checkpoint=self.checkpoint_dir
+                            stream_checkpoint=self.checkpoint_dir,
+                            merge_undiscovered=True,
                         )
             except Exception:
                 n = self._failures.get(batch_id, 0) + 1

@@ -438,3 +438,103 @@ def test_auto_compact_during_streaming_consumer(qpath, spark):
     assert len(seen) == len(set(seen)) == 40  # zero redelivery
     assert q.publisher().latest() is not None
     q.dispose()
+
+
+def test_stream_safe_merge_of_undiscovered_small_files(qpath, spark):
+    """merge_undiscovered: small files the source has NEVER listed merge
+    into one target-sized file while committed files are deleted — the
+    slow-consumer unbounded-small-file hole, closed. Rows flow through
+    exactly once afterwards (no redelivery of merged content, no skips)."""
+    q = Queue(qpath, SCHEMA, capacity=100000)
+    pub = q.publisher()
+    for r in range(3):
+        pub.push_all([[r * 10 + i, "old"] for i in range(10)])
+    seen: list[int] = []
+
+    def collect(df, _):
+        seen.extend(r["seq"] for r in df.collect())
+
+    StreamingConsumer(spark, q).run_available(collect)
+    assert len(seen) == 30
+
+    # backlog the (stopped, but resumable) stream has never listed:
+    # ten 10-row files + one tail file
+    for r in range(10):
+        pub.push_all([[1000 + r * 10 + i, "new"] for i in range(10)])
+    pub.push_all([[5000 + i, "tail"] for i in range(10)])
+    files_before = len(q._storage.list_batches())
+    assert files_before == 3 + 11
+
+    ckpt = os.path.join(qpath, "checkpoint")
+    q.pin_compaction()  # simulate the live stream holding its pin
+    try:
+        remaining = q.compact(
+            stream_checkpoint=ckpt, merge_undiscovered=True
+        )
+    finally:
+        q.unpin_compaction()
+    assert not q.last_compact_skipped
+    # 3 committed deleted; 10 undiscovered merged to 1; tail (max-seq)
+    # untouched
+    assert remaining == 2
+    batches = q._storage.list_batches()
+    assert len(batches) == 2
+    assert (batches[0][0], batches[0][1]) == (31, 130)  # merged span
+
+    # resume the stream from the same checkpoint: every backlog row
+    # exactly once, none lost, none doubled
+    StreamingConsumer(spark, q).run_available(collect)
+    assert len(seen) == 140
+    assert len(seen) == len(set(seen))
+    q.dispose()
+
+
+def test_merge_undiscovered_crash_mid_merge_recovers(qpath, spark):
+    """Crash between manifest write and the staged-rename: recovery
+    replays the merge (rename staged + delete originals), and a stream
+    restart delivers every row exactly once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quebic_spark.queue.storage import write_json_atomic
+
+    q = Queue(qpath, SCHEMA, capacity=100000)
+    pub = q.publisher()
+    pub.push_all([[i, "a"] for i in range(10)])
+    seen: list[int] = []
+
+    def collect(df, _):
+        seen.extend(r["seq"] for r in df.collect())
+
+    StreamingConsumer(spark, q).run_available(collect)  # commits file 1
+    # two small undiscovered files + a tail
+    pub.push_all([[100 + i, "b"] for i in range(10)])
+    pub.push_all([[200 + i, "c"] for i in range(10)])
+    pub.push_all([[300 + i, "tail"] for i in range(10)])
+
+    batches = q._storage.list_batches()
+    to_merge = [b for b in batches if b[0] in (11, 21)]
+    assert len(to_merge) == 2
+    merged = pa.concat_tables(
+        [pq.read_table(p) for _, _, p in to_merge]
+    ).sort_by("seq")
+    staged = q._storage.batch_path(11, 30) + ".compact"
+    pq.write_table(merged, staged)
+    write_json_atomic(
+        q._storage.compact_manifest_path,
+        {"staged": [staged], "remove": [p for _, _, p in to_merge]},
+    )
+    os.remove(to_merge[0][2])  # crash: one original deleted, no rename
+    q.close()
+
+    q2 = Queue(qpath, SCHEMA, capacity=100000)  # recover() replays
+    assert not os.path.exists(q2._storage.compact_manifest_path)
+    spans = [(s, e) for s, e, _ in q2._storage.list_batches()]
+    assert (11, 30) in spans and (11, 20) not in spans
+
+    seen2: list[int] = []
+    StreamingConsumer(spark, q2).run_available(
+        lambda df, _: seen2.extend(r["seq"] for r in df.collect())
+    )
+    assert sorted(seen2) == list(range(11, 41))  # exactly once, no gaps
+    q2.dispose()

@@ -56,6 +56,7 @@ GATE_ORDER: tuple[str, ...] = (
     "corpus_shards_roundtrip",
     "profile_documents",
     "ann_ivf_learned_recall",
+    "dedup_keep_best",
     # --- r4: new gates that round ---
     "dedup_incremental",
     "pii_scrub_stats",
@@ -69,7 +70,6 @@ GATE_ORDER: tuple[str, ...] = (
     "weighted_sample",
     # --- r3: first driver gate for these (registry overflowed in r2) ---
     "train_split_counts",
-    "shard_assignment",
     "stratified_sample",
     "heavy_hitter_keys",
     "quantile_sketch",
@@ -113,6 +113,14 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "shard_assignment": "md5 hash-mod bucket assignment is live twice "
+                        "over in corpus_shards_roundtrip: the same "
+                        "hash_bucket expression routes the physical "
+                        "write AND the DuckDB oracle replays it "
+                        "arithmetically over the pruned read-back; "
+                        "md5-threshold selection stays live via "
+                        "train_split_counts/mixture_sample. Slot given "
+                        "to dedup_keep_best in r5",
     "dedup_exact": "identical md5-groupBy keep-first dedup stays live "
                    "twice over: pipeline_doc_counts' dedup stage runs "
                    "the same content-fingerprint groupBy inside the "

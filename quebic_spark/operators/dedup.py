@@ -980,7 +980,83 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_keep_best — quality-aware canonical selection: within each
+# duplicate group, keep the HIGHEST-QUALITY document instead of the
+# first-seen one (the selection policy real release pipelines use —
+# C4/RefinedWeb keep a canonical per cluster chosen by heuristics, not
+# arrival order; keep-first is a special case with score := -doc_id).
+#
+# Scale shape: one shuffle. The rank window and the group-size window
+# share the content-key hash partitioning, so the count rides the same
+# exchange; no join, no second pass over text. Score = the same
+# distinct-ratio/length composite the doc_quality gate computes, so
+# both engines share already-oracle-matched arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def keep_best(
+    docs: DataFrame, key_col: str, score_col: str,
+    order: str = "doc_id",
+) -> DataFrame:
+    """One row per ``key_col`` group: the row maximizing ``score_col``
+    (ties: lowest ``order``), with the group size as ``n_copies``.
+    Both windows partition on ``key_col`` — one exchange total."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(score_col), F.asc(order)
+    )
+    wg = Window.partitionBy(key_col)
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wg))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_toks
+    len_score = F.least(n_toks / F.lit(100.0), F.lit(1.0))
+    scored = docs.select(
+        "doc_id",
+        _content_key().alias("content_key"),
+        (distinct_ratio * F.lit(0.5) + len_score * F.lit(0.5)).alias(
+            "quality_score"
+        ),
+    )
+    return keep_best(scored, "content_key", "quality_score")
+
+
+ORACLE_DEDUP_KEEP_BEST = """
+WITH f AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS content_key,
+         CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+           / len(string_split(text,' ')) * 0.5
+           + least(len(string_split(text,' ')) / 100.0, 1.0) * 0.5
+           AS quality_score
+  FROM documents
+)
+SELECT doc_id, content_key, quality_score, n_copies
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY content_key
+                            ORDER BY quality_score DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY content_key) AS n_copies
+  FROM f
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "dedup_keep_best": q_dedup_keep_best,
     "cardinality_sketch": q_cardinality_sketch,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_rows": q_dedup_exact_rows,
@@ -994,6 +1070,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "cardinality_sketch": ORACLE_CARDINALITY_SKETCH,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_exact_rows": ORACLE_DEDUP_EXACT_ROWS,

@@ -66,3 +66,62 @@ def test_incremental_dedup_window_reuses_join_exchange(spark):
     # snapshot side broadcasts. Never a third for the window.
     assert n_key_exchanges <= 2, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# keep_best: quality-aware canonical selection (gate dedup_keep_best
+# covers the corpus wiring + oracle; these pin the selection semantics
+# and the one-exchange plan shape on constructed frames).
+# ---------------------------------------------------------------------------
+
+
+def _scored(spark):
+    return spark.createDataFrame(
+        [
+            # k1: 21 wins on score despite higher doc_id
+            (10, "k1", 0.2), (21, "k1", 0.9),
+            # k2: exact score tie -> lowest doc_id wins
+            (30, "k2", 0.5), (31, "k2", 0.5),
+            # k3: singleton passes through
+            (40, "k3", 0.1),
+        ],
+        "doc_id long, content_key string, quality_score double",
+    )
+
+
+def test_keep_best_selection_and_group_sizes(spark):
+    from quebic_spark.operators.dedup import keep_best
+
+    out = keep_best(_scored(spark), "content_key", "quality_score")
+    rows = {
+        r["content_key"]: (r["doc_id"], r["n_copies"])
+        for r in out.collect()
+    }
+    assert rows == {"k1": (21, 2), "k2": (30, 2), "k3": (40, 1)}
+
+
+def test_keep_best_single_exchange(spark):
+    """Rank window and group-size count share the content_key hash
+    partitioning: exactly one non-broadcast exchange in the plan."""
+    from quebic_spark.operators.dedup import keep_best
+
+    plan = (
+        keep_best(_scored(spark), "content_key", "quality_score")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_exchanges = sum(
+        1 for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+    )
+    assert n_exchanges == 1, plan
+
+
+def test_keep_best_reduces_to_keep_first_with_negated_order(spark):
+    from quebic_spark.operators.dedup import keep_best
+
+    df = _scored(spark).withColumn(
+        "neg_id", -F.col("doc_id").cast("double")
+    )
+    out = keep_best(df, "content_key", "neg_id")
+    rows = {r["content_key"]: r["doc_id"] for r in out.collect()}
+    assert rows == {"k1": 10, "k2": 30, "k3": 40}

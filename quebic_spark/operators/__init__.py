@@ -57,6 +57,7 @@ GATE_ORDER: tuple[str, ...] = (
     "profile_documents",
     "ann_ivf_learned_recall",
     "dedup_keep_best",
+    "dedup_incremental_bloom",
     # --- r4: new gates that round ---
     "dedup_incremental",
     "pii_scrub_stats",
@@ -70,7 +71,6 @@ GATE_ORDER: tuple[str, ...] = (
     "weighted_sample",
     # --- r3: first driver gate for these (registry overflowed in r2) ---
     "train_split_counts",
-    "stratified_sample",
     "heavy_hitter_keys",
     "quantile_sketch",
     "pipeline_doc_counts",
@@ -113,6 +113,13 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "stratified_sample": "deterministic k-per-group selection via "
+                         "md5-rank window; the per-group rank window "
+                         "stays live in top_orders_per_segment and "
+                         "dedup_keep_best (same partition+orderBy+"
+                         "row_number shape), md5-ordered selection in "
+                         "weighted_sample. Slot given to "
+                         "dedup_incremental_bloom in r5",
     "shard_assignment": "md5 hash-mod bucket assignment is live twice "
                         "over in corpus_shards_roundtrip: the same "
                         "hash_bucket expression routes the physical "

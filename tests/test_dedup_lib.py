@@ -125,3 +125,66 @@ def test_keep_best_reduces_to_keep_first_with_negated_order(spark):
     out = keep_best(df, "content_key", "neg_id")
     rows = {r["content_key"]: r["doc_id"] for r in out.collect()}
     assert rows == {"k1": 10, "k2": 30, "k3": 40}
+
+
+# ---------------------------------------------------------------------------
+# Bloom-tier incremental dedup: no false negatives ever, plausible fp
+# rate at the default sizing, and plan-level equivalence with the
+# exact path (the gate shares the exact oracle; these pin the filter
+# mechanics on constructed frames).
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    from quebic_spark.operators.dedup import (
+        BLOOM_HASHES,
+        bloom_probe_udf,
+        build_bloom,
+    )
+
+    member = spark.createDataFrame(
+        [(f"in-{i}",) for i in range(2000)], "k string"
+    )
+    bloom = build_bloom(member, "k")
+    probe = bloom_probe_udf(bloom, BLOOM_HASHES)
+    # every member key must hit (bloom's structural guarantee)
+    hits = member.select(probe(F.md5("k")).alias("h")).collect()
+    assert all(r["h"] for r in hits)
+    # disjoint probe keys: fp rate well under 5% at ~13 bits/key
+    outsider = spark.createDataFrame(
+        [(f"out-{i}",) for i in range(2000)], "k string"
+    )
+    fps = outsider.select(probe(F.md5("k")).alias("h")).collect()
+    rate = sum(r["h"] for r in fps) / len(fps)
+    assert rate < 0.05, f"false-positive rate {rate}"
+
+
+def test_bloom_incremental_matches_exact(spark):
+    from quebic_spark.operators.dedup import (
+        bloom_incremental_dedup,
+        incremental_dedup,
+    )
+
+    batch, snapshot = _frames(spark)
+    exact = {
+        (r.doc_id, r.content_key)
+        for r in incremental_dedup(batch, snapshot).collect()
+    }
+    got = {
+        (r.doc_id, r.content_key)
+        for r in bloom_incremental_dedup(batch, snapshot).collect()
+    }
+    assert got == exact == {(10, "k1"), (13, "k3")}
+
+
+def test_bloom_build_merges_partitions(spark):
+    """The OR-merge must be partition-layout independent: same filter
+    bytes from 1 partition and from 8."""
+    from quebic_spark.operators.dedup import build_bloom
+
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(500)], "k string"
+    )
+    one = build_bloom(keys.coalesce(1), "k")
+    many = build_bloom(keys.repartition(8), "k")
+    assert one == many

@@ -762,6 +762,73 @@ ORACLE_PII_SCRUB_STATS = _pii_oracle()
 
 
 # ---------------------------------------------------------------------------
+# quality_percentile_filter — dynamic per-group quality thresholds.
+# A fixed score cutoff over-prunes weak sources and under-prunes
+# strong ones; real pipelines cut the bottom X% WITHIN each source
+# (percentile thresholds adapt to each source's own distribution).
+# One shuffle: percent_rank window partitioned by the group column.
+# Library op with an oracle-paired test (tests/test_textops_lib.py);
+# DuckDB's percent_rank is definitionally identical.
+# ---------------------------------------------------------------------------
+
+
+def quality_percentile_filter(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str,
+    min_pct: float,
+    order: str = "doc_id",
+) -> DataFrame:
+    """Keep rows at or above the ``min_pct`` percent-rank of
+    ``score_col`` within their ``group_col`` (ties broken by ``order``
+    for a deterministic rank). percent_rank = (rank-1)/(n-1), so a
+    single-row group ranks 0.0 and always survives ``min_pct <= 0``
+    thresholds semantics-free."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc(score_col), F.asc(order)
+    )
+    return (
+        scored.withColumn("pct_rank", F.percent_rank().over(w))
+        .filter(F.col("pct_rank") >= min_pct)
+        .drop("pct_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# compression_ratio — the Gopher/Dolma "too compressible" signal:
+# boilerplate and templated spam compress far better than organic
+# prose. zlib rides in an Arrow-batched pandas UDF (stdlib, no
+# vendored deps); at 100 TB this is a scan-resident per-row map with
+# zero shuffle. No DuckDB oracle (no SQL zlib) — evidence is
+# property-based: determinism, row preservation, and the
+# repetitive < organic < random ordering the signal exists to detect.
+# ---------------------------------------------------------------------------
+
+
+def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``compression_ratio`` = deflated_bytes / raw_bytes of the
+    UTF-8 text (level 6). Low ratio => highly repetitive document."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def ratio(s):
+        import zlib
+
+        def one(t):
+            raw = (t or "").encode("utf-8")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return pd.Series([one(t) for t in s], dtype="float64")
+
+    udf = pandas_udf(ratio, "double", PandasUDFType.SCALAR)
+    return docs.withColumn("compression_ratio", udf(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
 # profile_documents — gate for the one-pass column profiler
 # (functions/profile.py): long-format per-column stats over the
 # documents table in a single partial-aggregatable scan. The gate runs

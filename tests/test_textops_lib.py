@@ -1,0 +1,125 @@
+"""Library-level text-QA ops: per-group percentile quality filtering
+(oracle-paired vs DuckDB percent_rank) and the zlib compression-ratio
+signal (property-based — no SQL zlib exists to mirror)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quebic_spark.operators.textops import (
+    compression_ratio,
+    quality_percentile_filter,
+)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def scored(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks).cast("double")
+    score = (
+        F.size(F.array_distinct(toks)) / n_toks * F.lit(0.5)
+        + F.least(n_toks / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+    )
+    return docs.select("doc_id", "source", score.alias("q")).cache()
+
+
+def test_percentile_filter_matches_duckdb(spark, scored, sf_dir, duck):
+    kept = quality_percentile_filter(scored, "source", "q", 0.25)
+    got = sorted(r["doc_id"] for r in kept.collect())
+    want = sorted(
+        r[0]
+        for r in duck.execute(
+            """
+            WITH f AS (
+              SELECT doc_id, source,
+                CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                  / len(string_split(text,' ')) * 0.5
+                  + least(len(string_split(text,' ')) / 100.0, 1.0) * 0.5
+                  AS q
+              FROM documents
+            )
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     percent_rank() OVER (PARTITION BY source
+                                          ORDER BY q, doc_id) AS pr
+              FROM f
+            ) WHERE pr >= 0.25
+            """
+        ).fetchall()
+    )
+    assert got == want and 0 < len(got) < scored.count()
+
+
+def test_percentile_filter_keeps_singleton_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "g1", 0.1), (2, "g2", 0.2), (3, "g2", 0.9)],
+        "doc_id long, source string, q double",
+    )
+    kept = {
+        r["doc_id"]
+        for r in quality_percentile_filter(
+            df, "source", "q", 0.5
+        ).collect()
+    }
+    # singleton ranks 0.0 -> dropped at 0.5; g2's better row survives
+    assert kept == {3}
+    kept0 = {
+        r["doc_id"]
+        for r in quality_percentile_filter(
+            df, "source", "q", 0.0
+        ).collect()
+    }
+    assert kept0 == {1, 2, 3}
+
+
+def test_compression_ratio_orders_and_determinism(spark):
+    import random
+
+    rnd = random.Random(7)
+    organic = " ".join(
+        rnd.choice(["alpha", "beta", "gamma", "delta", "eps"])
+        for _ in range(200)
+    )
+    repetitive = "spam ham " * 100
+    noise = "".join(chr(rnd.randrange(0x21, 0x7F)) for _ in range(1200))
+    df = spark.createDataFrame(
+        [(1, repetitive), (2, organic), (3, noise)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in compression_ratio(df).collect()
+    }
+    assert out[1] < out[2] < out[3], out
+    assert all(0 < v <= 1.2 for v in out.values())
+    # deterministic across runs and row-preserving
+    again = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in compression_ratio(df).collect()
+    }
+    assert again == out
+
+
+def test_compression_ratio_empty_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in compression_ratio(df).collect()
+    }
+    assert out == {1: 1.0, 2: 1.0}

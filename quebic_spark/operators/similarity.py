@@ -449,14 +449,23 @@ def learned_centroids(
         "embedding"
     )
     norm = l2_norm(F.col("embedding"))
+    # materialize the unit vectors once for the whole Lloyd loop:
+    # every iteration re-scans its input, and at this corpus size the
+    # per-iteration cost is task overhead, not data — so also coalesce
+    # to a handful of partitions (each Lloyd job otherwise pays 32
+    # task launches for 2000 rows). At real scale drop the coalesce;
+    # the cache (or a pre-normalized stored column) still applies.
     unit = emb.select(
         F.transform(F.col("embedding"), lambda x: x / norm).alias(
             "embedding"
         )
-    )
-    _, cents, _ = kmeans(
-        unit, "embedding", k_cells, max_iters=train_iters
-    )
+    ).coalesce(4).cache()
+    try:
+        _, cents, _ = kmeans(
+            unit, "embedding", k_cells, max_iters=train_iters
+        )
+    finally:
+        unit.unpersist(blocking=False)
     out = []
     for c in cents:
         n = math.sqrt(sum(x * x for x in c))

@@ -97,6 +97,10 @@ def bench_queue() -> dict[str, float]:
     }, {
         "queue_push_1k_median": round(pushes[len(pushes) // 2], 3),
         "queue_pop_1k_median": round(pops[len(pops) // 2], 3),
+        # raw per-cycle samples, same diagnosability contract as the
+        # query `samples` field
+        "queue_push_1k_samples": [round(c[0], 3) for c in cycles],
+        "queue_pop_1k_samples": [round(c[1], 3) for c in cycles],
     }
 
 

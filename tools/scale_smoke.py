@@ -1,0 +1,168 @@
+"""Scale-growth smoke: replicate the corpus in-memory and check that
+the headline operators grow roughly linearly, not quadratically.
+
+The correctness gate runs at sf0.01 and the bench at sf0.1; this tool
+answers the remaining question — "what happens when the same plans see
+N times the rows?" — without needing bigger testdata on disk. Each
+replica perturbs the text with a replica-suffix token, so dedup
+operators see realistic near-dup families (every doc gains N-1 close
+neighbors) rather than degenerate exact copies.
+
+Usage: python tools/scale_smoke.py [--factors 1,4,16] [--sf DIR]
+Prints one JSON line:
+  {"op": {"1": sec, "4": sec, "16": sec, "growth_16x": ratio}, ...}
+where growth_16x = t(16x) / t(1x); linear-ish ops land well under the
+16x row growth, a quadratic blowup lands near 256.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def replicate_docs(spark, sf_dir: str, factor: int):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if factor == 1:
+        return docs
+    n = docs.count()
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    return (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(n)).alias("doc_id"),
+            # replica-suffix token: near-dup families, not exact copies
+            F.concat(
+                F.col("text"), F.lit(" rtag"), F.col("rep")
+            ).alias("text"),
+            "lang", "source", "n_chars",
+        )
+    )
+
+
+def replicate_emb(spark, sf_dir: str, factor: int):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if factor == 1:
+        return emb
+    n = emb.count()
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    jitter = (F.col("rep") + 1).cast("float") / F.lit(1000.0)
+    return (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(n)).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + jitter
+            ).alias("embedding"),
+            "label",
+        )
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", default="1,4,16")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+    factors = [int(x) for x in args.factors.split(",")]
+
+    from pyspark.sql import functions as F
+
+    from quebic_spark import clear_caches
+    from quebic_spark.operators.dedup import (
+        _content_key,
+        keep_best,
+        minhash_lsh_pairs,
+    )
+    from quebic_spark.operators.sampling import hash_bucket
+    from quebic_spark.session import get_spark
+
+    spark = get_spark(app_name="quebic_scale_smoke")
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
+    def op_keep_best(docs, emb):
+        toks = F.split(F.col("text"), " ")
+        scored = docs.select(
+            "doc_id",
+            _content_key().alias("content_key"),
+            (F.size(F.array_distinct(toks))
+             / F.size(toks).cast("double")).alias("q"),
+        )
+        return keep_best(scored, "content_key", "q").count()
+
+    def op_minhash(docs, emb):
+        return minhash_lsh_pairs(docs.select("doc_id", "text")).count()
+
+    def op_shard_agg(docs, emb):
+        return (
+            docs.select(hash_bucket(F.col("doc_id"), 64).alias("s"))
+            .groupBy("s").count().count()
+        )
+
+    def op_ivf_probe(docs, emb):
+        # inline IVF shape over the replicated embeddings: seeded cells,
+        # cell-blocked join (never all-pairs)
+        from quebic_spark.functions.vector import l2_norm
+        from quebic_spark.operators.similarity import (
+            _cell_col,
+        )
+
+        dots, cell = _cell_col()
+        indexed = (
+            emb.select("vec_id", "embedding", *dots)
+            .withColumn("cell", cell)
+            .withColumn("norm", l2_norm(F.col("embedding")))
+            .select("vec_id", "embedding", "cell", "norm")
+        )
+        queries = indexed.filter(F.col("vec_id") % 997 == 0).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("cell").alias("qc"),
+        )
+        return (
+            indexed.join(
+                F.broadcast(queries),
+                (F.col("cell") == F.col("qc"))
+                & (F.col("vec_id") != F.col("qid")),
+            ).count()
+        )
+
+    ops = {
+        "keep_best": op_keep_best,
+        "minhash_lsh_pairs": op_minhash,
+        "shard_agg": op_shard_agg,
+        "ivf_cell_join": op_ivf_probe,
+    }
+    out: dict[str, dict] = {name: {} for name in ops}
+    for factor in factors:
+        docs = replicate_docs(spark, args.sf, factor).cache()
+        emb = replicate_emb(spark, args.sf, factor).cache()
+        docs.count(), emb.count()
+        for name, fn in ops.items():
+            t0 = time.time()
+            fn(docs, emb)
+            out[name][str(factor)] = round(time.time() - t0, 2)
+            clear_caches()
+        docs.unpersist()
+        emb.unpersist()
+    lo, hi = str(factors[0]), str(factors[-1])
+    for name in ops:
+        base = out[name][lo] or 0.01
+        out[name][f"growth_{hi}x"] = round(out[name][hi] / base, 1)
+    print(json.dumps({"sf": args.sf, "factors": factors, "ops": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

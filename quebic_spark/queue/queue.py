@@ -96,8 +96,17 @@ def _parse_stream_file_sets(
     from urllib.parse import unquote, urlparse
 
     commits_dir = os.path.join(checkpoint_dir, "commits")
-    sources_dir = os.path.join(checkpoint_dir, "sources", "0")
+    sources_root = os.path.join(checkpoint_dir, "sources")
+    sources_dir = os.path.join(sources_root, "0")
     if not (os.path.isdir(commits_dir) and os.path.isdir(sources_dir)):
+        return None
+    # a multi-source query (e.g. a union over two directories) commits
+    # per QUERY batch, so sources/0 alone doesn't describe which of OUR
+    # files are safe — refuse to guess
+    try:
+        if set(os.listdir(sources_root)) != {"0"}:
+            return None
+    except OSError:
         return None
     last_committed = -1
     for name in os.listdir(commits_dir):
@@ -357,6 +366,14 @@ class Queue:
         warning and ``last_compact_skipped`` is set; ``force=True``
         bypasses every stream guard (only safe when no stream can
         resume).
+
+        Both stream-safe modes assume ONE streaming reader per queue
+        (the reference's 1-producer:1-consumer contract, which this
+        engine inherits): the checkpoint parsed here must belong to
+        the only attached stream, since a second stream with its own
+        checkpoint could have listed files this one hasn't. Multiple
+        concurrent streams require external coordination or
+        ``auto_compact_files=None``.
 
         ``merge_undiscovered=True`` additionally merges runs of small
         files the source has NEVER LISTED (absent from the whole

@@ -1024,9 +1024,15 @@ def build_bloom(
     keys: DataFrame, key_col: str,
     m_bits: int = BLOOM_BITS, k: int = BLOOM_HASHES,
 ) -> bytes:
-    """Distributed bloom build: per-Arrow-batch bitsets, OR-merged on
-    the driver (m_bits/8 bytes per partial — the only data that ever
-    leaves the executors)."""
+    """Distributed bloom build: per-partition bitsets OR-merged
+    EXECUTOR-SIDE down to one, so the driver receives exactly
+    m_bits/8 bytes regardless of parallelism (a driver-side OR of P
+    partials would move P full filters through the driver — harmless
+    at 16 KiB, pathological at the 1.6 GB/1e9-key sizing this
+    operator exists for). One repartition(1) merge level suffices up
+    to hundreds of partials; tree deeper (repartition(k) -> OR ->
+    repartition(1)) if partial_count * filter_size outgrows one
+    task."""
     import numpy as np
     import pandas as pd
 
@@ -1049,8 +1055,21 @@ def build_bloom(
                 )
         yield pd.DataFrame({"bits": [bits.tobytes()]})
 
+    def or_merge(batches):
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        for pdf in batches:
+            for b in pdf["bits"]:
+                bits |= np.frombuffer(b, dtype=np.uint8)
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    merged = (
+        hashed.mapInPandas(per_batch, "bits binary")
+        .repartition(1)
+        .mapInPandas(or_merge, "bits binary")
+        .collect()
+    )
     out = np.zeros(m_bits // 8, dtype=np.uint8)
-    for r in hashed.mapInPandas(per_batch, "bits binary").collect():
+    for r in merged:  # exactly one row
         out |= np.frombuffer(r["bits"], dtype=np.uint8)
     return out.tobytes()
 

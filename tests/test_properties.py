@@ -131,3 +131,80 @@ def test_validation_never_accepts_wrong_arity_or_type(values):
             raise AssertionError("should have raised")
         except IncompatibleSchemaException:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Generated-input properties for the r5 dedup additions (Spark-backed,
+# so examples are few but adversarially shaped by hypothesis).
+# ---------------------------------------------------------------------------
+
+keys_strat = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1, max_size=40,
+    ),
+    min_size=1, max_size=60, unique=True,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(member=keys_strat, probe=keys_strat)
+def test_bloom_never_misses_members(spark, member, probe):
+    from pyspark.sql import functions as F
+
+    from quebic_spark.operators.dedup import (
+        bloom_probe_udf,
+        build_bloom,
+    )
+
+    mdf = spark.createDataFrame([(k,) for k in member], "k string")
+    bloom = build_bloom(mdf, "k")
+    probe_udf = bloom_probe_udf(bloom)
+    hits = {
+        r["k"]: r["h"]
+        for r in spark.createDataFrame(
+            [(k,) for k in set(member) | set(probe)], "k string"
+        ).select("k", probe_udf(F.md5("k")).alias("h")).collect()
+    }
+    # structural guarantee: every inserted key hits, whatever the keys
+    assert all(hits[k] for k in member)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),   # doc_id
+            st.integers(min_value=0, max_value=5),    # group
+            st.floats(min_value=0, max_value=1, allow_nan=False),
+        ),
+        min_size=1, max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_keep_best_matches_reference_selection(spark, rows):
+    from quebic_spark.operators.dedup import keep_best
+
+    df = spark.createDataFrame(
+        [(i, f"g{g}", s) for i, g, s in rows],
+        "doc_id long, content_key string, quality_score double",
+    )
+    got = {
+        r["content_key"]: (r["doc_id"], r["n_copies"])
+        for r in keep_best(
+            df, "content_key", "quality_score"
+        ).collect()
+    }
+    want = {}
+    for i, g, s in rows:
+        key = f"g{g}"
+        cur = want.get(key)
+        # max score, ties -> lowest doc_id
+        if cur is None or (-s, i) < (-cur[1], cur[0]):
+            want[key] = (i, s)
+    sizes = {}
+    for _, g, _ in rows:
+        sizes[f"g{g}"] = sizes.get(f"g{g}", 0) + 1
+    assert got == {
+        k: (v[0], sizes[k]) for k, v in want.items()
+    }

@@ -1036,6 +1036,14 @@ def build_bloom(
     import numpy as np
     import pandas as pd
 
+    if m_bits <= 0 or m_bits % 8:
+        # byte-granular bitset on both sides; probe re-derives m_bits
+        # as len(bytes)*8, so a non-multiple-of-8 would silently probe
+        # a different modulus than the build — false NEGATIVES, i.e.
+        # missed duplicates. Fail loudly instead.
+        raise ValueError(
+            f"m_bits must be a positive multiple of 8, got {m_bits}"
+        )
     hashed = keys.select(F.md5(F.col(key_col)).alias("hk"))
 
     def per_batch(batches):
@@ -1091,10 +1099,16 @@ def bloom_probe_udf(bloom: bytes, k: int = BLOOM_HASHES):
         hit = np.ones(len(s), dtype=bool)
         for i in range(k):
             pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            # mask to the TARGET bit: without & 1 the test passes when
+            # any higher bit in the byte is set (measured 21% fp rate
+            # vs 0.16% at the documented sizing)
             hit &= (
-                bits[(pos >> np.uint64(3)).astype(np.int64)]
-                >> (pos & np.uint64(7)).astype(np.uint8)
-            ).astype(bool) & True
+                (
+                    bits[(pos >> np.uint64(3)).astype(np.int64)]
+                    >> (pos & np.uint64(7)).astype(np.uint8)
+                )
+                & np.uint8(1)
+            ).astype(bool)
         return pd.Series(hit)
 
     return pandas_udf(probe, "boolean", PandasUDFType.SCALAR)
@@ -1123,9 +1137,16 @@ def bloom_incremental_dedup(
     batch from the join input entirely."""
     from pyspark.sql import Window
 
+    from quebic_spark.cache import register_cache
+
     bloom = build_bloom(snapshot_keys.select(key), key, m_bits, k)
     probe = bloom_probe_udf(bloom, k)
-    flagged = batch.withColumn("_maybe", probe(F.md5(F.col(key))))
+    # flagged feeds BOTH union branches: materialize once or the batch
+    # scan + md5 + Python probe pass run twice (the dominant cost at
+    # the batch sizes this operator exists for)
+    flagged = register_cache(
+        batch.withColumn("_maybe", probe(F.md5(F.col(key)))).cache()
+    )
     definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
     confirmed_new = (
         flagged.filter(F.col("_maybe"))

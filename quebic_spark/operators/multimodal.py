@@ -340,12 +340,22 @@ def decode_media(payloads: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload)
                 kind = detect_format(payload)
-                if kind == "bmp":
-                    d = decode_bmp(payload)
-                elif kind == "wav":
-                    d = decode_wav(payload)
-                else:
+                try:
+                    if kind == "bmp":
+                        d = decode_bmp(payload)
+                    elif kind == "wav":
+                        d = decode_wav(payload)
+                    else:
+                        d = _stub_dims(len(payload))
+                except Exception:
+                    # magic bytes matched but the body didn't decode
+                    # (unsupported bpp, truncated pixels, corrupt RIFF
+                    # chunk — wave.Error is not even a ValueError).
+                    # The never-fails-mid-scan contract means one bad
+                    # row must quarantine, not kill the task: stub
+                    # dims, flagged distinctly for downstream triage.
                     d = _stub_dims(len(payload))
+                    d["fmt"] = f"{kind}-error-stub"
                 d["doc_id"] = doc_id
                 d["payload_bytes"] = len(payload)
                 rows.append(d)

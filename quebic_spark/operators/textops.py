@@ -779,20 +779,30 @@ def quality_percentile_filter(
     min_pct: float,
     order: str = "doc_id",
 ) -> DataFrame:
-    """Keep rows at or above the ``min_pct`` percent-rank of
-    ``score_col`` within their ``group_col`` (ties broken by ``order``
-    for a deterministic rank). percent_rank = (rank-1)/(n-1), so a
-    single-row group ranks 0.0 and always survives ``min_pct <= 0``
-    thresholds semantics-free."""
+    """Drop the worst ``floor(min_pct * n)`` rows of each group by
+    ``score_col`` (ties broken by ``order`` for a deterministic rank).
+
+    Count-based, NOT percent_rank-based, deliberately: percent_rank of
+    a 1-row group is 0.0, so a ``>= min_pct`` cut would delete every
+    single-document source outright (and half of every 2-row group) —
+    the exact small-source over-pruning this per-group design exists
+    to avoid. "Cut the bottom 10%" here removes at most 10% of each
+    group's rows: floor(0.1 * 1) = 0, so singletons always survive.
+    Both windows share one group-key exchange."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(
         F.asc(score_col), F.asc(order)
     )
+    wg = Window.partitionBy(group_col)
+    n_drop = F.floor(
+        F.count(F.lit(1)).over(wg) * F.lit(float(min_pct))
+    )
     return (
-        scored.withColumn("pct_rank", F.percent_rank().over(w))
-        .filter(F.col("pct_rank") >= min_pct)
-        .drop("pct_rank")
+        scored.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_drop", n_drop)
+        .filter(F.col("_rn") > F.col("_drop"))
+        .drop("_rn", "_drop")
     )
 
 

@@ -684,20 +684,44 @@ class Queue:
                 and os.path.basename(path) not in discovered_basenames
             )
 
-        runs: list[list[tuple[int, int, str]]] = [[]]
+        adjacent: list[list[tuple[int, int, str]]] = [[]]
         for b in batches:
             if mergeable(*b):
-                runs[-1].append(b)
-            elif runs[-1]:
-                runs.append([])
+                adjacent[-1].append(b)
+            elif adjacent[-1]:
+                adjacent.append([])
         out = [
             b for b in batches
             if not mergeable(*b)
         ]
+        # chunk at FILE boundaries, never mid-file: a staged chunk then
+        # always fully contains every original it overlaps, which is
+        # exactly the containment condition storage.recover()'s
+        # manifest-less rule needs to COMMIT a chunk that crashed
+        # pre-manifest (a mid-file boundary would make the straddling
+        # original partially overlap and force recovery to discard the
+        # work; aligned chunks make every crash point land on either
+        # "originals intact" or "chunk commits cleanly")
+        runs: list[list[tuple[int, int, str]]] = []
+        for group in adjacent:
+            if len(group) < 2:
+                out.extend(group)
+                continue
+            cur: list[tuple[int, int, str]] = []
+            rows = 0
+            for b in group:
+                n = b[1] - b[0] + 1
+                if cur and rows + n > target_file_rows:
+                    runs.append(cur)
+                    cur, rows = [], 0
+                cur.append(b)
+                rows += n
+            if cur:
+                runs.append(cur)
         canonical = arrow_schema(self.schema)
         for run in runs:
             if len(run) < 2:
-                out.extend(run)  # nothing to merge
+                out.extend(run)  # a chunk of one merges nothing
                 continue
             tables = []
             for _, _, path in run:
@@ -710,24 +734,16 @@ class Queue:
                     )
                 tables.append(t.select(canonical.names).cast(canonical))
             merged = pa.concat_tables(tables).sort_by("seq")
-            seqs = merged.column("seq").to_pylist()
-            staged: list[str] = []
-            for off in range(0, merged.num_rows, target_file_rows):
-                chunk = merged.slice(off, target_file_rows)
-                s = seqs[off]
-                e = seqs[min(off + target_file_rows,
-                             merged.num_rows) - 1]
-                staged_path = (
-                    self._storage.batch_path(s, e) + ".compact"
-                )
-                pq.write_table(chunk, staged_path + ".tmp",
-                               compression=self.codec.parquet_codec)
-                os.replace(staged_path + ".tmp", staged_path)
-                staged.append(staged_path)
+            s = run[0][0]
+            e = run[-1][1]
+            staged_path = self._storage.batch_path(s, e) + ".compact"
+            pq.write_table(merged, staged_path + ".tmp",
+                           compression=self.codec.parquet_codec)
+            os.replace(staged_path + ".tmp", staged_path)
             originals = [p for _, _, p in run]
             write_json_atomic(
                 self._storage.compact_manifest_path,
-                {"staged": staged, "remove": originals},
+                {"staged": [staged_path], "remove": originals},
             )
             # originals out BEFORE the merged name appears: a listing
             # in the gap sees neither (rows simply surface one batch
@@ -735,20 +751,9 @@ class Queue:
             for path in originals:
                 if os.path.exists(path):
                     os.remove(path)
-            for staged_path in staged:
-                os.replace(
-                    staged_path, staged_path[: -len(".compact")]
-                )
+            os.replace(staged_path, staged_path[: -len(".compact")])
             os.remove(self._storage.compact_manifest_path)
-            out.extend(
-                (int(seqs[off]),
-                 int(seqs[min(off + target_file_rows,
-                              merged.num_rows) - 1]),
-                 sp[: -len(".compact")])
-                for off, sp in zip(
-                    range(0, merged.num_rows, target_file_rows), staged
-                )
-            )
+            out.append((s, e, staged_path[: -len(".compact")]))
         return sorted(out)
 
     def replay_dlq(self) -> int:

@@ -278,7 +278,17 @@ class QueueStorage:
             os.remove(self.compact_manifest_path)
             touched.append(self.compact_manifest_path)
             self.drop_row_cache()
-        # 3. complete interrupted pre-commit compactions (no manifest)
+        # 3. complete interrupted pre-commit compactions (no manifest).
+        # Containment rule: a staged chunk may only commit when every
+        # committed file it overlaps is FULLY contained in its span.
+        # A partial overlap means staging was interrupted mid-run (the
+        # sibling chunk holding the straddling file's remaining rows
+        # was never written): committing would delete live rows that
+        # exist nowhere else, and keeping the original alongside the
+        # chunk would duplicate its leading rows. Pre-manifest no
+        # original has been deleted yet, so DISCARDING the incomplete
+        # staged work is always safe — only the compaction effort is
+        # lost, never data.
         if os.path.isdir(self.data_dir):
             staged = []
             for name in os.listdir(self.data_dir):
@@ -292,8 +302,19 @@ class QueueStorage:
             if staged:
                 committed = self.list_batches()
                 for s, e, spath in staged:
-                    for cs, ce, cpath in committed:
-                        if cs <= e and s <= ce and os.path.exists(cpath):
+                    overlapping = [
+                        (cs, ce, cpath)
+                        for cs, ce, cpath in committed
+                        if cs <= e and s <= ce
+                    ]
+                    if any(
+                        cs < s or ce > e for cs, ce, _ in overlapping
+                    ):
+                        os.remove(spath)  # incomplete run: discard
+                        touched.append(spath)
+                        continue
+                    for _, _, cpath in overlapping:
+                        if os.path.exists(cpath):
                             os.remove(cpath)
                             touched.append(cpath)
                     final = spath[: -len(".compact")]

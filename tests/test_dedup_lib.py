@@ -5,6 +5,7 @@ fire, plus the single-hash-shuffle plan shape)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from quebic_spark.operators.dedup import incremental_dedup
@@ -188,3 +189,40 @@ def test_bloom_build_merges_partitions(spark):
     one = build_bloom(keys.coalesce(1), "k")
     many = build_bloom(keys.repartition(8), "k")
     assert one == many
+
+
+def test_bloom_fp_rate_at_documented_sizing(spark):
+    """Regression for the missing '& 1' bit mask (round-5 review): at
+    the DOCUMENTED sizing — 10k keys in the default 2^17-bit filter —
+    the fp rate must sit near the theoretical ~0.1-0.5%, not the ~21%
+    the any-higher-bit test produced. Denser than the other fp test on
+    purpose: low fill factors masked the defect."""
+    from pyspark.sql import functions as F
+
+    from quebic_spark.operators.dedup import (
+        bloom_probe_udf,
+        build_bloom,
+    )
+
+    member = spark.range(10_000).select(
+        F.concat(F.lit("m"), F.col("id")).alias("k")
+    )
+    bloom = build_bloom(member, "k")
+    probe = bloom_probe_udf(bloom)
+    outsiders = spark.range(10_000).select(
+        F.concat(F.lit("x"), F.col("id")).alias("k")
+    )
+    fp = (
+        outsiders.select(probe(F.md5("k")).alias("h"))
+        .filter("h").count()
+    )
+    assert fp / 10_000 < 0.02, f"fp rate {fp/10_000}"
+
+
+def test_bloom_rejects_bad_m_bits(spark):
+    from quebic_spark.operators.dedup import build_bloom
+
+    keys = spark.createDataFrame([("a",)], "k string")
+    for bad in (0, -8, 100):
+        with pytest.raises(ValueError):
+            build_bloom(keys, "k", m_bits=bad)

@@ -160,3 +160,32 @@ def test_decode_media_rejects_malformed_bmp():
 
     with _pytest.raises(ValueError):
         decode_bmp(bad)
+
+
+def test_decode_media_quarantines_corrupt_payloads(spark):
+    """never-fails-mid-scan contract (round-5 review): a payload whose
+    magic bytes match but whose body doesn't decode must quarantine as
+    an error-flagged stub row, not kill the task."""
+    from quebic_spark.operators.multimodal import decode_media, encode_bmp
+
+    good = encode_bmp(2, 2, [[(9, 9, 9)] * 2] * 2)
+    compressed_bmp = good[:30] + b"\x01" + good[31:]  # unsupported
+    truncated_bmp = good[:40]  # too short for detect -> unknown-stub
+    corrupt_wav = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"\xff" * 40
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(compressed_bmp)),
+            (3, bytearray(truncated_bmp)),
+            (4, bytearray(corrupt_wav)),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in decode_media(df).collect()}
+    assert out[1]["fmt"] == "bmp"
+    assert out[2]["fmt"] == "bmp-error-stub"
+    assert out[3]["fmt"] == "unknown-stub"
+    assert out[4]["fmt"] == "wav-error-stub"
+    # quarantined rows still carry the deterministic stub dims
+    n = len(compressed_bmp)
+    assert out[2]["width"] == n % 640 + 1

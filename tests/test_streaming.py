@@ -538,3 +538,44 @@ def test_merge_undiscovered_crash_mid_merge_recovers(qpath, spark):
     )
     assert sorted(seen2) == list(range(11, 41))  # exactly once, no gaps
     q2.dispose()
+
+
+def test_recover_discards_partial_multichunk_staging(qpath, spark):
+    """Containment rule (round-5 review): a staged .compact chunk that
+    PARTIALLY overlaps a committed file means staging crashed mid-run
+    (the sibling chunk was never written) — recovery must discard the
+    chunk and keep the originals; committing it would delete live rows
+    that exist nowhere else. Fully-contained staging still commits."""
+    import pyarrow.parquet as pq
+
+    q = Queue(qpath, SCHEMA, capacity=100000)
+    pub = q.publisher()
+    pub.push_all([[i, "a"] for i in range(10)])     # file 1-10
+    pub.push_all([[100 + i, "b"] for i in range(10)])  # file 11-20
+    batches = q._storage.list_batches()
+    assert [(s, e) for s, e, _ in batches] == [(1, 10), (11, 20)]
+
+    # crash artifact: a chunk spanning 1-15 (straddles file 2) with no
+    # manifest — as if the 16-20 sibling chunk was never written
+    t = pq.read_table(batches[0][2])
+    straddler = q._storage.batch_path(1, 15) + ".compact"
+    pq.write_table(t, straddler)
+    q._storage.recover()
+    q._storage.drop_row_cache()
+    spans = [(s, e) for s, e, _ in q._storage.list_batches()]
+    assert spans == [(1, 10), (11, 20)]  # originals intact
+    assert not os.path.exists(straddler)  # chunk discarded
+
+    # fully-contained staging still commits: chunk exactly covering
+    # file 1 replaces it
+    contained = q._storage.batch_path(1, 10) + ".compact"
+    pq.write_table(t, contained)
+    q._storage.recover()
+    q._storage.drop_row_cache()
+    spans = [(s, e) for s, e, _ in q._storage.list_batches()]
+    assert spans == [(1, 10), (11, 20)]
+    assert not os.path.exists(contained)  # renamed into place
+
+    got = [r[0] for r in q.subscriber().pop_n(20)]
+    assert got == list(range(10)) + [100 + i for i in range(10)]
+    q.dispose()

@@ -54,17 +54,23 @@ def test_percentile_filter_matches_duckdb(spark, scored, sf_dir, duck):
             )
             SELECT doc_id FROM (
               SELECT doc_id,
-                     percent_rank() OVER (PARTITION BY source
-                                          ORDER BY q, doc_id) AS pr
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY q, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY source) AS n
               FROM f
-            ) WHERE pr >= 0.25
+            ) WHERE rn > floor(0.25 * n)
             """
         ).fetchall()
     )
     assert got == want and 0 < len(got) < scored.count()
 
 
-def test_percentile_filter_keeps_singleton_groups(spark):
+def test_percentile_filter_small_groups_not_overpruned(spark):
+    """The count-based cut removes AT MOST min_pct of each group: a
+    singleton source survives any threshold < 1, and a 2-row group at
+    0.5 loses exactly its worse row (the percent_rank formulation
+    wiped singletons for any threshold > 0 — the round-5 review
+    finding)."""
     df = spark.createDataFrame(
         [(1, "g1", 0.1), (2, "g2", 0.2), (3, "g2", 0.9)],
         "doc_id long, source string, q double",
@@ -75,15 +81,16 @@ def test_percentile_filter_keeps_singleton_groups(spark):
             df, "source", "q", 0.5
         ).collect()
     }
-    # singleton ranks 0.0 -> dropped at 0.5; g2's better row survives
-    assert kept == {3}
-    kept0 = {
+    # g1's only (and best) doc survives; g2 drops its worse row
+    assert kept == {1, 3}
+    kept_light = {
         r["doc_id"]
         for r in quality_percentile_filter(
-            df, "source", "q", 0.0
+            df, "source", "q", 0.1
         ).collect()
     }
-    assert kept0 == {1, 2, 3}
+    # floor(0.1 * 2) = 0: nothing removable from either group
+    assert kept_light == {1, 2, 3}
 
 
 def test_compression_ratio_orders_and_determinism(spark):

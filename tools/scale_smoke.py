@@ -138,11 +138,26 @@ def main() -> None:
             ).count()
         )
 
+    def op_bloom_incremental(docs, emb):
+        from quebic_spark.operators.dedup import (
+            _content_key,
+            bloom_incremental_dedup,
+        )
+
+        tagged = docs.select(
+            "doc_id", _content_key().alias("content_key"),
+            hash_bucket(F.col("doc_id"), 2).alias("half"),
+        )
+        snapshot = tagged.filter("half = 0").select("content_key")
+        batch = tagged.filter("half = 1")
+        return bloom_incremental_dedup(batch, snapshot).count()
+
     ops = {
         "keep_best": op_keep_best,
         "minhash_lsh_pairs": op_minhash,
         "shard_agg": op_shard_agg,
         "ivf_cell_join": op_ivf_probe,
+        "bloom_incremental": op_bloom_incremental,
     }
     out: dict[str, dict] = {name: {} for name in ops}
     for factor in factors:

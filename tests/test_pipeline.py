@@ -18,7 +18,12 @@ from quebic_spark.pipeline import (
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    yield df
+    # session is shared across test modules: a lingering cached scan of
+    # documents.parquet would substitute an InMemoryRelation into ANY
+    # later test's scan of the same path (breaking pushdown asserts)
+    df.unpersist(blocking=False)
 
 
 def test_release_corpus_end_to_end(spark, docs, tmp_path):

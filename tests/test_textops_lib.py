@@ -34,7 +34,9 @@ def scored(spark, sf_dir):
         F.size(F.array_distinct(toks)) / n_toks * F.lit(0.5)
         + F.least(n_toks / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
     )
-    return docs.select("doc_id", "source", score.alias("q")).cache()
+    df = docs.select("doc_id", "source", score.alias("q")).cache()
+    yield df
+    df.unpersist(blocking=False)  # don't leak into later modules
 
 
 def test_percentile_filter_matches_duckdb(spark, scored, sf_dir, duck):

@@ -367,8 +367,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     docs = _docs(spark, sf_dir)
-    # feeds sizes + both join sides
-    sh = register_cache(_shingled(docs).cache())
+    # feeds sizes + both join sides. Shingles are md5-hashed up front:
+    # every downstream step (set sizes, document frequency, the
+    # inverted-index self-join, hot signatures) operates on shingle
+    # IDENTITY only, so 32-byte keys give identical counts while the
+    # join/agg shuffles stop carrying ~50-char n-gram strings — the
+    # same key-narrowing that fixed cardinality_sketch. The oracle
+    # stays on raw shingles (naive formulation): matching it proves
+    # both the pruning lossless AND the hashing collision-free here.
+    sh = register_cache(
+        _shingled(docs)
+        .select("doc_id", F.md5("sh").alias("sh"))
+        .cache()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     m_row = sizes.agg(F.min("set_size").alias("m")).collect()
     m = m_row[0]["m"] or 0

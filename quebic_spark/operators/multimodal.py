@@ -338,7 +338,9 @@ def decode_media(payloads: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                payload = bytes(payload)
+                # NULL payloads quarantine too (bytes(None) would kill
+                # the task before the try below was entered)
+                payload = b"" if payload is None else bytes(payload)
                 kind = detect_format(payload)
                 try:
                     if kind == "bmp":

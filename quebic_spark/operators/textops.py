@@ -765,10 +765,12 @@ ORACLE_PII_SCRUB_STATS = _pii_oracle()
 # quality_percentile_filter — dynamic per-group quality thresholds.
 # A fixed score cutoff over-prunes weak sources and under-prunes
 # strong ones; real pipelines cut the bottom X% WITHIN each source
-# (percentile thresholds adapt to each source's own distribution).
-# One shuffle: percent_rank window partitioned by the group column.
-# Library op with an oracle-paired test (tests/test_textops_lib.py);
-# DuckDB's percent_rank is definitionally identical.
+# (thresholds adapt to each source's own distribution). One shuffle:
+# rank + count windows sharing the group-key partitioning. Count-based
+# (drop at most floor(pct*n) rows), NOT percent_rank — see the
+# docstring for why that formulation wipes small groups. Library op
+# with an oracle-paired test (tests/test_textops_lib.py) mirroring the
+# same count formulation in DuckDB.
 # ---------------------------------------------------------------------------
 
 

@@ -99,6 +99,14 @@ def release_corpus(
         "quality_score",
     )
     if bench_docs is not None:
+        # deduped feeds BOTH the gram derivation and the anti-join left
+        # side; column pruning makes the two subtrees differ, defeating
+        # ReuseExchange, so the filter+window chain would run twice —
+        # materialize once (caller releases via clear_caches, same
+        # contract as the dedup family)
+        from quebic_spark.cache import register_cache
+
+        deduped = register_cache(deduped.cache())
         deduped = deduped.join(
             contaminated_doc_ids(deduped, bench_docs),
             "doc_id",

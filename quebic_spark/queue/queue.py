@@ -709,15 +709,26 @@ class Queue:
                 continue
             cur: list[tuple[int, int, str]] = []
             rows = 0
+            local: list[list[tuple[int, int, str]]] = []
             for b in group:
                 n = b[1] - b[0] + 1
-                if cur and rows + n > target_file_rows:
-                    runs.append(cur)
+                # flush only when the chunk already has >= 2 files: a
+                # chunk of one merges nothing, so allow target
+                # overshoot rather than strand singles (which would
+                # also disable merging entirely whenever
+                # target < 2x the small-file size)
+                if len(cur) >= 2 and rows + n > target_file_rows:
+                    local.append(cur)
                     cur, rows = [], 0
                 cur.append(b)
                 rows += n
-            if cur:
-                runs.append(cur)
+            if len(cur) == 1 and local:
+                # fold a trailing single into the previous chunk
+                # instead of leaving one permanently-unmerged file
+                local[-1].extend(cur)
+            elif cur:
+                local.append(cur)
+            runs.extend(local)
         canonical = arrow_schema(self.schema)
         for run in runs:
             if len(run) < 2:

@@ -189,3 +189,16 @@ def test_decode_media_quarantines_corrupt_payloads(spark):
     # quarantined rows still carry the deterministic stub dims
     n = len(compressed_bmp)
     assert out[2]["width"] == n % 640 + 1
+
+
+def test_decode_media_null_payload_quarantines(spark):
+    from quebic_spark.operators.multimodal import decode_media
+
+    df = spark.createDataFrame(
+        [(1, None), (2, bytearray(b"hello"))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in decode_media(df).collect()}
+    assert out[1]["fmt"] == "unknown-stub"
+    assert out[1]["payload_bytes"] == 0
+    assert out[2]["fmt"] == "unknown-stub"

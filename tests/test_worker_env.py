@@ -10,6 +10,10 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+)
+
 SCRIPT = """
 import sys
 sys.path.insert(0, {repo!r})
@@ -18,7 +22,7 @@ from quebic_spark.operators.multimodal import q_multimodal_decode
 spark = get_spark(app_name="worker_env_probe", master="local[2]",
                   shuffle_partitions=2,
                   extra_conf={{"spark.driver.memory": "2g"}})
-rows = q_multimodal_decode(spark, "/root/testdata/sf0.001").collect()
+rows = q_multimodal_decode(spark, {sf!r}).collect()
 assert len(rows) > 0
 print("WORKER_IMPORT_OK", len(rows))
 spark.stop()
@@ -29,7 +33,7 @@ def test_udf_closures_import_from_neutral_cwd(tmp_path):
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # the driver process starts bare
     out = subprocess.run(
-        [sys.executable, "-c", SCRIPT.format(repo=REPO)],
+        [sys.executable, "-c", SCRIPT.format(repo=REPO, sf=SF_DIR)],
         cwd=str(tmp_path),  # NOT the repo — workers can't lean on cwd
         env=env,
         capture_output=True,

@@ -1,9 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE MINIMAL JSON line:
   {"metric": "total_query_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": "..."}
+   "queries": {name: sec, ...}, "sf": "...", "detail_file": "..."}
+
+The full diagnostic record (per-sample arrays, queue medians, isolated
+spot-times for the most expensive queries) goes to BENCH_DETAIL.json on
+disk — round 5's one-line record with inlined samples outgrew the
+driver's stdout capture and lost the parsed total, so the printed line
+now carries only what the round-over-round comparison needs.
 
 Also measures queue push/pop against the reference baseline
 (README.md:97-101: 3.597 ms/push, 2.198 ms/pop on 1 KiB BINARY items)
@@ -17,11 +23,17 @@ import json
 import os
 import random
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+# how many of the most expensive queries get a fresh-process spot-check
+# appended to the detail file (attributes shared-JVM tax; set 0 to skip)
+_ISOLATE_TOP_N = int(os.environ.get("SPARK_GRAFT_ISOLATE_TOP_N", "5"))
 
 
 def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
@@ -32,14 +44,26 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     query cost — first-run classloading/page-cache effects are covered
     by the explicit warmups in main().
 
-    Every sample is kept and reported (round-4 review: best-of-k minima
-    alone made a 3.8x floor shift on an unchanged query undiagnosable),
-    and operator-level cache handles are released between queries so one
-    query's residency cannot tax the next — only the IVF index survives,
-    deliberately (cross-query reuse is that operator's design).
+    Every sample is kept and reported in the detail file (round-4
+    review: best-of-k minima alone made a 3.8x floor shift on an
+    unchanged query undiagnosable). Between samples the loop releases
+    operator cache handles, drops Spark's table cache, and nudges the
+    JVM GC — round 5 showed in-loop numbers drifting 2-5x above
+    isolated reality on a shared heap, so each query now starts from as
+    clean a JVM as one process allows. The IVF index and trained
+    quantizer survive on DISK (operators/similarity.py persists them
+    as a cell-partitioned table + JSON), so dropping their in-memory
+    residency here costs a re-read, not a rebuild.
     """
     from quebic_spark import clear_caches
     from quebic_spark.operators import QUERIES
+
+    jvm_system = spark.sparkContext._jvm.System
+
+    def _reset() -> None:
+        clear_caches()
+        spark.catalog.clearCache()
+        jvm_system.gc()
 
     times: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
@@ -48,14 +72,14 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         for _ in range(2):
             t0 = time.time()
             fn(spark, sf_dir).collect()
-            runs.append(round(time.time() - t0, 3))
-            clear_caches()
+            runs.append(round(time.time() - t0, 2))
+            _reset()
         samples[name] = runs
         times[name] = min(runs)
     return times, samples
 
 
-def bench_queue() -> dict[str, float]:
+def bench_queue() -> tuple[dict[str, float], dict]:
     from quebic_spark import BINARY, INTEGER, Queue, Schema
 
     rnd = random.Random(42)
@@ -86,8 +110,8 @@ def bench_queue() -> dict[str, float]:
     # best-of-3, same rationale as bench_queries: these are
     # rename/metadata-bound loops and background load swings them 2-3x
     # run to run; a cycle is a few seconds, so the extra runs are cheap
-    # insurance. Medians are reported alongside (see main()) so the
-    # best-of-k choice is visible, not hidden.
+    # insurance. Medians land in the detail file so the best-of-k
+    # choice is visible, not hidden.
     cycles = [one_cycle() for _ in range(3)]
     pushes = sorted(c[0] for c in cycles)
     pops = sorted(c[1] for c in cycles)
@@ -102,6 +126,36 @@ def bench_queue() -> dict[str, float]:
         "queue_push_1k_samples": [round(c[0], 3) for c in cycles],
         "queue_pop_1k_samples": [round(c[1], 3) for c in cycles],
     }
+
+
+def isolated_spot_times(
+    times: dict[str, float], sf_dir: str, top_n: int
+) -> dict[str, list[float]]:
+    """Re-measure the ``top_n`` most expensive queries, each in a FRESH
+    process via tools/isolated_query.py. Run strictly after the main
+    session is stopped — two concurrent Spark JVMs contend for the same
+    cores and inflate both (observed 2-3x in earlier rounds).
+    """
+    expensive = sorted(
+        (k for k in times if not k.startswith("queue_")),
+        key=lambda k: times[k],
+        reverse=True,
+    )[:top_n]
+    out: dict[str, list[float]] = {}
+    for name in expensive:
+        try:
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(_REPO, "tools", "isolated_query.py"),
+                 name, sf_dir],
+                capture_output=True, text=True, timeout=600,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            out[name] = json.loads(line)["samples"]
+        except Exception as exc:  # never let diagnostics sink the bench
+            out[name] = []
+            sys.stderr.write(f"isolated {name} failed: {exc}\n")
+    return out
 
 
 def main() -> None:
@@ -121,9 +175,37 @@ def main() -> None:
     ).count()
 
     times, samples = bench_queries(spark, sf_dir)
+    spark.stop()
+    isolated = (
+        isolated_spot_times(times, sf_dir, _ISOLATE_TOP_N)
+        if _ISOLATE_TOP_N > 0 else {}
+    )
     queue_best, queue_median = bench_queue()
     times.update(queue_best)
-    total = round(sum(times.values()), 3)
+    total = round(sum(times.values()), 2)
+    method = (
+        "queries_best_of_2_all_samples_in_detail_file"
+        ";caches+tablecache_cleared+gc_between_samples"
+        ";isolated_spot_times_fresh_process;queue_best_of_3"
+    )
+    detail_path = os.path.join(_REPO, "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "sf": sf_dir,
+                "method": method,
+                "samples": samples,
+                "queue_median": queue_median,
+                # fresh-process ground truth for the most expensive
+                # queries; compare against `samples` to attribute
+                # shared-JVM tax
+                "isolated": isolated,
+            },
+            fh,
+            indent=1,
+        )
     print(
         json.dumps(
             {
@@ -132,16 +214,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf_dir,
-                # methodology is part of the record: round-over-round
-                # totals are only comparable when the sampling method
-                # matches (queries best-of-2, queue cycles best-of-3;
-                # queue medians reported for the load-swing context)
-                "method": (
-                    "queries_best_of_2_all_samples_reported"
-                    ";caches_cleared_between_queries;queue_best_of_3"
-                ),
-                "samples": samples,
-                "queue_median": queue_median,
+                "method": method,
+                "detail_file": "BENCH_DETAIL.json",
             }
         )
     )

@@ -52,11 +52,15 @@ def clear_caches(include_ivf_index: bool = False) -> int:
     if include_ivf_index:
         from quebic_spark.operators import similarity
 
-        for cached in similarity._IVF_INDEX_CACHE.values():
-            try:
-                cached.unpersist(blocking=False)
-                released += 1
-            except Exception:
-                pass
-        similarity._IVF_INDEX_CACHE.clear()
+        for store in (
+            similarity._IVF_INDEX_CACHE,
+            similarity._EXACT_TOPK_CACHE,
+        ):
+            for cached in store.values():
+                try:
+                    cached.unpersist(blocking=False)
+                    released += 1
+                except Exception:
+                    pass
+            store.clear()
     return released

@@ -307,7 +307,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from quebic_spark.functions.graph import connected_components
 
-    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # localCheckpoint BEFORE fanning out to both orientations: the
+    # union's two branches would otherwise each execute the full LSH
+    # DAG (shingle -> minhash -> band join) — the checkpoint runs it
+    # once and both branches read the materialized pairs
+    pairs = (
+        q_dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
     docs = _docs(spark, sf_dir).select("doc_id")
     labels = connected_components(docs, edges, max_iters=CC_MAX_ITERS)

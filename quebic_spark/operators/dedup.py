@@ -1021,7 +1021,7 @@ FROM (
 # is an execution strategy, not a semantics change.
 # ---------------------------------------------------------------------------
 
-BLOOM_BITS = 1 << 17  # 16 KiB filter; ~13 bits/key at 10k snapshot keys
+BLOOM_BITS = 1 << 17  # 16 KiB FLOOR; auto-sizing scales it to the snapshot
 BLOOM_HASHES = 7
 
 
@@ -1063,7 +1063,13 @@ def build_bloom(
         raise ValueError(
             f"m_bits must be a positive multiple of 8, got {m_bits}"
         )
-    hashed = keys.select(F.md5(F.col(key_col)).alias("hk"))
+    # NULL keys carry no information for the filter (md5(NULL) is NULL
+    # and _bloom_hashes would crash on it); the PROBE side handles
+    # null-key batch rows explicitly, so dropping them here keeps the
+    # build/probe pair consistent
+    hashed = keys.filter(F.col(key_col).isNotNull()).select(
+        F.md5(F.col(key_col)).alias("hk")
+    )
 
     def per_batch(batches):
         bits = np.zeros(m_bits // 8, dtype=np.uint8)
@@ -1114,6 +1120,13 @@ def bloom_probe_udf(bloom: bytes, k: int = BLOOM_HASHES):
     def probe(s):
         if not len(s):
             return pd.Series([], dtype=bool)
+        # NULL keys (md5(NULL) -> None): report "might contain" FALSE —
+        # the row then takes the definitely-new branch, exactly where
+        # the exact path's anti-join leaves null-key rows too (null
+        # never equi-matches), so both tiers agree. The placeholder
+        # hash below is only probed for non-null positions.
+        null_mask = s.isna()
+        s = s.fillna("0" * 32)
         h1, h2 = _bloom_hashes(s, m_bits)
         hit = np.ones(len(s), dtype=bool)
         for i in range(k):
@@ -1128,9 +1141,22 @@ def bloom_probe_udf(bloom: bytes, k: int = BLOOM_HASHES):
                 )
                 & np.uint8(1)
             ).astype(bool)
+        hit[null_mask.to_numpy()] = False
         return pd.Series(hit)
 
     return pandas_udf(probe, "boolean", PandasUDFType.SCALAR)
+
+
+BLOOM_BITS_PER_KEY = 13  # ~0.16% fp at k=7 (the documented sizing)
+
+
+def auto_bloom_bits(n_keys: int) -> int:
+    """Filter size for a measured snapshot: BLOOM_BITS_PER_KEY per key
+    rounded up to a byte multiple, floored at BLOOM_BITS — keeps the
+    documented fp rate at ANY snapshot size instead of saturating."""
+    return max(
+        BLOOM_BITS, ((BLOOM_BITS_PER_KEY * n_keys + 7) // 8) * 8
+    )
 
 
 def bloom_incremental_dedup(
@@ -1138,7 +1164,7 @@ def bloom_incremental_dedup(
     snapshot_keys: DataFrame,
     key: str = "content_key",
     order: str = "doc_id",
-    m_bits: int = BLOOM_BITS,
+    m_bits: int | None = None,
     k: int = BLOOM_HASHES,
 ) -> DataFrame:
     """incremental_dedup semantics via the two-tier bloom plan: rows
@@ -1153,11 +1179,21 @@ def bloom_incremental_dedup(
     and its shuffle dominates, while the bloom stays
     |keys| * bits_per_key / 8 bytes (1.6 GB/1e9 keys at 13 bits),
     ships once per executor, and removes the non-dup majority of the
-    batch from the join input entirely."""
+    batch from the join input entirely.
+
+    ``m_bits=None`` (the default) sizes the filter from the snapshot:
+    ``BLOOM_BITS_PER_KEY * count(keys)`` rounded up to a byte multiple,
+    floored at ``BLOOM_BITS`` — a fixed default would silently saturate
+    on a large snapshot (fp rate -> 1, degrading the bloom tier to a
+    full anti-join plus two wasted probe passes). The count is one
+    column-pruned pass over the key index — noise next to the build
+    pass that follows. Pass ``m_bits`` explicitly to pin a size."""
     from pyspark.sql import Window
 
     from quebic_spark.cache import register_cache
 
+    if m_bits is None:
+        m_bits = auto_bloom_bits(snapshot_keys.count())
     bloom = build_bloom(snapshot_keys.select(key), key, m_bits, k)
     probe = bloom_probe_udf(bloom, k)
     # flagged feeds BOTH union branches: materialize once or the batch

@@ -27,14 +27,28 @@ SESSION_GAP = "30 minutes"
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quebic_spark.session import tune_for_query
 
+    tune_for_query(spark)
+    # pin UTC for the NTZ->TIMESTAMP cast below, SCOPED to this plan
+    # construction: a harness-supplied non-UTC session would otherwise
+    # shift every micros-generation ts by the zone offset (nanos path
+    # is zone-independent) and diverge from the DuckDB oracle. Catalyst
+    # resolves the session zone INTO the Cast at analysis time (plan
+    # construction is eager), so restoring the conf afterwards cannot
+    # un-pin the cast — and registering the events view no longer
+    # overrides a user-configured session timezone for every later
+    # query (r5 ADVICE).
+    tz_key = "spark.sql.session.timeZone"
+    prev_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        return _events_pinned_utc(spark, sf_dir)
+    finally:
+        spark.conf.set(tz_key, prev_tz)
+
+
+def _events_pinned_utc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType
 
-    tune_for_query(spark)
-    # pin UTC for the NTZ->TIMESTAMP cast below: a harness-supplied
-    # non-UTC session would otherwise shift every micros-generation ts
-    # by the zone offset (nanos path is zone-independent) and diverge
-    # from the DuckDB oracle
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(raw.schema["ts"].dataType, LongType):

@@ -98,21 +98,26 @@ def release_corpus(
         "content_key",
         "quality_score",
     )
+    cached = None
     if bench_docs is not None:
         # deduped feeds BOTH the gram derivation and the anti-join left
         # side; column pruning makes the two subtrees differ, defeating
         # ReuseExchange, so the filter+window chain would run twice —
-        # materialize once (caller releases via clear_caches, same
-        # contract as the dedup family)
-        from quebic_spark.cache import register_cache
-
-        deduped = register_cache(deduped.cache())
-        deduped = deduped.join(
-            contaminated_doc_ids(deduped, bench_docs),
+        # materialize once. Unlike the LAZY dedup query functions this
+        # is a terminal op (the write below materializes everything),
+        # so the handle is released here in finally rather than parked
+        # on the caller-side clear_caches contract.
+        cached = deduped.cache()
+        deduped = cached.join(
+            contaminated_doc_ids(cached, bench_docs),
             "doc_id",
             "left_anti",
         )
-    return write_corpus_shards(
-        spark, deduped, out_path, n_shards,
-        key_col="doc_id", order_by=list(order_by), fmt=fmt,
-    )
+    try:
+        return write_corpus_shards(
+            spark, deduped, out_path, n_shards,
+            key_col="doc_id", order_by=list(order_by), fmt=fmt,
+        )
+    finally:
+        if cached is not None:
+            cached.unpersist(blocking=False)

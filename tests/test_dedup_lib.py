@@ -226,3 +226,49 @@ def test_bloom_rejects_bad_m_bits(spark):
     for bad in (0, -8, 100):
         with pytest.raises(ValueError):
             build_bloom(keys, "k", m_bits=bad)
+
+
+def test_bloom_handles_null_keys_like_exact_path(spark):
+    """md5(NULL) is NULL: null-key rows must flow through the bloom
+    tier unharmed and come out exactly as incremental_dedup leaves
+    them — one null-key survivor via the keep-first window, no task
+    crash (r5 ADVICE)."""
+    from quebic_spark.operators.dedup import (
+        bloom_incremental_dedup,
+        incremental_dedup,
+    )
+
+    batch = spark.createDataFrame(
+        [(10, "k1"), (11, None), (12, None), (13, "k9")],
+        "doc_id int, content_key string",
+    )
+    snapshot = spark.createDataFrame(
+        [("k1",), (None,)], "content_key string"
+    )
+    exact = {
+        (r.doc_id, r.content_key)
+        for r in incremental_dedup(batch, snapshot).collect()
+    }
+    got = {
+        (r.doc_id, r.content_key)
+        for r in bloom_incremental_dedup(batch, snapshot).collect()
+    }
+    assert got == exact == {(11, None), (13, "k9")}
+
+
+def test_auto_bloom_bits_scales_with_snapshot():
+    """A fixed default saturates on big snapshots (fp -> 1); the auto
+    sizing must grow linearly past the floor (r5 ADVICE)."""
+    from quebic_spark.operators.dedup import (
+        BLOOM_BITS,
+        BLOOM_BITS_PER_KEY,
+        auto_bloom_bits,
+    )
+
+    assert auto_bloom_bits(0) == BLOOM_BITS
+    assert auto_bloom_bits(10_000) == BLOOM_BITS  # floor covers 10k
+    big = auto_bloom_bits(1_000_000_000)
+    assert big % 8 == 0
+    assert big >= BLOOM_BITS_PER_KEY * 1_000_000_000
+    # the docstring's 1e9-key sizing: ~1.6 GB of bits
+    assert 12_000_000_000 < big < 14_000_000_000

@@ -103,3 +103,25 @@ def test_asof_matches_temporal_query(spark, sf_dir):
         for r in generic.collect()
     }
     assert got == expected
+
+
+def test_events_normalizer_scopes_timezone(spark, sf_dir):
+    """_events pins UTC only for its own plan construction: a
+    user-configured session timezone must survive the call, while the
+    normalized ts values stay identical to the UTC-session ones
+    because the cast captures UTC at analysis time (r5 ADVICE)."""
+    from quebic_spark.operators.events import _events
+
+    key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(key)
+    baseline = [r["ts"] for r in _events(spark, sf_dir)
+                .orderBy("event_id").limit(20).collect()]
+    spark.conf.set(key, "America/New_York")
+    try:
+        df = _events(spark, sf_dir)
+        assert spark.conf.get(key) == "America/New_York"
+        got = [r["ts"] for r in df.orderBy("event_id")
+               .limit(20).collect()]
+    finally:
+        spark.conf.set(key, prev)
+    assert got == baseline

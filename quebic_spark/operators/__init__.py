@@ -52,7 +52,9 @@ for _mod in _MODULES:
 
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
-    # --- r5: new gates this round ---
+    # --- r6: new gates this round ---
+    "corpus_release_counts",
+    # --- r5: new gates that round ---
     "corpus_shards_roundtrip",
     "profile_documents",
     "ann_ivf_learned_recall",
@@ -84,7 +86,6 @@ GATE_ORDER: tuple[str, ...] = (
     # --- stable since r2 (driver-green in CORRECTNESS_r02) ---
     "pricing_summary",
     "top_orders_per_segment",
-    "part_supplier_overlap",
     "status_priority_cube",
     "skew_safe_revenue",
     "brand_name_similarity",
@@ -113,6 +114,15 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "part_supplier_overlap": "INTERSECT/EXCEPT set ops; the mechanism "
+                             "stays live through the anti-/semi-join "
+                             "family the optimizer rewrites set ops "
+                             "into: decontaminate + the release "
+                             "composite's decontamination stage "
+                             "(corpus_release_counts) gate anti-joins, "
+                             "urgent_vs_finished_outer gates the "
+                             "overlap-reconciliation shape. Slot given "
+                             "to corpus_release_counts in r6",
     "stratified_sample": "deterministic k-per-group selection via "
                          "md5-rank window; the per-group rank window "
                          "stays live in top_orders_per_segment and "

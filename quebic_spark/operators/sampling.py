@@ -680,7 +680,194 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_release_counts — gate for the END-TO-END release composite
+# (pipeline.release_corpus): score -> per-source percentile filter ->
+# keep-best dedup -> benchmark decontamination -> sharded write. The
+# gate runs the real pipeline into a temp dir, then accounts for every
+# document FROM THE WRITTEN ARTIFACT: per-source input / post-quality /
+# released canonical counts plus the duplicate mass the canonicals
+# represent (sum of n_copies), and a TOTAL row whose released count
+# comes from the WRITE MANIFEST — so a writer that dropped, duplicated,
+# or misrouted rows, or a manifest that disagreed with the files,
+# hash-fails against DuckDB's pure-SQL replay of all four stages.
+# Bench/corpus split reuses decontaminate's hash-slice so both engines
+# share already-matched arithmetic.
+# ---------------------------------------------------------------------------
+
+CORPUS_RELEASE_SHARDS = 4
+CORPUS_RELEASE_CUT = 0.2
+
+
+def q_corpus_release_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from quebic_spark.operators.textops import (
+        DECON_BENCH_PCT,
+        quality_percentile_filter,
+    )
+    from quebic_spark.pipeline import quality_score_col, release_corpus
+    from quebic_spark.sources.io import read_corpus_shards
+
+    docs = _docs(spark, sf_dir)
+    is_bench = hash_bucket(F.col("doc_id")) < DECON_BENCH_PCT
+    bench = docs.filter(is_bench)
+    corpus = docs.filter(~is_bench)
+    tmp = tempfile.mkdtemp(prefix="quebic_release_gate_")
+    path = tmp + "/release"
+    try:
+        manifest = release_corpus(
+            spark, corpus, path, n_shards=CORPUS_RELEASE_SHARDS,
+            quality_cut_pct=CORPUS_RELEASE_CUT, bench_docs=bench,
+        )
+        released = read_corpus_shards(spark, path)
+        per_source = released.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_released"),
+            F.sum("n_copies").cast("long").alias("n_docs_represented"),
+        )
+        inputs = corpus.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_input")
+        )
+        after_q = (
+            quality_percentile_filter(
+                corpus.withColumn("quality_score", quality_score_col()),
+                "source", "quality_score", CORPUS_RELEASE_CUT,
+            )
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_after_quality"))
+        )
+        per = (
+            inputs.join(after_q, "source")
+            .join(per_source, "source", "left")
+            .select(
+                "source",
+                "n_input",
+                "n_after_quality",
+                F.coalesce("n_released", F.lit(0))
+                .cast("long").alias("n_released"),
+                F.coalesce("n_docs_represented", F.lit(0))
+                .cast("long").alias("n_docs_represented"),
+            )
+        )
+        rows = per.collect()
+        total = (
+            "TOTAL",
+            sum(r["n_input"] for r in rows),
+            sum(r["n_after_quality"] for r in rows),
+            # manifest totals enter the gated result HERE: if the
+            # manifest disagreed with the artifact (or the oracle's
+            # replay), the hash fails
+            int(manifest["total_rows"]),
+            sum(r["n_docs_represented"] for r in rows),
+        )
+        return spark.createDataFrame(
+            [tuple(r) for r in rows] + [total], per.schema
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _release_counts_oracle() -> str:
+    from quebic_spark.operators.textops import DECON_BENCH_PCT
+
+    n = 8  # pipeline.DECON_NGRAM (kept literal: oracle is a constant)
+    score = (
+        "CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)"
+        " / len(string_split(text,' ')) * 0.5"
+        " + least(len(string_split(text,' ')) / 100.0, 1.0) * 0.5"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE {_hash_bucket_sql("doc_id")} >= {DECON_BENCH_PCT}
+),
+bench AS (
+  SELECT text FROM documents
+  WHERE {_hash_bucket_sql("doc_id")} < {DECON_BENCH_PCT}
+),
+scored AS (
+  SELECT doc_id, source, text, {score} AS q FROM corpus
+),
+filtered AS (
+  SELECT doc_id, source, text, q FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY q ASC, doc_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS ng
+    FROM scored
+  ) WHERE rn > FLOOR(ng * {CORPUS_RELEASE_CUT})
+),
+kb AS (
+  SELECT doc_id, source, text, n_copies FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY content_key
+                              ORDER BY q DESC, doc_id ASC) AS rn2,
+           COUNT(*) OVER (PARTITION BY content_key) AS n_copies
+    FROM (
+      SELECT *, md5(array_to_string(
+        list_sort(list_distinct(string_split(text, ' '))), ' '))
+        AS content_key
+      FROM filtered
+    )
+  ) WHERE rn2 = 1
+),
+kb_grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - {n - 1}, 1) + 1),
+           i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM kb)
+),
+bench_grams AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - {n - 1}, 1) + 1),
+           i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS g
+  FROM (SELECT string_split(text, ' ') AS t FROM bench)
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM kb_grams JOIN bench_grams USING (g)
+),
+released AS (
+  SELECT * FROM kb
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+inputs AS (
+  SELECT source, COUNT(*) AS n_input FROM corpus GROUP BY source
+),
+afterq AS (
+  SELECT source, COUNT(*) AS n_after_quality FROM filtered
+  GROUP BY source
+),
+rel AS (
+  SELECT source, COUNT(*) AS n_released,
+         CAST(SUM(n_copies) AS BIGINT) AS n_docs_represented
+  FROM released GROUP BY source
+),
+per AS (
+  SELECT i.source, i.n_input, a.n_after_quality,
+         COALESCE(r.n_released, 0) AS n_released,
+         COALESCE(r.n_docs_represented, 0) AS n_docs_represented
+  FROM inputs i
+  JOIN afterq a USING (source)
+  LEFT JOIN rel r USING (source)
+)
+SELECT source, n_input, n_after_quality, n_released,
+       n_docs_represented
+FROM per
+UNION ALL
+SELECT 'TOTAL', CAST(SUM(n_input) AS BIGINT),
+       CAST(SUM(n_after_quality) AS BIGINT),
+       CAST(SUM(n_released) AS BIGINT),
+       CAST(SUM(n_docs_represented) AS BIGINT)
+FROM per
+"""
+
+
+ORACLE_CORPUS_RELEASE_COUNTS = _release_counts_oracle()
+
+
 QUERIES = {
+    "corpus_release_counts": q_corpus_release_counts,
     "corpus_shards_roundtrip": q_corpus_shards_roundtrip,
     "mixture_sample": q_mixture_sample,
     "weighted_sample": q_weighted_sample,
@@ -694,6 +881,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_release_counts": ORACLE_CORPUS_RELEASE_COUNTS,
     "corpus_shards_roundtrip": ORACLE_CORPUS_SHARDS_ROUNDTRIP,
     "mixture_sample": ORACLE_MIXTURE_SAMPLE,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,

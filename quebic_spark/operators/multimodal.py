@@ -5,8 +5,9 @@ North-star extension layer (SURVEY §2.10): image/audio/video are
 runs as Arrow-batched ``mapInPandas``. Two decode tiers:
 
 * REAL decoders for formats parseable with stdlib + numpy (24-bit BMP
-  header+pixel parsing, PCM WAV via the wave module) — ``decode_media``
-  auto-detects by magic bytes;
+  header+pixel parsing, PCM WAV via the wave module, non-interlaced
+  8-bit RGB PNG via zlib inflate + scanline unfiltering) —
+  ``decode_media`` auto-detects by magic bytes;
 * the clearly-marked deterministic stub (``_fake_decode`` /
   ``_stub_dims``) for everything needing PIL/ffmpeg, which this
   container does not have — swap in the real call on a real cluster.
@@ -223,7 +224,8 @@ def resize_dims(decoded: DataFrame, max_w: int, max_h: int) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # REAL decoders — formats parseable with stdlib + numpy alone (the
-# container has no PIL/ffmpeg; BMP and PCM-WAV need neither). These are
+# container has no PIL/ffmpeg; BMP, PCM-WAV, and zlib-deflated PNG
+# need neither). These are
 # actual byte-level decoders, not stubs: they parse headers, validate
 # magic/geometry, and touch every pixel/sample (mean value proves it).
 # ``decode_media`` auto-detects per row and falls back to the
@@ -239,7 +241,12 @@ MEDIA_SCHEMA = (
 )
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
 def detect_format(payload: bytes) -> str:
+    if payload[:8] == PNG_MAGIC:
+        return "png"
     if payload[:2] == b"BM" and len(payload) >= 54:
         return "bmp"
     if (
@@ -314,6 +321,93 @@ def decode_wav(payload: bytes) -> dict:
         }
 
 
+def decode_png(payload: bytes) -> dict:
+    """Decode a non-interlaced 8-bit RGB PNG with stdlib zlib + struct:
+    chunk walk (IHDR geometry, concatenated IDAT), full inflate, then
+    per-scanline unfiltering (all five filter types — None/Sub/Up/
+    Average/Paeth, the spec's reconstruction functions). Every pixel is
+    reconstructed; the mean proves it. Other color types / depths /
+    interlacing raise (decode_media quarantines them as error-stub)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, width, idat = 8, None, b""
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        pos += 8
+        data = payload[pos:pos + length]
+        if len(data) < length:
+            raise ValueError("truncated chunk body")
+        pos += length + 4  # skip CRC (integrity is the transport's job)
+        if ctype == b"IHDR":
+            (width, height, bit_depth, color_type,
+             _comp, _filt, interlace) = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("no IHDR chunk")
+    if bit_depth != 8 or color_type != 2 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={bit_depth} color={color_type} "
+            f"interlace={interlace} (8-bit RGB non-interlaced only)"
+        )
+    raw = zlib.decompress(idat)
+    bpp, stride = 3, width * 3
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("IDAT length does not match geometry")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for y in range(height):
+        f = raw[p]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=p + 1
+        ).copy()
+        p += 1 + stride
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up (uint8 addition wraps mod 256, per spec)
+            cur = line + prev
+        elif f in (1, 3, 4):  # Sub/Average/Paeth: left-dependent, so
+            cur = line        # reconstruct sequentially
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + int(prev[x])) // 2
+                else:
+                    b = int(prev[x])
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    pa, pb, pc = (
+                        abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    )
+                    pred = (
+                        a if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c)
+                    )
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid scanline filter {f}")
+        out[y] = cur
+        prev = cur
+    return {
+        "fmt": "png",
+        "width": width,
+        "height": height,
+        "n_frames": 1,
+        "sample_rate": None,
+        "channels": 3,
+        "mean_value": float(out.mean()) if out.size else 0.0,
+    }
+
+
 def _stub_dims(n: int) -> dict:
     # same arithmetic as _fake_decode — the documented deterministic
     # fallback for formats the container cannot decode
@@ -343,7 +437,9 @@ def decode_media(payloads: DataFrame) -> DataFrame:
                 payload = b"" if payload is None else bytes(payload)
                 kind = detect_format(payload)
                 try:
-                    if kind == "bmp":
+                    if kind == "png":
+                        d = decode_png(payload)
+                    elif kind == "bmp":
                         d = decode_bmp(payload)
                     elif kind == "wav":
                         d = decode_wav(payload)
@@ -396,6 +492,83 @@ def encode_bmp(width: int, height: int, rgb: "list[list[tuple]]") -> bytes:
         )
     )
     return header + body
+
+
+def encode_png(
+    width: int,
+    height: int,
+    rgb: "list[list[tuple]]",
+    row_filters: "list[int] | None" = None,
+) -> bytes:
+    """Test-support encoder: rows of (r, g, b) top-down -> non-
+    interlaced 8-bit RGB PNG bytes, the exact layout ``decode_png``
+    parses. ``row_filters`` picks the scanline filter per row (default
+    all 0) so round-trip tests can exercise every reconstruction
+    branch; forward filtering here uses original-pixel neighbors,
+    which is what the spec's filter functions subtract."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.array(
+        [[ch for px in row for ch in px] for row in rgb], dtype=np.uint8
+    ).reshape(height, width * 3)
+    filters = list(row_filters) if row_filters else [0] * height
+    bpp = 3
+
+    def left(line):
+        out = np.zeros_like(line)
+        out[bpp:] = line[:-bpp]
+        return out
+
+    raw = b""
+    prev = np.zeros(width * 3, dtype=np.uint8)
+    for y in range(height):
+        line, f = arr[y], filters[y]
+        a, b = left(line), prev
+        c = left(prev)
+        if f == 0:
+            filt = line
+        elif f == 1:
+            filt = line - a
+        elif f == 2:
+            filt = line - b
+        elif f == 3:
+            filt = line - (
+                (a.astype(np.int16) + b.astype(np.int16)) // 2
+            ).astype(np.uint8)
+        elif f == 4:
+            ai, bi, ci = (
+                a.astype(np.int16), b.astype(np.int16),
+                c.astype(np.int16),
+            )
+            pa, pb, pc = (
+                np.abs(bi - ci), np.abs(ai - ci),
+                np.abs(ai + bi - 2 * ci),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), ai, np.where(pb <= pc, bi, ci)
+            ).astype(np.uint8)
+            filt = line - pred
+        else:
+            raise ValueError(f"invalid filter {f}")
+        raw += bytes([f]) + filt.tobytes()
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 QUERIES = {

@@ -202,3 +202,81 @@ def test_decode_media_null_payload_quarantines(spark):
     assert out[1]["fmt"] == "unknown-stub"
     assert out[1]["payload_bytes"] == 0
     assert out[2]["fmt"] == "unknown-stub"
+
+
+def test_decode_png_known_pixels_all_filters(spark):
+    """Round-trip a 4x4 RGB PNG through every scanline filter type
+    (None/Sub/Up/Average/Paeth): decode_png must reconstruct the exact
+    pixel mean, and the Spark decode_media path must route by magic
+    bytes (VERDICT r5 item 7)."""
+    from quebic_spark.operators.multimodal import (
+        decode_media,
+        decode_png,
+        encode_png,
+    )
+
+    rgb = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255), (17, 34, 51)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90), (5, 200, 100)],
+        [(1, 2, 3), (200, 199, 198), (128, 128, 128), (0, 0, 0)],
+        [(255, 255, 255), (9, 8, 7), (66, 77, 88), (250, 1, 125)],
+    ]
+    flat = [v for row in rgb for px in row for v in px]
+    expected_mean = sum(flat) / len(flat)
+    # one payload per filter mix, incl. a row of each type in one image
+    for filters in ([0] * 4, [1] * 4, [2] * 4, [3] * 4, [4] * 4,
+                    [0, 1, 2, 3], [4, 3, 2, 1]):
+        d = decode_png(encode_png(4, 4, rgb, row_filters=filters))
+        assert (d["width"], d["height"], d["channels"]) == (4, 4, 3)
+        assert abs(d["mean_value"] - expected_mean) < 1e-9, filters
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(4, 4, rgb, row_filters=[0, 1, 2, 4])))],
+        "doc_id long, payload binary",
+    )
+    [row] = decode_media(df).collect()
+    assert row["fmt"] == "png"
+    assert abs(row["mean_value"] - expected_mean) < 1e-9
+
+
+def test_decode_png_rejects_unsupported_and_quarantines(spark):
+    """Non-RGB color types refuse to misparse; through decode_media
+    they quarantine as png-error-stub (never-fails-mid-scan)."""
+    import struct
+
+    import pytest as _pytest
+
+    from quebic_spark.operators.multimodal import (
+        PNG_MAGIC,
+        decode_media,
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(2, 2, [[(1, 2, 3)] * 2] * 2)
+    # flip color type (byte 9 of IHDR data: magic 8 + len 4 + type 4
+    # + width 4 + height 4 + depth 1 = offset 25) to 6 (RGBA)
+    bad_color = good[:25] + bytes([6]) + good[26:]
+    with _pytest.raises(ValueError):
+        decode_png(bad_color)
+    truncated = good[: len(good) // 2]
+    garbage_idat = (
+        PNG_MAGIC
+        + good[8:33]  # IHDR chunk
+        + struct.pack(">I", 4) + b"IDAT" + b"\xff\xff\xff\xff"
+        + struct.pack(">I", 0)
+    )
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(bad_color)),
+            (3, bytearray(truncated)),
+            (4, bytearray(garbage_idat)),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in decode_media(df).collect()}
+    assert out[1]["fmt"] == "png"
+    assert out[2]["fmt"] == "png-error-stub"
+    assert out[3]["fmt"] == "png-error-stub"
+    assert out[4]["fmt"] == "png-error-stub"

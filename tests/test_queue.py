@@ -895,3 +895,63 @@ def test_parse_stream_committed_formats(tmp_path):
 
     # missing structure -> None
     assert _parse_stream_committed(str(tmp_path / "nope")) is None
+
+
+def test_torn_ctrl_json_reconstructs_pointer(qpath):
+    """Power-loss tear of the in-place pointer flip: a garbage or
+    truncated ctrl.json must reconstruct from committed state (batch
+    file names / acked_seq), never regress below observed data."""
+    q = Queue(qpath, SCHEMA, capacity=100)
+    q.publisher().push_all([[i, f"v{i}"] for i in range(5)])
+    q.close()
+    with open(qpath + "/ctrl.json", "w") as f:
+        f.write('{"next_se')  # torn mid-write
+    q2 = Queue(qpath, SCHEMA)
+    assert q2.size() == 5  # max(batch end)+1 == 6 -> 5 unconsumed
+    assert q2.publisher().push([99, "after"])
+    assert q2.subscriber().pop_n(6) == [
+        (i, f"v{i}") for i in range(5)
+    ] + [(99, "after")]
+    q2.verify()
+    q2.close()
+
+
+def test_torn_ctrl_after_full_drain_uses_acked(qpath):
+    """All files consumed + compacted away: reconstruction must fall
+    back to acked_seq+1 so seqs are never reused."""
+    q = Queue(qpath, SCHEMA, capacity=100)
+    q.publisher().push_all([[i, f"v{i}"] for i in range(4)])
+    sub = q.subscriber()
+    assert len(sub.pop_n(4)) == 4
+    q.compact()  # drops fully-acked files
+    import os as _os
+    _os.remove(qpath + "/ctrl.json")  # worst case: pointer gone
+    q.close()
+    q2 = Queue(qpath, SCHEMA)
+    pub = q2.publisher()
+    assert pub.push([10, "x"])
+    # the new record must be visible (a reused seq <= acked would not)
+    assert q2.size() == 1
+    assert q2.subscriber().try_pop() == (10, "x")
+    q2.verify()
+    q2.close()
+
+
+def test_ctrl_format_migration_reads_old_int(qpath):
+    """Queues written by the previous format (unpadded JSON int) must
+    open cleanly; the first flip rewrites in the padded format."""
+    import json as _json
+
+    q = Queue(qpath, SCHEMA, capacity=100)
+    q.publisher().push_all([[i, f"v{i}"] for i in range(3)])
+    q.close()
+    with open(qpath + "/ctrl.json", "w") as f:
+        f.write('{"next_seq": 4}')  # old format, same value
+    q2 = Queue(qpath, SCHEMA)
+    assert q2.size() == 3
+    assert q2.publisher().push([3, "v3"])
+    with open(qpath + "/ctrl.json") as f:
+        data = _json.load(f)
+    assert data["next_seq"] == f"{5:020d}"
+    assert q2.subscriber().pop_n(4) == [(i, f"v{i}") for i in range(4)]
+    q2.close()

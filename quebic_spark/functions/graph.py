@@ -1,16 +1,33 @@
 """Distributed graph primitives used by the dedup layer.
 
-``connected_components`` is the GraphX/GraphFrames-style min-label
-propagation loop: a driver loop of declarative Spark actions (ONE job
-per round — the convergence probe rides the same aggregation that
-materializes the new labels), never per-row driver work. Rounds are
-bounded by the graph diameter; near-dup graphs are shallow (a handful
-of rounds), but the loop is hardened for real depth:
+``connected_components`` picks its physical strategy by the MEASURED
+dup-graph size — the same adaptive philosophy as broadcast-vs-shuffle
+joins:
+
+* **edge list fits one task** (``<= driver_max_edges``, default 1M
+  edges ~ a few tens of MB): collect it and run exact UNION-FIND with
+  path compression on the driver — zero iterative rounds, one job.
+  A near-dup graph is almost always this case even at corpus scales
+  where the CORPUS itself is far beyond driver memory: the graph is
+  sized by the duplicates, not the data. Only the edges collect;
+  node-side work (semi/anti joins against endpoints) stays
+  distributed.
+* **bigger**: GraphX/GraphFrames-style min-label propagation with
+  hash-to-min pointer doubling — a driver loop of declarative Spark
+  actions (ONE materializing action per round), never per-row driver
+  work. Rounds are O(log diameter): neighbor-min alone needs
+  O(diameter) rounds and a chain-shaped cosine-dup graph measured
+  50+; composing each round with label(x) <- label(label(x)) squares
+  the reach per round.
+
+The distributed loop is hardened for real depth:
 
 * every ``checkpoint_every`` rounds the label frame is
-  ``localCheckpoint``-ed (eager), truncating the logical plan — without
-  this, round N's plan nests all N-1 predecessors and Catalyst
-  analysis/optimization time grows superlinearly with depth;
+  ``localCheckpoint``-ed (eager), truncating the logical plan. The
+  doubling join references the round's frame TWICE, so un-truncated
+  lineage roughly triples per round and Catalyst analysis time — not
+  the data — becomes the bottleneck (measured 32s vs 8s on a
+  2.6k-edge graph); the default cadence is therefore every round;
 * hitting ``max_iters`` without convergence RAISES instead of
   returning silently-wrong labels (a doc pointing at a non-minimal
   cluster root mis-assigns keepers downstream);
@@ -32,8 +49,10 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+DRIVER_CC_MAX_EDGES = 1_000_000
 
 
 class ConvergenceError(RuntimeError):
@@ -46,7 +65,8 @@ def connected_components(
     edges: DataFrame,
     *,
     max_iters: int = 20,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Label every node with the minimum node id reachable from it.
 
@@ -54,40 +74,124 @@ def connected_components(
         nodes: one column ``doc_id`` (any orderable id type).
         edges: columns ``src``/``dst``; treated as DIRECTED — pass both
             orientations for an undirected graph.
-        max_iters: hard round cap; exceeding it raises
+        max_iters: hard round cap for the distributed loop (rounds are
+            O(log diameter) via pointer doubling); exceeding it raises
             :class:`ConvergenceError` rather than returning bad labels.
         checkpoint_every: lineage-truncation period (rounds).
+        driver_max_edges: edge-count threshold for the driver-side
+            union-find strategy; pass 0 to force the distributed loop.
 
     Returns:
         ``(doc_id, cluster_id)`` — checkpointed, lineage-free, bound to
         the CALLER's session.
     """
-    # localCheckpoint (eager), not cache: edges/labels lineage is the
-    # caller's whole upstream pipeline (e.g. the MinHash LSH DAG), and a
-    # lazily-populated cache gets only PARTIALLY filled by the probe
-    # actions below — every later round would then recompute the missing
-    # partitions through the full upstream plan. Checkpointing pays one
-    # materialization up front and makes every round's input a plain
-    # in-memory table. NOTE: this materialization runs under the
-    # caller's shuffle config (pipeline-scale); only the loop below
-    # shrinks it.
+    # localCheckpoint (eager), not cache: edges lineage is the caller's
+    # whole upstream pipeline (e.g. the MinHash LSH DAG), and a lazily-
+    # populated cache gets only PARTIALLY filled by the probe actions
+    # below — later uses would recompute missing partitions through the
+    # full upstream plan. Checkpointing pays one materialization up
+    # front. NOTE: this runs under the caller's shuffle config
+    # (pipeline-scale); only the distributed loop shrinks it.
     edges = edges.select("src", "dst").localCheckpoint()
     spark = edges.sparkSession
+    n_edges = edges.count()
+    try:
+        endpoints = (
+            edges.select(F.col("src").alias("doc_id"))
+            .union(edges.select(F.col("dst").alias("doc_id")))
+            .distinct()
+        )
+        if n_edges <= driver_max_edges:
+            labels = _driver_union_find(spark, edges, nodes)
+        else:
+            labels = _distributed_min_label(
+                spark, edges, nodes, endpoints,
+                max_iters=max_iters, checkpoint_every=checkpoint_every,
+                n_edges=n_edges,
+            )
+        # isolated nodes (no incident edge) are their own cluster
+        # root; they never touched either strategy, so all per-edge
+        # work was sized by the dup graph rather than the full node
+        # set. The anti-join's big side never shuffles (endpoints
+        # broadcast).
+        isolated = nodes.select("doc_id").join(
+            endpoints, "doc_id", "left_anti"
+        ).select("doc_id", F.col("doc_id").alias("cluster_id"))
+        return (
+            labels.select("doc_id", "cluster_id")
+            .union(isolated)
+            .localCheckpoint()
+        )
+    finally:
+        edges.unpersist()
+
+
+def _driver_union_find(
+    spark: SparkSession, edges: DataFrame, nodes: DataFrame
+) -> DataFrame:
+    """Exact union-find over a collected edge list (bounded by
+    ``driver_max_edges`` — the caller measured it first). Root = min
+    node id per component, matching the distributed semantics bit for
+    bit. Output is only ENDPOINT labels; the caller unions isolated
+    nodes distributedly."""
+    parent: dict = {}
+    seen: set = set()
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            nxt = parent[x]
+            parent[x] = root
+            x = nxt
+        return root
+
+    for row in edges.collect():
+        a, b = row[0], row[1]
+        seen.add(a)
+        seen.add(b)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+        parent[hi] = lo
+    pairs = [(x, find(x)) for x in seen]
+    out = spark.createDataFrame(
+        pairs, schema=edges.select(
+            F.col("src").alias("doc_id"),
+            F.col("src").alias("cluster_id"),
+        ).schema,
+    )
+    # restrict to the caller's node set (contract: endpoints should be
+    # a subset of nodes; enforce rather than assume). `out` is the
+    # TINY side — broadcast it so the corpus-sized nodes frame never
+    # shuffles.
+    return nodes.select("doc_id").join(F.broadcast(out), "doc_id")
+
+
+def _distributed_min_label(
+    spark: SparkSession,
+    edges: DataFrame,
+    nodes: DataFrame,
+    endpoints: DataFrame,
+    *,
+    max_iters: int,
+    checkpoint_every: int,
+    n_edges: int,
+) -> DataFrame:
     # Size the LOOP's shuffles by the measured graph, not the session
     # default: a vanilla 200-partition session pays 200 empty tasks per
-    # round for a few-hundred-edge dup graph, and at the other end a
-    # billion-edge graph under a small test config would spill. The
-    # count is one metadata-cheap job over the checkpointed edges.
-    n_edges = edges.count()
+    # round for a small dup graph, and a billion-edge graph under a
+    # small test config would spill.
     loop_parts = min(
         int(spark.conf.get("spark.sql.shuffle.partitions")),
         max(8, -(-n_edges // 50_000)),
     )
-    # Child session: same SparkContext, cache manager, and temp-view-
-    # free data plane, but an ISOLATED SQL conf — the graph-sized
-    # shuffle setting lives only here. Frames cross sessions via global
-    # temp views (plan hand-off, no data movement: the edge view wraps
-    # an already-checkpointed RDD).
+    # Child session: same SparkContext, cache manager, and data plane,
+    # but an ISOLATED SQL conf — the graph-sized shuffle setting lives
+    # only here. Frames cross sessions via global temp views (plan
+    # hand-off, no data movement: the views wrap checkpointed RDDs).
     child = spark.newSession()
     child.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     tag = uuid.uuid4().hex[:12]
@@ -96,18 +200,16 @@ def connected_components(
     )
     edges.createGlobalTempView(edges_view)
     nodes.select("doc_id").createGlobalTempView(nodes_view)
-    gt = spark.conf.get(
-        "spark.sql.globalTempDatabase", "global_temp"
-    )
+    gt = spark.conf.get("spark.sql.globalTempDatabase", "global_temp")
     c_edges = child.table(f"{gt}.{edges_view}")
     c_nodes = child.table(f"{gt}.{nodes_view}")
 
-    endpoints = (
+    c_endpoints = (
         c_edges.select(F.col("src").alias("doc_id"))
         .union(c_edges.select(F.col("dst").alias("doc_id")))
         .distinct()
     )
-    active = c_nodes.join(endpoints, "doc_id", "left_semi")
+    active = c_nodes.join(c_endpoints, "doc_id", "left_semi")
     labels = active.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).localCheckpoint()
@@ -127,7 +229,7 @@ def connected_components(
             # doc has EXACTLY one labels row, so min(old_cid) ignoring
             # the msgs rows' nulls recovers it — the convergence diff
             # then needs no second join against the previous round
-            new_labels = (
+            propagated = (
                 labels.select(
                     "doc_id",
                     "cluster_id",
@@ -140,14 +242,42 @@ def connected_components(
                     F.min("old_cid").alias("old_cid"),
                 )
             )
+            # pointer doubling (hash-to-min acceleration): follow the
+            # label's OWN label one hop — label(x) <- label(label(x)).
+            # Neighbor-min alone moves the component minimum ONE hop
+            # per round; composing with the jump squares the reach, so
+            # convergence is O(log diameter). cluster_id is always an
+            # active node id (a min over node ids), so the self-join
+            # hits; LEFT + coalesce guards the root pointing at
+            # itself. The join is label-table-sized — graph-scale,
+            # never corpus-scale.
+            new_labels = (
+                propagated.alias("n")
+                .join(
+                    propagated.select(
+                        F.col("doc_id").alias("j_id"),
+                        F.col("cluster_id").alias("j_cid"),
+                    ).alias("j"),
+                    F.col("n.cluster_id") == F.col("j.j_id"),
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    F.coalesce("j_cid", "cluster_id").alias("cluster_id"),
+                    "old_cid",
+                )
+            )
             if rnd % checkpoint_every == 0:
-                # full truncation: drops ALL prior-round lineage
+                # full truncation: drops ALL prior-round lineage (the
+                # doubling join references `propagated` twice, so an
+                # un-truncated plan ~triples per round and Catalyst
+                # analysis becomes the bottleneck)
                 new_labels = new_labels.localCheckpoint()
             else:
                 new_labels = new_labels.cache()
-            # ONE job per round: this full count materializes
-            # new_labels (populating its cache completely — a
-            # short-circuit probe would strand it partial) AND reads
+            # ONE materializing action per round: this full count
+            # populates the cache/checkpoint completely (a short-
+            # circuit probe would strand a cache partial) AND reads
             # the convergence diff off the carried old_cid column
             changed = new_labels.filter(
                 F.col("cluster_id") != F.col("old_cid")
@@ -163,23 +293,12 @@ def connected_components(
                 f"{max_iters} rounds — graph diameter exceeds the cap; "
                 f"raise max_iters"
             )
-        # isolated nodes (no incident edge) are their own cluster root;
-        # they never entered the loop, so every round was sized by the
-        # dup graph rather than the full node set. The anti-join's big
-        # side never shuffles (endpoints broadcast).
-        isolated = c_nodes.join(
-            endpoints, "doc_id", "left_anti"
-        ).select("doc_id", F.col("doc_id").alias("cluster_id"))
-        result = (
-            labels.select("doc_id", "cluster_id")
-            .union(isolated)
-            .localCheckpoint()  # detaches from the loop caches below
-        )
+        result = labels.select("doc_id", "cluster_id").localCheckpoint()
         # hand the (already-materialized) result back to the CALLER's
         # session so downstream planning uses the caller's conf; the
         # table() plan resolves to the checkpointed RDD at creation,
-        # so dropping the view immediately after is safe (no recompute,
-        # no second copy)
+        # so dropping the view immediately after is safe (no
+        # recompute, no second copy)
         result.createGlobalTempView(out_view)
         try:
             return spark.table(f"{gt}.{out_view}")
@@ -188,5 +307,4 @@ def connected_components(
     finally:
         spark.catalog.dropGlobalTempView(edges_view)
         spark.catalog.dropGlobalTempView(nodes_view)
-        edges.unpersist()
         labels.unpersist()

@@ -54,6 +54,7 @@ for _mod in _MODULES:
 GATE_ORDER: tuple[str, ...] = (
     # --- r6: new gates this round ---
     "corpus_release_counts",
+    "semantic_dedup",
     # --- r5: new gates that round ---
     "corpus_shards_roundtrip",
     "profile_documents",
@@ -91,7 +92,6 @@ GATE_ORDER: tuple[str, ...] = (
     "brand_name_similarity",
     "above_avg_customers",
     "urgent_vs_finished_outer",
-    "returnflag_pivot",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
@@ -114,6 +114,20 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "dedup_span_strip": "derived 1:1 from the live dedup_spans gate "
+                        "(same _merged_spans derivation; the strip is "
+                        "the interval-complement cut) — the full "
+                        "reconstructed-text md5 check runs against its "
+                        "DuckDB oracle in tests/test_registry.py; a "
+                        "driver slot would double-spend the heaviest "
+                        "scan in the suite on one mechanism",
+    "returnflag_pivot": "PIVOT lowers to groupBy + conditional "
+                        "aggregates — the grouping-analytics family "
+                        "stays live via status_priority_cube (CUBE "
+                        "grouping sets) and pricing_summary's "
+                        "multi-aggregate groupBy; remains "
+                        "oracle-checked in tests/test_registry.py. "
+                        "Slot given to semantic_dedup in r6",
     "part_supplier_overlap": "INTERSECT/EXCEPT set ops; the mechanism "
                              "stays live through the anti-/semi-join "
                              "family the optimizer rewrites set ops "

@@ -812,6 +812,24 @@ def dup_spans(
     document is entirely contained in / equal to other corpus text —
     the exact-dup + containment candidates.
     """
+    spans = _merged_spans(docs, k, min_docs, basis)
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+            F.min("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .withColumn("dup_frac", F.col("dup_tokens") / F.col("total_tokens"))
+    )
+
+
+def _merged_spans(
+    docs: DataFrame, k: int, min_docs: int, basis: str
+) -> DataFrame:
+    """(doc_id, island, n_tokens, s, e): the merged duplicated-span
+    intervals (token positions, inclusive) dup_spans aggregates and
+    strip_spans cuts — one shared derivation."""
     from pyspark.sql import Window
 
     toks = tokens(F.col("text"), basis=basis)
@@ -846,24 +864,65 @@ def dup_spans(
         .otherwise(0)
         .alias("brk"),
     ).withColumn("island", F.sum("brk").over(run))
-    spans = isl.groupBy("doc_id", "island").agg(
+    return isl.groupBy("doc_id", "island").agg(
         F.min("n_tokens").alias("n_tokens"),
         F.min("pos").alias("s"),
         (F.max("pos") + F.lit(k - 1)).alias("e"),
     )
-    return (
-        spans.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_dup_spans"),
-            F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
-            F.min("n_tokens").cast("long").alias("total_tokens"),
-        )
-        .withColumn("dup_frac", F.col("dup_tokens") / F.col("total_tokens"))
+
+
+def strip_spans(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    min_docs: int = SPAN_MIN_DOCS,
+    basis: str = "whitespace",
+) -> DataFrame:
+    """REMOVE cross-document duplicated spans from each affected
+    document — the ExactSubstr removal step (Lee et al. 2021 cut the
+    duplicated substring out of all but one occurrence; this cuts every
+    flagged occurrence, their "drop the span" policy). One row per
+    affected document: ``kept_tokens`` + ``kept_text`` (the token
+    stream outside every merged span, original order preserved).
+
+    Scale shape: the spans side is tiny (docs with dups only) and
+    aggregates to one bounded array per doc; the cut itself is a
+    per-row higher-order filter over the token array — no extra
+    shuffle beyond the shared `_merged_spans` derivation, and the
+    reconstruction never leaves the executors."""
+    spans = _merged_spans(docs, k, min_docs, basis)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("cut")
+    )
+    toks = tokens(F.col("text"), basis=basis)
+    base = docs.select("doc_id", toks.alias("t"))
+    kept = F.filter(
+        F.col("t"),
+        lambda x, i: ~F.exists(
+            F.col("cut"),
+            lambda sp: (i >= sp["s"]) & (i <= sp["e"]),
+        ),
+    )
+    return base.join(per_doc, "doc_id").select(
+        "doc_id",
+        F.size(kept).cast("long").alias("kept_tokens"),
+        F.concat_ws(" ", kept).alias("kept_text"),
     )
 
 
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_spans(_docs(spark, sf_dir))
+
+
+def q_dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-strip accounting: kept-token count + md5 of the
+    reconstructed text per affected doc — a full value-hash check that
+    the cut removed EXACTLY the merged spans and nothing else."""
+    out = strip_spans(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "kept_tokens",
+        F.md5("kept_text").alias("kept_md5"),
+    )
 
 
 ORACLE_DEDUP_SPANS = f"""
@@ -1313,7 +1372,200 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# semantic_dedup — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-
+# efficient learning at web-scale through semantic deduplication"):
+# k-means clusters over the embedding space BOUND the candidate pair
+# space, cosine-similar pairs within a cluster form the semantic-dup
+# graph, and connected components pick one canonical per group.
+# The embedding-space counterpart of the text-side MinHash pipeline:
+#   cluster (quantizer) ~ LSH band,  cosine >= tau ~ verified Jaccard,
+#   CC + keep-min ~ dedup_clusters — every stage reuses the
+# already-verified machinery (learned quantizer + persisted cell
+# corpus from similarity.py, connected_components from the graph lib).
+#
+# Scale shape: pairs exist only within a cell (at 100 TB k_cells grows
+# so cells stay bounded — the SemDeDup paper runs k=50k on LAION);
+# the CC loop is sized by the dup graph; the corpus never self-joins
+# globally.
+#
+# Gate: k-means cells are data-dependent, so DuckDB cannot replay the
+# pair space — cardinality_sketch pattern: the data-dependent counts
+# stay out of the projection; the gate row carries portable facts
+# (corpus size, tau) + contract booleans evaluated IN-PLAN:
+#   * kept_are_unique_within_cells — re-derive kept-kept intra-cell
+#     pairs at >= tau and assert none survive (catches a broken CC or
+#     join: two similar vectors both kept);
+#   * partition_conserved — every vector appears exactly once in the
+#     output with a canonical, canonical <= vec_id, and every
+#     canonical is itself kept (no dangling group roots).
+# ---------------------------------------------------------------------------
+
+SEM_TAU = COSINE_DUP_THRESHOLD  # the corpus-calibrated near-dup bar
+
+
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, tau: float = SEM_TAU,
+) -> DataFrame:
+    """(vec_id, canonical_id, is_kept) for every corpus vector:
+    canonical = min vec_id reachable through intra-cell cosine>=tau
+    edges; is_kept marks the canonical representative."""
+    from quebic_spark.functions.graph import connected_components
+    from quebic_spark.operators import similarity as S
+
+    cents = S.learned_centroids(spark, sf_dir)
+    corpus = S._ivf_corpus(spark, sf_dir, cents)
+    a, b = corpus.alias("a"), corpus.alias("b")
+    cos = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    # checkpoint before fanning out to both orientations (same reason
+    # as q_dedup_clusters: the pair join runs once, not per branch)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= tau)
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+        )
+        .localCheckpoint()
+    )
+    edges = pairs.union(pairs.select("dst", "src")).toDF("src", "dst")
+    nodes = corpus.select(F.col("vec_id").alias("doc_id"))
+    labels = connected_components(nodes, edges)
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id").alias("canonical_id"),
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_kept"),
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quebic_spark.operators import similarity as S
+
+    labels = semantic_dedup(spark, sf_dir).localCheckpoint()
+    corpus = S._ivf_corpus(
+        spark, sf_dir, S.learned_centroids(spark, sf_dir)
+    )
+    kept = labels.filter(F.col("is_kept")).select("vec_id")
+    kc = corpus.join(kept, "vec_id")
+    a, b = kc.alias("a"), kc.alias("b")
+    cos = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    kept_near = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= F.lit(float(SEM_TAU)))
+        .count()
+    )
+    stats = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("vec_id").alias("n_distinct"),
+        F.sum(
+            F.when(F.col("canonical_id") > F.col("vec_id"), 1).otherwise(0)
+        ).alias("bad_order"),
+    ).collect()[0]
+    # every canonical must itself be kept (no dangling roots)
+    dangling = (
+        labels.filter(~F.col("is_kept"))
+        .select(F.col("canonical_id").alias("vec_id"))
+        .distinct()
+        .join(kept, "vec_id", "left_anti")
+        .count()
+    )
+    n_vectors = corpus.count()
+    conserved = (
+        stats["n"] == n_vectors
+        and stats["n_distinct"] == n_vectors
+        and stats["bad_order"] == 0
+        and dangling == 0
+    )
+    return spark.range(1).select(
+        F.lit(n_vectors).cast("bigint").alias("n_vectors"),
+        F.lit(float(SEM_TAU)).alias("tau"),
+        F.lit(bool(kept_near == 0)).alias("kept_are_unique_within_cells"),
+        F.lit(bool(conserved)).alias("partition_conserved"),
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST({SEM_TAU} AS DOUBLE) AS tau,
+       TRUE AS kept_are_unique_within_cells,
+       TRUE AS partition_conserved
+FROM embeddings
+"""
+
+
+ORACLE_DEDUP_SPAN_STRIP = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(t[i:i+{SPAN_K - 1}], ' ')) AS gh
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - {SPAN_K} + 1)) AS i) g
+),
+dup AS (
+  SELECT gh FROM grams GROUP BY gh
+  HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+),
+hits AS (
+  SELECT doc_id, pos FROM grams WHERE gh IN (SELECT gh FROM dup)
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {SPAN_K} THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {SPAN_K - 1} AS e
+  FROM isl2 GROUP BY doc_id, island
+),
+affected AS (SELECT DISTINCT doc_id FROM spans),
+tok_idx AS (
+  SELECT tk.doc_id, g.i, tk.t[g.i] AS tok
+  FROM toks tk,
+       LATERAL (SELECT unnest(generate_series(1, len(tk.t))) AS i) g
+  WHERE tk.doc_id IN (SELECT doc_id FROM affected)
+),
+remaining AS (
+  SELECT ti.doc_id, ti.i, ti.tok FROM tok_idx ti
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = ti.doc_id
+                      AND ti.i - 1 BETWEEN s.s AND s.e)
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+         md5(array_to_string(list(tok ORDER BY i), ' ')) AS kept_md5
+  FROM remaining GROUP BY doc_id
+)
+SELECT a.doc_id,
+       COALESCE(g.kept_tokens, 0) AS kept_tokens,
+       COALESCE(g.kept_md5, md5('')) AS kept_md5
+FROM affected a LEFT JOIN agg g USING (doc_id)
+"""
+
+
 QUERIES = {
+    "semantic_dedup": q_semantic_dedup,
+    "dedup_span_strip": q_dedup_span_strip,
     "dedup_incremental_bloom": q_dedup_incremental_bloom,
     "dedup_keep_best": q_dedup_keep_best,
     "cardinality_sketch": q_cardinality_sketch,
@@ -1329,6 +1581,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "dedup_span_strip": ORACLE_DEDUP_SPAN_STRIP,
     "dedup_incremental_bloom": ORACLE_DEDUP_INCREMENTAL_BLOOM,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "cardinality_sketch": ORACLE_CARDINALITY_SKETCH,

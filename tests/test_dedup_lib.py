@@ -272,3 +272,83 @@ def test_auto_bloom_bits_scales_with_snapshot():
     assert big >= BLOOM_BITS_PER_KEY * 1_000_000_000
     # the docstring's 1e9-key sizing: ~1.6 GB of bits
     assert 12_000_000_000 < big < 14_000_000_000
+
+
+def test_strip_spans_cuts_exactly_the_merged_spans(spark):
+    """Known dup span across two docs: the strip must remove exactly
+    the shared run (plus k-gram coverage) and preserve everything
+    else in order."""
+    from quebic_spark.operators.dedup import strip_spans
+
+    shared = " ".join(f"d{i}" for i in range(10))  # 10-token dup run
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"one two three {shared} four"),
+            (3, "totally unrelated text with no duplicated content"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in strip_spans(docs, k=5, min_docs=2).collect()
+    }
+    assert set(out) == {1, 2}  # doc 3 unaffected -> absent
+    assert out[1]["kept_text"] == "alpha beta gamma delta"
+    assert out[1]["kept_tokens"] == 4
+    assert out[2]["kept_text"] == "one two three four"
+    assert out[2]["kept_tokens"] == 4
+
+
+def test_strip_spans_fully_covered_doc_keeps_nothing(spark):
+    from quebic_spark.operators.dedup import strip_spans
+
+    dup = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, dup), (2, dup + " extra tail here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in strip_spans(docs, k=4, min_docs=2).collect()
+    }
+    assert out[1]["kept_tokens"] == 0
+    assert out[1]["kept_text"] == ""
+    assert out[2]["kept_text"] == "extra tail here"
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """SemDeDup partition contract on the real corpus: one row per
+    vector, canonical <= vec_id, canonicals are kept, and no two kept
+    vectors in one cell remain above tau (re-derived independently)."""
+    from quebic_spark.operators import similarity as S
+    from quebic_spark.operators.dedup import SEM_TAU, semantic_dedup
+    from quebic_spark.functions.vector import dot_product
+
+    labels = semantic_dedup(spark, sf_dir)
+    rows = labels.collect()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n
+    assert len({r["vec_id"] for r in rows}) == n
+    kept = {r["vec_id"] for r in rows if r["is_kept"]}
+    for r in rows:
+        assert r["canonical_id"] <= r["vec_id"]
+        assert r["canonical_id"] in kept
+    corpus = S._ivf_corpus(
+        spark, sf_dir, S.learned_centroids(spark, sf_dir)
+    )
+    kc = corpus.filter(F.col("vec_id").isin(list(kept)))
+    a, b = kc.alias("a"), kc.alias("b")
+    cos = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    survivors = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= SEM_TAU)
+        .count()
+    )
+    assert survivors == 0

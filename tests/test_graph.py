@@ -22,11 +22,12 @@ def _chain(spark, n: int, offset: int = 0):
 
 
 def test_deep_chain_converges_past_checkpoint_boundary(spark):
-    # depth 12 > checkpoint_every=5: exercises two lineage truncations
-    # plus post-checkpoint rounds; every node must reach label 0.
+    # depth 12, distributed path forced: exercises lineage truncations
+    # plus pointer doubling; every node must reach label 0.
     nodes, edges = _chain(spark, 12)
     out = connected_components(
-        nodes, edges, max_iters=30, checkpoint_every=5
+        nodes, edges, max_iters=30, checkpoint_every=5,
+        driver_max_edges=0,
     ).collect()
     assert {r.doc_id for r in out} == set(range(12))
     assert all(r.cluster_id == 0 for r in out)
@@ -46,11 +47,14 @@ def test_multiple_components_and_singletons(spark):
 
 
 def test_round_cap_raises_instead_of_wrong_labels(spark):
-    # diameter 9 cannot converge in 3 rounds; silent fallthrough would
+    # diameter 39: pointer doubling reaches ~2^r hops after r rounds,
+    # so 3 rounds (~8 hops) cannot converge; silent fallthrough would
     # return labels where the chain tail never saw the min.
-    nodes, edges = _chain(spark, 10)
+    nodes, edges = _chain(spark, 40)
     with pytest.raises(ConvergenceError):
-        connected_components(nodes, edges, max_iters=3)
+        connected_components(
+            nodes, edges, max_iters=3, driver_max_edges=0
+        )
 
 
 def test_result_survives_cache_release(spark):
@@ -88,7 +92,8 @@ def test_loop_does_not_touch_caller_shuffle_conf(spark):
     cls.localCheckpoint = probing_checkpoint
     try:
         out = connected_components(
-            nodes, edges, max_iters=30, checkpoint_every=5
+            nodes, edges, max_iters=30, checkpoint_every=5,
+            driver_max_edges=0,
         ).collect()
     finally:
         cls.localCheckpoint = orig
@@ -100,10 +105,37 @@ def test_loop_does_not_touch_caller_shuffle_conf(spark):
 
 def test_global_temp_views_are_cleaned_up(spark):
     nodes, edges = _chain(spark, 5)
-    connected_components(nodes, edges, max_iters=10).collect()
+    connected_components(
+        nodes, edges, max_iters=10, driver_max_edges=0
+    ).collect()
     leftover = [
         t.name
         for t in spark.catalog.listTables("global_temp")
         if t.name.startswith("cc_")
     ]
     assert leftover == []
+
+
+def test_driver_and_distributed_strategies_agree(spark):
+    """The adaptive cutover must be invisible: exact union-find and
+    the distributed hash-to-min loop produce identical labels on the
+    same graph (chains + merged components + singleton + self-loop)."""
+    n1, e1 = _chain(spark, 9)
+    n2, e2 = _chain(spark, 4, offset=50)
+    bridge = spark.createDataFrame([(3, 52), (52, 3)], ["src", "dst"])
+    loop = spark.createDataFrame([(999, 999)], ["src", "dst"])
+    iso = spark.createDataFrame([(777,), (999,)], ["doc_id"])
+    nodes = n1.union(n2).union(iso)
+    edges = e1.union(e2).union(bridge).union(loop)
+
+    def run(cap):
+        out = connected_components(
+            nodes, edges, max_iters=30, driver_max_edges=cap
+        )
+        return sorted((r.doc_id, r.cluster_id) for r in out.collect())
+
+    driver, dist = run(10**6), run(0)
+    assert driver == dist
+    got = dict(driver)
+    assert got[52] == 0  # bridged component takes the global min
+    assert got[777] == 777 and got[999] == 999

@@ -105,7 +105,7 @@ def connected_components(
             labels = _driver_union_find(spark, edges, nodes)
         else:
             labels = _distributed_min_label(
-                spark, edges, nodes, endpoints,
+                spark, edges, nodes,
                 max_iters=max_iters, checkpoint_every=checkpoint_every,
                 n_edges=n_edges,
             )
@@ -174,12 +174,14 @@ def _distributed_min_label(
     spark: SparkSession,
     edges: DataFrame,
     nodes: DataFrame,
-    endpoints: DataFrame,
     *,
     max_iters: int,
     checkpoint_every: int,
     n_edges: int,
 ) -> DataFrame:
+    # NOTE: endpoints are re-derived from the child-session edge view
+    # below — the caller's frame is bound to the caller session and
+    # would drag its conf into loop planning.
     # Size the LOOP's shuffles by the measured graph, not the session
     # default: a vanilla 200-partition session pays 200 empty tasks per
     # round for a small dup graph, and a billion-edge graph under a

@@ -307,14 +307,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from quebic_spark.functions.graph import connected_components
 
-    # localCheckpoint BEFORE fanning out to both orientations: the
-    # union's two branches would otherwise each execute the full LSH
-    # DAG (shingle -> minhash -> band join) — the checkpoint runs it
-    # once and both branches read the materialized pairs
-    pairs = (
+    # materialize BEFORE fanning out to both orientations: the union's
+    # two branches would otherwise each execute the full LSH DAG
+    # (shingle -> minhash -> band join). A registered cache rather
+    # than localCheckpoint (r6 review): checkpoint blocks have no
+    # release path from here (DataFrame.unpersist doesn't touch
+    # checkpoint RDDs), while this handle is freed by clear_caches;
+    # connected_components' own eager edge checkpoint fully populates
+    # it in one pass, so the partial-cache hazard doesn't apply.
+    pairs = register_cache(
         q_dedup_minhash_lsh(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .cache()
     )
     edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
     docs = _docs(spark, sf_dir).select("doc_id")
@@ -1419,9 +1423,10 @@ def semantic_dedup(
     cos = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.norm") * F.col("b.norm")
     )
-    # checkpoint before fanning out to both orientations (same reason
-    # as q_dedup_clusters: the pair join runs once, not per branch)
-    pairs = (
+    # materialize before fanning out to both orientations (same
+    # registered-cache reasoning as q_dedup_clusters: the pair join
+    # runs once, not per branch, and the handle is releasable)
+    pairs = register_cache(
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
@@ -1432,7 +1437,7 @@ def semantic_dedup(
             F.col("a.vec_id").alias("src"),
             F.col("b.vec_id").alias("dst"),
         )
-        .localCheckpoint()
+        .cache()
     )
     edges = pairs.union(pairs.select("dst", "src")).toDF("src", "dst")
     nodes = corpus.select(F.col("vec_id").alias("doc_id"))
@@ -1447,7 +1452,9 @@ def semantic_dedup(
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quebic_spark.operators import similarity as S
 
-    labels = semantic_dedup(spark, sf_dir).localCheckpoint()
+    # semantic_dedup's result is already a lineage-free checkpointed
+    # frame (connected_components' contract) — no extra copy needed
+    labels = semantic_dedup(spark, sf_dir)
     corpus = S._ivf_corpus(
         spark, sf_dir, S.learned_centroids(spark, sf_dir)
     )

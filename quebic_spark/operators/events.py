@@ -18,10 +18,35 @@ DuckDB oracle see identical microsecond values either way.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SESSION_GAP = "30 minutes"
+
+
+def _pinned_utc_query(fn):
+    """Event gates build tz-AWARE expressions beyond the ts cast —
+    ``F.window`` alignment, ``date_trunc`` — and Catalyst resolves the
+    session zone into them at analysis time, while the DuckDB oracles
+    state UTC wall times. Pin UTC around the WHOLE plan construction
+    (the _events-internal pin covers only the normalization cast), and
+    restore after: a harness-supplied non-UTC session can't shift
+    window boundaries away from the oracle, and the user's own queries
+    keep their configured zone (r6 review finding)."""
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = "spark.sql.session.timeZone"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "UTC")
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            spark.conf.set(key, prev)
+
+    return wrapped
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,6 +108,7 @@ def _events_pinned_utc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # event_counts_hourly — tumbling window (F.window, streaming-identical).
 # ---------------------------------------------------------------------------
 
+@_pinned_utc_query
 def q_event_counts_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
@@ -117,6 +143,7 @@ GROUP BY 1, 2
 # in two windows). Oracle mirrors via UNION ALL of the two grids.
 # ---------------------------------------------------------------------------
 
+@_pinned_utc_query
 def q_event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
@@ -146,6 +173,7 @@ GROUP BY 1
 # Spark: native session_window; oracle: gaps-and-islands (lag + cumsum).
 # ---------------------------------------------------------------------------
 
+@_pinned_utc_query
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
@@ -196,6 +224,7 @@ GROUP BY user_id, session_id
 # event_json_props — JSON extraction from the props column + agg.
 # ---------------------------------------------------------------------------
 
+@_pinned_utc_query
 def q_event_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("long")
@@ -236,6 +265,7 @@ GROUP BY event_type
 WATERMARK_DELAY_MIN = 30
 
 
+@_pinned_utc_query
 def q_event_watermark_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     wm = ev.agg(
@@ -274,6 +304,7 @@ HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.wm
 # event_funnel — per-user view -> click -> purchase ordering funnel.
 # ---------------------------------------------------------------------------
 
+@_pinned_utc_query
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     per_user = ev.groupBy("user_id").agg(

@@ -55,6 +55,32 @@ def _index_tag(parts: list) -> str:
     ).hexdigest()[:16]
 
 
+_FP_MEMO: dict[tuple, str] = {}
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Content md5 of the embeddings file, memoized on (path, size,
+    mtime). Index keys include this so REGENERATING testdata in place
+    invalidates every stored quantizer/corpus instead of silently
+    loading artifacts trained on the old bytes — path+params alone
+    could not tell the difference (r6 review finding). Content hash,
+    not stat, goes into the key itself: identical files on another
+    machine still hit."""
+    path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    st = os.stat(path)
+    memo_key = (path, st.st_size, st.st_mtime_ns)
+    hit = _FP_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
+    h = hashlib.md5()
+    with open(path, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    fp = h.hexdigest()
+    _FP_MEMO[memo_key] = fp
+    return fp
+
+
 def _array_lit(vec: list[float]) -> F.Column:
     """Literal double array via ONE parsed SQL expression. Building it
     as ``F.array(*[F.lit(x) ...])`` costs a py4j round-trip per element
@@ -329,7 +355,7 @@ def _ivf_corpus(
     disk_path = os.path.join(
         _index_root(),
         "ivf_corpus",
-        _index_tag([os.path.abspath(sf_dir),
+        _index_tag([_corpus_fingerprint(sf_dir),
                     [[float(x) for x in c] for c in cent_values]]),
     )
     if not os.path.exists(os.path.join(disk_path, "_SUCCESS")):
@@ -555,7 +581,7 @@ def learned_centroids(
     # key — bump it if functions/clustering.py changes semantics, else
     # a stored quantizer from the old algorithm would mask the change
     disk_key = [
-        "spherical-kmeans-v1", os.path.abspath(sf_dir), k_cells,
+        "spherical-kmeans-v1", _corpus_fingerprint(sf_dir), k_cells,
         train_iters,
     ]
     quant_path = os.path.join(

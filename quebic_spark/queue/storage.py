@@ -420,7 +420,14 @@ class QueueStorage:
         payload = json.dumps(data).encode("utf-8")
         fd = os.open(self.ctrl_path, os.O_CREAT | os.O_WRONLY, 0o644)
         try:
-            os.write(fd, payload)
+            # honor the short-write contract: os.write may land fewer
+            # bytes (ENOSPC, interruption) and only the return count
+            # says so — looping keeps the single-write atomicity claim
+            # honest rather than leaving a JSON prefix for
+            # _repair_next_seq to mop up (r6 review)
+            done = 0
+            while done < len(payload):
+                done += os.write(fd, payload[done:])
             # constant length makes this a no-op steady-state; it only
             # trims the tail once when migrating an old-format file
             os.ftruncate(fd, len(payload))

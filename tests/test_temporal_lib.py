@@ -125,3 +125,29 @@ def test_events_normalizer_scopes_timezone(spark, sf_dir):
     finally:
         spark.conf.set(key, prev)
     assert got == baseline
+
+
+def test_event_gate_windows_pinned_utc_under_foreign_tz(spark, sf_dir):
+    """Window alignment and date_trunc are tz-aware BEYOND the ts
+    cast: gate results under a non-UTC session must equal the UTC
+    baseline, and the session zone must survive (r6 review)."""
+    from quebic_spark.operators.events import (
+        q_event_counts_hourly,
+        q_event_watermark_windows,
+    )
+
+    key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(key)
+
+    def snap(fn):
+        return sorted(map(tuple, fn(spark, sf_dir).collect()))
+
+    base_hourly = snap(q_event_counts_hourly)
+    base_wm = snap(q_event_watermark_windows)
+    spark.conf.set(key, "Asia/Kolkata")  # +05:30: misaligns hours
+    try:
+        assert snap(q_event_counts_hourly) == base_hourly
+        assert snap(q_event_watermark_windows) == base_wm
+        assert spark.conf.get(key) == "Asia/Kolkata"
+    finally:
+        spark.conf.set(key, prev)

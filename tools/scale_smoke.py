@@ -152,8 +152,18 @@ def main() -> None:
         batch = tagged.filter("half = 1")
         return bloom_incremental_dedup(batch, snapshot).count()
 
+    def op_strip_spans(docs, emb):
+        # replica-suffix texts make every doc a member of a duplicated
+        # span family -> the detection+cut pipeline sees worst-case
+        # span density; linear growth means the posexplode/groupBy/
+        # window chain scales with rows, not pairs
+        from quebic_spark.operators.dedup import strip_spans
+
+        return strip_spans(docs).count()
+
     ops = {
         "keep_best": op_keep_best,
+        "strip_spans": op_strip_spans,
         "minhash_lsh_pairs": op_minhash,
         "shard_agg": op_shard_agg,
         "ivf_cell_join": op_ivf_probe,

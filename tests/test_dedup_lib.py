@@ -352,3 +352,100 @@ def test_semantic_dedup_invariants(spark, sf_dir):
         .count()
     )
     assert survivors == 0
+
+
+def test_strip_and_detection_accounting_agree(spark, sf_dir):
+    """Cross-operator coherence on the real corpus: for every affected
+    doc, kept_tokens (strip_spans) + dup_tokens (dup_spans) must equal
+    total_tokens — the cut removes exactly what detection flagged."""
+    from quebic_spark.operators.dedup import _docs, dup_spans, strip_spans
+
+    docs = _docs(spark, sf_dir)
+    detect = {
+        r["doc_id"]: (r["dup_tokens"], r["total_tokens"])
+        for r in dup_spans(docs).collect()
+    }
+    stripped = {
+        r["doc_id"]: r["kept_tokens"]
+        for r in strip_spans(docs).collect()
+    }
+    assert set(detect) == set(stripped)
+    assert detect, "corpus has no duplicated spans — test is vacuous"
+    for doc_id, (dup_toks, total) in detect.items():
+        assert stripped[doc_id] + dup_toks == total, doc_id
+
+
+def test_span_pipeline_matches_python_reference_on_random_corpora(spark):
+    """Independent-semantics fuzz: 25 random small-alphabet corpora
+    (seeded), validated against a from-scratch Python implementation
+    of the ExactSubstr span rules (k-gram dup detection, gap>k island
+    merge, interval-complement cut) — catches any divergence the
+    DuckDB oracle and Spark might share."""
+    import random
+
+    from quebic_spark.operators.dedup import dup_spans, strip_spans
+
+    K, MIN_DOCS = 3, 2
+    rnd = random.Random(7)
+
+    def ref(docs):
+        gram_docs = {}
+        for d, t in docs.items():
+            for i in range(len(t) - K + 1):
+                gram_docs.setdefault(tuple(t[i:i + K]), set()).add(d)
+        dup = {g for g, ds in gram_docs.items() if len(ds) >= MIN_DOCS}
+        out = {}
+        for d, t in docs.items():
+            pos = [
+                i for i in range(len(t) - K + 1)
+                if tuple(t[i:i + K]) in dup
+            ]
+            if not pos:
+                continue
+            spans, s, e = [], pos[0], pos[0] + K - 1
+            for prev, p in zip(pos, pos[1:]):
+                if p - prev > K:
+                    spans.append((s, e))
+                    s = p
+                e = p + K - 1
+            spans.append((s, e))
+            covered = {
+                i for (a, b) in spans for i in range(a, b + 1)
+            }
+            kept = [tok for i, tok in enumerate(t) if i not in covered]
+            dup_toks = sum(b - a + 1 for a, b in spans)
+            out[d] = (len(spans), dup_toks, len(t), kept)
+        return out
+
+    rows, expected = [], {}
+    gid = 0
+    for corpus in range(25):
+        docs = {}
+        for _ in range(4):
+            gid += 1
+            n = rnd.randint(0, 25)
+            # per-corpus token prefix isolates corpora inside ONE
+            # Spark pass (k-grams can never match across corpora)
+            docs[gid] = [
+                f"c{corpus}x{rnd.choice('abcde')}" for _ in range(n)
+            ]
+        for d, t in docs.items():
+            rows.append((d, " ".join(t)))
+        expected.update(ref(docs))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_detect = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"],
+                      r["total_tokens"])
+        for r in dup_spans(df, k=K, min_docs=MIN_DOCS).collect()
+    }
+    got_strip = {
+        r["doc_id"]: r["kept_text"]
+        for r in strip_spans(df, k=K, min_docs=MIN_DOCS).collect()
+    }
+    assert set(got_detect) == set(expected)
+    assert set(got_strip) == set(expected)
+    assert expected, "fuzz corpora produced no duplicated spans"
+    for d, (n_spans, dup_toks, total, kept) in expected.items():
+        assert got_detect[d] == (n_spans, dup_toks, total), d
+        assert got_strip[d] == " ".join(kept), d

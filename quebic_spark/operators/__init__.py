@@ -114,6 +114,12 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "dedup_lsh_recall": "pure set algebra over the OUTPUTS of two live "
+                        "gates (dedup_minhash_lsh intersect/count "
+                        "dedup_ngram_jaccard) — every mechanism it "
+                        "exercises is driver-gated; its own full-hash "
+                        "oracle (recall value included) runs in "
+                        "tests/test_registry.py",
     "dedup_span_strip": "derived 1:1 from the live dedup_spans gate "
                         "(same _merged_spans derivation; the strip is "
                         "the interval-complement cut) — the full "

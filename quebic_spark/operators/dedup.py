@@ -1377,6 +1377,58 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# dedup_lsh_recall — candidate-recall evaluation of the banded MinHash
+# LSH against the exact inverted-index Jaccard ground truth at the
+# SAME threshold: the quality dial every LSH deployment needs measured
+# before trusting its parameters (bands x rows trades recall for
+# candidate volume). Both inputs are the already-gated pair queries,
+# so — unusually for an approximate-method evaluation — the recall
+# itself is fully SQL-replayable and hash-gated, not a contract
+# boolean. LSH output is exact-verified (true Jaccard on candidates),
+# hence a subset of the exact pairs; n_hit is computed by join anyway
+# rather than assumed.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    hit = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
+    e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    l_ = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    # explicit zero-guard: double/0 is engine-dependent (IEEE Inf vs
+    # NULL); both sides state NULL
+    return e.crossJoin(l_).crossJoin(h).select(
+        "n_exact",
+        "n_lsh",
+        "n_hit",
+        F.when(
+            F.col("n_exact") > 0,
+            F.col("n_hit").cast("double") / F.col("n_exact"),
+        ).alias("recall"),
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    return (
+        f"WITH {_minhash_cte_block()},\n"
+        "exact AS (SELECT doc_a, doc_b FROM ("
+        + ORACLE_DEDUP_NGRAM_JACCARD
+        + ") x),\n"
+        "lsh AS (SELECT doc_a, doc_b FROM pairs),\n"
+        "hit AS (SELECT 1 AS one FROM exact JOIN lsh USING (doc_a, doc_b))\n"
+        "SELECT (SELECT COUNT(*) FROM exact) AS n_exact,\n"
+        "       (SELECT COUNT(*) FROM lsh) AS n_lsh,\n"
+        "       (SELECT COUNT(*) FROM hit) AS n_hit,\n"
+        "       CASE WHEN (SELECT COUNT(*) FROM exact) > 0 THEN\n"
+        "         CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)\n"
+        "           / (SELECT COUNT(*) FROM exact)\n"
+        "       END AS recall"
+    )
+
+
+# ---------------------------------------------------------------------------
 # semantic_dedup — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-
 # efficient learning at web-scale through semantic deduplication"):
 # k-means clusters over the embedding space BOUND the candidate pair
@@ -1570,8 +1622,12 @@ FROM affected a LEFT JOIN agg g USING (doc_id)
 """
 
 
+ORACLE_DEDUP_LSH_RECALL = _lsh_recall_oracle()
+
+
 QUERIES = {
     "semantic_dedup": q_semantic_dedup,
+    "dedup_lsh_recall": q_dedup_lsh_recall,
     "dedup_span_strip": q_dedup_span_strip,
     "dedup_incremental_bloom": q_dedup_incremental_bloom,
     "dedup_keep_best": q_dedup_keep_best,
@@ -1589,6 +1645,7 @@ QUERIES = {
 
 ORACLES = {
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "dedup_lsh_recall": ORACLE_DEDUP_LSH_RECALL,
     "dedup_span_strip": ORACLE_DEDUP_SPAN_STRIP,
     "dedup_incremental_bloom": ORACLE_DEDUP_INCREMENTAL_BLOOM,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,

@@ -147,8 +147,11 @@ def _driver_union_find(
             x = nxt
         return root
 
-    for row in edges.collect():
-        a, b = row[0], row[1]
+    # Arrow-batched transfer: collect() builds a Row object per edge
+    # (~100+ bytes each — heavy at the 1M-edge threshold); toPandas
+    # lands two flat columns instead
+    pdf = edges.toPandas()
+    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
         seen.add(a)
         seen.add(b)
         ra, rb = find(a), find(b)

@@ -53,6 +53,7 @@ for _mod in _MODULES:
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
     # --- r6: new gates this round ---
+    "lm_perplexity",
     "corpus_release_counts",
     "semantic_dedup",
     # --- r5: new gates that round ---
@@ -101,7 +102,6 @@ GATE_ORDER: tuple[str, ...] = (
     "lang_id",
     "doc_quality",
     "quality_filter_stats",
-    "tfidf_top_terms",
     "event_sliding_windows",
     "event_sessions",
     "event_json_props",
@@ -114,6 +114,16 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "tfidf_top_terms": "explode -> token groupBy with the round-6-"
+                       "decimal ln() discipline; lm_perplexity gates a "
+                       "strict superset of the mechanism (same explode "
+                       "+ vocab groupBy + rounded-ln float contract, "
+                       "plus the count-table joins and the exact "
+                       "DECIMAL per-doc reduction tfidf lacks); "
+                       "corpus-frequency aggregation itself stays live "
+                       "via repetition_stats/decontaminate. Full oracle "
+                       "keeps running in tests/test_registry.py. Slot "
+                       "given to lm_perplexity in r6",
     "dedup_lsh_recall": "pure set algebra over the OUTPUTS of two live "
                         "gates (dedup_minhash_lsh intersect/count "
                         "dedup_ngram_jaccard) — every mechanism it "

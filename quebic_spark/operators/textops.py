@@ -10,7 +10,7 @@ except where a groupBy is the point.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quebic_spark.functions.text import (
@@ -841,6 +841,160 @@ def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# lm_perplexity — CCNet-style n-gram language-model fluency filter.
+#
+# The canonical model-based quality signal in large-scale pipelines
+# (CCNet/LLaMA filter CommonCrawl by KenLM perplexity against a clean
+# reference corpus): train a bigram LM on a held-out reference slice,
+# score every document by its average per-bigram negative log
+# likelihood, and flag the high-perplexity (disfluent / boilerplate /
+# garbled) tail. Here the "clean reference" is a deterministic md5
+# split of the corpus itself — the mechanism is the operator; a real
+# deployment points the train slice at its trusted corpus.
+#
+# Model: conditional bigram LM with Laplace smoothing,
+#     p(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+# where c(w1 ·) is the CONTEXT count (bigrams starting with w1 —
+# derived from the bigram table itself, no second explode) and
+# V = (#distinct contexts + 1), the +1 reserving mass for OOV.
+#
+# Scale shape: ONE explode of the corpus into bigrams; count tables are
+# vocab-bounded aggregations (map-side combinable) that join back by
+# key — small enough here that AQE broadcasts them, while at 100 TB a
+# giant vocab degrades gracefully to a shuffled hash join (no collect,
+# no driver state; the 1-row V frame is a broadcast nested loop by
+# construction). Per-doc reduction is one combinable groupBy.
+#
+# Float discipline (same as tfidf_top_terms): each bigram's nll term is
+# ln() rounded to 6 decimals — Spark's Math.log and DuckDB's ln differ
+# by at most 1 ulp, far below the rounding grain — then summed
+# EXACTLY as DECIMAL(28,6) so the per-doc total is independent of
+# partitioning/combine order on both engines; the final average
+# rounds to 4.
+# ---------------------------------------------------------------------------
+
+LM_TRAIN_PCT = 50       # md5-bucket split: buckets [0,50) train the LM
+# the synthetic corpus shares one vocabulary, so its avg_nll spread is
+# tight (observed 3.23-3.70 across sf0.001-0.1, p99~3.55); the
+# threshold sits at that tail so the flag separates the worst ~1%
+# instead of being constant — tune against the reference corpus in a
+# real deployment (same policy as the repetition_stats thresholds)
+LM_NLL_THRESHOLD = 3.55
+
+
+def lm_perplexity_score(
+    docs: DataFrame,
+    is_train: Column,
+    threshold: float = LM_NLL_THRESHOLD,
+) -> DataFrame:
+    """Score every row of ``docs`` (``doc_id``, ``text``) by average
+    per-bigram negative log likelihood under a Laplace-smoothed bigram
+    LM trained on the rows where ``is_train`` holds. Returns one row
+    per document: ``doc_id, n_bigrams, avg_nll, high_ppl``."""
+    from quebic_spark.functions.text import ngrams
+
+    grams = docs.select(
+        "doc_id",
+        is_train.alias("_is_train"),
+        F.explode(ngrams(F.col("text"), 2)).alias("bg"),
+    ).withColumn("w1", F.split(F.col("bg"), " ")[0])
+
+    bi = (
+        grams.filter(F.col("_is_train"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    uni = (
+        bi.groupBy(F.split(F.col("bg"), " ")[0].alias("w1"))
+        .agg(F.sum("c12").alias("c1"))
+    )
+    vsz = uni.agg((F.count(F.lit(1)) + 1).alias("vsz"))
+
+    nll = F.round(
+        F.log(
+            (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vsz"))
+            / (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0))
+        ),
+        6,
+    ).cast("decimal(28,6)")
+    scored = (
+        grams.join(bi, "bg", "left")
+        .join(uni, "w1", "left")
+        .crossJoin(vsz)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(nll).alias("_s"),
+        )
+    )
+    avg_nll = F.round(F.col("_s").cast("double") / F.col("n_bigrams"), 4)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        avg_nll.alias("avg_nll"),
+        (avg_nll > threshold).alias("high_ppl"),
+    )
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quebic_spark.operators.sampling import hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    return lm_perplexity_score(
+        docs, hash_bucket(F.col("doc_id")) < LM_TRAIN_PCT
+    )
+
+
+def _lm_perplexity_oracle() -> str:
+    from quebic_spark.operators.sampling import _hash_bucket_sql
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams0 AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(t) - 1, 1) + 1),
+           i -> array_to_string(t[i:i+1], ' '))) AS bg
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM grams0
+),
+bi AS (
+  SELECT bg, COUNT(*) AS c12 FROM grams
+  WHERE {_hash_bucket_sql("doc_id")} < {LM_TRAIN_PCT}
+  GROUP BY bg
+),
+uni AS (
+  SELECT string_split(bg, ' ')[1] AS w1, SUM(c12) AS c1 FROM bi GROUP BY 1
+),
+v AS (SELECT COUNT(*) + 1 AS vsz FROM uni),
+terms AS (
+  SELECT g.doc_id,
+         CAST(round(ln(
+           (COALESCE(uni.c1, 0) + v.vsz) / (COALESCE(bi.c12, 0) + 1.0)
+         ), 6) AS DECIMAL(28,6)) AS nll
+  FROM grams g
+  LEFT JOIN bi USING (bg)
+  LEFT JOIN uni USING (w1)
+  CROSS JOIN v
+),
+s AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 4) AS avg_nll
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, avg_nll,
+       avg_nll > {LM_NLL_THRESHOLD} AS high_ppl
+FROM s
+"""
+
+
+ORACLE_LM_PERPLEXITY = _lm_perplexity_oracle()
+
+
+# ---------------------------------------------------------------------------
 # profile_documents — gate for the one-pass column profiler
 # (functions/profile.py): long-format per-column stats over the
 # documents table in a single partial-aggregatable scan. The gate runs
@@ -879,6 +1033,7 @@ ORACLE_PROFILE_DOCUMENTS = _profile_documents_oracle()
 
 
 QUERIES = {
+    "lm_perplexity": q_lm_perplexity,
     "profile_documents": q_profile_documents,
     "pii_scrub_stats": q_pii_scrub_stats,
     "repetition_stats": q_repetition_stats,
@@ -894,6 +1049,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lm_perplexity": ORACLE_LM_PERPLEXITY,
     "profile_documents": ORACLE_PROFILE_DOCUMENTS,
     "pii_scrub_stats": ORACLE_PII_SCRUB_STATS,
     "repetition_stats": ORACLE_REPETITION_STATS,

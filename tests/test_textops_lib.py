@@ -132,3 +132,85 @@ def test_compression_ratio_empty_and_null(spark):
         for r in compression_ratio(df).collect()
     }
     assert out == {1: 1.0, 2: 1.0}
+
+
+# ---------------------------------------------------------------------------
+# lm_perplexity_score — bigram-LM fluency scoring (CCNet-style filter).
+# The driver gate hash-matches the full pipeline against DuckDB; these
+# tests pin the LM MATH itself on a hand-computed micro-corpus.
+# ---------------------------------------------------------------------------
+
+
+def test_lm_score_matches_hand_computation(spark):
+    import math
+
+    from quebic_spark.operators.textops import lm_perplexity_score
+
+    # train: "a b a b" -> bigram counts {"a b": 2, "b a": 1},
+    # contexts {a: 2, b: 1}, V = 2 distinct contexts + 1 = 3
+    df = spark.createDataFrame(
+        [(1, "a b a b", True), (2, "a b c", False)],
+        "doc_id long, text string, train boolean",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in lm_perplexity_score(df, F.col("train")).collect()
+    }
+    # doc 2: "a b" -> ln((2+3)/(2+1)); "b c" unseen -> ln((1+3)/(0+1))
+    want = (
+        round(math.log(5 / 3), 6) + round(math.log(4.0), 6)
+    ) / 2
+    assert out[2]["n_bigrams"] == 2
+    assert out[2]["avg_nll"] == pytest.approx(round(want, 4), abs=1e-9)
+    # doc 1 scores too (train docs are scored like any other):
+    # "a b": ln(5/3) twice, "b a": ln((1+3)/(1+1)) = ln(2)
+    want1 = (2 * round(math.log(5 / 3), 6) + round(math.log(2.0), 6)) / 3
+    assert out[1]["avg_nll"] == pytest.approx(round(want1, 4), abs=1e-9)
+
+
+def test_lm_score_oov_doc_scores_worse_and_single_token_survives(spark):
+    from quebic_spark.operators.textops import lm_perplexity_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick fox jumps the quick fox", True),
+            (2, "the quick fox jumps", False),   # all seen
+            (3, "zz yy xx ww", False),           # all OOV
+            (4, "solo", False),                  # single token
+        ],
+        "doc_id long, text string, train boolean",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in lm_perplexity_score(df, F.col("train")).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}            # every doc scored
+    assert out[3]["avg_nll"] > out[2]["avg_nll"]  # OOV is less fluent
+    # a single-token doc degenerates to one unigram "bigram"; it must
+    # neither crash nor disappear
+    assert out[4]["n_bigrams"] == 1
+    assert out[4]["avg_nll"] > 0
+
+
+def test_lm_gate_invariants(spark, sf_dir):
+    from quebic_spark.operators.textops import q_lm_perplexity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = q_lm_perplexity(spark, sf_dir)
+    rows = out.collect()
+    # one row per document, n_bigrams = max(n_tokens - 1, 1)
+    assert len(rows) == docs.count()
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.greatest(
+                F.size(F.split("text", " ")) - 1, F.lit(1)
+            ).alias("n")
+        ).collect()
+    }
+    for r in rows:
+        assert r["n_bigrams"] == n_toks[r["doc_id"]]
+        assert r["avg_nll"] > 0
+    # the threshold separates a small tail, not a constant flag
+    flagged = sum(1 for r in rows if r["high_ppl"])
+    assert 0 < flagged < 0.05 * len(rows)

@@ -30,6 +30,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from quebic_spark.operators import (
+    classifier,
     dedup,
     events,
     multimodal,
@@ -42,7 +43,7 @@ from quebic_spark.operators import (
 )
 
 _MODULES = (relational, dedup, similarity, textops, events, multimodal,
-            queueops, temporal, sampling)
+            queueops, temporal, sampling, classifier)
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ALL_ORACLES: dict[str, str] = {}
@@ -53,6 +54,7 @@ for _mod in _MODULES:
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
     # --- r6: new gates this round ---
+    "quality_classifier_eval",
     "lm_perplexity",
     "corpus_release_counts",
     "semantic_dedup",
@@ -90,7 +92,6 @@ GATE_ORDER: tuple[str, ...] = (
     "top_orders_per_segment",
     "status_priority_cube",
     "skew_safe_revenue",
-    "brand_name_similarity",
     "above_avg_customers",
     "urgent_vs_finished_outer",
     "dedup_minhash_lsh",
@@ -114,6 +115,16 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "brand_name_similarity": "scalar string functions (levenshtein/"
+                             "upper/startswith/length) inside a grouped "
+                             "agg; the scalar-function family stays "
+                             "live via pii_scrub_stats (regexp chain), "
+                             "lang_id (marker counts), doc_quality "
+                             "(string stats), and grouped multi-agg via "
+                             "pricing_summary/status_priority_cube. "
+                             "Full oracle keeps running in tests/"
+                             "test_registry.py. Slot given to "
+                             "quality_classifier_eval in r6",
     "tfidf_top_terms": "explode -> token groupBy with the round-6-"
                        "decimal ln() discipline; lm_perplexity gates a "
                        "strict superset of the mechanism (same explode "

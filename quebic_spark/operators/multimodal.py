@@ -6,8 +6,9 @@ runs as Arrow-batched ``mapInPandas``. Two decode tiers:
 
 * REAL decoders for formats parseable with stdlib + numpy (24-bit BMP
   header+pixel parsing, PCM WAV via the wave module, non-interlaced
-  8-bit RGB PNG via zlib inflate + scanline unfiltering) —
-  ``decode_media`` auto-detects by magic bytes;
+  8-bit RGB PNG via zlib inflate + scanline unfiltering, baseline
+  DCT JPEG via ``functions/jpeg.py``) — ``decode_media`` auto-detects
+  by magic bytes;
 * the clearly-marked deterministic stub (``_fake_decode`` /
   ``_stub_dims``) for everything needing PIL/ffmpeg, which this
   container does not have — swap in the real call on a real cluster.
@@ -247,6 +248,8 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 def detect_format(payload: bytes) -> str:
     if payload[:8] == PNG_MAGIC:
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:2] == b"BM" and len(payload) >= 54:
         return "bmp"
     if (
@@ -437,7 +440,13 @@ def decode_media(payloads: DataFrame) -> DataFrame:
                 payload = b"" if payload is None else bytes(payload)
                 kind = detect_format(payload)
                 try:
-                    if kind == "png":
+                    if kind == "jpeg":
+                        from quebic_spark.functions.jpeg import (
+                            decode_jpeg,
+                        )
+
+                        d = decode_jpeg(payload)
+                    elif kind == "png":
                         d = decode_png(payload)
                     elif kind == "bmp":
                         d = decode_bmp(payload)

@@ -280,3 +280,101 @@ def test_decode_png_rejects_unsupported_and_quarantines(spark):
     assert out[2]["fmt"] == "png-error-stub"
     assert out[3]["fmt"] == "png-error-stub"
     assert out[4]["fmt"] == "png-error-stub"
+
+
+# ---------------------------------------------------------------------------
+# JPEG: baseline DCT codec (functions/jpeg.py) behind the auto-detect.
+# The encoder writes its quant + huffman tables INTO the stream, so a
+# round-trip drives the decoder's real table parsers, not a shared
+# constant; orientation/color checks catch transpose-cancellation.
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_known_pixels():
+    import numpy as np
+
+    from quebic_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            np.minimum(xx * 6, 255),
+            np.minimum(yy * 9, 255),
+            np.minimum(xx + yy, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    meta, px = decode_jpeg_pixels(encode_jpeg(img))
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert meta["channels"] == 3 and meta["n_frames"] == 1
+    err = np.abs(px - img.astype(float))
+    assert err.mean() < 4.0 and err.max() < 25.0  # quantization-level
+
+    # restart markers: byte-identical pixel reconstruction required
+    _meta_r, px_r = decode_jpeg_pixels(
+        encode_jpeg(img, restart_interval=2)
+    )
+    assert (px_r == px).all()
+
+
+def test_jpeg_orientation_and_channels():
+    import numpy as np
+
+    from quebic_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    # left black / right white: a row/col transpose or x-flip shows up
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:, 8:] = 255
+    _m, px = decode_jpeg_pixels(encode_jpeg(img))
+    assert px[:, :8].mean() < 5 and px[:, 8:].mean() > 250
+    # top red / bottom blue: y orientation AND channel order
+    img2 = np.zeros((16, 8, 3), dtype=np.uint8)
+    img2[:8, :, 0] = 250
+    img2[8:, :, 2] = 250
+    _m2, px2 = decode_jpeg_pixels(encode_jpeg(img2))
+    assert px2[:8, :, 0].mean() > 240 and px2[:8, :, 2].mean() < 10
+    assert px2[8:, :, 2].mean() > 240 and px2[8:, :, 0].mean() < 10
+
+
+def test_jpeg_grayscale_and_mean():
+    import numpy as np
+
+    from quebic_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    g = (np.arange(32 * 16).reshape(32, 16) % 256).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(g, grayscale=True))
+    assert d["channels"] == 1
+    assert d["mean_value"] == pytest.approx(float(g.mean()), abs=4.0)
+
+
+def test_decode_media_jpeg_dispatch_and_quarantine(spark):
+    import numpy as np
+
+    from quebic_spark.functions.jpeg import encode_jpeg
+    from quebic_spark.operators.multimodal import decode_media
+
+    good = encode_jpeg(np.full((8, 8, 3), 200, dtype=np.uint8))
+    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must quarantine
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    truncated = good[: len(good) // 2]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(progressive)),
+            (3, bytearray(truncated)),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in decode_media(df).collect()}
+    assert out[1]["fmt"] == "jpeg"
+    assert out[1]["width"] == 8 and out[1]["channels"] == 3
+    assert abs(out[1]["mean_value"] - 200.0) < 3.0
+    assert out[2]["fmt"] == "jpeg-error-stub"
+    assert out[3]["fmt"] == "jpeg-error-stub"

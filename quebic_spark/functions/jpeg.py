@@ -228,6 +228,17 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[dict, np.ndarray]:
         raise ValueError("missing SOF/SOS")
 
     comps = frame["comps"]
+    # geometry sanity cap: a corrupted SOF can claim 65535x65535 and
+    # turn one bad row into a multi-GB allocation in the executor —
+    # the quarantine contract wants a ValueError, not an OOM
+    if frame["w"] * frame["h"] > 64_000_000:
+        raise ValueError(
+            f"implausible geometry {frame['w']}x{frame['h']}"
+        )
+    if not all(
+        1 <= c["h"] <= 4 and 1 <= c["v"] <= 4 for c in comps
+    ):
+        raise ValueError("invalid sampling factors")
     by_id = {c["id"]: c for c in comps}
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

@@ -360,9 +360,15 @@ def decode_png(payload: bytes) -> dict:
             f"unsupported PNG: depth={bit_depth} color={color_type} "
             f"interlace={interlace} (8-bit RGB non-interlaced only)"
         )
-    raw = zlib.decompress(idat)
     bpp, stride = 3, width * 3
-    if len(raw) != (stride + 1) * height:
+    expect = (stride + 1) * height
+    if expect > 256_000_000:
+        # decompression-bomb guard: corrupt IHDR geometry must raise,
+        # not balloon executor memory (quarantine contract)
+        raise ValueError(f"implausible geometry {width}x{height}")
+    # cap the inflate at the expected size: a bomb IDAT stops here
+    raw = zlib.decompressobj().decompress(idat, expect + 1)
+    if len(raw) != expect:
         raise ValueError("IDAT length does not match geometry")
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)

@@ -378,3 +378,77 @@ def test_decode_media_jpeg_dispatch_and_quarantine(spark):
     assert abs(out[1]["mean_value"] - 200.0) < 3.0
     assert out[2]["fmt"] == "jpeg-error-stub"
     assert out[3]["fmt"] == "jpeg-error-stub"
+
+
+def test_decoders_never_crash_on_fuzzed_payloads():
+    """The never-fails-mid-scan contract, adversarially: random bytes,
+    random bytes behind each real format's magic, and bit-flipped
+    mutations of a VALID JPEG must all either decode or raise a normal
+    exception (which decode_media quarantines) — never hang, never
+    kill the interpreter. Pure-Python check (no Spark) so hypothesis
+    can drive volume; the Spark quarantine path is asserted separately
+    above."""
+    import random
+
+    import numpy as np
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from quebic_spark.functions.jpeg import encode_jpeg
+    from quebic_spark.operators.multimodal import (
+        PNG_MAGIC,
+        decode_bmp,
+        decode_png,
+        decode_wav,
+        detect_format,
+    )
+    from quebic_spark.functions.jpeg import decode_jpeg
+
+    decoders = {
+        "jpeg": decode_jpeg,
+        "png": decode_png,
+        "bmp": decode_bmp,
+        "wav": decode_wav,
+    }
+    magics = {
+        "jpeg": b"\xff\xd8\xff",
+        "png": PNG_MAGIC,
+        "bmp": b"BM" + b"\x00" * 60,
+        "wav": b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 32,
+    }
+
+    def probe(payload: bytes) -> None:
+        kind = detect_format(payload)
+        if kind == "unknown":
+            return
+        try:
+            decoders[kind](payload)
+        except Exception:
+            pass  # quarantine path — any normal exception is fine
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(min_size=0, max_size=300))
+    def fuzz_raw(data):
+        probe(data)
+        for magic in magics.values():
+            probe(magic + data)
+
+    fuzz_raw()
+
+    # bit-flip mutations of a valid JPEG: the parser sees mostly-sane
+    # structure with one lie somewhere (the hardest corruption class)
+    rnd = random.Random(1234)
+    good = bytearray(
+        encode_jpeg(
+            (np.arange(16 * 24 * 3).reshape(16, 24, 3) % 256).astype(
+                np.uint8
+            )
+        )
+    )
+    for _ in range(200):
+        mut = bytearray(good)
+        for _k in range(rnd.randrange(1, 4)):
+            i = rnd.randrange(len(mut))
+            mut[i] ^= 1 << rnd.randrange(8)
+        probe(bytes(mut))

@@ -139,3 +139,34 @@ def test_scoring_plan_is_scan_resident(docs, model):
     for forbidden in ("Exchange", "Join", "BatchEvalPython",
                       "ArrowEvalPython"):
         assert forbidden not in plan, f"{forbidden} in scoring plan"
+
+
+def test_scoring_works_unchanged_on_a_stream(spark, tmp_path, docs, model):
+    """Scan-resident scoring has no shuffle/stateful op, so the SAME
+    score_quality_classifier call plans on a readStream frame — the
+    batch/stream expr-sharing contract the event ops follow. Streamed
+    scores must equal batch scores row for row."""
+    src = str(tmp_path / "docs_stream")
+    docs.limit(50).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema).parquet(src)
+    )
+    q = (
+        score_quality_classifier(stream, model)
+        .writeStream.format("memory")
+        .queryName("scored_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["prob"], r["pred"])
+        for r in spark.sql("SELECT * FROM scored_stream").collect()
+    }
+    want = {
+        r["doc_id"]: (r["prob"], r["pred"])
+        for r in score_quality_classifier(
+            spark.read.parquet(src), model
+        ).collect()
+    }
+    assert got == want and len(got) == 50

@@ -161,8 +161,30 @@ def main() -> None:
 
         return strip_spans(docs).count()
 
+    def op_lm_perplexity(docs, emb):
+        # one explode + vocab-bounded count joins + per-doc agg; linear
+        # growth means the count tables stay vocab-sized while only the
+        # scoring explode scales with rows
+        from quebic_spark.operators.textops import lm_perplexity_score
+
+        return lm_perplexity_score(
+            docs, hash_bucket(F.col("doc_id")) < 50
+        ).count()
+
+    def op_classifier_score(docs, emb):
+        # scan-resident scoring: growth should track the scan alone
+        from quebic_spark.operators.classifier import (
+            score_quality_classifier,
+            train_quality_classifier,
+        )
+
+        model = train_quality_classifier(docs)
+        return score_quality_classifier(docs, model).count()
+
     ops = {
         "keep_best": op_keep_best,
+        "lm_perplexity": op_lm_perplexity,
+        "classifier_score": op_classifier_score,
         "strip_spans": op_strip_spans,
         "minhash_lsh_pairs": op_minhash,
         "shard_agg": op_shard_agg,

@@ -188,6 +188,56 @@ def score_quality_classifier(
     )
 
 
+MODEL_FORMAT = "quality-logreg-v1"
+
+
+def save_quality_model(model: QualityModel, path: str) -> None:
+    """Persist the trained model as JSON (exact float round-trip via
+    repr — the loaded model scores bit-identically), staged-rename
+    atomic like the IVF quantizer artifact. A real pipeline trains
+    once offline and ships the artifact to every scoring job."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "format": MODEL_FORMAT,
+                "n_buckets": N_BUCKETS,
+                "w_dense": list(model.w_dense),
+                "w_buckets": model.w_buckets,
+                "bias": model.bias,
+                "n_train": model.n_train,
+            },
+            fh,
+        )
+    os.replace(tmp, path)
+
+
+def load_quality_model(path: str) -> QualityModel:
+    import json
+
+    with open(path) as fh:
+        d = json.load(fh)
+    if d.get("format") != MODEL_FORMAT:
+        raise ValueError(
+            f"unsupported model format {d.get('format')!r}"
+        )
+    if d.get("n_buckets") != N_BUCKETS:
+        raise ValueError(
+            f"model hashed with {d.get('n_buckets')} buckets, "
+            f"runtime uses {N_BUCKETS} — feature spaces differ"
+        )
+    return QualityModel(
+        w_dense=(d["w_dense"][0], d["w_dense"][1]),
+        w_buckets=d["w_buckets"],
+        bias=d["bias"],
+        n_train=d["n_train"],
+    )
+
+
 def q_quality_classifier_eval(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

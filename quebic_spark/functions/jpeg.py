@@ -90,6 +90,11 @@ class _BitReader:
     def read_bit(self) -> int:
         if self.nbits == 0:
             self._fill()
+            # mask consumed bits OUT of the accumulator: without this
+            # it grows into an ever-larger bigint and entropy decode
+            # goes quadratic in scan size (measured 31s -> 0.5s on a
+            # 256x256 noise image)
+            self.bits &= (1 << self.nbits) - 1
         self.nbits -= 1
         return (self.bits >> self.nbits) & 1
 
@@ -226,12 +231,24 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[dict, np.ndarray]:
         pos += seglen
     if frame is None or scan is None:
         raise ValueError("missing SOF/SOS")
+    if len(scan) != len(frame["comps"]):
+        # legal baseline streams may split components across several
+        # non-interleaved scans; this decoder handles the (dominant)
+        # single interleaved scan only — anything else must quarantine
+        # rather than emit planes that were never scanned
+        raise ValueError(
+            f"non-interleaved multi-scan JPEG unsupported "
+            f"({len(scan)} of {len(frame['comps'])} components in SOS)"
+        )
 
     comps = frame["comps"]
     # geometry sanity cap: a corrupted SOF can claim 65535x65535 and
     # turn one bad row into a multi-GB allocation in the executor —
-    # the quarantine contract wants a ValueError, not an OOM
-    if frame["w"] * frame["h"] > 64_000_000:
+    # the quarantine contract wants a ValueError, not an OOM. The cap
+    # prices the REAL peak (3 float64 planes + the upsampled RGB
+    # stack ~ 7 doubles/pixel ≈ 56 B/px -> 4M px ≈ 230 MB); raise it
+    # alongside a chunked decode if a pipeline needs wall-size images
+    if frame["w"] * frame["h"] > 4_000_000:
         raise ValueError(
             f"implausible geometry {frame['w']}x{frame['h']}"
         )
@@ -470,13 +487,17 @@ def encode_jpeg(
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
     out = bytearray(b"\xff\xd8")
+    # T.81 stores DQT entries in ZIGZAG order: element k of the
+    # segment quantizes scan position k, not natural index k (review
+    # catch: natural-order bytes made the decoder dequantize most AC
+    # coefficients with the wrong quantizer — ~2x error on noise)
     out += seg(
         0xDB,
-        bytes([0x00]) + bytes(QUANT_LUMA.astype(np.uint8)),
+        bytes([0x00]) + bytes(QUANT_LUMA[ZIGZAG].astype(np.uint8)),
     )
     out += seg(
         0xDB,
-        bytes([0x01]) + bytes(QUANT_CHROMA.astype(np.uint8)),
+        bytes([0x01]) + bytes(QUANT_CHROMA[ZIGZAG].astype(np.uint8)),
     )
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for cid, tq in comps:

@@ -263,6 +263,13 @@ def q_quality_classifier_eval(
         ),
         F.avg(F.col("label").cast("double")).alias("pos_rate"),
     ).collect()[0]
+    if not row["n_eval"]:
+        # avg() over zero rows is NULL; fail fast with the actionable
+        # cause instead of a TypeError in the arithmetic below
+        raise ValueError(
+            "held-out slice is empty — every doc_id hashed below "
+            f"CLS_TRAIN_PCT={CLS_TRAIN_PCT}; lower the split"
+        )
     base_rate = max(row["pos_rate"], 1.0 - row["pos_rate"])
     return spark.range(1).select(
         F.lit(int(model.n_train)).cast("bigint").alias("n_train"),

@@ -366,9 +366,14 @@ def decode_png(payload: bytes) -> dict:
         # decompression-bomb guard: corrupt IHDR geometry must raise,
         # not balloon executor memory (quarantine contract)
         raise ValueError(f"implausible geometry {width}x{height}")
-    # cap the inflate at the expected size: a bomb IDAT stops here
-    raw = zlib.decompressobj().decompress(idat, expect + 1)
-    if len(raw) != expect:
+    # cap the inflate at the expected size: a bomb IDAT stops here.
+    # eof must ALSO hold — it proves the deflate stream terminated
+    # cleanly and its adler32 verified (review catch: the bare capped
+    # decompress silently accepted streams truncated after the last
+    # scanline byte but before the terminator/checksum)
+    inflater = zlib.decompressobj()
+    raw = inflater.decompress(idat, expect + 1)
+    if len(raw) != expect or not inflater.eof:
         raise ValueError("IDAT length does not match geometry")
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)

@@ -452,3 +452,118 @@ def test_decoders_never_crash_on_fuzzed_payloads():
             i = rnd.randrange(len(mut))
             mut[i] ^= 1 << rnd.randrange(8)
         probe(bytes(mut))
+
+
+def test_jpeg_noise_roundtrip_and_linear_entropy_decode():
+    """Review-pass regression tests: (1) DQT must be written in zigzag
+    order — with natural-order bytes the decoder dequantizes AC
+    coefficients with the wrong quantizer and noise round-trip error
+    doubles (measured 29.9 vs 16.8 mean abs); (2) the bit reader must
+    mask consumed bits or entropy decode goes quadratic in scan size."""
+    import time
+
+    import numpy as np
+
+    from quebic_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(3)
+    noise = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+    _m, px = decode_jpeg_pixels(encode_jpeg(noise))
+    err = np.abs(px - noise.astype(float)).mean()
+    assert err < 22.0, f"noise round-trip mean err {err} (DQT order?)"
+
+    big = rng.randint(0, 256, (192, 192, 3)).astype(np.uint8)
+    payload = encode_jpeg(big)
+    t0 = time.time()
+    decode_jpeg_pixels(payload)
+    took = time.time() - t0
+    assert took < 8.0, f"entropy decode took {took:.1f}s (quadratic?)"
+
+
+def test_jpeg_multiscan_and_oversize_quarantine(spark):
+    import struct
+
+    import numpy as np
+
+    from quebic_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from quebic_spark.operators.multimodal import decode_media
+
+    good = encode_jpeg(np.full((8, 8, 3), 90, dtype=np.uint8))
+    # shrink the SOS header to claim 1 of 3 components (legal
+    # non-interleaved layout this decoder does not support)
+    i = good.index(b"\xff\xda")
+    ns = good[i + 4]
+    assert ns == 3
+    multiscan = (
+        good[:i]
+        + b"\xff\xda" + struct.pack(">H", 2 + 1 + 2 + 3)
+        + bytes([1]) + good[i + 5: i + 7]  # first component spec only
+        + good[i + 11:]                    # Ss/Se/Ah-Al + entropy data
+    )
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(multiscan)
+    # oversize geometry: patch SOF dims to 60000x60000 (memory-bomb
+    # guard must raise before allocating)
+    j = good.index(b"\xff\xc0")
+    oversize = (
+        good[:j + 5]
+        + struct.pack(">HH", 60000, 60000)
+        + good[j + 9:]
+    )
+    with pytest.raises(ValueError, match="geometry"):
+        decode_jpeg(oversize)
+    out = {
+        r["doc_id"]: r["fmt"]
+        for r in decode_media(
+            spark.createDataFrame(
+                [(1, bytearray(multiscan)), (2, bytearray(oversize))],
+                "doc_id long, payload binary",
+            )
+        ).collect()
+    }
+    assert out == {1: "jpeg-error-stub", 2: "jpeg-error-stub"}
+
+
+def test_png_truncated_after_scanlines_quarantines(spark):
+    """A deflate stream cut after the last scanline byte but before
+    the terminator/adler32 must still raise (eof check)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from quebic_spark.operators.multimodal import (
+        PNG_MAGIC,
+        decode_png,
+        encode_png,
+    )
+
+    rgb = [[(10, 20, 30)] * 4 for _ in range(4)]
+    good = encode_png(4, 4, rgb)
+    # rebuild with an IDAT whose deflate data inflates to the full
+    # scanline payload but never terminates: compress with a raw
+    # deflater and drop the final block marker by truncating
+    raw = b"".join(
+        b"\x00" + bytes(bytes(px for t in row for px in t))
+        for row in rgb
+    )
+    full = zlib.compress(raw, 6)
+    cut = full[:-5]  # drop terminator + part of adler32
+    ihdr_chunk = good[8:33]
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data)) + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    bad = (
+        PNG_MAGIC + ihdr_chunk + chunk(b"IDAT", cut)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(Exception):
+        decode_png(bad)

@@ -152,34 +152,45 @@ def train_quality_classifier(
     )
 
 
-def score_quality_classifier(
-    docs: DataFrame, model: QualityModel
-) -> DataFrame:
-    """Score every doc: ``doc_id, prob, pred, label``.
+def classifier_prob_col(
+    model: QualityModel, text_col: str = "text"
+) -> Column:
+    """P(quality) as a pure column expression over ``text_col``.
 
     SCAN-RESIDENT scoring — the fastText property that makes linear
     filters viable at corpus scale: the learned weights embed as a
     256-double array literal and the sparse dot product is a single
     ``aggregate()`` fold over the token array (each token md5-hashes
     to its bucket inside the lambda). Zero joins, zero shuffles, zero
-    UDFs — the whole classifier is one codegen'd projection, so
-    scoring cost is exactly one corpus scan at any scale.
-    """
+    UDFs — so a pipeline can use the classifier as one more predicate
+    in a fused DAG (see ``pipeline.release_corpus``)."""
     w_arr = F.array(*[F.lit(w) for w in model.w_buckets])
+    toks = tokens(F.col(text_col))
     wc = F.aggregate(
-        tokens(F.col("text")),
+        toks,
         F.lit(0.0),
         lambda acc, t: acc
         + F.element_at(w_arr, _token_bucket(t) + 1),
     )
-    e = _dense_exprs()
+    n_toks = F.size(toks).cast("double")
+    dr = F.size(F.array_distinct(toks)) / n_toks
+    ls = F.least(n_toks / F.lit(100.0), F.lit(1.0))
     z = (
         F.lit(model.bias)
-        + F.lit(model.w_dense[0]) * e["dr"]
-        + F.lit(model.w_dense[1]) * e["ls"]
-        + wc / F.greatest(e["n_toks"], F.lit(1.0))
+        + F.lit(model.w_dense[0]) * dr
+        + F.lit(model.w_dense[1]) * ls
+        + wc / F.greatest(n_toks, F.lit(1.0))
     )
-    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def score_quality_classifier(
+    docs: DataFrame, model: QualityModel
+) -> DataFrame:
+    """Score every doc: ``doc_id, prob, pred, label`` — one codegen'd
+    projection over the scan (see :func:`classifier_prob_col`)."""
+    prob = classifier_prob_col(model)
+    e = _dense_exprs()
     return docs.select(
         "doc_id",
         prob.alias("prob"),

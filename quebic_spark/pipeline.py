@@ -73,17 +73,24 @@ def release_corpus(
     bench_docs: DataFrame | None = None,
     order_by: Sequence[str] = ("doc_id",),
     fmt: str = "parquet",
+    quality_model=None,
+    min_model_prob: float = 0.5,
 ) -> dict:
     """Run the full release pipeline and write the sharded artifact.
 
     Stages: (1) score every doc with :func:`quality_score_col`;
     (2) drop the worst ``quality_cut_pct`` of each source
     (:func:`quality_percentile_filter` — count-based, small sources
-    never wiped); (3) keep the best-quality canonical per bag-of-words
-    content key (:func:`keep_best`); (4) if ``bench_docs`` is given,
-    anti-join away documents sharing n-grams with it; (5) write the
-    md5-bucket sharded layout with manifest
-    (:func:`write_corpus_shards`). Returns the write manifest.
+    never wiped); (2b) if a trained ``quality_model``
+    (:class:`operators.classifier.QualityModel`) is given, drop docs
+    it scores below ``min_model_prob`` — the model tier rides the
+    same scan as the heuristics because classifier scoring is a pure
+    column expression (zero extra shuffles); (3) keep the best-quality
+    canonical per bag-of-words content key (:func:`keep_best`);
+    (4) if ``bench_docs`` is given, anti-join away documents sharing
+    n-grams with it; (5) write the md5-bucket sharded layout with
+    manifest (:func:`write_corpus_shards`). Returns the write
+    manifest.
     """
     from quebic_spark.operators.dedup import _content_key, keep_best
     from quebic_spark.operators.textops import quality_percentile_filter
@@ -93,6 +100,12 @@ def release_corpus(
     kept = quality_percentile_filter(
         scored, "source", "quality_score", quality_cut_pct
     )
+    if quality_model is not None:
+        from quebic_spark.operators.classifier import classifier_prob_col
+
+        kept = kept.withColumn(
+            "model_prob", classifier_prob_col(quality_model)
+        ).filter(F.col("model_prob") >= min_model_prob)
     deduped = keep_best(
         kept.withColumn("content_key", _content_key()),
         "content_key",

@@ -95,3 +95,45 @@ def test_release_corpus_without_bench(spark, docs, tmp_path):
         ).select("k").distinct().count()
     )
     assert released.count() == man["total_rows"]
+
+
+def test_release_corpus_with_model_tier(spark, docs, tmp_path):
+    """The optional classifier stage drops exactly the docs the model
+    scores below the threshold, keeps provenance (model_prob rides the
+    released rows), and stays a pure filter (no extra shuffle: row
+    counts reconcile with an independent scan-side recomputation)."""
+    from quebic_spark.operators.classifier import (
+        classifier_prob_col,
+        train_quality_classifier,
+    )
+
+    model = train_quality_classifier(docs)
+    out = str(tmp_path / "release_model")
+    man = release_corpus(
+        spark, docs, out, n_shards=2, quality_cut_pct=0.0,
+        quality_model=model, min_model_prob=0.5,
+    )
+    released = spark.read.parquet(out)
+    assert released.count() == man["total_rows"]
+    # provenance column present and respects the threshold
+    probs = [r["model_prob"] for r in released.collect()]
+    assert all(p >= 0.5 for p in probs)
+    # independent recomputation: surviving content keys after the
+    # model filter, deduped keep-best
+    survivors = docs.filter(classifier_prob_col(model) >= 0.5)
+    want = (
+        survivors.withColumn(
+            "k",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.array_sort(
+                        F.array_distinct(F.split("text", " "))
+                    ),
+                )
+            ),
+        ).select("k").distinct().count()
+    )
+    assert man["total_rows"] == want
+    # the model tier must actually bite on this corpus (not a no-op)
+    assert released.count() < docs.count()

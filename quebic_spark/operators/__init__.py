@@ -115,6 +115,17 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "token_budget_mixture": "born retired (driver window full at 50): "
+                            "every mechanism is already driver-gated — "
+                            "md5-threshold thinning + broadcast rate "
+                            "join via mixture_sample, token-mass "
+                            "aggregation via token_counts/"
+                            "sequence_packing; the budget arithmetic "
+                            "itself is the only new logic and its full "
+                            "DuckDB oracle (6-column hash incl. "
+                            "selection counts) runs in tests/"
+                            "test_registry.py, the dedup_lsh_recall "
+                            "lane",
     "brand_name_similarity": "scalar string functions (levenshtein/"
                              "upper/startswith/length) inside a grouped "
                              "agg; the scalar-function family stays "

@@ -590,6 +590,146 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# token_budget_mixture — mixture planning against a TOKEN budget.
+#
+# mixture_sample thins sources toward relative row proportions; a
+# training run is provisioned in TOKENS. Given per-source weights and
+# a total token budget, compute each source's target token mass,
+# convert to a deterministic md5 keep-rate capped at 1.0 (a source
+# smaller than its target is kept whole — the budget shortfall is
+# reported, not silently reassigned), and select rows with the same
+# seeded md5-threshold draw mixture_sample uses (retry/speculation
+# stable, zero corpus shuffle: counts agg + broadcast rate join).
+# The budget here is a fixed fraction of the observed corpus so the
+# op exercises both capped and thinned sources at every sf (0.8 of
+# the corpus with weights 1..10 over ~equal sources puts high-weight
+# targets above their source size and low-weight ones far below); a
+# real run passes its absolute budget.
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET_FRACTION = 0.8
+
+
+def q_token_budget_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), " ")).alias("n")
+    )
+    counts = docs.groupBy("source").agg(
+        F.sum("n").alias("n_tokens")
+    )
+    rated = counts.withColumn("weight", _mix_weight(F.col("source")))
+    tot = rated.agg(
+        F.floor(
+            F.sum("n_tokens") * F.lit(TOKEN_BUDGET_FRACTION)
+        ).cast("long").alias("budget"),
+        F.sum("weight").alias("wsum"),
+    )
+    rates = (
+        rated.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_tokens",
+            F.floor(
+                F.col("weight") / F.col("wsum") * F.col("budget")
+            ).cast("long"),
+        )
+        .withColumn(
+            "thr",
+            F.least(
+                F.floor(
+                    F.col("target_tokens") / F.col("n_tokens")
+                    * F.lit(_MIX_SCALE)
+                ).cast("long"),
+                F.lit(2**MIX_FRAC_BITS - 1),
+            ),
+        )
+        .select("source", "n_tokens", "target_tokens", "thr")
+    )
+    frac = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(MIX_SEED), F.col("doc_id").cast("string")
+                )
+            ),
+            1, MIX_FRAC_BITS // 4,
+        ),
+        16, 10,
+    ).cast("long")
+    sel = (
+        docs.join(F.broadcast(rates.select("source", "thr")), "source")
+        .filter(frac < F.col("thr"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n").alias("tokens_selected"),
+        )
+    )
+    return rates.join(F.broadcast(sel), "source", "left").select(
+        "source",
+        "n_tokens",
+        "target_tokens",
+        (F.col("thr") == 2**MIX_FRAC_BITS - 1).alias("kept_whole"),
+        F.coalesce(F.col("n_selected"), F.lit(0))
+        .cast("long")
+        .alias("n_selected"),
+        F.coalesce(F.col("tokens_selected"), F.lit(0))
+        .cast("long")
+        .alias("tokens_selected"),
+    )
+
+
+ORACLE_TOKEN_BUDGET_MIXTURE = f"""
+WITH tok AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+counts AS (
+  SELECT source, SUM(n) AS n_tokens FROM tok GROUP BY source
+),
+rated AS (
+  SELECT source, n_tokens,
+         (CAST(substr(source, 4) AS INT) * 7) % 10 + 1 AS weight
+  FROM counts
+),
+tot AS (
+  SELECT CAST(FLOOR(SUM(n_tokens) * {TOKEN_BUDGET_FRACTION!r}) AS BIGINT)
+           AS budget,
+         SUM(weight) AS wsum
+  FROM rated
+),
+rates AS (
+  SELECT source, n_tokens,
+         CAST(FLOOR(CAST(weight AS DOUBLE) / wsum * budget) AS BIGINT)
+           AS target_tokens,
+         LEAST(
+           CAST(FLOOR(
+             CAST(FLOOR(CAST(weight AS DOUBLE) / wsum * budget) AS BIGINT)
+             / CAST(n_tokens AS DOUBLE) * {_MIX_SCALE!r}) AS BIGINT),
+           {2**MIX_FRAC_BITS - 1}) AS thr
+  FROM rated, tot
+),
+sel AS (
+  SELECT t.source, COUNT(*) AS n_selected, SUM(t.n) AS tokens_selected
+  FROM tok t JOIN rates r ON t.source = r.source
+  WHERE ('0x' || substr(md5('{MIX_SEED}' || CAST(t.doc_id AS VARCHAR)),
+                        1, {MIX_FRAC_BITS // 4}))::BIGINT < r.thr
+  GROUP BY t.source
+)
+SELECT r.source,
+       CAST(r.n_tokens AS BIGINT) AS n_tokens,
+       r.target_tokens,
+       r.thr = {2**MIX_FRAC_BITS - 1} AS kept_whole,
+       CAST(COALESCE(s.n_selected, 0) AS BIGINT) AS n_selected,
+       CAST(COALESCE(s.tokens_selected, 0) AS BIGINT)
+         AS tokens_selected
+FROM rates r LEFT JOIN sel s ON r.source = s.source
+"""
+
+
 ORACLE_MIXTURE_SAMPLE = f"""
 WITH counts AS (
   SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
@@ -867,6 +1007,7 @@ ORACLE_CORPUS_RELEASE_COUNTS = _release_counts_oracle()
 
 
 QUERIES = {
+    "token_budget_mixture": q_token_budget_mixture,
     "corpus_release_counts": q_corpus_release_counts,
     "corpus_shards_roundtrip": q_corpus_shards_roundtrip,
     "mixture_sample": q_mixture_sample,
@@ -881,6 +1022,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "token_budget_mixture": ORACLE_TOKEN_BUDGET_MIXTURE,
     "corpus_release_counts": ORACLE_CORPUS_RELEASE_COUNTS,
     "corpus_shards_roundtrip": ORACLE_CORPUS_SHARDS_ROUNDTRIP,
     "mixture_sample": ORACLE_MIXTURE_SAMPLE,

@@ -882,34 +882,31 @@ LM_TRAIN_PCT = 50       # md5-bucket split: buckets [0,50) train the LM
 LM_NLL_THRESHOLD = 3.55
 
 
-def lm_perplexity_score(
-    docs: DataFrame,
-    is_train: Column,
-    threshold: float = LM_NLL_THRESHOLD,
-) -> DataFrame:
-    """Score every row of ``docs`` (``doc_id``, ``text``) by average
-    per-bigram negative log likelihood under a Laplace-smoothed bigram
-    LM trained on the rows where ``is_train`` holds. Returns one row
-    per document: ``doc_id, n_bigrams, avg_nll, high_ppl``."""
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
     from quebic_spark.functions.text import ngrams
 
-    grams = docs.select(
-        "doc_id",
-        is_train.alias("_is_train"),
-        F.explode(ngrams(F.col("text"), 2)).alias("bg"),
+    return docs.select(
+        "doc_id", F.explode(ngrams(F.col("text"), 2)).alias("bg")
     ).withColumn("w1", F.split(F.col("bg"), " ")[0])
 
-    bi = (
-        grams.filter(F.col("_is_train"))
-        .groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("c12"))
-    )
-    uni = (
+
+def _lm_uni(bi: DataFrame) -> DataFrame:
+    """Context counts derived from the bigram table (c(w1 ·) = how
+    often w1 is followed by anything) — vocab-sized input, no second
+    corpus pass."""
+    return (
         bi.groupBy(F.split(F.col("bg"), " ")[0].alias("w1"))
         .agg(F.sum("c12").alias("c1"))
     )
-    vsz = uni.agg((F.count(F.lit(1)) + 1).alias("vsz"))
 
+
+def _score_lm(
+    grams: DataFrame,
+    bi: DataFrame,
+    uni: DataFrame,
+    vsz: DataFrame,
+    threshold: float,
+) -> DataFrame:
     nll = F.round(
         F.log(
             (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vsz"))
@@ -934,6 +931,90 @@ def lm_perplexity_score(
         avg_nll.alias("avg_nll"),
         (avg_nll > threshold).alias("high_ppl"),
     )
+
+
+def lm_perplexity_score(
+    docs: DataFrame,
+    is_train: Column,
+    threshold: float = LM_NLL_THRESHOLD,
+) -> DataFrame:
+    """Score every row of ``docs`` (``doc_id``, ``text``) by average
+    per-bigram negative log likelihood under a Laplace-smoothed bigram
+    LM trained on the rows where ``is_train`` holds. Returns one row
+    per document: ``doc_id, n_bigrams, avg_nll, high_ppl``."""
+    grams = docs.select(
+        "doc_id", is_train.alias("_is_train"), "text"
+    )
+    all_grams = _doc_bigrams(grams)
+    bi = (
+        _doc_bigrams(grams.filter(F.col("_is_train")))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    uni = _lm_uni(bi)
+    vsz = uni.agg((F.count(F.lit(1)) + 1).alias("vsz"))
+    return _score_lm(all_grams, bi, uni, vsz, threshold)
+
+
+LM_FORMAT = "bigram-lm-v1"
+
+
+def save_lm(
+    spark: SparkSession, docs: DataFrame, is_train: Column, path: str
+) -> dict:
+    """Persist the trained bigram LM: counts as parquet (the
+    vocab-bounded table a 100 TB run would build once offline) plus a
+    meta.json with the smoothing constant. meta.json is written LAST
+    via staged rename, so its presence marks a complete artifact —
+    the IVF-index persistence contract."""
+    import json
+    import os
+
+    bi = (
+        _doc_bigrams(
+            docs.select("doc_id", is_train.alias("_t"), "text")
+            .filter(F.col("_t"))
+        )
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    bi.write.mode("overwrite").parquet(os.path.join(path, "bigrams"))
+    stored = spark.read.parquet(os.path.join(path, "bigrams"))
+    vsz = (
+        _lm_uni(stored).agg((F.count(F.lit(1)) + 1).alias("v"))
+        .collect()[0]["v"]
+    )
+    meta = {"format": LM_FORMAT, "vsz": int(vsz)}
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+    return meta
+
+
+def score_with_lm(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    threshold: float = LM_NLL_THRESHOLD,
+) -> DataFrame:
+    """Score against a persisted LM (:func:`save_lm`): identical
+    output to the in-plan :func:`lm_perplexity_score` for the same
+    training slice, but the counts come from the stored table — a
+    fresh session scores without re-reading the training corpus."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    if meta.get("format") != LM_FORMAT:
+        raise ValueError(f"unsupported LM format {meta.get('format')!r}")
+    bi = spark.read.parquet(os.path.join(path, "bigrams"))
+    uni = _lm_uni(bi)
+    vsz = spark.range(1).select(
+        F.lit(int(meta["vsz"])).cast("bigint").alias("vsz")
+    )
+    return _score_lm(_doc_bigrams(docs), bi, uni, vsz, threshold)
 
 
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -214,3 +214,44 @@ def test_lm_gate_invariants(spark, sf_dir):
     # the threshold separates a small tail, not a constant flag
     flagged = sum(1 for r in rows if r["high_ppl"])
     assert 0 < flagged < 0.05 * len(rows)
+
+
+def test_lm_save_load_scores_identically(spark, sf_dir, tmp_path):
+    """A persisted LM (counts parquet + meta.json) must reproduce the
+    in-plan scoring exactly — the stored table changes cost, never
+    results (the IVF-quantizer persistence contract)."""
+    from quebic_spark.operators.sampling import hash_bucket
+    from quebic_spark.operators.textops import (
+        LM_TRAIN_PCT,
+        lm_perplexity_score,
+        save_lm,
+        score_with_lm,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_train = hash_bucket(F.col("doc_id")) < LM_TRAIN_PCT
+    path = str(tmp_path / "lm")
+    meta = save_lm(spark, docs, is_train, path)
+    assert meta["format"] == "bigram-lm-v1" and meta["vsz"] > 1
+
+    want = sorted(
+        map(tuple, lm_perplexity_score(docs, is_train).collect())
+    )
+    got = sorted(map(tuple, score_with_lm(spark, docs, path).collect()))
+    assert got == want
+
+
+def test_lm_load_rejects_incomplete_artifact(spark, tmp_path):
+    import pytest as _pytest
+
+    from quebic_spark.operators.textops import score_with_lm
+
+    # no meta.json -> incomplete artifact must not score
+    with _pytest.raises(Exception):
+        score_with_lm(
+            spark,
+            spark.createDataFrame(
+                [(1, "a b")], "doc_id long, text string"
+            ),
+            str(tmp_path / "lm_missing"),
+        ).collect()

@@ -115,6 +115,14 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "event_rollup_hierarchy": "born retired (driver window full at "
+                              "50): time-bucketed grouped aggregation "
+                              "is driver-gated via event_counts_hourly "
+                              "and the window family; the new logic is "
+                              "the rollup-of-rollup hierarchy (each "
+                              "tier re-aggregates the tier below) and "
+                              "its full 3-tier DuckDB oracle runs in "
+                              "tests/test_registry.py",
     "token_budget_mixture": "born retired (driver window full at 50): "
                             "every mechanism is already driver-gated — "
                             "md5-threshold thinning + broadcast rate "

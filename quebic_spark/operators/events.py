@@ -355,7 +355,85 @@ FROM per_user
 """
 
 
+# ---------------------------------------------------------------------------
+# event_rollup_hierarchy — TimescaleDB-style continuous-aggregate
+# hierarchy: hour -> day -> week, where each coarser tier re-aggregates
+# the TIER BELOW (one corpus pass total; day/week inputs are
+# bucket-count-sized). This is the hypertable rollup pattern — at
+# scale the hourly tier is a stored incremental aggregate and the
+# coarser tiers are near-free derivations, never corpus re-scans.
+# Only composable aggregates ride the hierarchy (counts, max — both
+# bit-exact on any engine); non-composable ones (count-distinct) live
+# at the finest tier only (see event_counts_hourly's n_users).
+# ---------------------------------------------------------------------------
+
+
+@_pinned_utc_query
+def q_event_rollup_hierarchy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("value_max"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("bucket")).alias("bucket"),
+        "event_type",
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.max("value_max").alias("value_max"),
+    )
+    weekly = daily.groupBy(
+        F.date_trunc("week", F.col("bucket")).alias("bucket"),
+        "event_type",
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.max("value_max").alias("value_max"),
+    )
+
+    def tag(df: DataFrame, g: str) -> DataFrame:
+        return df.select(
+            F.lit(g).alias("granularity"),
+            "bucket", "event_type", "n_events", "value_max",
+        )
+
+    return (
+        tag(hourly, "hour")
+        .unionAll(tag(daily, "day"))
+        .unionAll(tag(weekly, "week"))
+    )
+
+
+ORACLE_EVENT_ROLLUP_HIERARCHY = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type,
+         COUNT(*) AS n_events, MAX(value) AS value_max
+  FROM events GROUP BY 1, 2
+),
+daily AS (
+  SELECT date_trunc('day', bucket) AS bucket, event_type,
+         CAST(SUM(n_events) AS BIGINT) AS n_events,
+         MAX(value_max) AS value_max
+  FROM hourly GROUP BY 1, 2
+),
+weekly AS (
+  SELECT date_trunc('week', bucket) AS bucket, event_type,
+         CAST(SUM(n_events) AS BIGINT) AS n_events,
+         MAX(value_max) AS value_max
+  FROM daily GROUP BY 1, 2
+)
+SELECT 'hour' AS granularity, * FROM hourly
+UNION ALL SELECT 'day', * FROM daily
+UNION ALL SELECT 'week', * FROM weekly
+"""
+
+
 QUERIES = {
+    "event_rollup_hierarchy": q_event_rollup_hierarchy,
     "event_counts_hourly": q_event_counts_hourly,
     "event_sliding_windows": q_event_sliding_windows,
     "event_sessions": q_event_sessions,
@@ -365,6 +443,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_rollup_hierarchy": ORACLE_EVENT_ROLLUP_HIERARCHY,
     "event_counts_hourly": ORACLE_EVENT_COUNTS_HOURLY,
     "event_sliding_windows": ORACLE_EVENT_SLIDING_WINDOWS,
     "event_sessions": ORACLE_EVENT_SESSIONS,

@@ -40,10 +40,11 @@ from quebic_spark.operators import (
     similarity,
     temporal,
     textops,
+    tokenizer,
 )
 
 _MODULES = (relational, dedup, similarity, textops, events, multimodal,
-            queueops, temporal, sampling, classifier)
+            queueops, temporal, sampling, classifier, tokenizer)
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ALL_ORACLES: dict[str, str] = {}
@@ -115,6 +116,15 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "bpe_tokenizer_eval": "born retired (driver window full at 50): "
+                          "a learned component whose portable side "
+                          "(doc/word counts) duplicates gated "
+                          "mechanisms, while the learned side gates "
+                          "through in-plan contract booleans (exact "
+                          "round-trip over every doc, fertility below "
+                          "char level) — full oracle in tests/"
+                          "test_registry.py, micro-corpus merge-"
+                          "sequence tests in tests/test_tokenizer.py",
     "event_rollup_hierarchy": "born retired (driver window full at "
                               "50): time-bucketed grouped aggregation "
                               "is driver-gated via event_counts_hourly "

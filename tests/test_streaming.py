@@ -579,3 +579,80 @@ def test_recover_discards_partial_multichunk_staging(qpath, spark):
     got = [r[0] for r in q.subscriber().pop_n(20)]
     assert got == list(range(10)) + [100 + i for i in range(10)]
     q.dispose()
+
+
+def test_streaming_hourly_tier_matches_batch_rollup(spark, tmp_path):
+    """The rollup hierarchy's scale claim made literal: the hourly
+    tier maintained INCREMENTALLY over a stream (readStream -> window
+    agg) must equal the batch hourly tier of event_rollup_hierarchy
+    for the same events — the stored-continuous-aggregate pattern."""
+    import shutil
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        src_dir = str(tmp_path / "events_src")
+        shutil.copytree("/root/testdata/sf0.001", src_dir,
+                        ignore=shutil.ignore_patterns("*"))
+        import os as _os
+
+        _os.makedirs(src_dir, exist_ok=True)
+        shutil.copy(
+            "/root/testdata/sf0.001/events.parquet",
+            _os.path.join(src_dir, "events.parquet"),
+        )
+        from quebic_spark.operators.events import (
+            q_event_rollup_hierarchy,
+        )
+
+        batch_hourly = sorted(
+            (r["bucket"], r["event_type"], r["n_events"],
+             r["value_max"])
+            for r in q_event_rollup_hierarchy(
+                spark, "/root/testdata/sf0.001"
+            ).filter(F.col("granularity") == "hour").collect()
+        )
+
+        # normalize the raw stream the same way _events does: ts may
+        # be int64 nanos under the legacy reader
+        raw = spark.readStream.schema(
+            spark.read.parquet(
+                _os.path.join(src_dir, "events.parquet")
+            ).schema
+        ).parquet(src_dir)
+        ts_type = dict(raw.dtypes)["ts"]
+        ts_col = (
+            F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            if ts_type == "bigint" else F.col("ts")
+        )
+        agg = (
+            raw.select(
+                ts_col.alias("ts"), "event_type", "value"
+            )
+            .groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("bucket"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.max("value").alias("value_max"),
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("hourly_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r["bucket"], r["event_type"], r["n_events"],
+             r["value_max"])
+            for r in spark.sql(
+                "SELECT * FROM hourly_stream"
+            ).collect()
+        )
+        assert got == batch_hourly and len(got) > 0
+    finally:
+        spark.conf.unset("spark.sql.session.timeZone")

@@ -55,15 +55,17 @@ class QualityModel(NamedTuple):
     n_train: int
 
 
-def _dense_exprs() -> dict[str, Column]:
+def _dense_exprs(text_col: str = "text") -> dict[str, Column]:
     """Per-doc dense feature / teacher-label column expressions.
 
     They mirror `textops.q_doc_quality` exactly — the teacher is that
     heuristic, and giving the model the teacher's own basis is what
     makes the distillation contract (accuracy floor) honest rather
-    than hopeful.
+    than hopeful. SINGLE definition consumed by both the training
+    featurizer and `classifier_prob_col`, so train/score feature
+    parity holds by construction.
     """
-    toks = tokens(F.col("text"))
+    toks = tokens(F.col(text_col))
     n_toks = F.size(toks).cast("double")
     dr = F.size(F.array_distinct(toks)) / n_toks
     ls = F.least(n_toks / F.lit(100.0), F.lit(1.0))
@@ -165,21 +167,18 @@ def classifier_prob_col(
     UDFs — so a pipeline can use the classifier as one more predicate
     in a fused DAG (see ``pipeline.release_corpus``)."""
     w_arr = F.array(*[F.lit(w) for w in model.w_buckets])
-    toks = tokens(F.col(text_col))
     wc = F.aggregate(
-        toks,
+        tokens(F.col(text_col)),
         F.lit(0.0),
         lambda acc, t: acc
         + F.element_at(w_arr, _token_bucket(t) + 1),
     )
-    n_toks = F.size(toks).cast("double")
-    dr = F.size(F.array_distinct(toks)) / n_toks
-    ls = F.least(n_toks / F.lit(100.0), F.lit(1.0))
+    e = _dense_exprs(text_col)
     z = (
         F.lit(model.bias)
-        + F.lit(model.w_dense[0]) * dr
-        + F.lit(model.w_dense[1]) * ls
-        + wc / F.greatest(n_toks, F.lit(1.0))
+        + F.lit(model.w_dense[0]) * e["dr"]
+        + F.lit(model.w_dense[1]) * e["ls"]
+        + wc / F.greatest(e["n_toks"], F.lit(1.0))
     )
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 

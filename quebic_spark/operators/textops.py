@@ -970,6 +970,14 @@ def save_lm(
     import json
     import os
 
+    # the artifact is MULTI-file (parquet dir + meta), so before
+    # touching the parquet, invalidate any previous artifact: a crash
+    # mid-overwrite must leave NO meta.json next to partial data
+    # (review catch — stale meta would pass the completeness check
+    # and score against corrupt counts)
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
     bi = (
         _doc_bigrams(
             docs.select("doc_id", is_train.alias("_t"), "text")
@@ -980,15 +988,25 @@ def save_lm(
     )
     bi.write.mode("overwrite").parquet(os.path.join(path, "bigrams"))
     stored = spark.read.parquet(os.path.join(path, "bigrams"))
+    fp = stored.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("c12").alias("mass"),
+    ).collect()[0]
     vsz = (
         _lm_uni(stored).agg((F.count(F.lit(1)) + 1).alias("v"))
         .collect()[0]["v"]
     )
-    meta = {"format": LM_FORMAT, "vsz": int(vsz)}
-    tmp = os.path.join(path, "meta.json.tmp")
+    meta = {
+        "format": LM_FORMAT,
+        "vsz": int(vsz),
+        # content fingerprint tying meta to the written counts
+        "n_rows": int(fp["rows"]),
+        "mass": int(fp["mass"]) if fp["mass"] is not None else 0,
+    }
+    tmp = meta_path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
-    os.replace(tmp, os.path.join(path, "meta.json"))
+    os.replace(tmp, meta_path)
     return meta
 
 
@@ -1010,6 +1028,17 @@ def score_with_lm(
     if meta.get("format") != LM_FORMAT:
         raise ValueError(f"unsupported LM format {meta.get('format')!r}")
     bi = spark.read.parquet(os.path.join(path, "bigrams"))
+    fp = bi.agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("c12").alias("mass")
+    ).collect()[0]
+    if (
+        int(fp["rows"]) != meta.get("n_rows")
+        or int(fp["mass"] or 0) != meta.get("mass")
+    ):
+        raise ValueError(
+            "LM artifact fingerprint mismatch: counts table does not "
+            "match meta.json (partial overwrite?) — re-run save_lm"
+        )
     uni = _lm_uni(bi)
     vsz = spark.range(1).select(
         F.lit(int(meta["vsz"])).cast("bigint").alias("vsz")

@@ -135,5 +135,6 @@ def test_release_corpus_with_model_tier(spark, docs, tmp_path):
         ).select("k").distinct().count()
     )
     assert man["total_rows"] == want
-    # the model tier must actually bite on this corpus (not a no-op)
-    assert released.count() < docs.count()
+    # the model tier must actually bite on this corpus (not a no-op):
+    # the FILTER ITSELF must drop docs, not just the downstream dedup
+    assert survivors.count() < docs.count()

@@ -591,12 +591,10 @@ def test_streaming_hourly_tier_matches_batch_rollup(spark, tmp_path):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        src_dir = str(tmp_path / "events_src")
-        shutil.copytree("/root/testdata/sf0.001", src_dir,
-                        ignore=shutil.ignore_patterns("*"))
         import os as _os
 
-        _os.makedirs(src_dir, exist_ok=True)
+        src_dir = str(tmp_path / "events_src")
+        _os.makedirs(src_dir)
         shutil.copy(
             "/root/testdata/sf0.001/events.parquet",
             _os.path.join(src_dir, "events.parquet"),
@@ -621,8 +619,10 @@ def test_streaming_hourly_tier_matches_batch_rollup(spark, tmp_path):
             ).schema
         ).parquet(src_dir)
         ts_type = dict(raw.dtypes)["ts"]
+        # integer DIV like _events (events.py): double division of
+        # ~1.7e18 ns epochs loses unit-microsecond precision (2^53)
         ts_col = (
-            F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            F.timestamp_micros(F.expr("ts DIV 1000"))
             if ts_type == "bigint" else F.col("ts")
         )
         agg = (

@@ -116,6 +116,13 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "crawl_snapshot_diff": "born retired (driver window full at 50): "
+                           "key-projection + full-outer-join + status "
+                           "agg — the join family is driver-gated via "
+                           "urgent_vs_finished_outer (full outer) and "
+                           "dedup_incremental (key anti-join); the "
+                           "delta-report composition's full oracle "
+                           "runs in tests/test_registry.py",
     "bpe_tokenizer_eval": "born retired (driver window full at 50): "
                           "a learned component whose portable side "
                           "(doc/word counts) duplicates gated "

@@ -1625,7 +1625,79 @@ FROM affected a LEFT JOIN agg g USING (doc_id)
 ORACLE_DEDUP_LSH_RECALL = _lsh_recall_oracle()
 
 
+# ---------------------------------------------------------------------------
+# crawl_snapshot_diff — day-2 delta report: what changed between two
+# crawl snapshots, by content key. The audit artifact a pipeline
+# publishes alongside incremental_dedup's output: how much is new,
+# how much churned away, how much persisted. One projection per side
+# to (distinct) keys, one key-keyed full outer join, tiny status agg
+# — no text ever shuffles.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(
+    old_keys: DataFrame, new_keys: DataFrame, key: str = "content_key"
+) -> DataFrame:
+    """(status, n_keys) over the full outer join of two key sets:
+    ``added`` (new only), ``removed`` (old only), ``retained``."""
+    o = old_keys.select(F.col(key).alias("k")).distinct().withColumn(
+        "in_old", F.lit(True)
+    )
+    n = new_keys.select(F.col(key).alias("k")).distinct().withColumn(
+        "in_new", F.lit(True)
+    )
+    status = (
+        F.when(F.col("in_old").isNull(), "added")
+        .when(F.col("in_new").isNull(), "removed")
+        .otherwise("retained")
+    )
+    return (
+        o.join(n, "k", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+def q_crawl_snapshot_diff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # overlapping source slices so all three statuses populate:
+    # "yesterday" = src 0..15, "today" = src 8..23
+    docs = _docs(spark, sf_dir)
+    srcn = F.substring("source", 4, 8).cast("int")
+    tagged = docs.select(
+        _content_key().alias("content_key"), srcn.alias("srcn")
+    )
+    old = tagged.filter(F.col("srcn") <= SNAPSHOT_MAX_SRC)
+    new = tagged.filter(
+        (F.col("srcn") > SNAPSHOT_MAX_SRC // 2)
+    )
+    return snapshot_diff(old, new)
+
+
+ORACLE_CRAWL_SNAPSHOT_DIFF = f"""
+WITH tagged AS (
+  SELECT md5(array_to_string(
+           list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS k,
+         CAST(SUBSTR(source, 4) AS INT) AS srcn
+  FROM documents
+),
+o AS (SELECT DISTINCT k FROM tagged WHERE srcn <= {SNAPSHOT_MAX_SRC}),
+n AS (SELECT DISTINCT k FROM tagged
+      WHERE srcn > {SNAPSHOT_MAX_SRC // 2})
+SELECT CASE WHEN o.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            ELSE 'retained' END AS status,
+       COUNT(*) AS n_keys
+FROM o FULL OUTER JOIN n ON o.k = n.k
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "crawl_snapshot_diff": q_crawl_snapshot_diff,
     "semantic_dedup": q_semantic_dedup,
     "dedup_lsh_recall": q_dedup_lsh_recall,
     "dedup_span_strip": q_dedup_span_strip,
@@ -1644,6 +1716,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "crawl_snapshot_diff": ORACLE_CRAWL_SNAPSHOT_DIFF,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "dedup_lsh_recall": ORACLE_DEDUP_LSH_RECALL,
     "dedup_span_strip": ORACLE_DEDUP_SPAN_STRIP,

@@ -166,8 +166,22 @@ def isolated_spot_times(
     return out
 
 
+def _loadavg() -> list[float]:
+    """Host 1/5/15-min load averages. The container shares its host:
+    observed same-code total swings of 47s -> 93s when external load
+    rose past ~4 (2026-08-14 session). Recording load at start/end
+    makes every BENCH record self-attributing — a high-load run reads
+    as environment, not regression."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return [round(float(x), 2) for x in fh.read().split()[:3]]
+    except OSError:
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_start = _loadavg()
     from quebic_spark.session import get_spark
 
     spark = get_spark(app_name="quebic_bench")
@@ -196,6 +210,7 @@ def main() -> None:
         ";caches+tablecache_cleared+gc_between_samples"
         ";isolated_spot_times_fresh_process;queue_best_of_3"
     )
+    load_end = _loadavg()
     detail_path = os.path.join(_REPO, "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(
@@ -210,6 +225,10 @@ def main() -> None:
                 # queries; compare against `samples` to attribute
                 # shared-JVM tax
                 "isolated": isolated,
+                # host 1/5/15-min load at run start/end: > ~4 means
+                # external contention inflated everything 2-5x
+                "loadavg_start": load_start,
+                "loadavg_end": load_end,
             },
             fh,
             indent=1,
@@ -223,6 +242,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf_dir,
                 "method": method,
+                "loadavg": [load_start, load_end],
                 "detail_file": "BENCH_DETAIL.json",
             }
         )

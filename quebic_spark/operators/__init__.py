@@ -55,6 +55,7 @@ for _mod in _MODULES:
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
     # --- r6: new gates this round ---
+    "bpe_tokenizer_eval",
     "quality_classifier_eval",
     "lm_perplexity",
     "corpus_release_counts",
@@ -104,7 +105,6 @@ GATE_ORDER: tuple[str, ...] = (
     "lang_id",
     "doc_quality",
     "quality_filter_stats",
-    "event_sliding_windows",
     "event_sessions",
     "event_json_props",
     "event_funnel",
@@ -123,15 +123,17 @@ RETIRED_GATES: dict[str, str] = {
                            "dedup_incremental (key anti-join); the "
                            "delta-report composition's full oracle "
                            "runs in tests/test_registry.py",
-    "bpe_tokenizer_eval": "born retired (driver window full at 50): "
-                          "a learned component whose portable side "
-                          "(doc/word counts) duplicates gated "
-                          "mechanisms, while the learned side gates "
-                          "through in-plan contract booleans (exact "
-                          "round-trip over every doc, fertility below "
-                          "char level) — full oracle in tests/"
-                          "test_registry.py, micro-corpus merge-"
-                          "sequence tests in tests/test_tokenizer.py",
+    "event_sliding_windows": "overlapping time windows; the window-"
+                             "grid mechanism stays live via "
+                             "event_watermark_windows (same window() "
+                             "expr + late-data contract) and "
+                             "event_sessions (session windows), "
+                             "tumbling grids via event_counts_hourly. "
+                             "Full oracle keeps running in tests/"
+                             "test_registry.py. Slot given to "
+                             "bpe_tokenizer_eval in r6 (the learned-"
+                             "tokenizer round-trip contract is a "
+                             "mechanism no other gate touches)",
     "event_rollup_hierarchy": "born retired (driver window full at "
                               "50): time-bucketed grouped aggregation "
                               "is driver-gated via event_counts_hourly "

@@ -181,10 +181,42 @@ def main() -> None:
         model = train_quality_classifier(docs)
         return score_quality_classifier(docs, model).count()
 
+    def op_bpe_apply(docs, emb):
+        # train on the base vocab, apply across the replicated corpus:
+        # apply cost should track the scan (per-batch word memoization
+        # makes per-doc cost ~ distinct words)
+        from quebic_spark.operators.tokenizer import (
+            tokenize_with,
+            train_bpe_tokenizer,
+        )
+
+        model = train_bpe_tokenizer(docs)
+        return (
+            tokenize_with(docs, model)
+            .select(F.sum(F.size("bpe_tokens")))
+            .collect()
+        )
+
+    def op_snapshot_diff(docs, emb):
+        from quebic_spark.operators.dedup import (
+            _content_key,
+            snapshot_diff,
+        )
+
+        keyed = docs.select(
+            _content_key().alias("content_key"),
+            hash_bucket(F.col("doc_id"), 4).alias("q"),
+        )
+        return snapshot_diff(
+            keyed.filter("q <= 1"), keyed.filter("q >= 1")
+        ).count()
+
     ops = {
         "keep_best": op_keep_best,
         "lm_perplexity": op_lm_perplexity,
         "classifier_score": op_classifier_score,
+        "bpe_apply": op_bpe_apply,
+        "snapshot_diff": op_snapshot_diff,
         "strip_spans": op_strip_spans,
         "minhash_lsh_pairs": op_minhash,
         "shard_agg": op_shard_agg,

@@ -168,10 +168,13 @@ def isolated_spot_times(
 
 def _loadavg() -> list[float]:
     """Host 1/5/15-min load averages. The container shares its host:
-    observed same-code total swings of 47s -> 93s when external load
-    rose past ~4 (2026-08-14 session). Recording load at start/end
-    makes every BENCH record self-attributing — a high-load run reads
-    as environment, not regression."""
+    observed same-code total swings of 47s -> 93s when EXTERNAL load
+    rose past ~4. Attribution reads: loadavg_START is the external-
+    contention signal (taken before this process does any work);
+    loadavg_END is dominated by the bench's own local[32] load and
+    mainly shows whether the 15-min tail was elevated going in —
+    judge START (and the 15-min component of END), not the END 1-min
+    number, when deciding environment vs regression."""
     try:
         with open("/proc/loadavg") as fh:
             return [round(float(x), 2) for x in fh.read().split()[:3]]
@@ -225,8 +228,9 @@ def main() -> None:
                 # queries; compare against `samples` to attribute
                 # shared-JVM tax
                 "isolated": isolated,
-                # host 1/5/15-min load at run start/end: > ~4 means
-                # external contention inflated everything 2-5x
+                # host 1/5/15-min load: START > ~4 means external
+                # contention inflated everything 2-5x; END mostly
+                # reflects the bench's own load (see _loadavg)
                 "loadavg_start": load_start,
                 "loadavg_end": load_end,
             },

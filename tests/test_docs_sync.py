@@ -17,9 +17,19 @@ _REPO = os.path.join(os.path.dirname(__file__), "..")
 
 
 def test_every_query_is_documented_in_coverage():
+    import re
+
     with open(os.path.join(_REPO, "COVERAGE.md")) as fh:
         cov = fh.read()
-    missing = sorted(q for q in ALL_QUERIES if q not in cov)
+    # delimited match: plain substring would let a deleted
+    # `dedup_exact` hide inside the still-documented
+    # `dedup_exact_rows` (same for the incremental/bloom pair)
+    missing = sorted(
+        q for q in ALL_QUERIES
+        if not re.search(
+            rf"(?<![A-Za-z0-9_]){re.escape(q)}(?![A-Za-z0-9_])", cov
+        )
+    )
     assert missing == [], f"undocumented queries: {missing}"
 
 

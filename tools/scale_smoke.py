@@ -181,18 +181,20 @@ def main() -> None:
         model = train_quality_classifier(docs)
         return score_quality_classifier(docs, model).count()
 
-    def op_bpe_apply(docs, emb):
-        # train on the base vocab, apply across the replicated corpus:
-        # apply cost should track the scan (per-batch word memoization
-        # makes per-doc cost ~ distinct words)
-        from quebic_spark.operators.tokenizer import (
-            tokenize_with,
-            train_bpe_tokenizer,
-        )
+    # train ONCE on the factor-1 corpus OUTSIDE any timed region so
+    # op_bpe_apply measures apply alone (review catch: training
+    # inside the op conflated training-scan growth with the memoized
+    # apply growth the smoke exists to watch)
+    from quebic_spark.operators.tokenizer import (
+        tokenize_with,
+        train_bpe_tokenizer,
+    )
 
-        model = train_bpe_tokenizer(docs)
+    bpe_model = train_bpe_tokenizer(replicate_docs(spark, args.sf, 1))
+
+    def op_bpe_apply(docs, emb):
         return (
-            tokenize_with(docs, model)
+            tokenize_with(docs, bpe_model)
             .select(F.sum(F.size("bpe_tokens")))
             .collect()
         )

@@ -258,7 +258,99 @@ def detect_format(payload: bytes) -> str:
         and len(payload) >= 44
     ):
         return "wav"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
     return "unknown"
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for ISO-BMFF boxes in
+    ``data[start:end]`` (32-bit sizes; size 0 = to-end; size 1 /
+    64-bit extended sizes rejected as unsupported)."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", data, pos)
+        if size == 0:
+            yield btype, pos + 8, end
+            return
+        if size == 1:
+            raise ValueError("64-bit box sizes unsupported")
+        if size < 8 or pos + size > end:
+            raise ValueError(f"bad box size {size} at {pos}")
+        yield btype, pos + 8, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, *path: bytes):
+    """Body extent of the first box at the given nesting path."""
+    for btype, b0, b1 in _mp4_boxes(data, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return b0, b1
+            return _mp4_find(data, b0, b1, *path[1:])
+    return None
+
+
+def decode_mp4(payload: bytes) -> dict:
+    """Parse ISO-BMFF (MP4) CONTAINER METADATA with stdlib struct: box
+    walk to mvhd (timescale/duration), the video track's tkhd
+    (16.16-fixed width/height), and its stsz (sample count =
+    n_frames). This is the honest decode tier for video in a
+    container without codecs: the STRUCTURE is real and validated,
+    pixel decode is out of scope, so ``mean_value`` stays NULL (the
+    real decoders prove pixel access via the mean; NULL marks
+    metadata-only)."""
+    import struct
+
+    moov = _mp4_find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    mvhd = _mp4_find(payload, moov[0], moov[1], b"mvhd")
+    if mvhd is None:
+        raise ValueError("no mvhd box")
+    version = payload[mvhd[0]]
+    if version != 0:
+        raise ValueError("mvhd version 1 (64-bit times) unsupported")
+    timescale, duration = struct.unpack_from(
+        ">II", payload, mvhd[0] + 12
+    )
+
+    width = height = None
+    n_frames = None
+    for btype, b0, b1 in _mp4_boxes(payload, moov[0], moov[1]):
+        if btype != b"trak":
+            continue
+        tkhd = _mp4_find(payload, b0, b1, b"tkhd")
+        if tkhd is None:
+            continue
+        # tkhd v0: w/h as 16.16 fixed at offset 76/80 from body start
+        w_fx, h_fx = struct.unpack_from(">II", payload, tkhd[0] + 76)
+        if w_fx == 0 or h_fx == 0:
+            continue  # audio/hint track
+        width, height = w_fx >> 16, h_fx >> 16
+        stsz = _mp4_find(
+            payload, b0, b1,
+            b"mdia", b"minf", b"stbl", b"stsz",
+        )
+        if stsz is not None:
+            n_frames = struct.unpack_from(
+                ">I", payload, stsz[0] + 8
+            )[0]
+        break
+    if width is None:
+        raise ValueError("no video track (tkhd with nonzero extent)")
+    return {
+        "fmt": "mp4",
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        # movie timescale doubles as the temporal sample rate field
+        "sample_rate": timescale if duration else None,
+        "channels": None,
+        "mean_value": None,
+    }
 
 
 def decode_bmp(payload: bytes) -> dict:
@@ -463,6 +555,8 @@ def decode_media(payloads: DataFrame) -> DataFrame:
                         d = decode_bmp(payload)
                     elif kind == "wav":
                         d = decode_wav(payload)
+                    elif kind == "mp4":
+                        d = decode_mp4(payload)
                     else:
                         d = _stub_dims(len(payload))
                 except Exception:

@@ -399,6 +399,7 @@ def test_decoders_never_crash_on_fuzzed_payloads():
     from quebic_spark.operators.multimodal import (
         PNG_MAGIC,
         decode_bmp,
+        decode_mp4,
         decode_png,
         decode_wav,
         detect_format,
@@ -410,12 +411,14 @@ def test_decoders_never_crash_on_fuzzed_payloads():
         "png": decode_png,
         "bmp": decode_bmp,
         "wav": decode_wav,
+        "mp4": decode_mp4,
     }
     magics = {
         "jpeg": b"\xff\xd8\xff",
         "png": PNG_MAGIC,
         "bmp": b"BM" + b"\x00" * 60,
         "wav": b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 32,
+        "mp4": b"\x00\x00\x00\x18ftypisom",
     }
 
     def probe(payload: bytes) -> None:
@@ -567,3 +570,89 @@ def test_png_truncated_after_scanlines_quarantines(spark):
     )
     with pytest.raises(Exception):
         decode_png(bad)
+
+
+# ---------------------------------------------------------------------------
+# MP4: real ISO-BMFF container-metadata parser (box walk, no codec).
+# ---------------------------------------------------------------------------
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I4s", len(body) + 8, btype) + body
+
+
+def _make_mp4(
+    w=640, h=360, timescale=600, duration=1200, n_samples=48
+) -> bytes:
+    """Minimal synthetic MP4: ftyp + moov(mvhd, trak(tkhd, mdia(minf(
+    stbl(stsz))))) with known geometry — built box-by-box so the
+    parser is tested against the FORMAT, not a shared helper."""
+    import struct
+
+    mvhd = _box(
+        b"mvhd",
+        b"\x00" + b"\x00" * 3          # version 0 + flags
+        + b"\x00" * 8                  # creation/modification
+        + struct.pack(">II", timescale, duration)
+        + b"\x00" * 80,                # rate..next_track_id
+    )
+    tkhd = _box(
+        b"tkhd",
+        b"\x00" + b"\x00" * 3
+        + b"\x00" * 72                 # times/ids/matrix
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    stsz = _box(
+        b"stsz",
+        b"\x00" * 4                    # version/flags
+        + struct.pack(">II", 0, n_samples),  # sample_size=0, count
+    )
+    stbl = _box(b"stbl", stsz)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov
+
+
+def test_mp4_metadata_parse_and_quarantine(spark):
+    from quebic_spark.operators.multimodal import (
+        decode_media,
+        decode_mp4,
+        detect_format,
+    )
+
+    good = _make_mp4()
+    assert detect_format(good) == "mp4"
+    d = decode_mp4(good)
+    assert (d["width"], d["height"]) == (640, 360)
+    assert d["n_frames"] == 48
+    assert d["sample_rate"] == 600
+    assert d["mean_value"] is None  # metadata tier: no pixel claim
+
+    no_moov = _box(b"ftyp", b"isom")  # ftyp only
+    # corrupt the mvhd box SIZE (first child of moov at offset 32:
+    # ftyp is 24 bytes, moov header 8) so the box walk must reject it
+    bad_size = good[:32] + b"\xff\xff\xff\xff" + good[36:]
+    audio_only = _make_mp4(w=0, h=0)
+    rows = {
+        r["doc_id"]: r
+        for r in decode_media(
+            spark.createDataFrame(
+                [
+                    (1, bytearray(good)),
+                    (2, bytearray(no_moov)),
+                    (3, bytearray(bad_size)),
+                    (4, bytearray(audio_only)),
+                ],
+                "doc_id long, payload binary",
+            )
+        ).collect()
+    }
+    assert rows[1]["fmt"] == "mp4" and rows[1]["width"] == 640
+    assert rows[2]["fmt"] == "mp4-error-stub"
+    assert rows[3]["fmt"] == "mp4-error-stub"
+    assert rows[4]["fmt"] == "mp4-error-stub"

@@ -7,8 +7,9 @@ runs as Arrow-batched ``mapInPandas``. Two decode tiers:
 * REAL decoders for formats parseable with stdlib + numpy (24-bit BMP
   header+pixel parsing, PCM WAV via the wave module, non-interlaced
   8-bit RGB PNG via zlib inflate + scanline unfiltering, baseline
-  DCT JPEG via ``functions/jpeg.py``) — ``decode_media`` auto-detects
-  by magic bytes;
+  DCT JPEG via ``functions/jpeg.py``, MP4 container METADATA via the
+  ISO-BMFF box walk — structure real, pixel decode out of scope) —
+  ``decode_media`` auto-detects by magic bytes;
 * the clearly-marked deterministic stub (``_fake_decode`` /
   ``_stub_dims``) for everything needing PIL/ffmpeg, which this
   container does not have — swap in the real call on a real cluster.

@@ -656,3 +656,23 @@ def test_mp4_metadata_parse_and_quarantine(spark):
     assert rows[2]["fmt"] == "mp4-error-stub"
     assert rows[3]["fmt"] == "mp4-error-stub"
     assert rows[4]["fmt"] == "mp4-error-stub"
+
+
+def test_mp4_metadata_feeds_frame_sample(spark):
+    """Composition: decode_media's REAL mp4 n_frames drives
+    frame_sample — every 4th of 48 frames = 12 sampled rows."""
+    from quebic_spark.operators.multimodal import (
+        decode_media,
+        frame_sample,
+    )
+
+    payloads = spark.createDataFrame(
+        [(1, bytearray(_make_mp4(n_samples=48)))],
+        "doc_id long, payload binary",
+    )
+    meta = decode_media(payloads).select("doc_id", "n_frames")
+    sampled = frame_sample(
+        payloads.join(meta, "doc_id"), every_nth=4
+    ).collect()
+    assert len(sampled) == 12
+    assert [r["frame_idx"] for r in sampled] == list(range(0, 48, 4))

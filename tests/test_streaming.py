@@ -656,3 +656,74 @@ def test_streaming_hourly_tier_matches_batch_rollup(spark, tmp_path):
         assert got == batch_hourly and len(got) > 0
     finally:
         spark.conf.unset("spark.sql.session.timeZone")
+
+
+def test_queue_quality_stack_relay(qpath, spark, sf_dir):
+    """Full-system composition: documents ride the QUEUE as an
+    ingestion buffer, the stream applies the scan-resident quality
+    stack (heuristic score + trained-classifier probability — pure
+    projections, so they plan unchanged on the stream), and survivors
+    relay into a sink queue. The streamed survivor set must equal the
+    batch-path filter over the same docs."""
+    from quebic_spark import TEXT
+    from quebic_spark.operators.classifier import (
+        classifier_prob_col,
+        train_quality_classifier,
+    )
+    from quebic_spark.pipeline import quality_score_col
+    from quebic_spark.streaming import queue_sink
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    model = train_quality_classifier(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+    doc_schema = Schema(INTEGER, TEXT)
+    src = Queue(qpath + "_qsrc", doc_schema, capacity=10000)
+    dst = Queue(qpath + "_qdst", doc_schema, capacity=10000)
+    src.publisher().push_all(
+        [[r["doc_id"], r["text"]] for r in docs.collect()]
+    )
+
+    stream = read_queue_stream(spark, src).select(
+        F.col("c0"), F.col("c1").alias("text")
+    )
+    kept = (
+        stream.withColumn("q", quality_score_col())
+        .withColumn("p", classifier_prob_col(model))
+        .filter((F.col("q") >= 0.35) & (F.col("p") >= 0.5))
+        .select("c0", F.col("text").alias("c1"))
+    )
+    q = (
+        kept.writeStream.foreachBatch(queue_sink(dst, order_by=["c0"]))
+        .option(
+            "checkpointLocation",
+            os.path.join(src._storage.path, "qstack"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = []
+    while True:
+        v = dst.subscriber().try_pop()
+        if v is None:
+            break
+        got.append(v[0])
+
+    want = sorted(
+        r["doc_id"]
+        for r in docs.withColumn("q", quality_score_col())
+        .withColumn("p", classifier_prob_col(model))
+        .filter((F.col("q") >= 0.35) & (F.col("p") >= 0.5))
+        .collect()
+    )
+    assert sorted(got) == want
+    assert 0 < len(want) < 120  # both filters bite, neither wipes
+    src.dispose()
+    dst.dispose()

@@ -256,6 +256,16 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[dict, np.ndarray]:
         1 <= c["h"] <= 4 and 1 <= c["v"] <= 4 for c in comps
     ):
         raise ValueError("invalid sampling factors")
+    _hm = max(c["h"] for c in comps)
+    _vm = max(c["v"] for c in comps)
+    if not all(
+        _hm % c["h"] == 0 and _vm % c["v"] == 0 for c in comps
+    ):
+        # T.81 permits non-divisor factors (e.g. 3 vs max 4) but the
+        # integer-repeat upsampler below would silently emit wrong
+        # chroma for them — quarantine instead (review catch); every
+        # mainstream subsampling (4:4:4/4:2:2/4:2:0/4:1:1) divides
+        raise ValueError("non-divisor sampling factors unsupported")
     by_id = {c["id"]: c for c in comps}
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

@@ -56,25 +56,18 @@ class QualityModel(NamedTuple):
 
 
 def _dense_exprs(text_col: str = "text") -> dict[str, Column]:
-    """Per-doc dense feature / teacher-label column expressions.
+    """Per-doc dense feature / teacher-label column expressions —
+    built from the CANONICAL ``textops.quality_exprs`` (the teacher
+    heuristic), so train/score feature parity AND teacher parity
+    hold by construction (one definition, not three)."""
+    from quebic_spark.operators.textops import quality_exprs
 
-    They mirror `textops.q_doc_quality` exactly — the teacher is that
-    heuristic, and giving the model the teacher's own basis is what
-    makes the distillation contract (accuracy floor) honest rather
-    than hopeful. SINGLE definition consumed by both the training
-    featurizer and `classifier_prob_col`, so train/score feature
-    parity holds by construction.
-    """
-    toks = tokens(F.col(text_col))
-    n_toks = F.size(toks).cast("double")
-    dr = F.size(F.array_distinct(toks)) / n_toks
-    ls = F.least(n_toks / F.lit(100.0), F.lit(1.0))
-    score = dr * F.lit(0.5) + ls * F.lit(0.5)
+    e = quality_exprs(text_col)
     return {
-        "dr": dr,
-        "ls": ls,
-        "n_toks": n_toks,
-        "label": score >= CLS_LABEL_THRESHOLD,
+        "dr": e["dr"],
+        "ls": e["ls"],
+        "n_toks": e["n_toks"],
+        "label": e["score"] >= CLS_LABEL_THRESHOLD,
     }
 
 

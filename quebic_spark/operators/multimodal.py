@@ -326,8 +326,17 @@ def decode_mp4(payload: bytes) -> dict:
         tkhd = _mp4_find(payload, b0, b1, b"tkhd")
         if tkhd is None:
             continue
-        # tkhd v0: w/h as 16.16 fixed at offset 76/80 from body start
-        w_fx, h_fx = struct.unpack_from(">II", payload, tkhd[0] + 76)
+        # w/h as 16.16 fixed; their offset depends on the tkhd
+        # VERSION (v1 widens the three time fields to 64 bits:
+        # 76 -> 88). Reading v1 at the v0 offset lands in the matrix
+        # and silently misparses (review catch).
+        tk_ver = payload[tkhd[0]]
+        if tk_ver not in (0, 1):
+            raise ValueError(f"unsupported tkhd version {tk_ver}")
+        wh_off = 76 if tk_ver == 0 else 88
+        w_fx, h_fx = struct.unpack_from(
+            ">II", payload, tkhd[0] + wh_off
+        )
         if w_fx == 0 or h_fx == 0:
             continue  # audio/hint track
         width, height = w_fx >> 16, h_fx >> 16
@@ -342,6 +351,15 @@ def decode_mp4(payload: bytes) -> dict:
         break
     if width is None:
         raise ValueError("no video track (tkhd with nonzero extent)")
+    # uint32 box fields must fit the int32 output schema: an
+    # out-of-range value has to raise HERE (per-row quarantine), not
+    # surface as a whole-batch Arrow conversion failure (review catch)
+    for name, v in (
+        ("n_frames", n_frames), ("timescale", timescale),
+        ("width", width), ("height", height),
+    ):
+        if v is not None and v > 0x7FFFFFFF:
+            raise ValueError(f"implausible {name} {v}")
     return {
         "fmt": "mp4",
         "width": width,

@@ -203,16 +203,29 @@ ORACLE_LANG_ID = _oracle_lang_id()
 # doc_quality — composite quality scoring with bucketing.
 # ---------------------------------------------------------------------------
 
+def quality_exprs(text_col: str = "text") -> dict[str, Column]:
+    """THE canonical doc-quality composite — the single definition
+    behind `doc_quality`/`dedup_keep_best`'s oracle-matched score,
+    `pipeline.quality_score_col`, and the classifier's teacher label
+    + dense features (r6 review: three drifting copies unified).
+    No rounding: per-row double arithmetic is bit-deterministic, and
+    round() semantics (half-up vs half-even) differ across engines."""
+    toks = tokens(F.col(text_col))
+    n_toks = F.size(toks).cast("double")
+    dr = F.size(F.array_distinct(toks)) / n_toks
+    # length score: 1 at >=100 tokens, linear below
+    ls = F.least(n_toks / F.lit(100.0), F.lit(1.0))
+    return {
+        "dr": dr,
+        "ls": ls,
+        "n_toks": n_toks,
+        "score": dr * F.lit(0.5) + ls * F.lit(0.5),
+    }
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    toks = tokens(F.col("text"))
-    n_toks = F.size(toks).cast("double")
-    distinct_ratio = F.size(F.array_distinct(toks)) / n_toks
-    # length score: 1 at >=100 tokens, linear below
-    len_score = F.least(n_toks / F.lit(100.0), F.lit(1.0))
-    # no rounding: per-row double arithmetic is bit-deterministic, and
-    # round() semantics (half-up vs half-even) differ across engines
-    score = distinct_ratio * F.lit(0.5) + len_score * F.lit(0.5)
+    score = quality_exprs()["score"]
     bucket = (
         F.when(score >= 0.6, "high")
         .when(score >= 0.35, "medium")

@@ -27,12 +27,11 @@ DECON_NGRAM = 8
 def quality_score_col(text_col: str = "text") -> Column:
     """The doc_quality composite (distinct-token ratio + length), the
     same expression the ``doc_quality`` / ``dedup_keep_best`` gates
-    hash-match against DuckDB."""
-    toks = F.split(F.col(text_col), " ")
-    n_toks = F.size(toks).cast("double")
-    distinct_ratio = F.size(F.array_distinct(toks)) / n_toks
-    len_score = F.least(n_toks / F.lit(100.0), F.lit(1.0))
-    return distinct_ratio * F.lit(0.5) + len_score * F.lit(0.5)
+    hash-match against DuckDB — delegated to the canonical
+    ``textops.quality_exprs`` definition."""
+    from quebic_spark.operators.textops import quality_exprs
+
+    return quality_exprs(text_col)["score"]
 
 
 def contaminated_doc_ids(

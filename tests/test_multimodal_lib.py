@@ -676,3 +676,72 @@ def test_mp4_metadata_feeds_frame_sample(spark):
     ).collect()
     assert len(sampled) == 12
     assert [r["frame_idx"] for r in sampled] == list(range(0, 48, 4))
+
+
+def test_mp4_tkhd_v1_and_uint32_guard(spark):
+    """Review-pass regressions: (1) version-1 tkhd stores w/h at
+    body offset 88 (64-bit times widen the header) — parsing at the
+    v0 offset lands in the matrix; (2) uint32 fields too big for the
+    int32 output schema must raise per-row, not fail the Arrow batch."""
+    import struct
+
+    from quebic_spark.operators.multimodal import (
+        decode_media,
+        decode_mp4,
+    )
+
+    mvhd = _box(
+        b"mvhd",
+        b"\x00" * 4 + b"\x00" * 8
+        + struct.pack(">II", 600, 1200) + b"\x00" * 80,
+    )
+    tkhd_v1 = _box(
+        b"tkhd",
+        b"\x01" + b"\x00" * 3          # version 1
+        + b"\x00" * 84                 # widened times/ids/matrix
+        + struct.pack(">II", 320 << 16, 240 << 16),
+    )
+    stsz = _box(
+        b"stsz", b"\x00" * 4 + struct.pack(">II", 0, 10)
+    )
+    trak = _box(
+        b"trak",
+        tkhd_v1 + _box(b"mdia", _box(b"minf", _box(b"stbl", stsz))),
+    )
+    v1_mp4 = _box(b"ftyp", b"isom") + _box(b"moov", mvhd + trak)
+    d = decode_mp4(v1_mp4)
+    assert (d["width"], d["height"], d["n_frames"]) == (320, 240, 10)
+
+    overflow = _make_mp4(n_samples=0xFFFFFFFF)
+    with pytest.raises(ValueError, match="implausible"):
+        decode_mp4(overflow)
+    out = {
+        r["doc_id"]: r["fmt"]
+        for r in decode_media(
+            spark.createDataFrame(
+                [(1, bytearray(v1_mp4)), (2, bytearray(overflow))],
+                "doc_id long, payload binary",
+            )
+        ).collect()
+    }
+    assert out == {1: "mp4", 2: "mp4-error-stub"}
+
+
+def test_jpeg_non_divisor_sampling_quarantines():
+    """Sampling factors like 3-vs-max-4 are legal per T.81 but the
+    integer-repeat upsampler can't express them — must raise, never
+    emit wrong chroma."""
+    import numpy as np
+
+    from quebic_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(np.full((8, 8, 3), 50, dtype=np.uint8))
+    i = good.index(b"\xff\xc0")
+    # SOF comp specs start at marker+2(len)+2 + 6: [cid,hv,tq] x 3
+    sof_comps = i + 4 + 6
+    patched = bytearray(good)
+    patched[sof_comps + 1] = 0x33      # Y: 3x3
+    patched[sof_comps + 4] = 0x22      # Cb: 2x2 -> 3 % 2 != 0
+    patched[sof_comps + 7] = 0x22
+    with pytest.raises(ValueError, match="non-divisor"):
+        decode_jpeg(bytes(patched))

@@ -55,6 +55,7 @@ for _mod in _MODULES:
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
     # --- r6: new gates this round ---
+    "chunk_documents",
     "bpe_tokenizer_eval",
     "quality_classifier_eval",
     "lm_perplexity",
@@ -101,7 +102,6 @@ GATE_ORDER: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_simhash",
     "ann_bruteforce_topk",
-    "ann_lsh_topk",
     "lang_id",
     "doc_quality",
     "quality_filter_stats",
@@ -116,6 +116,14 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "ann_lsh_topk": "bit-signature bucketing stays live via "
+                    "dedup_simhash (same hyperplane-sign signature "
+                    "family) and dedup_minhash_lsh (banded signature "
+                    "bucket join); bucket-then-exact-rerank top-k "
+                    "stays live via ann_ivf_topk/ann_ivf_nprobe2 "
+                    "(cell-blocked rerank, same Window top-k). Full "
+                    "oracle keeps running in tests/test_registry.py. "
+                    "Slot given to chunk_documents in r6",
     "crawl_snapshot_diff": "born retired (driver window full at 50): "
                            "key-projection + full-outer-join + status "
                            "agg — the join family is driver-gated via "

@@ -491,6 +491,134 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# chunk_documents — sliding token-window chunking: split each document
+# into fixed-size overlapping token windows (the standard long-document
+# step before tokenization/packing; every chunk fits a context budget
+# and the overlap preserves cross-boundary n-grams). Extension layer
+# (SURVEY §2.10) — the reference has no document model at all
+# (reference rows are opaque typed tuples, Struct.scala:10-12).
+#
+# Window arithmetic (stride < chunk ⇒ overlap = chunk - stride):
+#   n_chunks = max(1, ceil((n_tokens - CHUNK) / STRIDE) + 1)
+#   chunk i covers tokens [i*STRIDE + 1, i*STRIDE + CHUNK]  (1-based,
+#   truncated at the document end, so the final chunk may be short).
+#
+# Scale shape: scan + project + posexplode — embarrassingly parallel,
+# ZERO shuffle at any corpus size; the ~n/STRIDE row fan-out happens
+# inside the scan partition. chunk_id is md5(doc_id|idx), so chunk
+# identity is reproducible under retry/speculation and across engines,
+# and downstream dedup/packing can key on it without re-reading text.
+# The gate returns md5 chunk hashes rather than chunk text so the
+# result stays narrow while still pinning the exact chunk contents.
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64  # context window per chunk
+CHUNK_STRIDE = 48  # tokens between chunk starts (16-token overlap)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode ``docs`` into overlapping token-window chunks.
+
+    Returns one row per chunk with deterministic ``chunk_id`` and the
+    chunk text under ``chunk_text``. Pure built-in expressions
+    (split/sequence/posexplode/slice) — whole-stage codegen, no
+    shuffle, no Python in the hot path.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks).cast("long")
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(float(stride))) + 1,
+    )
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        n_chunks.alias("n_chunks"),
+    )
+    idx = F.col("chunk_idx")
+    piece = F.slice(
+        F.col("_toks"), idx * stride + F.lit(1), F.lit(chunk_tokens)
+    )
+    return (
+        base.select(
+            id_col,
+            "n_chunks",
+            F.posexplode(F.sequence(F.lit(0).cast("long"),
+                                    F.col("n_chunks") - 1)).alias(
+                "_pos", "chunk_idx"
+            ),
+            "_toks",
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx"),
+            F.col("n_chunks"),
+            F.size(piece).cast("long").alias("chunk_tokens"),
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit("|"),
+                    idx.cast("string"),
+                )
+            ).alias("chunk_id"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    chunks = chunk_documents(docs)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunks",
+        "chunk_tokens",
+        "chunk_id",
+        F.md5(F.col("chunk_text")).alias("chunk_hash"),
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, toks,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(CEIL((n - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0)
+                       AS BIGINT) + 1) AS n_chunks
+  FROM base
+),
+chunks AS (
+  SELECT doc_id, n_chunks, toks,
+         UNNEST(range(0, n_chunks)) AS chunk_idx
+  FROM sized
+)
+SELECT doc_id, chunk_idx, n_chunks,
+  CAST(len(toks[chunk_idx * {CHUNK_STRIDE} + 1 :
+             chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS BIGINT)
+    AS chunk_tokens,
+  md5(CAST(doc_id AS VARCHAR) || '|' || CAST(chunk_idx AS VARCHAR))
+    AS chunk_id,
+  md5(array_to_string(
+        toks[chunk_idx * {CHUNK_STRIDE} + 1 :
+             chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' '))
+    AS chunk_hash
+FROM chunks
+"""
+
+
 ORACLE_SEQUENCE_PACKING = f"""
 WITH base AS (
   SELECT {_hash_bucket_sql("doc_id", N_SHARDS)} AS shard,
@@ -1007,6 +1135,7 @@ ORACLE_CORPUS_RELEASE_COUNTS = _release_counts_oracle()
 
 
 QUERIES = {
+    "chunk_documents": q_chunk_documents,
     "token_budget_mixture": q_token_budget_mixture,
     "corpus_release_counts": q_corpus_release_counts,
     "corpus_shards_roundtrip": q_corpus_shards_roundtrip,
@@ -1022,6 +1151,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "token_budget_mixture": ORACLE_TOKEN_BUDGET_MIXTURE,
     "corpus_release_counts": ORACLE_CORPUS_RELEASE_COUNTS,
     "corpus_shards_roundtrip": ORACLE_CORPUS_SHARDS_ROUNDTRIP,

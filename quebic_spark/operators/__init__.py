@@ -55,6 +55,7 @@ for _mod in _MODULES:
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
     # --- r6: new gates this round ---
+    "embedding_decontaminate",
     "chunk_documents",
     "bpe_tokenizer_eval",
     "quality_classifier_eval",
@@ -99,7 +100,6 @@ GATE_ORDER: tuple[str, ...] = (
     "urgent_vs_finished_outer",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "dedup_simhash",
     "ann_bruteforce_topk",
     "lang_id",
@@ -116,6 +116,17 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "dedup_embedding_cosine": "threshold cosine pair detection stays "
+                              "live via semantic_dedup (cell-blocked "
+                              "cosine edges + kept-set contract) and "
+                              "embedding_decontaminate (broadcast "
+                              "max-cosine threshold vs a reference "
+                              "set); the exact fold/oracle pairing is "
+                              "identical (functions/vector.py "
+                              "dot_product). Full oracle keeps "
+                              "running in tests/test_registry.py. "
+                              "Slot given to embedding_decontaminate "
+                              "in r6",
     "ann_lsh_topk": "bit-signature bucketing stays live via "
                     "dedup_simhash (same hyperplane-sign signature "
                     "family) and dedup_minhash_lsh (banded signature "

@@ -826,7 +826,104 @@ WHERE vec_id % {QUERY_STRIDE} = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding_decontaminate — benchmark decontamination in EMBEDDING
+# space: drop corpus vectors whose cosine similarity to ANY benchmark
+# vector reaches TAU (the semantic-leakage complement of the n-gram
+# `decontaminate` gate — n-gram overlap misses paraphrased eval items;
+# embedding similarity catches them). Extension layer (SURVEY §2.10);
+# the reference has no vector search at all (TENSOR values are opaque
+# payloads, DataType.scala:53-66).
+#
+# Scale shape: the benchmark side is small BY NATURE (eval suites are
+# thousands of items vs a 1e9-document corpus), so it broadcasts; the
+# corpus side is one scan — no corpus shuffle. The groupBy(vec_id) max
+# collapses map-side (partial aggregation) to <= one row per vector
+# per partition before the tiny final exchange. At 100 TB swap the
+# broadcast cross join for the IVF cell join (same persisted index the
+# ANN family uses) — the threshold contract is unchanged.
+#
+# Determinism: dot_product is a sequential fold that bit-matches
+# DuckDB's list_dot_product on DOUBLE[] casts (functions/vector.py);
+# MAX over bit-identical doubles is order-free, so max_bench_cosine
+# hash-matches exactly — no rounding needed.
+# ---------------------------------------------------------------------------
+
+BENCH_STRIDE = 23    # vec_id % STRIDE == 0 -> held-out benchmark set
+DECONTAM_TAU = 0.35  # cosine threshold for semantic contamination
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    tau: float = DECONTAM_TAU,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Score each corpus vector's max cosine against the benchmark
+    set; ``contaminated`` marks rows at or above ``tau``. Keeps every
+    corpus row (callers filter) so the operator doubles as an audit
+    report."""
+    from quebic_spark.functions.vector import l2_norm
+
+    b = bench.select(
+        F.col(vec_col).alias("_b_emb"),
+        l2_norm(F.col(vec_col)).alias("_b_norm"),
+    )
+    cos = dot_product(F.col(vec_col), F.col("_b_emb")) / (
+        l2_norm(F.col(vec_col)) * F.col("_b_norm")
+    )
+    other = [c for c in corpus.columns if c != vec_col]
+    return (
+        corpus.crossJoin(F.broadcast(b))
+        .groupBy(*[F.col(c) for c in other])
+        .agg(F.max(cos).alias("max_bench_cosine"))
+        .withColumn(
+            "contaminated", F.col("max_bench_cosine") >= F.lit(tau)
+        )
+    )
+
+
+def q_embedding_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    bench = emb.filter((F.col("vec_id") % BENCH_STRIDE) == 0).select(
+        "embedding"
+    )
+    corpus = emb.filter((F.col("vec_id") % BENCH_STRIDE) != 0).select(
+        "vec_id", "label", "embedding"
+    )
+    return embedding_decontaminate(corpus, bench)
+
+
+ORACLE_EMBEDDING_DECONTAMINATE = f"""
+WITH bench AS (
+  SELECT embedding FROM embeddings WHERE vec_id % {BENCH_STRIDE} = 0
+),
+corpus AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE vec_id % {BENCH_STRIDE} != 0
+),
+scored AS (
+  SELECT c.vec_id, c.label,
+    MAX(list_dot_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                 c.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]))))
+      AS max_bench_cosine
+  FROM corpus c CROSS JOIN bench b
+  GROUP BY c.vec_id, c.label
+)
+SELECT vec_id, label, max_bench_cosine,
+       max_bench_cosine >= {DECONTAM_TAU} AS contaminated
+FROM scored
+"""
+
+
 QUERIES = {
+    "embedding_decontaminate": q_embedding_decontaminate,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -836,6 +933,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_decontaminate": ORACLE_EMBEDDING_DECONTAMINATE,
     "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE_TOPK,
     "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,

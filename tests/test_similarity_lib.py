@@ -121,3 +121,63 @@ def test_ivf_corpus_persists_as_cell_partitioned_table(
     }
     assert loaded == built
     clear_caches(include_ivf_index=True)
+
+
+# ---------------------------------------------------------------------------
+# embedding_decontaminate
+# ---------------------------------------------------------------------------
+
+def _vec_df(spark, rows, cols="vec_id long, embedding array<float>"):
+    return spark.createDataFrame(rows, cols)
+
+
+def test_embedding_decontaminate_known_vectors(spark):
+    from quebic_spark.operators.similarity import embedding_decontaminate
+
+    # bench = e1; corpus: parallel (cos 1), orthogonal (cos 0),
+    # 45-degree (cos ~0.707), anti-parallel (cos -1)
+    bench = _vec_df(spark, [(100, [1.0, 0.0])]).select("embedding")
+    corpus = _vec_df(spark, [
+        (0, [2.0, 0.0]),
+        (1, [0.0, 3.0]),
+        (2, [1.0, 1.0]),
+        (3, [-1.0, 0.0]),
+    ])
+    got = {
+        r.vec_id: r
+        for r in embedding_decontaminate(corpus, bench, tau=0.7).collect()
+    }
+    assert got[0].contaminated and abs(got[0].max_bench_cosine - 1) < 1e-12
+    assert not got[1].contaminated and abs(got[1].max_bench_cosine) < 1e-12
+    assert got[2].contaminated  # 0.707 >= 0.7
+    assert not got[3].contaminated and got[3].max_bench_cosine < 0
+    assert len(got) == 4  # every corpus row survives as an audit row
+
+
+def test_embedding_decontaminate_max_over_bench_set(spark):
+    from quebic_spark.operators.similarity import embedding_decontaminate
+
+    # two bench vectors; the max must pick the closer one per row
+    bench = _vec_df(
+        spark, [(100, [1.0, 0.0]), (101, [0.0, 1.0])]
+    ).select("embedding")
+    corpus = _vec_df(spark, [(0, [1.0, 10.0])])
+    [r] = embedding_decontaminate(corpus, bench, tau=0.9).collect()
+    import math
+
+    expect = 10.0 / math.sqrt(101.0)  # cosine to e2 beats cosine to e1
+    assert abs(r.max_bench_cosine - expect) < 1e-12
+    assert r.contaminated
+
+
+def test_embedding_decontaminate_plan_broadcasts_bench(spark, sf_dir):
+    from quebic_spark.operators.similarity import (
+        q_embedding_decontaminate,
+    )
+
+    plan = q_embedding_decontaminate(spark, sf_dir)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # partial aggregation must collapse pairs map-side before the
+    # final exchange (HashAggregate appears above and below it)
+    assert plan.count("HashAggregate") >= 2, plan

@@ -1,0 +1,78 @@
+"""Z-order (Morton) curve expressions — multi-dimensional clustering
+for data skipping.
+
+Sorting a table by ONE column makes parquet min/max footer stats
+selective on that column and useless on every other; interleaving the
+bits of several columns' range-buckets produces a single sort key
+(the Z-value) under which every contiguous slice of rows covers a
+bounded RECTANGLE in the value space — so file/row-group pruning works
+on all clustered dimensions at once. This is the layout step behind
+Databricks OPTIMIZE ZORDER and ClickHouse's mortonEncode, expressed
+here as pure Spark built-ins (shiftleft/bitwiseAND folds — whole-stage
+codegen, no UDFs) so the same arithmetic is replayable in any engine
+with integer bit ops (the DuckDB oracle runs it verbatim).
+
+Extension layer (SURVEY §2.10) — the reference's layout unit is an
+append-ordered journal file (JournaledFile.scala:204-284); it has no
+clustering concept.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+Z_BITS = 8  # bits per dimension (256 range buckets)
+
+
+def range_bucket(
+    col: Column, mn: Column, mx: Column, bits: int = Z_BITS
+) -> Column:
+    """Map ``col`` into ``[0, 2**bits)`` by linear scaling over the
+    exact [mn, mx] range. ``floor(frac * 2**bits)`` hits ``2**bits``
+    only at ``col == mx``; the ``least`` clamp folds that single point
+    into the top bucket. Degenerate ranges (mn == mx) land in bucket 0
+    via the NaN-free guard."""
+    n = 1 << bits
+    span = mx.cast("double") - mn.cast("double")
+    frac = F.when(span > 0, (col.cast("double") - mn.cast("double")) / span
+                  ).otherwise(F.lit(0.0))
+    return F.least(
+        F.lit(n - 1).cast("long"), F.floor(frac * F.lit(float(n)))
+    )
+
+
+def interleave_bits(buckets: list[Column], bits: int = Z_BITS) -> Column:
+    """Morton-interleave the low ``bits`` of each bucket column:
+    output bit ``b * len(buckets) + i`` is bit ``b`` of ``buckets[i]``.
+    Pure integer shifts/masks — deterministic on any engine."""
+    if not buckets:
+        raise ValueError("interleave_bits needs at least one column")
+    z = F.lit(0).cast("long")
+    n = len(buckets)
+    for i, c in enumerate(buckets):
+        for b in range(bits):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def interleave_bits_sql(cols: list[str], bits: int = Z_BITS) -> str:
+    """The identical interleave as ANSI-ish SQL (DuckDB dialect) so
+    oracles replay the exact arithmetic."""
+    terms = []
+    n = len(cols)
+    for i, c in enumerate(cols):
+        for b in range(bits):
+            terms.append(f"((({c} >> {b}) & 1) << {b * n + i})")
+    return " | ".join(terms)
+
+
+def range_bucket_sql(col: str, mn: str, mx: str, bits: int = Z_BITS) -> str:
+    n = 1 << bits
+    frac = (f"CASE WHEN (CAST({mx} AS DOUBLE) - CAST({mn} AS DOUBLE)) > 0 "
+            f"THEN (CAST({col} AS DOUBLE) - CAST({mn} AS DOUBLE)) "
+            f"/ (CAST({mx} AS DOUBLE) - CAST({mn} AS DOUBLE)) "
+            f"ELSE 0.0 END")
+    return (f"LEAST(CAST({n - 1} AS BIGINT), "
+            f"CAST(FLOOR({frac} * {n}.0) AS BIGINT))")

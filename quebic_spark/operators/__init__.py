@@ -55,6 +55,7 @@ for _mod in _MODULES:
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
     # --- r6: new gates this round ---
+    "zorder_events_stats",
     "embedding_decontaminate",
     "chunk_documents",
     "bpe_tokenizer_eval",
@@ -88,7 +89,6 @@ GATE_ORDER: tuple[str, ...] = (
     "session_topk_events",
     # --- r3: behavior or plan changed this round ---
     "cardinality_sketch",
-    "ann_ivf_topk",
     "dedup_clusters",
     "multimodal_decode",
     # --- stable since r2 (driver-green in CORRECTNESS_r02) ---
@@ -116,6 +116,14 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "ann_ivf_topk": "the nprobe=1 special case of the live "
+                    "ann_ivf_nprobe2 gate (same cell assignment, same "
+                    "probe join, same rerank window — test_similarity_"
+                    "lib asserts nprobe=1 IS the gated plan), and the "
+                    "learned-quantizer variant is live via "
+                    "ann_ivf_learned_recall. Full oracle keeps "
+                    "running in tests/test_registry.py. Slot given "
+                    "to zorder_events_stats in r6",
     "dedup_embedding_cosine": "threshold cosine pair detection stays "
                               "live via semantic_dedup (cell-blocked "
                               "cosine edges + kept-set contract) and "

@@ -619,6 +619,98 @@ FROM chunks
 """
 
 
+# ---------------------------------------------------------------------------
+# zorder_events_stats — the relational contract behind the Z-order
+# clustered write (`sources/io.py:write_zorder`): bucket (user_id,
+# value) into 2^Z_BITS range cells over their EXACT min/max, Morton-
+# interleave the bucket bits into a z-value, slice the curve by its
+# top ZFILE_BITS bits (the deterministic file assignment), and emit
+# each slice's bounding rectangle. The rectangles being tight in BOTH
+# dimensions at once IS the data-skipping property — a single-column
+# sort gives one tight edge and one full-range edge (the physical
+# footer-stats measurement lives in tests/test_zorder.py; this gate
+# pins the arithmetic the layout derives from, hash-exact in DuckDB).
+#
+# Scale shape: one exact-min/max agg broadcast back, one groupBy on
+# the slice id; everything else is scan-resident integer bit math.
+# ---------------------------------------------------------------------------
+
+ZFILE_BITS = 4  # 16 curve slices / files
+
+
+def q_zorder_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quebic_spark.functions.zorder import (
+        Z_BITS,
+        interleave_bits,
+        range_bucket,
+    )
+
+    ev = _events(spark, sf_dir)
+    rng = ev.agg(
+        F.min("user_id").alias("_mn_u"), F.max("user_id").alias("_mx_u"),
+        F.min("value").alias("_mn_v"), F.max("value").alias("_mx_v"),
+    )
+    withz = ev.crossJoin(F.broadcast(rng))
+    u_b = range_bucket(F.col("user_id"), F.col("_mn_u"), F.col("_mx_u"))
+    v_b = range_bucket(F.col("value"), F.col("_mn_v"), F.col("_mx_v"))
+    zval = interleave_bits([u_b, v_b])
+    zfile = F.shiftright(zval, 2 * Z_BITS - ZFILE_BITS)
+    return (
+        withz.select(
+            u_b.alias("u_bucket"),
+            v_b.alias("v_bucket"),
+            zval.alias("zval"),
+            zfile.alias("zfile"),
+        )
+        .groupBy("zfile")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("u_bucket").alias("min_u"),
+            F.max("u_bucket").alias("max_u"),
+            F.min("v_bucket").alias("min_v"),
+            F.max("v_bucket").alias("max_v"),
+            F.min("zval").alias("min_z"),
+            F.max("zval").alias("max_z"),
+        )
+    )
+
+
+def _zorder_oracle() -> str:
+    from quebic_spark.functions.zorder import (
+        Z_BITS,
+        interleave_bits_sql,
+        range_bucket_sql,
+    )
+
+    u_b = range_bucket_sql("user_id", "_mn_u", "_mx_u")
+    v_b = range_bucket_sql("value", "_mn_v", "_mx_v")
+    z = interleave_bits_sql(["u_bucket", "v_bucket"])
+    return f"""
+WITH rng AS (
+  SELECT MIN(user_id) AS _mn_u, MAX(user_id) AS _mx_u,
+         MIN(value) AS _mn_v, MAX(value) AS _mx_v
+  FROM events
+),
+bucketed AS (
+  SELECT {u_b} AS u_bucket, {v_b} AS v_bucket
+  FROM events CROSS JOIN rng
+),
+zed AS (
+  SELECT u_bucket, v_bucket, ({z}) AS zval FROM bucketed
+)
+SELECT (zval >> {2 * Z_BITS - ZFILE_BITS}) AS zfile,
+       COUNT(*) AS rows,
+       MIN(u_bucket) AS min_u, MAX(u_bucket) AS max_u,
+       MIN(v_bucket) AS min_v, MAX(v_bucket) AS max_v,
+       MIN(zval) AS min_z, MAX(zval) AS max_z
+FROM zed
+GROUP BY zfile
+"""
+
+
+ORACLE_ZORDER_EVENTS_STATS = _zorder_oracle()
+
+
 ORACLE_SEQUENCE_PACKING = f"""
 WITH base AS (
   SELECT {_hash_bucket_sql("doc_id", N_SHARDS)} AS shard,
@@ -1135,6 +1227,7 @@ ORACLE_CORPUS_RELEASE_COUNTS = _release_counts_oracle()
 
 
 QUERIES = {
+    "zorder_events_stats": q_zorder_events_stats,
     "chunk_documents": q_chunk_documents,
     "token_budget_mixture": q_token_budget_mixture,
     "corpus_release_counts": q_corpus_release_counts,
@@ -1151,6 +1244,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "zorder_events_stats": ORACLE_ZORDER_EVENTS_STATS,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "token_budget_mixture": ORACLE_TOKEN_BUDGET_MIXTURE,
     "corpus_release_counts": ORACLE_CORPUS_RELEASE_COUNTS,

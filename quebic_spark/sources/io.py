@@ -208,6 +208,62 @@ def write_corpus_shards(
     return manifest
 
 
+def write_zorder(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 8,
+    file_bits: int = 4,
+    fmt: str = "parquet",
+) -> None:
+    """Z-order-clustered write: rows are laid out along the Morton
+    curve over ``cols``, so parquet footer min/max stats become
+    selective on EVERY clustered column at once (single-column sort
+    gives skipping on one dimension and none on the rest — measured in
+    ``tests/test_zorder.py``).
+
+    Layout is fully deterministic: the file a row lands in is the top
+    ``file_bits`` of its z-value (``zfile``), not a sampled range
+    split — retries, speculation, and reruns reproduce the identical
+    file assignment, the same discipline as ``write_corpus_shards``.
+    Scale shape: one tiny exact-min/max agg (broadcast back), one
+    repartition on ``zfile``, in-task sort by z-value; at 100 TB raise
+    ``file_bits`` so each z-slice stays executor-sized.
+    """
+    from pyspark.sql import functions as F
+
+    from quebic_spark.functions.zorder import (
+        interleave_bits,
+        range_bucket,
+    )
+
+    _check_format(fmt)
+    if not cols:
+        raise ValueError("write_zorder needs at least one cluster column")
+    if not 0 < file_bits <= bits * len(cols):
+        raise ValueError("file_bits must be in (0, bits * len(cols)]")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    rng = df.agg(*aggs)
+    withz = df.crossJoin(F.broadcast(rng))
+    buckets = [
+        range_bucket(F.col(c), F.col(f"_mn_{c}"), F.col(f"_mx_{c}"), bits)
+        for c in cols
+    ]
+    zval = interleave_bits(buckets, bits)
+    zfile = F.shiftright(zval, bits * len(cols) - file_bits)
+    out = (
+        withz.select(*df.columns, zval.alias("zval"),
+                     zfile.alias("zfile"))
+        .repartition(1 << file_bits, F.col("zfile"))
+        .sortWithinPartitions("zfile", "zval")
+        .drop("zval")
+    )
+    out.write.mode("overwrite").partitionBy("zfile").format(fmt).save(path)
+
+
 def read_corpus_shards(
     spark: SparkSession,
     path: str,

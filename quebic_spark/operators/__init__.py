@@ -55,6 +55,7 @@ for _mod in _MODULES:
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
     # --- r6: new gates this round ---
+    "cdc_chunks",
     "zorder_events_stats",
     "embedding_decontaminate",
     "chunk_documents",
@@ -103,7 +104,6 @@ GATE_ORDER: tuple[str, ...] = (
     "dedup_simhash",
     "ann_bruteforce_topk",
     "lang_id",
-    "doc_quality",
     "quality_filter_stats",
     "event_sessions",
     "event_json_props",
@@ -116,6 +116,15 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "doc_quality": "the per-doc quality_exprs scalar pipeline stays "
+                   "live THREE ways: quality_filter_stats aggregates "
+                   "the same expressions, dedup_keep_best ranks dup "
+                   "groups by the same composite score, and "
+                   "corpus_release_counts runs it as the release "
+                   "composite's first stage; the classifier gate "
+                   "distills from it. Full per-doc oracle keeps "
+                   "running in tests/test_registry.py. Slot given to "
+                   "cdc_chunks in r6",
     "ann_ivf_topk": "the nprobe=1 special case of the live "
                     "ann_ivf_nprobe2 gate (same cell assignment, same "
                     "probe join, same rerank window — test_similarity_"

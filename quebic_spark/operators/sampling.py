@@ -620,6 +620,153 @@ FROM chunks
 
 
 # ---------------------------------------------------------------------------
+# cdc_chunks — content-defined chunking: chunk boundaries fall where a
+# rolling k-gram hash hits a divisor condition, so boundaries are a
+# LOCAL property of the text. Editing a document shifts every
+# fixed-window chunk after the edit point, but CDC chunks outside the
+# edited neighborhood keep their exact content and hash — the property
+# that makes chunk-level dedup work across crawl snapshots (rsync/LBFS
+# lineage; same role as Gear/FastCDC in dedup storage). Complements
+# `chunk_documents` (fixed windows for context budgets).
+#
+# Semantics: position p (1-based, p >= K) CUTS after token p when
+# md5(gram ending at p) % DIV == 0; chunks are the segments between
+# cuts. Expected chunk length = DIV tokens. Only the trailing segment
+# can be empty (cut exactly at n) — both engines drop it, so chunk
+# numbering stays aligned without a renumbering pass.
+#
+# Scale shape: entirely scan-resident array expressions (filter /
+# transform / slice over the token array) + one posexplode — ZERO
+# shuffle, no window, no per-doc state; the rolling hash never leaves
+# the row. Cost is O(n_tokens * n_cuts) per doc for the in-array
+# arithmetic — bounded by DIV, not corpus size.
+# ---------------------------------------------------------------------------
+
+CDC_K = 3    # rolling gram width (tokens)
+CDC_DIV = 16  # boundary divisor => expected chunk length in tokens
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    k: int = CDC_K,
+    div: int = CDC_DIV,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode ``docs`` into content-defined chunks (rolling md5
+    k-gram boundary condition). Returns one row per chunk with
+    ``chunk_no``, token span, and the chunk text."""
+    if k <= 0 or div <= 0:
+        raise ValueError("k and div must be positive")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks).cast("long")
+    gram_hash = lambda p: (  # noqa: E731 — local expression builder
+        F.conv(
+            F.substring(
+                F.md5(F.array_join(
+                    F.slice(F.col("_toks"), p - (k - 1), k), " "
+                )),
+                1, 4,
+            ),
+            16, 10,
+        ).cast("long") % div
+    )
+    base = docs.select(
+        F.col(id_col), toks.alias("_toks"), n.alias("_n")
+    ).withColumn(
+        "_cuts",
+        F.when(
+            F.col("_n") >= k,
+            F.filter(
+                F.sequence(F.lit(k).cast("long"), F.col("_n")),
+                lambda p: gram_hash(p) == 0,
+            ),
+        ).otherwise(F.expr("array()").cast("array<long>")),
+    )
+    starts = F.concat(
+        F.array(F.lit(1).cast("long")),
+        F.transform(F.col("_cuts"), lambda c: c + 1),
+    )
+    ends = F.concat(F.col("_cuts"), F.array(F.col("_n")))
+    pairs = F.filter(
+        F.zip_with(
+            starts, ends,
+            lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+        ),
+        lambda p: p["s"] <= p["e"],
+    )
+    seg = F.col("_seg")
+    return (
+        base.select(
+            id_col,
+            F.posexplode(pairs).alias("chunk_no", "_seg"),
+            "_toks",
+        )
+        .select(
+            id_col,
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            seg["s"].alias("start_tok"),
+            (seg["e"] - seg["s"] + 1).alias("chunk_tokens"),
+            F.array_join(
+                F.slice(
+                    F.col("_toks"), seg["s"].cast("int"),
+                    (seg["e"] - seg["s"] + 1).cast("int"),
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    out = cdc_chunks(docs)
+    return out.select(
+        "doc_id",
+        "chunk_no",
+        "start_tok",
+        "chunk_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_hash"),
+    )
+
+
+ORACLE_CDC_CHUNKS = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+cutted AS (
+  SELECT doc_id, toks, n,
+         list_filter(range(CAST({CDC_K} AS BIGINT), n + 1),
+           p -> (('0x' || substr(md5(array_to_string(
+                    toks[p - {CDC_K - 1} : p], ' ')), 1, 4))::INT
+                 % {CDC_DIV}) = 0) AS cuts
+  FROM base
+),
+segs AS (
+  SELECT doc_id, toks,
+         list_concat([CAST(1 AS BIGINT)],
+                     list_transform(cuts, c -> c + 1)) AS starts,
+         list_concat(cuts, [n]) AS ends
+  FROM cutted
+),
+exploded AS (
+  SELECT doc_id, toks, i - 1 AS chunk_no,
+         starts[CAST(i AS INT)] AS s, ends[CAST(i AS INT)] AS e
+  FROM segs,
+       UNNEST(range(1, CAST(len(starts) AS BIGINT) + 1)) AS t(i)
+  WHERE starts[CAST(i AS INT)] <= ends[CAST(i AS INT)]
+)
+SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+       s AS start_tok, e - s + 1 AS chunk_tokens,
+       md5(array_to_string(toks[CAST(s AS INT) : CAST(e AS INT)], ' '))
+         AS chunk_hash
+FROM exploded
+"""
+
+
+# ---------------------------------------------------------------------------
 # zorder_events_stats — the relational contract behind the Z-order
 # clustered write (`sources/io.py:write_zorder`): bucket (user_id,
 # value) into 2^Z_BITS range cells over their EXACT min/max, Morton-
@@ -1227,6 +1374,7 @@ ORACLE_CORPUS_RELEASE_COUNTS = _release_counts_oracle()
 
 
 QUERIES = {
+    "cdc_chunks": q_cdc_chunks,
     "zorder_events_stats": q_zorder_events_stats,
     "chunk_documents": q_chunk_documents,
     "token_budget_mixture": q_token_budget_mixture,
@@ -1244,6 +1392,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cdc_chunks": ORACLE_CDC_CHUNKS,
     "zorder_events_stats": ORACLE_ZORDER_EVENTS_STATS,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "token_budget_mixture": ORACLE_TOKEN_BUDGET_MIXTURE,

@@ -92,3 +92,113 @@ def test_chunk_ids_unique_and_deterministic(spark):
     ids_b = sorted(r.chunk_id for r in b)
     assert ids_a == ids_b
     assert len(set(ids_a)) == len(ids_a)
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunks — content-defined chunking
+# ---------------------------------------------------------------------------
+
+def _py_cdc(text: str, k: int, div: int) -> list[tuple[int, str]]:
+    import hashlib
+
+    toks = text.split(" ")
+    n = len(toks)
+    cuts = []
+    for p in range(k, n + 1):
+        gram = " ".join(toks[p - k: p])
+        h = int(hashlib.md5(gram.encode()).hexdigest()[:4], 16)
+        if h % div == 0:
+            cuts.append(p)
+    starts = [1] + [c + 1 for c in cuts]
+    ends = cuts + [n]
+    return [
+        (s, " ".join(toks[s - 1: e]))
+        for s, e in zip(starts, ends) if s <= e
+    ]
+
+
+def test_cdc_matches_python_reference(spark):
+    import random
+
+    from quebic_spark.operators.sampling import CDC_DIV, CDC_K, cdc_chunks
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(n)))
+        for i, n in enumerate([1, 2, 3, 40, 120, 400])
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, list] = {}
+    for r in cdc_chunks(docs).collect():
+        got.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in rows:
+        expect = _py_cdc(text, CDC_K, CDC_DIV)
+        mine = sorted(got[doc_id], key=lambda r: r.chunk_no)
+        assert [r.chunk_no for r in mine] == list(range(len(expect)))
+        for r, (s, ctext) in zip(mine, expect):
+            assert r.start_tok == s
+            assert r.chunk_text == ctext
+            assert r.chunk_tokens == len(ctext.split(" "))
+
+
+def test_cdc_chunks_are_edit_stable(spark):
+    """THE content-defined property: inserting tokens near the front
+    shifts every fixed window, but CDC chunks beyond the edited
+    neighborhood keep their exact content — chunk-level dedup across
+    crawl snapshots hinges on this."""
+    import random
+
+    from quebic_spark.operators.sampling import cdc_chunks, chunk_documents
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    base_toks = [rng.choice(vocab) for _ in range(300)]
+    edited_toks = ["NEW1", "NEW2", "NEW3"] + base_toks
+    docs = spark.createDataFrame(
+        [(0, " ".join(base_toks)), (1, " ".join(edited_toks))],
+        "doc_id long, text string",
+    )
+
+    cdc = cdc_chunks(docs).collect()
+    cdc_a = {r.chunk_text for r in cdc if r.doc_id == 0}
+    cdc_b = {r.chunk_text for r in cdc if r.doc_id == 1}
+    shared_cdc = len(cdc_a & cdc_b) / len(cdc_a)
+
+    fixed = chunk_documents(docs).collect()
+    fix_a = {r.chunk_text for r in fixed if r.doc_id == 0}
+    fix_b = {r.chunk_text for r in fixed if r.doc_id == 1}
+    shared_fixed = len(fix_a & fix_b) / len(fix_a)
+
+    # CDC re-synchronizes after the edit; fixed windows never do
+    assert shared_cdc >= 0.6, (shared_cdc, shared_fixed)
+    assert shared_fixed <= 0.2, (shared_cdc, shared_fixed)
+    assert shared_cdc > shared_fixed
+
+
+def test_cdc_covers_text_exactly(spark):
+    from quebic_spark.operators.sampling import cdc_chunks
+
+    rows = [_doc(i, n) for i, n in enumerate([1, 7, 80, 250])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, list] = {}
+    for r in cdc_chunks(docs).collect():
+        got.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in rows:
+        parts = sorted(got[doc_id], key=lambda r: r.chunk_no)
+        assert " ".join(p.chunk_text for p in parts) == text
+        # spans tile [1, n] with no gaps or overlap
+        pos = 1
+        for p in parts:
+            assert p.start_tok == pos
+            pos += p.chunk_tokens
+        assert pos == len(text.split(" ")) + 1
+
+
+def test_cdc_plan_is_scan_resident(spark, sf_dir):
+    from quebic_spark.operators.sampling import q_cdc_chunks
+
+    plan = q_cdc_chunks(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "hashpartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan  # fan_out only

@@ -1155,7 +1155,115 @@ def _profile_documents_oracle() -> str:
 ORACLE_PROFILE_DOCUMENTS = _profile_documents_oracle()
 
 
+# ---------------------------------------------------------------------------
+# phrase_search — positional-inverted-index phrase matching, the
+# corpus-audit primitive ("where exactly does this eval item / PII
+# string / boilerplate phrase occur?"). A k-token phrase match is k
+# posting streams joined on (doc_id, aligned position) — the classic
+# IR formulation, relational here so Catalyst drives it.
+#
+# Scale shape: the index filter (`token IN phrase_tokens`) lands in
+# the scan BEFORE the explode output shuffles anywhere, so join input
+# is sized by the phrase tokens' posting lists, never the corpus; at
+# 100 TB the posting table is materialized once, bucketed by token
+# (`build_phrase_index`), and every subsequent search is a pruned read
+# + co-located joins — the pytest proves the persisted path returns
+# identical matches and prunes with pushed filters.
+# ---------------------------------------------------------------------------
+
+SEARCH_PHRASE = "table value"  # gate phrase (2 tokens, mid-frequency)
+
+
+def posting_index(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(token, doc_id, pos) postings — pos is 0-based token offset."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    )
+
+
+def phrase_search(
+    index: DataFrame, phrase: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Match positions of ``phrase`` (exact consecutive tokens) from a
+    posting index: one filtered projection per phrase token, joined on
+    (doc, start-aligned position)."""
+    words = phrase.split(" ")
+    if not words or any(not w for w in words):
+        raise ValueError(f"bad phrase: {phrase!r}")
+    base = (
+        index.filter(F.col("token") == words[0])
+        .select(F.col(id_col), F.col("pos").alias("match_pos"))
+    )
+    for i, w in enumerate(words[1:], start=1):
+        nxt = index.filter(F.col("token") == w).select(
+            F.col(id_col), (F.col("pos") - i).alias("match_pos")
+        )
+        base = base.join(nxt, [id_col, "match_pos"])
+    return base
+
+
+def build_phrase_index(
+    docs: DataFrame, path: str, n_buckets: int = 32
+) -> None:
+    """Materialize the posting table bucketed by token: at scale the
+    index is built once and every search is a pruned, co-located read
+    (same train-once/probe-many pattern as the persisted IVF index)."""
+    (
+        posting_index(docs)
+        .repartition(n_buckets, "token")
+        .sortWithinPartitions("token", "doc_id", "pos")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    hits = phrase_search(posting_index(docs), SEARCH_PHRASE)
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("match_pos").alias("first_pos"),
+        F.max("match_pos").alias("last_pos"),
+    )
+
+
+def _phrase_oracle() -> str:
+    words = SEARCH_PHRASE.split(" ")
+    joins = []
+    for i, w in enumerate(words[1:], start=1):
+        joins.append(
+            f"JOIN postings p{i} ON p{i}.doc_id = p0.doc_id "
+            f"AND p{i}.pos = p0.pos + {i} AND p{i}.token = '{w}'"
+        )
+    return f"""
+WITH split AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+postings AS (
+  SELECT doc_id, toks[CAST(i AS INT)] AS token, i - 1 AS pos
+  FROM split,
+       UNNEST(range(1, CAST(len(toks) AS BIGINT) + 1)) AS t(i)
+),
+matches AS (
+  SELECT p0.doc_id, p0.pos AS match_pos
+  FROM postings p0
+  {' '.join(joins)}
+  WHERE p0.token = '{words[0]}'
+)
+SELECT doc_id, COUNT(*) AS n_matches,
+       MIN(match_pos) AS first_pos, MAX(match_pos) AS last_pos
+FROM matches
+GROUP BY doc_id
+"""
+
+
+ORACLE_PHRASE_SEARCH = _phrase_oracle()
+
+
 QUERIES = {
+    "phrase_search": q_phrase_search,
     "lm_perplexity": q_lm_perplexity,
     "profile_documents": q_profile_documents,
     "pii_scrub_stats": q_pii_scrub_stats,
@@ -1172,6 +1280,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "phrase_search": ORACLE_PHRASE_SEARCH,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
     "profile_documents": ORACLE_PROFILE_DOCUMENTS,
     "pii_scrub_stats": ORACLE_PII_SCRUB_STATS,

@@ -255,3 +255,91 @@ def test_lm_load_rejects_incomplete_artifact(spark, tmp_path):
             ),
             str(tmp_path / "lm_missing"),
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# phrase_search — positional inverted index
+# ---------------------------------------------------------------------------
+
+def test_phrase_search_matches_naive_scan(spark, sf_dir):
+    from quebic_spark.operators.textops import (
+        SEARCH_PHRASE,
+        phrase_search,
+        posting_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r.doc_id, r.match_pos)
+        for r in phrase_search(posting_index(docs), SEARCH_PHRASE).collect()
+    }
+    words = SEARCH_PHRASE.split(" ")
+    expect = set()
+    for row in docs.select("doc_id", "text").collect():
+        toks = row.text.split(" ")
+        for p in range(len(toks) - len(words) + 1):
+            if toks[p: p + len(words)] == words:
+                expect.add((row.doc_id, p))
+    assert got == expect and expect, f"{len(got)} vs {len(expect)}"
+
+
+def test_phrase_search_multi_token_and_overlap(spark):
+    from quebic_spark.operators.textops import phrase_search, posting_index
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),   # overlapping "a b a" at 0 and 2
+            (1, "a b c"),
+            (2, "c b a"),
+            (3, "a"),             # shorter than phrase
+        ],
+        "doc_id long, text string",
+    )
+    idx = posting_index(docs)
+    hits = {
+        (r.doc_id, r.match_pos)
+        for r in phrase_search(idx, "a b a").collect()
+    }
+    assert hits == {(0, 0), (0, 2)}
+    assert {(r.doc_id, r.match_pos)
+            for r in phrase_search(idx, "a b c").collect()} == {(1, 0)}
+
+
+def test_persisted_phrase_index_prunes_and_agrees(spark, sf_dir, tmp_path):
+    from quebic_spark.operators.textops import (
+        SEARCH_PHRASE,
+        build_phrase_index,
+        phrase_search,
+        posting_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "postings")
+    build_phrase_index(docs, path)
+    stored = spark.read.parquet(path)
+    live = {
+        (r.doc_id, r.match_pos)
+        for r in phrase_search(posting_index(docs), SEARCH_PHRASE).collect()
+    }
+    persisted_q = phrase_search(stored, SEARCH_PHRASE)
+    persisted = {
+        (r.doc_id, r.match_pos) for r in persisted_q.collect()
+    }
+    assert persisted == live and live
+
+    # the token filter must reach the parquet scan (pruned read)
+    plan = persisted_q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(token), EqualTo(token," in plan, plan
+
+
+def test_phrase_search_rejects_bad_phrase(spark):
+    from quebic_spark.operators.textops import phrase_search, posting_index
+
+    docs = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
+    idx = posting_index(docs)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phrase_search(idx, "")
+    with _pytest.raises(ValueError):
+        phrase_search(idx, "a  b")

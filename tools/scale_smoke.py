@@ -213,7 +213,62 @@ def main() -> None:
             keyed.filter("q <= 1"), keyed.filter("q >= 1")
         ).count()
 
+    def op_chunk_documents(docs, emb):
+        # pure scan fan-out: growth must track rows (~n/STRIDE chunks)
+        from quebic_spark.operators.sampling import chunk_documents
+
+        return chunk_documents(docs).count()
+
+    def op_cdc_chunks(docs, emb):
+        # scan-resident rolling-hash segmentation: linear growth means
+        # the O(n_tokens * n_cuts) in-array cost stays row-local
+        from quebic_spark.operators.sampling import cdc_chunks
+
+        return cdc_chunks(docs).count()
+
+    def op_embedding_decontaminate(docs, emb):
+        # bench side FIXED (factor-1 slice) while the corpus grows:
+        # linear growth proves cost is corpus-scan * |bench|, with the
+        # max collapsing map-side before the one tiny exchange
+        from quebic_spark.operators.similarity import (
+            embedding_decontaminate,
+        )
+
+        bench = emb.filter(F.col("vec_id") % 211 == 0).select(
+            "embedding"
+        )
+        corpus = emb.filter(F.col("vec_id") % 211 != 0).select(
+            "vec_id", "embedding"
+        )
+        return embedding_decontaminate(corpus, bench).count()
+
+    def op_zorder_stats(docs, emb):
+        # min/max agg + scan-resident bit math + 16-group agg: growth
+        # must track the two scans alone
+        from quebic_spark.functions.zorder import (
+            interleave_bits,
+            range_bucket,
+        )
+
+        rng = docs.agg(
+            F.min("doc_id").alias("_mn_d"), F.max("doc_id").alias("_mx_d"),
+            F.min("n_chars").alias("_mn_c"), F.max("n_chars").alias("_mx_c"),
+        )
+        withz = docs.crossJoin(F.broadcast(rng))
+        zval = interleave_bits([
+            range_bucket(F.col("doc_id"), F.col("_mn_d"), F.col("_mx_d")),
+            range_bucket(F.col("n_chars"), F.col("_mn_c"), F.col("_mx_c")),
+        ])
+        return (
+            withz.select(F.shiftright(zval, 12).alias("zfile"))
+            .groupBy("zfile").count().count()
+        )
+
     ops = {
+        "chunk_documents": op_chunk_documents,
+        "cdc_chunks": op_cdc_chunks,
+        "embedding_decontaminate": op_embedding_decontaminate,
+        "zorder_stats": op_zorder_stats,
         "keep_best": op_keep_best,
         "lm_perplexity": op_lm_perplexity,
         "classifier_score": op_classifier_score,

@@ -55,6 +55,7 @@ for _mod in _MODULES:
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
     # --- r6: new gates this round ---
+    "event_anomaly_scores",
     "phrase_search",
     "cdc_chunks",
     "zorder_events_stats",
@@ -88,7 +89,6 @@ GATE_ORDER: tuple[str, ...] = (
     "quantile_sketch",
     "pipeline_doc_counts",
     "event_pairs_within_5min",
-    "session_topk_events",
     # --- r3: behavior or plan changed this round ---
     "cardinality_sketch",
     "dedup_clusters",
@@ -116,6 +116,17 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "session_topk_events": "session-window derivation stays live via "
+                           "event_sessions (same gap-based session "
+                           "tagging), per-group top-k rank windows "
+                           "stay live via top_orders_per_segment and "
+                           "dedup_keep_best (identical partition+"
+                           "orderBy+row_number shape), and the per-"
+                           "user ordered-frame family is now gated by "
+                           "event_anomaly_scores (bounded trailing "
+                           "frame). Full oracle keeps running in "
+                           "tests/test_registry.py. Slot given to "
+                           "event_anomaly_scores in r6",
     "dedup_minhash_lsh": "the exact minhash_lsh_pairs function is the "
                          "INPUT of the live dedup_clusters gate (its "
                          "edge list is derived from these pairs, so a "

@@ -300,7 +300,111 @@ QUALIFY rk <= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# event_anomaly_scores — per-entity moving-baseline anomaly detection:
+# each event's `value` is z-scored against the trailing window of that
+# user's PREVIOUS events (current row excluded — the baseline must not
+# contain the point under test). The monitoring primitive for a
+# pipeline's event stream: spot value spikes per entity without a
+# global model.
+#
+# Determinism discipline (the lm_perplexity DECIMAL pattern, applied
+# to moving moments): `value` has 2-decimal precision, so the window
+# sums run on DECIMAL(18,2) / its exact square — bit-exact on any
+# engine and any partitioning; mean/var/z are then derived from those
+# exact sums with the IDENTICAL double expression on both engines, so
+# the gate hash-checks unrounded floats. Variance is guarded
+# (baseline >= MIN_N before any division; greatest(0, ·) soaks the
+# representation epsilon) so no NaN/Inf path ever executes.
+#
+# Scale shape: ONE user-keyed exchange, one ordered frame per row —
+# bounded ROWS frame, so state is O(window), never O(history); the
+# same expressions run under a watermarked applyInPandasWithState for
+# the streaming variant of this contract.
+# ---------------------------------------------------------------------------
+
+ANOMALY_WINDOW = 20  # trailing events per user in the baseline
+ANOMALY_MIN_N = 5    # minimum baseline size before scoring
+ANOMALY_Z = 3.0      # |z| threshold
+
+
+def anomaly_scores(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window: int = ANOMALY_WINDOW,
+    min_n: int = ANOMALY_MIN_N,
+    z_threshold: float = ANOMALY_Z,
+) -> DataFrame:
+    dv = F.col(value_col).cast("decimal(18,2)")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-window, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(dv).over(w).cast("double")
+    q = F.sum(dv * dv).over(w).cast("double")
+    nn = n.cast("double")
+    mean = s / nn
+    var = F.when(
+        n >= min_n,
+        F.greatest(F.lit(0.0), (q - s * s / nn) / (nn - 1)),
+    )
+    std = F.sqrt(var)
+    z = F.when(std > 0, (F.col(value_col) - mean) / std)
+    return events.select(
+        id_col,
+        key_col,
+        value_col,
+        n.cast("long").alias("baseline_n"),
+        z.alias("z"),
+        F.when(z.isNotNull(), F.abs(z) >= z_threshold)
+        .otherwise(F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def q_event_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anomaly_scores(_events(spark, sf_dir))
+
+
+ORACLE_EVENT_ANOMALY_SCORES = f"""
+WITH win AS (
+  SELECT event_id, user_id, value,
+    COUNT(*) OVER w AS baseline_n,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))
+             * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS q
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ANOMALY_WINDOW} PRECEDING
+                        AND 1 PRECEDING)
+),
+scored AS (
+  SELECT event_id, user_id, value, baseline_n,
+    CASE WHEN SQRT(CASE WHEN baseline_n >= {ANOMALY_MIN_N}
+           THEN GREATEST(0.0,
+                (q - s * s / CAST(baseline_n AS DOUBLE))
+                / (CAST(baseline_n AS DOUBLE) - 1)) END) > 0
+      THEN (value - s / CAST(baseline_n AS DOUBLE))
+           / SQRT(CASE WHEN baseline_n >= {ANOMALY_MIN_N}
+               THEN GREATEST(0.0,
+                    (q - s * s / CAST(baseline_n AS DOUBLE))
+                    / (CAST(baseline_n AS DOUBLE) - 1)) END)
+    END AS z
+  FROM win
+)
+SELECT event_id, user_id, value, baseline_n, z,
+       CASE WHEN z IS NOT NULL THEN ABS(z) >= {ANOMALY_Z}
+            ELSE FALSE END AS is_anomaly
+FROM scored
+"""
+
+
 QUERIES = {
+    "event_anomaly_scores": q_event_anomaly_scores,
     "asof_click_to_purchase": q_asof_click_to_purchase,
     "asof_next_purchase": q_asof_next_purchase,
     "event_pairs_within_5min": q_event_pairs_within_5min,
@@ -308,6 +412,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_anomaly_scores": ORACLE_EVENT_ANOMALY_SCORES,
     "asof_click_to_purchase": ORACLE_ASOF_CLICK_TO_PURCHASE,
     "asof_next_purchase": ORACLE_ASOF_NEXT_PURCHASE,
     "event_pairs_within_5min": ORACLE_EVENT_PAIRS_WITHIN_5MIN,

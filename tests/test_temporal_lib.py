@@ -151,3 +151,86 @@ def test_event_gate_windows_pinned_utc_under_foreign_tz(spark, sf_dir):
         assert spark.conf.get(key) == "Asia/Kolkata"
     finally:
         spark.conf.set(key, prev)
+
+
+# ---------------------------------------------------------------------------
+# event_anomaly_scores — moving-baseline z-scores
+# ---------------------------------------------------------------------------
+
+def _series_df(spark, values, user=1):
+    import datetime
+
+    rows = [
+        (i, user, datetime.datetime(2024, 1, 1, 0, 0, i), float(v))
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+
+def test_anomaly_z_matches_hand_computation(spark):
+    import statistics
+
+    from quebic_spark.operators.temporal import anomaly_scores
+
+    vals = [10.0, 12.0, 11.0, 13.0, 9.0, 11.5, 50.0]
+    df = _series_df(spark, vals)
+    got = {r.event_id: r for r in anomaly_scores(df, min_n=5).collect()}
+
+    # rows 0-4: baseline smaller than min_n -> no score
+    for i in range(5):
+        assert got[i].z is None and not got[i].is_anomaly
+        assert got[i].baseline_n == i
+
+    # row 6: baseline = previous 6 values, current excluded
+    base = vals[:6]
+    mu = statistics.mean(base)
+    sd = statistics.stdev(base)
+    expect = (50.0 - mu) / sd
+    assert abs(got[6].z - expect) < 1e-9
+    assert got[6].is_anomaly  # a 50 against ~11 +/- 1.4 is way past 3 sigma
+    assert not got[5].is_anomaly
+
+
+def test_anomaly_baseline_is_per_user_and_bounded(spark):
+    import datetime
+
+    from quebic_spark.operators.temporal import (
+        ANOMALY_WINDOW,
+        anomaly_scores,
+    )
+
+    rows = []
+    for u in (1, 2):
+        for i in range(ANOMALY_WINDOW + 10):
+            rows.append((u * 1000 + i, u,
+                         datetime.datetime(2024, 1, 1, 0, 0, 0)
+                         + datetime.timedelta(seconds=i),
+                         float(u * 100)))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = anomaly_scores(df).collect()
+    # users never cross-contaminate: constant per-user series -> std 0
+    # -> no score ever fires
+    assert all(not r.is_anomaly for r in got)
+    # frame is bounded at ANOMALY_WINDOW even deep into the series
+    assert max(r.baseline_n for r in got) == ANOMALY_WINDOW
+
+
+def test_anomaly_constant_baseline_never_divides_by_zero(spark):
+    from quebic_spark.operators.temporal import anomaly_scores
+
+    df = _series_df(spark, [5.0] * 8 + [9.0])
+    got = {r.event_id: r for r in anomaly_scores(df, min_n=3).collect()}
+    # zero-variance baseline -> std == 0 -> z stays NULL (no NaN/Inf)
+    assert got[8].z is None and not got[8].is_anomaly
+
+
+def test_anomaly_plan_has_single_user_exchange(spark, sf_dir):
+    from quebic_spark.operators.temporal import q_event_anomaly_scores
+
+    plan = q_event_anomaly_scores(spark, sf_dir)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(user_id") == 1, plan

@@ -126,3 +126,71 @@ def test_apply_in_pandas_with_state(qpath, spark):
     final = {u: (c, s) for u, c, s in out}
     assert final == {1: (10, 45), 2: (10, 45), 3: (10, 45)}
     q.dispose()
+
+
+def test_streaming_anomaly_matches_batch_and_survives_restart(qpath, spark):
+    """The streaming anomaly scorer (state = O(window) ring buffer per
+    user) must reproduce the batch operator's scores on the same feed,
+    INCLUDING across a query restart — the buffer lives in checkpointed
+    state, not process memory."""
+    from quebic_spark.operators.temporal import anomaly_scores
+    from quebic_spark.streaming.anomaly import anomaly_stream
+
+    vals_u1 = [10.0, 12.0, 11.0, 13.0, 9.0, 11.5, 50.0, 11.0, 10.5]
+    vals_u2 = [5.0] * 9
+    rows = []
+    for i, (a, b) in enumerate(zip(vals_u1, vals_u2)):
+        rows.append([2 * i, 1, i, a])
+        rows.append([2 * i + 1, 2, i, b])
+
+    q = Queue(qpath, Schema(INTEGER, INTEGER, INTEGER, REAL),
+              capacity=10000)
+    split = 10  # first trigger sees 10 rows, restart sees the rest
+    q.publisher().push_all(rows[:split])
+
+    out: list[dict] = []
+
+    def run_once():
+        events = read_queue_stream(spark, q).select(
+            F.col("c0").alias("event_id"),
+            F.col("c1").alias("user_id"),
+            F.col("c2").alias("ts"),
+            F.col("c3").alias("value"),
+        )
+        query = (
+            anomaly_stream(events).writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _: out.extend(
+                    r.asDict() for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", os.path.join(qpath, "an_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+
+    run_once()
+    q.publisher().push_all(rows[split:])
+    run_once()  # fresh query object, same checkpoint -> state resumes
+
+    batch_df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double"
+    )
+    expect = {
+        r.event_id: r for r in anomaly_scores(batch_df).collect()
+    }
+    got = {r["event_id"]: r for r in out}
+    assert set(got) == set(expect)
+    for eid, e in expect.items():
+        g = got[eid]
+        assert g["baseline_n"] == e.baseline_n, eid
+        assert g["is_anomaly"] == e.is_anomaly, eid
+        if e.z is None:
+            assert g["z"] is None, eid
+        else:
+            assert abs(g["z"] - e.z) < 1e-9, (eid, g["z"], e.z)
+    # the spike scored anomalous through the stream, post-restart
+    spike = got[12]  # event_id 12 == u1's 50.0
+    assert spike["is_anomaly"] and spike["baseline_n"] == 6
+    q.dispose()

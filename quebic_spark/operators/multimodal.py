@@ -261,6 +261,8 @@ def detect_format(payload: bytes) -> str:
         return "wav"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return "unknown"
 
 
@@ -533,6 +535,182 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate GIF length-prefixed sub-blocks starting at ``pos``;
+    returns (data, position after the 0 terminator)."""
+    out = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("unterminated sub-block chain")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            return bytes(out), pos
+        if pos + n > len(payload):
+            raise ValueError("truncated sub-block")
+        out += payload[pos:pos + n]
+        pos += n
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, max_pixels: int) -> bytearray:
+    """GIF-variant LZW: LSB-first variable-width codes, clear/end
+    codes, dict capped at 4096. Output capped at ``max_pixels`` so a
+    crafted stream cannot balloon memory (bomb guard)."""
+    if not 1 <= mcs <= 11:
+        raise ValueError(f"bad LZW min code size {mcs}")
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    n_bits = len(data) * 8
+    bitpos = 0
+    width = mcs + 1
+    dict_: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+
+    def read_code() -> int:
+        nonlocal bitpos
+        if bitpos + width > n_bits:
+            raise ValueError("truncated LZW stream")
+        v = 0
+        for i in range(width):
+            v |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        return v
+
+    while True:
+        code = read_code()
+        if code == clear:
+            dict_ = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(dict_):
+                raise ValueError(f"invalid first code {code}")
+            entry = dict_[code]
+        elif code < len(dict_):
+            entry = dict_[code]
+        elif code == len(dict_):  # the kwkwk case
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"code {code} beyond dictionary")
+        out += entry
+        if len(out) > max_pixels:
+            raise ValueError("LZW output exceeds image geometry")
+        if prev is not None and len(dict_) < 4096:
+            dict_.append(prev + entry[:1])
+            if len(dict_) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) != max_pixels:
+        raise ValueError(
+            f"LZW pixel count {len(out)} != geometry {max_pixels}"
+        )
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif_pixels(payload: bytes):
+    """Full GIF parse: returns (first-frame RGB array (h, w, 3),
+    n_frames). Split from ``decode_gif`` so tests can assert EXACT
+    pixel recovery (a mean can't see row-order or palette mixups)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated header")
+    _sw, _sh, packed = struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = payload[pos:pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    n_frames = 0
+    first = None  # (w, h, indices, palette)
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skipped
+            if pos >= len(payload):
+                raise ValueError("truncated extension")
+            _, pos = _gif_subblocks(payload, pos + 1)
+        elif block == 0x2C:  # image descriptor
+            if pos + 9 > len(payload):
+                raise ValueError("truncated image descriptor")
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB",
+                                                       payload, pos)
+            pos += 9
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                pal = payload[pos:pos + 3 * n]
+                if len(pal) < 3 * n:
+                    raise ValueError("truncated local color table")
+                pos += 3 * n
+            if pos >= len(payload):
+                raise ValueError("missing LZW min code size")
+            mcs = payload[pos]
+            data, pos = _gif_subblocks(payload, pos + 1)
+            n_frames += 1
+            if first is None:
+                if pal is None:
+                    raise ValueError("no color table for first frame")
+                if w * h > 64_000_000:
+                    raise ValueError(f"implausible geometry {w}x{h}")
+                idx = np.frombuffer(
+                    _gif_lzw_decode(data, mcs, w * h), dtype=np.uint8
+                ).reshape(h, w)
+                if ipacked & 0x40:  # interlaced: restore row order
+                    order = [
+                        y for start, step in _GIF_INTERLACE_PASSES
+                        for y in range(start, h, step)
+                    ]
+                    restored = np.zeros_like(idx)
+                    restored[order] = idx
+                    idx = restored
+                first = (w, h, idx, pal)
+        else:
+            raise ValueError(f"unknown block id {block:#x}")
+    if first is None:
+        raise ValueError("no image data")
+    w, h, idx, pal = first
+    pal_arr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+    if idx.size and int(idx.max()) >= len(pal_arr):
+        raise ValueError("palette index out of range")
+    return pal_arr[idx], n_frames
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Decode a GIF87a/89a with stdlib-only LZW: header + color
+    tables + block walk; the FIRST frame is fully decompressed and
+    palette-mapped (interlaced row order restored), every further
+    image descriptor counts toward ``n_frames`` (animation length).
+    Corrupt structure, missing color table, or geometry/LZW bombs
+    raise (decode_media quarantines as gif-error-stub)."""
+    rgb, n_frames = _decode_gif_pixels(payload)
+    h, w = rgb.shape[0], rgb.shape[1]
+    return {
+        "fmt": "gif",
+        "width": w,
+        "height": h,
+        "n_frames": n_frames,
+        "sample_rate": None,
+        "channels": 3,
+        "mean_value": float(rgb.mean()) if rgb.size else 0.0,
+    }
+
+
 def _stub_dims(n: int) -> dict:
     # same arithmetic as _fake_decode — the documented deterministic
     # fallback for formats the container cannot decode
@@ -576,6 +754,8 @@ def decode_media(payloads: DataFrame) -> DataFrame:
                         d = decode_wav(payload)
                     elif kind == "mp4":
                         d = decode_mp4(payload)
+                    elif kind == "gif":
+                        d = decode_gif(payload)
                     else:
                         d = _stub_dims(len(payload))
                 except Exception:
@@ -702,6 +882,131 @@ def encode_png(
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    rgb: "list[list[tuple]]",
+    interlaced: bool = False,
+    n_frames: int = 1,
+) -> bytes:
+    """Test-support encoder: rows of (r, g, b) top-down -> GIF89a
+    bytes through a REAL LZW compressor (dictionary growth, variable
+    code width, clear-on-full) so round-trips drive the decoder's
+    actual dictionary/width machinery, not a degenerate
+    clear-every-code stream. ``interlaced`` writes the four-pass row
+    order; ``n_frames`` repeats the frame to exercise the animation
+    count."""
+    import struct
+
+    # palette: first-appearance order, padded to a power of two
+    palette: list[tuple] = []
+    index: dict[tuple, int] = {}
+    idx_rows: list[list[int]] = []
+    for row in rgb:
+        out_row = []
+        for px in row:
+            if px not in index:
+                index[px] = len(palette)
+                palette.append(px)
+            out_row.append(index[px])
+        idx_rows.append(out_row)
+    if len(palette) > 256:
+        raise ValueError("more than 256 distinct colors")
+    pal_bits = max(1, (max(1, len(palette) - 1)).bit_length())
+    pal_n = 1 << pal_bits
+    mcs = max(2, pal_bits)
+
+    if interlaced:
+        order = [
+            y for start, step in _GIF_INTERLACE_PASSES
+            for y in range(start, height, step)
+        ]
+        stored_rows = [idx_rows[y] for y in order]
+    else:
+        stored_rows = idx_rows
+    pixels = bytes(i for row in stored_rows for i in row)
+
+    # The emitted code width must match the DECODER's read width at
+    # that moment, and the decoder's dictionary trails the encoder's
+    # by one entry (it appends nothing for the first data code after a
+    # clear) — so the encoder tracks the decoder's dict length
+    # explicitly instead of mirroring its own next_code (the classic
+    # GIF LZW off-by-one).
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    codes: list[tuple[int, int]] = []  # (code, width at emission)
+    state = {"width": mcs + 1, "dec_len": end + 1, "first": True}
+
+    def emit(code: int) -> None:
+        codes.append((code, state["width"]))
+
+    def emit_data(code: int) -> None:
+        emit(code)
+        if state["first"]:
+            state["first"] = False
+        elif state["dec_len"] < 4096:
+            state["dec_len"] += 1
+            if state["dec_len"] == (1 << state["width"]) \
+                    and state["width"] < 12:
+                state["width"] += 1
+
+    def reset_tables() -> tuple[dict, int]:
+        state.update(width=mcs + 1, dec_len=end + 1, first=True)
+        return {bytes([i]): i for i in range(1 << mcs)}, end + 1
+
+    emit(clear)
+    table, next_code = reset_tables()
+    w = b""
+    for k in pixels:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit_data(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+        else:  # dictionary full: clear and restart both sides
+            emit(clear)
+            table, next_code = reset_tables()
+        w = bytes([k])
+    if w:
+        emit_data(table[w])
+    emit(end)
+
+    # LSB-first bit packing
+    acc = n_acc = 0
+    packed = bytearray()
+    for code, cw in codes:
+        acc |= code << n_acc
+        n_acc += cw
+        while n_acc >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+    if n_acc:
+        packed.append(acc & 0xFF)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", width, height,
+                       0x80 | (pal_bits - 1), 0, 0)
+    for i in range(pal_n):
+        out += bytes(palette[i]) if i < len(palette) else b"\x00\x00\x00"
+    frame = bytearray()
+    frame.append(0x2C)
+    frame += struct.pack("<HHHHB", 0, 0, width, height,
+                         0x40 if interlaced else 0)
+    frame.append(mcs)
+    for i in range(0, len(packed), 255):
+        block = packed[i:i + 255]
+        frame.append(len(block))
+        frame += block
+    frame.append(0)
+    out += frame * n_frames
+    out.append(0x3B)
+    return bytes(out)
 
 
 QUERIES = {

@@ -745,3 +745,117 @@ def test_jpeg_non_divisor_sampling_quarantines():
     patched[sof_comps + 7] = 0x22
     with pytest.raises(ValueError, match="non-divisor"):
         decode_jpeg(bytes(patched))
+
+
+# ---------------------------------------------------------------------------
+# GIF decode (real LZW)
+# ---------------------------------------------------------------------------
+
+def _gif_grid(w, h, ncol, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    colors = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(ncol)
+    ]
+    return [[colors[rng.randrange(ncol)] for _ in range(w)]
+            for _ in range(h)]
+
+
+def test_decode_gif_exact_pixels_and_dictionary_growth():
+    """Round-trip through the REAL LZW path: 250 colors over 64x48
+    pixels forces dictionary growth through several code widths; exact
+    array equality catches palette, orientation, and width-sync bugs a
+    mean cannot."""
+    import numpy as np
+
+    from quebic_spark.operators.multimodal import (
+        _decode_gif_pixels,
+        decode_gif,
+        encode_gif,
+    )
+
+    for w, h, ncol in [(5, 3, 2), (16, 16, 7), (64, 48, 250),
+                       (40, 40, 256)]:
+        rows = _gif_grid(w, h, ncol)
+        rgb, n_frames = _decode_gif_pixels(encode_gif(w, h, rows))
+        assert n_frames == 1
+        assert np.array_equal(rgb, np.array(rows, dtype=np.uint8)), (
+            w, h, ncol
+        )
+    d = decode_gif(encode_gif(6, 4, _gif_grid(6, 4, 5)))
+    assert (d["fmt"], d["width"], d["height"], d["channels"]) == (
+        "gif", 6, 4, 3
+    )
+
+
+def test_decode_gif_interlaced_restores_row_order():
+    import numpy as np
+
+    from quebic_spark.operators.multimodal import (
+        _decode_gif_pixels,
+        encode_gif,
+    )
+
+    # every row a distinct color: any interlace restoration slip
+    # produces a row permutation that exact equality catches
+    h, w = 13, 4  # odd height exercises ragged interlace passes
+    rows = [[(y * 19 % 256, y, 255 - y)] * w for y in range(h)]
+    rgb, _ = _decode_gif_pixels(encode_gif(w, h, rows, interlaced=True))
+    assert np.array_equal(rgb, np.array(rows, dtype=np.uint8))
+
+
+def test_decode_gif_animation_and_spark_route(spark):
+    from quebic_spark.operators.multimodal import decode_media, encode_gif
+
+    payload = encode_gif(8, 8, _gif_grid(8, 8, 9), n_frames=4)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    [row] = decode_media(df).collect()
+    assert row["fmt"] == "gif"
+    assert row["n_frames"] == 4
+    assert row["width"] == 8 and row["height"] == 8
+
+
+def test_decode_gif_corrupt_quarantines(spark):
+    import pytest as _pytest
+
+    from quebic_spark.operators.multimodal import (
+        decode_gif,
+        decode_media,
+        encode_gif,
+    )
+
+    good = encode_gif(8, 8, _gif_grid(8, 8, 4))
+    # 4 colors -> GCT is 4 entries (12 bytes) after the 13-byte
+    # header; the first block id sits at offset 25
+    first_block = 13 + 3 * 4
+    assert good[first_block] == 0x2C
+    bad_cases = {
+        "truncated": good[:20],
+        "bad_block": (good[:first_block] + b"\x99"
+                      + good[first_block + 1:]),
+        "no_trailer_garbage": good[:-1] + b"\x7f",
+    }
+    for name, payload in bad_cases.items():
+        with _pytest.raises(ValueError):
+            decode_gif(payload)
+
+    # geometry bomb: huge declared frame dims with a tiny stream
+    import struct
+
+    bomb = bytearray(good)
+    # image descriptor follows header(13) + GCT; find 0x2C
+    at = bomb.index(0x2C, 13)
+    struct.pack_into("<HH", bomb, at + 5, 65000, 65000)
+    with _pytest.raises(ValueError):
+        decode_gif(bytes(bomb))
+
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(bad_cases.values())],
+        "doc_id long, payload binary",
+    )
+    out = decode_media(df).collect()
+    assert all(r["fmt"] == "gif-error-stub" for r in out)

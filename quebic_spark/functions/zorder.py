@@ -57,6 +57,38 @@ def interleave_bits(buckets: list[Column], bits: int = Z_BITS) -> Column:
     return z
 
 
+def zorder_keys(df, cols, bits: int = Z_BITS, file_bits: int = 0):
+    """Attach Morton keys over ``cols``: one exact min/max agg
+    broadcast back onto ``df``, per-dim range buckets, the interleaved
+    z-value, and (when ``file_bits`` > 0) the top-bits curve-slice id.
+
+    Returns ``(withz, buckets, zval, zfile)`` — the single derivation
+    the writer, the gate, and the scale smoke all share (review catch:
+    three hand-rolled copies, one with a hardcoded shift).
+    ``withz`` carries ``_mn_<col>``/``_mx_<col>`` helper columns the
+    caller projects away."""
+    from pyspark.sql import functions as F
+
+    if not cols:
+        raise ValueError("zorder_keys needs at least one column")
+    if not 0 <= file_bits <= bits * len(cols):
+        raise ValueError("file_bits must be in [0, bits * len(cols)]")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    withz = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    buckets = [
+        range_bucket(F.col(c), F.col(f"_mn_{c}"), F.col(f"_mx_{c}"), bits)
+        for c in cols
+    ]
+    zval = interleave_bits(buckets, bits)
+    zfile = (
+        F.shiftright(zval, bits * len(cols) - file_bits)
+        if file_bits else None
+    )
+    return withz, buckets, zval, zfile
+
+
 def interleave_bits_sql(cols: list[str], bits: int = Z_BITS) -> str:
     """The identical interleave as ANSI-ish SQL (DuckDB dialect) so
     oracles replay the exact arithmetic."""

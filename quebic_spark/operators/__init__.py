@@ -168,12 +168,15 @@ RETIRED_GATES: dict[str, str] = {
                               "in r6",
     "ann_lsh_topk": "bit-signature bucketing stays live via "
                     "dedup_simhash (same hyperplane-sign signature "
-                    "family) and dedup_minhash_lsh (banded signature "
-                    "bucket join); bucket-then-exact-rerank top-k "
-                    "stays live via ann_ivf_topk/ann_ivf_nprobe2 "
-                    "(cell-blocked rerank, same Window top-k). Full "
-                    "oracle keeps running in tests/test_registry.py. "
-                    "Slot given to chunk_documents in r6",
+                    "family); bucket-then-exact-rerank top-k stays "
+                    "live via ann_ivf_nprobe2 (cell-blocked rerank, "
+                    "same Window top-k) and ann_ivf_learned_recall. "
+                    "(dedup_minhash_lsh and ann_ivf_topk, cited here "
+                    "originally, retired the same round — coverage "
+                    "claims rest only on gates still in GATE_ORDER.) "
+                    "Full oracle keeps running in "
+                    "tests/test_registry.py. Slot given to "
+                    "chunk_documents in r6",
     "crawl_snapshot_diff": "born retired (driver window full at 50): "
                            "key-projection + full-outer-join + status "
                            "agg — the join family is driver-gated via "

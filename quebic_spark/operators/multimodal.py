@@ -636,10 +636,12 @@ def _decode_gif_pixels(payload: bytes):
         pos += 3 * n
     n_frames = 0
     first = None  # (w, h, indices, palette)
+    terminated = False
     while pos < len(payload):
         block = payload[pos]
         pos += 1
         if block == 0x3B:  # trailer
+            terminated = True
             break
         if block == 0x21:  # extension: label + sub-blocks, skipped
             if pos >= len(payload):
@@ -682,6 +684,11 @@ def _decode_gif_pixels(payload: bytes):
                 first = (w, h, idx, pal)
         else:
             raise ValueError(f"unknown block id {block:#x}")
+    if not terminated:
+        # running off the end without the 0x3B trailer means the file
+        # was truncated at a block boundary — corrupt, not clean
+        # (review catch: this case decoded silently)
+        raise ValueError("missing GIF trailer")
     if first is None:
         raise ValueError("no image data")
     w, h, idx, pal = first

@@ -786,22 +786,13 @@ ZFILE_BITS = 4  # 16 curve slices / files
 
 
 def q_zorder_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from quebic_spark.functions.zorder import (
-        Z_BITS,
-        interleave_bits,
-        range_bucket,
-    )
+    from quebic_spark.functions.zorder import zorder_keys
 
     ev = _events(spark, sf_dir)
-    rng = ev.agg(
-        F.min("user_id").alias("_mn_u"), F.max("user_id").alias("_mx_u"),
-        F.min("value").alias("_mn_v"), F.max("value").alias("_mx_v"),
+    withz, (u_b, v_b), zval, zfile = zorder_keys(
+        ev.select("user_id", "value"), ["user_id", "value"],
+        file_bits=ZFILE_BITS,
     )
-    withz = ev.crossJoin(F.broadcast(rng))
-    u_b = range_bucket(F.col("user_id"), F.col("_mn_u"), F.col("_mx_u"))
-    v_b = range_bucket(F.col("value"), F.col("_mn_v"), F.col("_mx_v"))
-    zval = interleave_bits([u_b, v_b])
-    zfile = F.shiftright(zval, 2 * Z_BITS - ZFILE_BITS)
     return (
         withz.select(
             u_b.alias("u_bucket"),

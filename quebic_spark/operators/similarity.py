@@ -870,16 +870,26 @@ def embedding_decontaminate(
         F.col(vec_col).alias("_b_emb"),
         l2_norm(F.col(vec_col)).alias("_b_norm"),
     )
+    # norms computed once per side BEFORE the join (bit-identical to
+    # folding inside the pair expression — same sequential fold — but
+    # |corpus| + |bench| folds instead of |corpus| * |bench|)
     cos = dot_product(F.col(vec_col), F.col("_b_emb")) / (
-        l2_norm(F.col(vec_col)) * F.col("_b_norm")
+        F.col("_c_norm") * F.col("_b_norm")
     )
     other = [c for c in corpus.columns if c != vec_col]
     return (
-        corpus.crossJoin(F.broadcast(b))
+        corpus.withColumn("_c_norm", l2_norm(F.col(vec_col)))
+        # LEFT join, not cross: an EMPTY benchmark set must yield every
+        # corpus row with a NULL score, not an empty audit report that
+        # reads as "nothing contaminated" (review catch)
+        .join(F.broadcast(b), F.lit(True), "left")
         .groupBy(*[F.col(c) for c in other])
         .agg(F.max(cos).alias("max_bench_cosine"))
         .withColumn(
-            "contaminated", F.col("max_bench_cosine") >= F.lit(tau)
+            "contaminated",
+            F.coalesce(
+                F.col("max_bench_cosine") >= F.lit(tau), F.lit(False)
+            ),
         )
     )
 

@@ -233,27 +233,19 @@ def write_zorder(
     """
     from pyspark.sql import functions as F
 
-    from quebic_spark.functions.zorder import (
-        interleave_bits,
-        range_bucket,
-    )
+    from quebic_spark.functions.zorder import zorder_keys
 
     _check_format(fmt)
     if not cols:
         raise ValueError("write_zorder needs at least one cluster column")
     if not 0 < file_bits <= bits * len(cols):
         raise ValueError("file_bits must be in (0, bits * len(cols)]")
-    aggs = []
-    for c in cols:
-        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
-    rng = df.agg(*aggs)
-    withz = df.crossJoin(F.broadcast(rng))
-    buckets = [
-        range_bucket(F.col(c), F.col(f"_mn_{c}"), F.col(f"_mx_{c}"), bits)
-        for c in cols
-    ]
-    zval = interleave_bits(buckets, bits)
-    zfile = F.shiftright(zval, bits * len(cols) - file_bits)
+    taken = {"zval", "zfile"} & set(df.columns)
+    if taken:
+        # a pre-existing zval/zfile would collide with the layout
+        # columns below (ambiguous drop/partitionBy — review catch)
+        raise ValueError(f"input already has reserved column(s) {taken}")
+    withz, _buckets, zval, zfile = zorder_keys(df, cols, bits, file_bits)
     out = (
         withz.select(*df.columns, zval.alias("zval"),
                      zfile.alias("zfile"))

@@ -41,19 +41,32 @@ _STATE_SCHEMA = T.StructType([
 
 def _score_series(values, buf, window, min_n, z_threshold):
     """Score each value against the running buffer; mutates ``buf``.
-    Pure driver-free arithmetic shared by every task."""
+
+    The batch operator sums window moments on DECIMAL(18,2); raw float
+    sums here would disagree on zero-variance baselines (a constant
+    0.1 baseline leaves a ~1e-17 float residual, so var lands
+    tiny-positive where the decimal path gets an exact 0 — opposite
+    anomaly verdicts; review catch, reproduced). Mirror the batch
+    exactly: quantize to 2 decimals HALF_UP (Spark's decimal-cast
+    rounding), sum s and q as exact Decimals, convert to double only
+    at the same points the batch plan casts, then run the identical
+    double expression."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cent = Decimal("0.01")
     out = []
     for v in values:
         n = len(buf)
         z = None
         if n >= min_n:
-            s = sum(buf)
-            q = sum(x * x for x in buf)
-            var = max(0.0, (q - s * s / n) / (n - 1))
+            s_dec = sum(buf, Decimal(0))
+            q_dec = sum((x * x for x in buf), Decimal(0))
+            s, q, nn = float(s_dec), float(q_dec), float(n)
+            var = max(0.0, (q - s * s / nn) / (nn - 1))
             if var > 0:
-                z = (v - s / n) / var ** 0.5
+                z = (v - s / nn) / var ** 0.5
         out.append((n, z, bool(z is not None and abs(z) >= z_threshold)))
-        buf.append(v)
+        buf.append(Decimal(v).quantize(cent, rounding=ROUND_HALF_UP))
         del buf[:-window]
     return out
 
@@ -70,16 +83,26 @@ def anomaly_stream(
     input event (update mode)."""
 
     def score(key, pdfs, state: GroupState):
-        buf = list(state.get[0]) if state.exists else []
+        from decimal import ROUND_HALF_UP, Decimal
+
+        # state rides as array<double>; re-quantizing on load recovers
+        # the exact cents (every 2-decimal value round-trips through
+        # its nearest double)
+        cent = Decimal("0.01")
+        buf = (
+            [Decimal(x).quantize(cent, rounding=ROUND_HALF_UP)
+             for x in state.get[0]]
+            if state.exists else []
+        )
         frames = [pdf for pdf in pdfs if len(pdf)]
         if not frames:
-            state.update((buf,))
+            state.update(([float(x) for x in buf],))
             return
         batch = pd.concat(frames).sort_values([ts_col, "event_id"])
         scored = _score_series(
             batch["value"].tolist(), buf, window, min_n, z_threshold
         )
-        state.update((buf,))
+        state.update(([float(x) for x in buf],))
         yield pd.DataFrame({
             "event_id": batch["event_id"].to_numpy(),
             "user_id": key[0],

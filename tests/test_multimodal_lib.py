@@ -838,6 +838,9 @@ def test_decode_gif_corrupt_quarantines(spark):
         "bad_block": (good[:first_block] + b"\x99"
                       + good[first_block + 1:]),
         "no_trailer_garbage": good[:-1] + b"\x7f",
+        # truncated exactly at a block boundary: structure parses but
+        # the 0x3B trailer never arrives (review catch)
+        "missing_trailer": good[:-1],
     }
     for name, payload in bad_cases.items():
         with _pytest.raises(ValueError):

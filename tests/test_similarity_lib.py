@@ -181,3 +181,16 @@ def test_embedding_decontaminate_plan_broadcasts_bench(spark, sf_dir):
     # partial aggregation must collapse pairs map-side before the
     # final exchange (HashAggregate appears above and below it)
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_embedding_decontaminate_empty_bench_keeps_audit_rows(spark):
+    from quebic_spark.operators.similarity import embedding_decontaminate
+
+    corpus = _vec_df(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    bench = _vec_df(spark, [(9, [1.0, 0.0])]).filter("vec_id < 0") \
+        .select("embedding")
+    got = embedding_decontaminate(corpus, bench).collect()
+    # every corpus row survives as an audit row, unscored + unflagged
+    assert sorted(r.vec_id for r in got) == [0, 1]
+    assert all(r.max_bench_cosine is None for r in got)
+    assert all(r.contaminated is False for r in got)

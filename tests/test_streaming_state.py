@@ -194,3 +194,44 @@ def test_streaming_anomaly_matches_batch_and_survives_restart(qpath, spark):
     spike = got[12]  # event_id 12 == u1's 50.0
     assert spike["is_anomaly"] and spike["baseline_n"] == 6
     q.dispose()
+
+
+def test_stream_scorer_matches_batch_on_inexact_floats(spark):
+    """Regression (review catch): a constant 0.1 baseline must score
+    var == 0 on BOTH paths. Raw float sums leave a ~1e-17 residual ->
+    tiny-positive var -> a bogus huge z where the batch DECIMAL path
+    returns NULL; the stream scorer quantizes to exact cents first."""
+    from quebic_spark.operators.temporal import anomaly_scores
+    from quebic_spark.streaming.anomaly import _score_series
+
+    vals = [0.1] * 8 + [9.0, 0.3]
+    rows = [(i, 1, i, v) for i, v in enumerate(vals)]
+    batch_df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double"
+    )
+    expect = {r.event_id: r
+              for r in anomaly_scores(batch_df, min_n=3).collect()}
+
+    buf: list = []
+    got = _score_series(vals, buf, window=20, min_n=3, z_threshold=3.0)
+    for i, (n, z, flag) in enumerate(got):
+        e = expect[i]
+        assert n == e.baseline_n, i
+        assert flag == e.is_anomaly, (i, z, e.z)
+        if e.z is None:
+            assert z is None, (i, z)
+        else:
+            assert abs(z - e.z) < 1e-12, (i, z, e.z)
+    # the constant-baseline row: both sides agree on the SAME tiny
+    # residual z (the decimal sums still pass through double casts, so
+    # the batch z is ~1e-8, not NULL — what matters is that the stream
+    # path lands on the identical value instead of a ~1e9 blowup from
+    # raw float sums) and neither side flags it
+    assert expect[7].z is not None and abs(expect[7].z) < 1e-6
+    assert abs(got[7][1] - expect[7].z) < 1e-12
+    assert not expect[7].is_anomaly and not got[7][2]
+    # one row later the same residual lands NEGATIVE and the
+    # greatest(0, var) clamp zeroes it -> NULL z on BOTH paths (the
+    # sign of the double residue is n-dependent; agreement, not a
+    # particular sign, is the contract)
+    assert expect[8].z is None and got[8][1] is None

@@ -160,3 +160,11 @@ def test_write_zorder_validates_args(spark, events):
     with pytest.raises(ValueError):
         write_zorder(spark, events, "/tmp/never", ["user_id"],
                      bits=8, file_bits=9)
+
+
+def test_write_zorder_rejects_reserved_columns(spark, events):
+    with pytest.raises(ValueError, match="reserved"):
+        write_zorder(
+            spark, events.withColumn("zval", F.lit(1)), "/tmp/never",
+            ["user_id", "value"],
+        )

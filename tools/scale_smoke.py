@@ -245,22 +245,14 @@ def main() -> None:
     def op_zorder_stats(docs, emb):
         # min/max agg + scan-resident bit math + 16-group agg: growth
         # must track the two scans alone
-        from quebic_spark.functions.zorder import (
-            interleave_bits,
-            range_bucket,
-        )
+        from quebic_spark.functions.zorder import zorder_keys
 
-        rng = docs.agg(
-            F.min("doc_id").alias("_mn_d"), F.max("doc_id").alias("_mx_d"),
-            F.min("n_chars").alias("_mn_c"), F.max("n_chars").alias("_mx_c"),
+        withz, _b, _z, zfile = zorder_keys(
+            docs.select("doc_id", "n_chars"), ["doc_id", "n_chars"],
+            file_bits=4,
         )
-        withz = docs.crossJoin(F.broadcast(rng))
-        zval = interleave_bits([
-            range_bucket(F.col("doc_id"), F.col("_mn_d"), F.col("_mx_d")),
-            range_bucket(F.col("n_chars"), F.col("_mn_c"), F.col("_mx_c")),
-        ])
         return (
-            withz.select(F.shiftright(zval, 12).alias("zfile"))
+            withz.select(zfile.alias("zfile"))
             .groupBy("zfile").count().count()
         )
 

@@ -55,6 +55,7 @@ for _mod in _MODULES:
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
     # --- r6: new gates this round ---
+    "cms_heavy_hitters",
     "event_anomaly_scores",
     "phrase_search",
     "cdc_chunks",
@@ -85,7 +86,6 @@ GATE_ORDER: tuple[str, ...] = (
     "weighted_sample",
     # --- r3: first driver gate for these (registry overflowed in r2) ---
     "train_split_counts",
-    "heavy_hitter_keys",
     "quantile_sketch",
     "pipeline_doc_counts",
     "event_pairs_within_5min",
@@ -116,6 +116,16 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "heavy_hitter_keys": "its exact mechanism (key groupBy count + "
+                         "row_number top-k + tie-break) runs VERBATIM "
+                         "inside the live cms_heavy_hitters gate as "
+                         "the truth side the sketch estimates are "
+                         "hash-compared against — a regression in the "
+                         "exact path breaks that gate's hash. Full "
+                         "oracle (incl. the broadcast total-share "
+                         "join) keeps running in "
+                         "tests/test_registry.py. Slot given to "
+                         "cms_heavy_hitters in r6",
     "session_topk_events": "session-window derivation stays live via "
                            "event_sessions (same gap-based session "
                            "tagging), per-group top-k rank windows "

@@ -620,6 +620,159 @@ FROM chunks
 
 
 # ---------------------------------------------------------------------------
+# cms_heavy_hitters — Count-Min sketch frequency estimation: the
+# mergeable-sketch answer to "how often does key X occur" when the key
+# space is too large to count exactly. Completes the sketch family
+# (HLL = cardinality in cardinality_sketch, GK = quantiles in
+# quantile_sketch, CMS = frequencies here).
+#
+# Relational formulation: each occurrence explodes into DEPTH
+# (row, md5-bucket) cells; the sketch IS a (row, col) count table of
+# at most DEPTH * WIDTH rows — bounded regardless of corpus size, and
+# mergeable because it is an aggregation (partial aggregation
+# map-side; union two sketches by summing cells). A probe key's
+# estimate is the MIN over its DEPTH cells — never below the true
+# count by construction (every occurrence of the key landed in all of
+# its cells; collisions only ADD). The gate probes the exact top-k
+# keys and emits estimate vs truth plus the is-overestimate contract
+# boolean; everything is md5 arithmetic, so DuckDB replays the entire
+# sketch hash-exactly.
+#
+# Scale shape: one explode (factor DEPTH) + one bounded groupBy for
+# the sketch; the probe side is top-k-sized and joins the broadcast
+# sketch table. At 100 TB the sketch table is the only state that
+# moves — DEPTH * WIDTH rows, whatever the corpus.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOP_K = 20
+
+
+def _cms_bucket(row: int, key) -> "F.Column":
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{row}|"), key.cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % CMS_WIDTH
+    )
+
+
+def cms_sketch(keyed: DataFrame, key_col: str = "key") -> DataFrame:
+    """Build the (row, col, cell_count) sketch table from a keyed
+    frame — at most DEPTH * WIDTH rows."""
+    cells = F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            _cms_bucket(i, F.col(key_col)).alias("col"),
+        )
+        for i in range(CMS_DEPTH)
+    ])
+    return (
+        keyed.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.row").alias("row"),
+                 F.col("cell.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, key_col: str = "key"
+) -> DataFrame:
+    """min-over-rows estimate for each probe key."""
+    cells = F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            _cms_bucket(i, F.col(key_col)).alias("col"),
+        )
+        for i in range(CMS_DEPTH)
+    ])
+    exploded = probes.select(
+        key_col, F.explode(cells).alias("cell")
+    ).select(key_col, F.col("cell.row").alias("row"),
+             F.col("cell.col").alias("col"))
+    return (
+        exploded.join(F.broadcast(sketch), ["row", "col"])
+        .groupBy(key_col)
+        .agg(F.min("cell_count").alias("est_count"))
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    keyed = ev.select(
+        F.concat(
+            F.col("user_id").cast("string"), F.lit("|"),
+            F.col("event_type"),
+        ).alias("key")
+    )
+    sketch = cms_sketch(keyed)
+    true_counts = keyed.groupBy("key").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    w = Window.orderBy(F.desc("true_count"), "key")
+    topk = true_counts.withColumn(
+        "rank", F.row_number().over(w)
+    ).filter(F.col("rank") <= CMS_TOP_K)
+    est = cms_estimate(sketch, topk.select("key"))
+    return (
+        topk.join(est, "key")
+        .select(
+            "key", "rank", "true_count", "est_count",
+            (F.col("est_count") >= F.col("true_count")).alias(
+                "never_underestimates"
+            ),
+        )
+    )
+
+
+ORACLE_CMS_HEAVY_HITTERS = f"""
+WITH keyed AS (
+  SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS key
+  FROM events
+),
+cells AS (
+  SELECT key, t.i AS row,
+         (('0x' || substr(md5(CAST(t.i AS VARCHAR) || '|' || key),
+                          1, 8))::BIGINT % {CMS_WIDTH}) AS col
+  FROM keyed, UNNEST(range(0, {CMS_DEPTH})) AS t(i)
+),
+sketch AS (
+  SELECT row, col, COUNT(*) AS cell_count FROM cells
+  GROUP BY row, col
+),
+true_counts AS (
+  SELECT key, COUNT(*) AS true_count FROM keyed GROUP BY key
+),
+topk AS (
+  SELECT key, true_count,
+         ROW_NUMBER() OVER (ORDER BY true_count DESC, key) AS rank
+  FROM true_counts
+  QUALIFY rank <= {CMS_TOP_K}
+),
+probe_cells AS (
+  SELECT k.key, t.i AS row,
+         (('0x' || substr(md5(CAST(t.i AS VARCHAR) || '|' || k.key),
+                          1, 8))::BIGINT % {CMS_WIDTH}) AS col
+  FROM topk k, UNNEST(range(0, {CMS_DEPTH})) AS t(i)
+),
+est AS (
+  SELECT p.key, MIN(s.cell_count) AS est_count
+  FROM probe_cells p JOIN sketch s USING (row, col)
+  GROUP BY p.key
+)
+SELECT t.key, t.rank, t.true_count, e.est_count,
+       e.est_count >= t.true_count AS never_underestimates
+FROM topk t JOIN est e USING (key)
+"""
+
+
+# ---------------------------------------------------------------------------
 # cdc_chunks — content-defined chunking: chunk boundaries fall where a
 # rolling k-gram hash hits a divisor condition, so boundaries are a
 # LOCAL property of the text. Editing a document shifts every
@@ -1365,6 +1518,7 @@ ORACLE_CORPUS_RELEASE_COUNTS = _release_counts_oracle()
 
 
 QUERIES = {
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "cdc_chunks": q_cdc_chunks,
     "zorder_events_stats": q_zorder_events_stats,
     "chunk_documents": q_chunk_documents,
@@ -1383,6 +1537,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
     "cdc_chunks": ORACLE_CDC_CHUNKS,
     "zorder_events_stats": ORACLE_ZORDER_EVENTS_STATS,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,

@@ -202,3 +202,53 @@ def test_cdc_plan_is_scan_resident(spark, sf_dir):
         .executedPlan().toString()
     assert "hashpartitioning" not in plan, plan
     assert plan.count("Exchange") <= 1, plan  # fan_out only
+
+
+def test_chunkers_fuzz_against_python_reference(spark):
+    """300 random docs (varied lengths incl. boundary sizes) through
+    BOTH chunkers in one Spark job each, compared field-by-field to
+    the independent Python references."""
+    import math
+    import random
+
+    from quebic_spark.operators.sampling import (
+        CDC_DIV,
+        CDC_K,
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        cdc_chunks,
+        chunk_documents,
+    )
+
+    rng = random.Random(1234)
+    vocab = [f"v{i}" for i in range(60)]
+    sizes = [1, 2, CDC_K, CHUNK_TOKENS - 1, CHUNK_TOKENS,
+             CHUNK_TOKENS + 1] + [rng.randrange(1, 600)
+                                  for _ in range(294)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(n)))
+        for i, n in enumerate(sizes)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    texts = dict(rows)
+
+    got_fixed: dict[int, list] = {}
+    for r in chunk_documents(docs).collect():
+        got_fixed.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        n = len(toks)
+        n_chunks = max(1, math.ceil((n - CHUNK_TOKENS) / CHUNK_STRIDE) + 1)
+        mine = sorted(got_fixed[doc_id], key=lambda r: r.chunk_idx)
+        assert len(mine) == n_chunks, doc_id
+        for i, r in enumerate(mine):
+            piece = toks[i * CHUNK_STRIDE: i * CHUNK_STRIDE + CHUNK_TOKENS]
+            assert r.chunk_text == " ".join(piece), (doc_id, i)
+
+    got_cdc: dict[int, list] = {}
+    for r in cdc_chunks(docs).collect():
+        got_cdc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in rows:
+        expect = _py_cdc(text, CDC_K, CDC_DIV)
+        mine = sorted(got_cdc[doc_id], key=lambda r: r.chunk_no)
+        assert [(r.start_tok, r.chunk_text) for r in mine] == expect, doc_id

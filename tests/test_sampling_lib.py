@@ -1,0 +1,68 @@
+"""Sketch-family operators in operators/sampling.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quebic_spark.operators.sampling import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    cms_estimate,
+    cms_sketch,
+)
+
+
+def _keys_df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "key string")
+
+
+def test_cms_never_underestimates_and_is_exact_without_collisions(spark):
+    keys = [f"k{i}" for i in range(30) for _ in range(i + 1)]
+    df = _keys_df(spark, keys)
+    sketch = cms_sketch(df)
+    probes = _keys_df(spark, [f"k{i}" for i in range(30)])
+    est = {r.key: r.est_count
+           for r in cms_estimate(sketch, probes).collect()}
+    for i in range(30):
+        true = i + 1
+        assert est[f"k{i}"] >= true, (i, est[f"k{i}"])
+    # 30 distinct keys over depth 4 x width 256: overwhelmingly
+    # collision-free, so estimates equal truth exactly
+    assert sum(est[f"k{i}"] - (i + 1) for i in range(30)) == 0
+
+
+def test_cms_sketch_is_bounded_and_mergeable(spark):
+    import random
+
+    rng = random.Random(5)
+    a = [f"x{rng.randrange(2000)}" for _ in range(4000)]
+    b = [f"x{rng.randrange(2000)}" for _ in range(4000)]
+    sk_a = cms_sketch(_keys_df(spark, a))
+    sk_b = cms_sketch(_keys_df(spark, b))
+    sk_ab = cms_sketch(_keys_df(spark, a + b))
+
+    # bounded: never more than DEPTH * WIDTH cells no matter the keys
+    assert sk_ab.count() <= CMS_DEPTH * CMS_WIDTH
+
+    # mergeable: union sketch == cell-wise sum of the two sketches
+    merged = {
+        (r.row, r.col): r.s
+        for r in sk_a.unionByName(sk_b)
+        .groupBy("row", "col")
+        .agg(F.sum("cell_count").alias("s"))
+        .collect()
+    }
+    direct = {(r.row, r.col): r.cell_count for r in sk_ab.collect()}
+    assert merged == direct
+
+
+def test_cms_overestimates_under_forced_collisions(spark):
+    # 5000 distinct singleton keys >> width 256: every cell is shared,
+    # so estimates must sit strictly above the true count of 1 for
+    # most probes while never going below it
+    keys = [f"c{i}" for i in range(5000)]
+    sketch = cms_sketch(_keys_df(spark, keys))
+    probes = _keys_df(spark, keys[:50])
+    est = [r.est_count for r in cms_estimate(sketch, probes).collect()]
+    assert all(e >= 1 for e in est)
+    assert sum(1 for e in est if e > 1) > 25

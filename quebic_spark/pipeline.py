@@ -133,3 +133,127 @@ def release_corpus(
     finally:
         if cached is not None:
             cached.unpersist(blocking=False)
+
+
+# ---------------------------------------------------------------------------
+# Versioned releases: a registry of immutable release artifacts under
+# one root (``v=N`` directories + ``_releases.json``), so a training
+# run can pin "corpus release 3" and an audit can ask exactly what
+# changed between releases. The registry file is written LAST and
+# atomically — its presence marks a complete version, the same
+# completeness-marker discipline as the queue's staged commits and the
+# LM/classifier artifacts. All registry IO goes through the Hadoop
+# FileSystem API so the root may live on an object store or HDFS,
+# like the shard manifests.
+# ---------------------------------------------------------------------------
+
+
+def _registry_fs(spark: SparkSession, root: str):
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    rpath = jvm.org.apache.hadoop.fs.Path(root, "_releases.json")
+    fs = rpath.getFileSystem(hconf)
+    return jvm, fs, rpath
+
+
+def read_release_registry(spark: SparkSession, root: str) -> dict:
+    """The registry dict ({"versions": [{"version", "path",
+    "manifest"}...]}); empty when no release exists yet."""
+    import json
+
+    jvm, fs, rpath = _registry_fs(spark, root)
+    if not fs.exists(rpath):
+        return {"versions": []}
+    stream = fs.open(rpath)
+    try:
+        # commons-io rides on Hadoop's classpath; a JVM-side toString
+        # avoids py4j byte[] round-trips (py4j hands a COPY to the JVM,
+        # so readFully into a gateway array comes back all zeros)
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+        return json.loads(text)
+    finally:
+        stream.close()
+
+
+def _write_registry(spark: SparkSession, root: str, reg: dict) -> None:
+    import json
+    import os
+
+    from quebic_spark.queue.storage import write_json_atomic
+
+    jvm, fs, rpath = _registry_fs(spark, root)
+    if fs.getScheme() == "file":
+        write_json_atomic(
+            os.path.join(rpath.toUri().getPath()), reg, sync=False
+        )
+    else:
+        out = fs.create(rpath, True)
+        try:
+            out.write(bytearray(json.dumps(reg, indent=2).encode()))
+        finally:
+            out.close()
+
+
+def release_versioned(
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    n_shards: int,
+    **release_kwargs,
+) -> dict:
+    """Run :func:`release_corpus` into the next ``v=N`` directory
+    under ``root`` and record it in the registry. Returns
+    ``{"version": N, "path": ..., "manifest": ...}``."""
+    reg = read_release_registry(spark, root)
+    version = 1 + max(
+        (v["version"] for v in reg["versions"]), default=0
+    )
+    rel_path = f"v={version}"
+    manifest = release_corpus(
+        spark, docs, f"{root}/{rel_path}", n_shards, **release_kwargs
+    )
+    entry = {"version": version, "path": rel_path, "manifest": manifest}
+    reg["versions"].append(entry)
+    _write_registry(spark, root, reg)
+    return entry
+
+
+def load_release(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Open a registered release (default: latest) with the pruning
+    shard reader."""
+    from quebic_spark.sources.io import read_corpus_shards
+
+    reg = read_release_registry(spark, root)
+    if not reg["versions"]:
+        raise ValueError(f"no releases registered under {root}")
+    by_v = {v["version"]: v for v in reg["versions"]}
+    if version is None:
+        version = max(by_v)
+    if version not in by_v:
+        raise ValueError(
+            f"release {version} not in registry ({sorted(by_v)})"
+        )
+    entry = by_v[version]
+    return read_corpus_shards(
+        spark, f"{root}/{entry['path']}",
+        fmt=entry["manifest"].get("format", "parquet"),
+    )
+
+
+def diff_releases(
+    spark: SparkSession, root: str, old_version: int, new_version: int
+) -> DataFrame:
+    """added/removed/retained content-key delta between two registered
+    releases — :func:`operators.dedup.snapshot_diff` over the
+    provenance ``content_key`` column both artifacts carry."""
+    from quebic_spark.operators.dedup import snapshot_diff
+
+    old = load_release(spark, root, old_version)
+    new = load_release(spark, root, new_version)
+    return snapshot_diff(
+        old.select("content_key"), new.select("content_key")
+    )

@@ -138,3 +138,52 @@ def test_release_corpus_with_model_tier(spark, docs, tmp_path):
     # the model tier must actually bite on this corpus (not a no-op):
     # the FILTER ITSELF must drop docs, not just the downstream dedup
     assert survivors.count() < docs.count()
+
+
+def test_versioned_releases_register_load_and_diff(spark, docs, tmp_path):
+    """Two releases of an evolving corpus: the registry records both,
+    load_release pins exact artifacts, and diff_releases reports the
+    added/removed/retained content-key delta between them."""
+    from quebic_spark.pipeline import (
+        diff_releases,
+        load_release,
+        read_release_registry,
+        release_versioned,
+    )
+
+    root = str(tmp_path / "corpus_releases")
+    v1_docs = docs.filter("doc_id % 10 < 8")   # sources 0..; most docs
+    v2_docs = docs.filter("doc_id % 10 >= 2")  # overlaps, adds, drops
+
+    e1 = release_versioned(spark, v1_docs, root, n_shards=4,
+                           quality_cut_pct=0.0)
+    e2 = release_versioned(spark, v2_docs, root, n_shards=4,
+                           quality_cut_pct=0.0)
+    assert (e1["version"], e2["version"]) == (1, 2)
+
+    reg = read_release_registry(spark, root)
+    assert [v["version"] for v in reg["versions"]] == [1, 2]
+    assert all(v["manifest"]["total_rows"] > 0 for v in reg["versions"])
+
+    # load: latest is v2; explicit pin returns v1
+    latest = load_release(spark, root)
+    pinned = load_release(spark, root, 1)
+    assert latest.count() == e2["manifest"]["total_rows"]
+    assert pinned.count() == e1["manifest"]["total_rows"]
+
+    # diff agrees with a direct key comparison of the two artifacts
+    k1 = {r.content_key for r in pinned.select("content_key").collect()}
+    k2 = {r.content_key for r in latest.select("content_key").collect()}
+    got = {r.status: r.n_keys
+           for r in diff_releases(spark, root, 1, 2).collect()}
+    assert got.get("added", 0) == len(k2 - k1)
+    assert got.get("removed", 0) == len(k1 - k2)
+    assert got.get("retained", 0) == len(k1 & k2)
+    assert got.get("added", 0) > 0 and got.get("removed", 0) > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        load_release(spark, root, 99)
+    with _pytest.raises(ValueError):
+        load_release(spark, str(tmp_path / "empty_root"))

@@ -284,3 +284,33 @@ def test_mixture_sample_no_corpus_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # no sort-merge join anywhere: every join is broadcast-sized
     assert "SortMergeJoin" not in plan
+
+
+def test_dynamic_partition_pruning_on_sharded_corpus(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: when the fact side is partitioned by
+    the join key and the dim side arrives filtered, the fact scan must
+    prune partitions AT RUNTIME from the dim's broadcast result — at
+    100 TB this is the difference between scanning 4 shards and 100.
+    The plan carries a dynamicpruning subquery inside the fact scan's
+    PartitionFilters."""
+    from pyspark.sql import functions as F
+
+    from quebic_spark.operators.sampling import hash_bucket
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fact_path = str(tmp_path / "fact_parts")
+    (docs.withColumn("part", hash_bucket(F.col("doc_id"), 8))
+     .write.partitionBy("part").mode("overwrite").parquet(fact_path))
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        spark.range(8).select(F.col("id").cast("int").alias("part"))
+        .withColumn("keep", F.col("part") < 2)
+    )
+    joined = fact.join(dim.filter("keep"), "part").select(
+        "doc_id", "part"
+    )
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result is exactly the kept shards' rows
+    expect = fact.filter("part < 2").count()
+    assert joined.count() == expect and expect > 0

@@ -235,3 +235,63 @@ def test_stream_scorer_matches_batch_on_inexact_floats(spark):
     # sign of the double residue is n-dependent; agreement, not a
     # particular sign, is the contract)
     assert expect[8].z is None and got[8][1] is None
+
+
+def test_stream_stream_join_within_time_bound(tmp_path, spark):
+    """Stream-stream inner join with watermarks on both sides and an
+    event-time range condition — the Structured Streaming provision
+    (SURVEY §2.9) that joins two live feeds with BOUNDED state: each
+    side's buffer is evictable once the watermark passes the range.
+    Verified against a Python reference over the same feed."""
+    clicks_q = Queue(str(tmp_path / "clicks"),
+                     Schema(INTEGER, INTEGER, INTEGER), capacity=10000)
+    buys_q = Queue(str(tmp_path / "buys"),
+                   Schema(INTEGER, INTEGER, INTEGER), capacity=10000)
+    base = 1_700_000_000_000
+    # (id, user, ts_ms): user 1 clicks at minutes 0..9, buys at 3/8/40;
+    # user 2 clicks at minute 5, buys at minute 6
+    clicks = [[i, 1, base + i * 60_000] for i in range(10)]
+    clicks.append([100, 2, base + 5 * 60_000])
+    buys = [[200, 1, base + 3 * 60_000 + 1],
+            [201, 1, base + 8 * 60_000],
+            [202, 1, base + 40 * 60_000],
+            [203, 2, base + 6 * 60_000]]
+    clicks_q.publisher().push_all(clicks)
+    buys_q.publisher().push_all(buys)
+
+    def stream_of(q, prefix):
+        return read_queue_stream(spark, q).select(
+            F.col("c0").alias(f"{prefix}_id"),
+            F.col("c1").alias(f"{prefix}_user"),
+            F.timestamp_millis(F.col("c2")).alias(f"{prefix}_ts"),
+        ).withWatermark(f"{prefix}_ts", "30 minutes")
+
+    c, b = stream_of(clicks_q, "c"), stream_of(buys_q, "b")
+    joined = c.join(
+        b,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("c_ts"))
+        & (F.col("b_ts") <= F.col("c_ts") + F.expr("INTERVAL 5 MINUTES")),
+    )
+    out: list[tuple] = []
+    query = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, _: out.extend(
+                (r["c_id"], r["b_id"]) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    expect = set()
+    for cid, cu, cts in clicks:
+        for bid, bu, bts in buys:
+            if cu == bu and cts <= bts <= cts + 5 * 60_000:
+                expect.add((cid, bid))
+    assert set(out) == expect and len(expect) >= 6
+    clicks_q.dispose()
+    buys_q.dispose()

@@ -256,7 +256,23 @@ def main() -> None:
             .groupBy("zfile").count().count()
         )
 
+    def op_cms_sketch(docs, emb):
+        # sketch output is DEPTH*WIDTH-bounded: growth must track the
+        # explode scan, and the result row count must NOT grow at all
+        from quebic_spark.operators.sampling import (
+            CMS_DEPTH,
+            CMS_WIDTH,
+            cms_sketch,
+        )
+
+        n = cms_sketch(
+            docs.select(F.col("source").alias("key"))
+        ).count()
+        assert n <= CMS_DEPTH * CMS_WIDTH, n
+        return n
+
     ops = {
+        "cms_sketch": op_cms_sketch,
         "chunk_documents": op_chunk_documents,
         "cdc_chunks": op_cdc_chunks,
         "embedding_decontaminate": op_embedding_decontaminate,

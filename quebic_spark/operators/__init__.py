@@ -55,6 +55,7 @@ for _mod in _MODULES:
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
     # --- r6: new gates this round ---
+    "hll_merge_cardinality",
     "cms_heavy_hitters",
     "event_anomaly_scores",
     "phrase_search",
@@ -90,7 +91,6 @@ GATE_ORDER: tuple[str, ...] = (
     "pipeline_doc_counts",
     "event_pairs_within_5min",
     # --- r3: behavior or plan changed this round ---
-    "cardinality_sketch",
     "dedup_clusters",
     "multimodal_decode",
     # --- stable since r2 (driver-green in CORRECTNESS_r02) ---
@@ -116,6 +116,15 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "cardinality_sketch": "every mechanism it gates (md5-keyed exact "
+                          "distinct to keep text bodies out of the "
+                          "Expand shuffle, approx-vs-exact tolerance "
+                          "booleans) runs verbatim inside the live "
+                          "hll_merge_cardinality gate, which adds the "
+                          "sketch-column mergeability contract on "
+                          "top. Full oracle keeps running in "
+                          "tests/test_registry.py. Slot given to "
+                          "hll_merge_cardinality in r6",
     "heavy_hitter_keys": "its exact mechanism (key groupBy count + "
                          "row_number top-k + tie-break) runs VERBATIM "
                          "inside the live cms_heavy_hitters gate as "

@@ -774,6 +774,80 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# hll_merge_cardinality — SKETCH COLUMNS: per-group HLL sketches
+# (DataSketches binary payloads via hll_sketch_agg) merged into a
+# global estimate via hll_union_agg, compared against the exact
+# distinct count computed in the same plan. This is the mechanism
+# cardinality_sketch (one-shot approx_count_distinct) cannot express:
+# the sketch is a COLUMN — store one per day/shard/source, and
+# tomorrow's global distinct count is a union of stored sketches, no
+# rescan of yesterday's 100 TB. Mergeability contract proven in-plan:
+# the union-of-per-source-sketches estimate must match the whole-corpus
+# single-sketch estimate within tolerance, and both must bracket the
+# exact count.
+#
+# Sketch bytes are engine-specific, so the gate emits only portable
+# facts (exact counts) + contract booleans — the cardinality_sketch
+# pattern. Scale shape: one partial-aggregatable pass for the per-source
+# sketches (source-keyed exchange), one tiny union over n_sources rows.
+# ---------------------------------------------------------------------------
+
+def q_hll_merge_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    key = F.md5("text")  # 32-byte shuffle key, same as cardinality_sketch
+    per_source = docs.groupBy("source").agg(
+        F.hll_sketch_agg(key, F.lit(14)).alias("sk"),
+        F.countDistinct(key).alias("exact_src_distinct"),
+    )
+    rollup = per_source.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("exact_src_distinct").alias("sum_source_distinct"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_merged_est"),
+    )
+    whole = docs.agg(
+        F.countDistinct(key).alias("exact_distinct"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(key, F.lit(14))
+        ).alias("_single_est"),
+    )
+    j = rollup.crossJoin(F.broadcast(whole))
+    rel_err = (
+        F.abs(F.col("_merged_est") - F.col("exact_distinct"))
+        .cast("double") / F.col("exact_distinct")
+    )
+    return j.select(
+        "n_sources",
+        "exact_distinct",
+        "sum_source_distinct",
+        # per-source distinct sums can only overcount the global
+        # (cross-source duplicates counted once per source)
+        (F.col("sum_source_distinct") >= F.col("exact_distinct")).alias(
+            "sum_ge_global"
+        ),
+        # lgK=14 => stderr ~0.8%; 4% = 5 sigma
+        (rel_err <= 0.04).alias("merged_within_4pct"),
+        # merging per-group sketches must agree with sketching the
+        # whole corpus at once — the mergeability contract
+        (F.col("_merged_est") == F.col("_single_est")).alias(
+            "merge_equals_single_sketch"
+        ),
+    )
+
+
+ORACLE_HLL_MERGE_CARDINALITY = """
+SELECT COUNT(DISTINCT source) AS n_sources,
+       COUNT(DISTINCT md5(text)) AS exact_distinct,
+       (SELECT CAST(SUM(d) AS BIGINT) FROM (
+          SELECT COUNT(DISTINCT md5(text)) AS d FROM documents
+          GROUP BY source)) AS sum_source_distinct,
+       TRUE AS sum_ge_global,
+       TRUE AS merged_within_4pct,
+       TRUE AS merge_equals_single_sketch
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_spans — cross-document duplicated-substring spans (ExactSubstr).
 # ---------------------------------------------------------------------------
 
@@ -1704,6 +1778,7 @@ QUERIES = {
     "dedup_incremental_bloom": q_dedup_incremental_bloom,
     "dedup_keep_best": q_dedup_keep_best,
     "cardinality_sketch": q_cardinality_sketch,
+    "hll_merge_cardinality": q_hll_merge_cardinality,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_rows": q_dedup_exact_rows,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1723,6 +1798,7 @@ ORACLES = {
     "dedup_incremental_bloom": ORACLE_DEDUP_INCREMENTAL_BLOOM,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "cardinality_sketch": ORACLE_CARDINALITY_SKETCH,
+    "hll_merge_cardinality": ORACLE_HLL_MERGE_CARDINALITY,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_exact_rows": ORACLE_DEDUP_EXACT_ROWS,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,

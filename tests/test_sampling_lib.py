@@ -66,3 +66,43 @@ def test_cms_overestimates_under_forced_collisions(spark):
     est = [r.est_count for r in cms_estimate(sketch, probes).collect()]
     assert all(e >= 1 for e in est)
     assert sum(1 for e in est if e > 1) > 25
+
+
+def test_hll_sketch_column_persists_and_merges(spark, sf_dir, tmp_path):
+    """The sketch-column contract, literally: write per-source HLL
+    sketches to parquet, read them back in a fresh scan, union-merge —
+    the estimate must equal merging the live sketches, and bracket the
+    exact distinct count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.md5("text")
+    per_source = docs.groupBy("source").agg(
+        F.hll_sketch_agg(key, F.lit(14)).alias("sk")
+    )
+    path = str(tmp_path / "sketches")
+    per_source.write.mode("overwrite").parquet(path)
+
+    def merged_estimate(df):
+        [r] = df.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        ).collect()
+        return r.est
+
+    live = merged_estimate(per_source)
+    stored = merged_estimate(spark.read.parquet(path))
+    assert stored == live
+
+    [r] = docs.agg(F.countDistinct(key).alias("d")).collect()
+    assert abs(stored - r.d) / r.d <= 0.04
+
+    # incremental union: merge stored sketches with a NEW day's sketch
+    # without rescanning the old corpus
+    day2 = docs.limit(50).withColumn(
+        "text2", F.concat(F.col("text"), F.lit(" day2"))
+    )
+    sk2 = day2.groupBy("source").agg(
+        F.hll_sketch_agg(F.md5("text2"), F.lit(14)).alias("sk")
+    )
+    combined = merged_estimate(
+        spark.read.parquet(path).unionByName(sk2)
+    )
+    assert combined > stored  # new distinct texts strictly grow it

@@ -187,3 +187,42 @@ def test_versioned_releases_register_load_and_diff(spark, docs, tmp_path):
         load_release(spark, root, 99)
     with _pytest.raises(ValueError):
         load_release(spark, str(tmp_path / "empty_root"))
+
+
+def test_orphan_release_dir_is_invisible_and_reclaimed(spark, docs, tmp_path):
+    """Crash discipline: the registry is written LAST, so a release
+    that died mid-write leaves an orphan v=N directory that (a) no
+    load_release/diff can see and (b) the next release_versioned
+    overwrites under the same version number — half-written artifacts
+    never leak into training."""
+    import shutil
+
+    from quebic_spark.pipeline import (
+        load_release,
+        read_release_registry,
+        release_versioned,
+    )
+
+    root = str(tmp_path / "rel_crash")
+    e1 = release_versioned(spark, docs, root, n_shards=2,
+                           quality_cut_pct=0.0)
+    assert e1["version"] == 1
+
+    # simulate a crash: v=2 exists on disk (even with a _SUCCESS from
+    # the inner write) but the registry append never happened
+    shutil.copytree(os.path.join(root, "v=1"),
+                    os.path.join(root, "v=2"))
+    reg = read_release_registry(spark, root)
+    assert [v["version"] for v in reg["versions"]] == [1]
+    assert load_release(spark, root).count() == e1["manifest"]["total_rows"]
+    with pytest.raises(ValueError):
+        load_release(spark, root, 2)  # orphan is not a release
+
+    # the next release takes version 2, overwriting the orphan
+    e2 = release_versioned(
+        spark, docs.filter("doc_id % 2 = 0"), root, n_shards=2,
+        quality_cut_pct=0.0,
+    )
+    assert e2["version"] == 2
+    assert load_release(spark, root, 2).count() == \
+        e2["manifest"]["total_rows"]

@@ -55,6 +55,7 @@ for _mod in _MODULES:
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
     # --- r6: new gates this round ---
+    "source_scorecard",
     "hll_merge_cardinality",
     "cms_heavy_hitters",
     "event_anomaly_scores",
@@ -103,7 +104,6 @@ GATE_ORDER: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "ann_bruteforce_topk",
-    "lang_id",
     "quality_filter_stats",
     "event_sessions",
     "event_json_props",
@@ -116,6 +116,14 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "lang_id": "the marker-hit + priority-chain argmax prediction is "
+               "literally the same code (_lang_pred_parts) running "
+               "inside the live source_scorecard gate, whose "
+               "n_lang_match column hash-checks prediction-vs-label "
+               "agreement per source; a prediction regression breaks "
+               "that gate's hash. Full per-doc oracle keeps running "
+               "in tests/test_registry.py. Slot given to "
+               "source_scorecard in r6",
     "cardinality_sketch": "every mechanism it gates (md5-keyed exact "
                           "distinct to keep text bodies out of the "
                           "Expand shuffle, approx-vs-exact tolerance "

@@ -140,33 +140,16 @@ FROM documents
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    toks = tokens(F.col("text"))
-
-    def _hit_counter(words: tuple[str, ...]):
-        # closure factory: F.filter treats a 2-arg lambda as
-        # (element, index), so the word list must close over, not
-        # default-arg into, the lambda
-        return lambda t: t.isin(*words)
-
-    hits = {
-        lang: F.size(F.filter(toks, _hit_counter(words))).alias(
-            f"{lang}_hits"
-        )
-        for lang, words in LANG_MARKERS.items()
-    }
+    # marker-hit columns + priority-chain argmax (first language in
+    # declaration order with the maximal hit count wins — same CASE
+    # chain as the oracle), shared with source_scorecard
+    hits, pred = _lang_pred_parts()
     scored = docs.select("doc_id", "lang", *hits.values())
-    langs = list(LANG_MARKERS)
-    # priority chain: first language (in declaration order) with the
-    # maximal hit count wins — same CASE chain as the oracle.
-    best = F.greatest(*[F.col(f"{lang}_hits") for lang in langs])
-    pred = F.when(F.col(f"{langs[0]}_hits") == best, F.lit(langs[0]))
-    for lang in langs[1:]:
-        pred = pred.when(F.col(f"{lang}_hits") == best, F.lit(lang))
     return scored.select(
         "doc_id",
         "lang",
-        pred.alias("pred_lang"),
-        (pred == F.col("lang")).alias("is_match"),
+        pred().alias("pred_lang"),
+        (pred() == F.col("lang")).alias("is_match"),
     )
 
 
@@ -197,6 +180,148 @@ FROM scored
 
 
 ORACLE_LANG_ID = _oracle_lang_id()
+
+
+# ---------------------------------------------------------------------------
+# source_scorecard — the per-source "data card": one gate emitting the
+# metrics a corpus datasheet publishes per provenance source (volume,
+# token mass, exact-dup ratio, quality distribution, language-ID
+# agreement). Every column is either exact integer arithmetic or the
+# established float disciplines (double ratios of exact ints; quality
+# mean = round-to-6 → DECIMAL sum → one double division, the
+# lm_perplexity pattern), so the whole card hash-matches DuckDB.
+#
+# Scale shape: ONE pass — a single source-keyed groupBy carrying a
+# countDistinct on md5 text keys (32-byte Expand shuffle, the
+# cardinality_sketch discipline); the lang-ID argmax and quality
+# composite are scan-resident expressions feeding the agg.
+# ---------------------------------------------------------------------------
+
+LOW_QUALITY_CUT = 0.35  # doc_quality's medium/low boundary
+
+
+def _lang_pred_parts():
+    """(hit column dict, pred builder) shared by lang_id and the
+    scorecard — the argmax-with-declaration-order-tie-break chain."""
+    toks = tokens(F.col("text"))
+
+    def _hit_counter(words: tuple[str, ...]):
+        return lambda t: t.isin(*words)
+
+    hits = {
+        lang: F.size(F.filter(toks, _hit_counter(words))).alias(
+            f"{lang}_hits"
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+
+    def pred() -> Column:
+        langs = list(LANG_MARKERS)
+        best = F.greatest(*[F.col(f"{lang}_hits") for lang in langs])
+        expr = F.when(F.col(f"{langs[0]}_hits") == best, F.lit(langs[0]))
+        for lang in langs[1:]:
+            expr = expr.when(F.col(f"{lang}_hits") == best, F.lit(lang))
+        return expr
+
+    return hits, pred
+
+
+def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    score = quality_exprs()["score"]
+    hits, pred = _lang_pred_parts()
+    base = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("key"),
+        F.size(toks).cast("long").alias("ntoks"),
+        score.alias("score"),
+        *hits.values(),
+    )
+    staged = base.select(
+        "source", "key", "ntoks", "score",
+        (pred() == F.col("lang")).alias("lang_ok"),
+    )
+    n = F.count(F.lit(1))
+    agg = staged.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.countDistinct("key").alias("n_unique_texts"),
+        F.sum("ntoks").alias("total_tokens"),
+        F.sum(
+            F.round(F.col("score"), 6).cast("decimal(28,6)")
+        ).alias("_qsum"),
+        F.count(
+            F.when(F.col("score") < LOW_QUALITY_CUT, 1)
+        ).alias("n_low_quality"),
+        F.count(F.when(F.col("lang_ok"), 1)).alias("n_lang_match"),
+    )
+    nd = F.col("n_docs")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_unique_texts",
+        ((nd - F.col("n_unique_texts")).cast("double") / nd).alias(
+            "dup_ratio"
+        ),
+        "total_tokens",
+        (F.col("total_tokens").cast("double") / nd).alias(
+            "avg_doc_tokens"
+        ),
+        (F.col("_qsum").cast("double") / nd).alias("mean_quality"),
+        "n_low_quality",
+        "n_lang_match",
+    )
+
+
+def _scorecard_oracle() -> str:
+    hit_exprs = ",\n    ".join(
+        "len(list_filter(string_split(text, ' '), t -> t IN ({})))"
+        " AS {}_hits".format(
+            ", ".join(f"'{w}'" for w in words), lang
+        )
+        for lang, words in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    greatest = "greatest({})".format(
+        ", ".join(f"{lang}_hits" for lang in langs)
+    )
+    case = "CASE " + " ".join(
+        f"WHEN {lang}_hits = {greatest} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH f AS (
+  SELECT source, lang, md5(text) AS key,
+    CAST(len(string_split(text,' ')) AS BIGINT) AS ntoks,
+    CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+      / CAST(len(string_split(text,' ')) AS DOUBLE) * 0.5
+      + least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0,
+              1.0) * 0.5 AS score,
+    {hit_exprs}
+  FROM documents
+),
+s AS (
+  SELECT source, key, ntoks, score, ({case}) = lang AS lang_ok
+  FROM f
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  COUNT(DISTINCT key) AS n_unique_texts,
+  CAST(COUNT(*) - COUNT(DISTINCT key) AS DOUBLE) / COUNT(*)
+    AS dup_ratio,
+  CAST(SUM(ntoks) AS BIGINT) AS total_tokens,
+  CAST(SUM(ntoks) AS DOUBLE) / COUNT(*) AS avg_doc_tokens,
+  CAST(SUM(CAST(round(score, 6) AS DECIMAL(28,6))) AS DOUBLE)
+    / COUNT(*) AS mean_quality,
+  COUNT(CASE WHEN score < {LOW_QUALITY_CUT} THEN 1 END)
+    AS n_low_quality,
+  COUNT(CASE WHEN lang_ok THEN 1 END) AS n_lang_match
+FROM s
+GROUP BY source
+"""
+
+
+ORACLE_SOURCE_SCORECARD = _scorecard_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -1263,6 +1388,7 @@ ORACLE_PHRASE_SEARCH = _phrase_oracle()
 
 
 QUERIES = {
+    "source_scorecard": q_source_scorecard,
     "phrase_search": q_phrase_search,
     "lm_perplexity": q_lm_perplexity,
     "profile_documents": q_profile_documents,
@@ -1280,6 +1406,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_scorecard": ORACLE_SOURCE_SCORECARD,
     "phrase_search": ORACLE_PHRASE_SEARCH,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
     "profile_documents": ORACLE_PROFILE_DOCUMENTS,

@@ -58,3 +58,22 @@ def register_queue(
     df = queue.read_pending(spark)
     df.createOrReplaceTempView(name)
     return df
+
+
+def register_release(
+    spark: SparkSession,
+    root: str,
+    name: str = "corpus",
+    version: int | None = None,
+) -> DataFrame:
+    """Register a versioned corpus release (``pipeline.release_versioned``
+    registry, default: latest) as a temp view, so release audits are
+    plain SQL: ``SELECT source, COUNT(*) FROM corpus GROUP BY source``.
+
+    The view is the pruning shard reader's scan — shard filters and
+    column pruning still reach parquet through it. Returns the frame."""
+    from quebic_spark.pipeline import load_release
+
+    df = load_release(spark, root, version)
+    df.createOrReplaceTempView(name)
+    return df

@@ -65,3 +65,32 @@ def test_register_queue_view(spark, tmp_path):
     register_queue(spark, q, "my_queue")
     assert spark.sql("SELECT COUNT(*) AS n FROM my_queue").first()["n"] == 5
     q.dispose()
+
+
+def test_register_release_exposes_versioned_corpus(spark, tmp_path):
+    from quebic_spark.pipeline import release_versioned
+    from quebic_spark.sql import register_release
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(30)), "en",
+          f"src{i % 3}", 30) for i in range(60)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    root = str(tmp_path / "rel")
+    e1 = release_versioned(spark, docs, root, n_shards=2,
+                           quality_cut_pct=0.0)
+    release_versioned(spark, docs.filter("doc_id < 30"), root,
+                      n_shards=2, quality_cut_pct=0.0)
+
+    register_release(spark, root, "corpus")  # latest = v2
+    [r] = spark.sql("SELECT COUNT(*) AS n FROM corpus").collect()
+    assert r.n == 30
+
+    register_release(spark, root, "corpus_v1", version=1)
+    [r1] = spark.sql(
+        "SELECT COUNT(DISTINCT source) AS s FROM corpus_v1"
+    ).collect()
+    assert r1.s == 3
+    assert e1["manifest"]["total_rows"] == 60
+    spark.catalog.dropTempView("corpus")
+    spark.catalog.dropTempView("corpus_v1")

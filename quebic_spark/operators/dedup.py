@@ -827,10 +827,18 @@ def q_hll_merge_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lgK=14 => stderr ~0.8%; 4% = 5 sigma
         (rel_err <= 0.04).alias("merged_within_4pct"),
         # merging per-group sketches must agree with sketching the
-        # whole corpus at once — the mergeability contract
-        (F.col("_merged_est") == F.col("_single_est")).alias(
-            "merge_equals_single_sketch"
-        ),
+        # whole corpus at once — the mergeability contract. Tolerance,
+        # NOT equality: in coupon mode (small cardinalities) the two
+        # paths are bit-identical, but once the sketch enters HLL
+        # estimator mode the union path's estimate can differ by an
+        # ulp-level rounding (measured 4960 vs 4959 at sf0.1 — strict
+        # == flipped False exactly at the scale the contract targets;
+        # review catch, reproduced)
+        (
+            F.abs(F.col("_merged_est") - F.col("_single_est"))
+            .cast("double")
+            / F.greatest(F.col("_single_est"), F.lit(1)) <= 0.005
+        ).alias("merge_matches_single_sketch"),
     )
 
 
@@ -842,7 +850,7 @@ SELECT COUNT(DISTINCT source) AS n_sources,
           GROUP BY source)) AS sum_source_distinct,
        TRUE AS sum_ge_global,
        TRUE AS merged_within_4pct,
-       TRUE AS merge_equals_single_sketch
+       TRUE AS merge_matches_single_sketch
 FROM documents
 """
 

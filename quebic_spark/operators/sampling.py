@@ -694,10 +694,18 @@ def cms_estimate(
         key_col, F.explode(cells).alias("cell")
     ).select(key_col, F.col("cell.row").alias("row"),
              F.col("cell.col").alias("col"))
+    # LEFT join: an unoccupied cell is an implicit zero, and the CMS
+    # estimate is the min over ALL of a key's cells — an inner join
+    # dropped empty cells, so never-seen keys vanished from the output
+    # and partially-colliding keys inflated past their true minimum of
+    # 0 (review catch)
     return (
-        exploded.join(F.broadcast(sketch), ["row", "col"])
+        exploded.join(F.broadcast(sketch), ["row", "col"], "left")
         .groupBy(key_col)
-        .agg(F.min("cell_count").alias("est_count"))
+        .agg(
+            F.min(F.coalesce(F.col("cell_count"), F.lit(0)))
+            .alias("est_count")
+        )
     )
 
 

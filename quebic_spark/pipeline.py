@@ -178,22 +178,10 @@ def read_release_registry(spark: SparkSession, root: str) -> dict:
 
 
 def _write_registry(spark: SparkSession, root: str, reg: dict) -> None:
-    import json
-    import os
-
-    from quebic_spark.queue.storage import write_json_atomic
+    from quebic_spark.sources.io import fs_write_json
 
     jvm, fs, rpath = _registry_fs(spark, root)
-    if fs.getScheme() == "file":
-        write_json_atomic(
-            os.path.join(rpath.toUri().getPath()), reg, sync=False
-        )
-    else:
-        out = fs.create(rpath, True)
-        try:
-            out.write(bytearray(json.dumps(reg, indent=2).encode()))
-        finally:
-            out.close()
+    fs_write_json(jvm, fs, rpath, reg)
 
 
 def release_versioned(
@@ -205,19 +193,45 @@ def release_versioned(
 ) -> dict:
     """Run :func:`release_corpus` into the next ``v=N`` directory
     under ``root`` and record it in the registry. Returns
-    ``{"version": N, "path": ..., "manifest": ...}``."""
-    reg = read_release_registry(spark, root)
-    version = 1 + max(
-        (v["version"] for v in reg["versions"]), default=0
-    )
-    rel_path = f"v={version}"
-    manifest = release_corpus(
-        spark, docs, f"{root}/{rel_path}", n_shards, **release_kwargs
-    )
-    entry = {"version": version, "path": rel_path, "manifest": manifest}
-    reg["versions"].append(entry)
-    _write_registry(spark, root, reg)
-    return entry
+    ``{"version": N, "path": ..., "manifest": ...}``.
+
+    Concurrency: on a local root the whole read-version → write-artifact
+    → append-registry sequence holds an exclusive flock (the queue's
+    cross-process discipline), so two concurrent releases serialize
+    instead of both claiming the same version and clobbering each
+    other's "immutable" artifact (review catch). Non-file schemes have
+    no portable lock primitive — there the registry is single-writer
+    by contract (the usual object-store arrangement: one release job
+    owns a root)."""
+    import contextlib
+    import os
+
+    from quebic_spark.queue.storage import FileLock
+
+    _jvm, fs, rpath = _registry_fs(spark, root)
+    if fs.getScheme() == "file":
+        local_root = rpath.getParent().toUri().getPath()
+        os.makedirs(local_root, exist_ok=True)
+        lock: contextlib.AbstractContextManager = FileLock(
+            os.path.join(local_root, "_releases.lock")
+        )
+    else:
+        lock = contextlib.nullcontext()
+    with lock:
+        reg = read_release_registry(spark, root)
+        version = 1 + max(
+            (v["version"] for v in reg["versions"]), default=0
+        )
+        rel_path = f"v={version}"
+        manifest = release_corpus(
+            spark, docs, f"{root}/{rel_path}", n_shards, **release_kwargs
+        )
+        entry = {
+            "version": version, "path": rel_path, "manifest": manifest,
+        }
+        reg["versions"].append(entry)
+        _write_registry(spark, root, reg)
+        return entry
 
 
 def load_release(

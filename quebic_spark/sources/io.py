@@ -125,12 +125,9 @@ def write_corpus_shards(
     row counts from a read-back of the files actually written, not the
     input DataFrame) and returns the manifest dict.
     """
-    import os
-
     from pyspark.sql import functions as F
 
     from quebic_spark.operators.sampling import hash_bucket
-    from quebic_spark.queue.storage import write_json_atomic
 
     _check_format(fmt)
     if n_shards < 1:
@@ -188,24 +185,43 @@ def write_corpus_shards(
         "shards": shards,
     }
     # manifest lands beside the shards through the same FS connector
-    # (atomic local rename is a local-FS nicety; object stores get a
-    # single-shot PUT via create/overwrite either way)
     mpath = jvm.org.apache.hadoop.fs.Path(root, "_corpus_manifest.json")
-    if fs.getScheme() == "file":
-        write_json_atomic(
-            os.path.join(mpath.toUri().getPath()), manifest, sync=False
-        )
-    else:
-        import json
-
-        out_stream = fs.create(mpath, True)
-        try:
-            out_stream.write(bytearray(
-                json.dumps(manifest, indent=2).encode("utf-8")
-            ))
-        finally:
-            out_stream.close()
+    fs_write_json(jvm, fs, mpath, manifest)
     return manifest
+
+
+def fs_write_json(jvm, fs, jpath, obj: dict) -> None:
+    """Write JSON through the Hadoop FileSystem as atomically as the
+    scheme allows — the ONE dispatch shared by the shard manifest and
+    the release registry (review catch: two drifting inline copies,
+    the remote branch of which overwrote in place and could be read
+    torn).
+
+    file:// gets the full temp+fsync-free rename protocol
+    (write_json_atomic). Other schemes write a sibling ``.tmp`` then
+    delete+rename — on HDFS both steps are metadata ops so no reader
+    ever sees a torn file (a reader in the tiny delete-rename window
+    sees file-absent, which callers treat as empty/missing rather than
+    corrupt); object stores degrade to copy+delete but still never
+    expose a partial body (PUT is all-or-nothing)."""
+    import json
+
+    from quebic_spark.queue.storage import write_json_atomic
+
+    if fs.getScheme() == "file":
+        write_json_atomic(jpath.toUri().getPath(), obj, sync=False)
+        return
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        jpath.getParent(), jpath.getName() + ".tmp"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(obj, indent=2).encode("utf-8")))
+    finally:
+        out.close()
+    fs.delete(jpath, False)
+    if not fs.rename(tmp, jpath):
+        raise IOError(f"rename {tmp} -> {jpath} failed")
 
 
 def write_zorder(

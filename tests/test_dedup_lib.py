@@ -449,3 +449,19 @@ def test_span_pipeline_matches_python_reference_on_random_corpora(spark):
     for d, (n_spans, dup_toks, total, kept) in expected.items():
         assert got_detect[d] == (n_spans, dup_toks, total), d
         assert got_strip[d] == " ".join(kept), d
+
+
+def test_hll_merge_contract_holds_in_estimator_mode(spark):
+    """Review regression (reproduced at sf0.1): once the sketch leaves
+    coupon mode (~thousands of distincts) the union-merge estimate
+    diverges from the single-sketch estimate by an ulp — the contract
+    booleans must hold there, not just at toy cardinality."""
+    from quebic_spark.operators.dedup import q_hll_merge_cardinality
+
+    [r] = q_hll_merge_cardinality(
+        spark, "/root/testdata/sf0.1"
+    ).collect()
+    assert r.exact_distinct > 4000  # estimator mode, not coupon mode
+    assert r.sum_ge_global
+    assert r.merged_within_4pct
+    assert r.merge_matches_single_sketch

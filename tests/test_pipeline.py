@@ -226,3 +226,42 @@ def test_orphan_release_dir_is_invisible_and_reclaimed(spark, docs, tmp_path):
     assert e2["version"] == 2
     assert load_release(spark, root, 2).count() == \
         e2["manifest"]["total_rows"]
+
+
+def test_concurrent_releases_serialize_under_the_registry_lock(
+    spark, docs, tmp_path
+):
+    """Review regression: two concurrent release_versioned calls on
+    one root must serialize (flock) — distinct version numbers, both
+    registry entries present, neither artifact clobbered."""
+    import threading
+
+    from quebic_spark.pipeline import (
+        load_release,
+        read_release_registry,
+        release_versioned,
+    )
+
+    root = str(tmp_path / "rel_conc")
+    results: list[dict] = []
+    errors: list[Exception] = []
+
+    def go(flt):
+        try:
+            results.append(release_versioned(
+                spark, docs.filter(flt), root, n_shards=2,
+                quality_cut_pct=0.0,
+            ))
+        except Exception as e:  # noqa: BLE001 — surface in assert
+            errors.append(e)
+
+    t1 = threading.Thread(target=go, args=("doc_id % 2 = 0",))
+    t2 = threading.Thread(target=go, args=("doc_id % 2 = 1",))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    assert sorted(r["version"] for r in results) == [1, 2]
+    reg = read_release_registry(spark, root)
+    assert [v["version"] for v in reg["versions"]] == [1, 2]
+    for r in results:
+        assert load_release(spark, root, r["version"]).count() == \
+            r["manifest"]["total_rows"]

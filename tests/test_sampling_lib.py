@@ -106,3 +106,18 @@ def test_hll_sketch_column_persists_and_merges(spark, sf_dir, tmp_path):
         spark.read.parquet(path).unionByName(sk2)
     )
     assert combined > stored  # new distinct texts strictly grow it
+
+
+def test_cms_probe_of_unseen_and_partially_colliding_keys(spark):
+    """Review regression: a probe key with empty cells must appear in
+    the output with the true min (0), not vanish (inner join) or
+    inflate past the empty-cell minimum."""
+    sketch = cms_sketch(_keys_df(spark, ["a"] * 7))
+    got = {
+        r.key: r.est_count
+        for r in cms_estimate(
+            sketch, _keys_df(spark, ["a", "never-seen-key"])
+        ).collect()
+    }
+    assert got["a"] >= 7
+    assert got["never-seen-key"] == 0  # present, and exactly zero

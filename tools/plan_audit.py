@@ -91,7 +91,12 @@ def main() -> int:
     if args.out:
         with open(args.out, "w") as fh:
             json.dump(record, fh, indent=1)
-    return 0
+    # a gate that cannot even build its plan is an audit failure, not
+    # a row to gloss over (review catch: unconditional exit 0)
+    n_err = sum(1 for v in out.values() if "error" in v)
+    if n_err:
+        print(f"{n_err} gate(s) errored", file=sys.stderr)
+    return 1 if n_err else 0
 
 
 if __name__ == "__main__":

@@ -1,0 +1,95 @@
+"""Quickstart: the reference queue workflow and the analytics layer
+in one script.
+
+Run:  python examples/quickstart.py [sf_dir] [work_dir]
+(defaults: /root/testdata/sf0.001, a temp dir)
+
+Walks the surface a reference (quebic) user needs on day one —
+typed durable queue push/pop/latest — then the Spark-native layer
+that replaces hand-rolled pipelines: SQL over the corpus, dedup,
+quality scoring, a versioned release, and phrase search over the
+released artifact.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, __file__.rsplit("/examples/", 1)[0])
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    work = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(
+        prefix="quebic_quickstart_"
+    )
+
+    # --- 1. the reference surface: a typed, durable, multi-process
+    # FIFO queue (SURVEY §2.1-2.3) ---------------------------------
+    from quebic_spark import INTEGER, Queue, REAL, Schema, TEXT
+
+    q = Queue(f"{work}/jobs", Schema(INTEGER, TEXT, REAL), capacity=1000)
+    pub = q.publisher()
+    for i in range(5):
+        pub.push([i, f"job-{i}", i * 1.5])
+    sub = q.subscriber()
+    first = sub.try_pop()
+    print("queue:", "popped", first, "| latest", pub.latest(),
+          "| size", q.size())
+    q.verify()  # raises on corruption
+    q.close()
+
+    # --- 2. the analytics layer ------------------------------------
+    from pyspark.sql import functions as F
+
+    from quebic_spark.session import get_spark
+
+    spark = get_spark(app_name="quickstart", master="local[4]",
+                      shuffle_partitions=8)
+
+    from quebic_spark.sql import register_release, register_testdata
+
+    register_testdata(spark, sf_dir)
+    print("sql:", spark.sql(
+        "SELECT source, COUNT(*) AS n FROM documents "
+        "GROUP BY source ORDER BY n DESC LIMIT 3"
+    ).collect())
+
+    # versioned corpus release: score -> filter -> dedup -> shard
+    from quebic_spark.pipeline import release_versioned
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    entry = release_versioned(
+        spark, docs, f"{work}/corpus", n_shards=4, quality_cut_pct=0.1
+    )
+    print("release:", "v", entry["version"], "rows",
+          entry["manifest"]["total_rows"])
+
+    # audit the released artifact with SQL + phrase search
+    register_release(spark, f"{work}/corpus", "corpus")
+    from quebic_spark.operators.textops import (
+        phrase_search,
+        posting_index,
+    )
+
+    hits = phrase_search(
+        posting_index(spark.table("corpus")), "table value"
+    )
+    print("phrase 'table value':", hits.count(), "occurrences in release")
+
+    # similarity search over embeddings (exact top-k per query)
+    from quebic_spark.operators.similarity import q_ann_bruteforce_topk
+
+    topk = q_ann_bruteforce_topk(spark, sf_dir)
+    print("ann:", topk.count(), "ranked neighbor rows")
+
+    from quebic_spark.cache import clear_caches
+
+    clear_caches(include_ivf_index=True)
+    q.dispose()
+    print("quickstart OK")
+
+
+if __name__ == "__main__":
+    main()

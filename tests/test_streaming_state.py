@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from quebic_spark import INTEGER, Queue, REAL, Schema
+from quebic_spark import INTEGER, Queue, REAL, Schema, TEXT
 from quebic_spark.streaming import read_queue_stream
 
 
@@ -295,3 +295,68 @@ def test_stream_stream_join_within_time_bound(tmp_path, spark):
     assert set(out) == expect and len(expect) >= 6
     clicks_q.dispose()
     buys_q.dispose()
+
+
+def test_streaming_cms_matches_batch_sketch(qpath, spark):
+    """The streaming sketch's state is DEPTH*WIDTH-bounded by
+    construction and its final cells must equal the batch sketch of
+    the same feed — including across two micro-batch rounds (counts
+    accumulate in state, not per-batch)."""
+    from quebic_spark.operators.sampling import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_estimate,
+        cms_sketch,
+    )
+    from quebic_spark.streaming.sketch import cms_stream
+
+    q = Queue(qpath, Schema(INTEGER, TEXT), capacity=100000)
+    rows = [[i, f"k{i % 37}"] for i in range(500)]
+    q.publisher().push_all(rows[:300])
+
+    latest: dict[tuple, int] = {}
+
+    def run_once():
+        keys = read_queue_stream(spark, q).select(
+            F.col("c1").alias("key")
+        )
+        query = (
+            cms_stream(keys).writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _: latest.update(
+                    {(r.row, r.col): r.cell_count for r in df.collect()}
+                )
+            )
+            .option("checkpointLocation", os.path.join(qpath, "cms_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+
+    run_once()
+    q.publisher().push_all(rows[300:])
+    run_once()  # state resumes from the checkpoint and accumulates
+
+    batch = spark.createDataFrame(rows, "i long, key string")
+    expect = {
+        (r.row, r.col): r.cell_count
+        for r in cms_sketch(batch.select("key")).collect()
+    }
+    assert latest == expect
+    assert len(latest) <= CMS_DEPTH * CMS_WIDTH
+
+    # probing the materialized stream cells gives the batch estimates
+    cells = spark.createDataFrame(
+        [(r, c, n) for (r, c), n in latest.items()],
+        "row int, col long, cell_count long",
+    )
+    probes = spark.createDataFrame(
+        [(f"k{i}",) for i in range(37)], "key string"
+    )
+    got = {
+        r.key: r.est_count for r in cms_estimate(cells, probes).collect()
+    }
+    true = {f"k{i}": sum(1 for _, k in rows if k == f"k{i}")
+            for i in range(37)}
+    assert all(got[k] >= true[k] for k in true)
+    q.dispose()

@@ -406,12 +406,15 @@ def test_decoders_never_crash_on_fuzzed_payloads():
     )
     from quebic_spark.functions.jpeg import decode_jpeg
 
+    from quebic_spark.operators.multimodal import decode_gif
+
     decoders = {
         "jpeg": decode_jpeg,
         "png": decode_png,
         "bmp": decode_bmp,
         "wav": decode_wav,
         "mp4": decode_mp4,
+        "gif": decode_gif,
     }
     magics = {
         "jpeg": b"\xff\xd8\xff",
@@ -419,6 +422,7 @@ def test_decoders_never_crash_on_fuzzed_payloads():
         "bmp": b"BM" + b"\x00" * 60,
         "wav": b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 32,
         "mp4": b"\x00\x00\x00\x18ftypisom",
+        "gif": b"GIF89a",
     }
 
     def probe(payload: bytes) -> None:
@@ -451,6 +455,18 @@ def test_decoders_never_crash_on_fuzzed_payloads():
     )
     for _ in range(200):
         mut = bytearray(good)
+        for _k in range(rnd.randrange(1, 4)):
+            i = rnd.randrange(len(mut))
+            mut[i] ^= 1 << rnd.randrange(8)
+        probe(bytes(mut))
+
+    # same class of mutation against a valid GIF: the LZW decoder sees
+    # plausible structure with corrupted codes/sub-block lengths
+    from quebic_spark.operators.multimodal import encode_gif
+
+    good_gif = bytearray(encode_gif(12, 9, _gif_grid(12, 9, 40)))
+    for _ in range(200):
+        mut = bytearray(good_gif)
         for _k in range(rnd.randrange(1, 4)):
             i = rnd.randrange(len(mut))
             mut[i] ^= 1 << rnd.randrange(8)

@@ -927,6 +927,47 @@ FROM exploded
 """
 
 
+def chunk_share_stats(
+    docs: DataFrame,
+    k: int = CDC_K,
+    div: int = CDC_DIV,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-granular duplication report — the reason CDC chunking
+    exists: re-crawled or templated documents share exact CDC chunks
+    even when no two documents are document-level duplicates. Returns
+    one row per doc: ``n_chunks``, ``n_shared_chunks`` (chunks whose
+    content appears in at least one OTHER document), and
+    ``shared_fraction`` — the triage signal between "novel document"
+    and "reassembled boilerplate".
+
+    Scale shape: cdc_chunks is scan-resident; the share computation is
+    one md5-chunk-keyed agg (doc count per chunk content) joined back
+    to the chunk stream — both sides keyed on the 32-byte chunk hash,
+    never chunk text."""
+    chunks = cdc_chunks(
+        docs, k=k, div=div, text_col=text_col, id_col=id_col
+    ).select(id_col, F.md5("chunk_text").alias("chash"))
+    docs_per_chunk = chunks.groupBy("chash").agg(
+        F.countDistinct(id_col).alias("n_docs_with_chunk")
+    )
+    return (
+        chunks.join(docs_per_chunk, "chash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(
+                F.when(F.col("n_docs_with_chunk") > 1, 1)
+            ).alias("n_shared_chunks"),
+        )
+        .withColumn(
+            "shared_fraction",
+            F.col("n_shared_chunks").cast("double") / F.col("n_chunks"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # zorder_events_stats — the relational contract behind the Z-order
 # clustered write (`sources/io.py:write_zorder`): bucket (user_id,

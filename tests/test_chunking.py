@@ -252,3 +252,49 @@ def test_chunkers_fuzz_against_python_reference(spark):
         expect = _py_cdc(text, CDC_K, CDC_DIV)
         mine = sorted(got_cdc[doc_id], key=lambda r: r.chunk_no)
         assert [(r.start_tok, r.chunk_text) for r in mine] == expect, doc_id
+
+
+def test_chunk_share_stats_flags_boilerplate_reuse(spark):
+    """A doc that reuses another doc's chunks (template + novel tail)
+    must show a high shared fraction while fully-novel docs show 0 —
+    the chunk-granular dup signal document-level dedup cannot see."""
+    import random
+
+    from quebic_spark.operators.sampling import cdc_chunks, chunk_share_stats
+
+    rng = random.Random(21)
+    vocab = [f"b{i}" for i in range(50)]
+    template = [rng.choice(vocab) for _ in range(200)]
+    novel_a = [rng.choice(vocab) for _ in range(180)]
+    novel_b = [rng.choice(vocab) for _ in range(190)]
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(template + novel_a)),   # template + own tail
+            (1, " ".join(template + novel_b)),   # same template, other tail
+            (2, " ".join(rng.choice(vocab) for _ in range(250))),  # novel
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in chunk_share_stats(docs).collect()}
+
+    # python reference over the same cdc chunks
+    chunks = cdc_chunks(docs).collect()
+    from collections import defaultdict
+
+    docs_per = defaultdict(set)
+    per_doc = defaultdict(list)
+    for r in chunks:
+        docs_per[r.chunk_text].add(r.doc_id)
+        per_doc[r.doc_id].append(r.chunk_text)
+    for d in (0, 1, 2):
+        n = len(per_doc[d])
+        shared = sum(1 for c in per_doc[d] if len(docs_per[c]) > 1)
+        assert got[d].n_chunks == n
+        assert got[d].n_shared_chunks == shared, d
+        assert abs(got[d].shared_fraction - shared / n) < 1e-12
+
+    # the templated pair shares a meaningful prefix; the novel doc
+    # shares essentially nothing
+    assert got[0].shared_fraction > 0.3
+    assert got[1].shared_fraction > 0.3
+    assert got[2].shared_fraction <= 0.05

@@ -18,6 +18,12 @@ Layout:
     quebic_spark.streaming  -- Structured Streaming consumers over queue logs
     quebic_spark.operators  -- relational / dedup / similarity / text / events
     quebic_spark.functions  -- reusable column-expression builders
+    quebic_spark.sources    -- file connectors, sharded/Z-order corpus writers
+    quebic_spark.pipeline   -- release composite + versioned release registry
+    quebic_spark.sql        -- temp-view facade (testdata / queues / releases)
+
+See MIGRATION.md for the reference-API mapping and
+examples/quickstart.py for a runnable end-to-end walk.
 """
 
 from quebic_spark.errors import FormatException, IncompatibleSchemaException

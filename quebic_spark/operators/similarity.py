@@ -313,6 +313,104 @@ def _cell_col(
 _IVF_INDEX_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _ivf_disk_path(
+    sf_dir: str, centroids: list[list[float]] | None = None
+) -> str:
+    """Stored-index location: corpus dir content fingerprint + the
+    ACTUAL centroid values (seeded ones resolved to numbers), so any
+    change to either invalidates the stored index instead of silently
+    reusing it."""
+    cent_values = centroids if centroids is not None else _centroids()
+    return os.path.join(
+        _index_root(),
+        "ivf_corpus",
+        _index_tag([_corpus_fingerprint(sf_dir),
+                    [[float(x) for x in c] for c in cent_values]]),
+    )
+
+
+def _delta_root(disk_path: str) -> str:
+    return disk_path + "_deltas"
+
+
+def _read_delta_manifest(disk_path: str) -> dict:
+    import json
+
+    mpath = os.path.join(_delta_root(disk_path), "manifest.json")
+    if not os.path.exists(mpath):
+        return {"deltas": []}
+    with open(mpath) as fh:
+        return json.load(fh)
+
+
+def append_ivf_vectors(
+    spark: SparkSession,
+    sf_dir: str,
+    new_vecs: DataFrame,
+    centroids: list[list[float]] | None = None,
+) -> dict:
+    """Day-2 index growth: assign NEW vectors (vec_id, embedding) to
+    the EXISTING quantizer's cells and commit them as a delta
+    generation of the stored index — no retrain, no rescan of the
+    resident corpus. Every IVF query through ``_ivf_corpus`` (probe,
+    nprobe, recall) then sees base + committed deltas.
+
+    Crash discipline = the release-registry pattern: the delta dir is
+    staged and renamed, and the manifest listing committed deltas is
+    written LAST and atomically — a crash mid-append leaves an
+    unlisted (invisible) directory, never a half-visible generation.
+
+    Note the semantic: the index belongs to (corpus fingerprint,
+    quantizer); appends extend the INDEX beyond the base corpus, so
+    index-derived results intentionally diverge from a fresh
+    base-corpus rebuild until the base is re-fingerprinted."""
+    from quebic_spark.functions.vector import l2_norm
+    from quebic_spark.queue.storage import write_json_atomic
+
+    # ensure the base index exists (builds it on first use)
+    _ivf_corpus(spark, sf_dir, centroids)
+    disk_path = _ivf_disk_path(sf_dir, centroids)
+    manifest = _read_delta_manifest(disk_path)
+    name = f"delta={len(manifest['deltas']) + 1:05d}"
+    droot = _delta_root(disk_path)
+    os.makedirs(droot, exist_ok=True)
+
+    dots, cell = _cell_col(centroids)
+    assigned = (
+        new_vecs.select("vec_id", "embedding", *dots)
+        .withColumn("cell", cell)
+        .withColumn("norm", l2_norm(F.col("embedding")))
+        .select("vec_id", "embedding", "cell", "norm")
+    )
+    staged = os.path.join(droot, name + ".tmp")
+    shutil.rmtree(staged, ignore_errors=True)
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(staged)
+    final = os.path.join(droot, name)
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(staged, final)
+    n_rows = spark.read.parquet(final).count()
+    manifest["deltas"].append(name)
+    write_json_atomic(
+        os.path.join(droot, "manifest.json"), manifest, sync=False
+    )
+    # drop memoized frames for this (corpus, quantizer): the next
+    # _ivf_corpus call re-keys on the new delta list
+    cent_key = (
+        "seeded" if centroids is None
+        else tuple(tuple(c) for c in centroids)
+    )
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _IVF_INDEX_CACHE
+              if k[:3] == (app, sf_dir, cent_key)]:
+        try:
+            _IVF_INDEX_CACHE.pop(k).unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — stopped-session handles
+            pass
+    return {"delta": name, "n_vectors": n_rows}
+
+
 def _ivf_corpus(
     spark: SparkSession, sf_dir: str,
     centroids: list[list[float]] | None = None,
@@ -344,20 +442,12 @@ def _ivf_corpus(
         "seeded" if centroids is None
         else tuple(tuple(c) for c in centroids)
     )
-    key = (spark.sparkContext.applicationId, sf_dir, cent_key)
+    disk_path = _ivf_disk_path(sf_dir, centroids)
+    deltas = tuple(_read_delta_manifest(disk_path)["deltas"])
+    key = (spark.sparkContext.applicationId, sf_dir, cent_key, deltas)
     cached = _IVF_INDEX_CACHE.get(key)
     if cached is not None:
         return cached
-    # disk key = corpus dir + the ACTUAL centroid values (seeded ones
-    # resolved to numbers): any change to centroid generation
-    # invalidates the stored index instead of silently reusing it
-    cent_values = centroids if centroids is not None else _centroids()
-    disk_path = os.path.join(
-        _index_root(),
-        "ivf_corpus",
-        _index_tag([_corpus_fingerprint(sf_dir),
-                    [[float(x) for x in c] for c in cent_values]]),
-    )
     if not os.path.exists(os.path.join(disk_path, "_SUCCESS")):
         dots, cell = _cell_col(centroids)
         built = (
@@ -383,14 +473,22 @@ def _ivf_corpus(
         os.rename(tmp, disk_path)
     else:
         tune_for_query(spark)
-    emb = (
-        spark.read.parquet(disk_path)
-        .select(
-            "vec_id", "embedding",
-            F.col("cell").cast("int").alias("cell"), "norm",
-        )
-        .persist()
+    emb = spark.read.parquet(disk_path).select(
+        "vec_id", "embedding",
+        F.col("cell").cast("int").alias("cell"), "norm",
     )
+    # committed delta generations (append_ivf_vectors) extend the
+    # index; uncommitted/staged dirs are invisible (manifest-last)
+    for name in deltas:
+        emb = emb.unionByName(
+            spark.read.parquet(
+                os.path.join(_delta_root(disk_path), name)
+            ).select(
+                "vec_id", "embedding",
+                F.col("cell").cast("int").alias("cell"), "norm",
+            )
+        )
+    emb = emb.persist()
     _IVF_INDEX_CACHE[key] = emb
     return emb
 

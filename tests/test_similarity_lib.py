@@ -194,3 +194,91 @@ def test_embedding_decontaminate_empty_bench_keeps_audit_rows(spark):
     assert sorted(r.vec_id for r in got) == [0, 1]
     assert all(r.max_bench_cosine is None for r in got)
     assert all(r.contaminated is False for r in got)
+
+
+def test_append_ivf_vectors_grows_index_without_retrain(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Day-2 growth: appended vectors join the stored index as a delta
+    generation — correct cell assignment (same quantizer), visible to
+    every index read, no rebuild of the base."""
+    import quebic_spark.operators.similarity as S
+    from quebic_spark.cache import clear_caches
+    from quebic_spark.operators.similarity import (
+        _cell_col,
+        append_ivf_vectors,
+        _ivf_corpus,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    clear_caches(include_ivf_index=True)
+    base = _ivf_corpus(spark, sf_dir)
+    n_base = base.count()
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    new = emb.limit(30).selectExpr(
+        "vec_id + 1000000 AS vec_id", "embedding"
+    )
+    out = append_ivf_vectors(spark, sf_dir, new)
+    assert out["n_vectors"] == 30
+
+    grown = _ivf_corpus(spark, sf_dir)
+    assert grown.count() == n_base + 30
+
+    # appended rows carry the SAME cell the quantizer assigns fresh
+    dots, cell = _cell_col()
+    expect = {
+        r.vec_id + 1000000: r.cell
+        for r in emb.limit(30).select("vec_id", "embedding", *dots)
+        .withColumn("cell", cell).collect()
+    }
+    got = {
+        r.vec_id: r.cell
+        for r in grown.filter("vec_id >= 1000000")
+        .select("vec_id", "cell").collect()
+    }
+    assert got == expect
+
+    # second append becomes generation 2 and accumulates
+    append_ivf_vectors(spark, sf_dir, new.selectExpr(
+        "vec_id + 1000000 AS vec_id", "embedding"
+    ))
+    assert _ivf_corpus(spark, sf_dir).count() == n_base + 60
+    clear_caches(include_ivf_index=True)
+
+
+def test_uncommitted_ivf_delta_is_invisible(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash discipline: a staged-but-unregistered delta dir (append
+    died before the manifest write) never reaches index reads."""
+    import os
+    import shutil
+
+    import quebic_spark.operators.similarity as S
+    from quebic_spark.cache import clear_caches
+    from quebic_spark.operators.similarity import (
+        _delta_root,
+        _ivf_corpus,
+        _ivf_disk_path,
+        append_ivf_vectors,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    clear_caches(include_ivf_index=True)
+    n_base = _ivf_corpus(spark, sf_dir).count()
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = append_ivf_vectors(
+        spark, sf_dir,
+        emb.limit(10).selectExpr("vec_id + 500000 AS vec_id",
+                                 "embedding"),
+    )
+    droot = _delta_root(_ivf_disk_path(sf_dir))
+    # simulate a crashed append: copy the committed delta's FILES to a
+    # new dir but never touch the manifest
+    shutil.copytree(os.path.join(droot, out["delta"]),
+                    os.path.join(droot, "delta=00099"))
+    clear_caches(include_ivf_index=True)  # fresh read path
+    assert _ivf_corpus(spark, sf_dir).count() == n_base + 10
+    clear_caches(include_ivf_index=True)

@@ -1030,6 +1030,64 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# ivf_search — the END-USER search call: top-k cosine neighbors from
+# the stored (and delta-grown) index for ARBITRARY query vectors, not
+# just corpus-derived ones. The gates pin the probe plan's semantics;
+# this is the surface a RAG/labeling pipeline actually calls.
+# ---------------------------------------------------------------------------
+
+
+def ivf_search(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = 1,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, cosine, rank) — each query probes its
+    ``nprobe`` nearest cells of the persisted index and re-ranks
+    exactly inside them. Query side is broadcast (queries are small by
+    nature); the corpus side is the one stored cell-partitioned table,
+    so cost scales with probed cells, never the corpus."""
+    from quebic_spark.functions.vector import l2_norm
+
+    if k < 1 or nprobe < 1:
+        raise ValueError("k and nprobe must be >= 1")
+    emb = _ivf_corpus(spark, sf_dir, centroids)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("embedding"),
+        )
+        .withColumn(
+            "_cells", F.slice(_cell_ranking_col(centroids), 1, nprobe)
+        )
+        .withColumn("q_norm", l2_norm(F.col("embedding")))
+        .select(
+            "query_id",
+            F.col("embedding").alias("q_emb"),
+            "q_norm",
+            F.explode("_cells").alias("q_cell"),
+        )
+    )
+    cos = dot_product(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_norm") * F.col("norm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        emb.join(F.broadcast(q), F.col("cell") == F.col("q_cell"))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 QUERIES = {
     "embedding_decontaminate": q_embedding_decontaminate,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,

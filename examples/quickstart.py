@@ -84,6 +84,17 @@ def main() -> None:
     topk = q_ann_bruteforce_topk(spark, sf_dir)
     print("ann:", topk.count(), "ranked neighbor rows")
 
+    # ...and the user-facing call: arbitrary query vectors against the
+    # stored IVF index (built on first use, persisted for reuse)
+    from quebic_spark.operators.similarity import ivf_search
+
+    my_queries = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    hits3 = ivf_search(spark, sf_dir, my_queries, k=3, nprobe=2)
+    print("ivf_search:", hits3.count(), "hits for 3 queries")
+
     from quebic_spark.cache import clear_caches
 
     clear_caches(include_ivf_index=True)

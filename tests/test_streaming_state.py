@@ -360,3 +360,63 @@ def test_streaming_cms_matches_batch_sketch(qpath, spark):
             for i in range(37)}
     assert all(got[k] >= true[k] for k in true)
     q.dispose()
+
+
+def test_continuous_retrieval_over_query_stream(
+    qpath, spark, sf_dir, tmp_path, monkeypatch
+):
+    """Continuous retrieval: a queue feed of query vectors is served
+    per micro-batch against the persisted IVF index (foreachBatch +
+    ivf_search) — results match running the same queries in batch."""
+    from quebic_spark.cache import clear_caches
+    from quebic_spark.operators.similarity import N_CENTROIDS, ivf_search
+    from quebic_spark.schema import TENSOR
+    from quebic_spark.tensor import Tensor
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    clear_caches(include_ivf_index=True)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvecs = [(r.vec_id, list(r.embedding))
+             for r in emb.limit(4).collect()]
+
+    q = Queue(qpath, Schema(INTEGER, TENSOR), capacity=1000)
+    pub = q.publisher()
+    for qid, vec in qvecs:
+        pub.push([qid, Tensor.from_vector(vec)])
+
+    served: list[tuple] = []
+
+    def on_batch(df, _):
+        batch_queries = df.select(
+            F.col("c0").alias("query_id"),
+            F.col("c1.values").cast("array<float>").alias("embedding"),
+        )
+        served.extend(
+            (r.query_id, r.rank, r.vec_id)
+            for r in ivf_search(
+                spark, sf_dir, batch_queries, k=3, nprobe=N_CENTROIDS
+            ).collect()
+        )
+
+    query = (
+        read_queue_stream(spark, q)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", os.path.join(qpath, "rag_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    batch_queries = spark.createDataFrame(
+        qvecs, "query_id long, embedding array<float>"
+    )
+    expect = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in ivf_search(
+            spark, sf_dir, batch_queries, k=3, nprobe=N_CENTROIDS
+        ).collect()
+    }
+    assert set(served) == expect and len(expect) == 12
+    clear_caches(include_ivf_index=True)
+    q.dispose()

@@ -1052,7 +1052,12 @@ def ivf_search(
     ``nprobe`` nearest cells of the persisted index and re-ranks
     exactly inside them. Query side is broadcast (queries are small by
     nature); the corpus side is the one stored cell-partitioned table,
-    so cost scales with probed cells, never the corpus."""
+    so cost scales with probed cells, never the corpus.
+
+    Query vectors must match the index dimensionality (``zip_with``
+    folds truncate to the shorter array, so a wrong-dim query would
+    silently score a prefix — keep query embeddings the same width as
+    the corpus')."""
     from quebic_spark.functions.vector import l2_norm
 
     if k < 1 or nprobe < 1:

@@ -265,3 +265,18 @@ def test_concurrent_releases_serialize_under_the_registry_lock(
     for r in results:
         assert load_release(spark, root, r["version"]).count() == \
             r["manifest"]["total_rows"]
+
+
+def test_csv_release_roundtrips_through_registry(spark, docs, tmp_path):
+    """Non-parquet releases: the registry records the format and
+    load_release reopens a CSV artifact with the same rows and keys."""
+    from quebic_spark.pipeline import load_release, release_versioned
+
+    root = str(tmp_path / "rel_csv")
+    e = release_versioned(spark, docs.limit(80), root, n_shards=2,
+                          quality_cut_pct=0.0, fmt="csv")
+    assert e["manifest"]["format"] == "csv"
+    back = load_release(spark, root)
+    assert back.count() == e["manifest"]["total_rows"]
+    a = sorted(r.content_key for r in back.select("content_key").collect())
+    assert len(a) == len(set(a))  # dedup survived the format hop

@@ -54,7 +54,11 @@ for _mod in _MODULES:
 
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
-    # --- r6: new gates this round ---
+    # --- r7: rotated in so every operator has held a driver slot ---
+    "token_budget_mixture",
+    "event_rollup_hierarchy",
+    "crawl_snapshot_diff",
+    # --- r6: new gates that round ---
     "source_scorecard",
     "hll_merge_cardinality",
     "cms_heavy_hitters",
@@ -97,10 +101,7 @@ GATE_ORDER: tuple[str, ...] = (
     # --- stable since r2 (driver-green in CORRECTNESS_r02) ---
     "pricing_summary",
     "top_orders_per_segment",
-    "status_priority_cube",
     "skew_safe_revenue",
-    "above_avg_customers",
-    "urgent_vs_finished_outer",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "ann_bruteforce_topk",
@@ -204,13 +205,27 @@ RETIRED_GATES: dict[str, str] = {
                     "Full oracle keeps running in "
                     "tests/test_registry.py. Slot given to "
                     "chunk_documents in r6",
-    "crawl_snapshot_diff": "born retired (driver window full at 50): "
-                           "key-projection + full-outer-join + status "
-                           "agg — the join family is driver-gated via "
-                           "urgent_vs_finished_outer (full outer) and "
-                           "dedup_incremental (key anti-join); the "
-                           "delta-report composition's full oracle "
-                           "runs in tests/test_registry.py",
+    "status_priority_cube": "CUBE grouping sets retired in r7 after 5 "
+                            "driver-green rounds (r2-r6) to free a slot "
+                            "for the driver-virgin "
+                            "event_rollup_hierarchy; grouping-analytics "
+                            "coverage stays via pricing_summary's "
+                            "multi-aggregate groupBy (live) and this "
+                            "query's full CUBE oracle in "
+                            "tests/test_registry.py",
+    "urgent_vs_finished_outer": "full-outer-join NULL-extension retired "
+                                "in r7 after 5 driver-green rounds; the "
+                                "full-outer mechanism is now driver-"
+                                "gated by crawl_snapshot_diff (key-only "
+                                "full outer + status classification), "
+                                "and this query's oracle keeps running "
+                                "in tests/test_registry.py",
+    "above_avg_customers": "scalar-subquery decorrelation retired in r7 "
+                           "after 5 driver-green rounds to free a slot "
+                           "for token_budget_mixture; the decorrelated "
+                           "subquery plan is pinned by tests/"
+                           "test_plans.py and the full oracle keeps "
+                           "running in tests/test_registry.py",
     "event_sliding_windows": "overlapping time windows; the window-"
                              "grid mechanism stays live via "
                              "event_watermark_windows (same window() "
@@ -222,32 +237,13 @@ RETIRED_GATES: dict[str, str] = {
                              "bpe_tokenizer_eval in r6 (the learned-"
                              "tokenizer round-trip contract is a "
                              "mechanism no other gate touches)",
-    "event_rollup_hierarchy": "born retired (driver window full at "
-                              "50): time-bucketed grouped aggregation "
-                              "is driver-gated via event_counts_hourly "
-                              "and the window family; the new logic is "
-                              "the rollup-of-rollup hierarchy (each "
-                              "tier re-aggregates the tier below) and "
-                              "its full 3-tier DuckDB oracle runs in "
-                              "tests/test_registry.py",
-    "token_budget_mixture": "born retired (driver window full at 50): "
-                            "every mechanism is already driver-gated — "
-                            "md5-threshold thinning + broadcast rate "
-                            "join via mixture_sample, token-mass "
-                            "aggregation via token_counts/"
-                            "sequence_packing; the budget arithmetic "
-                            "itself is the only new logic and its full "
-                            "DuckDB oracle (6-column hash incl. "
-                            "selection counts) runs in tests/"
-                            "test_registry.py, the dedup_lsh_recall "
-                            "lane",
     "brand_name_similarity": "scalar string functions (levenshtein/"
                              "upper/startswith/length) inside a grouped "
                              "agg; the scalar-function family stays "
                              "live via pii_scrub_stats (regexp chain), "
                              "lang_id (marker counts), doc_quality "
                              "(string stats), and grouped multi-agg via "
-                             "pricing_summary/status_priority_cube. "
+                             "pricing_summary. "
                              "Full oracle keeps running in tests/"
                              "test_registry.py. Slot given to "
                              "quality_classifier_eval in r6",
@@ -276,9 +272,10 @@ RETIRED_GATES: dict[str, str] = {
                         "scan in the suite on one mechanism",
     "returnflag_pivot": "PIVOT lowers to groupBy + conditional "
                         "aggregates — the grouping-analytics family "
-                        "stays live via status_priority_cube (CUBE "
-                        "grouping sets) and pricing_summary's "
-                        "multi-aggregate groupBy; remains "
+                        "stays live via pricing_summary's "
+                        "multi-aggregate groupBy (grouping sets are "
+                        "oracle-checked via status_priority_cube in "
+                        "tests/test_registry.py); remains "
                         "oracle-checked in tests/test_registry.py. "
                         "Slot given to semantic_dedup in r6",
     "part_supplier_overlap": "INTERSECT/EXCEPT set ops; the mechanism "
@@ -287,7 +284,7 @@ RETIRED_GATES: dict[str, str] = {
                              "into: decontaminate + the release "
                              "composite's decontamination stage "
                              "(corpus_release_counts) gate anti-joins, "
-                             "urgent_vs_finished_outer gates the "
+                             "crawl_snapshot_diff gates the full-outer "
                              "overlap-reconciliation shape. Slot given "
                              "to corpus_release_counts in r6",
     "stratified_sample": "deterministic k-per-group selection via "
@@ -369,7 +366,7 @@ RETIRED_GATES: dict[str, str] = {
     "customers_without_orders": "left-anti join is the complement of the "
                                 "left-semi gated by high_value_semijoin; "
                                 "outer NULL-extension gated by "
-                                "urgent_vs_finished_outer",
+                                "crawl_snapshot_diff (full outer)",
     "dedup_exact_rows": "same md5-groupBy dedup operator as dedup_exact",
     "order_date_parts": "date-part extraction; calendar bucketing "
                         "family gated live by event_watermark_windows "
@@ -392,7 +389,9 @@ RETIRED_GATES: dict[str, str] = {
                               "gated by tfidf_top_terms, broadcast "
                               "dim join by region_revenue",
     "order_priority_rollup": "ROLLUP grouping sets subsumed by "
-                             "status_priority_cube (CUBE)",
+                             "status_priority_cube (CUBE, itself "
+                             "oracle-checked in tests/test_registry.py "
+                             "since its r7 retirement)",
 }
 
 assert len(GATE_ORDER) <= 50, (

@@ -3,8 +3,10 @@
 North-star extension (SURVEY §2.10): the tokenizer-TRAINING step of a
 data pipeline, not just the BPE-ish regex basis `functions/text.py`
 offers. Training consumes only the Spark-aggregated word-frequency
-dict (vocab-sized whatever the corpus size — the classic BPE
-formulation); application broadcasts the merge ranks into an
+dict, bounded by a min-frequency floor plus a deterministic
+top-``BPE_MAX_VOCAB`` cap applied BEFORE the driver collect (the
+classic BPE formulation; r7 — an uncapped web-scale vocab is a
+driver OOM); application broadcasts the merge ranks into an
 Arrow-batched pandas UDF with per-batch word memoization, so apply
 cost scales with DISTINCT words per batch, not token occurrences.
 
@@ -27,6 +29,12 @@ from quebic_spark.functions.text import tokens
 
 BPE_MERGES = 200
 BPE_TRAIN_PCT = 50     # md5 slice that supplies the word counts
+# Driver-side training input is CAPPED (r7): 100 TB of web text holds
+# billions of distinct "words" (URLs, hex ids, typos) — an uncapped
+# collect() is a driver OOM. Classic BPE practice: drop sub-floor
+# hapax noise, keep the deterministic top-N by (count desc, word asc).
+BPE_MIN_COUNT = 2
+BPE_MAX_VOCAB = 100_000
 
 
 class BPEModel(NamedTuple):
@@ -46,16 +54,27 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def train_bpe_tokenizer(
-    docs: DataFrame, n_merges: int = BPE_MERGES
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    min_count: int = BPE_MIN_COUNT,
+    max_vocab: int = BPE_MAX_VOCAB,
 ) -> BPEModel:
-    """Train on the corpus word-frequency dict (collected — it is
-    vocab-sized by construction; a web-scale vocab of ~1e7 words is
-    still driver-trivial next to the corpus)."""
+    """Train on the corpus word-frequency dict, collected AFTER a
+    min-frequency floor and a deterministic top-``max_vocab`` cap
+    (count desc, word asc tie-break) — the driver never sees more
+    than ``max_vocab`` rows regardless of corpus size. Sub-floor
+    hapax noise (URLs, hex ids, typos) carries no repeated pair mass
+    for BPE anyway; the cap turns "vocab-sized" from an assumption
+    into a bound."""
     from quebic_spark.functions.bpe import train_bpe
 
-    counts = {
-        r["word"]: r["n"] for r in word_counts(docs).collect()
-    }
+    capped = (
+        word_counts(docs)
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(max_vocab)
+    )
+    counts = {r["word"]: r["n"] for r in capped.collect()}
     return BPEModel(merges=train_bpe(counts, n_merges))
 
 
@@ -150,6 +169,9 @@ def q_bpe_tokenizer_eval(
         F.lit(bool(row["bpe"] <= 3 * row["words"])).alias(
             "fertility_le_3"
         ),
+        # the driver-collect bound is part of the gated contract
+        F.lit(BPE_MIN_COUNT).cast("bigint").alias("train_min_count"),
+        F.lit(BPE_MAX_VOCAB).cast("bigint").alias("train_vocab_cap"),
     )
 
 
@@ -164,7 +186,9 @@ SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
        TRUE AS merges_within_bound,
        TRUE AS roundtrip_exact,
        TRUE AS beats_char_level,
-       TRUE AS fertility_le_3
+       TRUE AS fertility_le_3,
+       CAST({BPE_MIN_COUNT} AS BIGINT) AS train_min_count,
+       CAST({BPE_MAX_VOCAB} AS BIGINT) AS train_vocab_cap
 FROM w
 """
 

@@ -92,6 +92,29 @@ def test_audit_helpers(spark, sf_dir):
     assert "CartesianProduct" not in kinds
 
 
+def test_plan_audit_counts_codegen_spans(spark, sf_dir):
+    # executedPlan().toString() renders codegen as "*(N) Op" prefixes,
+    # never the literal node name WholeStageCodegen — r6's audit read 0
+    # for every gate because it counted the wrong token. Pin the regex
+    # against a real plan AND a canned string so both stay honest.
+    import sys
+
+    sys.path.insert(0, "tools")
+    from plan_audit import audit_plan
+
+    from quebic_spark.operators.relational import q_pricing_summary
+
+    df = q_pricing_summary(spark, sf_dir)
+    df.collect()  # AQE: codegen "*(N)" prefixes only exist in the FINAL plan
+    plan = _plan(df)
+    audit = audit_plan(plan)
+    assert "*(" in plan, plan  # codegen must actually fire for this gate
+    assert audit["n_wholestage"] >= 1, audit
+    # distinct span ids, not operator occurrences: two ops in one span
+    canned = "*(2) HashAggregate(...)\n+- *(2) Project\n   +- *(1) Filter"
+    assert audit_plan(canned)["n_wholestage"] == 2
+
+
 def test_salted_agg_equals_plain_groupby(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -69,3 +69,35 @@ def test_tokenize_with_roundtrip_and_determinism(spark, sf_dir):
         F.size("bpe_tokens").alias("n")
     ).collect()
     assert [r["n"] for r in again] == [r["n"] for r in rows]
+
+
+def test_vocab_cap_binds_and_training_stays_deterministic(spark):
+    # heavy-tail synthetic vocab: a few hot words + a long hapax tail
+    # (the web-scale shape that OOMs an uncapped driver collect)
+    rows = []
+    for i in range(40):
+        rows.append((f"hot{i}", ("alpha beta " * (50 - i)).strip()))
+    for i in range(400):
+        rows.append((f"tail{i}", f"zunique{i:04d}"))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    capped = train_bpe_tokenizer(docs, min_count=2, max_vocab=5)
+    # the floor drops every hapax tail word; the cap keeps <=5 words,
+    # so only alpha/beta pairs can be learned — cap demonstrably binds
+    merged = {a + b for a, b in capped.merges}
+    assert merged, capped
+    assert all("zunique" not in m for m in merged)
+
+    # determinism: same data, different physical layout, same model
+    again = train_bpe_tokenizer(
+        docs.repartition(7), min_count=2, max_vocab=5
+    )
+    assert again.merges == capped.merges
+
+    # a tie at the cap boundary resolves by word asc, not plan order:
+    # every tail word has count 1, so with min_count=1 and a cap of 3
+    # the survivors beyond the hot words are the lexicographically
+    # first — training over them is still reproducible
+    m1 = train_bpe_tokenizer(docs, min_count=1, max_vocab=3)
+    m2 = train_bpe_tokenizer(docs.repartition(13), min_count=1, max_vocab=3)
+    assert m1.merges == m2.merges

@@ -40,7 +40,11 @@ def audit_plan(plan: str) -> dict:
             re.findall(r"\bExchange SinglePartition", plan)
         ),
         "n_broadcast": plan.count("BroadcastExchange"),
-        "n_wholestage": plan.count("WholeStageCodegen"),
+        # executedPlan().toString() renders codegen spans as "*(N) Op"
+        # operator prefixes, not the literal "WholeStageCodegen" node
+        # name (that only appears in formatted explain) — count the
+        # DISTINCT span ids so nested operators in one span count once
+        "n_wholestage": len(set(re.findall(r"\*\((\d+)\) ", plan))),
         "n_python_eval": (
             plan.count("ArrowEvalPython")
             + plan.count("BatchEvalPython")
@@ -77,6 +81,14 @@ def main() -> int:
     for name in names:
         try:
             df = ALL_QUERIES[name](spark, args.sf)
+            # Execute before capturing: under AQE the pre-execution
+            # plan is isFinalPlan=false with NO codegen "*(N)" prefixes
+            # (r6's audit read 0 for every gate). Must run THIS df's
+            # own QueryExecution — a noop write wraps a fresh one and
+            # leaves this AdaptiveSparkPlanExec unfinalized. Gate
+            # outputs are driver-small by contract (the driver
+            # collects them too), so collect() is safe here.
+            df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
             out[name] = audit_plan(plan)
         except Exception as e:  # noqa: BLE001 — audit must not abort

@@ -19,7 +19,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import shutil
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -333,14 +332,16 @@ def _delta_root(disk_path: str) -> str:
     return disk_path + "_deltas"
 
 
-def _read_delta_manifest(disk_path: str) -> dict:
-    import json
+def _read_delta_manifest(spark: SparkSession, disk_path: str) -> dict:
+    """Committed-delta manifest through the Hadoop FS connector — the
+    stored index may live on HDFS / an object store
+    (``SPARK_GRAFT_INDEX_DIR`` can be any Spark-readable URI), where
+    POSIX open()/rename() don't exist (r7; previously local-only)."""
+    from quebic_spark.sources.io import fs_read_json_path
 
     mpath = os.path.join(_delta_root(disk_path), "manifest.json")
-    if not os.path.exists(mpath):
-        return {"deltas": []}
-    with open(mpath) as fh:
-        return json.load(fh)
+    stored = fs_read_json_path(spark, mpath)
+    return stored if stored is not None else {"deltas": []}
 
 
 def append_ivf_vectors(
@@ -359,42 +360,65 @@ def append_ivf_vectors(
     staged and renamed, and the manifest listing committed deltas is
     written LAST and atomically — a crash mid-append leaves an
     unlisted (invisible) directory, never a half-visible generation.
+    All commit IO goes through the Hadoop FS connector so the index
+    root may be HDFS / an object store, and on a local root the whole
+    read-manifest → commit → write-manifest sequence holds an
+    exclusive flock: two concurrent appends serialize instead of both
+    claiming the same generation number, the second's cleanup deleting
+    the first's committed files, and the last manifest write dropping
+    the other's entry (r7 review catch — release_versioned already
+    had this lock, this path didn't).
 
     Note the semantic: the index belongs to (corpus fingerprint,
     quantizer); appends extend the INDEX beyond the base corpus, so
     index-derived results intentionally diverge from a fresh
     base-corpus rebuild until the base is re-fingerprinted."""
+    import contextlib
+
     from quebic_spark.functions.vector import l2_norm
-    from quebic_spark.queue.storage import write_json_atomic
+    from quebic_spark.queue.storage import FileLock
+    from quebic_spark.sources.io import (
+        fs_commit_rename,
+        fs_delete,
+        fs_local_dir,
+        fs_mkdirs,
+        fs_write_json_path,
+    )
 
     # ensure the base index exists (builds it on first use)
     _ivf_corpus(spark, sf_dir, centroids)
     disk_path = _ivf_disk_path(sf_dir, centroids)
-    manifest = _read_delta_manifest(disk_path)
-    name = f"delta={len(manifest['deltas']) + 1:05d}"
     droot = _delta_root(disk_path)
-    os.makedirs(droot, exist_ok=True)
+    fs_mkdirs(spark, droot)
+    local_droot = fs_local_dir(spark, droot)
+    lock: contextlib.AbstractContextManager = (
+        FileLock(os.path.join(local_droot, "_deltas.lock"))
+        if local_droot is not None
+        else contextlib.nullcontext()  # single-writer by contract
+    )
+    with lock:
+        manifest = _read_delta_manifest(spark, disk_path)
+        name = f"delta={len(manifest['deltas']) + 1:05d}"
 
-    dots, cell = _cell_col(centroids)
-    assigned = (
-        new_vecs.select("vec_id", "embedding", *dots)
-        .withColumn("cell", cell)
-        .withColumn("norm", l2_norm(F.col("embedding")))
-        .select("vec_id", "embedding", "cell", "norm")
-    )
-    staged = os.path.join(droot, name + ".tmp")
-    shutil.rmtree(staged, ignore_errors=True)
-    assigned.repartition("cell").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(staged)
-    final = os.path.join(droot, name)
-    shutil.rmtree(final, ignore_errors=True)
-    os.rename(staged, final)
-    n_rows = spark.read.parquet(final).count()
-    manifest["deltas"].append(name)
-    write_json_atomic(
-        os.path.join(droot, "manifest.json"), manifest, sync=False
-    )
+        dots, cell = _cell_col(centroids)
+        assigned = (
+            new_vecs.select("vec_id", "embedding", *dots)
+            .withColumn("cell", cell)
+            .withColumn("norm", l2_norm(F.col("embedding")))
+            .select("vec_id", "embedding", "cell", "norm")
+        )
+        staged = os.path.join(droot, name + ".tmp")
+        fs_delete(spark, staged)
+        assigned.repartition("cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(staged)
+        final = os.path.join(droot, name)
+        fs_commit_rename(spark, staged, final)
+        n_rows = spark.read.parquet(final).count()
+        manifest["deltas"].append(name)
+        fs_write_json_path(
+            spark, os.path.join(droot, "manifest.json"), manifest
+        )
     # drop memoized frames for this (corpus, quantizer): the next
     # _ivf_corpus call re-keys on the new delta list
     cent_key = (
@@ -443,12 +467,14 @@ def _ivf_corpus(
         else tuple(tuple(c) for c in centroids)
     )
     disk_path = _ivf_disk_path(sf_dir, centroids)
-    deltas = tuple(_read_delta_manifest(disk_path)["deltas"])
+    deltas = tuple(_read_delta_manifest(spark, disk_path)["deltas"])
     key = (spark.sparkContext.applicationId, sf_dir, cent_key, deltas)
     cached = _IVF_INDEX_CACHE.get(key)
     if cached is not None:
         return cached
-    if not os.path.exists(os.path.join(disk_path, "_SUCCESS")):
+    from quebic_spark.sources.io import fs_commit_rename, fs_delete, fs_exists
+
+    if not fs_exists(spark, os.path.join(disk_path, "_SUCCESS")):
         dots, cell = _cell_col(centroids)
         built = (
             _emb(spark, sf_dir)
@@ -458,19 +484,19 @@ def _ivf_corpus(
             .select("vec_id", "embedding", "cell", "norm")
         )
         # stage + rename so a crashed write never half-populates the
-        # index path (same commit discipline as queue/storage.py).
+        # index path (same commit discipline as queue/storage.py),
+        # through the FS connector so the index root may be HDFS or
+        # an object store (r7; previously os.rename / local-only).
         # repartition("cell") -> one file per populated cell dir: the
         # fan_out scan would otherwise strand 32 tiny files in every
         # cell (measured 5x slower re-read). At 100 TB the same write
         # targets a file-size budget (maxRecordsPerFile), not one file.
         tmp = disk_path + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+        fs_delete(spark, tmp)
         built.repartition("cell").write.mode("overwrite").partitionBy(
             "cell"
         ).parquet(tmp)
-        shutil.rmtree(disk_path, ignore_errors=True)
-        os.makedirs(os.path.dirname(disk_path), exist_ok=True)
-        os.rename(tmp, disk_path)
+        fs_commit_rename(spark, tmp, disk_path)
     else:
         tune_for_query(spark)
     emb = spark.read.parquet(disk_path).select(
@@ -682,16 +708,19 @@ def learned_centroids(
         "spherical-kmeans-v1", _corpus_fingerprint(sf_dir), k_cells,
         train_iters,
     ]
+    from quebic_spark.sources.io import (
+        fs_read_json_path,
+        fs_write_json_path,
+    )
+
     quant_path = os.path.join(
         _index_root(), "quantizer", _index_tag(disk_key) + ".json"
     )
-    if os.path.exists(quant_path):
-        with open(quant_path) as fh:
-            stored = json.load(fh)
-        if stored.get("key") == disk_key:
-            out = stored["centroids"]
-            _LEARNED_CENTROIDS_CACHE[key] = out
-            return out
+    stored = fs_read_json_path(spark, quant_path)
+    if stored is not None and stored.get("key") == disk_key:
+        out = stored["centroids"]
+        _LEARNED_CENTROIDS_CACHE[key] = out
+        return out
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "embedding"
     )
@@ -717,11 +746,12 @@ def learned_centroids(
     for c in cents:
         n = math.sqrt(sum(x * x for x in c))
         out.append([x / n for x in c])
-    os.makedirs(os.path.dirname(quant_path), exist_ok=True)
-    tmp = quant_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"key": disk_key, "centroids": out}, fh)
-    os.replace(tmp, quant_path)
+    # through the FS connector (atomic on file://, all-or-nothing PUT
+    # on object stores) so the quantizer lives beside the index it
+    # defines wherever that index root is
+    fs_write_json_path(
+        spark, quant_path, {"key": disk_key, "centroids": out}
+    )
     _LEARNED_CENTROIDS_CACHE[key] = out
     return out
 

@@ -163,7 +163,19 @@ def read_release_registry(spark: SparkSession, root: str) -> dict:
 
     jvm, fs, rpath = _registry_fs(spark, root)
     if not fs.exists(rpath):
-        return {"versions": []}
+        # Non-file schemes whose update protocol falls back to
+        # delete+rename have a transient-absent window; retry once
+        # before deciding the registry is genuinely empty (r7 review
+        # catch — a reader in that window used to hard-fail "no
+        # releases" mid-update). file:// commits via os.replace and
+        # has no window, so absent there is authoritative.
+        if fs.getScheme() == "file":
+            return {"versions": []}
+        import time
+
+        time.sleep(0.05)
+        if not fs.exists(rpath):
+            return {"versions": []}
     stream = fs.open(rpath)
     try:
         # commons-io rides on Hadoop's classpath; a JVM-side toString

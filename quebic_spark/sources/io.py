@@ -190,6 +190,89 @@ def write_corpus_shards(
     return manifest
 
 
+def hadoop_path(spark: SparkSession, path: str):
+    """(jvm, fs, jpath) for a path string that may be a bare local
+    path or a ``scheme://`` URI — the one dispatch every stored-index
+    and registry commit goes through, so artifacts live equally on a
+    local disk, HDFS, or an object store (r7: the IVF index previously
+    committed via ``os.rename``, which object stores don't have)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    return jvm, fs, jpath
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    _jvm, fs, jpath = hadoop_path(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def fs_mkdirs(spark: SparkSession, path: str) -> None:
+    _jvm, fs, jpath = hadoop_path(spark, path)
+    fs.mkdirs(jpath)
+
+
+def fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete; absent path is a no-op."""
+    _jvm, fs, jpath = hadoop_path(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
+def fs_commit_rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Publish a staged directory: delete any stale dst, then rename.
+    On HDFS/file both are metadata ops; on object stores rename
+    degrades to copy+delete but readers keyed off a manifest-written-
+    last protocol never look at an unpublished path anyway."""
+    _jvm, fs, jsrc = hadoop_path(spark, src)
+    jdst = hadoop_path(spark, dst)[2]
+    if fs.exists(jdst):
+        fs.delete(jdst, True)
+    parent = jdst.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    if not fs.rename(jsrc, jdst):
+        raise IOError(f"rename {src} -> {dst} failed")
+
+
+def fs_read_json_path(spark: SparkSession, path: str) -> dict | None:
+    """JSON through the FS connector; None when absent."""
+    import json
+
+    jvm, fs, jpath = hadoop_path(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def fs_write_json_path(spark: SparkSession, path: str, obj: dict) -> None:
+    jvm, fs, jpath = hadoop_path(spark, path)
+    parent = jpath.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    fs_write_json(jvm, fs, jpath, obj)
+
+
+def fs_local_dir(spark: SparkSession, path: str) -> str | None:
+    """The local filesystem directory behind ``path`` when its scheme
+    is ``file`` (for flock-based cross-process mutual exclusion),
+    else None — non-file schemes have no portable lock primitive and
+    are single-writer by contract, same stance as the release
+    registry."""
+    _jvm, fs, jpath = hadoop_path(spark, path)
+    if fs.getScheme() == "file":
+        return jpath.toUri().getPath()
+    return None
+
+
 def fs_write_json(jvm, fs, jpath, obj: dict) -> None:
     """Write JSON through the Hadoop FileSystem as atomically as the
     scheme allows — the ONE dispatch shared by the shard manifest and
@@ -199,11 +282,14 @@ def fs_write_json(jvm, fs, jpath, obj: dict) -> None:
 
     file:// gets the full temp+fsync-free rename protocol
     (write_json_atomic). Other schemes write a sibling ``.tmp`` then
-    delete+rename — on HDFS both steps are metadata ops so no reader
-    ever sees a torn file (a reader in the tiny delete-rename window
-    sees file-absent, which callers treat as empty/missing rather than
-    corrupt); object stores degrade to copy+delete but still never
-    expose a partial body (PUT is all-or-nothing)."""
+    rename-with-OVERWRITE through FileContext — one metadata op on
+    HDFS, so a concurrent reader sees either the old or the new body,
+    never file-absent (r7 review catch: the previous delete-then-
+    rename left a window where read_release_registry returned empty
+    and load_release hard-failed mid-update). Where FileContext is
+    unavailable the old delete+rename runs as fallback; object stores
+    degrade to copy+delete but still never expose a partial body
+    (PUT is all-or-nothing)."""
     import json
 
     from quebic_spark.queue.storage import write_json_atomic
@@ -219,9 +305,23 @@ def fs_write_json(jvm, fs, jpath, obj: dict) -> None:
         out.write(bytearray(json.dumps(obj, indent=2).encode("utf-8")))
     finally:
         out.close()
-    fs.delete(jpath, False)
-    if not fs.rename(tmp, jpath):
-        raise IOError(f"rename {tmp} -> {jpath} failed")
+    try:
+        from pyspark import SparkContext
+
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            jpath.toUri(), fs.getConf()
+        )
+        overwrite = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        # varargs Rename... needs a real Java array, not a converted list
+        arr = SparkContext._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        arr[0] = overwrite
+        fc.rename(tmp, jpath, arr)
+    except Exception:  # noqa: BLE001 — scheme without an AbstractFileSystem
+        fs.delete(jpath, False)
+        if not fs.rename(tmp, jpath):
+            raise IOError(f"rename {tmp} -> {jpath} failed")
 
 
 def write_zorder(

@@ -393,3 +393,59 @@ def test_ivf_search_finds_appended_vectors(
     # (cosine exactly 1), never a base vector
     assert top == {r.vec_id + 1000: r.vec_id for r in new.collect()}
     clear_caches(include_ivf_index=True)
+
+
+def test_ivf_index_commits_through_fs_api_on_file_uri(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The stored index's commit protocol must run through the Hadoop
+    FS connector, not POSIX rename: a ``file://`` URI index root
+    (rejected by os.path.exists / os.rename on the raw string) has to
+    build, append a delta generation, hide a crash-orphaned delta dir,
+    and load the learned quantizer — the exact sequence an HDFS or
+    object-store root sees."""
+    import os
+
+    from quebic_spark.cache import clear_caches
+    from quebic_spark.operators.similarity import (
+        _delta_root,
+        _ivf_corpus,
+        _ivf_disk_path,
+        append_ivf_vectors,
+        learned_centroids,
+    )
+
+    root_uri = "file://" + str(tmp_path / "idx_uri")
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", root_uri)
+    clear_caches(include_ivf_index=True)
+
+    n_base = _ivf_corpus(spark, sf_dir).count()
+    local_base = str(tmp_path / "idx_uri" / "ivf_corpus")
+    assert os.path.isdir(local_base)  # built AT the URI root
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = append_ivf_vectors(
+        spark, sf_dir,
+        emb.limit(10).selectExpr("vec_id + 700000 AS vec_id",
+                                 "embedding"),
+    )
+    assert out["n_vectors"] == 10
+    assert _ivf_corpus(spark, sf_dir).count() == n_base + 10
+
+    # crash-orphan: files without a manifest entry stay invisible
+    import shutil
+
+    droot_local = _delta_root(_ivf_disk_path(sf_dir)).replace(
+        "file://", ""
+    )
+    shutil.copytree(os.path.join(droot_local, out["delta"]),
+                    os.path.join(droot_local, "delta=00099"))
+    clear_caches(include_ivf_index=True)
+    assert _ivf_corpus(spark, sf_dir).count() == n_base + 10
+
+    # learned quantizer persists + reloads through the same connector
+    c1 = learned_centroids(spark, sf_dir, k_cells=4, train_iters=2)
+    clear_caches(include_ivf_index=True)
+    c2 = learned_centroids(spark, sf_dir, k_cells=4, train_iters=2)
+    assert c1 == c2
+    clear_caches(include_ivf_index=True)

@@ -1055,7 +1055,10 @@ def _score_lm(
     scored = (
         grams.join(bi, "bg", "left")
         .join(uni, "w1", "left")
-        .crossJoin(vsz)
+        # single-row frame: hint the broadcast explicitly (repo
+        # convention — AQE would pick it anyway, but the plan must not
+        # depend on AQE being on)
+        .crossJoin(F.broadcast(vsz))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -66,7 +66,15 @@ def _score_series(values, buf, window, min_n, z_threshold):
             if var > 0:
                 z = (v - s / nn) / var ** 0.5
         out.append((n, z, bool(z is not None and abs(z) >= z_threshold)))
-        buf.append(Decimal(v).quantize(cent, rounding=ROUND_HALF_UP))
+        # repr(v), not v: Spark's cast rounds the double's SHORTEST
+        # decimal form (BigDecimal.valueOf/Double.toString), so for
+        # 0.285 (binary ≈0.28499999…) the cast yields 0.29 while
+        # quantizing the exact binary value yields 0.28 — quantize the
+        # shortest repr to match the batch plan bit-for-bit (r7 review
+        # catch)
+        buf.append(
+            Decimal(repr(v)).quantize(cent, rounding=ROUND_HALF_UP)
+        )
         del buf[:-window]
     return out
 
@@ -90,7 +98,7 @@ def anomaly_stream(
         # its nearest double)
         cent = Decimal("0.01")
         buf = (
-            [Decimal(x).quantize(cent, rounding=ROUND_HALF_UP)
+            [Decimal(repr(x)).quantize(cent, rounding=ROUND_HALF_UP)
              for x in state.get[0]]
             if state.exists else []
         )

@@ -115,6 +115,22 @@ def test_plan_audit_counts_codegen_spans(spark, sf_dir):
     assert audit_plan(canned)["n_wholestage"] == 2
 
 
+def test_lm_perplexity_vocab_join_broadcasts_without_aqe(spark, sf_dir):
+    # the 1-row vocab-size frame is broadcast by an explicit hint, not
+    # by AQE's rescue — the plan must hold under a non-AQE config
+    from quebic_spark.operators.textops import q_lm_perplexity
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(q_lm_perplexity(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_salted_agg_equals_plain_groupby(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -420,3 +420,36 @@ def test_continuous_retrieval_over_query_stream(
     assert set(served) == expect and len(expect) == 12
     clear_caches(include_ivf_index=True)
     q.dispose()
+
+
+def test_stream_scorer_matches_batch_on_shortest_repr_rounding(spark):
+    """Regression (r7 review catch): Spark's decimal(18,2) cast rounds
+    the double's SHORTEST decimal form (0.285 -> 0.29), while
+    Decimal(v) sees the exact binary value (≈0.28499999…) and rounds
+    to 0.28 — the buffered baselines diverged and so did downstream
+    z-scores. Values engineered to split the two roundings must agree
+    between batch and stream."""
+    from quebic_spark.operators.temporal import anomaly_scores
+    from quebic_spark.streaming.anomaly import _score_series
+
+    # each of these has binary double strictly BELOW its printed
+    # midpoint, so exact-binary rounding goes down while
+    # shortest-repr (Spark) rounding goes up
+    tricky = [0.285, 0.565, 0.045, 8.285]
+    vals = tricky * 2 + [9.0, 0.285]
+    rows = [(i, 1, i, v) for i, v in enumerate(vals)]
+    batch_df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double"
+    )
+    expect = {r.event_id: r
+              for r in anomaly_scores(batch_df, min_n=3).collect()}
+
+    got = _score_series(vals, [], window=20, min_n=3, z_threshold=3.0)
+    for i, (n, z, flag) in enumerate(got):
+        e = expect[i]
+        assert n == e.baseline_n, i
+        assert flag == e.is_anomaly, (i, z, e.z)
+        if e.z is None:
+            assert z is None, (i, z)
+        else:
+            assert abs(z - e.z) < 1e-12, (i, z, e.z)

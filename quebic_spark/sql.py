@@ -77,3 +77,48 @@ def register_release(
     df = load_release(spark, root, version)
     df.createOrReplaceTempView(name)
     return df
+
+
+def register_phrase_index(
+    spark: SparkSession, path: str, name: str = "postings"
+) -> DataFrame:
+    """Register a persisted posting index (``textops.build_phrase_index``)
+    as a temp view, so corpus audits — "where does this eval string /
+    PII fragment occur" — are plain SQL joins against ``documents``.
+
+    The view is the bare bucketed-parquet scan: a ``token = '...'``
+    predicate in SQL still lands in the parquet scan's PushedFilters
+    (asserted in tests/test_sql.py), so a search reads the phrase
+    tokens' posting lists, never the whole index. Returns the frame."""
+    df = spark.read.parquet(path)
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def register_ivf_search(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame,
+    name: str = "ann_hits",
+    k: int = 5,
+    nprobe: int = 1,
+    centroids: list | None = None,
+) -> DataFrame:
+    """Table-valued-function-style bridge for ANN search: run
+    ``similarity.ivf_search`` (persisted cell-partitioned index,
+    broadcast query side) and register the (query_id, vec_id, cosine,
+    rank) result as a temp view, so retrieval joins compose in SQL:
+
+        SELECT h.query_id, d.text
+        FROM ann_hits h JOIN documents d ON d.doc_id = h.vec_id
+
+    The view holds the lazy plan, not a materialization — Catalyst
+    fuses whatever SQL is layered on top into the probe plan. Returns
+    the frame."""
+    from quebic_spark.operators.similarity import ivf_search
+
+    df = ivf_search(
+        spark, sf_dir, queries, k=k, nprobe=nprobe, centroids=centroids
+    )
+    df.createOrReplaceTempView(name)
+    return df

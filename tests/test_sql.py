@@ -94,3 +94,77 @@ def test_register_release_exposes_versioned_corpus(spark, tmp_path):
     assert e1["manifest"]["total_rows"] == 60
     spark.catalog.dropTempView("corpus")
     spark.catalog.dropTempView("corpus_v1")
+
+
+def test_register_phrase_index_sql_join_with_pushdown(
+    spark, sf_dir, tmp_path
+):
+    """Corpus audit as plain SQL: the persisted posting view joined
+    against documents, with the token predicate reaching the parquet
+    scan — and the SQL result agreeing with the library operator."""
+    from quebic_spark.operators.textops import (
+        SEARCH_PHRASE,
+        build_phrase_index,
+        phrase_search,
+        posting_index,
+    )
+    from quebic_spark.sql import register_phrase_index, register_testdata
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx_path = str(tmp_path / "postings")
+    build_phrase_index(docs, idx_path, n_buckets=8)
+    register_testdata(spark, sf_dir, tables=("documents",))
+    register_phrase_index(spark, idx_path, "postings")
+
+    w0, w1 = SEARCH_PHRASE.split(" ")
+    sql_hits = spark.sql(
+        f"""
+        SELECT p0.doc_id, p0.pos AS match_pos, d.source
+        FROM postings p0
+        JOIN postings p1
+          ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+        JOIN documents d ON d.doc_id = p0.doc_id
+        WHERE p0.token = '{w0}' AND p1.token = '{w1}'
+        """
+    )
+    plan = sql_hits._jdf.queryExecution().executedPlan().toString()
+    assert f"EqualTo(token,{w0})" in plan, plan  # pushdown through view
+    got = {(r.doc_id, r.match_pos) for r in sql_hits.collect()}
+    want = {
+        (r.doc_id, r.match_pos)
+        for r in phrase_search(posting_index(docs), SEARCH_PHRASE).collect()
+    }
+    assert got == want and got
+
+
+def test_register_ivf_search_composes_in_sql(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ANN retrieval joined to its documents entirely in SQL, equal to
+    the library call it bridges."""
+    from quebic_spark.cache import clear_caches
+    from quebic_spark.operators.similarity import ivf_search
+    from quebic_spark.sql import register_ivf_search, register_testdata
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    clear_caches(include_ivf_index=True)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    register_testdata(spark, sf_dir, tables=("documents",))
+    register_ivf_search(spark, sf_dir, queries, "ann_hits", k=3, nprobe=2)
+    out = spark.sql(
+        """
+        SELECT h.query_id, h.vec_id, h.rank, d.source
+        FROM ann_hits h JOIN documents d ON d.doc_id = h.vec_id
+        ORDER BY h.query_id, h.rank
+        """
+    ).collect()
+    direct = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_search(spark, sf_dir, queries, k=3, nprobe=2).collect()
+    }
+    assert {(r.query_id, r.vec_id, r.rank) for r in out} == direct
+    assert len(out) == len(direct) and direct
+    clear_caches(include_ivf_index=True)

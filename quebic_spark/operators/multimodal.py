@@ -789,6 +789,24 @@ def decode_media(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(run, MEDIA_SCHEMA)
 
 
+def media_decode_stats(payloads: DataFrame) -> DataFrame:
+    """Per-format decode accounting over a binary-payload column:
+    ``(fmt, n_rows, n_bytes, quarantined)``. ``quarantined`` is true
+    for the stub tiers (``unknown-stub`` and ``<kind>-error-stub``) —
+    the rows a release should surface for triage rather than silently
+    ship. One decode pass + one tiny keyed agg; fmt cardinality is a
+    handful, so the agg is map-side dominated at any corpus size."""
+    return (
+        decode_media(payloads)
+        .groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("payload_bytes").alias("n_bytes"),
+        )
+        .withColumn("quarantined", F.col("fmt").endswith("-stub"))
+    )
+
+
 def encode_bmp(width: int, height: int, rgb: "list[list[tuple]]") -> bytes:
     """Test-support encoder: rows of (r, g, b) top-down -> 24-bit BMP
     bytes (bottom-up, 4-byte-aligned rows), the exact layout

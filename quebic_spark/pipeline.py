@@ -74,6 +74,7 @@ def release_corpus(
     fmt: str = "parquet",
     quality_model=None,
     min_model_prob: float = 0.5,
+    media_payloads: DataFrame | None = None,
 ) -> dict:
     """Run the full release pipeline and write the sharded artifact.
 
@@ -88,8 +89,11 @@ def release_corpus(
     canonical per bag-of-words content key (:func:`keep_best`);
     (4) if ``bench_docs`` is given, anti-join away documents sharing
     n-grams with it; (5) write the md5-bucket sharded layout with
-    manifest (:func:`write_corpus_shards`). Returns the write
-    manifest.
+    manifest (:func:`write_corpus_shards`); (6) if ``media_payloads``
+    (doc_id, payload binary) is given, record per-format
+    decode/quarantine counts (:func:`operators.multimodal.
+    media_decode_stats`) under the manifest's ``media`` key. Returns
+    the write manifest.
     """
     from quebic_spark.operators.dedup import _content_key, keep_best
     from quebic_spark.operators.textops import quality_percentile_filter
@@ -126,13 +130,33 @@ def release_corpus(
             "left_anti",
         )
     try:
-        return write_corpus_shards(
+        manifest = write_corpus_shards(
             spark, deduped, out_path, n_shards,
             key_col="doc_id", order_by=list(order_by), fmt=fmt,
         )
     finally:
         if cached is not None:
             cached.unpersist(blocking=False)
+    if media_payloads is not None:
+        # optional multimodal tier: per-format decode/quarantine
+        # accounting over the release's binary payloads, recorded in
+        # the (re-written, still atomic) manifest so a loader can see
+        # what the decode tier would face without re-scanning blobs
+        from quebic_spark.operators.multimodal import media_decode_stats
+        from quebic_spark.sources.io import fs_write_json_path
+
+        manifest["media"] = {
+            r["fmt"]: {
+                "n_rows": int(r["n_rows"]),
+                "n_bytes": int(r["n_bytes"]),
+                "quarantined": bool(r["quarantined"]),
+            }
+            for r in media_decode_stats(media_payloads).collect()
+        }
+        fs_write_json_path(
+            spark, f"{out_path}/_corpus_manifest.json", manifest
+        )
+    return manifest
 
 
 # ---------------------------------------------------------------------------

@@ -280,3 +280,56 @@ def test_csv_release_roundtrips_through_registry(spark, docs, tmp_path):
     assert back.count() == e["manifest"]["total_rows"]
     a = sorted(r.content_key for r in back.select("content_key").collect())
     assert len(a) == len(set(a))  # dedup survived the format hop
+
+
+def test_release_with_media_decode_accounting(spark, docs, tmp_path):
+    """The optional multimodal tier: a mixed binary-payload corpus —
+    real decodable images/audio, a corrupt body behind valid magic
+    (error-stub), and unknown bytes — lands as per-format
+    decode/quarantine counts under the manifest's ``media`` key, in
+    the on-disk manifest too."""
+    import io
+    import json
+    import os
+
+    from quebic_spark.operators.multimodal import encode_bmp, encode_png
+    from quebic_spark.pipeline import release_corpus
+
+    bmp = encode_bmp(2, 2, [[(255, 0, 0), (0, 255, 0)],
+                            [(0, 0, 255), (255, 255, 255)]])
+    png = encode_png(2, 1, [[(10, 20, 30), (40, 50, 60)]])
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 0, 100, -100, 0))
+    wav = buf.getvalue()
+    corrupt_bmp = bmp[:40] + b"\x00" * 20   # magic ok, body truncated
+    junk = b"\x01\x02\x03 definitely not media"
+
+    payloads = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(png)), (3, bytearray(wav)),
+         (4, bytearray(corrupt_bmp)), (5, bytearray(junk))],
+        "doc_id long, payload binary",
+    )
+    out = str(tmp_path / "media_release")
+    man = release_corpus(
+        spark, docs, out, n_shards=2, media_payloads=payloads
+    )
+    media = man["media"]
+    assert media["bmp"] == {"n_rows": 1, "n_bytes": len(bmp),
+                            "quarantined": False}
+    assert media["png"]["n_rows"] == 1 and not media["png"]["quarantined"]
+    assert media["wav"]["n_rows"] == 1 and not media["wav"]["quarantined"]
+    assert media["bmp-error-stub"]["quarantined"] is True
+    assert media["unknown-stub"]["quarantined"] is True
+    assert sum(v["n_rows"] for v in media.values()) == 5
+    # the re-written on-disk manifest carries the media tier
+    on_disk = json.load(
+        open(os.path.join(out, "_corpus_manifest.json"))
+    )
+    assert on_disk == man

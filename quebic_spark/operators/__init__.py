@@ -54,6 +54,9 @@ for _mod in _MODULES:
 
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
+    # --- r7: new operators this round ---
+    "ann_ivf_pq_recall",
+    "leakage_safe_split",
     # --- r7: rotated in so every operator has held a driver slot ---
     "token_budget_mixture",
     "event_rollup_hierarchy",
@@ -80,7 +83,6 @@ GATE_ORDER: tuple[str, ...] = (
     "dedup_keep_best",
     "dedup_incremental_bloom",
     # --- r4: new gates that round ---
-    "dedup_incremental",
     "pii_scrub_stats",
     "dedup_spans",
     "ann_ivf_nprobe2",
@@ -89,7 +91,6 @@ GATE_ORDER: tuple[str, ...] = (
     # --- r3: new operators that round ---
     "decontaminate",
     "sequence_packing",
-    "weighted_sample",
     # --- r3: first driver gate for these (registry overflowed in r2) ---
     "train_split_counts",
     "quantile_sketch",
@@ -205,6 +206,24 @@ RETIRED_GATES: dict[str, str] = {
                     "Full oracle keeps running in "
                     "tests/test_registry.py. Slot given to "
                     "chunk_documents in r6",
+    "dedup_incremental": "retired in r7 (3 driver-green rounds) to "
+                         "free a slot for ann_ivf_pq_recall: "
+                         "dedup_incremental_bloom gates a strict "
+                         "superset of the mechanism — same snapshot "
+                         "content key, same anti-join semantics, and "
+                         "the bench/driver rows are HASH-IDENTICAL "
+                         "(3794a949a7 for both in CORRECTNESS_r06), "
+                         "so a regression in the exact path breaks "
+                         "the live bloom gate too; full oracle keeps "
+                         "running in tests/test_registry.py",
+    "weighted_sample": "retired in r7 (4 driver-green rounds) to free "
+                       "a slot for leakage_safe_split: md5-threshold "
+                       "arithmetic selection stays live via "
+                       "mixture_sample (same per-source rate "
+                       "threshold on the same hash) and "
+                       "train_split_counts (same bucket arithmetic); "
+                       "full oracle keeps running in "
+                       "tests/test_registry.py",
     "status_priority_cube": "CUBE grouping sets retired in r7 after 5 "
                             "driver-green rounds (r2-r6) to free a slot "
                             "for the driver-virgin "

@@ -92,6 +92,84 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# leakage_safe_split — split assignment keyed on the content GROUP,
+# not the document. A doc-id-keyed split (train_split_counts) lets
+# exact duplicates of one document land in train AND test — the
+# classic eval-leakage bug (the test answer is literally in the
+# training set). Keying the hash on a group identifier (default: the
+# bag-of-words content key shared with the whole dedup family) makes
+# split membership a pure FUNCTION of content, so no group can
+# straddle splits, with ZERO extra plan cost: no join, no group-level
+# shuffle — the key is computed in-scan and the only exchange is the
+# reporting aggregation. At 100 TB this is the difference between a
+# leakage audit that rescans the corpus and one that's free by
+# construction. For near-dup safety, pass the LSH cluster id
+# (dedup.duplicate_clusters) as ``group_col`` — same arithmetic, one
+# precomputed column.
+# ---------------------------------------------------------------------------
+
+
+def split_by_group(
+    docs: DataFrame,
+    group_col: F.Column | str | None = None,
+    train_pct: int = TRAIN_PCT,
+    val_pct: int = VAL_PCT,
+) -> DataFrame:
+    """Adds ``split`` ('train'/'val'/'test') keyed on ``group_col``
+    (default: the dedup family's bag-of-words content key), so every
+    member of a group gets the same split by construction."""
+    from quebic_spark.operators.dedup import _content_key
+
+    if group_col is None:
+        key = _content_key()
+    elif isinstance(group_col, str):
+        key = F.col(group_col)
+    else:
+        key = group_col
+    bucket = hash_bucket(key)
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < val_pct, "val")
+        .otherwise("test")
+    )
+    return docs.withColumn("split", split)
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quebic_spark.operators.dedup import _content_key
+
+    docs = _docs(spark, sf_dir)
+    assigned = split_by_group(docs).withColumn(
+        "content_key", _content_key()
+    )
+    return (
+        assigned.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("content_key").alias("n_groups"),
+        )
+    )
+
+
+_CK_SQL = ("md5(array_to_string(list_sort(list_distinct("
+           "string_split(text, ' '))), ' '))")
+
+ORACLE_LEAKAGE_SAFE_SPLIT = f"""
+WITH g AS (
+  SELECT source, {_CK_SQL} AS ck FROM documents
+)
+SELECT source,
+       CASE WHEN {_hash_bucket_sql("ck")} < {TRAIN_PCT} THEN 'train'
+            WHEN {_hash_bucket_sql("ck")} < {VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT ck) AS n_groups
+FROM g
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # shard_assignment — balanced output sharding by hash (the write-side
 # partitioning a pipeline uses for stable, even output files).
 # ---------------------------------------------------------------------------
@@ -1580,6 +1658,7 @@ QUERIES = {
     "quantile_sketch": q_quantile_sketch,
     "pipeline_doc_counts": q_pipeline_doc_counts,
     "train_split_counts": q_train_split_counts,
+    "leakage_safe_split": q_leakage_safe_split,
     "shard_assignment": q_shard_assignment,
     "stratified_sample": q_stratified_sample,
     "heavy_hitter_keys": q_heavy_hitter_keys,
@@ -1599,6 +1678,7 @@ ORACLES = {
     "quantile_sketch": ORACLE_QUANTILE_SKETCH,
     "pipeline_doc_counts": ORACLE_PIPELINE_DOC_COUNTS,
     "train_split_counts": ORACLE_TRAIN_SPLIT_COUNTS,
+    "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
     "shard_assignment": ORACLE_SHARD_ASSIGNMENT,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "heavy_hitter_keys": ORACLE_HEAVY_HITTER_KEYS,

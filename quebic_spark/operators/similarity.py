@@ -1123,6 +1123,312 @@ def ivf_search(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ — product-quantized ANN, the memory side of the 100 TB story.
+# IVF prunes WHICH vectors a query touches (cells); PQ shrinks WHAT is
+# read per vector: each unit-normalized embedding becomes PQ_M 1-byte
+# codewords (PQ_K<=256), a 32x reduction vs 64 float32 dims — the
+# difference between an index that fits executor memory and one that
+# doesn't. Jegou et al., "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011) is the public formulation; everything here is
+# its relational rendering:
+#
+#   * train: per-subspace k-means (functions/clustering.kmeans — the
+#     same deterministic Lloyd used by the IVF quantizer) over the
+#     unit vectors' PQ_M slices; codebooks are tiny (M*K*(D/M) floats)
+#     and persist beside the IVF artifacts through the FS connector.
+#   * encode: Arrow-batched numpy argmin per subspace -> array<int>
+#     codes; a one-off write-side job, like the cell assignment.
+#   * search (ADC): per query build the M x K lookup table of
+#     subvector inner products, broadcast it with the query, and
+#     score candidates JVM-side: zip_with(codes, lut)[m] =
+#     lut[m][code_m], aggregate-summed — no Python in the per-
+#     candidate hot path, cost O(M) per candidate vs O(D) exact.
+#
+# Ranking uses the asymmetric inner-product estimate sum_m <q_m,
+# c_{m,code}> against the unit-normalized corpus — the standard
+# cosine-ANN arrangement (query norm is rank-invariant).
+# ---------------------------------------------------------------------------
+
+PQ_M = 8            # subspaces (EMB_DIM/PQ_M dims each)
+PQ_K = 16           # codewords per subspace
+PQ_TRAIN_ITERS = 4
+
+
+def train_pq_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    train_iters: int = PQ_TRAIN_ITERS,
+) -> list:
+    """Per-subspace codebooks [m][k][d/m] trained on the unit-
+    normalized corpus; persisted keyed on (algorithm version, corpus
+    fingerprint, m, k, iters) like the IVF quantizer, so a fresh
+    process loads instead of retraining (deterministic either way)."""
+    from quebic_spark.functions.clustering import kmeans
+    from quebic_spark.functions.vector import l2_norm
+    from quebic_spark.sources.io import (
+        fs_read_json_path,
+        fs_write_json_path,
+    )
+
+    disk_key = ["pq-v1", _corpus_fingerprint(sf_dir), m, k, train_iters]
+    path = os.path.join(
+        _index_root(), "pq", _index_tag(disk_key) + ".json"
+    )
+    stored = fs_read_json_path(spark, path)
+    if stored is not None and stored.get("key") == disk_key:
+        return stored["codebooks"]
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    norm = l2_norm(F.col("embedding"))
+    unit = emb.select(
+        F.transform(F.col("embedding"), lambda x: x / norm).alias("u")
+    ).coalesce(4).cache()
+    d_sub = EMB_DIM // m
+    books = []
+    try:
+        for i in range(m):
+            sub = unit.select(
+                F.slice(F.col("u"), i * d_sub + 1, d_sub).alias("sub")
+            )
+            _, cents, _ = kmeans(sub, "sub", k, max_iters=train_iters)
+            books.append([[float(x) for x in c] for c in cents])
+    finally:
+        unit.unpersist(blocking=False)
+    fs_write_json_path(
+        spark, path, {"key": disk_key, "codebooks": books}
+    )
+    return books
+
+
+def pq_encode(vectors: DataFrame, codebooks: list) -> DataFrame:
+    """Adds ``codes`` (array<int>, one codeword id per subspace) for a
+    (vec_id, embedding) frame — embedding is unit-normalized in-batch
+    before encoding. Arrow-batched numpy: one (B, K) distance matrix
+    per subspace per batch, argmin'd column-wise."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+
+    def _encode(col):  # (pd.Series) -> pd.Series; hints omitted —
+        # string annotations from __future__ break pandas_udf inference
+        mat = np.asarray(list(col), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms
+        codes = np.empty((mat.shape[0], m), dtype=np.int32)
+        for i in range(m):
+            sub = mat[:, i * d_sub:(i + 1) * d_sub]
+            # ||x - c||^2 = ||x||^2 - 2<x,c> + ||c||^2; row argmin is
+            # unaffected by ||x||^2
+            d2 = -2.0 * sub @ books[i].T + (books[i] ** 2).sum(axis=1)
+            codes[:, i] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    # non-decorator form: under `from __future__ import annotations`
+    # the decorator would see unresolvable string hints
+    encode = pandas_udf(_encode, "array<int>")
+    return vectors.withColumn("codes", encode(F.col("embedding")))
+
+
+def _pq_lut_udf(codebooks: list):
+    """M x K lookup table of <q_m, c_{m,j}> inner products per query
+    embedding, as ONE Arrow-batched numpy matmul on the (tiny,
+    broadcast) query side — array<array<double>>. Expressing the same
+    table as M*K Catalyst fold expressions measured ~5 s of pure
+    analysis/codegen overhead per plan; the per-CANDIDATE hot path
+    stays JVM-side either way (zip_with + aggregate over this column),
+    which is what matters at corpus scale."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    d_sub = books[0].shape[1]
+
+    def _lut(col):  # (pd.Series of array) -> pd.Series of array<array>
+        mat = np.asarray(list(col), dtype=np.float64)
+        out = []
+        for r in range(mat.shape[0]):
+            q = mat[r]
+            out.append([
+                (books[i] @ q[i * d_sub:(i + 1) * d_sub]).tolist()
+                for i in range(m)
+            ])
+        return pd.Series(out)
+
+    return pandas_udf(_lut, "array<array<double>>")
+
+
+PQ_RERANK = 8 * TOP_K   # ADC shortlist size fed to the exact re-rank
+
+
+def ivf_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = 2,
+    k: int = TOP_K,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    rerank: int | None = PQ_RERANK,
+) -> DataFrame:
+    """(query_id, vec_id, score, rank): IVF cell pruning + PQ ADC
+    shortlisting (+ optional exact re-rank). The candidate side reads
+    (vec_id, cell, codes) — at scale a stored table PQ_M bytes/vector
+    instead of the raw embeddings — and ADC scoring touches no Python
+    and no full vectors.
+
+    ``rerank=R`` is the production IVFPQ+R arrangement: ADC keeps the
+    top R per query (compressed scan, cheap), then ONLY those R rows'
+    full vectors are fetched for exact cosine ranking — measured here
+    recall@5 goes 0.26 → 0.46 (= the uncompressed nprobe=2 path) while
+    the full-vector reads drop from every candidate to R per query.
+    ``rerank=None`` returns raw ADC order (score = asymmetric inner
+    product estimate)."""
+    books = train_pq_codebooks(spark, sf_dir, m=m, k=n_codes)
+    emb = _ivf_corpus(spark, sf_dir)
+    coded = pq_encode(emb.select("vec_id", "embedding", "cell"), books)
+
+    queries = (
+        emb.filter((F.col("vec_id") % QUERY_STRIDE) == 0)
+        .withColumn("probe_cells", _cell_ranking_col(None))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+            _pq_lut_udf(books)(F.col("embedding")).alias("lut"),
+            F.explode(
+                F.slice(F.col("probe_cells"), 1, nprobe)
+            ).alias("q_cell"),
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda c, row: F.element_at(row, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    scored = coded.join(
+        F.broadcast(queries),
+        (F.col("cell") == F.col("q_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    if rerank is None:
+        return (
+            scored.select("query_id", "vec_id", adc.alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    # shortlist on the compressed representation — the ADC window
+    # shuffles only (query_id, vec_id, score), never vectors — then
+    # FETCH the R survivors' full rows by vec_id and exact-rank them
+    shortlist = (
+        scored.select("query_id", "vec_id", adc.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    qside = (
+        emb.filter((F.col("vec_id") % QUERY_STRIDE) == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    exact = dot_product(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_norm") * F.col("norm")
+    )
+    return (
+        shortlist.join(
+            emb.select("vec_id", "embedding", "norm"), "vec_id"
+        )
+        .join(F.broadcast(qside), "query_id")
+        .select("query_id", "vec_id", exact.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+PQ_RECALL_FLOOR = 0.4   # vs exact top-k, nprobe=2 + rerank (measured 0.46)
+
+
+def q_ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-component gate (same discipline as
+    ann_ivf_learned_recall): portable facts the oracle replays
+    (query count, k, compression ratio) + in-plan contract booleans
+    (PQ recall above its floor, PQ at-or-below the uncompressed
+    nprobe=2 recall — compression can only lose information)."""
+    exact = _exact_topk(spark, sf_dir).select("query_id", "vec_id")
+    pq = ivf_pq_topk(spark, sf_dir, nprobe=2)
+    raw = ivf_topk_nprobe(spark, sf_dir, nprobe=2)
+
+    def hits(approx: DataFrame, name: str) -> DataFrame:
+        return (
+            exact.join(
+                approx.select("query_id", "vec_id"),
+                ["query_id", "vec_id"],
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    def recall(name: str) -> F.Column:
+        return F.avg(
+            F.coalesce(F.col(name), F.lit(0)).cast("double")
+            / F.lit(float(TOP_K))
+        )
+
+    row = (
+        exact.select("query_id")
+        .distinct()
+        .join(hits(pq, "hp"), "query_id", "left")
+        .join(hits(raw, "hr"), "query_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("nq"),
+            recall("hp").alias("rp"),
+            recall("hr").alias("rr"),
+        )
+        .collect()[0]
+    )
+    bytes_raw = EMB_DIM * 4
+    return spark.range(1).select(
+        F.lit(int(row["nq"])).cast("bigint").alias("n_queries"),
+        F.lit(TOP_K).cast("int").alias("k"),
+        F.lit(bytes_raw // PQ_M).cast("int").alias("compression_x"),
+        F.lit(bool(row["rp"] >= PQ_RECALL_FLOOR)).alias(
+            "pq_above_floor"
+        ),
+        F.lit(bool(row["rp"] <= row["rr"] + 1e-9)).alias(
+            "pq_le_uncompressed"
+        ),
+    )
+
+
+ORACLE_ANN_IVF_PQ_RECALL = f"""
+SELECT COUNT(*) AS n_queries,
+       {TOP_K} AS k,
+       {EMB_DIM * 4 // PQ_M} AS compression_x,
+       TRUE AS pq_above_floor,
+       TRUE AS pq_le_uncompressed
+FROM embeddings
+WHERE vec_id % {QUERY_STRIDE} = 0
+"""
+
+
 QUERIES = {
     "embedding_decontaminate": q_embedding_decontaminate,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
@@ -1130,6 +1436,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
     "ann_ivf_learned_recall": q_ann_ivf_learned_recall,
+    "ann_ivf_pq_recall": q_ann_ivf_pq_recall,
     "embedding_label_stats": q_embedding_label_stats,
 }
 
@@ -1140,5 +1447,6 @@ ORACLES = {
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "ann_ivf_nprobe2": ORACLE_ANN_IVF_NPROBE2,
     "ann_ivf_learned_recall": ORACLE_ANN_IVF_LEARNED_RECALL,
+    "ann_ivf_pq_recall": ORACLE_ANN_IVF_PQ_RECALL,
     "embedding_label_stats": ORACLE_EMBEDDING_LABEL_STATS,
 }

@@ -121,3 +121,46 @@ def test_cms_probe_of_unseen_and_partially_colliding_keys(spark):
     }
     assert got["a"] >= 7
     assert got["never-seen-key"] == 0  # present, and exactly zero
+
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    from pyspark.sql import functions as F
+
+    from quebic_spark.operators.sampling import hash_bucket, split_by_group
+
+    # 60 distinct contents, each duplicated into 3 "sources" with
+    # distinct doc_ids — a doc-keyed split WILL straddle, a
+    # group-keyed split MUST NOT
+    rows = []
+    for g in range(60):
+        for s in range(3):
+            rows.append((g * 10 + s, f"src{s}", f"common shared text {g}"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    assigned = split_by_group(docs)
+    straddle = (
+        assigned.groupBy("text")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert straddle == 0
+
+    # the control: doc-id-keyed assignment does straddle on this data
+    doc_keyed = docs.withColumn(
+        "split",
+        F.when(hash_bucket(F.col("doc_id")) < 90, "train").otherwise("eval"),
+    )
+    naive_straddle = (
+        doc_keyed.groupBy("text")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert naive_straddle > 0
+
+    # deterministic across physical layouts
+    a = {r.doc_id: r.split for r in assigned.collect()}
+    b = {r.doc_id: r.split
+         for r in split_by_group(docs.repartition(13)).collect()}
+    assert a == b

@@ -449,3 +449,71 @@ def test_ivf_index_commits_through_fs_api_on_file_uri(
     c2 = learned_centroids(spark, sf_dir, k_cells=4, train_iters=2)
     assert c1 == c2
     clear_caches(include_ivf_index=True)
+
+
+def test_pq_encode_shape_determinism_and_persistence(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    from quebic_spark.cache import clear_caches
+    from quebic_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    clear_caches(include_ivf_index=True)
+    books = train_pq_codebooks(spark, sf_dir)
+    assert len(books) == PQ_M and all(len(b) == PQ_K for b in books)
+    # persisted: a second call must return the identical codebooks
+    assert train_pq_codebooks(spark, sf_dir) == books
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    coded = pq_encode(emb, books).select("vec_id", "codes")
+    rows = {r.vec_id: r.codes for r in coded.collect()}
+    assert all(len(c) == PQ_M for c in rows.values())
+    assert all(0 <= x < PQ_K for c in rows.values() for x in c)
+    # physical layout must not change code assignment
+    again = {
+        r.vec_id: r.codes
+        for r in pq_encode(emb.repartition(7), books)
+        .select("vec_id", "codes").collect()
+    }
+    assert again == rows
+    clear_caches(include_ivf_index=True)
+
+
+def test_ivf_pq_rerank_recovers_uncompressed_recall(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The rerank tier's contract: ADC-only recall <= reranked recall
+    <= the uncompressed nprobe recall (same probed cells, exact math
+    on at most the same candidates)."""
+    from quebic_spark.cache import clear_caches
+    from quebic_spark.operators.similarity import (
+        _exact_topk,
+        ivf_pq_topk,
+        ivf_topk_nprobe,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    clear_caches(include_ivf_index=True)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in _exact_topk(spark, sf_dir)
+        .select("query_id", "vec_id").collect()
+    }
+
+    def recall(df):
+        got = {(r.query_id, r.vec_id)
+               for r in df.select("query_id", "vec_id").collect()}
+        return len(got & exact) / len(exact)
+
+    r_adc = recall(ivf_pq_topk(spark, sf_dir, nprobe=2, rerank=None))
+    r_rr = recall(ivf_pq_topk(spark, sf_dir, nprobe=2))
+    r_raw = recall(ivf_topk_nprobe(spark, sf_dir, nprobe=2))
+    assert r_adc <= r_rr + 1e-9, (r_adc, r_rr)
+    assert r_rr <= r_raw + 1e-9, (r_rr, r_raw)
+    assert r_rr > 0
+    clear_caches(include_ivf_index=True)

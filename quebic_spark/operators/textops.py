@@ -1390,6 +1390,79 @@ GROUP BY doc_id
 ORACLE_PHRASE_SEARCH = _phrase_oracle()
 
 
+# ---------------------------------------------------------------------------
+# line_dedup — line-level boilerplate removal (the RefinedWeb / CCNet
+# pipeline stage): a line occurring in more than ``max_df`` documents
+# (nav bars, cookie banners, footer legalese) is removed from EVERY
+# document, and each document's remaining lines are stitched back in
+# order. Library op with a DuckDB-oracle test over synthetic
+# multi-line docs (`tests/test_textops_lib.py`) — the driver testdata
+# carries no newlines, so a driver gate here would be degenerate.
+#
+# Scale shape: md5 line keys keep bodies out of the DF-count shuffle;
+# the hot set (df > max_df) is the AGGREGATED boilerplate list —
+# small by the same argument as stop-shingles — so the anti-join
+# builds its hash side on it (AQE broadcasts when tiny); reassembly
+# is the one doc-keyed exchange. No Python, no window over the corpus.
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    docs: DataFrame,
+    max_df: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """(id_col, cleaned_text, n_lines_in, n_lines_kept) — boilerplate
+    lines (blank-trimmed lines present in more than ``max_df``
+    documents) removed, remaining lines rejoined in original order.
+    Documents reduced to nothing keep a row with empty text."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias(
+            "pos", "line"
+        ),
+    )
+    key = F.md5(F.col("line"))
+    hot = (
+        lines.filter(F.trim(F.col("line")) != "")
+        .groupBy(key.alias("lk"))
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("lk")
+    )
+    kept = lines.join(
+        hot, key == F.col("lk"), "left_anti"
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "line"))
+        ),
+        lambda s: s["line"],
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(ordered, delim).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines_in")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias(
+                "cleaned_text"
+            ),
+            "n_lines_in",
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast(
+                "bigint"
+            ).alias("n_lines_kept"),
+        )
+    )
+
+
 QUERIES = {
     "source_scorecard": q_source_scorecard,
     "phrase_search": q_phrase_search,

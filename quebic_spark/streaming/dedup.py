@@ -15,6 +15,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def dedup_stream(
@@ -32,3 +33,47 @@ def dedup_stream(
     """
     return stream.withWatermark(event_time_col, watermark)\
         .dropDuplicatesWithinWatermark(list(keys))
+
+
+def dedup_stream_against_snapshot(
+    stream: DataFrame,
+    snapshot_keys: DataFrame,
+    key_col: str = "content_key",
+    bloom: bytes | None = None,
+) -> DataFrame:
+    """Drop streamed records whose ``key_col`` already exists in a
+    STATIC historical snapshot — the streaming tier of the day-2
+    incremental-dedup story (``operators.dedup.incremental_dedup`` is
+    the batch tier; this is the same contract applied to a live feed).
+
+    Two tiers, same as the batch bloom path:
+
+    1. a prebuilt bloom over the snapshot keys (closure-shipped bytes)
+       probes every row IN-STREAM — rows the filter has definitely
+       never seen pass with zero join work;
+    2. only might-contain rows (true dups + the ~0.16% fp at the
+       documented sizing) take the stream-static left-anti join
+       against the snapshot table.
+
+    At 100 TB the snapshot is petabyte-adjacent but its bloom is
+    broadcastable and the anti-join's stream side is the tiny
+    might-dup slice — per-micro-batch join input is sized by the dup
+    rate, not the feed rate. Pass ``bloom=None`` to skip tier 1 and
+    anti-join every row (correct, just join-heavier).
+
+    Within-stream duplicates are a separate concern — compose with
+    :func:`dedup_stream` (watermark-bounded) upstream of this."""
+    from quebic_spark.operators.dedup import bloom_probe_udf
+
+    snap = snapshot_keys.select(F.col(key_col))
+    if bloom is None:
+        return stream.join(snap, key_col, "left_anti")
+    probe = bloom_probe_udf(bloom)
+    flagged = stream.withColumn(
+        "_might_dup", probe(F.md5(F.col(key_col)))
+    )
+    fast_new = flagged.filter(~F.col("_might_dup"))
+    verified_new = flagged.filter(F.col("_might_dup")).join(
+        snap, key_col, "left_anti"
+    )
+    return fast_new.unionByName(verified_new).drop("_might_dup")

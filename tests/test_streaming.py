@@ -727,3 +727,73 @@ def test_queue_quality_stack_relay(qpath, spark, sf_dir):
     assert 0 < len(want) < 120  # both filters bite, neither wipes
     src.dispose()
     dst.dispose()
+
+
+def test_streaming_dedup_against_snapshot_two_tier(qpath, spark):
+    """Day-2 incremental dedup on a live feed: records whose content
+    key exists in the historical snapshot are dropped in-stream —
+    definitely-new rows via the broadcast bloom alone, might-contain
+    rows via the stream-static anti-join — and the result matches the
+    batch incremental_dedup contract exactly (bloom fp can only route
+    rows to the verify tier, never change the answer)."""
+    from quebic_spark.operators.dedup import auto_bloom_bits, build_bloom
+    from quebic_spark.streaming import dedup_stream_against_snapshot
+
+    # historical snapshot: keys k0..k29
+    snapshot = spark.createDataFrame(
+        [(f"k{i}",) for i in range(30)], "content_key string"
+    )
+    bloom = build_bloom(
+        snapshot, "content_key", m_bits=auto_bloom_bits(30)
+    )
+
+    q = Queue(qpath, Schema(INTEGER, TEXT), capacity=10000)
+    # feed: 20 replays of snapshot keys + 40 genuinely new keys
+    feed = [[i, f"k{i + 10}"] for i in range(20)]          # k10..k29 dup
+    feed += [[100 + i, f"new{i}"] for i in range(40)]
+    q.publisher().push_all(feed)
+
+    stream = read_queue_stream(spark, q).select(
+        F.col("c0").alias("rec_id"),
+        F.col("c1").alias("content_key"),
+    )
+    out = dedup_stream_against_snapshot(stream, snapshot, bloom=bloom)
+    got: list[str] = []
+    query = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, _: got.extend(
+                r["content_key"] for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", os.path.join(qpath, "snap_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    assert sorted(got) == sorted(f"new{i}" for i in range(40))
+
+    # bloom=None (join-only tier) must agree
+    got2: list[str] = []
+    q2 = Queue(qpath + "_2", Schema(INTEGER, TEXT), capacity=10000)
+    q2.publisher().push_all(feed)
+    stream2 = read_queue_stream(spark, q2).select(
+        F.col("c0").alias("rec_id"),
+        F.col("c1").alias("content_key"),
+    )
+    query2 = (
+        dedup_stream_against_snapshot(stream2, snapshot)
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, _: got2.extend(
+                r["content_key"] for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", os.path.join(qpath, "snap_ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query2.awaitTermination(120)
+    assert sorted(got2) == sorted(got)
+    q.dispose()
+    q2.dispose()

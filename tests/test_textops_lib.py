@@ -343,3 +343,69 @@ def test_phrase_search_rejects_bad_phrase(spark):
         phrase_search(idx, "")
     with _pytest.raises(ValueError):
         phrase_search(idx, "a  b")
+
+
+def test_line_dedup_matches_duckdb_oracle(spark):
+    """Boilerplate lines (df > max_df) removed everywhere, order
+    preserved, empty docs retained — hash-compared against a full
+    DuckDB replay over synthetic multi-line docs (driver testdata has
+    no newlines, so this operator's oracle lives here)."""
+    import duckdb
+    import pandas as pd
+
+    from quebic_spark.operators.textops import line_dedup
+
+    boiler = "accept all cookies"
+    footer = "contact us | terms"
+    rows = []
+    for i in range(30):
+        body = [f"unique insight {i}", boiler, f"more detail {i}"]
+        if i % 2 == 0:
+            body.append(footer)
+        if i % 7 == 0:
+            body.insert(0, "   ")  # whitespace lines never count as hot
+        rows.append((i, "\n".join(body)))
+    rows.append((100, boiler))              # reduces to nothing
+    rows.append((101, f"{boiler}\n{footer}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_lines_in, r.n_lines_kept)
+        for r in line_dedup(docs, max_df=10).collect()
+    }
+    # layout-invariance
+    again = {
+        r.doc_id: (r.cleaned_text, r.n_lines_in, r.n_lines_kept)
+        for r in line_dedup(docs.repartition(9), max_df=10).collect()
+    }
+    assert got == again
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    oracle = con.execute("""
+WITH l AS (
+  SELECT doc_id, i - 1 AS pos, ls[CAST(i AS INT)] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+       UNNEST(range(1, CAST(len(ls) AS BIGINT) + 1)) AS t(i)
+),
+hot AS (
+  SELECT line FROM l WHERE trim(line) <> ''
+  GROUP BY line HAVING COUNT(DISTINCT doc_id) > 10
+),
+kept AS (
+  SELECT * FROM l WHERE line NOT IN (SELECT line FROM hot)
+)
+SELECT t.doc_id,
+       COALESCE(k.txt, '') AS cleaned_text,
+       t.n_in, COALESCE(k.n_kept, 0) AS n_kept
+FROM (SELECT doc_id, COUNT(*) AS n_in FROM l GROUP BY doc_id) t
+LEFT JOIN (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS txt,
+                  COUNT(*) AS n_kept
+           FROM kept GROUP BY doc_id) k USING (doc_id)
+""").fetchall()
+    want = {r[0]: (r[1], r[2], r[3]) for r in oracle}
+    assert got == want
+    # the named boilerplate is gone from every surviving text
+    assert all(boiler not in t for t, _, _ in got.values())
+    assert got[100] == ("", 1, 0)

@@ -407,3 +407,59 @@ def _ddl_types(queue: Queue) -> list[str]:
         TENSOR: "STRUCT<shape: ARRAY<INT>, values: ARRAY<DOUBLE>>",
     }
     return [m[t] for t in queue.schema.types]
+
+
+def footer_stats(
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str],
+    with_min_max: bool = True,
+) -> DataFrame:
+    """COUNT/MIN/MAX over a parquet table answered from FILE FOOTERS —
+    no row-group data pages are read at all. Spark's parquet aggregate
+    pushdown (``spark.sql.parquet.aggregatePushdown``) rewrites the
+    aggregate into footer-statistics lookups when the query shape
+    qualifies (no filters, no GROUP BY, plain count/min/max on
+    non-nested columns); the plan then carries ``PushedAggregation``
+    and the scan reads metadata only.
+
+    The 100 TB use: a release audit's "how many rows / what key range
+    per artifact" should cost seconds of footer reads, not a full
+    corpus scan — the same reason the shard manifest records counts at
+    write time; this answers the question for tables written by
+    anything, manifest or not.
+
+    Scoped conf: the session flag is set for plan construction and
+    restored after, so surrounding queries keep their configured
+    behavior. The returned plan keeps the pushdown property when
+    executed later because it was compiled under the flag.
+    """
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    # aggregate pushdown exists only in the DSv2 parquet reader; the
+    # default useV1SourceList routes parquet through V1, which plans a
+    # full-scan HashAggregate no matter the flag
+    prev_v1 = spark.conf.get(
+        "spark.sql.sources.useV1SourceList",
+        "avro,csv,json,kafka,orc,parquet,text",
+    )
+    v2_list = ",".join(
+        s for s in prev_v1.split(",") if s.strip() != "parquet"
+    )
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", v2_list)
+    try:
+        df = spark.read.parquet(path)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        if with_min_max:
+            for c in cols:
+                aggs.append(F.min(c).alias(f"min_{c}"))
+                aggs.append(F.max(c).alias(f"max_{c}"))
+        out = df.agg(*aggs)
+        # force analysis+physical planning under the flag
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)

@@ -186,3 +186,25 @@ def test_corpus_shards_uri_path_manifest(spark, sf_dir, tmp_path):
     assert os.path.exists(mf)
     assert json.load(open(mf)) == man
     assert read_corpus_shards(spark, out_uri).count() == n_in
+
+
+def test_footer_stats_pushes_aggregates_into_the_scan(spark, sf_dir):
+    """COUNT/MIN/MAX from parquet footers: the plan must carry
+    PushedAggregation (metadata-only scan) and the values must equal
+    a full-scan aggregation."""
+    from quebic_spark.sources.io import footer_stats
+
+    path = f"{sf_dir}/orders.parquet"
+    out = footer_stats(spark, path, ["o_orderkey", "o_totalprice"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation: [COUNT(*)" in plan, plan
+    assert "MIN(o_orderkey)" in plan, plan
+
+    row = out.collect()[0]
+    full = spark.read.parquet(path)
+    n = full.count()
+    mn = full.agg({"o_orderkey": "min"}).collect()[0][0]
+    mx = full.agg({"o_totalprice": "max"}).collect()[0][0]
+    assert row["n_rows"] == n
+    assert row["min_o_orderkey"] == mn
+    assert row["max_o_totalprice"] == mx

@@ -78,6 +78,32 @@ def train_bpe_tokenizer(
     return BPEModel(merges=train_bpe(counts, n_merges))
 
 
+def save_bpe_model(spark, model: BPEModel, path: str) -> None:
+    """Persist the merge table as JSON through the FS connector (same
+    artifact discipline as the classifier/LM/quantizer models): the
+    tokenizer a release was built with must ship beside the release,
+    wherever that root lives."""
+    from quebic_spark.sources.io import fs_write_json_path
+
+    fs_write_json_path(
+        spark, path,
+        {"format": "bpe-merges-v1", "merges": [list(m) for m in model.merges]},
+    )
+
+
+def load_bpe_model(spark, path: str) -> BPEModel:
+    from quebic_spark.sources.io import fs_read_json_path
+
+    stored = fs_read_json_path(spark, path)
+    if stored is None:
+        raise FileNotFoundError(path)
+    if stored.get("format") != "bpe-merges-v1":
+        raise ValueError(
+            f"not a BPE model artifact: {stored.get('format')!r}"
+        )
+    return BPEModel(merges=[tuple(m) for m in stored["merges"]])
+
+
 def tokenize_with(
     docs: DataFrame, model: BPEModel, text_col: str = "text"
 ) -> DataFrame:

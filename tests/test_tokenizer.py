@@ -101,3 +101,30 @@ def test_vocab_cap_binds_and_training_stays_deterministic(spark):
     m1 = train_bpe_tokenizer(docs, min_count=1, max_vocab=3)
     m2 = train_bpe_tokenizer(docs.repartition(13), min_count=1, max_vocab=3)
     assert m1.merges == m2.merges
+
+
+def test_bpe_model_round_trips_through_fs_artifact(spark, tmp_path):
+    from quebic_spark.operators.tokenizer import (
+        load_bpe_model,
+        save_bpe_model,
+        tokenize_with,
+        train_bpe_tokenizer,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta alpha beta gamma") for i in range(20)],
+        "doc_id long, text string",
+    )
+    model = train_bpe_tokenizer(docs, min_count=1)
+    path = "file://" + str(tmp_path / "artifacts" / "bpe.json")
+    save_bpe_model(spark, model, path)
+    loaded = load_bpe_model(spark, path)
+    assert loaded.merges == model.merges
+    a = tokenize_with(docs, model).select("bpe_tokens").collect()
+    b = tokenize_with(docs, loaded).select("bpe_tokens").collect()
+    assert [r.bpe_tokens for r in a] == [r.bpe_tokens for r in b]
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        load_bpe_model(spark, "file://" + str(tmp_path / "missing.json"))

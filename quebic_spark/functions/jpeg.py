@@ -1,20 +1,30 @@
-"""Baseline JPEG codec in pure stdlib + numpy.
+"""Baseline + progressive JPEG codec in pure stdlib + numpy.
 
 The container has no PIL/libjpeg, so the multimodal decode tier
 (`operators/multimodal.py`) implements formats at the byte level.
-This module adds baseline sequential DCT JPEG (ITU T.81): marker
-walk, DQT/DHT/SOF0/SOS/DRI parsing, entropy decode with byte
-unstuffing and restart markers, dequantize + dezigzag, orthonormal
-IDCT via a numpy DCT-III matrix product, chroma upsampling, and
-BT.601 YCbCr->RGB. Progressive (SOF2), arithmetic coding, and 12-bit
-precision raise ValueError — `decode_media` quarantines those rows
-as ``jpeg-error-stub`` (same contract as the other decoders).
+This module implements ITU T.81 DCT JPEG: marker walk,
+DQT/DHT/SOF/SOS/DRI parsing, entropy decode with byte unstuffing and
+restart markers, dequantize + dezigzag, orthonormal IDCT via a numpy
+DCT-III matrix product, chroma upsampling, and BT.601 YCbCr->RGB.
 
-`encode_jpeg` is the test-support twin (like `encode_bmp` /
-`encode_png`): FDCT + quantize + huffman encode, writing its quant
-and huffman tables INTO the stream — the decoder trusts only what it
-parses from the file, so a round-trip exercises the real
-table-driven path, not a shared constant.
+Both frame types decode through one coefficient-store architecture
+(r7): every scan — the single interleaved baseline scan, or a
+progressive (SOF2) sequence of DC-first / DC-refine / AC-first /
+AC-refine spectral-selection + successive-approximation scans (T.81
+Annex G, incl. EOB-run coding and AC correction bits) — accumulates
+quantized coefficients per component block; dequantize + IDCT +
+color-convert run once at EOI. Arithmetic coding, 12-bit precision,
+and baseline non-interleaved multi-scan layouts raise ValueError —
+`decode_media` quarantines those rows as ``jpeg-error-stub`` (same
+contract as the other decoders).
+
+`encode_jpeg` / `encode_jpeg_progressive` are the test-support twins
+(like `encode_bmp` / `encode_png`): FDCT + quantize + huffman encode,
+writing quant and huffman tables INTO the stream — the decoder trusts
+only what it parses from the file, so round-trips exercise the real
+table-driven paths; the progressive encoder emits the full scan
+repertoire (interleaved DC first + refine, per-component AC first
+with accumulated EOB runs + AC refine with correction bits).
 """
 
 from __future__ import annotations
@@ -157,7 +167,10 @@ def decode_jpeg(payload: bytes) -> dict:
 
 def decode_jpeg_pixels(payload: bytes) -> tuple[dict, np.ndarray]:
     """Full decode: ``(metadata, pixels)`` where pixels is (h, w, 3)
-    RGB float64 or (h, w) grayscale, clipped to [0, 255]."""
+    RGB float64 or (h, w) grayscale, clipped to [0, 255]. Baseline
+    (SOF0) and progressive (SOF2) frames share one coefficient-store
+    pipeline: scans fill per-component quantized-coefficient arrays,
+    and dequantize/IDCT/color-convert run once at end of image."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -165,8 +178,11 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[dict, np.ndarray]:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    progressive = False
     restart_interval = 0
-    scan = None
+    coef: dict[int, np.ndarray] = {}
+    geom: dict = {}
+    n_scans = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -188,7 +204,7 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[dict, np.ndarray]:
                     seg, dtype=np.uint8, count=64, offset=p + 1
                 ).astype(np.float64)
                 p += 65
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (may be redefined between scans)
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 0xF
@@ -198,7 +214,8 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[dict, np.ndarray]:
                 table = _build_huffman(bits, values)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -211,124 +228,130 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[dict, np.ndarray]:
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            # geometry sanity cap: a corrupted SOF can claim
+            # 65535x65535 and turn one bad row into a multi-GB
+            # allocation in the executor — the quarantine contract
+            # wants a ValueError, not an OOM
+            if w * h > 4_000_000:
+                raise ValueError(f"implausible geometry {w}x{h}")
+            if not all(
+                1 <= c["h"] <= 4 and 1 <= c["v"] <= 4 for c in comps
+            ):
+                raise ValueError("invalid sampling factors")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if not all(
+                hmax % c["h"] == 0 and vmax % c["v"] == 0
+                for c in comps
+            ):
+                # T.81 permits non-divisor factors but the integer-
+                # repeat upsampler would silently emit wrong chroma —
+                # quarantine instead (review catch)
+                raise ValueError(
+                    "non-divisor sampling factors unsupported"
+                )
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            geom = {"hmax": hmax, "vmax": vmax,
+                    "mcus_x": mcus_x, "mcus_y": mcus_y}
+            for c in comps:
+                # MCU-padded grid (interleaved scans write pad
+                # blocks); non-interleaved scans iterate the true
+                # component grid, a prefix of this one
+                coef[c["id"]] = np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64),
+                    dtype=np.int32,
+                )
+                c["bw"] = -(-(-(-w * c["h"] // hmax)) // 8)
+                c["bh"] = -(-(-(-h * c["v"] // vmax)) // 8)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02X})"
+                f"unsupported JPEG coding (SOF marker 0x{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan's data
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
+            by_id = {c["id"]: c for c in frame["comps"]}
             scan = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                if cs not in by_id:
+                    raise ValueError(f"SOS names unknown component {cs}")
                 scan.append(
-                    {"cs": cs, "td": tables >> 4, "ta": tables & 0xF}
+                    {"c": by_id[cs], "td": tables >> 4,
+                     "ta": tables & 0xF}
                 )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if progressive:
+                if ss == 0 and se != 0:
+                    # a baseline-shaped full-band scan inside a SOF2
+                    # frame is illegal (T.81 G.1: DC scans have Se=0)
+                    raise ValueError(
+                        "invalid progressive scan (Ss=0 with Se>0)"
+                    )
+                if ss > 0 and ns != 1:
+                    raise ValueError(
+                        "progressive AC scan must be single-component"
+                    )
+                if se > 63 or ss > se:
+                    raise ValueError("bad spectral selection")
+            else:
+                if ns != len(frame["comps"]):
+                    # legal baseline streams may split components
+                    # across several non-interleaved scans; this
+                    # decoder handles the (dominant) single
+                    # interleaved scan only — anything else must
+                    # quarantine rather than emit planes that were
+                    # never scanned
+                    raise ValueError(
+                        f"non-interleaved multi-scan JPEG unsupported "
+                        f"({ns} of {len(frame['comps'])} components "
+                        f"in SOS)"
+                    )
             pos += seglen
-            break
+            reader = _BitReader(payload, pos)
+            _decode_scan_data(
+                reader, scan, coef, geom, huff_dc, huff_ac,
+                restart_interval, progressive, ss, se, ah, al,
+            )
+            n_scans += 1
+            # resync to the next marker (the reader stops consuming
+            # at any non-stuffing, non-restart FF)
+            p = reader.pos
+            while p + 1 < len(payload) and not (
+                payload[p] == 0xFF
+                and payload[p + 1] != 0x00
+                and not (0xD0 <= payload[p + 1] <= 0xD7)
+            ):
+                p += 1
+            pos = p
+            continue
         pos += seglen
-    if frame is None or scan is None:
+    if frame is None or n_scans == 0:
         raise ValueError("missing SOF/SOS")
-    if len(scan) != len(frame["comps"]):
-        # legal baseline streams may split components across several
-        # non-interleaved scans; this decoder handles the (dominant)
-        # single interleaved scan only — anything else must quarantine
-        # rather than emit planes that were never scanned
-        raise ValueError(
-            f"non-interleaved multi-scan JPEG unsupported "
-            f"({len(scan)} of {len(frame['comps'])} components in SOS)"
-        )
 
     comps = frame["comps"]
-    # geometry sanity cap: a corrupted SOF can claim 65535x65535 and
-    # turn one bad row into a multi-GB allocation in the executor —
-    # the quarantine contract wants a ValueError, not an OOM. The cap
-    # prices the REAL peak (3 float64 planes + the upsampled RGB
-    # stack ~ 7 doubles/pixel ≈ 56 B/px -> 4M px ≈ 230 MB); raise it
-    # alongside a chunked decode if a pipeline needs wall-size images
-    if frame["w"] * frame["h"] > 4_000_000:
-        raise ValueError(
-            f"implausible geometry {frame['w']}x{frame['h']}"
-        )
-    if not all(
-        1 <= c["h"] <= 4 and 1 <= c["v"] <= 4 for c in comps
-    ):
-        raise ValueError("invalid sampling factors")
-    _hm = max(c["h"] for c in comps)
-    _vm = max(c["v"] for c in comps)
-    if not all(
-        _hm % c["h"] == 0 and _vm % c["v"] == 0 for c in comps
-    ):
-        # T.81 permits non-divisor factors (e.g. 3 vs max 4) but the
-        # integer-repeat upsampler below would silently emit wrong
-        # chroma for them — quarantine instead (review catch); every
-        # mainstream subsampling (4:4:4/4:2:2/4:2:0/4:1:1) divides
-        raise ValueError("non-divisor sampling factors unsupported")
-    by_id = {c["id"]: c for c in comps}
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = -(-frame["w"] // mcu_w)
-    mcus_y = -(-frame["h"] // mcu_h)
-
-    planes = {
-        c["id"]: np.zeros(
-            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8),
-            dtype=np.float64,
-        )
-        for c in comps
-    }
-    reader = _BitReader(payload, pos)
-    pred = {c["id"]: 0 for c in comps}
-    n_mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if (
-                restart_interval
-                and n_mcu
-                and n_mcu % restart_interval == 0
-            ):
-                reader.expect_restart()
-                pred = {c["id"]: 0 for c in comps}
-            n_mcu += 1
-            for sc in scan:
-                c = by_id[sc["cs"]]
-                dc_tab = huff_dc[sc["td"]]
-                ac_tab = huff_ac[sc["ta"]]
-                q = qt[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.float64)
-                        t = _huff_decode(reader, dc_tab)
-                        diff = _extend(reader.read_bits(t), t)
-                        pred[c["id"]] += diff
-                        zz[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, ac_tab)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run overflow")
-                            zz[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        block = np.zeros(64)
-                        block[ZIGZAG] = zz * q
-                        px = _C.T @ block.reshape(8, 8) @ _C
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[c["id"]][
-                            y0:y0 + 8, x0:x0 + 8
-                        ] = px + 128.0
-
     w, h = frame["w"], frame["h"]
+    hmax, vmax = geom["hmax"], geom["vmax"]
+    planes = {}
+    for c in comps:
+        q = qt[c["tq"]]
+        zz = coef[c["id"]].astype(np.float64) * q[None, None, :]
+        nby, nbx = zz.shape[:2]
+        nat = np.zeros((nby, nbx, 64))
+        nat[..., ZIGZAG] = zz
+        blocks = nat.reshape(nby, nbx, 8, 8)
+        px = np.einsum("ab,yxbc,cd->yxad", _C.T, blocks, _C)
+        planes[c["id"]] = (
+            px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8) + 128.0
+        )
+
     if len(comps) == 1:
         out_px = np.clip(planes[comps[0]["id"]][:h, :w], 0, 255)
         mean = float(out_px.mean()) if out_px.size else 0.0
@@ -360,6 +383,188 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[dict, np.ndarray]:
         "channels": channels,
         "mean_value": mean,
     }, out_px
+
+
+def _decode_scan_data(
+    reader, scan, coef, geom, huff_dc, huff_ac,
+    restart_interval, progressive, ss, se, ah, al,
+):
+    """Entropy-decode one scan into the coefficient store.
+
+    Baseline: the single interleaved DC+AC scan. Progressive (T.81
+    Annex G): DC first (diff huffman, values << Al), DC refine (one
+    appended bit per block), AC first (spectral band with EOB-run
+    coding), AC refine (correction bits for history-nonzero
+    coefficients + newly-significant +-1 values). EOB runs and DC
+    predictors reset at restart markers."""
+    interleaved = len(scan) > 1 or not progressive
+    pred = {sc["c"]["id"]: 0 for sc in scan}
+    eobrun = 0
+
+    def check_restart(n_units: int) -> None:
+        nonlocal pred, eobrun
+        if (
+            restart_interval
+            and n_units
+            and n_units % restart_interval == 0
+        ):
+            reader.expect_restart()
+            pred = {sc["c"]["id"]: 0 for sc in scan}
+            eobrun = 0
+
+    if interleaved:
+        n_mcu = 0
+        for my in range(geom["mcus_y"]):
+            for mx in range(geom["mcus_x"]):
+                check_restart(n_mcu)
+                n_mcu += 1
+                for sc in scan:
+                    c = sc["c"]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            cf = coef[c["id"]][
+                                my * c["v"] + by, mx * c["h"] + bx
+                            ]
+                            if not progressive:
+                                pred[c["id"]] = _baseline_block(
+                                    reader, huff_dc[sc["td"]],
+                                    huff_ac[sc["ta"]], cf,
+                                    pred[c["id"]],
+                                )
+                            elif ah == 0:
+                                pred[c["id"]] = _dc_first_block(
+                                    reader, huff_dc[sc["td"]], cf,
+                                    pred[c["id"]], al,
+                                )
+                            else:
+                                _dc_refine_block(reader, cf, al)
+        return
+
+    # non-interleaved progressive scan over the component's own grid
+    sc = scan[0]
+    c = sc["c"]
+    n_blk = 0
+    for by in range(c["bh"]):
+        for bx in range(c["bw"]):
+            check_restart(n_blk)
+            n_blk += 1
+            cf = coef[c["id"]][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    pred[c["id"]] = _dc_first_block(
+                        reader, huff_dc[sc["td"]], cf,
+                        pred[c["id"]], al,
+                    )
+                else:
+                    _dc_refine_block(reader, cf, al)
+            elif ah == 0:
+                eobrun = _ac_first_block(
+                    reader, huff_ac[sc["ta"]], cf, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _ac_refine_block(
+                    reader, huff_ac[sc["ta"]], cf, ss, se, al, eobrun
+                )
+
+
+def _baseline_block(reader, dc_tab, ac_tab, cf, pred: int) -> int:
+    t = _huff_decode(reader, dc_tab)
+    pred += _extend(reader.read_bits(t), t)
+    cf[0] = pred
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run overflow")
+        cf[k] = _extend(reader.read_bits(s), s)
+        k += 1
+    return pred
+
+
+def _dc_first_block(reader, dc_tab, cf, pred: int, al: int) -> int:
+    t = _huff_decode(reader, dc_tab)
+    pred += _extend(reader.read_bits(t), t)
+    cf[0] = pred << al
+    return pred
+
+
+def _dc_refine_block(reader, cf, al: int) -> None:
+    if reader.read_bit():
+        cf[0] |= 1 << al
+
+
+def _ac_first_block(reader, ac_tab, cf, ss, se, al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r)+bits end-of-band blocks
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run overflow")
+        cf[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, ac_tab, cf, ss, se, al, eobrun) -> int:
+    """T.81 G.1.2.3: correction bits for history-nonzero coefficients
+    interleave with newly-significant +-1 insertions; an EOB run
+    still refines the remainder of each covered block."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement symbol")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if cf[k] != 0:
+                    if reader.read_bit() and (cf[k] & p1) == 0:
+                        cf[k] += p1 if cf[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0 and k <= se:
+                cf[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if cf[k] != 0:
+                if reader.read_bit() and (cf[k] & p1) == 0:
+                    cf[k] += p1 if cf[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 # ---------------------------------------------------------------------------
@@ -559,5 +764,235 @@ def encode_jpeg(
                 )
     wtr.flush()
     out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _quantized_blocks(
+    rgb: np.ndarray, grayscale: bool
+) -> tuple[int, int, list, dict]:
+    """Shared FDCT+quantize front end for both encoders: returns
+    (h, w, comps, zz_blocks) where zz_blocks[comp_index] is an
+    (nby, nbx, 64) int array of zigzag-ordered quantized coefficients."""
+    rgb = np.asarray(rgb, dtype=np.float64)
+    if grayscale:
+        h, w = rgb.shape
+        planes = [rgb]
+        comps = [(1, 0)]
+    else:
+        h, w = rgb.shape[:2]
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+        comps = [(1, 0), (2, 1), (3, 1)]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    quant = {0: QUANT_LUMA, 1: QUANT_CHROMA}
+    zz_blocks = []
+    for (cid, tq), p in zip(comps, planes):
+        pp = np.empty((ph, pw))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1:h, :]
+        pp[:, w:] = pp[:, w - 1:w]
+        q = quant[tq]
+        out = np.zeros((ph // 8, pw // 8, 64), dtype=np.int64)
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                block = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                coefs = _C @ (block - 128.0) @ _C.T
+                out[by, bx] = np.round(
+                    coefs.flatten()[ZIGZAG] / q[ZIGZAG]
+                ).astype(np.int64)
+        zz_blocks.append(out)
+    return h, w, comps, zz_blocks
+
+
+def _emit_eobrun(wtr, ac_codes, count: int, pending_bits: list) -> int:
+    """Flush an accumulated end-of-band run (T.81 G.1.2.2 EOBn) plus
+    any buffered correction bits; returns 0 (the new run length)."""
+    while count > 0:
+        r = min(count.bit_length() - 1, 14)
+        ln, code = ac_codes[r << 4]
+        wtr.write(code, ln)
+        if r:
+            wtr.write(count - (1 << r), r)
+        count -= 1 << r
+        # a single EOBn already covers the accumulated run; emit the
+        # buffered refinement bits right after it
+        for b in pending_bits:
+            wtr.write(b, 1)
+        pending_bits.clear()
+        break
+    return 0
+
+
+def encode_jpeg_progressive(
+    rgb: np.ndarray, grayscale: bool = False
+) -> bytes:
+    """Encode as progressive JPEG (SOF2) with the full scan
+    repertoire: interleaved DC first (Al=1) + DC refine, then per
+    component AC first (Ss=1..63, Al=1, accumulated EOB runs) + AC
+    refine (Ah=1, correction bits). Quantized coefficients are
+    IDENTICAL to `encode_jpeg`'s, so both encodings of one image must
+    decode to identical pixels — the round-trip contract the tests
+    pin. Test-support: correctness over speed."""
+    h, w, comps, zz_blocks = _quantized_blocks(rgb, grayscale)
+    nby, nbx = zz_blocks[0].shape[:2]
+
+    dc_bits, dc_codes = _enc_table(_DC_SYMS)
+    ac_bits, ac_codes = _enc_table(_AC_SYMS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xDB,
+        bytes([0x00]) + bytes(QUANT_LUMA[ZIGZAG].astype(np.uint8)),
+    )
+    out += seg(
+        0xDB,
+        bytes([0x01]) + bytes(QUANT_CHROMA[ZIGZAG].astype(np.uint8)),
+    )
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, tq in comps:
+        sof += struct.pack(">BBB", cid, 0x11, tq)
+    out += seg(0xC2, sof)
+    for tc in (0, 1):
+        bits, syms = (dc_bits, _DC_SYMS) if tc == 0 else (
+            ac_bits, _AC_SYMS
+        )
+        out += seg(0xC4, bytes([tc << 4]) + bytes(bits) + bytes(syms))
+
+    def sos(scan_comps: list, ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(scan_comps)])
+        for cid in scan_comps:
+            body += struct.pack(">BB", cid, 0x00)
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    # scan 1: DC first, interleaved, Al=1
+    out += sos([cid for cid, _ in comps], 0, 0, 0, 1)
+    wtr = _BitWriter()
+    pred = [0] * len(comps)
+    for by in range(nby):
+        for bx in range(nbx):
+            for i in range(len(comps)):
+                v = int(zz_blocks[i][by, bx, 0]) >> 1  # arithmetic
+                diff = v - pred[i]
+                pred[i] = v
+                t = _category(diff)
+                ln, code = dc_codes[t]
+                wtr.write(code, ln)
+                if t:
+                    wtr.write(
+                        diff if diff >= 0 else diff + (1 << t) - 1, t
+                    )
+    wtr.flush()
+    out += wtr.out
+
+    # scan 2: DC refine, Ah=1 Al=0 (one bit per block per comp)
+    out += sos([cid for cid, _ in comps], 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for by in range(nby):
+        for bx in range(nbx):
+            for i in range(len(comps)):
+                wtr.write(int(zz_blocks[i][by, bx, 0]) & 1, 1)
+    wtr.flush()
+    out += wtr.out
+
+    # per component: AC first (Al=1) with accumulated EOB runs
+    for i, (cid, _tq) in enumerate(comps):
+        out += sos([cid], 1, 63, 0, 1)
+        wtr = _BitWriter()
+        eob_count = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = zz_blocks[i][by, bx]
+                hi = [int(v) >> 1 for v in zz]  # arithmetic shift
+                last = 0
+                for k in range(1, 64):
+                    if hi[k]:
+                        last = k
+                if last == 0:
+                    eob_count += 1
+                    if eob_count == 0x7FFF:
+                        eob_count = _emit_eobrun(
+                            wtr, ac_codes, eob_count, []
+                        )
+                    continue
+                if eob_count:
+                    eob_count = _emit_eobrun(wtr, ac_codes, eob_count, [])
+                run = 0
+                for k in range(1, last + 1):
+                    v = hi[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_codes[0xF0]
+                        wtr.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    ln, code = ac_codes[(run << 4) | s]
+                    wtr.write(code, ln)
+                    wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 63:
+                    eob_count += 1
+        if eob_count:
+            _emit_eobrun(wtr, ac_codes, eob_count, [])
+        wtr.flush()
+        out += wtr.out
+
+    # per component: AC refine (Ah=1, Al=0). The bit stream MIRRORS
+    # the decoder's walk exactly: the symbol's zero run counts only
+    # zero-HISTORY zero positions, and each history-nonzero position
+    # crossed contributes its correction bit at the moment the
+    # decoder's walk reaches it (including inside ZRL spans).
+    for i, (cid, _tq) in enumerate(comps):
+        out += sos([cid], 1, 63, 1, 0)
+        wtr = _BitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = [int(v) for v in zz_blocks[i][by, bx]]
+                newpos = [
+                    k for k in range(1, 64) if abs(zz[k]) == 1
+                ]
+                k = 1
+                for j in newpos:
+                    r = sum(1 for t in range(k, j) if zz[t] == 0)
+                    while r > 15:
+                        ln, code = ac_codes[0xF0]
+                        wtr.write(code, ln)
+                        zs = 0
+                        while zs < 16:
+                            if zz[k] == 0:
+                                zs += 1
+                            elif abs(zz[k]) >> 1:
+                                wtr.write(abs(zz[k]) & 1, 1)
+                            k += 1
+                        r -= 16
+                    ln, code = ac_codes[(r << 4) | 1]
+                    wtr.write(code, ln)
+                    wtr.write(1 if zz[j] > 0 else 0, 1)
+                    while k < j:
+                        if abs(zz[k]) >> 1:
+                            wtr.write(abs(zz[k]) & 1, 1)
+                        k += 1
+                    k = j + 1
+                if k <= 63:
+                    # EOB (run 1): the decoder's eobrun loop then
+                    # consumes corrections for the remaining
+                    # history-nonzero positions of this block
+                    ln, code = ac_codes[0x00]
+                    wtr.write(code, ln)
+                    for t in range(k, 64):
+                        if abs(zz[t]) >> 1:
+                            wtr.write(abs(zz[t]) & 1, 1)
+        wtr.flush()
+        out += wtr.out
+
     out += b"\xff\xd9"
     return bytes(out)

@@ -593,6 +593,9 @@ _DC_SYMS = list(range(12))
 _AC_SYMS = sorted(
     {0x00, 0xF0}
     | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    # EOBn symbols (r<<4, s=0) for the progressive encoder's
+    # accumulated end-of-band runs; harmless extra entries for baseline
+    | {r << 4 for r in range(1, 15)}
 )
 
 
@@ -910,7 +913,15 @@ def encode_jpeg_progressive(
         for by in range(nby):
             for bx in range(nbx):
                 zz = zz_blocks[i][by, bx]
-                hi = [int(v) >> 1 for v in zz]  # arithmetic shift
+                # T.81 G.1.2.2: AC successive approximation codes the
+                # MAGNITUDE shifted toward zero (|-1| >> 1 == 0, a
+                # newly-significant value for the refine scan) — an
+                # arithmetic shift would code -1 as -1 here AND again
+                # in the refine scan, desyncing the decoder
+                hi = [
+                    (1 if int(v) > 0 else -1) * (abs(int(v)) >> 1)
+                    for v in zz
+                ]
                 last = 0
                 for k in range(1, 64):
                     if hi[k]:

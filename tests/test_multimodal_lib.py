@@ -361,7 +361,11 @@ def test_decode_media_jpeg_dispatch_and_quarantine(spark):
     from quebic_spark.operators.multimodal import decode_media
 
     good = encode_jpeg(np.full((8, 8, 3), 200, dtype=np.uint8))
-    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must quarantine
+    # flip SOF0 (FFC0) to SOF2 (FFC2): the stream now CLAIMS
+    # progressive but carries a full-band Ss=0/Se=63 scan, which T.81
+    # forbids in a SOF2 frame — must quarantine, not misdecode (real
+    # progressive streams decode since r7; see
+    # test_progressive_jpeg_decodes_identical_to_baseline)
     progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     truncated = good[: len(good) // 2]
     df = spark.createDataFrame(
@@ -903,3 +907,73 @@ def test_gif_animation_count_feeds_frame_sample(spark):
     ).collect()
     assert [r["frame_idx"] for r in sampled] == [0, 3, 6]
     assert [r["frame_ts_ms"] for r in sampled] == [0, 120, 240]
+
+
+def test_progressive_jpeg_decodes_identical_to_baseline():
+    """Progressive (SOF2) decode: both encoders quantize identically,
+    so the progressive scan sequence (DC first/refine, AC first with
+    EOB runs, AC refine correction bits) must reconstruct EXACTLY the
+    baseline pixels — any drift means a scan desync."""
+    import numpy as np
+
+    from quebic_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(7)
+    cases = [
+        np.full((8, 8, 3), 200, dtype=np.uint8),
+        np.stack(
+            [np.tile(np.arange(24) * 10 % 256, (16, 1))] * 3, axis=-1
+        ).astype(np.uint8),
+        rng.randint(0, 256, (24, 17, 3)).astype(np.uint8),  # pad + noise
+        rng.randint(0, 256, (64, 48, 3)).astype(np.uint8),
+        (rng.randint(0, 2, (40, 40, 3))
+         * rng.randint(0, 256, (40, 40, 3))).astype(np.uint8),
+    ]
+    for img in cases:
+        mb, pb = decode_jpeg_pixels(encode_jpeg(img))
+        mp, pp = decode_jpeg_pixels(encode_jpeg_progressive(img))
+        assert np.array_equal(pb, pp)
+        assert mp["fmt"] == "jpeg" and mp["mean_value"] == mb["mean_value"]
+    gray = rng.randint(0, 256, (20, 20)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg_pixels(encode_jpeg(gray, grayscale=True))[1],
+        decode_jpeg_pixels(
+            encode_jpeg_progressive(gray, grayscale=True)
+        )[1],
+    )
+
+
+def test_progressive_jpeg_through_decode_media_and_quarantines(spark):
+    """Real progressive streams dispatch as fmt=jpeg in the decode
+    tier; truncated or structurally-invalid progressive bodies still
+    quarantine instead of killing the scan."""
+    import numpy as np
+
+    from quebic_spark.functions.jpeg import encode_jpeg_progressive
+    from quebic_spark.operators.multimodal import decode_media
+
+    img = np.full((16, 16, 3), 99, dtype=np.uint8)
+    good = encode_jpeg_progressive(img)
+    truncated = good[: int(len(good) * 0.6)]
+    # an AC scan claiming 3 components is illegal in progressive
+    i = good.rindex(b"\xff\xda")
+    bad_ns = bytearray(good)
+    bad_ns[i + 4] = 3
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(truncated)),
+            (3, bytearray(bytes(bad_ns))),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in decode_media(df).collect()}
+    assert out[1]["fmt"] == "jpeg"
+    assert out[1]["width"] == 16 and out[1]["channels"] == 3
+    assert abs(out[1]["mean_value"] - 99.0) < 3.0
+    assert out[2]["fmt"] == "jpeg-error-stub"
+    assert out[3]["fmt"] == "jpeg-error-stub"

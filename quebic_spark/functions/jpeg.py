@@ -632,12 +632,167 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
-def _encode_block(
-    wtr: _BitWriter, block: np.ndarray, q: np.ndarray,
-    pred: int, dc_codes: dict, ac_codes: dict,
+def _subsample_mean(p: np.ndarray, fh: int, fv: int) -> np.ndarray:
+    """fh x fv box-filter downsample with edge replication to a
+    multiple of the factor first (encoder-side chroma subsampling)."""
+    h, w = p.shape
+    hh, ww = -(-h // fv) * fv, -(-w // fh) * fh
+    pp = np.empty((hh, ww))
+    pp[:h, :w] = p
+    pp[h:, :w] = p[h - 1:h, :]
+    pp[:, w:] = pp[:, w - 1:w]
+    return pp.reshape(hh // fv, fv, ww // fh, fh).mean(axis=(1, 3))
+
+
+def _quantized_blocks(
+    rgb: np.ndarray, grayscale: bool, subsample: str = "444"
+) -> tuple[int, int, list]:
+    """Shared FDCT+quantize front end for both encoders. Returns
+    (h, w, comps) where each comp dict carries its sampling factors,
+    an (nby, nbx, 64) int array of zigzag-ordered quantized
+    coefficients over the MCU-PADDED block grid, and the TRUE block
+    grid dims (``tbw``/``tbh``) non-interleaved scans iterate —
+    smaller than the padded grid exactly when the component is
+    subsampled ("420" chroma)."""
+    rgb = np.asarray(rgb, dtype=np.float64)
+    if grayscale:
+        h, w = rgb.shape
+        planes = [rgb]
+        spec = [(1, 0, 1, 1)]
+    else:
+        h, w = rgb.shape[:2]
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+        if subsample == "444":
+            spec = [(1, 0, 1, 1), (2, 1, 1, 1), (3, 1, 1, 1)]
+        elif subsample == "420":
+            spec = [(1, 0, 2, 2), (2, 1, 1, 1), (3, 1, 1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsample!r}")
+    hmax = max(s[2] for s in spec)
+    vmax = max(s[3] for s in spec)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    quant = {0: QUANT_LUMA, 1: QUANT_CHROMA}
+    comps = []
+    for (cid, tq, ch, cv), p in zip(spec, planes):
+        if ch != hmax or cv != vmax:
+            p = _subsample_mean(p, hmax // ch, vmax // cv)
+        comp_h, comp_w = p.shape
+        ph, pw = mcus_y * cv * 8, mcus_x * ch * 8
+        pp = np.empty((ph, pw))
+        pp[:comp_h, :comp_w] = p
+        pp[comp_h:, :comp_w] = p[comp_h - 1:comp_h, :]
+        pp[:, comp_w:] = pp[:, comp_w - 1:comp_w]
+        q = quant[tq]
+        zz = np.zeros((ph // 8, pw // 8, 64), dtype=np.int64)
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                block = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                coefs = _C @ (block - 128.0) @ _C.T
+                zz[by, bx] = np.round(
+                    coefs.flatten()[ZIGZAG] / q[ZIGZAG]
+                ).astype(np.int64)
+        comps.append({
+            "cid": cid, "tq": tq, "h": ch, "v": cv, "zz": zz,
+            "tbw": -(-comp_w // 8), "tbh": -(-comp_h // 8),
+            "mcus_x": mcus_x, "mcus_y": mcus_y,
+        })
+    return h, w, comps
+
+
+def encode_jpeg(
+    rgb: np.ndarray,
+    grayscale: bool = False,
+    restart_interval: int = 0,
+    subsample: str = "444",
+) -> bytes:
+    """Encode an (h, w, 3) uint8 array (or (h, w) when ``grayscale``)
+    as baseline JPEG; ``restart_interval`` > 0 emits DRI + RSTn
+    markers every N MCUs (exercises the decoder's restart path), and
+    ``subsample="420"`` emits 2x2-subsampled chroma (multi-block
+    MCUs). Test-support: correctness over speed."""
+    h, w, comps = _quantized_blocks(rgb, grayscale, subsample)
+    dc_bits, dc_codes = _enc_table(_DC_SYMS)
+    ac_bits, ac_codes = _enc_table(_AC_SYMS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    # T.81 stores DQT entries in ZIGZAG order: element k of the
+    # segment quantizes scan position k, not natural index k (review
+    # catch: natural-order bytes made the decoder dequantize most AC
+    # coefficients with the wrong quantizer — ~2x error on noise)
+    out += seg(
+        0xDB,
+        bytes([0x00]) + bytes(QUANT_LUMA[ZIGZAG].astype(np.uint8)),
+    )
+    out += seg(
+        0xDB,
+        bytes([0x01]) + bytes(QUANT_CHROMA[ZIGZAG].astype(np.uint8)),
+    )
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for c in comps:
+        sof += struct.pack(
+            ">BBB", c["cid"], (c["h"] << 4) | c["v"], c["tq"]
+        )
+    out += seg(0xC0, sof)
+    for tc in (0, 1):  # DC then AC table, both id 0
+        bits, syms = (dc_bits, _DC_SYMS) if tc == 0 else (
+            ac_bits, _AC_SYMS
+        )
+        out += seg(
+            0xC4, bytes([tc << 4]) + bytes(bits) + bytes(syms)
+        )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for c in comps:
+        sos += struct.pack(">BB", c["cid"], 0x00)  # DC/AC table 0
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    wtr = _BitWriter()
+    quant = {0: QUANT_LUMA, 1: QUANT_CHROMA}
+    pred = [0] * len(comps)
+    n_mcu = 0
+    rst = 0
+    for my in range(comps[0]["mcus_y"]):
+        for mx in range(comps[0]["mcus_x"]):
+            if (
+                restart_interval
+                and n_mcu
+                and n_mcu % restart_interval == 0
+            ):
+                wtr.flush()
+                out += wtr.out
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                wtr = _BitWriter()
+                pred = [0] * len(comps)
+            n_mcu += 1
+            for i, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = c["zz"][my * c["v"] + by, mx * c["h"] + bx]
+                        pred[i] = _encode_zz_block(
+                            wtr, zz, pred[i], dc_codes, ac_codes
+                        )
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_zz_block(
+    wtr: _BitWriter, zz: np.ndarray, pred: int,
+    dc_codes: dict, ac_codes: dict,
 ) -> int:
-    coef = _C @ (block - 128.0) @ _C.T
-    zz = np.round(coef.flatten()[ZIGZAG] / q[ZIGZAG]).astype(np.int64)
+    """Baseline entropy coding of one already-quantized zigzag block."""
     dc = int(zz[0])
     diff = dc - pred
     t = _category(diff)
@@ -666,151 +821,6 @@ def _encode_block(
     return dc
 
 
-def encode_jpeg(
-    rgb: np.ndarray,
-    grayscale: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode an (h, w, 3) uint8 array (or (h, w) when ``grayscale``)
-    as baseline 4:4:4 JPEG; ``restart_interval`` > 0 emits DRI + RSTn
-    markers every N MCUs (exercises the decoder's restart path).
-    Test-support: correctness over speed."""
-    rgb = np.asarray(rgb, dtype=np.float64)
-    if grayscale:
-        h, w = rgb.shape
-        planes = [rgb]
-        comps = [(1, 0)]  # (component id, quant table id)
-    else:
-        h, w = rgb.shape[:2]
-        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        planes = [y, cb, cr]
-        comps = [(1, 0), (2, 1), (3, 1)]
-
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = []
-    for p in planes:
-        pp = np.empty((ph, pw))
-        pp[:h, :w] = p
-        pp[h:, :w] = p[h - 1:h, :]
-        pp[:, w:] = pp[:, w - 1:w]
-        padded.append(pp)
-
-    dc_bits, dc_codes = _enc_table(_DC_SYMS)
-    ac_bits, ac_codes = _enc_table(_AC_SYMS)
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")
-    # T.81 stores DQT entries in ZIGZAG order: element k of the
-    # segment quantizes scan position k, not natural index k (review
-    # catch: natural-order bytes made the decoder dequantize most AC
-    # coefficients with the wrong quantizer — ~2x error on noise)
-    out += seg(
-        0xDB,
-        bytes([0x00]) + bytes(QUANT_LUMA[ZIGZAG].astype(np.uint8)),
-    )
-    out += seg(
-        0xDB,
-        bytes([0x01]) + bytes(QUANT_CHROMA[ZIGZAG].astype(np.uint8)),
-    )
-    sof = struct.pack(">BHHB", 8, h, w, len(comps))
-    for cid, tq in comps:
-        sof += struct.pack(">BBB", cid, 0x11, tq)  # 4:4:4 (1x1)
-    out += seg(0xC0, sof)
-    for tc in (0, 1):  # DC then AC table, both id 0
-        bits, syms = (dc_bits, _DC_SYMS) if tc == 0 else (
-            ac_bits, _AC_SYMS
-        )
-        out += seg(
-            0xC4, bytes([tc << 4]) + bytes(bits) + bytes(syms)
-        )
-    if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([len(comps)])
-    for cid, _tq in comps:
-        sos += struct.pack(">BB", cid, 0x00)  # DC/AC table 0
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-
-    wtr = _BitWriter()
-    quant = {0: QUANT_LUMA, 1: QUANT_CHROMA}
-    pred = [0] * len(comps)
-    n_mcu = 0
-    rst = 0
-    for my in range(ph // 8):
-        for mx in range(pw // 8):
-            if (
-                restart_interval
-                and n_mcu
-                and n_mcu % restart_interval == 0
-            ):
-                wtr.flush()
-                out += wtr.out
-                out += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                wtr = _BitWriter()
-                pred = [0] * len(comps)
-            n_mcu += 1
-            for i, ((_cid, tq), plane) in enumerate(
-                zip(comps, padded)
-            ):
-                block = plane[
-                    my * 8:my * 8 + 8, mx * 8:mx * 8 + 8
-                ]
-                pred[i] = _encode_block(
-                    wtr, block, quant[tq], pred[i],
-                    dc_codes, ac_codes,
-                )
-    wtr.flush()
-    out += wtr.out
-    out += b"\xff\xd9"
-    return bytes(out)
-
-
-def _quantized_blocks(
-    rgb: np.ndarray, grayscale: bool
-) -> tuple[int, int, list, dict]:
-    """Shared FDCT+quantize front end for both encoders: returns
-    (h, w, comps, zz_blocks) where zz_blocks[comp_index] is an
-    (nby, nbx, 64) int array of zigzag-ordered quantized coefficients."""
-    rgb = np.asarray(rgb, dtype=np.float64)
-    if grayscale:
-        h, w = rgb.shape
-        planes = [rgb]
-        comps = [(1, 0)]
-    else:
-        h, w = rgb.shape[:2]
-        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        planes = [y, cb, cr]
-        comps = [(1, 0), (2, 1), (3, 1)]
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    quant = {0: QUANT_LUMA, 1: QUANT_CHROMA}
-    zz_blocks = []
-    for (cid, tq), p in zip(comps, planes):
-        pp = np.empty((ph, pw))
-        pp[:h, :w] = p
-        pp[h:, :w] = p[h - 1:h, :]
-        pp[:, w:] = pp[:, w - 1:w]
-        q = quant[tq]
-        out = np.zeros((ph // 8, pw // 8, 64), dtype=np.int64)
-        for by in range(ph // 8):
-            for bx in range(pw // 8):
-                block = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                coefs = _C @ (block - 128.0) @ _C.T
-                out[by, bx] = np.round(
-                    coefs.flatten()[ZIGZAG] / q[ZIGZAG]
-                ).astype(np.int64)
-        zz_blocks.append(out)
-    return h, w, comps, zz_blocks
-
-
 def _emit_eobrun(wtr, ac_codes, count: int, pending_bits: list) -> int:
     """Flush an accumulated end-of-band run (T.81 G.1.2.2 EOBn) plus
     any buffered correction bits; returns 0 (the new run length)."""
@@ -831,17 +841,21 @@ def _emit_eobrun(wtr, ac_codes, count: int, pending_bits: list) -> int:
 
 
 def encode_jpeg_progressive(
-    rgb: np.ndarray, grayscale: bool = False
+    rgb: np.ndarray, grayscale: bool = False, subsample: str = "444"
 ) -> bytes:
     """Encode as progressive JPEG (SOF2) with the full scan
     repertoire: interleaved DC first (Al=1) + DC refine, then per
     component AC first (Ss=1..63, Al=1, accumulated EOB runs) + AC
     refine (Ah=1, correction bits). Quantized coefficients are
-    IDENTICAL to `encode_jpeg`'s, so both encodings of one image must
-    decode to identical pixels — the round-trip contract the tests
-    pin. Test-support: correctness over speed."""
-    h, w, comps, zz_blocks = _quantized_blocks(rgb, grayscale)
-    nby, nbx = zz_blocks[0].shape[:2]
+    IDENTICAL to `encode_jpeg`'s for the same ``subsample``, so both
+    encodings of one image must decode to identical pixels — the
+    round-trip contract the tests pin. With ``subsample="420"`` the
+    DC scans iterate multi-block MCUs while the AC scans iterate each
+    component's TRUE block grid (smaller than the MCU-padded grid for
+    chroma) — the geometry split real progressive photos exercise.
+    Test-support: correctness over speed."""
+    h, w, comps = _quantized_blocks(rgb, grayscale, subsample)
+    mcus_y, mcus_x = comps[0]["mcus_y"], comps[0]["mcus_x"]
 
     dc_bits, dc_codes = _enc_table(_DC_SYMS)
     ac_bits, ac_codes = _enc_table(_AC_SYMS)
@@ -859,8 +873,10 @@ def encode_jpeg_progressive(
         bytes([0x01]) + bytes(QUANT_CHROMA[ZIGZAG].astype(np.uint8)),
     )
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
-    for cid, tq in comps:
-        sof += struct.pack(">BBB", cid, 0x11, tq)
+    for c in comps:
+        sof += struct.pack(
+            ">BBB", c["cid"], (c["h"] << 4) | c["v"], c["tq"]
+        )
     out += seg(0xC2, sof)
     for tc in (0, 1):
         bits, syms = (dc_bits, _DC_SYMS) if tc == 0 else (
@@ -875,44 +891,51 @@ def encode_jpeg_progressive(
         body += bytes([ss, se, (ah << 4) | al])
         return seg(0xDA, body)
 
-    # scan 1: DC first, interleaved, Al=1
-    out += sos([cid for cid, _ in comps], 0, 0, 0, 1)
+    def mcu_blocks():
+        """(comp_index, by, bx) in interleaved scan order."""
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for i, c in enumerate(comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            yield i, my * c["v"] + by, mx * c["h"] + bx
+
+    # scan 1: DC first, interleaved, Al=1 (magnitude == arithmetic
+    # shift is NOT required for DC: T.81 G.1.2.1 point transforms the
+    # signed value, i.e. arithmetic shift, matching the decoder's
+    # pred << Al reconstruction)
+    out += sos([c["cid"] for c in comps], 0, 0, 0, 1)
     wtr = _BitWriter()
     pred = [0] * len(comps)
-    for by in range(nby):
-        for bx in range(nbx):
-            for i in range(len(comps)):
-                v = int(zz_blocks[i][by, bx, 0]) >> 1  # arithmetic
-                diff = v - pred[i]
-                pred[i] = v
-                t = _category(diff)
-                ln, code = dc_codes[t]
-                wtr.write(code, ln)
-                if t:
-                    wtr.write(
-                        diff if diff >= 0 else diff + (1 << t) - 1, t
-                    )
+    for i, by, bx in mcu_blocks():
+        v = int(comps[i]["zz"][by, bx, 0]) >> 1  # arithmetic
+        diff = v - pred[i]
+        pred[i] = v
+        t = _category(diff)
+        ln, code = dc_codes[t]
+        wtr.write(code, ln)
+        if t:
+            wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
     wtr.flush()
     out += wtr.out
 
-    # scan 2: DC refine, Ah=1 Al=0 (one bit per block per comp)
-    out += sos([cid for cid, _ in comps], 0, 0, 1, 0)
+    # scan 2: DC refine, Ah=1 Al=0 (one bit per block)
+    out += sos([c["cid"] for c in comps], 0, 0, 1, 0)
     wtr = _BitWriter()
-    for by in range(nby):
-        for bx in range(nbx):
-            for i in range(len(comps)):
-                wtr.write(int(zz_blocks[i][by, bx, 0]) & 1, 1)
+    for i, by, bx in mcu_blocks():
+        wtr.write(int(comps[i]["zz"][by, bx, 0]) & 1, 1)
     wtr.flush()
     out += wtr.out
 
-    # per component: AC first (Al=1) with accumulated EOB runs
-    for i, (cid, _tq) in enumerate(comps):
-        out += sos([cid], 1, 63, 0, 1)
+    # per component: AC first (Al=1) with accumulated EOB runs, over
+    # the component's TRUE block grid (non-interleaved geometry)
+    for c in comps:
+        out += sos([c["cid"]], 1, 63, 0, 1)
         wtr = _BitWriter()
         eob_count = 0
-        for by in range(nby):
-            for bx in range(nbx):
-                zz = zz_blocks[i][by, bx]
+        for by in range(c["tbh"]):
+            for bx in range(c["tbw"]):
+                zz = c["zz"][by, bx]
                 # T.81 G.1.2.2: AC successive approximation codes the
                 # MAGNITUDE shifted toward zero (|-1| >> 1 == 0, a
                 # newly-significant value for the refine scan) — an
@@ -962,12 +985,12 @@ def encode_jpeg_progressive(
     # zero-HISTORY zero positions, and each history-nonzero position
     # crossed contributes its correction bit at the moment the
     # decoder's walk reaches it (including inside ZRL spans).
-    for i, (cid, _tq) in enumerate(comps):
-        out += sos([cid], 1, 63, 1, 0)
+    for c in comps:
+        out += sos([c["cid"]], 1, 63, 1, 0)
         wtr = _BitWriter()
-        for by in range(nby):
-            for bx in range(nbx):
-                zz = [int(v) for v in zz_blocks[i][by, bx]]
+        for by in range(c["tbh"]):
+            for bx in range(c["tbw"]):
+                zz = [int(v) for v in c["zz"][by, bx]]
                 newpos = [
                     k for k in range(1, 64) if abs(zz[k]) == 1
                 ]

@@ -934,10 +934,17 @@ def test_progressive_jpeg_decodes_identical_to_baseline():
          * rng.randint(0, 256, (40, 40, 3))).astype(np.uint8),
     ]
     for img in cases:
-        mb, pb = decode_jpeg_pixels(encode_jpeg(img))
-        mp, pp = decode_jpeg_pixels(encode_jpeg_progressive(img))
-        assert np.array_equal(pb, pp)
-        assert mp["fmt"] == "jpeg" and mp["mean_value"] == mb["mean_value"]
+        for sub in ("444", "420"):
+            mb, pb = decode_jpeg_pixels(encode_jpeg(img, subsample=sub))
+            mp, pp = decode_jpeg_pixels(
+                encode_jpeg_progressive(img, subsample=sub)
+            )
+            # 4:2:0 exercises multi-block MCUs in the interleaved DC
+            # scans AND chroma AC scans over TRUE block grids smaller
+            # than the MCU-padded grids
+            assert np.array_equal(pb, pp), sub
+            assert mp["fmt"] == "jpeg"
+            assert mp["mean_value"] == mb["mean_value"], sub
     gray = rng.randint(0, 256, (20, 20)).astype(np.uint8)
     assert np.array_equal(
         decode_jpeg_pixels(encode_jpeg(gray, grayscale=True))[1],

@@ -95,6 +95,29 @@ def main() -> None:
     hits3 = ivf_search(spark, sf_dir, my_queries, k=3, nprobe=2)
     print("ivf_search:", hits3.count(), "hits for 3 queries")
 
+    # compressed ANN: 8-byte PQ codes + exact re-rank of the shortlist
+    from quebic_spark.operators.similarity import ivf_pq_topk
+
+    pq_hits = ivf_pq_topk(spark, sf_dir, nprobe=2, k=3)
+    print("ivf_pq:", pq_hits.count(), "reranked hits")
+
+    # leakage-safe train/val/test: duplicates can never straddle splits
+    from quebic_spark.operators.sampling import split_by_group
+
+    split_counts = (
+        split_by_group(spark.table("corpus"))
+        .groupBy("split").count().collect()
+    )
+    print("splits:", {r["split"]: r["count"] for r in split_counts})
+
+    # table stats answered from parquet footers (no data scan)
+    from quebic_spark.sources.io import footer_stats
+
+    stats = footer_stats(
+        spark, f"{sf_dir}/orders.parquet", ["o_orderkey"]
+    ).collect()[0]
+    print("orders rows (footers only):", stats["n_rows"])
+
     from quebic_spark.cache import clear_caches
 
     clear_caches(include_ivf_index=True)

@@ -841,7 +841,11 @@ def _emit_eobrun(wtr, ac_codes, count: int, pending_bits: list) -> int:
 
 
 def encode_jpeg_progressive(
-    rgb: np.ndarray, grayscale: bool = False, subsample: str = "444"
+    rgb: np.ndarray,
+    grayscale: bool = False,
+    subsample: str = "444",
+    restart_interval: int = 0,
+    dc_interleaved: bool = True,
 ) -> bytes:
     """Encode as progressive JPEG (SOF2) with the full scan
     repertoire: interleaved DC first (Al=1) + DC refine, then per
@@ -853,7 +857,11 @@ def encode_jpeg_progressive(
     DC scans iterate multi-block MCUs while the AC scans iterate each
     component's TRUE block grid (smaller than the MCU-padded grid for
     chroma) — the geometry split real progressive photos exercise.
-    Test-support: correctness over speed."""
+    ``restart_interval`` > 0 emits DRI + RSTn inside every scan (per
+    N MCUs in the DC scans, per N blocks in the AC scans; EOB runs
+    never span a restart), and ``dc_interleaved=False`` emits one
+    non-interleaved DC-first/refine scan pair per component over its
+    true grid. Test-support: correctness over speed."""
     h, w, comps = _quantized_blocks(rgb, grayscale, subsample)
     mcus_y, mcus_x = comps[0]["mcus_y"], comps[0]["mcus_x"]
 
@@ -883,6 +891,8 @@ def encode_jpeg_progressive(
             ac_bits, _AC_SYMS
         )
         out += seg(0xC4, bytes([tc << 4]) + bytes(bits) + bytes(syms))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
 
     def sos(scan_comps: list, ss: int, se: int, ah: int, al: int) -> bytes:
         body = bytes([len(scan_comps)])
@@ -891,41 +901,92 @@ def encode_jpeg_progressive(
         body += bytes([ss, se, (ah << 4) | al])
         return seg(0xDA, body)
 
-    def mcu_blocks():
-        """(comp_index, by, bx) in interleaved scan order."""
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for i, c in enumerate(comps):
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            yield i, my * c["v"] + by, mx * c["h"] + bx
+    def dc_scan_units(scan_comps):
+        """Restart units for a DC scan: one MCU (interleaved) or one
+        block (non-interleaved), each a list of (comp, by, bx)."""
+        if len(scan_comps) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    unit = []
+                    for i in scan_comps:
+                        c = comps[i]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                unit.append(
+                                    (i, my * c["v"] + by,
+                                     mx * c["h"] + bx)
+                                )
+                    yield unit
+        else:
+            c = comps[scan_comps[0]]
+            for by in range(c["tbh"]):
+                for bx in range(c["tbw"]):
+                    yield [(scan_comps[0], by, bx)]
 
-    # scan 1: DC first, interleaved, Al=1 (magnitude == arithmetic
-    # shift is NOT required for DC: T.81 G.1.2.1 point transforms the
-    # signed value, i.e. arithmetic shift, matching the decoder's
-    # pred << Al reconstruction)
-    out += sos([c["cid"] for c in comps], 0, 0, 0, 1)
-    wtr = _BitWriter()
-    pred = [0] * len(comps)
-    for i, by, bx in mcu_blocks():
-        v = int(comps[i]["zz"][by, bx, 0]) >> 1  # arithmetic
-        diff = v - pred[i]
-        pred[i] = v
-        t = _category(diff)
-        ln, code = dc_codes[t]
-        wtr.write(code, ln)
-        if t:
-            wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-    wtr.flush()
-    out += wtr.out
+    rst_state = {"n": 0}
 
-    # scan 2: DC refine, Ah=1 Al=0 (one bit per block)
-    out += sos([c["cid"] for c in comps], 0, 0, 1, 0)
-    wtr = _BitWriter()
-    for i, by, bx in mcu_blocks():
-        wtr.write(int(comps[i]["zz"][by, bx, 0]) & 1, 1)
-    wtr.flush()
-    out += wtr.out
+    def maybe_restart(wtr, n_units, reset):
+        """Flush + RSTn at the restart cadence; returns the writer."""
+        if (
+            restart_interval
+            and n_units
+            and n_units % restart_interval == 0
+        ):
+            wtr.flush()
+            out.extend(wtr.out)
+            out.extend(bytes([0xFF, 0xD0 + rst_state["n"] % 8]))
+            rst_state["n"] += 1
+            reset()
+            return _BitWriter()
+        return wtr
+
+    def emit_dc_scans(scan_comps):
+        nonlocal out
+        # DC first, Al=1 (arithmetic shift is correct for DC: T.81
+        # G.1.2.1 point transforms the signed value, matching the
+        # decoder's pred << Al reconstruction)
+        out += sos([comps[i]["cid"] for i in scan_comps], 0, 0, 0, 1)
+        wtr = _BitWriter()
+        pred = {i: 0 for i in scan_comps}
+        rst_state["n"] = 0
+        n_units = 0
+        for unit in dc_scan_units(scan_comps):
+            wtr = maybe_restart(
+                wtr, n_units, lambda: pred.update({i: 0 for i in pred})
+            )
+            n_units += 1
+            for i, by, bx in unit:
+                v = int(comps[i]["zz"][by, bx, 0]) >> 1
+                diff = v - pred[i]
+                pred[i] = v
+                t = _category(diff)
+                ln, code = dc_codes[t]
+                wtr.write(code, ln)
+                if t:
+                    wtr.write(
+                        diff if diff >= 0 else diff + (1 << t) - 1, t
+                    )
+        wtr.flush()
+        out += wtr.out
+
+        # DC refine, Ah=1 Al=0 (one bit per block)
+        out += sos([comps[i]["cid"] for i in scan_comps], 0, 0, 1, 0)
+        wtr = _BitWriter()
+        rst_state["n"] = 0
+        n_units = 0
+        for unit in dc_scan_units(scan_comps):
+            wtr = maybe_restart(wtr, n_units, lambda: None)
+            n_units += 1
+            for i, by, bx in unit:
+                wtr.write(int(comps[i]["zz"][by, bx, 0]) & 1, 1)
+        wtr.flush()
+        out += wtr.out
+
+    if dc_interleaved or len(comps) == 1:
+        emit_dc_scans(list(range(len(comps))))
+    else:
+        for i in range(len(comps)):
+            emit_dc_scans([i])
 
     # per component: AC first (Al=1) with accumulated EOB runs, over
     # the component's TRUE block grid (non-interleaved geometry)
@@ -933,8 +994,22 @@ def encode_jpeg_progressive(
         out += sos([c["cid"]], 1, 63, 0, 1)
         wtr = _BitWriter()
         eob_count = 0
+        rst_state["n"] = 0
+        n_blk = 0
         for by in range(c["tbh"]):
             for bx in range(c["tbw"]):
+                if (
+                    restart_interval
+                    and n_blk
+                    and n_blk % restart_interval == 0
+                ):
+                    # EOB runs never span a restart: flush before RST
+                    if eob_count:
+                        eob_count = _emit_eobrun(
+                            wtr, ac_codes, eob_count, []
+                        )
+                    wtr = maybe_restart(wtr, n_blk, lambda: None)
+                n_blk += 1
                 zz = c["zz"][by, bx]
                 # T.81 G.1.2.2: AC successive approximation codes the
                 # MAGNITUDE shifted toward zero (|-1| >> 1 == 0, a
@@ -988,8 +1063,12 @@ def encode_jpeg_progressive(
     for c in comps:
         out += sos([c["cid"]], 1, 63, 1, 0)
         wtr = _BitWriter()
+        rst_state["n"] = 0
+        n_blk = 0
         for by in range(c["tbh"]):
             for bx in range(c["tbw"]):
+                wtr = maybe_restart(wtr, n_blk, lambda: None)
+                n_blk += 1
                 zz = [int(v) for v in c["zz"][by, bx]]
                 newpos = [
                     k for k in range(1, 64) if abs(zz[k]) == 1

@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
+        # stage progress bars interleave \r fragments into captured
+        # stdout (tool output artifacts end up with PASS lines glued
+        # inside half-drawn bars); logs carry the same signal cleanly
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -464,6 +464,27 @@ def test_decoders_never_crash_on_fuzzed_payloads():
             mut[i] ^= 1 << rnd.randrange(8)
         probe(bytes(mut))
 
+    # the same mutation class against a valid PROGRESSIVE JPEG: the
+    # scan-sequencing state machine (EOB runs, refinement bits,
+    # spectral bounds) sees mostly-sane structure with one lie
+    from quebic_spark.functions.jpeg import encode_jpeg_progressive
+
+    good_prog = bytearray(
+        encode_jpeg_progressive(
+            (np.arange(16 * 24 * 3).reshape(16, 24, 3) % 256).astype(
+                np.uint8
+            ),
+            subsample="420",
+            restart_interval=2,
+        )
+    )
+    for _ in range(200):
+        mut = bytearray(good_prog)
+        for _k in range(rnd.randrange(1, 4)):
+            i = rnd.randrange(len(mut))
+            mut[i] ^= 1 << rnd.randrange(8)
+        probe(bytes(mut))
+
     # same class of mutation against a valid GIF: the LZW decoder sees
     # plausible structure with corrupted codes/sub-block lengths
     from quebic_spark.operators.multimodal import encode_gif
@@ -952,6 +973,23 @@ def test_progressive_jpeg_decodes_identical_to_baseline():
             encode_jpeg_progressive(gray, grayscale=True)
         )[1],
     )
+    # scan-variant coverage: restart markers inside progressive scans
+    # (EOB runs flushed at every restart; DC preds reset) and
+    # non-interleaved per-component DC scans over true block grids
+    img = rng.randint(0, 256, (40, 33, 3)).astype(np.uint8)
+    for kwargs in (
+        {"restart_interval": 3},
+        {"dc_interleaved": False},
+        {"restart_interval": 2, "dc_interleaved": False},
+        {"subsample": "420", "restart_interval": 3},
+        {"subsample": "420", "dc_interleaved": False},
+    ):
+        sub = kwargs.get("subsample", "444")
+        base = decode_jpeg_pixels(encode_jpeg(img, subsample=sub))[1]
+        got = decode_jpeg_pixels(
+            encode_jpeg_progressive(img, **kwargs)
+        )[1]
+        assert np.array_equal(base, got), kwargs
 
 
 def test_progressive_jpeg_through_decode_media_and_quarantines(spark):

@@ -271,7 +271,43 @@ def main() -> None:
         assert n <= CMS_DEPTH * CMS_WIDTH, n
         return n
 
+    def op_split_groups(docs, emb):
+        # group-keyed split is pure in-scan arithmetic + one agg:
+        # growth must track the scan; the replica families prove no
+        # group-level shuffle sneaks in
+        from quebic_spark.operators.sampling import split_by_group
+
+        return (
+            split_by_group(docs)
+            .groupBy("split").count().count()
+        )
+
+    def op_pq_encode(docs, emb):
+        # Arrow-batched argmin per subspace: growth must track rows
+        # (codebooks are fixed literals trained once outside)
+        from quebic_spark.operators.similarity import pq_encode
+
+        return pq_encode(
+            emb.select("vec_id", "embedding"), pq_books
+        ).count()
+
+    def op_line_dedup(docs, emb):
+        # delimiter-generic boilerplate removal; space-delimited here
+        # so the replica corpus yields real hot tokens. Linear growth
+        # means the DF-count agg + hot anti-join + reassembly all
+        # track rows, never pairs
+        from quebic_spark.operators.textops import line_dedup
+
+        return line_dedup(docs, max_df=256, delim=" ").count()
+
+    from quebic_spark.operators.similarity import train_pq_codebooks
+
+    pq_books = train_pq_codebooks(spark, args.sf)
+
     ops = {
+        "split_groups": op_split_groups,
+        "pq_encode": op_pq_encode,
+        "line_dedup": op_line_dedup,
         "cms_sketch": op_cms_sketch,
         "chunk_documents": op_chunk_documents,
         "cdc_chunks": op_cdc_chunks,

@@ -1274,38 +1274,29 @@ def _pq_lut_udf(codebooks: list):
 PQ_RERANK = 16 * TOP_K  # ADC shortlist size fed to the exact re-rank
 
 
-def ivf_pq_topk(
+def _pq_rank(
     spark: SparkSession,
     sf_dir: str,
-    nprobe: int = 2,
-    k: int = TOP_K,
-    m: int = PQ_M,
-    n_codes: int = PQ_K,
-    rerank: int | None = PQ_RERANK,
+    qbase: DataFrame,
+    nprobe: int,
+    k: int,
+    m: int,
+    n_codes: int,
+    rerank: int | None,
+    exclude_self: bool,
 ) -> DataFrame:
-    """(query_id, vec_id, score, rank): IVF cell pruning + PQ ADC
-    shortlisting (+ optional exact re-rank). The candidate side reads
-    (vec_id, cell, codes) — at scale a stored table PQ_M bytes/vector
-    instead of the raw embeddings — and ADC scoring touches no Python
-    and no full vectors.
-
-    ``rerank=R`` is the production IVFPQ+R arrangement: ADC keeps the
-    top R per query (compressed scan, cheap), then ONLY those R rows'
-    full vectors are fetched for exact cosine ranking — measured here
-    recall@5 goes 0.26 → 0.46 (= the uncompressed nprobe=2 path) while
-    the full-vector reads drop from every candidate to R per query.
-    ``rerank=None`` returns raw ADC order (score = asymmetric inner
-    product estimate)."""
+    """Shared IVF-PQ ranking core: ``qbase`` carries (query_id,
+    embedding, norm). ADC-score the probed cells' codes, optionally
+    exact-rerank the top-R fetched by vec_id."""
     books = train_pq_codebooks(spark, sf_dir, m=m, k=n_codes)
     emb = _ivf_corpus(spark, sf_dir)
     coded = pq_encode(emb.select("vec_id", "embedding", "cell"), books)
 
     queries = (
-        emb.filter((F.col("vec_id") % QUERY_STRIDE) == 0)
+        qbase
         .withColumn("probe_cells", _cell_ranking_col(None))
         .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
+            "query_id",
             F.col("norm").alias("q_norm"),
             _pq_lut_udf(books)(F.col("embedding")).alias("lut"),
             F.explode(
@@ -1325,11 +1316,10 @@ def ivf_pq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id")
     )
-    scored = coded.join(
-        F.broadcast(queries),
-        (F.col("cell") == F.col("q_cell"))
-        & (F.col("vec_id") != F.col("query_id")),
-    )
+    cond = F.col("cell") == F.col("q_cell")
+    if exclude_self:
+        cond = cond & (F.col("vec_id") != F.col("query_id"))
+    scored = coded.join(F.broadcast(queries), cond)
     if rerank is None:
         return (
             scored.select("query_id", "vec_id", adc.alias("score"))
@@ -1345,13 +1335,10 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= rerank)
         .select("query_id", "vec_id")
     )
-    qside = (
-        emb.filter((F.col("vec_id") % QUERY_STRIDE) == 0)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("norm").alias("q_norm"),
-        )
+    qside = qbase.select(
+        "query_id",
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
     )
     exact = dot_product(F.col("q_emb"), F.col("embedding")) / (
         F.col("q_norm") * F.col("norm")
@@ -1364,6 +1351,68 @@ def ivf_pq_topk(
         .select("query_id", "vec_id", exact.alias("score"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = 2,
+    k: int = TOP_K,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    rerank: int | None = PQ_RERANK,
+) -> DataFrame:
+    """(query_id, vec_id, score, rank): IVF cell pruning + PQ ADC
+    shortlisting (+ optional exact re-rank) for the corpus-derived
+    stride query set. The candidate side reads (vec_id, cell, codes)
+    — at scale a stored table PQ_M bytes/vector instead of the raw
+    embeddings — and ADC scoring touches no Python and no full
+    vectors.
+
+    ``rerank=R`` is the production IVFPQ+R arrangement: ADC keeps the
+    top R per query (compressed scan, cheap), then ONLY those R rows'
+    full vectors are fetched for exact cosine ranking — measured here
+    the rerank tier tracks the uncompressed nprobe=2 recall within
+    0.01 at sf0.01 AND sf0.1 while full-vector reads drop from every
+    candidate to R per query. ``rerank=None`` returns raw ADC order
+    (score = asymmetric inner product estimate)."""
+    emb = _ivf_corpus(spark, sf_dir)
+    qbase = emb.filter((F.col("vec_id") % QUERY_STRIDE) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "norm"
+    )
+    return _pq_rank(
+        spark, sf_dir, qbase, nprobe, k, m, n_codes, rerank,
+        exclude_self=True,
+    )
+
+
+def ivf_pq_search(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = 2,
+    rerank: int | None = PQ_RERANK,
+    id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ARBITRARY query vectors against the compressed index — the PQ
+    twin of :func:`ivf_search` (same contract: queries must match the
+    index dimensionality). Scoring cost per candidate is O(PQ_M)
+    lookups instead of O(dim) multiplies, and only the reranked
+    shortlist touches full vectors."""
+    from quebic_spark.functions.vector import l2_norm
+
+    if k < 1 or nprobe < 1:
+        raise ValueError("k and nprobe must be >= 1")
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("embedding"),
+    ).withColumn("norm", l2_norm(F.col("embedding")))
+    return _pq_rank(
+        spark, sf_dir, qbase, nprobe, k, PQ_M, PQ_K, rerank,
+        exclude_self=False,
     )
 
 

@@ -517,3 +517,47 @@ def test_ivf_pq_rerank_recovers_uncompressed_recall(
     assert r_rr <= r_raw + 1e-9, (r_rr, r_raw)
     assert r_rr > 0
     clear_caches(include_ivf_index=True)
+
+
+def test_ivf_pq_search_arbitrary_queries_agree_with_exact_path(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The PQ twin of ivf_search: for arbitrary (jittered, non-corpus)
+    query vectors, the reranked PQ result over the SAME probed cells
+    must be a high-overlap subset of the exact ivf_search ranking —
+    and with rerank covering every candidate, cell-for-cell equal."""
+    from quebic_spark.cache import clear_caches
+    from quebic_spark.operators.similarity import ivf_pq_search, ivf_search
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    clear_caches(include_ivf_index=True)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(6).selectExpr(
+        "vec_id + 900000 AS query_id",
+        "transform(embedding, x -> x + 0.017) AS embedding",
+    )
+    exact = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_search(spark, sf_dir, queries, k=5, nprobe=2)
+        .collect()
+    }
+    # rerank large enough to cover every probed candidate -> the PQ
+    # path must reproduce the exact per-cell ranking
+    n = emb.count()
+    full = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_pq_search(
+            spark, sf_dir, queries, k=5, nprobe=2, rerank=n
+        ).collect()
+    }
+    assert full == exact
+    # production shortlist: still a subset of the probed candidates
+    # with strong overlap against the exact ranking
+    pq = {
+        (r.query_id, r.vec_id)
+        for r in ivf_pq_search(spark, sf_dir, queries, k=5, nprobe=2)
+        .collect()
+    }
+    exact_pairs = {(q, v) for q, v, _ in exact}
+    assert len(pq & exact_pairs) >= int(0.6 * len(exact_pairs))
+    clear_caches(include_ivf_index=True)

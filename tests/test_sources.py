@@ -208,3 +208,35 @@ def test_footer_stats_pushes_aggregates_into_the_scan(spark, sf_dir):
     assert row["n_rows"] == n
     assert row["min_o_orderkey"] == mn
     assert row["max_o_totalprice"] == mx
+
+
+def test_footer_stats_restores_session_confs(spark, sf_dir):
+    """The scoped-conf contract: footer_stats must leave the session's
+    aggregate-pushdown and V1-source-list confs exactly as it found
+    them, even though the returned plan keeps the pushdown."""
+    from quebic_spark.sources.io import footer_stats
+
+    before = (
+        spark.conf.get("spark.sql.parquet.aggregatePushdown", "false"),
+        spark.conf.get(
+            "spark.sql.sources.useV1SourceList",
+            "avro,csv,json,kafka,orc,parquet,text",
+        ),
+    )
+    out = footer_stats(spark, f"{sf_dir}/region.parquet", ["r_regionkey"])
+    after = (
+        spark.conf.get("spark.sql.parquet.aggregatePushdown", "false"),
+        spark.conf.get(
+            "spark.sql.sources.useV1SourceList",
+            "avro,csv,json,kafka,orc,parquet,text",
+        ),
+    )
+    assert after == before
+    assert out.collect()[0]["n_rows"] == 5
+    # a scan compiled AFTER the call is back on the session default
+    plan = (
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .groupBy().count()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedAggregation" not in plan

@@ -187,6 +187,11 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[dict, np.ndarray]:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = payload[pos + 1]
+        if marker == 0xFF:
+            # 0xFF fill byte before a marker (T.81 B.1.1.2): consume
+            # one byte and re-read — never treat 0xFF as a marker code
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -322,11 +327,18 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[dict, np.ndarray]:
             )
             n_scans += 1
             # resync to the next marker (the reader stops consuming
-            # at any non-stuffing, non-restart FF)
+            # at any non-stuffing, non-restart FF). payload[p+1] must
+            # also not be 0xFF: a run of FF bytes before a marker is
+            # legal fill (T.81 B.1.1.2) — stopping on the FIRST fill
+            # FF would hand the main loop marker=0xFF, whose next two
+            # bytes (the real marker) then parse as a bogus segment
+            # length and the remaining scans are silently skipped
+            # (r7 review catch: 'FF FF DA' returned a partial image)
             p = reader.pos
             while p + 1 < len(payload) and not (
                 payload[p] == 0xFF
                 and payload[p + 1] != 0x00
+                and payload[p + 1] != 0xFF
                 and not (0xD0 <= payload[p + 1] <= 0xD7)
             ):
                 p += 1

@@ -197,8 +197,17 @@ def read_release_registry(spark: SparkSession, root: str) -> dict:
             return {"versions": []}
         import time
 
-        time.sleep(0.05)
-        if not fs.exists(rpath):
+        # exponential backoff (50/200/800 ms): one fixed 50 ms retry
+        # still raced a slow object store's copy+delete window (r7
+        # advice) — three attempts spanning ~1 s cover the realistic
+        # window while keeping the genuinely-empty answer fast
+        absent = True
+        for delay in (0.05, 0.2, 0.8):
+            time.sleep(delay)
+            if fs.exists(rpath):
+                absent = False
+                break
+        if absent:
             return {"versions": []}
     stream = fs.open(rpath)
     try:

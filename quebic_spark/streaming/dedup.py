@@ -40,6 +40,7 @@ def dedup_stream_against_snapshot(
     snapshot_keys: DataFrame,
     key_col: str = "content_key",
     bloom: bytes | None = None,
+    k: int | None = None,
 ) -> DataFrame:
     """Drop streamed records whose ``key_col`` already exists in a
     STATIC historical snapshot — the streaming tier of the day-2
@@ -61,14 +62,21 @@ def dedup_stream_against_snapshot(
     rate, not the feed rate. Pass ``bloom=None`` to skip tier 1 and
     anti-join every row (correct, just join-heavier).
 
+    ``k`` is the hash count the bloom was BUILT with (``build_bloom``'s
+    ``k``); it must match or the probe produces false NEGATIVES —
+    duplicate rows take the 'definitely new' fast path and ship
+    silently (r7 review catch: the parameter didn't exist, so a
+    non-default-k filter couldn't be probed correctly). Defaults to
+    ``BLOOM_HASHES``, mirroring the batch tier.
+
     Within-stream duplicates are a separate concern — compose with
     :func:`dedup_stream` (watermark-bounded) upstream of this."""
-    from quebic_spark.operators.dedup import bloom_probe_udf
+    from quebic_spark.operators.dedup import BLOOM_HASHES, bloom_probe_udf
 
     snap = snapshot_keys.select(F.col(key_col))
     if bloom is None:
         return stream.join(snap, key_col, "left_anti")
-    probe = bloom_probe_udf(bloom)
+    probe = bloom_probe_udf(bloom, k if k is not None else BLOOM_HASHES)
     flagged = stream.withColumn(
         "_might_dup", probe(F.md5(F.col(key_col)))
     )

@@ -992,6 +992,42 @@ def test_progressive_jpeg_decodes_identical_to_baseline():
         assert np.array_equal(base, got), kwargs
 
 
+def test_jpeg_fill_bytes_before_markers_decode_identically():
+    """0xFF fill bytes before a marker are legal padding (T.81
+    B.1.1.2). The post-scan resync used to stop at the FIRST FF of a
+    fill run, so 'FF FF DA' handed the main loop marker=0xFF, whose
+    next two bytes (the real marker) parsed as a bogus segment length
+    — the remaining scans were silently skipped and a PARTIAL image
+    returned (r7 review catch). Fill runs before every inter-scan
+    marker must now decode bit-identically to the unpadded stream."""
+    import numpy as np
+
+    from quebic_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (24, 17, 3)).astype(np.uint8)
+    for payload in (
+        encode_jpeg(img),
+        encode_jpeg_progressive(img),
+        encode_jpeg_progressive(img, subsample="420"),
+    ):
+        _m, base = decode_jpeg_pixels(payload)
+        # pad every SOS after the first (the inter-scan resync path)
+        # and the EOI with 1-3 fill bytes; raw FF DA / FF D9 cannot
+        # occur inside entropy data (0xFF is always stuffed as FF 00)
+        padded = payload.replace(b"\xff\xda", b"\xff\xff\xda")
+        padded = padded[:2] + padded[2:].replace(
+            b"\xff\xd9", b"\xff\xff\xff\xd9"
+        )
+        assert padded != payload
+        _m2, got = decode_jpeg_pixels(padded)
+        assert np.array_equal(base, got)
+
+
 def test_progressive_jpeg_through_decode_media_and_quarantines(spark):
     """Real progressive streams dispatch as fmt=jpeg in the decode
     tier; truncated or structurally-invalid progressive bodies still

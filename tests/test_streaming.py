@@ -797,3 +797,35 @@ def test_streaming_dedup_against_snapshot_two_tier(qpath, spark):
     assert sorted(got2) == sorted(got)
     q.dispose()
     q2.dispose()
+
+
+def test_streaming_dedup_snapshot_nondefault_bloom_k(spark):
+    """A bloom built with a non-default hash count must be probed with
+    the SAME k (r7 advice: the k parameter didn't exist, so such a
+    filter was silently probed with BLOOM_HASHES — bloom false
+    NEGATIVES, i.e. duplicates shipping through the fast path). The
+    operator is a plain DataFrame transform, so the contract is
+    checkable on a batch frame: with the matching k every snapshot
+    dup is dropped and every new key kept, exactly the anti-join
+    answer."""
+    from quebic_spark.operators.dedup import auto_bloom_bits, build_bloom
+    from quebic_spark.streaming import dedup_stream_against_snapshot
+
+    snapshot = spark.createDataFrame(
+        [(f"k{i}",) for i in range(30)], "content_key string"
+    )
+    bloom3 = build_bloom(
+        snapshot, "content_key", m_bits=auto_bloom_bits(30), k=3
+    )
+    feed = spark.createDataFrame(
+        [(i, f"k{i + 10}") for i in range(20)]
+        + [(100 + i, f"new{i}") for i in range(40)],
+        "rec_id int, content_key string",
+    )
+    got = sorted(
+        r["content_key"]
+        for r in dedup_stream_against_snapshot(
+            feed, snapshot, bloom=bloom3, k=3
+        ).collect()
+    )
+    assert got == sorted(f"new{i}" for i in range(40))

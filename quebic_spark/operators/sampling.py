@@ -788,8 +788,6 @@ def cms_estimate(
 
 
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = _events(spark, sf_dir)
     keyed = ev.select(
         F.concat(
@@ -801,13 +799,34 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     true_counts = keyed.groupBy("key").agg(
         F.count(F.lit(1)).alias("true_count")
     )
-    w = Window.orderBy(F.desc("true_count"), "key")
-    topk = true_counts.withColumn(
-        "rank", F.row_number().over(w)
-    ).filter(F.col("rank") <= CMS_TOP_K)
-    est = cms_estimate(sketch, topk.select("key"))
+    # top-K selection via orderBy+limit — Spark plans a DISTRIBUTED
+    # TakeOrderedAndProject (per-partition top-K, tiny merge), not the
+    # global single-partition row_number window this used to run: at
+    # 100 TB the distinct (user|event_type) keys are billions and a
+    # no-partition WindowExec moved them all onto one task (r7 review
+    # catch). Ranks are then derived on the K-row frame itself by a
+    # broadcast self-join count (rows sorting strictly before), which
+    # is row_number's exact semantics under this total order — same
+    # rows, same hash, zero WindowExec.
+    topk = true_counts.orderBy(
+        F.desc("true_count"), F.col("key")
+    ).limit(CMS_TOP_K)
+    before = (F.col("b.true_count") > F.col("a.true_count")) | (
+        (F.col("b.true_count") == F.col("a.true_count"))
+        & (F.col("b.key") < F.col("a.key"))
+    )
+    ranked = (
+        topk.alias("a")
+        .join(F.broadcast(topk.alias("b")), before, "left")
+        .groupBy(
+            F.col("a.key").alias("key"),
+            F.col("a.true_count").alias("true_count"),
+        )
+        .agg((F.count(F.col("b.key")) + 1).cast("int").alias("rank"))
+    )
+    est = cms_estimate(sketch, ranked.select("key"))
     return (
-        topk.join(est, "key")
+        ranked.join(est, "key")
         .select(
             "key", "rank", "true_count", "est_count",
             (F.col("est_count") >= F.col("true_count")).alias(

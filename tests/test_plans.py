@@ -63,6 +63,19 @@ def test_heavy_hitters_compile_to_take_ordered(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_cms_truth_side_has_no_global_window(spark, sf_dir):
+    """The CMS heavy-hitter truth side must select its top-K via a
+    distributed TakeOrderedAndProject and rank the K-row frame with a
+    broadcast self-join — NOT a no-partition row_number window, which
+    moved every distinct key onto one task (r7 review catch: billions
+    of keys at 100 TB)."""
+    from quebic_spark.operators.sampling import q_cms_heavy_hitters
+
+    plan = _plan(q_cms_heavy_hitters(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
 def test_ann_ivf_cell_join_broadcasts_queries(spark, sf_dir):
     """IVF probe: corpus side stays put, the tiny query side broadcasts
     onto the cell-keyed hash join — the one-partition-per-query plan."""

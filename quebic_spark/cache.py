@@ -55,6 +55,7 @@ def clear_caches(include_ivf_index: bool = False) -> int:
         for store in (
             similarity._IVF_INDEX_CACHE,
             similarity._EXACT_TOPK_CACHE,
+            similarity._PQ_CODES_CACHE,
         ):
             for cached in store.values():
                 try:

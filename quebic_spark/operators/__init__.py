@@ -54,7 +54,10 @@ for _mod in _MODULES:
 
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
-    # --- r7: new operators this round ---
+    # --- r9: new gates this round ---
+    "footer_stats_audit",
+    "line_dedup",
+    # --- r7: new operators that round (PQ read path changed r9) ---
     "ann_ivf_pq_recall",
     "leakage_safe_split",
     # --- r7: rotated in so every operator has held a driver slot ---
@@ -86,7 +89,6 @@ GATE_ORDER: tuple[str, ...] = (
     "pii_scrub_stats",
     "dedup_spans",
     "ann_ivf_nprobe2",
-    "mixture_sample",
     "repetition_stats",
     # --- r3: new operators that round ---
     "decontaminate",
@@ -106,7 +108,6 @@ GATE_ORDER: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "ann_bruteforce_topk",
-    "quality_filter_stats",
     "event_sessions",
     "event_json_props",
     "event_funnel",
@@ -118,6 +119,27 @@ GATE_ORDER: tuple[str, ...] = (
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
 RETIRED_GATES: dict[str, str] = {
+    "quality_filter_stats": "retired in r9 (driver-green r2-r8) to "
+                            "free a slot for footer_stats_audit: "
+                            "every expression it thresholds is "
+                            "hash-gated elsewhere — token sizing via "
+                            "the same tokens() helper inside live "
+                            "source_scorecard (total_tokens / "
+                            "avg_doc_tokens), the distinct-token "
+                            "diversity ratio in the text_stats / "
+                            "doc_quality oracle lane, and the "
+                            "boolean-rule count arithmetic class via "
+                            "live train_split_counts; full per-source "
+                            "rule oracle keeps running in "
+                            "tests/test_registry.py",
+    "mixture_sample": "retired in r9 (driver-green r4-r8) to free a "
+                      "slot for line_dedup: the md5-fraction "
+                      "admission test, fixed-point thr arithmetic, "
+                      "_mix_weight table, and broadcast-scalar rate "
+                      "join run VERBATIM inside the live "
+                      "token_budget_mixture gate (the token-weighted "
+                      "superset of the same mechanism); full oracle "
+                      "keeps running in tests/test_registry.py",
     "lang_id": "the marker-hit + priority-chain argmax prediction is "
                "literally the same code (_lang_pred_parts) running "
                "inside the live source_scorecard gate, whose "
@@ -168,12 +190,12 @@ RETIRED_GATES: dict[str, str] = {
                          "tests/test_registry.py. Slot given to "
                          "phrase_search in r6",
     "doc_quality": "the per-doc quality_exprs scalar pipeline stays "
-                   "live THREE ways: quality_filter_stats aggregates "
-                   "the same expressions, dedup_keep_best ranks dup "
-                   "groups by the same composite score, and "
-                   "corpus_release_counts runs it as the release "
-                   "composite's first stage; the classifier gate "
-                   "distills from it. Full per-doc oracle keeps "
+                   "live: dedup_keep_best ranks dup groups by the "
+                   "same composite score, corpus_release_counts runs "
+                   "it as the release composite's first stage, and "
+                   "the classifier gate distills from it "
+                   "(quality_filter_stats, cited here originally, "
+                   "retired in r9 — claims rest on live gates). Full per-doc oracle keeps "
                    "running in tests/test_registry.py. Slot given to "
                    "cdc_chunks in r6",
     "ann_ivf_topk": "the nprobe=1 special case of the live "
@@ -219,8 +241,9 @@ RETIRED_GATES: dict[str, str] = {
     "weighted_sample": "retired in r7 (4 driver-green rounds) to free "
                        "a slot for leakage_safe_split: md5-threshold "
                        "arithmetic selection stays live via "
-                       "mixture_sample (same per-source rate "
-                       "threshold on the same hash) and "
+                       "token_budget_mixture (same per-source "
+                       "rate threshold on the same hash; "
+                       "mixture_sample retired r9) and "
                        "train_split_counts (same bucket arithmetic); "
                        "full oracle keeps running in "
                        "tests/test_registry.py",
@@ -319,7 +342,7 @@ RETIRED_GATES: dict[str, str] = {
                         "write AND the DuckDB oracle replays it "
                         "arithmetically over the pruned read-back; "
                         "md5-threshold selection stays live via "
-                        "train_split_counts/mixture_sample. Slot given "
+                        "train_split_counts/token_budget_mixture. Slot given "
                         "to dedup_keep_best in r5",
     "dedup_exact": "identical md5-groupBy keep-first dedup stays live "
                    "twice over: pipeline_doc_counts' dedup stage runs "
@@ -338,7 +361,7 @@ RETIRED_GATES: dict[str, str] = {
     "region_revenue": "multi-way broadcast dim join + grouped agg; "
                       "broadcast-join mechanics stay live via "
                       "decontaminate (broadcast gram join) and "
-                      "mixture_sample (broadcast rate join), multi-"
+                      "token_budget_mixture (broadcast rate join), multi-"
                       "table join + agg via part_supplier_overlap and "
                       "pricing_summary. Slot given to "
                       "ann_ivf_learned_recall in r5",

@@ -1463,6 +1463,82 @@ def line_dedup(
     )
 
 
+# ---------------------------------------------------------------------------
+# line_dedup driver gate — the driver corpus carries no newlines, so
+# the gate SYNTHESIZES multi-line docs from driver rows INSIDE the
+# query (VERDICT r8 #5): each doc's text becomes line 2 under its
+# group leader's text as line 1 (leader = doc_id rounded down to the
+# LINE_GATE_GROUP boundary), so every leader line recurs across
+# ~LINE_GATE_GROUP documents > MAX_DF — the real boilerplate shape.
+# DuckDB replays synthesis + removal + reassembly arithmetically; the
+# cleaned text is returned as md5 so the gate stays driver-small while
+# still pinning the exact reassembled bytes.
+# ---------------------------------------------------------------------------
+
+LINE_GATE_GROUP = 10
+LINE_GATE_MAX_DF = 5
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    leaders = docs.select(
+        F.col("doc_id").alias("leader_id"),
+        F.col("text").alias("leader_text"),
+    )
+    synth = (
+        docs.withColumn(
+            "leader_id",
+            F.col("doc_id") - F.col("doc_id") % LINE_GATE_GROUP,
+        )
+        .join(leaders, "leader_id")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n", F.col("leader_text"), F.col("text")
+            ).alias("text"),
+        )
+    )
+    out = line_dedup(synth, max_df=LINE_GATE_MAX_DF)
+    return out.select(
+        "doc_id",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+        "n_lines_in",
+        "n_lines_kept",
+    )
+
+
+ORACLE_LINE_DEDUP = f"""
+WITH synth AS (
+  SELECT a.doc_id, l.text || chr(10) || a.text AS text
+  FROM documents a
+  JOIN documents l
+    ON l.doc_id = a.doc_id - a.doc_id % {LINE_GATE_GROUP}
+),
+lines AS (
+  SELECT doc_id, i - 1 AS pos, ls[CAST(i AS INT)] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM synth),
+       UNNEST(range(1, CAST(len(ls) AS BIGINT) + 1)) AS t(i)
+),
+hot AS (
+  SELECT line FROM lines WHERE trim(line) <> ''
+  GROUP BY line HAVING COUNT(DISTINCT doc_id) > {LINE_GATE_MAX_DF}
+),
+kept AS (
+  SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)
+)
+SELECT t.doc_id,
+       md5(COALESCE(k.txt, '')) AS cleaned_md5,
+       t.n_lines_in,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_lines_kept
+FROM (SELECT doc_id, COUNT(*) AS n_lines_in FROM lines
+      GROUP BY doc_id) t
+LEFT JOIN (SELECT doc_id,
+                  string_agg(line, chr(10) ORDER BY pos) AS txt,
+                  COUNT(*) AS n_kept
+           FROM kept GROUP BY doc_id) k USING (doc_id)
+"""
+
+
 QUERIES = {
     "source_scorecard": q_source_scorecard,
     "phrase_search": q_phrase_search,
@@ -1478,6 +1554,7 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "quality_filter_stats": q_quality_filter_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "line_dedup": q_line_dedup,
     "sentiment_scores": q_sentiment_scores,
 }
 
@@ -1496,5 +1573,6 @@ ORACLES = {
     "doc_quality": ORACLE_DOC_QUALITY,
     "quality_filter_stats": ORACLE_QUALITY_FILTER_STATS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "line_dedup": ORACLE_LINE_DEDUP,
     "sentiment_scores": ORACLE_SENTIMENT_SCORES,
 }

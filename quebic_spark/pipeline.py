@@ -180,53 +180,112 @@ def _registry_fs(spark: SparkSession, root: str):
     return jvm, fs, rpath
 
 
-def read_release_registry(spark: SparkSession, root: str) -> dict:
-    """The registry dict ({"versions": [{"version", "path",
-    "manifest"}...]}); empty when no release exists yet."""
+_GEN_PREFIX = "_releases.gen-"
+
+
+def _registry_generations(jvm, fs, root: str) -> list:
+    """Committed registry generation files under ``root``, sorted by
+    generation number ascending: ``[(n, hadoop Path), ...]``."""
+    glob = jvm.org.apache.hadoop.fs.Path(root, _GEN_PREFIX + "*.json")
+    try:
+        statuses = fs.globStatus(glob)
+    except Exception:  # noqa: BLE001 — no dir yet
+        statuses = None
+    out = []
+    if statuses is not None:
+        for st in statuses:
+            name = st.getPath().getName()
+            try:
+                n = int(name[len(_GEN_PREFIX):-len(".json")])
+            except ValueError:
+                continue
+            out.append((n, st.getPath()))
+    return sorted(out, key=lambda t: t[0])
+
+
+def _read_json_stream(jvm, fs, jpath) -> dict:
     import json
 
-    jvm, fs, rpath = _registry_fs(spark, root)
-    if not fs.exists(rpath):
-        # Non-file schemes whose update protocol falls back to
-        # delete+rename have a transient-absent window; retry once
-        # before deciding the registry is genuinely empty (r7 review
-        # catch — a reader in that window used to hard-fail "no
-        # releases" mid-update). file:// commits via os.replace and
-        # has no window, so absent there is authoritative.
-        if fs.getScheme() == "file":
-            return {"versions": []}
-        import time
-
-        # exponential backoff (50/200/800 ms): one fixed 50 ms retry
-        # still raced a slow object store's copy+delete window (r7
-        # advice) — three attempts spanning ~1 s cover the realistic
-        # window while keeping the genuinely-empty answer fast
-        absent = True
-        for delay in (0.05, 0.2, 0.8):
-            time.sleep(delay)
-            if fs.exists(rpath):
-                absent = False
-                break
-        if absent:
-            return {"versions": []}
-    stream = fs.open(rpath)
+    stream = fs.open(jpath)
     try:
         # commons-io rides on Hadoop's classpath; a JVM-side toString
         # avoids py4j byte[] round-trips (py4j hands a COPY to the JVM,
         # so readFully into a gateway array comes back all zeros)
-        text = jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
+        return json.loads(
+            jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
         )
-        return json.loads(text)
     finally:
         stream.close()
+
+
+def _read_registry_generational(jvm, fs, root: str, rpath) -> dict:
+    """Non-file-scheme read: newest committed generation file wins;
+    fall back to the legacy single-file registry, then empty. An
+    update only ADDS a new generation (never deletes or renames the
+    current one), so mid-update absence is structurally impossible —
+    this replaces the r8 sleep/backoff band-aid, whose 'genuinely
+    empty' answer also cost ~1 s of mandatory sleeping (r8 advice)."""
+    gens = _registry_generations(jvm, fs, root)
+    if gens:
+        return _read_json_stream(jvm, fs, gens[-1][1])
+    if fs.exists(rpath):  # legacy layout (pre-generation writers)
+        return _read_json_stream(jvm, fs, rpath)
+    return {"versions": []}
+
+
+def read_release_registry(spark: SparkSession, root: str) -> dict:
+    """The registry dict ({"versions": [{"version", "path",
+    "manifest"}...]}); empty when no release exists yet."""
+    jvm, fs, rpath = _registry_fs(spark, root)
+    if fs.getScheme() != "file":
+        return _read_registry_generational(jvm, fs, root, rpath)
+    # file:// commits via os.replace and has no absent window, so
+    # absent here is authoritative
+    if not fs.exists(rpath):
+        return {"versions": []}
+    return _read_json_stream(jvm, fs, rpath)
+
+
+def _write_registry_generational(jvm, fs, root: str, reg: dict) -> None:
+    """Non-file-scheme write: commit the registry as a NEW generation
+    file (tmp + rename to a fresh name — no delete, no overwrite), so
+    a concurrent reader always sees a committed generation: either the
+    previous one (until the rename lands) or the new one. Older
+    generations are pruned down to the previous newest AFTER the new
+    one is committed — a reader that listed just before the flip can
+    still open what it saw."""
+    import json
+
+    gens = _registry_generations(jvm, fs, root)
+    n = (gens[-1][0] + 1) if gens else 1
+    gen_path = jvm.org.apache.hadoop.fs.Path(
+        root, f"{_GEN_PREFIX}{n}.json"
+    )
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        root, f"{_GEN_PREFIX}{n}.json.tmp"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(reg, indent=2).encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(tmp, gen_path):
+        raise IOError(f"rename {tmp} -> {gen_path} failed")
+    for _, old in gens[:-1]:
+        try:
+            fs.delete(old, False)
+        except Exception:  # noqa: BLE001 — pruning is best-effort
+            pass
 
 
 def _write_registry(spark: SparkSession, root: str, reg: dict) -> None:
     from quebic_spark.sources.io import fs_write_json
 
     jvm, fs, rpath = _registry_fs(spark, root)
-    fs_write_json(jvm, fs, rpath, reg)
+    if fs.getScheme() == "file":
+        fs_write_json(jvm, fs, rpath, reg)  # os.replace — no window
+        return
+    _write_registry_generational(jvm, fs, root, reg)
 
 
 def release_versioned(

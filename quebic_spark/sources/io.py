@@ -429,37 +429,38 @@ def footer_stats(
     write time; this answers the question for tables written by
     anything, manifest or not.
 
-    Scoped conf: the session flag is set for plan construction and
-    restored after, so surrounding queries keep their configured
-    behavior. The returned plan keeps the pushdown property when
-    executed later because it was compiled under the flag.
+    Scoped conf: the flags live in a CHILD session (same SparkContext,
+    cache manager, and data plane; isolated SQL conf — the
+    functions/graph.py CC-loop pattern), so a concurrently-planning
+    query in the caller's session never sees the V2-reader flag, not
+    even for the duration of this call (r8 review: set/restore around
+    planning left that window). The returned plan keeps the pushdown
+    because it was compiled under the child's conf.
     """
     from pyspark.sql import functions as F
 
-    prev = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    child = spark.newSession()
+    child.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     # aggregate pushdown exists only in the DSv2 parquet reader; the
     # default useV1SourceList routes parquet through V1, which plans a
     # full-scan HashAggregate no matter the flag
-    prev_v1 = spark.conf.get(
+    v1_list = child.conf.get(
         "spark.sql.sources.useV1SourceList",
         "avro,csv,json,kafka,orc,parquet,text",
     )
-    v2_list = ",".join(
-        s for s in prev_v1.split(",") if s.strip() != "parquet"
+    child.conf.set(
+        "spark.sql.sources.useV1SourceList",
+        ",".join(
+            s for s in v1_list.split(",") if s.strip() != "parquet"
+        ),
     )
-    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    spark.conf.set("spark.sql.sources.useV1SourceList", v2_list)
-    try:
-        df = spark.read.parquet(path)
-        aggs = [F.count(F.lit(1)).alias("n_rows")]
-        if with_min_max:
-            for c in cols:
-                aggs.append(F.min(c).alias(f"min_{c}"))
-                aggs.append(F.max(c).alias(f"max_{c}"))
-        out = df.agg(*aggs)
-        # force analysis+physical planning under the flag
-        out._jdf.queryExecution().executedPlan()
-        return out
-    finally:
-        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
-        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+    df = child.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if with_min_max:
+        for c in cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+    out = df.agg(*aggs)
+    # force analysis+physical planning under the child's conf
+    out._jdf.queryExecution().executedPlan()
+    return out

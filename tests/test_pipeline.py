@@ -333,3 +333,73 @@ def test_release_with_media_decode_accounting(spark, docs, tmp_path):
         open(os.path.join(out, "_corpus_manifest.json"))
     )
     assert on_disk == man
+
+
+def test_generational_registry_never_reads_empty_mid_update(
+    spark, tmp_path
+):
+    """The non-file-scheme registry protocol (r8 verdict #8): an
+    update commits a NEW generation file, so a reader between the
+    writer's tmp write and its rename — an arbitrarily slow rename —
+    still sees the previous committed generation, never an empty
+    registry. Driven against the local Hadoop FS through the same
+    generational read/write functions the non-file branch uses."""
+    import json
+    import os
+    import time
+
+    from quebic_spark.pipeline import (
+        _read_registry_generational,
+        _registry_fs,
+        _registry_generations,
+        _write_registry_generational,
+    )
+
+    root = str(tmp_path / "gen_reg")
+    os.makedirs(root)
+    jvm, fs, rpath = _registry_fs(spark, root)
+
+    # genuinely-empty answers immediately (the r8 backoff slept ~1 s)
+    t0 = time.monotonic()
+    assert _read_registry_generational(jvm, fs, root, rpath) == {
+        "versions": []
+    }
+    assert time.monotonic() - t0 < 0.5
+
+    reg1 = {"versions": [{"version": 1, "path": "v=1", "manifest": {}}]}
+    _write_registry_generational(jvm, fs, root, reg1)
+    assert _read_registry_generational(jvm, fs, root, rpath) == reg1
+
+    # stalled writer: gen-2 tmp written, rename not yet landed — the
+    # reader must return the committed gen-1, not empty/torn
+    reg2 = {"versions": reg1["versions"] + [
+        {"version": 2, "path": "v=2", "manifest": {}}
+    ]}
+    tmp_file = os.path.join(root, "_releases.gen-2.json.tmp")
+    with open(tmp_file, "w") as fh:
+        json.dump(reg2, fh)
+    assert _read_registry_generational(jvm, fs, root, rpath) == reg1
+
+    # rename lands -> the new generation becomes visible atomically
+    os.rename(tmp_file, os.path.join(root, "_releases.gen-2.json"))
+    assert _read_registry_generational(jvm, fs, root, rpath) == reg2
+
+    # a further write prunes old generations but keeps the previous
+    # newest (a reader that listed pre-flip can still open it)
+    reg3 = {"versions": reg2["versions"] + [
+        {"version": 3, "path": "v=3", "manifest": {}}
+    ]}
+    _write_registry_generational(jvm, fs, root, reg3)
+    names = {n for n, _ in _registry_generations(jvm, fs, root)}
+    assert names == {2, 3}
+    assert _read_registry_generational(jvm, fs, root, rpath) == reg3
+
+    # legacy layout (single _releases.json, no generations) still reads
+    legacy_root = str(tmp_path / "legacy_reg")
+    os.makedirs(legacy_root)
+    with open(os.path.join(legacy_root, "_releases.json"), "w") as fh:
+        json.dump(reg1, fh)
+    _, _, legacy_rpath = _registry_fs(spark, legacy_root)
+    assert _read_registry_generational(
+        jvm, fs, legacy_root, legacy_rpath
+    ) == reg1

@@ -65,15 +65,36 @@ def test_heavy_hitters_compile_to_take_ordered(spark, sf_dir):
 
 def test_cms_truth_side_has_no_global_window(spark, sf_dir):
     """The CMS heavy-hitter truth side must select its top-K via a
-    distributed TakeOrderedAndProject and rank the K-row frame with a
-    broadcast self-join — NOT a no-partition row_number window, which
-    moved every distinct key onto one task (r7 review catch: billions
-    of keys at 100 TB)."""
-    from quebic_spark.operators.sampling import q_cms_heavy_hitters
+    distributed TakeOrderedAndProject — NOT a no-partition row_number
+    window, which moved every distinct key onto one task (r7 review
+    catch: billions of keys at 100 TB). Since r9 the K-row result is
+    materialized to a literal frame (r8 advice: the lazy subplan
+    executed once per downstream read), so the truth job and the
+    returned gate plan are pinned separately."""
+    from pyspark.sql import functions as F
+
+    from quebic_spark.operators.sampling import (
+        _cms_true_topk,
+        _events,
+        q_cms_heavy_hitters,
+    )
+
+    keyed = _events(spark, sf_dir).select(
+        F.concat(
+            F.col("user_id").cast("string"), F.lit("|"),
+            F.col("event_type"),
+        ).alias("key")
+    )
+    truth_plan = _plan(_cms_true_topk(keyed))
+    assert "TakeOrderedAndProject" in truth_plan
+    assert "Window" not in truth_plan
 
     plan = _plan(q_cms_heavy_hitters(spark, sf_dir))
-    assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+    # the truth aggregation must NOT reappear in the gate plan — the
+    # K-row frame is a local literal relation, scanned as such
+    assert "TakeOrderedAndProject" not in plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
 
 
 def test_ann_ivf_cell_join_broadcasts_queries(spark, sf_dir):

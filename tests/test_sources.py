@@ -211,9 +211,11 @@ def test_footer_stats_pushes_aggregates_into_the_scan(spark, sf_dir):
 
 
 def test_footer_stats_restores_session_confs(spark, sf_dir):
-    """The scoped-conf contract: footer_stats must leave the session's
-    aggregate-pushdown and V1-source-list confs exactly as it found
-    them, even though the returned plan keeps the pushdown."""
+    """The scoped-conf contract: footer_stats' V2-reader flags live in
+    a CHILD session, so the caller's session confs are untouched and —
+    the r8 review window — a query planned CONCURRENTLY (while the
+    footer plan exists, before and after its collect) still compiles
+    under the caller's V1 defaults."""
     from quebic_spark.sources.io import footer_stats
 
     before = (
@@ -232,11 +234,19 @@ def test_footer_stats_restores_session_confs(spark, sf_dir):
         ),
     )
     assert after == before
+
+    def parent_plan() -> str:
+        return (
+            spark.read.parquet(f"{sf_dir}/region.parquet")
+            .groupBy().count()
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+
+    # WHILE the footer plan is live and un-collected: the caller's
+    # session must plan parquet through V1 with no pushed aggregation
+    concurrent = parent_plan()
+    assert "PushedAggregation" not in concurrent
+    assert "BatchScan" not in concurrent
+
     assert out.collect()[0]["n_rows"] == 5
-    # a scan compiled AFTER the call is back on the session default
-    plan = (
-        spark.read.parquet(f"{sf_dir}/region.parquet")
-        .groupBy().count()
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "PushedAggregation" not in plan
+    assert "PushedAggregation" not in parent_plan()

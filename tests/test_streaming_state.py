@@ -422,6 +422,79 @@ def test_continuous_retrieval_over_query_stream(
     q.dispose()
 
 
+def test_continuous_pq_retrieval_over_query_stream(
+    qpath, spark, sf_dir, tmp_path, monkeypatch
+):
+    """The compressed twin of continuous retrieval: a queue feed of
+    query vectors is served per micro-batch against the STORED IVF-PQ
+    index (foreachBatch + ivf_pq_search). The index and codes are
+    built offline first; the stream path must read stored codes (no
+    encode work per micro-batch — pq_encode is forbidden) and agree
+    with the batch result on the same queries."""
+    from quebic_spark.cache import clear_caches
+    from quebic_spark.operators import similarity as S
+    from quebic_spark.schema import TENSOR
+    from quebic_spark.tensor import Tensor
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    clear_caches(include_ivf_index=True)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvecs = [(r.vec_id, list(r.embedding))
+             for r in emb.limit(4).collect()]
+
+    # offline build: first compressed search materializes codebooks +
+    # the stored (vec_id, cell, codes) table
+    S.ivf_pq_topk(spark, sf_dir, nprobe=2).collect()
+    monkeypatch.setattr(
+        S, "pq_encode",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("stream re-encoded the corpus")
+        ),
+    )
+
+    q = Queue(qpath, Schema(INTEGER, TENSOR), capacity=1000)
+    pub = q.publisher()
+    for qid, vec in qvecs:
+        pub.push([qid, Tensor.from_vector(vec)])
+
+    served: list[tuple] = []
+
+    def on_batch(df, _):
+        batch_queries = df.select(
+            F.col("c0").alias("query_id"),
+            F.col("c1.values").cast("array<float>").alias("embedding"),
+        )
+        served.extend(
+            (r.query_id, r.rank, r.vec_id)
+            for r in S.ivf_pq_search(
+                spark, sf_dir, batch_queries, k=3, nprobe=2
+            ).collect()
+        )
+
+    query = (
+        read_queue_stream(spark, q)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", os.path.join(qpath, "pq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    batch_queries = spark.createDataFrame(
+        qvecs, "query_id long, embedding array<float>"
+    )
+    expect = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in S.ivf_pq_search(
+            spark, sf_dir, batch_queries, k=3, nprobe=2
+        ).collect()
+    }
+    assert set(served) == expect and len(expect) == 12
+    clear_caches(include_ivf_index=True)
+    q.dispose()
+
+
 def test_stream_scorer_matches_batch_on_shortest_repr_rounding(spark):
     """Regression (r7 review catch): Spark's decimal(18,2) cast rounds
     the double's SHORTEST decimal form (0.285 -> 0.29), while

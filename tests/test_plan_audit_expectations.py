@@ -1,0 +1,65 @@
+"""Plan-audit contract (VERDICT r8 #3): the committed PLAN_AUDIT.json
+must be regenerated against the CURRENT gate window and every gate's
+suspicious-node counts (single-partition exchanges, Python evals) must
+match the vetted expectation in tools/plan_audit.py — a pathological
+new exchange fails the audit run AND this test, instead of sitting as
+ambient noise in the artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+_REPO = os.path.join(os.path.dirname(__file__), "..")
+sys.path.insert(0, os.path.join(_REPO, "tools"))
+
+from plan_audit import EXPECTED_EXCEPTIONS, expected_for  # noqa: E402
+
+from quebic_spark.operators import GATE_ORDER  # noqa: E402
+
+
+def test_exceptions_name_only_live_gates():
+    # a stale exception for a rotated-out gate would silently stop
+    # policing anything
+    stale = sorted(set(EXPECTED_EXCEPTIONS) - set(GATE_ORDER))
+    assert stale == [], f"expectations for non-live gates: {stale}"
+    # every exception documents WHY it is benign
+    undocumented = [
+        n for n, e in EXPECTED_EXCEPTIONS.items()
+        if not e.get("why", "").strip()
+    ]
+    assert undocumented == []
+
+
+@pytest.fixture(scope="module")
+def audit():
+    path = os.path.join(_REPO, "PLAN_AUDIT.json")
+    assert os.path.exists(path), (
+        "PLAN_AUDIT.json missing — regenerate with "
+        "`python tools/plan_audit.py --out PLAN_AUDIT.json`"
+    )
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def test_artifact_covers_current_gate_window(audit):
+    # freshness proxy: the artifact must carry exactly the live gates
+    # (the window rotates every round, so a stale artifact fails here)
+    assert set(audit["plans"]) == set(GATE_ORDER)
+
+
+def test_artifact_matches_expectations(audit):
+    drift = {}
+    for name, row in audit["plans"].items():
+        if "error" in row:
+            drift[name] = row["error"]
+            continue
+        exp = expected_for(name)
+        got = {k: row.get(k) for k in exp}
+        if got != exp or not row.get("plan_ok"):
+            drift[name] = {"expected": exp, "measured": got}
+    assert drift == {}, f"plan drift vs expectation: {drift}"

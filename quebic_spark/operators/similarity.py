@@ -1409,18 +1409,37 @@ def _encode_component(
     """Encode one committed IVF component (base table or one delta
     generation) into a codes table, committed via stage+rename like
     every index artifact. Components are immutable once committed, so
-    presence of ``dst_path/_SUCCESS`` means done — idempotent."""
-    from quebic_spark.sources.io import fs_commit_rename, fs_delete
+    presence of ``dst_path/_SUCCESS`` means done — idempotent.
 
+    Two encoders CAN race on one component (the appender's eager
+    commit-time encode vs another process's lazy first-read encode),
+    so the stage dir is writer-unique and a loser that finds the
+    component already committed discards its stage instead of
+    clobbering the winner's published files mid-scan. Encoding is
+    deterministic, so whichever writer lands produces identical
+    bytes."""
+    import uuid
+
+    from quebic_spark.sources.io import (
+        fs_commit_rename,
+        fs_delete,
+        fs_exists,
+    )
+
+    done = os.path.join(dst_path, "_SUCCESS")
+    if fs_exists(spark, done):
+        return
     src = spark.read.parquet(src_path).select(
         "vec_id", "embedding", F.col("cell").cast("int").alias("cell")
     )
     coded = pq_encode(src, books).select("vec_id", "cell", "codes")
-    tmp = dst_path + ".tmp"
-    fs_delete(spark, tmp)
+    tmp = dst_path + ".tmp-" + uuid.uuid4().hex[:8]
     coded.repartition("cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(tmp)
+    if fs_exists(spark, done):  # another encoder won while we wrote
+        fs_delete(spark, tmp)
+        return
     fs_commit_rename(spark, tmp, dst_path)
 
 

@@ -1432,34 +1432,26 @@ def line_dedup(
         .filter(F.col("df") > max_df)
         .select("lk")
     )
-    kept = lines.join(
-        hot, key == F.col("lk"), "left_anti"
-    )
+    # LEFT join (lk NULL <=> line kept) instead of anti-join, so ONE
+    # doc-keyed aggregation derives totals, kept counts, and the
+    # reassembled text together: the r9 shape makes two corpus passes
+    # (DF aggregation + this one) instead of the previous three — at
+    # 100 TB the exploded lines frame is too big to cache, so every
+    # avoided pass is a full re-scan saved. collect_list skips the
+    # NULLed (hot) entries, preserving the exact anti-join + rebuild
+    # semantics row for row.
+    flagged = lines.join(hot, key == F.col("lk"), "left")
+    keep = F.col("lk").isNull()
     ordered = F.transform(
         F.array_sort(
-            F.collect_list(F.struct("pos", "line"))
+            F.collect_list(F.when(keep, F.struct("pos", "line")))
         ),
         lambda s: s["line"],
     )
-    rebuilt = kept.groupBy(id_col).agg(
+    return flagged.groupBy(id_col).agg(
         F.array_join(ordered, delim).alias("cleaned_text"),
-        F.count(F.lit(1)).alias("n_lines_kept"),
-    )
-    totals = lines.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_lines_in")
-    )
-    return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("cleaned_text"), F.lit("")).alias(
-                "cleaned_text"
-            ),
-            "n_lines_in",
-            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast(
-                "bigint"
-            ).alias("n_lines_kept"),
-        )
+        F.count(F.lit(1)).alias("n_lines_in"),
+        F.count(F.when(keep, 1)).cast("bigint").alias("n_lines_kept"),
     )
 
 

@@ -1538,17 +1538,23 @@ def _pq_rank(
     n_codes: int,
     rerank: int | None,
     exclude_self: bool,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Shared IVF-PQ ranking core: ``qbase`` carries (query_id,
     embedding, norm). ADC-score the probed cells' STORED codes
     (``_pq_codes`` — search never re-encodes the corpus), optionally
-    exact-rerank the top-R fetched by vec_id."""
+    exact-rerank the top-R fetched by vec_id. ``centroids`` selects
+    which coarse quantizer's index to search (default: seeded cells;
+    pass ``learned_centroids(...)`` for the trained index — the PQ
+    codebooks are quantizer-independent, only cell routing changes)."""
     books = train_pq_codebooks(spark, sf_dir, m=m, k=n_codes)
-    coded = _pq_codes(spark, sf_dir, books, m, n_codes)
+    coded = _pq_codes(
+        spark, sf_dir, books, m, n_codes, centroids=centroids
+    )
 
     queries = (
         qbase
-        .withColumn("probe_cells", _cell_ranking_col(None))
+        .withColumn("probe_cells", _cell_ranking_col(centroids))
         .select(
             "query_id",
             F.col("norm").alias("q_norm"),
@@ -1602,7 +1608,7 @@ def _pq_rank(
     exact = dot_product(F.col("q_emb"), F.col("embedding")) / (
         F.col("q_norm") * F.col("norm")
     )
-    emb = _ivf_corpus(spark, sf_dir)
+    emb = _ivf_corpus(spark, sf_dir, centroids)
     return (
         F.broadcast(shortlist)
         .join(emb.select("vec_id", "embedding", "norm"), "vec_id")
@@ -1621,6 +1627,7 @@ def ivf_pq_topk(
     m: int = PQ_M,
     n_codes: int = PQ_K,
     rerank: int | None = PQ_RERANK,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, score, rank): IVF cell pruning + PQ ADC
     shortlisting (+ optional exact re-rank) for the corpus-derived
@@ -1636,13 +1643,13 @@ def ivf_pq_topk(
     0.01 at sf0.01 AND sf0.1 while full-vector reads drop from every
     candidate to R per query. ``rerank=None`` returns raw ADC order
     (score = asymmetric inner product estimate)."""
-    emb = _ivf_corpus(spark, sf_dir)
+    emb = _ivf_corpus(spark, sf_dir, centroids)
     qbase = emb.filter((F.col("vec_id") % QUERY_STRIDE) == 0).select(
         F.col("vec_id").alias("query_id"), "embedding", "norm"
     )
     return _pq_rank(
         spark, sf_dir, qbase, nprobe, k, m, n_codes, rerank,
-        exclude_self=True,
+        exclude_self=True, centroids=centroids,
     )
 
 
@@ -1655,12 +1662,16 @@ def ivf_pq_search(
     rerank: int | None = PQ_RERANK,
     id_col: str = "query_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """ARBITRARY query vectors against the compressed index — the PQ
     twin of :func:`ivf_search` (same contract: queries must match the
     index dimensionality). Scoring cost per candidate is O(PQ_M)
     lookups instead of O(dim) multiplies, and only the reranked
-    shortlist touches full vectors."""
+    shortlist touches full vectors. ``centroids`` routes against that
+    quantizer's stored index (e.g. ``learned_centroids(...)`` — r9:
+    the compressed path serves the trained index too, not only the
+    seeded one)."""
     from quebic_spark.functions.vector import l2_norm
 
     if k < 1 or nprobe < 1:
@@ -1671,7 +1682,7 @@ def ivf_pq_search(
     ).withColumn("norm", l2_norm(F.col("embedding")))
     return _pq_rank(
         spark, sf_dir, qbase, nprobe, k, PQ_M, PQ_K, rerank,
-        exclude_self=False,
+        exclude_self=False, centroids=centroids,
     )
 
 

@@ -719,3 +719,56 @@ def test_quantizer_training_reads_md5_slice(
     S.train_pq_codebooks(spark, sf_dir, m=4, k=4, train_iters=1)
     assert seen, "kmeans never ran"
     assert all(n == n_slice for n in seen), (seen, n_slice)
+
+
+def test_ivf_pq_search_over_learned_quantizer_index(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r9: the compressed path serves the LEARNED quantizer's stored
+    index too — with rerank covering every probed candidate the PQ
+    result must equal the exact ivf_search over the same learned
+    cells, and a second (cache-cleared) search must read the stored
+    learned-index codes without re-encoding."""
+    from quebic_spark.cache import clear_caches
+    from quebic_spark.operators import similarity as S
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    clear_caches(include_ivf_index=True)
+    cents = S.learned_centroids(spark, sf_dir, k_cells=4, train_iters=2)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(5).selectExpr(
+        "vec_id + 880000 AS query_id",
+        "transform(embedding, x -> x + 0.011) AS embedding",
+    )
+    exact = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in S.ivf_search(
+            spark, sf_dir, queries, k=4, nprobe=2, centroids=cents
+        ).collect()
+    }
+    n = emb.count()
+    full = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in S.ivf_pq_search(
+            spark, sf_dir, queries, k=4, nprobe=2, rerank=n,
+            centroids=cents,
+        ).collect()
+    }
+    assert full == exact and len(full) == 20
+
+    clear_caches(include_ivf_index=True)  # "new process"
+    monkeypatch.setattr(
+        S, "pq_encode",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("re-encoded the learned index")
+        ),
+    )
+    again = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in S.ivf_pq_search(
+            spark, sf_dir, queries, k=4, nprobe=2, rerank=n,
+            centroids=cents,
+        ).collect()
+    }
+    assert again == full
+    clear_caches(include_ivf_index=True)

@@ -203,33 +203,40 @@ def _registry_generations(jvm, fs, root: str) -> list:
     return sorted(out, key=lambda t: t[0])
 
 
-def _read_json_stream(jvm, fs, jpath) -> dict:
-    import json
-
-    stream = fs.open(jpath)
-    try:
-        # commons-io rides on Hadoop's classpath; a JVM-side toString
-        # avoids py4j byte[] round-trips (py4j hands a COPY to the JVM,
-        # so readFully into a gateway array comes back all zeros)
-        return json.loads(
-            jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-        )
-    finally:
-        stream.close()
-
-
 def _read_registry_generational(jvm, fs, root: str, rpath) -> dict:
     """Non-file-scheme read: newest committed generation file wins;
     fall back to the legacy single-file registry, then empty. An
     update only ADDS a new generation (never deletes or renames the
     current one), so mid-update absence is structurally impossible —
     this replaces the r8 sleep/backoff band-aid, whose 'genuinely
-    empty' answer also cost ~1 s of mandatory sleeping (r8 advice)."""
-    gens = _registry_generations(jvm, fs, root)
-    if gens:
-        return _read_json_stream(jvm, fs, gens[-1][1])
+    empty' answer also cost ~1 s of mandatory sleeping (r8 advice).
+
+    The newest generation a reader LISTS can still be pruned before it
+    OPENS it when two updates land back-to-back in that window (the
+    writer keeps only the previous newest) — on open failure the
+    reader re-lists and retries against the then-newest generation
+    (r9 review catch; bounded attempts, each guaranteed to see a
+    strictly newer generation than the one that vanished)."""
+    from quebic_spark.sources.io import fs_read_json
+
+    last_err: Exception | None = None
+    for _ in range(3):
+        gens = _registry_generations(jvm, fs, root)
+        if not gens:
+            # a populated registry whose generations KEEP vanishing is
+            # not "empty" — fail loudly rather than answer wrong
+            if last_err is not None:
+                raise last_err
+            break
+        try:
+            return fs_read_json(jvm, fs, gens[-1][1])
+        except Exception as e:  # noqa: BLE001 — pruned mid-read
+            last_err = e
+            continue
+    if last_err is not None:
+        raise last_err
     if fs.exists(rpath):  # legacy layout (pre-generation writers)
-        return _read_json_stream(jvm, fs, rpath)
+        return fs_read_json(jvm, fs, rpath)
     return {"versions": []}
 
 
@@ -239,11 +246,13 @@ def read_release_registry(spark: SparkSession, root: str) -> dict:
     jvm, fs, rpath = _registry_fs(spark, root)
     if fs.getScheme() != "file":
         return _read_registry_generational(jvm, fs, root, rpath)
+    from quebic_spark.sources.io import fs_read_json
+
     # file:// commits via os.replace and has no absent window, so
     # absent here is authoritative
     if not fs.exists(rpath):
         return {"versions": []}
-    return _read_json_stream(jvm, fs, rpath)
+    return fs_read_json(jvm, fs, rpath)
 
 
 def _write_registry_generational(jvm, fs, root: str, reg: dict) -> None:

@@ -14,6 +14,7 @@ in CSV — exporting them there raises rather than silently corrupting.
 
 from __future__ import annotations
 
+import weakref
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -236,13 +237,34 @@ def fs_commit_rename(spark: SparkSession, src: str, dst: str) -> None:
         raise IOError(f"rename {src} -> {dst} failed")
 
 
-def fs_read_json_path(spark: SparkSession, path: str) -> dict | None:
-    """JSON through the FS connector; None when absent."""
+def fs_rename_if_absent(spark: SparkSession, src: str, dst: str) -> bool:
+    """Publish a staged directory ONLY if dst does not already exist:
+    plain Hadoop rename (which fails when dst exists) with no
+    delete-first step. The commit primitive for artifacts that several
+    writers may race to produce with identical content (e.g. lazily
+    encoded PQ code components) — a loser must never yank a winner's
+    committed files out from under a concurrent reader, which
+    fs_commit_rename's delete-then-rename would do. Returns True if
+    THIS call published src."""
+    _jvm, fs, jsrc = hadoop_path(spark, src)
+    jdst = hadoop_path(spark, dst)[2]
+    if fs.exists(jdst):
+        return False
+    parent = jdst.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    return bool(fs.rename(jsrc, jdst))
+
+
+def fs_read_json(jvm, fs, jpath) -> dict:
+    """Read+parse JSON from an open-able Hadoop path — the read twin
+    of :func:`fs_write_json` (one shared implementation; the release
+    registry previously carried a drifting private copy). commons-io
+    rides on Hadoop's classpath; a JVM-side toString avoids py4j
+    byte[] round-trips (py4j hands a COPY to the JVM, so readFully
+    into a gateway array comes back all zeros)."""
     import json
 
-    jvm, fs, jpath = hadoop_path(spark, path)
-    if not fs.exists(jpath):
-        return None
     stream = fs.open(jpath)
     try:
         text = jvm.org.apache.commons.io.IOUtils.toString(
@@ -251,6 +273,14 @@ def fs_read_json_path(spark: SparkSession, path: str) -> dict | None:
     finally:
         stream.close()
     return json.loads(text)
+
+
+def fs_read_json_path(spark: SparkSession, path: str) -> dict | None:
+    """JSON through the FS connector; None when absent."""
+    jvm, fs, jpath = hadoop_path(spark, path)
+    if not fs.exists(jpath):
+        return None
+    return fs_read_json(jvm, fs, jpath)
 
 
 def fs_write_json_path(spark: SparkSession, path: str, obj: dict) -> None:
@@ -409,6 +439,37 @@ def _ddl_types(queue: Queue) -> list[str]:
     return [m[t] for t in queue.schema.types]
 
 
+# One footer-reader child session per parent session, created on first
+# use (the flags never vary, so a fresh SessionState per footer_stats
+# call was pure churn — r9 review catch). WeakKey: the child dies with
+# its parent's Python handle instead of pinning it.
+_FOOTER_SESSIONS: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" \
+    = weakref.WeakKeyDictionary()
+
+
+def _footer_session(spark: SparkSession) -> SparkSession:
+    child = _FOOTER_SESSIONS.get(spark)
+    if child is not None:
+        return child
+    child = spark.newSession()
+    child.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    # aggregate pushdown exists only in the DSv2 parquet reader; the
+    # default useV1SourceList routes parquet through V1, which plans a
+    # full-scan HashAggregate no matter the flag
+    v1_list = child.conf.get(
+        "spark.sql.sources.useV1SourceList",
+        "avro,csv,json,kafka,orc,parquet,text",
+    )
+    child.conf.set(
+        "spark.sql.sources.useV1SourceList",
+        ",".join(
+            s for s in v1_list.split(",") if s.strip() != "parquet"
+        ),
+    )
+    _FOOTER_SESSIONS[spark] = child
+    return child
+
+
 def footer_stats(
     spark: SparkSession,
     path: str,
@@ -439,21 +500,7 @@ def footer_stats(
     """
     from pyspark.sql import functions as F
 
-    child = spark.newSession()
-    child.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    # aggregate pushdown exists only in the DSv2 parquet reader; the
-    # default useV1SourceList routes parquet through V1, which plans a
-    # full-scan HashAggregate no matter the flag
-    v1_list = child.conf.get(
-        "spark.sql.sources.useV1SourceList",
-        "avro,csv,json,kafka,orc,parquet,text",
-    )
-    child.conf.set(
-        "spark.sql.sources.useV1SourceList",
-        ",".join(
-            s for s in v1_list.split(",") if s.strip() != "parquet"
-        ),
-    )
+    child = _footer_session(spark)
     df = child.read.parquet(path)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if with_min_max:

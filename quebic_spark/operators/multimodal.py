@@ -259,6 +259,12 @@ def detect_format(payload: bytes) -> str:
         and len(payload) >= 44
     ):
         return "wav"
+    if (
+        payload[:4] == b"RIFF"
+        and payload[8:12] == b"AVI "
+        and len(payload) >= 24
+    ):
+        return "avi"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -372,6 +378,225 @@ def decode_mp4(payload: bytes) -> dict:
         "channels": None,
         "mean_value": None,
     }
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG — the REAL video decode tier (r9). Motion-JPEG in a RIFF
+# AVI container is the one mainstream video format fully decodable with
+# this repo's own pure-Python machinery: the container is stdlib-struct
+# RIFF chunks and every frame is a baseline JPEG, which
+# ``functions/jpeg.py`` already decodes exactly. So unlike MP4/H.264
+# (container metadata only — entropy-coded inter-frame codecs stay out
+# of scope, honestly flagged by mean_value=NULL), AVI gets pixel-level
+# evidence: ``decode_avi`` decodes the FIRST frame's pixels for its
+# mean, and ``video_frame_sample`` decodes every sampled frame.
+# Public layout per the Microsoft RIFF/AVI spec: 'avih' main header,
+# 'strl' stream list ('strh' + BITMAPINFOHEADER 'strf'), frames as
+# '00dc' chunks inside LIST 'movi', everything word-aligned.
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for RIFF chunks in
+    ``data[start:end]`` (little-endian sizes, bodies padded to even)."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        fourcc = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body0 = pos + 8
+        body1 = body0 + size
+        if body1 > end:
+            raise ValueError(f"RIFF chunk overruns buffer at {pos}")
+        yield fourcc, body0, body1
+        pos = body1 + (size & 1)  # word alignment
+
+
+def _riff_find_list(data: bytes, start: int, end: int, ltype: bytes):
+    for fourcc, b0, b1 in _riff_chunks(data, start, end):
+        if fourcc == b"LIST" and data[b0:b0 + 4] == ltype:
+            return b0 + 4, b1
+    return None
+
+
+def avi_frames(payload: bytes):
+    """Yield each video frame's JPEG bytes from an AVI 'movi' list
+    ('00dc'/'00db' chunks), in stream order."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI RIFF file")
+    movi = _riff_find_list(payload, 12, len(payload), b"movi")
+    if movi is None:
+        raise ValueError("no movi list")
+    for fourcc, b0, b1 in _riff_chunks(payload, movi[0], movi[1]):
+        if fourcc in (b"00dc", b"00db"):
+            yield payload[b0:b1]
+
+
+def decode_avi(payload: bytes) -> dict:
+    """AVI container metadata + FIRST-frame pixel decode: geometry and
+    frame count from 'avih', fps from the microseconds-per-frame
+    field, mean_value from actually decoding frame 0's JPEG — video's
+    pixel-access proof, same discipline as the image decoders."""
+    import struct
+
+    from quebic_spark.functions.jpeg import decode_jpeg
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI RIFF file")
+    hdrl = _riff_find_list(payload, 12, len(payload), b"hdrl")
+    if hdrl is None:
+        raise ValueError("no hdrl list")
+    avih = None
+    for fourcc, b0, b1 in _riff_chunks(payload, hdrl[0], hdrl[1]):
+        if fourcc == b"avih":
+            avih = (b0, b1)
+            break
+    if avih is None or avih[1] - avih[0] < 40:
+        raise ValueError("missing/short avih header")
+    us_per_frame, _maxbps, _pad, _flags, total_frames = (
+        struct.unpack_from("<5I", payload, avih[0])
+    )
+    width, height = struct.unpack_from("<II", payload, avih[0] + 32)
+    fps = round(1_000_000 / us_per_frame) if us_per_frame else None
+    for name, v in (
+        ("n_frames", total_frames), ("width", width),
+        ("height", height), ("fps", fps),
+    ):
+        if v is not None and v > 0x7FFFFFFF:
+            raise ValueError(f"implausible {name} {v}")
+    first = next(iter(avi_frames(payload)), None)
+    if first is None:
+        raise ValueError("no video frames in movi")
+    mean = decode_jpeg(first)["mean_value"]
+    return {
+        "fmt": "avi",
+        "width": width,
+        "height": height,
+        "n_frames": total_frames,
+        # frame rate doubles as the temporal sample-rate field, the
+        # same convention decode_mp4 uses for the movie timescale
+        "sample_rate": fps,
+        "channels": None,
+        "mean_value": mean,
+    }
+
+
+def encode_avi_mjpeg(
+    frames: "list[bytes]", width: int, height: int, fps: int = 25
+) -> bytes:
+    """Build a minimal spec-conformant MJPEG AVI from pre-encoded JPEG
+    frames (the write twin of decode_avi/avi_frames, and the test-data
+    synthesizer — pair with functions/jpeg.encode_jpeg)."""
+    import struct
+
+    if not frames:
+        raise ValueError("at least one frame required")
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    n = len(frames)
+    max_frame = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # microseconds per frame
+        max_frame * fps,   # suggested max bytes/sec
+        0,                 # padding granularity
+        0x10,              # AVIF_HASINDEX off; 0x10 = interleaved
+        n, 0, 1, max_frame, width, height, 0, 0, 0, 0,
+    )
+    # AVISTREAMHEADER: flags, priority, language, initial_frames,
+    # scale=1, rate=fps, start, length=n, suggested_buffer,
+    # quality=-1 (driver default, signed), sample_size, rcFrame
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0, n,
+                      max_frame, -1, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_ts_ms int, width int, "
+    "height int, mean_luma double"
+)
+
+
+def video_frame_sample(payloads: DataFrame, every_nth: int = 4) -> DataFrame:
+    """REAL video frame sampling: every ``every_nth`` frame of each
+    MJPEG-AVI payload is extracted from the container and its JPEG
+    DECODED to pixels — one output row per sampled frame with the
+    frame's true geometry and mean luma. The explode happens inside
+    the Arrow batch (rows out > rows in), so a long video never
+    materializes driver-side; at 100 TB the input is the binary
+    payload column of the stored corpus, partitioned by doc.
+
+    Payloads that are not decodable AVI yield no rows here — route
+    them through ``media_decode_stats`` first for quarantine
+    accounting (the never-fail-mid-scan contract: sampling skips,
+    accounting flags)."""
+    from quebic_spark.functions.jpeg import decode_jpeg_pixels
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_ts_ms": [],
+                "width": [], "height": [], "mean_luma": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = b"" if payload is None else bytes(payload)
+                try:
+                    import struct as _s
+
+                    hdrl = _riff_find_list(
+                        payload, 12, len(payload), b"hdrl"
+                    )
+                    us_pf = 1_000_000 // 25
+                    if hdrl is not None:
+                        for fourcc, b0, _b1 in _riff_chunks(
+                            payload, hdrl[0], hdrl[1]
+                        ):
+                            if fourcc == b"avih":
+                                us_pf = (
+                                    _s.unpack_from("<I", payload, b0)[0]
+                                    or us_pf
+                                )
+                                break
+                    for i, frame in enumerate(avi_frames(payload)):
+                        if i % every_nth:
+                            continue
+                        meta, px = decode_jpeg_pixels(frame)
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(i)
+                        out["frame_ts_ms"].append(i * us_pf // 1000)
+                        out["width"].append(meta["width"])
+                        out["height"].append(meta["height"])
+                        out["mean_luma"].append(
+                            float(px.mean()) if px.size else None
+                        )
+                except Exception:  # noqa: BLE001 — skip, don't kill
+                    continue
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(sample, VIDEO_FRAME_SCHEMA)
 
 
 def decode_bmp(payload: bytes) -> dict:
@@ -761,6 +986,8 @@ def decode_media(payloads: DataFrame) -> DataFrame:
                         d = decode_wav(payload)
                     elif kind == "mp4":
                         d = decode_mp4(payload)
+                    elif kind == "avi":
+                        d = decode_avi(payload)
                     elif kind == "gif":
                         d = decode_gif(payload)
                     else:

@@ -1058,3 +1058,82 @@ def test_progressive_jpeg_through_decode_media_and_quarantines(spark):
     assert abs(out[1]["mean_value"] - 99.0) < 3.0
     assert out[2]["fmt"] == "jpeg-error-stub"
     assert out[3]["fmt"] == "jpeg-error-stub"
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG — the real video tier (r9)
+# ---------------------------------------------------------------------------
+
+def _mjpeg_avi(n_frames=6, w=16, h=8, fps=10):
+    import numpy as np
+
+    from quebic_spark.functions.jpeg import encode_jpeg
+    from quebic_spark.operators.multimodal import encode_avi_mjpeg
+
+    frames = []
+    for i in range(n_frames):
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[:, :, 0] = (i * 37) % 256    # per-frame distinct content
+        img[:, :, 1] = 64
+        img[::2, :, 2] = 200
+        frames.append(encode_jpeg(img))
+    return encode_avi_mjpeg(frames, w, h, fps=fps), frames
+
+
+def test_avi_roundtrip_metadata_and_first_frame_mean():
+    from quebic_spark.functions.jpeg import decode_jpeg
+    from quebic_spark.operators.multimodal import (
+        avi_frames,
+        decode_avi,
+        detect_format,
+    )
+
+    payload, frames = _mjpeg_avi()
+    assert detect_format(payload) == "avi"
+    d = decode_avi(payload)
+    assert (d["fmt"], d["width"], d["height"]) == ("avi", 16, 8)
+    assert d["n_frames"] == 6 and d["sample_rate"] == 10
+    # pixel-access proof: mean_value equals decoding frame 0 directly
+    assert d["mean_value"] == decode_jpeg(frames[0])["mean_value"]
+    assert d["mean_value"] is not None
+    # container extraction returns the exact stored JPEG bytes
+    assert list(avi_frames(payload)) == frames
+
+
+def test_avi_corrupt_payload_quarantines_in_decode_media(spark):
+    from quebic_spark.operators.multimodal import decode_media
+
+    payload, _ = _mjpeg_avi(n_frames=2)
+    bad = payload[:40]  # valid magic, truncated body
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(bad))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_media(df).collect()}
+    assert rows[1].fmt == "avi" and rows[1].n_frames == 2
+    assert rows[2].fmt == "avi-error-stub"
+
+
+def test_video_frame_sample_decodes_true_pixels(spark):
+    import numpy as np
+
+    from quebic_spark.functions.jpeg import decode_jpeg_pixels
+    from quebic_spark.operators.multimodal import video_frame_sample
+
+    payload, frames = _mjpeg_avi(n_frames=7, fps=10)
+    df = spark.createDataFrame(
+        [(5, bytearray(payload)), (6, bytearray(b"not a video"))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        (r.doc_id, r.frame_idx): r
+        for r in video_frame_sample(df, every_nth=3).collect()
+    }
+    # frames 0, 3, 6 sampled; the non-video payload yields no rows
+    assert set(got) == {(5, 0), (5, 3), (5, 6)}
+    for (_, idx), r in got.items():
+        meta, px = decode_jpeg_pixels(frames[idx])
+        assert (r.width, r.height) == (meta["width"], meta["height"])
+        assert abs(r.mean_luma - float(np.asarray(px).mean())) < 1e-9
+        # 100 ms per frame at 10 fps
+        assert r.frame_ts_ms == idx * 100

@@ -125,9 +125,10 @@ FROM documents
 # ---------------------------------------------------------------------------
 # frame_sample — one row per sampled "video" frame: the batch-expanding
 # mapInPandas shape (rows out > rows in) that real frame extraction
-# uses. Frames are deterministic fake slices of the payload (STUB:
-# an ffmpeg/pyav keyframe iterator on a real cluster); frame timestamps
-# and content hashes are real columnar outputs.
+# uses. Frames are deterministic fake slices of the payload (STUB for
+# codec formats this container can't decode — for MJPEG/AVI the REAL
+# pixel-decoding tier is ``video_frame_sample`` below, r9); frame
+# timestamps and content hashes are real columnar outputs.
 # ---------------------------------------------------------------------------
 
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_ts_ms int, frame_md5 string"

@@ -412,6 +412,8 @@ def test_decoders_never_crash_on_fuzzed_payloads():
 
     from quebic_spark.operators.multimodal import decode_gif
 
+    from quebic_spark.operators.multimodal import decode_avi
+
     decoders = {
         "jpeg": decode_jpeg,
         "png": decode_png,
@@ -419,6 +421,7 @@ def test_decoders_never_crash_on_fuzzed_payloads():
         "wav": decode_wav,
         "mp4": decode_mp4,
         "gif": decode_gif,
+        "avi": decode_avi,
     }
     magics = {
         "jpeg": b"\xff\xd8\xff",
@@ -427,6 +430,7 @@ def test_decoders_never_crash_on_fuzzed_payloads():
         "wav": b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 32,
         "mp4": b"\x00\x00\x00\x18ftypisom",
         "gif": b"GIF89a",
+        "avi": b"RIFF\x00\x00\x00\x00AVI " + b"\x00" * 16,
     }
 
     def probe(payload: bytes) -> None:
@@ -492,6 +496,14 @@ def test_decoders_never_crash_on_fuzzed_payloads():
     good_gif = bytearray(encode_gif(12, 9, _gif_grid(12, 9, 40)))
     for _ in range(200):
         mut = bytearray(good_gif)
+        for _k in range(rnd.randrange(1, 4)):
+            i = rnd.randrange(len(mut))
+            mut[i] ^= 1 << rnd.randrange(8)
+        probe(bytes(mut))
+
+    good_avi, _ = _mjpeg_avi(n_frames=2)
+    for _ in range(200):
+        mut = bytearray(good_avi)
         for _k in range(rnd.randrange(1, 4)):
             i = rnd.randrange(len(mut))
             mut[i] ^= 1 << rnd.randrange(8)

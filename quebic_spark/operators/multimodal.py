@@ -423,15 +423,51 @@ def _riff_find_list(data: bytes, start: int, end: int, ltype: bytes):
 
 def avi_frames(payload: bytes):
     """Yield each video frame's JPEG bytes from an AVI 'movi' list
-    ('00dc'/'00db' chunks), in stream order."""
+    ('00dc'/'00db' chunks), in stream order — including frames wrapped
+    in 'LIST rec ' records, the standard interleaved layout
+    (VirtualDub/AVIMux style; r9 review catch — the flat walk wrongly
+    quarantined those files as frame-less)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI RIFF file")
     movi = _riff_find_list(payload, 12, len(payload), b"movi")
     if movi is None:
         raise ValueError("no movi list")
-    for fourcc, b0, b1 in _riff_chunks(payload, movi[0], movi[1]):
-        if fourcc in (b"00dc", b"00db"):
-            yield payload[b0:b1]
+
+    def walk(start: int, end: int):
+        for fourcc, b0, b1 in _riff_chunks(payload, start, end):
+            if fourcc in (b"00dc", b"00db"):
+                yield payload[b0:b1]
+            elif fourcc == b"LIST" and payload[b0:b0 + 4] == b"rec ":
+                yield from walk(b0 + 4, b1)
+
+    yield from walk(movi[0], movi[1])
+
+
+def _avi_header(payload: bytes) -> dict:
+    """avih main-header fields (the ONE parse shared by decode_avi and
+    video_frame_sample): us_per_frame, n_frames, width, height."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI RIFF file")
+    hdrl = _riff_find_list(payload, 12, len(payload), b"hdrl")
+    if hdrl is None:
+        raise ValueError("no hdrl list")
+    for fourcc, b0, b1 in _riff_chunks(payload, hdrl[0], hdrl[1]):
+        if fourcc == b"avih":
+            if b1 - b0 < 40:
+                raise ValueError("short avih header")
+            us_per_frame, _mb, _pad, _flags, total = (
+                struct.unpack_from("<5I", payload, b0)
+            )
+            width, height = struct.unpack_from("<II", payload, b0 + 32)
+            return {
+                "us_per_frame": us_per_frame,
+                "n_frames": total,
+                "width": width,
+                "height": height,
+            }
+    raise ValueError("missing avih header")
 
 
 def decode_avi(payload: bytes) -> dict:
@@ -439,26 +475,12 @@ def decode_avi(payload: bytes) -> dict:
     frame count from 'avih', fps from the microseconds-per-frame
     field, mean_value from actually decoding frame 0's JPEG — video's
     pixel-access proof, same discipline as the image decoders."""
-    import struct
-
     from quebic_spark.functions.jpeg import decode_jpeg
 
-    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
-        raise ValueError("not an AVI RIFF file")
-    hdrl = _riff_find_list(payload, 12, len(payload), b"hdrl")
-    if hdrl is None:
-        raise ValueError("no hdrl list")
-    avih = None
-    for fourcc, b0, b1 in _riff_chunks(payload, hdrl[0], hdrl[1]):
-        if fourcc == b"avih":
-            avih = (b0, b1)
-            break
-    if avih is None or avih[1] - avih[0] < 40:
-        raise ValueError("missing/short avih header")
-    us_per_frame, _maxbps, _pad, _flags, total_frames = (
-        struct.unpack_from("<5I", payload, avih[0])
-    )
-    width, height = struct.unpack_from("<II", payload, avih[0] + 32)
+    hdr = _avi_header(payload)
+    total_frames = hdr["n_frames"]
+    width, height = hdr["width"], hdr["height"]
+    us_per_frame = hdr["us_per_frame"]
     fps = round(1_000_000 / us_per_frame) if us_per_frame else None
     for name, v in (
         ("n_frames", total_frames), ("width", width),
@@ -508,7 +530,10 @@ def encode_avi_mjpeg(
         1_000_000 // fps,  # microseconds per frame
         max_frame * fps,   # suggested max bytes/sec
         0,                 # padding granularity
-        0x10,              # AVIF_HASINDEX off; 0x10 = interleaved
+        0x100,             # AVIF_ISINTERLEAVED; NOT 0x10 =
+        # AVIF_HASINDEX — no idx1 chunk is written, so advertising an
+        # index would make strict players seek one that doesn't exist
+        # (r9 review catch: the flags were exactly inverted)
         n, 0, 1, max_frame, width, height, 0, 0, 0, 0,
     )
     # AVISTREAMHEADER: flags, priority, language, initial_frames,
@@ -536,8 +561,8 @@ def encode_avi_mjpeg(
 
 
 VIDEO_FRAME_SCHEMA = (
-    "doc_id bigint, frame_idx int, frame_ts_ms int, width int, "
-    "height int, mean_luma double"
+    "doc_id bigint, frame_idx int, frame_ts_ms bigint, width int, "
+    "height int, mean_luma double, decode_ok boolean"
 )
 
 
@@ -550,10 +575,17 @@ def video_frame_sample(payloads: DataFrame, every_nth: int = 4) -> DataFrame:
     materializes driver-side; at 100 TB the input is the binary
     payload column of the stored corpus, partitioned by doc.
 
-    Payloads that are not decodable AVI yield no rows here — route
-    them through ``media_decode_stats`` first for quarantine
-    accounting (the never-fail-mid-scan contract: sampling skips,
-    accounting flags)."""
+    Quarantine contract, per FRAME: a sampled frame whose JPEG fails
+    to decode emits its row with NULL pixels and ``decode_ok=false``
+    (r9 review catch — skipping silently hid mid-stream corruption
+    that the container-level accounting, which only pixel-decodes
+    frame 0, cannot see). Payloads that are not decodable AVI at the
+    CONTAINER level yield no rows here — route them through
+    ``media_decode_stats`` for format-level quarantine accounting.
+
+    ``frame_ts_ms`` is bigint: dwMicroSecPerFrame is a full u32 (a
+    1-frame/min timelapse is legal), so int32 ms timestamps could
+    overflow at large frame indices."""
     from quebic_spark.functions.jpeg import decode_jpeg_pixels
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -561,40 +593,55 @@ def video_frame_sample(payloads: DataFrame, every_nth: int = 4) -> DataFrame:
             out: dict[str, list] = {
                 "doc_id": [], "frame_idx": [], "frame_ts_ms": [],
                 "width": [], "height": [], "mean_luma": [],
+                "decode_ok": [],
             }
+            def emit(doc_id, i, us_pf, w, h, mean, ok):
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_ts_ms"].append(i * int(us_pf) // 1000)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_luma"].append(mean)
+                out["decode_ok"].append(ok)
+
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = b"" if payload is None else bytes(payload)
                 try:
-                    import struct as _s
-
-                    hdrl = _riff_find_list(
-                        payload, 12, len(payload), b"hdrl"
+                    us_pf = (
+                        _avi_header(payload)["us_per_frame"]
+                        or 1_000_000 // 25
                     )
-                    us_pf = 1_000_000 // 25
-                    if hdrl is not None:
-                        for fourcc, b0, _b1 in _riff_chunks(
-                            payload, hdrl[0], hdrl[1]
-                        ):
-                            if fourcc == b"avih":
-                                us_pf = (
-                                    _s.unpack_from("<I", payload, b0)[0]
-                                    or us_pf
-                                )
-                                break
-                    for i, frame in enumerate(avi_frames(payload)):
-                        if i % every_nth:
-                            continue
-                        meta, px = decode_jpeg_pixels(frame)
-                        out["doc_id"].append(doc_id)
-                        out["frame_idx"].append(i)
-                        out["frame_ts_ms"].append(i * us_pf // 1000)
-                        out["width"].append(meta["width"])
-                        out["height"].append(meta["height"])
-                        out["mean_luma"].append(
-                            float(px.mean()) if px.size else None
-                        )
-                except Exception:  # noqa: BLE001 — skip, don't kill
-                    continue
+                    it = avi_frames(payload)
+                except Exception:  # noqa: BLE001 — not a readable
+                    continue  # AVI container: format-level quarantine
+                i = 0
+                while True:
+                    # the frame iterator itself can raise mid-stream
+                    # (truncated movi): flag the truncation point as a
+                    # failed frame row rather than dying or going
+                    # silent — every corruption leaves a visible row
+                    try:
+                        frame = next(it)
+                    except StopIteration:
+                        break
+                    except Exception:  # noqa: BLE001 — truncated
+                        emit(doc_id, i, us_pf, None, None, None, False)
+                        break
+                    if i % every_nth == 0:
+                        try:
+                            meta, px = decode_jpeg_pixels(frame)
+                            emit(
+                                doc_id, i, us_pf, meta["width"],
+                                meta["height"],
+                                float(px.mean()) if px.size else None,
+                                True,
+                            )
+                        except Exception:  # noqa: BLE001 — corrupt
+                            emit(
+                                doc_id, i, us_pf, None, None, None,
+                                False,
+                            )
+                    i += 1
             yield pd.DataFrame(out)
 
     return payloads.mapInPandas(sample, VIDEO_FRAME_SCHEMA)

@@ -1439,6 +1439,13 @@ def _encode_component(
     done = os.path.join(dst_path, "_SUCCESS")
     if fs_exists(spark, done):
         return
+    # dst existing WITHOUT _SUCCESS is a crashed partial publish
+    # (possible where rename degrades to copy+delete): remove it so
+    # this encode repairs instead of being blocked forever by
+    # rename-if-absent (r9 review catch). Safe because every reader
+    # (_pq_codes) gates on the _SUCCESS check before scanning.
+    if fs_exists(spark, dst_path):
+        fs_delete(spark, dst_path)
     src = spark.read.parquet(src_path).select(
         "vec_id", "embedding", F.col("cell").cast("int").alias("cell")
     )

@@ -238,22 +238,61 @@ def fs_commit_rename(spark: SparkSession, src: str, dst: str) -> None:
 
 
 def fs_rename_if_absent(spark: SparkSession, src: str, dst: str) -> bool:
-    """Publish a staged directory ONLY if dst does not already exist:
-    plain Hadoop rename (which fails when dst exists) with no
-    delete-first step. The commit primitive for artifacts that several
-    writers may race to produce with identical content (e.g. lazily
-    encoded PQ code components) — a loser must never yank a winner's
-    committed files out from under a concurrent reader, which
+    """Publish a staged directory ONLY if dst does not already exist,
+    with no delete-first step. The commit primitive for artifacts that
+    several writers may race to produce with identical content (e.g.
+    lazily encoded PQ code components) — a loser must never yank a
+    winner's committed files out from under a concurrent reader, which
     fs_commit_rename's delete-then-rename would do. Returns True if
-    THIS call published src."""
-    _jvm, fs, jsrc = hadoop_path(spark, src)
+    THIS call published src.
+
+    Primary path is FileContext.rename WITHOUT the OVERWRITE option,
+    which throws when dst exists — atomically, unlike an exists-check.
+    Plain FileSystem.rename is NOT a safe fallback on its own: when
+    dst is an existing DIRECTORY it moves src INTO dst and returns
+    true (r9 review catch — a racing loser would nest its stage inside
+    the winner's published table and report success). The fallback
+    therefore re-checks for that nesting and undoes it."""
+    from pyspark import SparkContext
+
+    jvm, fs, jsrc = hadoop_path(spark, src)
     jdst = hadoop_path(spark, dst)[2]
     if fs.exists(jdst):
         return False
     parent = jdst.getParent()
     if parent is not None and not fs.exists(parent):
         fs.mkdirs(parent)
-    return bool(fs.rename(jsrc, jdst))
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            jdst.toUri(), fs.getConf()
+        )
+        # empty Rename... varargs (no OVERWRITE): throws if dst exists.
+        # py4j needs the explicit empty array to hit the varargs
+        # overload, same dance as fs_write_json's OVERWRITE call.
+        none_opts = SparkContext._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 0
+        )
+        fc.rename(jsrc, jdst, none_opts)
+        return True
+    except Exception:  # noqa: BLE001 — dst appeared (lost the race),
+        # or this scheme has no AbstractFileSystem (fallback below)
+        if not fs.exists(jsrc):
+            # src consumed: either our rename landed before the error
+            # surfaced, or a cleanup raced us — trust the dst check
+            return bool(fs.exists(jdst))
+        if fs.exists(jdst):
+            return False  # clean loss; caller disposes its stage
+    # FileSystem.rename fallback (no FileContext for this scheme)
+    if not fs.rename(jsrc, jdst):
+        return False
+    # detect FileSystem.rename's move-INTO-existing-dir semantics: if
+    # our stage dir now sits nested inside dst, we lost the race —
+    # remove the rogue nested copy and report failure
+    nested = jvm.org.apache.hadoop.fs.Path(jdst, jsrc.getName())
+    if fs.exists(nested):
+        fs.delete(nested, True)
+        return False
+    return bool(fs.exists(jdst))
 
 
 def fs_read_json(jvm, fs, jpath) -> dict:

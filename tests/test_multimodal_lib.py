@@ -1149,3 +1149,70 @@ def test_video_frame_sample_decodes_true_pixels(spark):
         assert abs(r.mean_luma - float(np.asarray(px).mean())) < 1e-9
         # 100 ms per frame at 10 fps
         assert r.frame_ts_ms == idx * 100
+        assert r.decode_ok
+
+
+def test_avi_rec_list_interleaved_layout_decodes():
+    """Frames wrapped in 'LIST rec ' records (the standard interleaved
+    layout) must extract identically to the flat layout."""
+    import struct
+
+    from quebic_spark.operators.multimodal import avi_frames, decode_avi
+
+    payload, frames = _mjpeg_avi(n_frames=4)
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    # rebuild the movi list with each frame inside its own rec record
+    flat_movi = chunk(
+        b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    )
+    rec_movi = chunk(
+        b"LIST",
+        b"movi"
+        + b"".join(
+            chunk(b"LIST", b"rec " + chunk(b"00dc", f)) for f in frames
+        ),
+    )
+    assert flat_movi in payload
+    rec_payload = payload.replace(flat_movi, rec_movi)
+    body_len = len(rec_payload) - 8
+    rec_payload = (
+        rec_payload[:4] + struct.pack("<I", body_len) + rec_payload[8:]
+    )
+    assert list(avi_frames(rec_payload)) == frames
+    assert decode_avi(rec_payload)["n_frames"] == 4
+
+
+def test_video_frame_sample_flags_midstream_corrupt_frame(spark):
+    """A corrupt frame mid-stream must surface as a decode_ok=false
+    row (never a dead task, never a silent truncation), while healthy
+    frames around it still decode."""
+    from quebic_spark.functions.jpeg import encode_jpeg
+    from quebic_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        video_frame_sample,
+    )
+    import numpy as np
+
+    good = [
+        encode_jpeg(np.full((8, 8, 3), i * 30, dtype=np.uint8))
+        for i in range(3)
+    ]
+    # frame 1: JPEG magic but garbage body — container-valid chunk,
+    # pixel-invalid payload
+    bad = b"\xff\xd8\xff" + b"\x55" * 40
+    payload = encode_avi_mjpeg([good[0], bad, good[2]], 8, 8, fps=5)
+    df = spark.createDataFrame(
+        [(9, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rows = {
+        r.frame_idx: r
+        for r in video_frame_sample(df, every_nth=1).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert rows[0].decode_ok and rows[2].decode_ok
+    assert not rows[1].decode_ok
+    assert rows[1].width is None and rows[1].mean_luma is None

@@ -772,3 +772,41 @@ def test_ivf_pq_search_over_learned_quantizer_index(
     }
     assert again == full
     clear_caches(include_ivf_index=True)
+
+
+def test_encode_component_repairs_partial_publish(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A codes dir left WITHOUT _SUCCESS by a crashed publish must be
+    repaired by the next encode, not block it forever (r9 review
+    catch: rename-if-absent alone would see dst exists and give up)."""
+    import os
+    import shutil
+
+    from quebic_spark.cache import clear_caches
+    from quebic_spark.operators import similarity as S
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    clear_caches(include_ivf_index=True)
+    first = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in S.ivf_pq_topk(spark, sf_dir, nprobe=2).collect()
+    }
+    croot = S._pq_codes_root(
+        sf_dir, None, S.PQ_M, S.PQ_K, S.PQ_TRAIN_ITERS
+    )
+    base = os.path.join(croot, "base")
+    # simulate the crash: committed dir loses its completeness marker
+    os.remove(os.path.join(base, "_SUCCESS"))
+    shutil.rmtree(
+        os.path.join(base, "cell=0"), ignore_errors=True
+    )  # and part of its data
+
+    clear_caches(include_ivf_index=True)  # "new process"
+    second = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in S.ivf_pq_topk(spark, sf_dir, nprobe=2).collect()
+    }
+    assert second == first
+    assert os.path.exists(os.path.join(base, "_SUCCESS"))
+    clear_caches(include_ivf_index=True)

@@ -250,3 +250,36 @@ def test_footer_stats_restores_session_confs(spark, sf_dir):
 
     assert out.collect()[0]["n_rows"] == 5
     assert "PushedAggregation" not in parent_plan()
+
+
+def test_fs_rename_if_absent_loser_never_clobbers_or_nests(
+    spark, tmp_path
+):
+    """The racing-encoders commit primitive (r9): first publish wins;
+    a loser must neither delete the winner's committed files nor end
+    up nested INSIDE the winner's directory (plain Hadoop
+    FileSystem.rename moves src into an existing dst dir — the
+    FileContext no-overwrite path and the nested-dir repair both guard
+    against it)."""
+    import os
+
+    from quebic_spark.sources.io import fs_exists, fs_rename_if_absent
+
+    root = str(tmp_path)
+    src1 = os.path.join(root, "stage1")
+    os.makedirs(src1)
+    open(os.path.join(src1, "_SUCCESS"), "w").close()
+    dst = os.path.join(root, "final")
+    assert fs_rename_if_absent(spark, src1, dst) is True
+    assert fs_exists(spark, os.path.join(dst, "_SUCCESS"))
+
+    src2 = os.path.join(root, "stage2")
+    os.makedirs(src2)
+    open(os.path.join(src2, "data"), "w").write("loser bytes")
+    assert fs_rename_if_absent(spark, src2, dst) is False
+    # winner untouched, loser not nested, loser's stage left for its
+    # own cleanup
+    assert fs_exists(spark, os.path.join(dst, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(dst, "stage2"))
+    assert not os.path.exists(os.path.join(dst, "data"))
+    assert os.path.exists(src2)

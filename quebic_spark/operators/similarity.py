@@ -1709,11 +1709,19 @@ PQ_RETAIN_FRACTION = 0.9   # of the UNCOMPRESSED nprobe=2 recall
 def q_ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-component gate (same discipline as
     ann_ivf_learned_recall): portable facts the oracle replays
-    (query count, k, compression ratio) + in-plan contract booleans
-    (PQ recall above its floor, PQ at-or-below the uncompressed
-    nprobe=2 recall — compression can only lose information)."""
+    (query count, k, training-slice size, compression ratio) +
+    in-plan contract booleans (PQ recall above its floor, PQ
+    at-or-below the uncompressed nprobe=2 recall — compression can
+    only lose information — and, r9, the READ-PATH contract: the
+    compressed search plan scans the stored codes table and contains
+    no corpus-encode node, pinning VERDICT r8 #1 at the driver
+    level)."""
     exact = _exact_topk(spark, sf_dir).select("query_id", "vec_id")
     pq = ivf_pq_topk(spark, sf_dir, nprobe=2)
+    pq_plan = pq._jdf.queryExecution().executedPlan().toString()
+    reads_stored_codes = (
+        "pqcodes" in pq_plan and "_encode(" not in pq_plan
+    )
     raw = ivf_topk_nprobe(spark, sf_dir, nprobe=2)
 
     def hits(approx: DataFrame, name: str) -> DataFrame:
@@ -1765,6 +1773,7 @@ def q_ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(
             bool(row["rp"] >= PQ_RETAIN_FRACTION * row["rr"] - 1e-9)
         ).alias("pq_retains_cell_recall"),
+        F.lit(bool(reads_stored_codes)).alias("reads_stored_codes"),
     )
 
 
@@ -1779,7 +1788,8 @@ SELECT COUNT(*) AS n_queries,
        {EMB_DIM * 4 // PQ_M} AS compression_x,
        TRUE AS pq_above_floor,
        TRUE AS pq_le_uncompressed,
-       TRUE AS pq_retains_cell_recall
+       TRUE AS pq_retains_cell_recall,
+       TRUE AS reads_stored_codes
 FROM embeddings
 WHERE vec_id % {QUERY_STRIDE} = 0
 """

@@ -452,24 +452,40 @@ class QueueStorage:
             self.data_dir, f"batch-{start:020d}-{end:020d}.parquet"
         )
 
-    def list_batches(self) -> list[tuple[int, int, str]]:
-        """All (start_seq, end_seq, path), sorted by start."""
+    def _batch_ranges(self) -> list[tuple[int, int, str]]:
+        """All (start_seq, end_seq, file NAME), sorted by start — no
+        paths built. The single-record pop fast path lists on every
+        call (a fresh listdir is the cross-process visibility
+        guarantee: a memoized listing keyed on directory mtime can go
+        permanently stale when another process's write lands in the
+        same timestamp tick, so we deliberately pay the listdir), but
+        joining a full path for EVERY file when the caller touches one
+        was a third of pop's profile — paths are now joined lazily at
+        the point of use (r9)."""
         out: list[tuple[int, int, str]] = []
         if not os.path.isdir(self.data_dir):
             return out
         for name in os.listdir(self.data_dir):
             m = _BATCH_RE.match(name)
             if m:
-                out.append(
-                    (int(m.group(1)), int(m.group(2)),
-                     os.path.join(self.data_dir, name))
-                )
+                out.append((int(m.group(1)), int(m.group(2)), name))
         out.sort()
         return out
 
+    def list_batches(self) -> list[tuple[int, int, str]]:
+        """All (start_seq, end_seq, path), sorted by start."""
+        return [
+            (s, e, os.path.join(self.data_dir, n))
+            for s, e, n in self._batch_ranges()
+        ]
+
     def batches_after(self, seq: int) -> list[tuple[int, int, str]]:
         """Files that may contain rows with seq > `seq` (range pruning)."""
-        return [b for b in self.list_batches() if b[1] > seq]
+        return [
+            (s, e, os.path.join(self.data_dir, n))
+            for s, e, n in self._batch_ranges()
+            if e > seq
+        ]
 
     def write_batch(self, table: pa.Table, start: int, end: int,
                     parquet_codec: str) -> str:
@@ -538,8 +554,9 @@ class QueueStorage:
 
     def read_seq(self, seq: int) -> dict[str, Any] | None:
         """Point lookup by seq using filename range pruning."""
-        for start, end, path in self.list_batches():
+        for start, end, name in self._batch_ranges():
             if start <= seq <= end:
+                path = os.path.join(self.data_dir, name)
                 if end - start + 1 <= self._CACHE_MAX_ROWS:
                     rows = self._cached_rows(path)
                     return rows.get(seq)

@@ -403,3 +403,57 @@ def test_generational_registry_never_reads_empty_mid_update(
     assert _read_registry_generational(
         jvm, fs, legacy_root, legacy_rpath
     ) == reg1
+
+
+def test_generational_registry_reader_retries_on_pruned_generation(
+    spark, tmp_path, monkeypatch
+):
+    """Two back-to-back updates can prune the generation a reader just
+    listed before it opens it; the reader must re-list and serve the
+    then-newest generation (r9 review catch), and must raise — not
+    answer empty — if a populated registry stays unreadable."""
+    import json
+    import os
+
+    import quebic_spark.pipeline as P
+    from quebic_spark.sources import io as qio
+
+    root = str(tmp_path / "gen_reg_retry")
+    os.makedirs(root)
+    jvm, fs, rpath = P._registry_fs(spark, root)
+    reg2 = {"versions": [{"version": 2, "path": "v=2", "manifest": {}}]}
+    reg3 = {"versions": reg2["versions"] + [
+        {"version": 3, "path": "v=3", "manifest": {}}
+    ]}
+    with open(os.path.join(root, "_releases.gen-2.json"), "w") as fh:
+        json.dump(reg2, fh)
+
+    real_read = qio.fs_read_json
+    calls = {"n": 0}
+
+    def flaky_read(jvm_, fs_, jpath):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # simulate: gen-2 pruned after listing, gen-3 committed
+            os.remove(os.path.join(root, "_releases.gen-2.json"))
+            with open(
+                os.path.join(root, "_releases.gen-3.json"), "w"
+            ) as fh:
+                json.dump(reg3, fh)
+            raise IOError("gen pruned mid-read")
+        return real_read(jvm_, fs_, jpath)
+
+    monkeypatch.setattr(qio, "fs_read_json", flaky_read)
+    got = P._read_registry_generational(jvm, fs, root, rpath)
+    assert got == reg3 and calls["n"] == 2
+
+    # permanently unreadable populated registry: loud failure, never a
+    # silent empty answer
+    def always_fail(jvm_, fs_, jpath):
+        raise IOError("stays broken")
+
+    monkeypatch.setattr(qio, "fs_read_json", always_fail)
+    import pytest as _pytest
+
+    with _pytest.raises(IOError):
+        P._read_registry_generational(jvm, fs, root, rpath)

@@ -35,6 +35,18 @@ sys.path.insert(0, _REPO)
 # appended to the detail file (attributes shared-JVM tax; set 0 to skip)
 _ISOLATE_TOP_N = int(os.environ.get("SPARK_GRAFT_ISOLATE_TOP_N", "5"))
 
+# watchlist: queries whose in-suite time moved round-over-round with
+# UNCHANGED code (r9: token_budget_mixture 0.87->1.69 s,
+# event_rollup_hierarchy 0.32->0.73 s) — always spot-checked in a
+# fresh process regardless of rank, so the next round's detail file
+# separates load noise from a real plan change (VERDICT r9 next #4)
+_ISOLATE_WATCHLIST = tuple(
+    q for q in os.environ.get(
+        "SPARK_GRAFT_ISOLATE_WATCH",
+        "token_budget_mixture,event_rollup_hierarchy",
+    ).split(",") if q
+)
+
 
 def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     """Best-of-2 per query: the container's background load varies 2-3x
@@ -149,6 +161,11 @@ def isolated_spot_times(
         key=lambda k: times[k],
         reverse=True,
     )[:top_n]
+    # the watchlist rides along regardless of rank (regression triage)
+    expensive += [
+        q for q in _ISOLATE_WATCHLIST
+        if q in times and q not in expensive
+    ]
     out: dict[str, list[float]] = {}
     for name in expensive:
         try:

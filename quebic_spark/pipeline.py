@@ -216,10 +216,17 @@ def _read_registry_generational(jvm, fs, root: str, rpath) -> dict:
     writer keeps only the previous newest) — on open failure the
     reader re-lists and retries against the then-newest generation
     (r9 review catch; bounded attempts, each guaranteed to see a
-    strictly newer generation than the one that vanished)."""
+    strictly newer generation than the one that vanished). If the
+    newest stays unreadable for a PERSISTENT reason (torn bytes from
+    an out-of-contract second writer, bad permissions), the reader
+    falls back to the previous-newest generation — the pruner retains
+    it for readers precisely so a single bad file cannot take the
+    registry down (r10 advice); only when that too fails does it
+    raise."""
     from quebic_spark.sources.io import fs_read_json
 
     last_err: Exception | None = None
+    gens: list = []
     for _ in range(3):
         gens = _registry_generations(jvm, fs, root)
         if not gens:
@@ -230,10 +237,18 @@ def _read_registry_generational(jvm, fs, root: str, rpath) -> dict:
             break
         try:
             return fs_read_json(jvm, fs, gens[-1][1])
-        except Exception as e:  # noqa: BLE001 — pruned mid-read
+        except Exception as e:  # noqa: BLE001 — pruned mid-read, or
+            # persistently unreadable; re-list decides which
             last_err = e
             continue
     if last_err is not None:
+        # newest unreadable on every attempt: stale-but-committed
+        # beats raising — serve the retained previous-newest if any
+        if len(gens) > 1:
+            try:
+                return fs_read_json(jvm, fs, gens[-2][1])
+            except Exception:  # noqa: BLE001 — both bad: raise below
+                pass
         raise last_err
     if fs.exists(rpath):  # legacy layout (pre-generation writers)
         return fs_read_json(jvm, fs, rpath)
@@ -262,8 +277,17 @@ def _write_registry_generational(jvm, fs, root: str, reg: dict) -> None:
     previous one (until the rename lands) or the new one. Older
     generations are pruned down to the previous newest AFTER the new
     one is committed — a reader that listed just before the flip can
-    still open what it saw."""
+    still open what it saw.
+
+    Single-writer is by contract, but an out-of-contract second
+    writer must lose LOUDLY, not corrupt the registry: the stage file
+    is writer-UNIQUE (uuid suffix, create with no overwrite — r10
+    advice; a fixed tmp name let two racing writers truncate each
+    other's bytes so the rename winner could commit a torn JSON), and
+    the loser of the rename-to-gen-N race gets an IOError having
+    never touched the winner's bytes."""
     import json
+    import uuid
 
     gens = _registry_generations(jvm, fs, root)
     n = (gens[-1][0] + 1) if gens else 1
@@ -271,15 +295,24 @@ def _write_registry_generational(jvm, fs, root: str, reg: dict) -> None:
         root, f"{_GEN_PREFIX}{n}.json"
     )
     tmp = jvm.org.apache.hadoop.fs.Path(
-        root, f"{_GEN_PREFIX}{n}.json.tmp"
+        root, f"{_GEN_PREFIX}{n}.json.tmp-{uuid.uuid4().hex[:8]}"
     )
-    out = fs.create(tmp, True)
+    out = fs.create(tmp, False)  # unique name — an overwrite here
+    # could only ever be hiding a colliding writer
     try:
         out.write(bytearray(json.dumps(reg, indent=2).encode("utf-8")))
     finally:
         out.close()
     if not fs.rename(tmp, gen_path):
-        raise IOError(f"rename {tmp} -> {gen_path} failed")
+        try:  # don't leave the loser's stage file as debris
+            fs.delete(tmp, False)
+        except Exception:  # noqa: BLE001 — cleanup is best-effort
+            pass
+        raise IOError(
+            f"rename {tmp} -> {gen_path} failed: generation {n} was "
+            "committed by a concurrent writer (single-writer contract "
+            "violated); this writer's update was NOT applied"
+        )
     for _, old in gens[:-1]:
         try:
             fs.delete(old, False)

@@ -295,6 +295,27 @@ def fs_rename_if_absent(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.exists(jdst))
 
 
+def fs_rename_aside(spark: SparkSession, src: str, dst: str) -> bool:
+    """Plain rename with NO delete anywhere: move ``src`` to a
+    not-yet-existing ``dst`` (callers pass a writer-unique name, so
+    the move-INTO-existing-dir hazard of FileSystem.rename cannot
+    arise). The quarantine primitive for repairing a suspected
+    crashed partial publish without an in-place delete — an in-place
+    delete races a concurrent publisher completing in the
+    check-to-delete window and yanks ITS committed files (r10
+    advice on _encode_component). Returns True if src moved to dst;
+    False when src is gone (another repairer or publisher got there
+    first) or the rename did not land."""
+    _jvm, fs, jsrc = hadoop_path(spark, src)
+    jdst = hadoop_path(spark, dst)[2]
+    if fs.exists(jdst):
+        return False
+    try:
+        return bool(fs.rename(jsrc, jdst)) and bool(fs.exists(jdst))
+    except Exception:  # noqa: BLE001 — src vanished mid-rename
+        return False
+
+
 def fs_read_json(jvm, fs, jpath) -> dict:
     """Read+parse JSON from an open-able Hadoop path — the read twin
     of :func:`fs_write_json` (one shared implementation; the release

@@ -211,3 +211,114 @@ def test_pii_scrub_rules(spark):
     assert again.filter(
         "n_email + n_ipv4 + n_ssn + n_phone > 0"
     ).count() == 0
+
+
+def test_streaming_dedup_tier_fingerprint_matches_batch_oracle(
+    spark, sf_dir, duck, tmp_path
+):
+    """Hash-level evidence for the one operator that had only
+    agreement-test evidence (VERDICT r9 next #3): a DETERMINISTIC
+    micro-batch replay of ``dedup_stream_against_snapshot`` (composed
+    with streaming first-wins dedup, the streaming twin of the batch
+    keep-first window) whose final sink table fingerprint-matches the
+    batch ``dedup_incremental`` DuckDB oracle — same compare the
+    driver runs (columns sorted by name, order-insensitive row hash).
+
+    Determinism discipline: the replay is chunked by RANK WITHIN KEY
+    (wave r carries each content_key's r-th copy ordered by doc_id),
+    so every micro-batch holds at most one row per key — first-wins
+    state across waves then IS keep-min-doc_id, with zero dependence
+    on partition or task order inside a batch. Waves arrive in order
+    via one file per trigger with strictly increasing mtimes."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from quebic_spark.operators import dedup as D
+    from quebic_spark.streaming import dedup_stream_against_snapshot
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srcn = F.substring("source", 4, 8).cast("int")
+    tagged = docs.select(
+        "doc_id", "source", D._content_key().alias("content_key"),
+        srcn.alias("srcn"),
+    )
+    snapshot = tagged.filter(
+        F.col("srcn") <= D.SNAPSHOT_MAX_SRC
+    ).select("content_key")
+    batch = tagged.filter(F.col("srcn") > D.SNAPSHOT_MAX_SRC).select(
+        "doc_id", "content_key", "source"
+    )
+    wave_col = F.row_number().over(
+        Window.partitionBy("content_key").orderBy("doc_id")
+    )
+    rows = (
+        batch.withColumn("wave", wave_col)
+        .orderBy("wave", "doc_id")
+        .collect()
+    )
+    waves = sorted({r["wave"] for r in rows})
+    assert len(waves) > 1, "corpus lost its within-batch dup keys"
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    schema = pa.schema([
+        ("doc_id", pa.int64()),
+        ("content_key", pa.string()),
+        ("source", pa.string()),
+    ])
+    for w in waves:
+        part = [r for r in rows if r["wave"] == w]
+        table = pa.table(
+            {
+                "doc_id": [r["doc_id"] for r in part],
+                "content_key": [r["content_key"] for r in part],
+                "source": [r["source"] for r in part],
+            },
+            schema=schema,
+        )
+        path = str(feed_dir / f"wave-{w:04d}.parquet")
+        pq.write_table(table, path)
+        os.utime(path, (time.time() + w, time.time() + w))
+
+    bloom = D.build_bloom(
+        snapshot, "content_key",
+        m_bits=D.auto_bloom_bits(snapshot.count()),
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, content_key string, source string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed_dir))
+    )
+    deduped = dedup_stream_against_snapshot(
+        stream.dropDuplicates(["content_key"]), snapshot, bloom=bloom
+    )
+    sink = str(tmp_path / "sink")
+    query = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+
+    got = spark.read.parquet(sink).select(
+        "doc_id", "content_key", "source"
+    )
+    sn, scn, sh = frame_fingerprint(
+        got.columns, pandas_rows(got.toPandas())
+    )
+    rel = duck.execute(D.ORACLE_DEDUP_INCREMENTAL)
+    dcols = [d[0] for d in rel.description]
+    drows = pandas_rows(rel.fetchdf(date_as_object=True))
+    dn, dcn, dh = frame_fingerprint(dcols, drows)
+    assert (sn, scn) == (dn, dcn), f"shape {sn}/{scn} != {dn}/{dcn}"
+    assert sh == dh, f"streamed tier hash != batch oracle ({sn} rows)"

@@ -4,6 +4,7 @@ recall dial (SURVEY §2.10 similarity-search scale path)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from quebic_spark.operators.similarity import (
     ivf_topk_nprobe,
@@ -668,6 +669,13 @@ def test_append_ivf_vectors_encodes_delta_codes_at_commit(
     assert os.path.exists(os.path.join(delta_codes, "_SUCCESS")), (
         "delta codes not encoded at commit time"
     )
+    # the commit outcome is RECORDED: the delta manifest flags the
+    # generation as carrying stored codes (VERDICT r9 #2 — a degraded
+    # index must be observable, not silent)
+    manifest = S._read_delta_manifest(
+        spark, S._ivf_disk_path(sf_dir, None)
+    )
+    assert manifest["codes_stored"]["delta=00001"] is True
 
     def boom(*a, **k):
         raise AssertionError("search re-encoded instead of reading "
@@ -684,13 +692,13 @@ def test_append_ivf_vectors_encodes_delta_codes_at_commit(
     clear_caches(include_ivf_index=True)
 
 
-def test_quantizer_training_reads_md5_slice(
+def test_quantizer_training_reads_capped_slice(
     spark, sf_dir, tmp_path, monkeypatch
 ):
     """Both k-means trainings (IVF coarse quantizer, PQ codebooks) must
-    read ONLY the deterministic md5 training slice, never the full
-    corpus (VERDICT r8 #2): every kmeans invocation's input row count
-    equals the slice size."""
+    read ONLY the deterministic row-capped training slice, never more
+    (VERDICT r8 #2 / r9 #1): every kmeans invocation's input row count
+    equals the slice size, which is min(IVF_TRAIN_ROWS, corpus)."""
     from quebic_spark.functions import clustering
     from quebic_spark.operators import similarity as S
 
@@ -699,7 +707,7 @@ def test_quantizer_training_reads_md5_slice(
     full = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n_full = full.count()
     n_slice = S._train_slice(full).count()
-    assert 0 < n_slice < n_full
+    assert n_slice == min(S.IVF_TRAIN_ROWS, n_full)
 
     seen = []
     real_kmeans = clustering.kmeans
@@ -719,6 +727,45 @@ def test_quantizer_training_reads_md5_slice(
     S.train_pq_codebooks(spark, sf_dir, m=4, k=4, train_iters=1)
     assert seen, "kmeans never ran"
     assert all(n == n_slice for n in seen), (seen, n_slice)
+
+
+def test_train_slice_row_count_constant_across_corpus_size(spark):
+    """The training slice is bounded by ROW COUNT, not a corpus
+    percentage (VERDICT r9 #1): corpora of different sizes above the
+    cap yield EXACTLY cap rows — the build-side training scan cost is
+    constant as the corpus scales. Also pins determinism (same corpus
+    -> same vec_id set) and the bounded single-partition output shape
+    the Lloyd loop relies on (no coalesce needed)."""
+    from quebic_spark.operators import similarity as S
+
+    def corpus(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                F.col("id").cast("double"),
+                (F.col("id") * 2).cast("double"),
+            ).alias("embedding"),
+        )
+
+    cap = 64
+    small = S._train_slice(corpus(300), n_rows=cap)
+    big = S._train_slice(corpus(900), n_rows=cap)
+    assert small.count() == cap
+    assert big.count() == cap  # 3x the corpus, same training rows
+    # under the cap the slice is the whole (tiny) table
+    assert S._train_slice(corpus(40), n_rows=cap).count() == 40
+    # deterministic: the selected ids are a pure function of the data
+    ids = lambda df: sorted(r.vec_id for r in df.collect())  # noqa: E731
+    assert ids(small) == ids(S._train_slice(corpus(300), n_rows=cap))
+    # hash-ordered, not head-of-table: a prefix take would be biased
+    # by ingest order; md5 order draws uniformly across the id range
+    assert ids(small) != list(range(cap))
+    # TakeOrderedAndProject output: ONE bounded partition, so every
+    # downstream Lloyd fold is a single task with one canonical
+    # summation order
+    assert small.rdd.getNumPartitions() == 1
+    # the default cap is the documented k-means budget
+    assert S.IVF_TRAIN_ROWS == 256 * max(S.N_CENTROIDS, S.PQ_K)
 
 
 def test_ivf_pq_search_over_learned_quantizer_index(
@@ -809,4 +856,129 @@ def test_encode_component_repairs_partial_publish(
     }
     assert second == first
     assert os.path.exists(os.path.join(base, "_SUCCESS"))
+    clear_caches(include_ivf_index=True)
+
+
+def test_append_flags_failed_delta_encode_loudly(
+    spark, sf_dir, tmp_path, monkeypatch, caplog
+):
+    """A FAILING commit-time delta encode must not degrade silently
+    (VERDICT r9 #2): the manifest records codes_stored=False for the
+    generation and a warning is logged — while the append itself still
+    commits (the raw delta is the source of truth; the lazy read path
+    repairs the codes on first search)."""
+    import logging
+
+    from quebic_spark.cache import clear_caches
+    from quebic_spark.operators import similarity as S
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    clear_caches(include_ivf_index=True)
+    S.ivf_pq_topk(spark, sf_dir, nprobe=2).collect()  # trains books
+
+    def boom(*a, **k):
+        raise IOError("simulated encoder outage")
+
+    monkeypatch.setattr(S, "_encode_component", boom)
+    probe = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(1)
+    new_vec = probe.selectExpr(
+        "vec_id + 880000 AS vec_id", "embedding"
+    )
+    with caplog.at_level(
+        logging.WARNING, logger="quebic_spark.operators.similarity"
+    ):
+        out = S.append_ivf_vectors(spark, sf_dir, new_vec)
+    assert out["n_vectors"] == 1  # the append itself committed
+    manifest = S._read_delta_manifest(
+        spark, S._ivf_disk_path(sf_dir, None)
+    )
+    assert manifest["codes_stored"][out["delta"]] is False
+    assert any(
+        "commit-time PQ encode" in r.message for r in caplog.records
+    ), "encode failure was not logged"
+    clear_caches(include_ivf_index=True)
+
+
+def test_append_without_trained_codebooks_leaves_flag_absent(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """No default-config codebook trained yet -> nothing to encode at
+    commit: the manifest must NOT claim the generation is degraded
+    (codes_stored stays absent — lazy-by-design, not a failure)."""
+    from quebic_spark.cache import clear_caches
+    from quebic_spark.operators import similarity as S
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    clear_caches(include_ivf_index=True)
+    probe = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(1)
+    out = S.append_ivf_vectors(
+        spark, sf_dir,
+        probe.selectExpr("vec_id + 990000 AS vec_id", "embedding"),
+    )
+    manifest = S._read_delta_manifest(
+        spark, S._ivf_disk_path(sf_dir, None)
+    )
+    assert out["delta"] not in manifest.get("codes_stored", {})
+    clear_caches(include_ivf_index=True)
+
+
+def test_encode_component_republishes_racing_complete_publish(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The crashed-publish repair must be an atomic rename-ASIDE, not
+    an in-place delete (r10 advice): when a racing encoder completes
+    its publish between this writer's _SUCCESS check and the repair,
+    the quarantined dir turns out to be a fully committed table — it
+    must be republished intact, never deleted out from under readers."""
+    import os
+
+    from quebic_spark.cache import clear_caches
+    from quebic_spark.operators import similarity as S
+    from quebic_spark.sources import io as qio
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    clear_caches(include_ivf_index=True)
+    # materialize a genuinely committed codes table (the "winner")
+    books = S.train_pq_codebooks(spark, sf_dir)
+    S.ivf_pq_topk(spark, sf_dir, nprobe=2).collect()
+    croot = S._pq_codes_root(
+        sf_dir, None, S.PQ_M, S.PQ_K, S.PQ_TRAIN_ITERS
+    )
+    base = os.path.join(croot, "base")
+    assert os.path.exists(os.path.join(base, "_SUCCESS"))
+    sentinel = os.path.join(base, "WINNER-SENTINEL")
+    with open(sentinel, "w") as f:
+        f.write("winner bytes")
+
+    # simulate the race: the loser's initial done-check observes no
+    # _SUCCESS (the winner's rename lands right after), everything
+    # else sees the real filesystem
+    real_exists = qio.fs_exists
+    state = {"pending": True}
+    done = os.path.join(base, "_SUCCESS")
+
+    def racy_exists(sp, path):
+        if state["pending"] and path == done:
+            state["pending"] = False
+            return False
+        return real_exists(sp, path)
+
+    monkeypatch.setattr(qio, "fs_exists", racy_exists)
+
+    def boom(*a, **k):
+        raise AssertionError(
+            "loser re-encoded instead of republishing the winner"
+        )
+
+    monkeypatch.setattr(S, "pq_encode", boom)
+    S._encode_component(
+        spark, S._ivf_disk_path(sf_dir, None), books, base
+    )
+    # winner's table back in place, bytes untouched, no quarantine
+    # debris left beside it
+    assert os.path.exists(done)
+    assert os.path.exists(sentinel)
+    assert not [
+        d for d in os.listdir(croot) if ".quarantine-" in d
+    ], "quarantine dir leaked"
     clear_caches(include_ivf_index=True)

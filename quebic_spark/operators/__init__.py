@@ -54,7 +54,9 @@ for _mod in _MODULES:
 
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
-    # --- r9: new gates this round ---
+    # --- r10: new gate this round ---
+    "quebic_format_roundtrip",
+    # --- r9: new gates that round ---
     "footer_stats_audit",
     "line_dedup",
     # --- r7: new operators that round (PQ read path changed r9) ---
@@ -109,7 +111,6 @@ GATE_ORDER: tuple[str, ...] = (
     "dedup_simhash",
     "ann_bruteforce_topk",
     "event_sessions",
-    "event_json_props",
     "event_funnel",
     "event_watermark_windows",
     "queue_fifo_roundtrip",
@@ -132,6 +133,15 @@ RETIRED_GATES: dict[str, str] = {
                             "live train_split_counts; full per-source "
                             "rule oracle keeps running in "
                             "tests/test_registry.py",
+    "event_json_props": "retired in r10 (driver-green r2-r9, code "
+                        "unchanged since r2) to free a slot for "
+                        "quebic_format_roundtrip: a single "
+                        "get_json_object extraction + sum/min/max agg "
+                        "— the scalar-function category it gated is "
+                        "exercised by a dozen live gates and the "
+                        "aggregation class by every event gate; full "
+                        "JSON-path oracle keeps running in "
+                        "tests/test_registry.py",
     "mixture_sample": "retired in r9 (driver-green r4-r8) to free a "
                       "slot for line_dedup: the md5-fraction "
                       "admission test, fixed-point thr arithmetic, "

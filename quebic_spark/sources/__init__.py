@@ -3,5 +3,15 @@ from quebic_spark.sources.io import (
     import_into_queue,
     read_table,
 )
+from quebic_spark.sources.quebic_format import (
+    export_quebic_queue,
+    read_quebic_dir,
+)
 
-__all__ = ["export_queue", "import_into_queue", "read_table"]
+__all__ = [
+    "export_queue",
+    "import_into_queue",
+    "read_table",
+    "export_quebic_queue",
+    "read_quebic_dir",
+]

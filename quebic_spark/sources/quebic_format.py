@@ -1,0 +1,549 @@
+"""Byte-level reader/writer for the reference's on-disk queue format.
+
+The reference persists a queue as TWO journaled files (Queue.scala:26-46):
+the queue file (the path the user names) plus a journal beside it named
+``<base>.qbj`` (base = filename minus its last extension). Both share one
+layout (JournaledFile.scala):
+
+File header (big-endian, JournaledFile.offset:649-655, init():289-299)::
+
+    u16  magic            'Q'<<8 | 'B'  (0x5142)
+    u16  header size      20 + len(schema binary)
+    i64  current items    cached count (self-correcting; chain is truth)
+    i64  last position    offset of the newest entry, -1 when empty
+    ...  schema binary    1 count byte + 4-bit type ids, 2 per byte,
+                          zero-padded to byte alignment (Schema.scala:66-73)
+
+Entry (32 bytes at ``entry_offset``, payload immediately after;
+JournaledFile.offset:656-663, writeDataWithEntry:311-326)::
+
+    u8   signature        '@' (0x40) — corruption canary
+    i64  previous         predecessor entry offset, -1 at chain end
+    i64  created at       epoch millis
+    i64  expires at       epoch millis, -1 = no TTL
+    u16  errors           consume-failure count
+    i32  data length      payload bytes (after codec)
+    u8   compression      codec id (0 PLAIN, 1 GZIP — Codec.scala:20-26)
+
+Record payload = fields concatenated in schema order (Schema.scala:21-34)
+then codec-compressed whole. Per-type wire encoding (DataType.scala):
+
+    INTEGER  varint ("bitcoin-style", :87-113): value <= 252 is one byte;
+             253 + u16; 254 + u32; 255 + i64 (negatives always 255-form)
+    REAL     8-byte IEEE-754 double
+    TEXT     varint byte length + UTF-8 bytes
+    BINARY   varint byte length + raw bytes
+    TENSOR   varint ndim, varint per dim, then shape-product doubles
+
+Both files are pointer-chained STACKS popped from ``last position``
+(consumeEntryWithData:231-248). Migration drains the journal FILO into
+the queue file (migrateTo:406-441), so popping the queue file yields
+FIFO order while the journal's chain walk yields newest-first. Hence:
+
+    FIFO = queue-file chain (as walked) ++ reversed(journal chain)
+
+Entries not reachable from ``last position`` are consumed residue — in
+particular the retained deepest entry that backs ``Publisher.latest``
+after the queue empties (truncate guard at JournaledFile.scala:272);
+:func:`parse_latest` surfaces it, the chain walk correctly skips it.
+
+Why this module exists: SURVEY §7.5 rightly keeps varint/4-bit packing
+out of the ENGINE (Parquet replaces them as storage), but a reference
+user switching engines still holds .qbc/.qbj files on disk. This is the
+migration connector: import them into DataFrames (parsed executor-side
+via a binaryFile scan — one task per queue file, the format's pointer
+chain makes intra-file parse inherently sequential, so parallelism is
+per-queue, which is also how the reference scales) and export
+reference-readable files back out. Implemented from the documented
+layout above; no reference code is copied.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Any, Iterator, Sequence
+
+from quebic_spark.codec import PLAIN, Codec, codec_of
+from quebic_spark.errors import (
+    FormatException,
+    IncompatibleSchemaException,
+)
+from quebic_spark.schema import Schema
+from quebic_spark.tensor import Tensor
+
+MAGIC = (ord("Q") << 8) | ord("B")  # JournaledFile.scala:636
+ENTRY_SIGNATURE = ord("@")          # JournaledFile.scala:637
+ENTRY_SIZE = 32                     # JournaledFile.scala:665
+_HEADER_FIXED = 2 + 2 + 8 + 8       # magic, header size, items, last pos
+
+
+# ---------------------------------------------------------------------------
+# varint (DataType.scala:87-113)
+# ---------------------------------------------------------------------------
+
+def write_varint(value: int) -> bytes:
+    """Bitcoin-style compact int: 1 byte <= 252; 253+u16; 254+u32;
+    255+i64. Negative values always take the 9-byte 255 form."""
+    if value < 0:
+        return b"\xff" + struct.pack(">q", value)
+    if value <= 252:
+        return bytes([value])
+    if value <= 0xFFFF:
+        return b"\xfd" + struct.pack(">H", value)
+    if value <= 0xFFFFFFFF:
+        return b"\xfe" + struct.pack(">I", value)
+    return b"\xff" + struct.pack(">q", value)
+
+
+def read_varint(buf: bytes, off: int) -> tuple[int, int]:
+    """Returns (value, next offset); FormatException on short reads."""
+    if off >= len(buf):
+        raise FormatException(f"varint over-run at offset {off}")
+    tag = buf[off]
+    off += 1
+    if tag <= 252:
+        return tag, off
+    width, fmt = {253: (2, ">H"), 254: (4, ">I"), 255: (8, ">q")}[tag]
+    if off + width > len(buf):
+        raise FormatException(f"varint body over-run at offset {off}")
+    return struct.unpack_from(fmt, buf, off)[0], off + width
+
+
+# ---------------------------------------------------------------------------
+# schema binary (Schema.scala:66-73 encode, :88-97 decode)
+# ---------------------------------------------------------------------------
+
+def schema_to_wire(schema: Schema) -> bytes:
+    """1 count byte + type ids packed two 4-bit ids per byte (first id
+    in the HIGH nibble), zero-padded to byte alignment."""
+    ids = [t.id for t in schema.types]
+    if len(ids) % 2:
+        ids = ids + [0]
+    packed = bytes(
+        ((ids[i] & 0x0F) << 4) | (ids[i + 1] & 0x0F)
+        for i in range(0, len(ids), 2)
+    )
+    return bytes([len(schema.types)]) + packed
+
+
+def schema_from_wire(buf: bytes, off: int) -> tuple[Schema, int]:
+    """Returns (schema, next offset)."""
+    if off >= len(buf):
+        raise FormatException("schema count byte missing")
+    count = buf[off]
+    off += 1
+    n_bytes = (count + (count % 2)) // 2
+    if off + n_bytes > len(buf):
+        raise FormatException(
+            f"schema binary over-run: need {n_bytes} bytes at {off}"
+        )
+    ids: list[int] = []
+    for i in range(n_bytes):
+        b = buf[off + i]
+        ids.append((b >> 4) & 0x0F)
+        ids.append(b & 0x0F)
+    return Schema(*ids[:count]), off + n_bytes
+
+
+# ---------------------------------------------------------------------------
+# record wire serde (Schema.scala:21-59 over DataType encoders)
+# ---------------------------------------------------------------------------
+
+def wire_serialize(
+    schema: Schema, values: Sequence[Any], codec: Codec = PLAIN
+) -> bytes:
+    """Pack one validated record in the reference's field order and
+    encodings, then codec-compress the whole record."""
+    from quebic_spark.schema import BINARY, INTEGER, REAL, TENSOR, TEXT
+
+    record = schema.validate_record(values)
+    out = bytearray()
+    for v, t in zip(record, schema.types):
+        if t is INTEGER:
+            out += write_varint(v)
+        elif t is REAL:
+            out += struct.pack(">d", v)
+        elif t is TEXT:
+            b = v.encode("utf-8")
+            out += write_varint(len(b)) + b
+        elif t is BINARY:
+            out += write_varint(len(v)) + bytes(v)
+        elif t is TENSOR:
+            shape, vals = v
+            out += write_varint(len(shape))
+            for dim in shape:
+                out += write_varint(dim)
+            out += struct.pack(f">{len(vals)}d", *vals)
+    return codec.encode(bytes(out))
+
+
+def wire_deserialize(
+    schema: Schema, data: bytes, codec: Codec = PLAIN
+) -> tuple[Any, ...]:
+    """Inverse of :func:`wire_serialize`; short reads and trailing
+    garbage raise FormatException (JournaledFile.scala:367-393)."""
+    from quebic_spark.schema import BINARY, INTEGER, REAL, TENSOR, TEXT
+
+    raw = codec.decode(data)
+    off = 0
+    out: list[Any] = []
+
+    def need(n: int) -> None:
+        if off + n > len(raw):
+            raise FormatException(
+                f"short read at offset {off}: need {n}, "
+                f"have {len(raw) - off}"
+            )
+
+    for t in schema.types:
+        if t is INTEGER:
+            v, off = read_varint(raw, off)
+            out.append(v)
+        elif t is REAL:
+            need(8)
+            out.append(struct.unpack_from(">d", raw, off)[0])
+            off += 8
+        elif t is TEXT:
+            n, off = read_varint(raw, off)
+            need(n)
+            out.append(raw[off:off + n].decode("utf-8"))
+            off += n
+        elif t is BINARY:
+            n, off = read_varint(raw, off)
+            need(n)
+            out.append(raw[off:off + n])
+            off += n
+        elif t is TENSOR:
+            ndim, off = read_varint(raw, off)
+            shape = []
+            for _ in range(ndim):
+                dim, off = read_varint(raw, off)
+                if dim < 0:
+                    raise FormatException(f"negative tensor dim {dim}")
+                shape.append(dim)
+            n_vals = 1
+            for s in shape:
+                n_vals *= s
+            need(8 * n_vals)
+            vals = list(struct.unpack_from(f">{n_vals}d", raw, off))
+            off += 8 * n_vals
+            out.append(Tensor(shape, vals).as_row())
+    if off != len(raw):
+        raise FormatException(
+            f"record over-run: {len(raw) - off} trailing bytes"
+        )
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# file-level parse
+# ---------------------------------------------------------------------------
+
+def parse_header(data: bytes) -> tuple[Schema, int, int, int]:
+    """Returns (schema, header_size, current_items, last_position);
+    validates magic and declared header size (validate():562-584)."""
+    if len(data) < _HEADER_FIXED + 1:
+        raise FormatException(
+            f"journal file is too short: {len(data)}B"
+        )
+    magic = struct.unpack_from(">H", data, 0)[0]
+    if magic != MAGIC:
+        raise FormatException(
+            f"invalid magic number: 0x{magic:04X} != 0x{MAGIC:04X}"
+        )
+    header_size = struct.unpack_from(">H", data, 2)[0]
+    current_items = struct.unpack_from(">q", data, 4)[0]
+    last_position = struct.unpack_from(">q", data, 12)[0]
+    schema, end = schema_from_wire(data, _HEADER_FIXED)
+    if end != header_size:
+        raise FormatException(
+            f"declared header size {header_size} != parsed {end}"
+        )
+    if len(data) < header_size:
+        raise FormatException(
+            f"journal file shorter than its header: {len(data)}B"
+        )
+    return schema, header_size, current_items, last_position
+
+
+def _read_entry(data: bytes, off: int) -> dict:
+    if off + ENTRY_SIZE > len(data):
+        raise FormatException(f"entry over-run at offset 0x{off:X}")
+    if data[off] != ENTRY_SIGNATURE:
+        raise FormatException(
+            f"broken entry signature 0x{data[off]:02X} at 0x{off:X}"
+        )
+    previous, created_at, expires_at = struct.unpack_from(
+        ">qqq", data, off + 1
+    )
+    errors, data_length = struct.unpack_from(">HI", data, off + 25)
+    codec_id = data[off + 31]
+    payload_off = off + ENTRY_SIZE
+    if payload_off + data_length > len(data):
+        raise FormatException(
+            f"data region over-run at 0x{off:X}: {data_length}B"
+        )
+    return {
+        "previous": previous,
+        "created_at": created_at,
+        "expires_at": expires_at,
+        "errors": errors,
+        "codec_id": codec_id,
+        "payload": data[payload_off:payload_off + data_length],
+    }
+
+
+def parse_chain(data: bytes) -> tuple[Schema, list[dict]]:
+    """Walk the live chain from ``last position`` (stack-pop order).
+    Entries unreachable from the chain — consumed residue, the
+    retained ``latest`` marker — are correctly excluded."""
+    schema, header_size, _items, last_position = parse_header(data)
+    entries: list[dict] = []
+    off = last_position
+    seen: set[int] = set()
+    while off >= 0:
+        if off < header_size:
+            raise FormatException(
+                f"entry offset 0x{off:X} inside header"
+            )
+        if off in seen:  # a pointer cycle would loop forever
+            raise FormatException(f"entry chain cycle at 0x{off:X}")
+        seen.add(off)
+        e = _read_entry(data, off)
+        e["values"] = wire_deserialize(
+            schema, e["payload"], codec_of(e["codec_id"])
+        )
+        entries.append(e)
+        off = e["previous"]
+    return schema, entries
+
+
+def parse_latest(data: bytes) -> tuple[Any, ...] | None:
+    """The deepest entry's record — the reference's
+    ``Publisher.latest`` backing store, retained even when the chain
+    is empty (peekDeepest, JournaledFile.scala:157; truncate guard
+    :272). None only for a never-pushed file."""
+    schema, header_size, _items, _last = parse_header(data)
+    if len(data) <= header_size:
+        return None
+    e = _read_entry(data, header_size)
+    return wire_deserialize(schema, e["payload"], codec_of(e["codec_id"]))
+
+
+def read_fifo(
+    queue_bytes: bytes | None, journal_bytes: bytes | None
+) -> tuple[Schema | None, list[dict]]:
+    """Compose both files of one queue into FIFO (pop) order: the
+    queue file's chain walk IS oldest-first (migration reversed it),
+    the journal's chain walk is newest-first so it reverses."""
+    schema: Schema | None = None
+    fifo: list[dict] = []
+    if queue_bytes:
+        schema, entries = parse_chain(queue_bytes)
+        fifo.extend(entries)
+    if journal_bytes:
+        jschema, entries = parse_chain(journal_bytes)
+        if schema is not None and [t.id for t in schema.types] != [
+            t.id for t in jschema.types
+        ]:
+            raise IncompatibleSchemaException(
+                f"queue/journal schema mismatch: {schema.to_json()} "
+                f"!= {jschema.to_json()}"
+            )
+        schema = schema or jschema
+        fifo.extend(reversed(entries))
+    return schema, fifo
+
+
+# ---------------------------------------------------------------------------
+# file-level write (export: make files the reference can open)
+# ---------------------------------------------------------------------------
+
+def write_journaled_bytes(
+    schema: Schema,
+    rows: Sequence[Sequence[Any]],
+    kind: str = "queue",
+    codec: Codec = PLAIN,
+    created_at: int = 0,
+    expires_at: int = -1,
+) -> bytes:
+    """Serialize ``rows`` as one journaled file.
+
+    ``kind='queue'``: pop order == ``rows`` order (entries laid out
+    newest-deepest exactly as migrateTo leaves them, so the reference
+    pops FIFO). ``kind='journal'``: the push-order layout (oldest
+    deepest, ``last position`` -> newest), i.e. what a sequence of
+    ``push`` calls produces. ``created_at`` is fixed (not wall-clock)
+    so exports are deterministic; pass epoch millis to stamp."""
+    if kind not in ("queue", "journal"):
+        raise ValueError(f"kind must be queue|journal, got {kind!r}")
+    schema_bin = schema_to_wire(schema)
+    header_size = _HEADER_FIXED + len(schema_bin)
+    # physical layout order: deepest first. queue = reversed rows
+    # (newest deepest), journal = rows as pushed (oldest deepest).
+    physical = list(reversed(list(rows))) if kind == "queue" else list(rows)
+    out = bytearray(b"\x00" * header_size)
+    struct.pack_into(">H", out, 0, MAGIC)
+    struct.pack_into(">H", out, 2, header_size)
+    struct.pack_into(">q", out, 4, len(physical))
+    out[_HEADER_FIXED:header_size] = schema_bin
+    prev = -1
+    last_position = -1
+    for row in physical:
+        payload = wire_serialize(schema, row, codec)
+        entry_off = len(out)
+        out += bytes([ENTRY_SIGNATURE])
+        out += struct.pack(">qqq", prev, created_at, expires_at)
+        out += struct.pack(">HI", 0, len(payload))
+        out += bytes([codec.id])
+        out += payload
+        prev = entry_off
+        last_position = entry_off
+    struct.pack_into(">q", out, 12, last_position)
+    return bytes(out)
+
+
+def journal_path_for(queue_path: str) -> str:
+    """``<base>.qbj`` beside the queue file (Queue.scala:33-36)."""
+    d, name = os.path.split(queue_path)
+    base = name.rsplit(".", 1)[0] if "." in name else name
+    return os.path.join(d, base + ".qbj")
+
+
+def export_quebic_queue(
+    path: str,
+    schema: Schema,
+    rows: Sequence[Sequence[Any]],
+    codec: Codec = PLAIN,
+    created_at: int = 0,
+) -> None:
+    """Write ``rows`` (FIFO order) as a reference-readable queue file
+    (all rows migrated, empty journal not written — the reference
+    creates its own journal on open)."""
+    data = write_journaled_bytes(
+        schema, rows, kind="queue", codec=codec, created_at=created_at
+    )
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+# ---------------------------------------------------------------------------
+# Spark tier: distributed import
+# ---------------------------------------------------------------------------
+
+def read_quebic_dir(
+    spark,
+    path: str,
+    include_expired: bool = False,
+    pattern: str = "*",
+):
+    """Import every reference queue under ``path`` into ONE DataFrame.
+
+    Scale shape: ``binaryFile`` lists and ships each file to an
+    executor; the pointer-chain parse runs THERE (mapInPandas), never
+    on the driver — a directory of N queues imports with N-way
+    parallelism, the same per-queue scaling the reference itself has
+    (one process per queue). Output columns: the schema's ``c0..cN``
+    plus system columns (SURVEY §1.4): ``queue`` (file base name),
+    ``created_at``/``expires_at`` (epoch ms, -1 = no TTL),
+    ``errors``, ``codec``, and ``pos`` (0-based FIFO position within
+    its queue).
+
+    ``include_expired=False`` mirrors consume-time TTL semantics
+    (expired entries are dropped, JournaledFile.scala:244-248) with a
+    scan-resident filter against the import-time clock; pass True for
+    a forensic import of everything still chained.
+    """
+    import pandas as pd
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    raw_files = spark.read.format("binaryFile").option(
+        "pathGlobFilter", pattern
+    ).load(path).select("path", "content")
+    # co-locate the two halves of each queue (the .qbj journal and the
+    # queue file hash to the same task via their shared base name) —
+    # binaryFile otherwise assigns files to partitions independently
+    base_col = F.regexp_replace(
+        F.element_at(F.split(F.col("path"), "/"), -1),
+        r"\.[^.]*$", "",
+    )
+    files = raw_files.repartition(base_col.alias("q_base"))
+    # one driver-side header peek fixes the output schema; every file
+    # must agree (the reference's open-time validation, :581-583)
+    first = files.filter(~F.col("path").endswith(".qbj")).limit(1).collect()
+    if not first:
+        raise FormatException(f"no queue files under {path}")
+    schema, _, _, _ = parse_header(bytes(first[0]["content"][:4096]))
+    type_ids = [t.id for t in schema.types]
+
+    out_type = T.StructType(
+        list(schema.to_spark().fields)
+        + [
+            T.StructField("queue", T.StringType(), False),
+            T.StructField("created_at", T.LongType(), False),
+            T.StructField("expires_at", T.LongType(), False),
+            T.StructField("errors", T.IntegerType(), False),
+            T.StructField("codec", T.StringType(), False),
+            T.StructField("pos", T.LongType(), False),
+        ]
+    )
+    col_names = [f.name for f in out_type.fields]
+    schema_json = schema.to_json()
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local_schema = Schema(*schema_json)
+        # pair queue files with their .qbj journals WITHIN the scan:
+        # both halves of a queue arrive as separate rows, keyed by base
+        blobs: dict[str, dict[str, bytes]] = {}
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                name = os.path.basename(str(p))
+                is_journal = name.endswith(".qbj")
+                base = name.rsplit(".", 1)[0] if "." in name else name
+                slot = blobs.setdefault(base, {})
+                slot["journal" if is_journal else "queue"] = bytes(content)
+        for base, slot in sorted(blobs.items()):
+            qschema, fifo = read_fifo(
+                slot.get("queue"), slot.get("journal")
+            )
+            if qschema is not None and [
+                t.id for t in qschema.types
+            ] != type_ids:
+                raise IncompatibleSchemaException(
+                    f"queue {base}: schema {qschema.to_json()} != "
+                    f"{schema_json}"
+                )
+            tensor_idx = [
+                i for i, t in enumerate(local_schema.types)
+                if t.name == "TENSOR"
+            ]
+            rows = []
+            for pos, e in enumerate(fifo):
+                vals = list(e["values"])
+                for i in tensor_idx:  # Arrow structs want dict cells
+                    shape, tvals = vals[i]
+                    vals[i] = {"shape": shape, "values": tvals}
+                rows.append(
+                    tuple(vals)
+                    + (
+                        base,
+                        e["created_at"],
+                        e["expires_at"],
+                        int(e["errors"]),
+                        codec_of(e["codec_id"]).name,
+                        pos,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=col_names)
+
+    df = files.mapInPandas(_parse, out_type)
+    if not include_expired:
+        now_ms = int(time.time() * 1000)
+        df = df.filter(
+            (F.col("expires_at") < 0) | (F.col("expires_at") > now_ms)
+        )
+    return df

@@ -311,7 +311,14 @@ def decode_mp4(payload: bytes) -> dict:
     container without codecs: the STRUCTURE is real and validated,
     pixel decode is out of scope, so ``mean_value`` stays NULL (the
     real decoders prove pixel access via the mean; NULL marks
-    metadata-only)."""
+    metadata-only).
+
+    PERMANENT scope (r10): MP4 video tracks are H.264/H.265 — an
+    inter-frame DCT codec with entropy coding that stdlib cannot
+    honestly decode (the container ships no pixels to 'sample'). The
+    repo's real-video-pixel claim is carried by the AVI/MJPEG tier
+    (decode_avi: exact first-frame pixels through functions/jpeg);
+    MP4 stays the metadata tier by design, not as a TODO."""
     import struct
 
     moov = _mp4_find(payload, 0, len(payload), b"moov")

@@ -1216,3 +1216,64 @@ def test_video_frame_sample_flags_midstream_corrupt_frame(spark):
     assert rows[0].decode_ok and rows[2].decode_ok
     assert not rows[1].decode_ok
     assert rows[1].width is None and rows[1].mean_luma is None
+
+
+def test_mean_value_consistent_across_real_decoders():
+    """VERDICT r9 next #7: the SAME pixel array pushed through every
+    real image decoder must report one consistent mean_value — exact
+    for the lossless formats (BMP/PNG/GIF agree to the bit with the
+    numpy truth), bounded drift for the lossy tier (JPEG 4:4:4 and
+    4:2:0), and the AVI/MJPEG container must agree with its own frame
+    codec exactly (same decoder, container adds nothing). Seeded
+    palette-constrained images (<=12 colors) keep GIF lossless and the
+    geometry set covers odd dims (4:2:0 chroma padding) and
+    square/rect MCU grids."""
+    import numpy as np
+
+    from quebic_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from quebic_spark.operators.multimodal import (
+        decode_avi,
+        decode_bmp,
+        decode_gif,
+        decode_png,
+        encode_avi_mjpeg,
+        encode_bmp,
+        encode_gif,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(1234)
+    for w, h in [(8, 6), (17, 11), (16, 16)]:
+        palette = rng.integers(0, 256, (12, 3))
+        arr = palette[rng.integers(0, 12, (h, w))].astype(np.uint8)
+        rows = [
+            [tuple(int(c) for c in arr[y, x]) for x in range(w)]
+            for y in range(h)
+        ]
+        true_mean = float(arr.mean())
+
+        lossless = {
+            "bmp": decode_bmp(encode_bmp(w, h, rows)),
+            "png": decode_png(encode_png(w, h, rows)),
+            "gif": decode_gif(encode_gif(w, h, rows)),
+        }
+        for name, d in lossless.items():
+            assert d["fmt"] == name, (name, d["fmt"])
+            assert d["mean_value"] == pytest.approx(
+                true_mean, abs=1e-9
+            ), (name, w, h, d["mean_value"], true_mean)
+
+        for sub in ("444", "420"):
+            dj = decode_jpeg(encode_jpeg(arr, subsample=sub))
+            assert dj["fmt"] == "jpeg"
+            assert abs(dj["mean_value"] - true_mean) < 5.0, (
+                sub, w, h, dj["mean_value"], true_mean,
+            )
+
+        frame = encode_jpeg(arr)
+        da = decode_avi(encode_avi_mjpeg([frame, frame], w, h))
+        dj = decode_jpeg(frame)
+        assert da["fmt"] == "avi"
+        assert da["mean_value"] == dj["mean_value"], (
+            "container must not change the frame codec's mean",
+        )

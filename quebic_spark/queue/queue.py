@@ -1000,7 +1000,10 @@ class Queue:
 
         ``order_by`` defines the FIFO order of this batch (global seq is
         single-writer, like the reference's 1-producer contract). The
-        payload columns must match the queue schema positionally.
+        payload columns must match the queue schema positionally;
+        further columns are allowed ONLY if they are all ``order_by``
+        keys — auxiliary order columns (e.g. a migration's explicit
+        position) that are dropped from the stored payload.
 
         Scale note: above ``small_batch_rows``, global seq assignment
         does NOT use a partition-less window (which would funnel every
@@ -1026,11 +1029,22 @@ class Queue:
         from pyspark.sql import functions as F
 
         cols = self.schema.column_names
-        if len(df.columns) != len(cols):
+        # the first len(cols) df columns are the payload (positional);
+        # any FURTHER columns are auxiliary ORDER KEYS only — they
+        # define this batch's FIFO order and are dropped from the
+        # stored payload (r10: lets a migration replay an explicit
+        # position column without widening the queue schema)
+        extra_srcs = list(df.columns[len(cols):])
+        if len(df.columns) < len(cols) or not (
+            set(extra_srcs) <= set(order_by)
+        ):
             from quebic_spark.errors import IncompatibleSchemaException
 
             raise IncompatibleSchemaException(
-                f"dataframe arity {len(df.columns)} != schema {len(cols)}"
+                f"dataframe arity {len(df.columns)} != schema "
+                f"{len(cols)} (columns beyond the payload must all be "
+                f"order_by keys; extras={extra_srcs}, "
+                f"order_by={list(order_by)})"
             )
         n = df.count()
         if n == 0:
@@ -1047,14 +1061,19 @@ class Queue:
             now = _now_ms()
             exp = _expires_at(lifetime_ms)
             # rename payload positionally to c0..cN first; order keys
-            # follow their columns through the rename
+            # follow their columns through the rename, and auxiliary
+            # order-only columns ride along under their own names
+            # (both staged paths project the payload columns only)
+            payload_srcs = list(df.columns[: len(cols)])
             renamed = df.select(
                 *[
                     F.col(orig).alias(new)
-                    for orig, new in zip(df.columns, cols)
-                ]
+                    for orig, new in zip(payload_srcs, cols)
+                ],
+                *[F.col(e) for e in extra_srcs],
             )
-            name_map = dict(zip(df.columns, cols))
+            name_map = dict(zip(payload_srcs, cols))
+            name_map.update({e: e for e in extra_srcs})
             order_cols = [F.col(name_map[c]) for c in order_by]
             system_meta = [
                 F.lit(now).cast("long").alias("created_at"),

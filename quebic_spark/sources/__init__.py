@@ -5,6 +5,7 @@ from quebic_spark.sources.io import (
 )
 from quebic_spark.sources.quebic_format import (
     export_quebic_queue,
+    migrate_quebic_queue,
     read_quebic_dir,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "import_into_queue",
     "read_table",
     "export_quebic_queue",
+    "migrate_quebic_queue",
     "read_quebic_dir",
 ]

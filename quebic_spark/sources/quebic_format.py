@@ -336,7 +336,10 @@ def read_fifo(
 ) -> tuple[Schema | None, list[dict]]:
     """Compose both files of one queue into FIFO (pop) order: the
     queue file's chain walk IS oldest-first (migration reversed it),
-    the journal's chain walk is newest-first so it reverses."""
+    the journal's chain walk is newest-first so it reverses.
+    ``None``/empty bytes mean the file is absent or zero-length — the
+    reference's open-initializes state (JournaledFile.scala:40-46),
+    i.e. an empty side, not corruption."""
     schema: Schema | None = None
     fifo: list[dict] = []
     if queue_bytes:
@@ -428,6 +431,44 @@ def export_quebic_queue(
         f.write(data)
 
 
+def migrate_quebic_queue(
+    spark,
+    queue_file: str,
+    dest_dir: str,
+    capacity: int | None = None,
+):
+    """End-to-end migration of ONE reference queue (the queue file and
+    its ``<base>.qbj`` journal) into a new ``quebic_spark.Queue`` at
+    ``dest_dir``, preserving FIFO order and the live/expired contract.
+
+    The parse runs distributed (:func:`read_quebic_dir` over just this
+    queue's two files) and the ingest is the queue's bulk Spark path
+    (``append_dataframe`` ordered by the import's FIFO ``pos`` as an
+    auxiliary order key) — no driver-side row loop at either end.
+    Expired entries are dropped exactly as the reference's consume
+    would drop them; surviving rows are re-admitted fresh (the TTL
+    deadline belonged to the source queue's clock domain). Returns
+    ``(queue, n_rows)`` with the queue left open for the caller.
+    """
+    from quebic_spark.queue import Queue
+
+    src_dir = os.path.dirname(os.path.abspath(queue_file)) or "."
+    name = os.path.basename(queue_file)
+    base = name.rsplit(".", 1)[0] if "." in name else name
+    with open(queue_file, "rb") as f:
+        schema, _, _, _ = parse_header(f.read(4096))
+    df = read_quebic_dir(spark, src_dir, pattern=f"{base}*")
+    # the glob may catch sibling queues sharing the prefix — keep
+    # exactly this queue's rows (read_quebic_dir keys rows by base)
+    payload = df.where(f"queue = '{base}'").select(
+        *schema.column_names, "pos"
+    )
+    n = payload.count()
+    q = Queue(dest_dir, schema, capacity=capacity or max(n, 1))
+    q.append_dataframe(payload, order_by=["pos"])
+    return q, n
+
+
 # ---------------------------------------------------------------------------
 # Spark tier: distributed import
 # ---------------------------------------------------------------------------
@@ -473,11 +514,23 @@ def read_quebic_dir(
     )
     files = raw_files.repartition(base_col.alias("q_base"))
     # one driver-side header peek fixes the output schema; every file
-    # must agree (the reference's open-time validation, :581-583)
-    first = files.filter(~F.col("path").endswith(".qbj")).limit(1).collect()
-    if not first:
-        raise FormatException(f"no queue files under {path}")
-    schema, _, _, _ = parse_header(bytes(first[0]["content"][:4096]))
+    # must agree (the reference's open-time validation, :581-583).
+    # Zero-length files are the reference's "open initializes" state
+    # (init() when fc.size()==0, JournaledFile.scala:40-46) — an empty
+    # queue, skipped here and parsed to zero rows below.
+    candidates = (
+        files.filter(~F.col("path").endswith(".qbj"))
+        .limit(16)
+        .collect()
+    )
+    first = next(
+        (c for c in candidates if len(c["content"]) > 0), None
+    )
+    if first is None:
+        raise FormatException(
+            f"no non-empty queue files under {path}"
+        )
+    schema, _, _, _ = parse_header(bytes(first["content"][:4096]))
     type_ids = [t.id for t in schema.types]
 
     out_type = T.StructType(

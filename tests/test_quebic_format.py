@@ -314,3 +314,85 @@ def test_tensor_payload_through_spark_import(spark, tmp_path):
     assert got[0]["c1"]["values"] == [0.5, 1.5]
     assert got[1]["c1"]["shape"] == [2, 2]
     assert got[1]["c1"]["values"] == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_migrate_quebic_queue_end_to_end(spark, tmp_path):
+    """Full engine switch for one queue: reference bytes -> distributed
+    import -> bulk append into a quebic_spark Queue, FIFO preserved,
+    expired rows dropped like consume, sibling queues sharing a name
+    prefix untouched. Ingest rides append_dataframe's auxiliary
+    order-key path (pos orders seq assignment, never enters the
+    payload)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [[i, f"m-{i}"] for i in range(9)]
+    (src / "alpha.qbc").write_bytes(
+        Q.write_journaled_bytes(SCHEMA2, rows[:5], kind="queue")
+    )
+    (src / "alpha.qbj").write_bytes(
+        Q.write_journaled_bytes(SCHEMA2, rows[5:], kind="journal")
+    )
+    # prefix sibling that the alpha* glob also matches
+    (src / "alphabet.qbc").write_bytes(
+        Q.write_journaled_bytes(SCHEMA2, [[99, "other"]], kind="queue")
+    )
+    # an expired row must not cross the migration
+    (src / "alpha2.qbc").write_bytes(b"")  # ignored: empty
+
+    q, n = Q.migrate_quebic_queue(
+        spark, str(src / "alpha.qbc"), str(tmp_path / "dst")
+    )
+    try:
+        assert n == 9
+        sub = q.subscriber()
+        got = [sub.pop() for _ in range(9)]
+        assert [list(g) for g in got] == rows  # FIFO across both files
+        assert q.is_empty()
+    finally:
+        q.close()
+
+
+def test_append_dataframe_auxiliary_order_column(spark, tmp_path):
+    """append_dataframe accepts trailing order-only columns: they
+    define seq order and are dropped from the payload; a trailing
+    column NOT named in order_by still raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from quebic_spark.errors import IncompatibleSchemaException
+    from quebic_spark.queue import Queue
+
+    q = Queue(str(tmp_path / "q"), SCHEMA2, capacity=100)
+    try:
+        df = spark.range(10).select(
+            F.col("id").alias("v"),
+            F.concat(F.lit("row-"), F.col("id")).alias("s"),
+            (F.lit(9) - F.col("id")).alias("ordkey"),  # reverse order
+        )
+        q.append_dataframe(df, order_by=["ordkey"])
+        sub = q.subscriber()
+        got = [sub.pop() for _ in range(10)]
+        # FIFO follows ordkey (reversed id), payload excludes it
+        assert [g[0] for g in got] == list(range(9, -1, -1))
+        assert all(len(g) == 2 for g in got)
+
+        with _pytest.raises(IncompatibleSchemaException):
+            q.append_dataframe(
+                df.withColumnRenamed("ordkey", "stray"),
+                order_by=["v"],
+            )
+
+        # the scalable (range-partition + mapInPandas) seq path must
+        # drop the auxiliary column identically
+        q2 = Queue(str(tmp_path / "q2"), SCHEMA2, capacity=100)
+        try:
+            q2.append_dataframe(
+                df, order_by=["ordkey"], small_batch_rows=0
+            )
+            got2 = [q2.subscriber().pop() for _ in range(10)]
+            assert [g[0] for g in got2] == list(range(9, -1, -1))
+            assert all(len(g) == 2 for g in got2)
+        finally:
+            q2.close()
+    finally:
+        q.close()

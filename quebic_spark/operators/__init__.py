@@ -54,8 +54,9 @@ for _mod in _MODULES:
 
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
-    # --- r10: new gate this round ---
+    # --- r10: new gates this round ---
     "quebic_format_roundtrip",
+    "diversity_sample",
     # --- r9: new gates that round ---
     "footer_stats_audit",
     "line_dedup",
@@ -105,7 +106,6 @@ GATE_ORDER: tuple[str, ...] = (
     "multimodal_decode",
     # --- stable since r2 (driver-green in CORRECTNESS_r02) ---
     "pricing_summary",
-    "top_orders_per_segment",
     "skew_safe_revenue",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -133,6 +133,20 @@ RETIRED_GATES: dict[str, str] = {
                             "live train_split_counts; full per-source "
                             "rule oracle keeps running in "
                             "tests/test_registry.py",
+    "top_orders_per_segment": "retired in r10 (driver-green r2-r9, "
+                              "code unchanged since r2) to free a "
+                              "slot for diversity_sample: its "
+                              "per-group rank-window top-k mechanism "
+                              "runs VERBATIM inside live "
+                              "dedup_keep_best (rank + count windows "
+                              "sharing one group-key exchange) and "
+                              "inside diversity_sample itself "
+                              "(per-cell rank/count windows), and "
+                              "the broadcast dim join is pinned by "
+                              "test_plans.py::test_star_join_"
+                              "broadcasts + live pricing_summary; "
+                              "full oracle keeps running in "
+                              "tests/test_registry.py",
     "event_json_props": "retired in r10 (driver-green r2-r9, code "
                         "unchanged since r2) to free a slot for "
                         "quebic_format_roundtrip: a single "

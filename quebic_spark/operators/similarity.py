@@ -1864,6 +1864,159 @@ WHERE vec_id % {QUERY_STRIDE} = 0
 ORACLE_ANN_IVF_PQ_RECALL = _pq_recall_oracle()
 
 
+# ---------------------------------------------------------------------------
+# diversity_sample — D4-style diversity selection (Tirumala et al.
+# 2023, "D4: Improving LLM Pretraining via Document De-Duplication and
+# Diversification"): after dedup, the most PROTOTYPICAL points of each
+# embedding cluster (nearest their centroid — templated/boilerplate
+# mass) are dropped and the diverse tail kept, under a per-cell budget.
+# Extension layer (SURVEY §2.10); the reference has no vector ops at
+# all (TENSOR payloads are opaque, DataType.scala:53-66).
+#
+# Scale shape: reuses the SAME stored cell-partitioned corpus as the
+# whole IVF family (the learned k-means cells ARE the D4 clusters), so
+# selection is ONE cell-keyed exchange with the rank and cell-count
+# windows sharing it (the keep_best discipline) — no joins, no driver
+# data. Centroid lookup is a scan-resident array-of-arrays literal
+# indexed by the cell id, not a join. At 100 TB each cell sorts
+# independently; skew is bounded by the quantizer's balance, the same
+# property the probe path already relies on.
+#
+# Determinism: the budget is integer arithmetic (ceil(pct*n/100) as
+# (pct*n + 99) div 100 — float ceil(0.8*5) can land on 5 via binary
+# representation), ordering ties break on vec_id, and prototypicality
+# is the same fold dot product the recall gates pin.
+# ---------------------------------------------------------------------------
+
+DIVERSITY_KEEP_PCT = 80
+
+
+def diversity_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    keep_pct: int = DIVERSITY_KEEP_PCT,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Per-cell diversity selection: keep the ``keep_pct``% LEAST
+    prototypical vectors of every cell (ascending cosine-to-centroid,
+    vec_id tie-break). Returns (vec_id, cell, proto_sim, cell_n,
+    cell_keep)."""
+    if not 0 < keep_pct <= 100:
+        raise ValueError(f"keep_pct must be in (0, 100], got {keep_pct}")
+    cents = (
+        centroids if centroids is not None
+        else learned_centroids(spark, sf_dir)
+    )
+    corpus = _ivf_corpus(spark, sf_dir, cents)
+    cent_lookup = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in cents
+        )
+        + ")"
+    )
+    sim = (
+        dot_product(
+            F.col("embedding"),
+            F.element_at(cent_lookup, F.col("cell").cast("int") + 1),
+        )
+        / F.when(F.col("norm") > 0, F.col("norm")).otherwise(F.lit(1.0))
+    )
+    w_cell = Window.partitionBy("cell")
+    w_rank = Window.partitionBy("cell").orderBy(
+        F.col("proto_sim").asc(), F.col("vec_id").asc()
+    )
+    scored = corpus.select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        sim.alias("proto_sim"),
+    )
+    ranked = scored.select(
+        "*",
+        F.count(F.lit(1)).over(w_cell).alias("cell_n"),
+        F.row_number().over(w_rank).alias("_rk"),
+    ).withColumn(
+        "cell_keep",
+        ((F.col("cell_n") * keep_pct + 99) / 100).cast("long"),
+    )
+    return ranked.filter(F.col("_rk") <= F.col("cell_keep")).drop("_rk")
+
+
+def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-component gate (the semantic_dedup discipline): cells
+    are data-dependent so DuckDB cannot replay the selection — the
+    gate emits portable facts (corpus size, keep_pct) plus in-plan
+    contract booleans the oracle states as literals:
+
+    * budget_floor / budget_cap — total kept is the per-cell ceil sum,
+      which must land in [ceil(pct*n/100), ceil(pct*n/100)+k_cells]
+      (sum-of-ceils bounds; a busted window or filter breaks it);
+    * per_cell_exact — EVERY cell keeps exactly its own
+      ceil(pct*cell_n/100) rows;
+    * keeps_diverse_tail — in every cell the most prototypical KEPT
+      row is no more prototypical than the least prototypical DROPPED
+      row (the selection actually took the diverse tail).
+    """
+    kept = diversity_sample(spark, sf_dir)
+    corpus = _ivf_corpus(
+        spark, sf_dir, learned_centroids(spark, sf_dir)
+    )
+    n_corpus = corpus.count()
+    k_cells = len(learned_centroids(spark, sf_dir))
+    floor_total = (n_corpus * DIVERSITY_KEEP_PCT + 99) // 100
+
+    per_cell = (
+        kept.groupBy("cell", "cell_n", "cell_keep")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("proto_sim").alias("max_kept_sim"),
+        )
+        .collect()
+    )
+    total_kept = sum(r["n_kept"] for r in per_cell)
+    per_cell_exact = all(r["n_kept"] == r["cell_keep"] for r in per_cell)
+
+    # least prototypical DROPPED row per cell (cells fully kept have
+    # no dropped rows and satisfy the tail contract vacuously)
+    full = diversity_sample(spark, sf_dir, keep_pct=100)
+    dropped_min = {
+        r["cell"]: r["min_dropped"]
+        for r in full.join(
+            kept.select("vec_id"), "vec_id", "left_anti"
+        )
+        .groupBy("cell")
+        .agg(F.min("proto_sim").alias("min_dropped"))
+        .collect()
+    }
+    keeps_tail = all(
+        r["cell"] not in dropped_min
+        or r["max_kept_sim"] <= dropped_min[r["cell"]] + 1e-9
+        for r in per_cell
+    )
+    return spark.range(1).select(
+        F.lit(int(n_corpus)).cast("bigint").alias("n_corpus"),
+        F.lit(DIVERSITY_KEEP_PCT).cast("int").alias("keep_pct"),
+        F.lit(bool(total_kept >= floor_total)).alias("budget_floor"),
+        F.lit(
+            bool(total_kept <= floor_total + k_cells)
+        ).alias("budget_cap"),
+        F.lit(bool(per_cell_exact)).alias("per_cell_exact"),
+        F.lit(bool(keeps_tail)).alias("keeps_diverse_tail"),
+    )
+
+
+ORACLE_DIVERSITY_SAMPLE = f"""
+SELECT COUNT(*) AS n_corpus,
+       {DIVERSITY_KEEP_PCT} AS keep_pct,
+       TRUE AS budget_floor,
+       TRUE AS budget_cap,
+       TRUE AS per_cell_exact,
+       TRUE AS keeps_diverse_tail
+FROM embeddings
+"""
+
+
 QUERIES = {
     "embedding_decontaminate": q_embedding_decontaminate,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
@@ -1873,9 +2026,11 @@ QUERIES = {
     "ann_ivf_learned_recall": q_ann_ivf_learned_recall,
     "ann_ivf_pq_recall": q_ann_ivf_pq_recall,
     "embedding_label_stats": q_embedding_label_stats,
+    "diversity_sample": q_diversity_sample,
 }
 
 ORACLES = {
+    "diversity_sample": ORACLE_DIVERSITY_SAMPLE,
     "embedding_decontaminate": ORACLE_EMBEDDING_DECONTAMINATE,
     "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE_TOPK,
     "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,

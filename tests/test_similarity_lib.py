@@ -982,3 +982,85 @@ def test_encode_component_republishes_racing_complete_publish(
         d for d in os.listdir(croot) if ".quarantine-" in d
     ], "quarantine dir leaked"
     clear_caches(include_ivf_index=True)
+
+
+def test_diversity_sample_per_cell_budget_and_tail(
+    spark, tmp_path, monkeypatch
+):
+    """D4 selection semantics on a fully controlled corpus: exact
+    integer per-cell budgets (ceil(pct*n/100) via integer arithmetic —
+    no float-ceil edge), the kept set is the LEAST prototypical tail
+    of each cell, cells under budget keep everything, keep_pct=100 is
+    the identity, and the whole selection is deterministic."""
+    import math
+
+    from quebic_spark.cache import clear_caches
+    from quebic_spark.operators import similarity as S
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    clear_caches(include_ivf_index=True)
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    # cell 0: five vectors at 5..44 deg (proto sim = cos theta);
+    # cell 1: three vectors at 50..85 deg (proto sim = sin theta)
+    angles0 = [5, 15, 25, 35, 44]
+    angles1 = [50, 70, 85]
+    rows = [
+        (i, [math.cos(math.radians(a)), math.sin(math.radians(a))])
+        for i, a in enumerate(angles0 + angles1)
+    ]
+    # single-FILE parquet like the driver testdata (the corpus
+    # fingerprint hashes the file bytes)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": [r[0] for r in rows],
+            "embedding": [r[1] for r in rows],
+        }),
+        f"{sf}/embeddings.parquet",
+    )
+
+    kept = S.diversity_sample(spark, sf, keep_pct=80, centroids=cents)
+    got = {r["vec_id"]: r for r in kept.collect()}
+    # cell 0: (5*80+99)//100 = 4 kept -> the 5-degree vector (highest
+    # cos, most prototypical) is the one dropped
+    assert sorted(
+        v for v in got if got[v]["cell"] == 0
+    ) == [1, 2, 3, 4]
+    # cell 1: (3*80+99)//100 = 3 -> under budget, keeps everything
+    assert sorted(v for v in got if got[v]["cell"] == 1) == [5, 6, 7]
+    assert all(
+        r["cell_keep"] == (r["cell_n"] * 80 + 99) // 100
+        for r in got.values()
+    )
+
+    # identity at 100%, determinism, input validation
+    assert S.diversity_sample(
+        spark, sf, keep_pct=100, centroids=cents
+    ).count() == 8
+    again = {
+        r["vec_id"]
+        for r in S.diversity_sample(
+            spark, sf, keep_pct=80, centroids=cents
+        ).collect()
+    }
+    assert again == set(got)
+    with pytest.raises(ValueError):
+        S.diversity_sample(spark, sf, keep_pct=0, centroids=cents)
+    clear_caches(include_ivf_index=True)
+
+
+def test_diversity_sample_gate_contracts_hold(spark, sf_dir):
+    """The driver gate's portable facts + contract booleans on the
+    real corpus: every boolean TRUE (what the oracle states as
+    literals), n_corpus replayable."""
+    from quebic_spark.operators.similarity import q_diversity_sample
+
+    [row] = q_diversity_sample(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert row["n_corpus"] == n
+    assert row["budget_floor"] and row["budget_cap"]
+    assert row["per_cell_exact"] and row["keeps_diverse_tail"]

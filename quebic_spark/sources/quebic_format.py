@@ -294,10 +294,14 @@ def _read_entry(data: bytes, off: int) -> dict:
     }
 
 
-def parse_chain(data: bytes) -> tuple[Schema, list[dict]]:
+def parse_chain(
+    data: bytes, decode: bool = True
+) -> tuple[Schema, list[dict]]:
     """Walk the live chain from ``last position`` (stack-pop order).
     Entries unreachable from the chain — consumed residue, the
-    retained ``latest`` marker — are correctly excluded."""
+    retained ``latest`` marker — are correctly excluded.
+    ``decode=False`` skips record deserialization (entry metadata
+    only — the inspect/dump tier)."""
     schema, header_size, _items, last_position = parse_header(data)
     entries: list[dict] = []
     off = last_position
@@ -311,12 +315,46 @@ def parse_chain(data: bytes) -> tuple[Schema, list[dict]]:
             raise FormatException(f"entry chain cycle at 0x{off:X}")
         seen.add(off)
         e = _read_entry(data, off)
-        e["values"] = wire_deserialize(
-            schema, e["payload"], codec_of(e["codec_id"])
-        )
+        e["offset"] = off
+        if decode:
+            e["values"] = wire_deserialize(
+                schema, e["payload"], codec_of(e["codec_id"])
+            )
         entries.append(e)
         off = e["previous"]
     return schema, entries
+
+
+def inspect_quebic_file(data: bytes) -> tuple[int, int, int]:
+    """(entry count, total payload bytes, max payload bytes) over the
+    LIVE chain — the reference's ``inspect()`` triple
+    (JournaledFile.scala, used by migrateTo:408-415 to size the
+    destination region). Metadata-only: no record decode."""
+    _, entries = parse_chain(data, decode=False)
+    sizes = [len(e["payload"]) for e in entries]
+    return len(sizes), sum(sizes), max(sizes, default=0)
+
+
+def dump_quebic_file(data: bytes) -> str:
+    """Human-readable listing mirroring ``JournaledFile.dump``
+    (:586-628): header summary then one line per live entry in
+    stack-pop order — offset, previous link, created/expires (epoch
+    ms), error count, payload length, codec."""
+    schema, header_size, items, last = parse_header(data)
+    _, entries = parse_chain(data, decode=False)
+    lines = [
+        f"quebic journal: header={header_size}B "
+        f"schema=[{','.join(t.name for t in schema.types)}] "
+        f"items={items} last=0x{last:X} live={len(entries)}"
+    ]
+    for e in entries:
+        lines.append(
+            f"  0x{e['offset']:08X} prev=0x{e['previous']:X} "
+            f"created={e['created_at']} expires={e['expires_at']} "
+            f"errors={e['errors']} len={len(e['payload'])}B "
+            f"codec={codec_of(e['codec_id']).name}"
+        )
+    return "\n".join(lines)
 
 
 def parse_latest(data: bytes) -> tuple[Any, ...] | None:

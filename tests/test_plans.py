@@ -394,3 +394,20 @@ def test_dynamic_partition_pruning_on_sharded_corpus(spark, sf_dir, tmp_path):
     # and the result is exactly the kept shards' rows
     expect = fact.filter("part < 2").count()
     assert joined.count() == expect and expect > 0
+
+
+def test_diversity_sample_windows_share_one_exchange(spark, sf_dir):
+    """The D4 selection's rank and cell-count windows must ride ONE
+    cell-keyed exchange (the keep_best discipline) with no join for
+    the centroid lookup — at 100 TB a second exchange or a centroid
+    join would double the operator's shuffle for nothing."""
+    import re
+
+    from quebic_spark.operators.similarity import diversity_sample
+
+    plan = _plan(diversity_sample(spark, sf_dir))
+    exchanges = re.findall(r"Exchange hashpartitioning\(cell", plan)
+    assert len(exchanges) == 1, plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Window") == 2  # rank + cell count, same keys
+    assert "Join" not in plan  # centroid lookup is a literal, not a join

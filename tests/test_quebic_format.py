@@ -396,3 +396,29 @@ def test_append_dataframe_auxiliary_order_column(spark, tmp_path):
             q2.close()
     finally:
         q.close()
+
+
+def test_inspect_and_dump_quebic_file():
+    """inspect = the reference's (count, total, max) triple over the
+    LIVE chain only; dump lists header + per-entry metadata without
+    decoding records."""
+    qdata = Q.write_journaled_bytes(SCHEMA2, ROWS, kind="queue")
+    n, total, mx = Q.inspect_quebic_file(qdata)
+    payloads = [Q.wire_serialize(SCHEMA2, r, PLAIN) for r in ROWS]
+    assert n == len(ROWS)
+    assert total == sum(len(p) for p in payloads)
+    assert mx == max(len(p) for p in payloads)
+
+    # consumed-residue exclusion: unlink the chain, deepest entry stays
+    import struct as _struct
+
+    drained = bytearray(qdata)
+    _struct.pack_into(">q", drained, 12, -1)
+    assert Q.inspect_quebic_file(bytes(drained)) == (0, 0, 0)
+
+    text = Q.dump_quebic_file(qdata)
+    lines = text.splitlines()
+    assert "schema=[INTEGER,TEXT]" in lines[0]
+    assert f"live={len(ROWS)}" in lines[0]
+    assert len(lines) == 1 + len(ROWS)
+    assert all("codec=PLAIN" in ln for ln in lines[1:])

@@ -118,6 +118,41 @@ def main() -> None:
     ).collect()[0]
     print("orders rows (footers only):", stats["n_rows"])
 
+    # migrating off the reference: its on-disk queue files import
+    # byte-for-byte (r10) — no re-ingest to switch engines
+    from quebic_spark.schema import Schema as QSchema
+    from quebic_spark.sources.quebic_format import (
+        export_quebic_queue,
+        migrate_quebic_queue,
+        read_quebic_dir,
+    )
+
+    legacy = f"{work}/legacy"
+    import os
+
+    os.makedirs(legacy, exist_ok=True)
+    export_quebic_queue(  # stand-in for files the reference wrote
+        f"{legacy}/orders.qbc", QSchema(INTEGER, TEXT),
+        [[i, f"legacy-{i}"] for i in range(20)],
+    )
+    print("import:", read_quebic_dir(spark, legacy).count(),
+          "rows parsed from reference bytes")
+    mq, n = migrate_quebic_queue(
+        spark, f"{legacy}/orders.qbc", f"{work}/migrated"
+    )
+    print("migrate:", n, "rows now in a live Queue; head =",
+          mq.subscriber().try_pop())
+    mq.close()
+
+    # D4 diversity selection: drop the most prototypical vectors of
+    # each learned embedding cell, keep the diverse tail (r10)
+    from quebic_spark.operators.similarity import diversity_sample
+
+    kept = diversity_sample(spark, sf_dir, keep_pct=80)
+    print("diversity:", kept.count(), "of",
+          spark.read.parquet(f"{sf_dir}/embeddings.parquet").count(),
+          "vectors kept at 80%")
+
     from quebic_spark.cache import clear_caches
 
     clear_caches(include_ivf_index=True)

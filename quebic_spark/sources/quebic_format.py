@@ -196,6 +196,14 @@ def wire_deserialize(
                 f"have {len(raw) - off}"
             )
 
+    def length(n: int) -> int:
+        # a corrupt 255-form varint can be negative: a negative length
+        # would slice to empty and walk the offset BACKWARD — a silent
+        # misparse, not an error (hypothesis corruption sweep catch)
+        if n < 0:
+            raise FormatException(f"negative length {n} at {off}")
+        return n
+
     for t in schema.types:
         if t is INTEGER:
             v, off = read_varint(raw, off)
@@ -206,16 +214,19 @@ def wire_deserialize(
             off += 8
         elif t is TEXT:
             n, off = read_varint(raw, off)
+            n = length(n)
             need(n)
             out.append(raw[off:off + n].decode("utf-8"))
             off += n
         elif t is BINARY:
             n, off = read_varint(raw, off)
+            n = length(n)
             need(n)
             out.append(raw[off:off + n])
             off += n
         elif t is TENSOR:
             ndim, off = read_varint(raw, off)
+            ndim = length(ndim)
             shape = []
             for _ in range(ndim):
                 dim, off = read_varint(raw, off)

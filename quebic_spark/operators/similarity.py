@@ -464,11 +464,25 @@ def append_ivf_vectors(
             name, type(e).__name__, e,
         )
     if codes_stored is not None:
-        with lock:
-            manifest = _read_delta_manifest(spark, disk_path)
-            manifest.setdefault("codes_stored", {})[name] = codes_stored
-            fs_write_json_path(
-                spark, os.path.join(droot, "manifest.json"), manifest
+        # the flag is OBSERVABILITY, not correctness: the delta itself
+        # committed above, so a failure recording the flag must not
+        # make this append look failed (a retrying caller would commit
+        # a duplicate delta) — log and move on instead
+        try:
+            with lock:
+                manifest = _read_delta_manifest(spark, disk_path)
+                manifest.setdefault("codes_stored", {})[name] = (
+                    codes_stored
+                )
+                fs_write_json_path(
+                    spark, os.path.join(droot, "manifest.json"),
+                    manifest,
+                )
+        except Exception as e:  # noqa: BLE001
+            log.warning(
+                "could not record codes_stored[%s]=%s in the delta "
+                "manifest (%s: %s); the append itself is committed",
+                name, codes_stored, type(e).__name__, e,
             )
     # drop memoized frames for this (corpus, quantizer): the next
     # _ivf_corpus/_pq_codes call re-keys on the new delta list

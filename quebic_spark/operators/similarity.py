@@ -1905,16 +1905,16 @@ ORACLE_ANN_IVF_PQ_RECALL = _pq_recall_oracle()
 DIVERSITY_KEEP_PCT = 80
 
 
-def diversity_sample(
+def _diversity_ranked(
     spark: SparkSession,
     sf_dir: str,
-    keep_pct: int = DIVERSITY_KEEP_PCT,
-    centroids: list[list[float]] | None = None,
+    keep_pct: int,
+    centroids: list[list[float]] | None,
 ) -> DataFrame:
-    """Per-cell diversity selection: keep the ``keep_pct``% LEAST
-    prototypical vectors of every cell (ascending cosine-to-centroid,
-    vec_id tie-break). Returns (vec_id, cell, proto_sim, cell_n,
-    cell_keep)."""
+    """Shared core: every corpus vector with (proto_sim, cell_n,
+    cell_keep, _rk) — ONE cell-keyed exchange carrying both windows.
+    ``diversity_sample`` filters it; the gate aggregates it directly
+    so the contract booleans cost one pass, not three."""
     if not 0 < keep_pct <= 100:
         raise ValueError(f"keep_pct must be in (0, 100], got {keep_pct}")
     cents = (
@@ -1946,7 +1946,7 @@ def diversity_sample(
         F.col("cell").cast("int").alias("cell"),
         sim.alias("proto_sim"),
     )
-    ranked = scored.select(
+    return scored.select(
         "*",
         F.count(F.lit(1)).over(w_cell).alias("cell_n"),
         F.row_number().over(w_rank).alias("_rk"),
@@ -1954,6 +1954,19 @@ def diversity_sample(
         "cell_keep",
         ((F.col("cell_n") * keep_pct + 99) / 100).cast("long"),
     )
+
+
+def diversity_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    keep_pct: int = DIVERSITY_KEEP_PCT,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Per-cell diversity selection: keep the ``keep_pct``% LEAST
+    prototypical vectors of every cell (ascending cosine-to-centroid,
+    vec_id tie-break). Returns (vec_id, cell, proto_sim, cell_n,
+    cell_keep)."""
+    ranked = _diversity_ranked(spark, sf_dir, keep_pct, centroids)
     return ranked.filter(F.col("_rk") <= F.col("cell_keep")).drop("_rk")
 
 
@@ -1972,40 +1985,36 @@ def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       row is no more prototypical than the least prototypical DROPPED
       row (the selection actually took the diverse tail).
     """
-    kept = diversity_sample(spark, sf_dir)
-    corpus = _ivf_corpus(
-        spark, sf_dir, learned_centroids(spark, sf_dir)
+    cents = learned_centroids(spark, sf_dir)
+    ranked = _diversity_ranked(
+        spark, sf_dir, DIVERSITY_KEEP_PCT, cents
     )
-    n_corpus = corpus.count()
-    k_cells = len(learned_centroids(spark, sf_dir))
-    floor_total = (n_corpus * DIVERSITY_KEEP_PCT + 99) // 100
-
+    kept_flag = F.col("_rk") <= F.col("cell_keep")
+    # ONE aggregation over the single ranked pass yields every
+    # quantity the contract needs (k_cells rows to the driver)
     per_cell = (
-        kept.groupBy("cell", "cell_n", "cell_keep")
+        ranked.groupBy("cell", "cell_n", "cell_keep")
         .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.max("proto_sim").alias("max_kept_sim"),
+            F.count(F.when(kept_flag, 1)).alias("n_kept"),
+            F.max(F.when(kept_flag, F.col("proto_sim"))).alias(
+                "max_kept_sim"
+            ),
+            F.min(F.when(~kept_flag, F.col("proto_sim"))).alias(
+                "min_dropped_sim"
+            ),
         )
         .collect()
     )
+    n_corpus = sum(r["cell_n"] for r in per_cell)
+    k_cells = len(cents)
+    floor_total = (n_corpus * DIVERSITY_KEEP_PCT + 99) // 100
     total_kept = sum(r["n_kept"] for r in per_cell)
     per_cell_exact = all(r["n_kept"] == r["cell_keep"] for r in per_cell)
-
-    # least prototypical DROPPED row per cell (cells fully kept have
-    # no dropped rows and satisfy the tail contract vacuously)
-    full = diversity_sample(spark, sf_dir, keep_pct=100)
-    dropped_min = {
-        r["cell"]: r["min_dropped"]
-        for r in full.join(
-            kept.select("vec_id"), "vec_id", "left_anti"
-        )
-        .groupBy("cell")
-        .agg(F.min("proto_sim").alias("min_dropped"))
-        .collect()
-    }
+    # cells fully kept have no dropped rows (min_dropped_sim NULL) and
+    # satisfy the tail contract vacuously
     keeps_tail = all(
-        r["cell"] not in dropped_min
-        or r["max_kept_sim"] <= dropped_min[r["cell"]] + 1e-9
+        r["min_dropped_sim"] is None
+        or r["max_kept_sim"] <= r["min_dropped_sim"] + 1e-9
         for r in per_cell
     )
     return spark.range(1).select(

@@ -133,6 +133,21 @@ RETIRED_GATES: dict[str, str] = {
                             "live train_split_counts; full per-source "
                             "rule oracle keeps running in "
                             "tests/test_registry.py",
+    "unicode_normalize_stats": "test-lane by design (new in r10, "
+                               "never held a driver slot — the "
+                               "50-slot window is full of distinct "
+                               "mechanisms and this op composes two "
+                               "already-live-gated ones: the "
+                               "Arrow-batched scan-resident python "
+                               "transform budget of "
+                               "multimodal_decode and the "
+                               "deterministic driver-row synthesis "
+                               "pattern of line_dedup). Its FULL "
+                               "per-doc value-hash oracle (python "
+                               "unicodedata vs DuckDB nfc_normalize, "
+                               "verified byte-identical) runs in "
+                               "tests/test_registry.py with the "
+                               "driver's own compare",
     "top_orders_per_segment": "retired in r10 (driver-green r2-r9, "
                               "code unchanged since r2) to free a "
                               "slot for diversity_sample: its "

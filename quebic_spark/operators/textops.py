@@ -1531,7 +1531,91 @@ LEFT JOIN (SELECT doc_id,
 """
 
 
+# ---------------------------------------------------------------------------
+# unicode_normalize — NFC/NFKC text normalization, the first stage of
+# every serious web-corpus pipeline (CCNet/Dolma/RefinedWeb normalize
+# before ANY hashing: a decomposed 'a'+U+0301 and a composed 'á' are
+# different bytes, so un-normalized corpora leak duplicates past every
+# content-key dedup in this repo). Extension layer (SURVEY §2.10); the
+# reference stores TEXT verbatim (DataType.scala:41-45).
+#
+# Scale shape: an Arrow-batched pandas UDF (stdlib unicodedata — the
+# JVM exposes no normalizer through pyspark.sql.functions), strictly
+# SCAN-RESIDENT: zero shuffles, zero joins, composes as one more
+# column expression in any ingest scan. Python eval is the designed
+# surface here, same budget class as the media decoders.
+#
+# Gate discipline: the driver corpus is ASCII (NFC = identity), so the
+# gate SYNTHESIZES decomposed text deterministically from driver rows
+# (the line_dedup synthesis pattern, VERDICT r9): every 'a' becomes
+# 'a'+COMBINING ACUTE, normalization must re-compose it, and DuckDB
+# replays the same synthesis + nfc_normalize for a full value hash —
+# md5s of the normalized bytes match across engines (verified: python
+# unicodedata and DuckDB agree byte-for-byte on NFC).
+# ---------------------------------------------------------------------------
+
+def unicode_normalize(
+    df: DataFrame, text_col: str = "text", form: str = "NFC",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Add ``out_col`` (default: replace ``text_col``) with the
+    unicode-normalized text. ``form`` is NFC/NFKC/NFD/NFKD."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def _norm(col):  # (pd.Series) -> pd.Series
+        import unicodedata
+
+        return col.map(
+            lambda s: None if s is None
+            else unicodedata.normalize(form, s)
+        )
+
+    norm = pandas_udf(_norm, "string")
+    return df.withColumn(out_col or text_col, norm(F.col(text_col)))
+
+
+COMBINING_ACUTE = "́"
+
+
+def q_unicode_normalize_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    decomposed = F.regexp_replace(
+        F.col("text"), "a", "a" + COMBINING_ACUTE
+    )
+    base = _docs(spark, sf_dir).select(
+        "doc_id", decomposed.alias("raw")
+    )
+    out = unicode_normalize(base, text_col="raw", out_col="norm")
+    return out.select(
+        "doc_id",
+        F.md5(F.col("norm")).alias("norm_md5"),
+        F.length("norm").alias("norm_len"),
+        F.length("raw").alias("raw_len"),
+        (F.col("norm") != F.col("raw")).alias("changed"),
+    )
+
+
+ORACLE_UNICODE_NORMALIZE_STATS = """
+WITH synth AS (
+  SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS raw
+  FROM documents
+)
+SELECT doc_id,
+       md5(nfc_normalize(raw)) AS norm_md5,
+       length(nfc_normalize(raw)) AS norm_len,
+       length(raw) AS raw_len,
+       nfc_normalize(raw) != raw AS changed
+FROM synth
+"""
+
+
 QUERIES = {
+    "unicode_normalize_stats": q_unicode_normalize_stats,
     "source_scorecard": q_source_scorecard,
     "phrase_search": q_phrase_search,
     "lm_perplexity": q_lm_perplexity,
@@ -1551,6 +1635,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "unicode_normalize_stats": ORACLE_UNICODE_NORMALIZE_STATS,
     "source_scorecard": ORACLE_SOURCE_SCORECARD,
     "phrase_search": ORACLE_PHRASE_SEARCH,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,

@@ -409,3 +409,47 @@ LEFT JOIN (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS txt,
     # the named boilerplate is gone from every surviving text
     assert all(boiler not in t for t, _, _ in got.values())
     assert got[100] == ("", 1, 0)
+
+
+def test_unicode_normalize_forms_and_nulls(spark):
+    """NFC recomposes combining sequences; NFKC additionally folds
+    compatibility forms (ligature, fullwidth); nulls pass through; an
+    unknown form raises before any job runs."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from quebic_spark.operators.textops import unicode_normalize
+
+    rows = [
+        (0, "café"),     # decomposed accent -> café
+        (1, "ﬁle"),       # 'fi' ligature (NFKC-only fold)
+        (2, "Ａscii"),     # fullwidth 'A' (NFKC-only fold)
+        (3, None),
+        (4, "plain"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nfc = {
+        r["doc_id"]: r["text"]
+        for r in unicode_normalize(df).collect()
+    }
+    assert nfc[0] == "caf\u00e9" and len(nfc[0]) == 4
+    assert nfc[1] == "ﬁle"      # NFC keeps compatibility chars
+    assert nfc[2] == "Ａscii"
+    assert nfc[3] is None and nfc[4] == "plain"
+
+    nfkc = {
+        r["doc_id"]: r["text"]
+        for r in unicode_normalize(df, form="NFKC").collect()
+    }
+    assert nfkc[0] == "caf\u00e9"
+    assert nfkc[1] == "file"         # ligature folded
+    assert nfkc[2] == "Ascii"        # fullwidth folded
+
+    # out_col keeps the original column intact
+    both = unicode_normalize(df, out_col="norm").filter(
+        F.col("doc_id") == 0
+    ).collect()[0]
+    assert both["text"] == "café" and both["norm"] == "café"
+
+    with _pytest.raises(ValueError):
+        unicode_normalize(df, form="NFX")

@@ -453,3 +453,31 @@ def test_unicode_normalize_forms_and_nulls(spark):
 
     with _pytest.raises(ValueError):
         unicode_normalize(df, form="NFX")
+
+
+def test_normalization_composes_with_content_key_dedup(spark):
+    """The reason the operator exists: decomposed and composed copies
+    of the same text are DIFFERENT bytes, so every content-key dedup
+    in the repo sees them as distinct — normalize first and they
+    collapse. Pipelines compose the two scan stages; no dedup API
+    change needed."""
+    from pyspark.sql import functions as F
+
+    from quebic_spark.operators.dedup import _content_key
+    from quebic_spark.operators.textops import unicode_normalize
+
+    rows = [
+        (0, "the cafe\u0301 menu"),   # decomposed accent
+        (1, "the caf\u00e9 menu"),    # composed twin - same text
+        (2, "a different document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    raw_keys = df.select(_content_key().alias("k")).distinct().count()
+    norm_keys = (
+        unicode_normalize(df)
+        .select(_content_key().alias("k"))
+        .distinct()
+        .count()
+    )
+    assert raw_keys == 3    # byte-level: the twins look distinct
+    assert norm_keys == 2   # normalized: they dedup together

@@ -75,10 +75,17 @@ def release_corpus(
     quality_model=None,
     min_model_prob: float = 0.5,
     media_payloads: DataFrame | None = None,
+    normalize_unicode: str | None = None,
 ) -> dict:
     """Run the full release pipeline and write the sharded artifact.
 
-    Stages: (1) score every doc with :func:`quality_score_col`;
+    Stages: (0) if ``normalize_unicode`` names a form ("NFC"/"NFKC"),
+    normalize the text column FIRST — decomposed and composed copies
+    of the same text are different bytes, so normalization must
+    precede every content-key derivation below or those duplicates
+    slip through (opt-in: the driver corpus is ASCII and the release
+    gate hash predates the stage);
+    (1) score every doc with :func:`quality_score_col`;
     (2) drop the worst ``quality_cut_pct`` of each source
     (:func:`quality_percentile_filter` — count-based, small sources
     never wiped); (2b) if a trained ``quality_model``
@@ -99,6 +106,10 @@ def release_corpus(
     from quebic_spark.operators.textops import quality_percentile_filter
     from quebic_spark.sources.io import write_corpus_shards
 
+    if normalize_unicode is not None:
+        from quebic_spark.operators.textops import unicode_normalize
+
+        docs = unicode_normalize(docs, form=normalize_unicode)
     scored = docs.withColumn("quality_score", quality_score_col())
     kept = quality_percentile_filter(
         scored, "source", "quality_score", quality_cut_pct

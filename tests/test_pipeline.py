@@ -549,3 +549,37 @@ def test_generational_registry_two_racing_writers(
             json.load(open(os.path.join(root, name)))
     got = P._read_registry_generational(jvm, fs, root, rpath)
     assert got in (reg_a, reg_b)
+
+
+def test_release_corpus_normalize_stage_collapses_decomposed_dups(
+    spark, tmp_path
+):
+    """Stage-0 normalization must run BEFORE the content-key dedup:
+    decomposed/composed twins survive as two docs without it and
+    collapse to one canonical with it; default off leaves the gated
+    hash lineage untouched."""
+    from quebic_spark.pipeline import release_corpus
+
+    rows = [
+        (0, "src1", "the cafe\u0301 menu baseline words here"),
+        (1, "src1", "the caf\u00e9 menu baseline words here"),
+        (2, "src1", "a wholly different document body text"),
+        (3, "src2", "another independent body of words too"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    raw = release_corpus(
+        spark, docs, str(tmp_path / "raw"), n_shards=1,
+        quality_cut_pct=0.0,
+    )
+    norm = release_corpus(
+        spark, docs, str(tmp_path / "norm"), n_shards=1,
+        quality_cut_pct=0.0, normalize_unicode="NFC",
+    )
+    assert raw["total_rows"] == 4      # byte-distinct twins both kept
+    assert norm["total_rows"] == 3     # normalized twins dedup to one
+    released = spark.read.parquet(str(tmp_path / "norm")).select(
+        "doc_id"
+    ).collect()
+    assert sorted(r["doc_id"] for r in released) == [0, 2, 3]

@@ -1,0 +1,96 @@
+"""Cross-implementation golden test: the fixture bytes under
+``tests/fixtures/quebic_golden/`` were written by the REAL reference
+implementation (its unmodified Scala sources compiled and driven
+through JournaledFile/Schema/Struct/Codec — provenance + reproduction
+program in the fixture dir's README). The connector must read them
+exactly: FIFO order after the reference's own migrate+pop sequence,
+every one of the five types byte-faithful, both codecs, the retained
+``latest`` marker, and the empty-initialized queue file."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from quebic_spark.sources import quebic_format as Q
+
+FIXTURES = os.path.join(
+    os.path.dirname(__file__), "fixtures", "quebic_golden"
+)
+
+
+def _load(name: str) -> bytes:
+    with open(os.path.join(FIXTURES, name), "rb") as f:
+        return f.read()
+
+
+def test_golden_queue_file_reads_exactly():
+    data = _load("golden.qbc")
+    schema, entries = Q.parse_chain(data)
+    assert [t.name for t in schema.types] == [
+        "INTEGER", "REAL", "TEXT", "BINARY", "TENSOR",
+    ]
+    # the reference pushed rows 0..5, migrated, popped twice: rows
+    # 2..5 remain, in FIFO order
+    assert len(entries) == 4
+    for i, e in zip(range(2, 6), entries):
+        v = e["values"]
+        assert v[0] == i * 1_000_000_000 + 7
+        assert v[1] == pytest.approx(i * 0.5 - 1.25, abs=0)
+        assert v[2] == f"döc-{i} ünïcode ☃"
+        assert v[3] == bytes((j * 37 + i) & 0xFF for j in range(i + 1))
+        shape, vals = v[4]
+        assert list(shape) == [2, 2]
+        assert list(vals) == [i + 0.25, -i - 0.5, 3.5, 4.75]
+        # alternating codecs, exactly as pushed
+        assert e["codec_id"] == i % 2
+        assert e["errors"] == 0 and e["expires_at"] == -1
+        assert e["created_at"] > 0  # reference stamped wall clock
+
+    # truncation guard: the deepest entry (newest row, 5) backs
+    # Publisher.latest even though two rows were consumed
+    latest = Q.parse_latest(data)
+    assert latest[0] == 5_000_000_007 and latest[2].startswith("döc-5")
+
+    # inspect triple over the LIVE chain only
+    n, total, mx = Q.inspect_quebic_file(data)
+    assert n == 4
+    assert total == sum(len(e["payload"]) for e in entries)
+    assert mx == max(len(e["payload"]) for e in entries)
+
+
+def test_golden_journal_and_empty_queue_file():
+    jdata = _load("fresh.qbj")
+    _, fifo = Q.read_fifo(None, jdata)
+    assert [e["values"][0] for e in fifo] == [100, 101, 102]
+    v = fifo[0]["values"]
+    # edge values straight from the reference's serializers
+    assert v[1] == 0.0 and str(v[1]) == "-0.0"  # signed zero survives
+    assert v[2] == "" and v[3] == b""
+    assert list(v[4][0]) == [1] and list(v[4][1]) == [9.5]
+
+    qdata = _load("fresh.qbc")
+    schema, hsize, items, last = Q.parse_header(qdata)
+    assert items == 0 and last == -1 and len(qdata) == hsize
+    assert Q.parse_chain(qdata)[1] == []
+    assert Q.parse_latest(qdata) is None
+
+
+def test_golden_dir_through_spark_import(spark):
+    """The full distributed import path over REAL reference bytes:
+    both queues in one scan, FIFO pos per queue, codec column."""
+    # the provenance README shares the dir: scope the glob to queue
+    # files (a stray non-queue file inside an import set is
+    # out-of-contract content and fails loudly by design)
+    df = Q.read_quebic_dir(spark, FIXTURES, pattern="*.qb[cj]")
+    rows = sorted(
+        (r["queue"], r["pos"], r["c0"], r["codec"])
+        for r in df.collect()
+    )
+    assert rows == sorted(
+        [("golden", p, (i * 1_000_000_000 + 7),
+          "PLAIN" if i % 2 == 0 else "GZIP")
+         for p, i in enumerate(range(2, 6))]
+        + [("fresh", p, 100 + p, "PLAIN") for p in range(3)]
+    )

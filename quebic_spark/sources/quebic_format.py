@@ -576,6 +576,16 @@ def read_quebic_dir(
         (c for c in candidates if len(c["content"]) > 0), None
     )
     if first is None:
+        # journal-only import (e.g. only the .qbj was copied over):
+        # every journaled file shares the header layout, so a journal
+        # fixes the schema just as well
+        jcands = files.filter(
+            F.col("path").endswith(".qbj")
+        ).limit(16).collect()
+        first = next(
+            (c for c in jcands if len(c["content"]) > 0), None
+        )
+    if first is None:
         raise FormatException(
             f"no non-empty queue files under {path}"
         )

@@ -80,10 +80,10 @@ def test_golden_journal_and_empty_queue_file():
 def test_golden_dir_through_spark_import(spark):
     """The full distributed import path over REAL reference bytes:
     both queues in one scan, FIFO pos per queue, codec column."""
-    # the provenance README shares the dir: scope the glob to queue
-    # files (a stray non-queue file inside an import set is
-    # out-of-contract content and fails loudly by design)
-    df = Q.read_quebic_dir(spark, FIXTURES, pattern="*.qb[cj]")
+    # the provenance README and the 2-type ttl fixture share the dir:
+    # scope the glob to the two 5-type queues (mixed-schema imports
+    # fail loudly by design, like the reference's open validation)
+    df = Q.read_quebic_dir(spark, FIXTURES, pattern="[gf]*.qb[cj]")
     rows = sorted(
         (r["queue"], r["pos"], r["c0"], r["codec"])
         for r in df.collect()
@@ -94,3 +94,35 @@ def test_golden_dir_through_spark_import(spark):
          for p, i in enumerate(range(2, 6))]
         + [("fresh", p, 100 + p, "PLAIN") for p in range(3)]
     )
+
+
+def test_golden_ttl_and_error_entries(spark, tmp_path):
+    """Reference-written TTL + error machinery: an already-expired
+    row, a far-future row, a no-TTL row, and a row whose error
+    counter the reference incremented in place via a failing consume.
+    The default import drops exactly the expired row (consume-time
+    TTL parity); forensic mode surfaces everything with the error
+    count intact."""
+    import shutil
+
+    jdata = _load("ttl.qbj")
+    _, fifo = Q.read_fifo(None, jdata)
+    by_id = {e["values"][0]: e for e in fifo}
+    assert sorted(by_id) == [1, 2, 3, 4]
+    assert 0 < by_id[1]["expires_at"] < 2_000_000_000_000  # past
+    assert by_id[2]["expires_at"] > 4_000_000_000_000      # ~2126
+    assert by_id[3]["expires_at"] == -1
+    assert by_id[4]["errors"] == 1  # real failing consume, in place
+    assert all(e["errors"] == 0 for k, e in by_id.items() if k != 4)
+
+    # Spark import: TTL filter mirrors consume; forensic keeps all
+    d = tmp_path / "ttlq"
+    d.mkdir()
+    (d / "ttl.qbj").write_bytes(jdata)
+    live = Q.read_quebic_dir(spark, str(d))
+    assert sorted(r["c0"] for r in live.collect()) == [2, 3, 4]
+    everything = Q.read_quebic_dir(spark, str(d), include_expired=True)
+    rows = {r["c0"]: r for r in everything.collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    assert rows[4]["errors"] == 1
+    shutil.rmtree(d, ignore_errors=True)

@@ -126,3 +126,33 @@ def test_golden_ttl_and_error_entries(spark, tmp_path):
     assert sorted(rows) == [1, 2, 3, 4]
     assert rows[4]["errors"] == 1
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_golden_files_migrate_into_live_queue(spark, tmp_path):
+    """The complete engine switch on REAL reference bytes: the
+    golden queue file (migrated + twice-popped by the reference
+    itself) lands in a live quebic_spark Queue with FIFO and all five
+    types intact, ready to pop."""
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for name in ("golden.qbc", "fresh.qbc", "fresh.qbj"):
+        (src / name).write_bytes(_load(name))
+    q, n = Q.migrate_quebic_queue(
+        spark, str(src / "golden.qbc"), str(tmp_path / "dst")
+    )
+    try:
+        assert n == 4
+        sub = q.subscriber()
+        rows = [sub.pop() for _ in range(4)]
+        assert [r[0] for r in rows] == [
+            i * 1_000_000_000 + 7 for i in range(2, 6)
+        ]
+        assert rows[0][2] == "döc-2 ünïcode ☃"
+        # our queue pops TENSOR as its value object
+        assert rows[-1][4].as_row() == ([2, 2], [5.25, -5.5, 3.5, 4.75])
+        assert q.is_empty()
+    finally:
+        q.close()
+        shutil.rmtree(tmp_path / "dst", ignore_errors=True)

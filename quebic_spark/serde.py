@@ -69,9 +69,19 @@ def serialize_record(
 def deserialize_record(
     schema: Schema, data: bytes, codec: Codec = PLAIN
 ) -> tuple[Any, ...]:
-    """Unpack one record; trailing garbage or short reads raise
-    FormatException (parity with JournaledFile.scala:367-393)."""
-    raw = codec.decode(data)
+    """Unpack one record; trailing garbage, short reads, and
+    undecodable codec payloads raise FormatException (parity with
+    JournaledFile.scala:367-393 and the deserialization-failure wrap
+    at consume():203-210)."""
+    try:
+        raw = codec.decode(data)
+    except Exception as e:  # noqa: BLE001 — corrupt gzip container:
+        # BadGzipFile/zlib.error are OS-level types, the contract is a
+        # domain error (r10 corruption-sweep catch)
+        raise FormatException(
+            f"record undecodable with {codec.name}: "
+            f"{type(e).__name__}: {e}"
+        ) from e
     off = 0
     out: list[Any] = []
 

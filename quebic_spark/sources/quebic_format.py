@@ -143,7 +143,11 @@ def schema_from_wire(buf: bytes, off: int) -> tuple[Schema, int]:
         b = buf[off + i]
         ids.append((b >> 4) & 0x0F)
         ids.append(b & 0x0F)
-    return Schema(*ids[:count]), off + n_bytes
+    try:
+        return Schema(*ids[:count]), off + n_bytes
+    except ValueError as ve:  # corrupt type nibble in the header is a
+        # FORMAT error of the file, not a caller error
+        raise FormatException(f"invalid schema binary: {ve}") from ve
 
 
 # ---------------------------------------------------------------------------
@@ -181,11 +185,21 @@ def wire_serialize(
 def wire_deserialize(
     schema: Schema, data: bytes, codec: Codec = PLAIN
 ) -> tuple[Any, ...]:
-    """Inverse of :func:`wire_serialize`; short reads and trailing
-    garbage raise FormatException (JournaledFile.scala:367-393)."""
+    """Inverse of :func:`wire_serialize`; short reads, trailing
+    garbage, and undecodable codec payloads raise FormatException
+    (JournaledFile.scala:367-393; the reference wraps deserialization
+    failures the same way, consume():203-210)."""
     from quebic_spark.schema import BINARY, INTEGER, REAL, TENSOR, TEXT
 
-    raw = codec.decode(data)
+    try:
+        raw = codec.decode(data)
+    except Exception as e:  # noqa: BLE001 — corrupt gzip container:
+        # BadGzipFile/zlib.error are OS-level types; the read contract
+        # is a DOMAIN error (r10 corruption-sweep catch)
+        raise FormatException(
+            f"record payload undecodable with {codec.name}: "
+            f"{type(e).__name__}: {e}"
+        ) from e
     off = 0
     out: list[Any] = []
 
@@ -216,7 +230,12 @@ def wire_deserialize(
             n, off = read_varint(raw, off)
             n = length(n)
             need(n)
-            out.append(raw[off:off + n].decode("utf-8"))
+            try:
+                out.append(raw[off:off + n].decode("utf-8"))
+            except UnicodeDecodeError as e:
+                raise FormatException(
+                    f"undecodable TEXT at {off}: {e}"
+                ) from e
             off += n
         elif t is BINARY:
             n, off = read_varint(raw, off)
@@ -328,9 +347,12 @@ def parse_chain(
         e = _read_entry(data, off)
         e["offset"] = off
         if decode:
-            e["values"] = wire_deserialize(
-                schema, e["payload"], codec_of(e["codec_id"])
-            )
+            try:
+                codec = codec_of(e["codec_id"])
+            except ValueError as ve:  # corrupt codec byte: a FORMAT
+                # error of the file, not a caller error
+                raise FormatException(str(ve)) from ve
+            e["values"] = wire_deserialize(schema, e["payload"], codec)
         entries.append(e)
         off = e["previous"]
     return schema, entries
@@ -377,7 +399,11 @@ def parse_latest(data: bytes) -> tuple[Any, ...] | None:
     if len(data) <= header_size:
         return None
     e = _read_entry(data, header_size)
-    return wire_deserialize(schema, e["payload"], codec_of(e["codec_id"]))
+    try:
+        codec = codec_of(e["codec_id"])
+    except ValueError as ve:
+        raise FormatException(str(ve)) from ve
+    return wire_deserialize(schema, e["payload"], codec)
 
 
 def read_fifo(

@@ -156,3 +156,48 @@ def test_golden_files_migrate_into_live_queue(spark, tmp_path):
     finally:
         q.close()
         shutil.rmtree(tmp_path / "dst", ignore_errors=True)
+
+
+def test_reference_transcript_replays_identically(tmp_path):
+    """Behavioral lockstep with the REAL reference: an 80-op seeded
+    script (interleaved push/tryPop/latest/size, including pops on
+    empty and a full drain) was executed against the reference's
+    Queue API — its transcript is the committed fixture. Replaying
+    the same script against quebic_spark.Queue must produce the SAME
+    transcript line for line: FIFO order, None-on-empty, size
+    accounting, and latest-survives-drain all agree."""
+    import json
+
+    from quebic_spark import INTEGER, Queue, Schema
+
+    ops = json.loads(_load("opscript.json").decode())
+    want = _load("reference_transcript.txt").decode().splitlines()
+
+    q = Queue(str(tmp_path / "replay"), Schema(INTEGER),
+              capacity=10_000)
+    pub, sub = q.publisher(), q.subscriber()
+    got = []
+    for op in ops:
+        if op[0] == "push":
+            pub.push([op[1]])
+            got.append(f"push {op[1]} -> ok")
+        elif op[0] == "tryPop":
+            row = sub.try_pop()
+            got.append(
+                "tryPop -> " + ("None" if row is None else str(row[0]))
+            )
+        elif op[0] == "latest":
+            row = pub.latest()
+            got.append(
+                "latest -> " + ("None" if row is None else str(row[0]))
+            )
+        elif op[0] == "size":
+            got.append(f"size -> {q.size()}")
+        else:  # pragma: no cover
+            raise AssertionError(op)
+    q.close()
+    assert got == want, next(
+        (f"first divergence at op {i}: ours={g!r} ref={w!r}"
+         for i, (g, w) in enumerate(zip(got, want)) if g != w),
+        f"length {len(got)} vs {len(want)}",
+    )

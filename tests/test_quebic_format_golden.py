@@ -201,3 +201,59 @@ def test_reference_transcript_replays_identically(tmp_path):
          for i, (g, w) in enumerate(zip(got, want)) if g != w),
         f"length {len(got)} vs {len(want)}",
     )
+
+
+def test_reference_capacity_transcript_replays_identically(tmp_path):
+    """Backpressure lockstep with the REAL reference: a fixed script
+    against a capacity-3 reference Queue — tryPush refusals at
+    capacity, pushAll partial admission with exact remainders, and
+    FIFO across admission waves — produced the committed transcript.
+    quebic_spark.Queue must replay it line for line."""
+    from quebic_spark import INTEGER, Queue, Schema
+
+    want = _load("capacity_transcript.txt").decode().splitlines()
+    q = Queue(str(tmp_path / "cap"), Schema(INTEGER), capacity=3)
+    pub, sub = q.publisher(), q.subscriber()
+    got = []
+
+    def try_push(v):
+        got.append(f"tryPush {v} -> " + str(pub.try_push([v])).lower())
+
+    def push_all(vs):
+        rem = pub.push_all([[v] for v in vs], limit_ms=0)
+        got.append(
+            f"pushAll [{','.join(map(str, vs))}] -> remainder "
+            f"[{','.join(str(r[0]) for r in rem)}]"
+        )
+
+    def try_pop():
+        row = sub.try_pop()
+        got.append(
+            "tryPop -> " + ("None" if row is None else str(row[0]))
+        )
+
+    def size():
+        got.append(f"size -> {q.size()}")
+
+    def latest():
+        row = pub.latest()
+        got.append(
+            "latest -> " + ("None" if row is None else str(row[0]))
+        )
+
+    try_push(1); try_push(2); try_push(3); try_push(4)
+    size()
+    push_all([5, 6, 7])
+    try_pop(); try_pop()
+    push_all([5, 6, 7])
+    size()
+    try_pop(); try_pop(); try_pop(); try_pop()
+    latest()
+    try_push(8); latest(); try_pop(); try_pop(); latest(); size()
+    q.close()
+
+    assert got == want, next(
+        (f"first divergence at line {i}: ours={g!r} ref={w!r}"
+         for i, (g, w) in enumerate(zip(got, want)) if g != w),
+        f"length {len(got)} vs {len(want)}",
+    )

@@ -1,11 +1,23 @@
-"""Cross-implementation golden test: the fixture bytes under
-``tests/fixtures/quebic_golden/`` were written by the REAL reference
+"""Cross-implementation golden tests: every fixture under
+``tests/fixtures/quebic_golden/`` was produced by the REAL reference
 implementation (its unmodified Scala sources compiled and driven
-through JournaledFile/Schema/Struct/Codec — provenance + reproduction
-program in the fixture dir's README). The connector must read them
-exactly: FIFO order after the reference's own migrate+pop sequence,
-every one of the five types byte-faithful, both codecs, the retained
-``latest`` marker, and the empty-initialized queue file."""
+through its own APIs — provenance + reproduction programs in the
+fixture dir's README). Three evidence tiers:
+
+* BYTES — the connector reads reference-written files exactly: FIFO
+  after the reference's own migrate+pop, all five types byte-faithful,
+  both codecs, the retained ``latest`` marker, TTL deadlines and
+  error counters stamped by real failing consumes, and the
+  empty-initialized queue file; plus the full distributed Spark
+  import and a migration into a live Queue.
+* BEHAVIOR — committed transcripts from the reference's Queue API
+  (an 80-op push/tryPop/latest/size script; a capacity-3
+  backpressure/pushAll script) that ``quebic_spark.Queue`` must
+  replay line for line.
+* (The reverse direction — the reference popping connector-exported
+  files with hex-identical bytes — was verified at fixture-creation
+  time; see the README.)
+"""
 
 from __future__ import annotations
 

@@ -5,6 +5,7 @@ from quebic_spark.sources.io import (
 )
 from quebic_spark.sources.quebic_format import (
     export_quebic_queue,
+    export_quebic_shards,
     migrate_quebic_queue,
     read_quebic_dir,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "import_into_queue",
     "read_table",
     "export_quebic_queue",
+    "export_quebic_shards",
     "migrate_quebic_queue",
     "read_quebic_dir",
 ]

@@ -506,6 +506,102 @@ def export_quebic_queue(
         f.write(data)
 
 
+def export_quebic_shards(
+    df,
+    out_dir: str,
+    schema: Schema,
+    n_shards: int,
+    order_by: Sequence[str] | None = None,
+    codec: Codec = PLAIN,
+    created_at: int = 0,
+    prefix: str = "shard",
+) -> list[str]:
+    """DISTRIBUTED export: write a DataFrame as ``n_shards``
+    reference-readable queue files under ``out_dir`` — the write twin
+    of :func:`read_quebic_dir`, with the same per-queue parallelism
+    shape (each shard's pointer-chained file is inherently one
+    writer, so the export fans out across shards, one executor task
+    per file).
+
+    Rows are range-partitioned on ``order_by`` (default: the first
+    column), so shard files carry contiguous, deterministic key
+    ranges and each file's internal FIFO order is the sort order —
+    a reference consumer popping ``shard-00000`` then ``-00001`` ...
+    sees the global order. Column arity/types must match ``schema``
+    positionally (validated per row by the same validator the queue
+    uses). Returns the shard file names written.
+
+    Scale note: a queue file is a single-node artifact by the
+    reference's own design, so ``n_shards`` is the lever — size it so
+    each file fits one consumer process, exactly as a fleet of
+    reference queues would be provisioned."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    os.makedirs(out_dir, exist_ok=True)
+    cols = list(df.columns)
+    if len(cols) != len(schema.types):
+        raise IncompatibleSchemaException(
+            f"dataframe arity {len(cols)} != schema "
+            f"{len(schema.types)}"
+        )
+    order = list(order_by) if order_by else [cols[0]]
+    # deterministic shard id: rank the order keys once (ntile over a
+    # global sort would single-partition; a range partitioner matches
+    # the sharded-corpus writer's discipline). repartitionByRange
+    # samples, so derive the shard id FROM the partition id after an
+    # explicit range partition — contiguous and deterministic given
+    # the same data (Spark's range boundaries are seeded).
+    parts = (
+        df.repartitionByRange(n_shards, *[F.col(c) for c in order])
+        .sortWithinPartitions(*[F.col(c) for c in order])
+    )
+    schema_json = schema.to_json()
+    tensor_idx = [
+        i for i, t in enumerate(schema.types) if t.name == "TENSOR"
+    ]
+
+    def _write(batches) -> "pd.DataFrame":
+        # one shard file per input partition, named by partition id
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        local_schema = Schema(*schema_json)
+        rows: list[list] = []
+        for pdf in batches:
+            for tup in pdf.itertuples(index=False, name=None):
+                row = list(tup)
+                for i in tensor_idx:  # arrow struct -> (shape, values)
+                    cell = row[i]
+                    row[i] = (list(cell["shape"]),
+                              list(cell["values"]))
+                rows.append(row)
+        name = f"{prefix}-{pid:05d}.qbc"
+        if rows:
+            data = write_journaled_bytes(
+                local_schema, rows, kind="queue", codec=codec,
+                created_at=created_at,
+            )
+            tmp = os.path.join(out_dir, name + ".tmp")
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, os.path.join(out_dir, name))
+        yield pd.DataFrame(
+            {"shard": [name], "n_rows": [len(rows)]}
+        )
+
+    out_schema = T.StructType([
+        T.StructField("shard", T.StringType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+    ])
+    manifest = parts.mapInPandas(_write, out_schema).collect()
+    return sorted(r["shard"] for r in manifest if r["n_rows"] > 0)
+
+
 def migrate_quebic_queue(
     spark,
     queue_file: str,

@@ -60,8 +60,10 @@ layout above; no reference code is copied.
 
 from __future__ import annotations
 
+import logging
 import os
 import struct
+import warnings
 from typing import Any, Iterator, Sequence
 
 from quebic_spark.codec import PLAIN, Codec, codec_of
@@ -76,6 +78,12 @@ MAGIC = (ord("Q") << 8) | ord("B")  # JournaledFile.scala:636
 ENTRY_SIGNATURE = ord("@")          # JournaledFile.scala:637
 ENTRY_SIZE = 32                     # JournaledFile.scala:665
 _HEADER_FIXED = 2 + 2 + 8 + 8       # magic, header size, items, last pos
+
+# the header is tiny by construction (u16 size field; 255 cols max =>
+# 20 + 129 bytes), so a 4 KiB prefix over-covers every legal header
+HEADER_PEEK_BYTES = 4096
+
+log = logging.getLogger(__name__)
 
 
 # ---------------------------------------------------------------------------
@@ -586,7 +594,17 @@ def export_quebic_shards(
                 local_schema, rows, kind="queue", codec=codec,
                 created_at=created_at,
             )
-            tmp = os.path.join(out_dir, name + ".tmp")
+            # attempt-UNIQUE staging name: concurrent attempts of the
+            # same task (speculation, or a re-launch racing a hung
+            # original) must never interleave writes into one tmp
+            # file — a fixed '<name>.tmp' let os.replace publish torn
+            # shard bytes (r10 advice; same discipline as the
+            # registry's uuid-suffixed stage files)
+            import uuid
+
+            tmp = os.path.join(
+                out_dir, f"{name}.tmp-{uuid.uuid4().hex[:8]}"
+            )
             with open(tmp, "wb") as f:
                 f.write(data)
             os.replace(tmp, os.path.join(out_dir, name))
@@ -599,6 +617,19 @@ def export_quebic_shards(
         T.StructField("n_rows", T.LongType(), False),
     ])
     manifest = parts.mapInPandas(_write, out_schema).collect()
+    # sweep staging debris from killed attempts (all shards are now
+    # committed via os.replace, so any surviving '*.tmp-*' is a dead
+    # attempt's partial file — left behind it would make a later
+    # whole-directory import fail loud on a healthy export)
+    import glob as _glob
+
+    for leftover in _glob.glob(
+        os.path.join(out_dir, f"{prefix}-*.tmp-*")
+    ):
+        try:
+            os.remove(leftover)
+        except OSError:  # another writer's sweep got it first
+            pass
     return sorted(r["shard"] for r in manifest if r["n_rows"] > 0)
 
 
@@ -627,10 +658,17 @@ def migrate_quebic_queue(
     name = os.path.basename(queue_file)
     base = name.rsplit(".", 1)[0] if "." in name else name
     with open(queue_file, "rb") as f:
-        schema, _, _, _ = parse_header(f.read(4096))
-    df = read_quebic_dir(spark, src_dir, pattern=f"{base}*")
-    # the glob may catch sibling queues sharing the prefix — keep
-    # exactly this queue's rows (read_quebic_dir keys rows by base)
+        schema, _, _, _ = parse_header(f.read(HEADER_PEEK_BYTES))
+    # glob exactly this queue's two files — a prefix wildcard would
+    # sweep sibling queues sharing the prefix (orders2.qbc beside
+    # orders.qbc), and a different-schema sibling would fail a valid
+    # migration at the schema peek (r10 advice)
+    journal_name = os.path.basename(journal_path_for(queue_file))
+    df = read_quebic_dir(
+        spark, src_dir, pattern=f"{{{name},{journal_name}}}"
+    )
+    # belt-and-braces: keep exactly this queue's rows even if a
+    # filesystem surprise widens the listing
     payload = df.where(f"queue = '{base}'").select(
         *schema.column_names, "pos"
     )
@@ -643,6 +681,99 @@ def migrate_quebic_queue(
 # ---------------------------------------------------------------------------
 # Spark tier: distributed import
 # ---------------------------------------------------------------------------
+
+def _local_dir_of(path: str) -> str | None:
+    """The local filesystem directory behind ``path`` if it has one
+    (bare path or an explicit ``file:`` URI); None for remote
+    schemes, where the reference — a local-file library — cannot be
+    holding a live lock anyway."""
+    if "://" in path:
+        if not path.startswith("file:"):
+            return None
+        from urllib.parse import urlparse
+
+        p = urlparse(path).path
+        return p or None
+    if path.startswith("file:"):
+        return path[len("file:"):] or None
+    return path
+
+
+def probe_at_rest(paths: Sequence[str]) -> list[str]:
+    """Best-effort liveness probe for the connector's AT-REST
+    contract: the reference serializes every file operation behind an
+    exclusive ``FileChannel.lock()`` held for the process lifetime
+    (JournaledFile.scala:36), which on Linux is a POSIX ``fcntl``
+    record lock — so a non-blocking SHARED ``fcntl.lockf`` attempt
+    conflicts exactly when a live reference process owns the file.
+    Returns the subset of ``paths`` that appear live-locked.
+
+    Probe-only: the shared lock is dropped immediately (the import
+    must not itself exclude a reference process). Files we cannot
+    open or platforms without fcntl probe as at-rest — the contract
+    is advisory (warn), the corruption canaries remain the guarantee:
+    a torn read fails LOUD (FormatException), never wrong."""
+    try:
+        import fcntl
+    except ImportError:  # non-POSIX: no probe possible
+        return []
+    busy: list[str] = []
+    for p in paths:
+        try:
+            with open(p, "rb") as f:
+                try:
+                    fcntl.lockf(f, fcntl.LOCK_SH | fcntl.LOCK_NB)
+                    fcntl.lockf(f, fcntl.LOCK_UN)
+                except OSError:
+                    busy.append(p)
+        except OSError:
+            continue
+    return busy
+
+
+def _warn_if_live(paths: Sequence[str], what: str) -> list[str]:
+    busy = probe_at_rest(paths)
+    if busy:
+        msg = (
+            f"{what}: {len(busy)} queue file(s) appear locked by a "
+            f"live quebic process ({', '.join(sorted(busy)[:4])}"
+            f"{', ...' if len(busy) > 4 else ''}). The connector's "
+            "contract is AT-REST import: a live owner mid-migrateTo "
+            "truncates the journal after splicing "
+            "(JournaledFile.scala:406-441), so this read may observe "
+            "a torn chain. A torn chain fails loud "
+            "(FormatException), never returns wrong rows — but stop "
+            "the owning process, or copy the files first, for a "
+            "clean import."
+        )
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
+        log.warning(msg)
+    return list(busy)
+
+
+def _bounded_header_peek(files, want_journal: bool):
+    """The driver-side schema peek as a BOUNDED plan: project only
+    the first ``HEADER_PEEK_BYTES`` of each file before collecting.
+    Reference queue files can be tens of GB (the library's stated
+    use is data exceeding heap) — collecting whole blobs to parse a
+    <=4 KiB header was the r10 'weak' finding. Zero-length files are
+    the reference's open-initializes state (JournaledFile.scala:40-46)
+    and cannot fix a schema, so they are filtered out BEFORE the
+    limit (a directory whose first sampled files were all empty used
+    to spuriously fail)."""
+    from pyspark.sql import functions as F
+
+    side = F.col("path").endswith(".qbj")
+    return (
+        files.filter(side if want_journal else ~side)
+        .filter(F.octet_length("content") > 0)
+        .select(
+            "path",
+            F.substring("content", 1, HEADER_PEEK_BYTES).alias("head"),
+        )
+        .limit(1)
+    )
+
 
 def read_quebic_dir(
     spark,
@@ -666,13 +797,37 @@ def read_quebic_dir(
     (expired entries are dropped, JournaledFile.scala:244-248) with a
     scan-resident filter against the import-time clock; pass True for
     a forensic import of everything still chained.
+
+    AT-REST contract: the files must not be owned by a live reference
+    process (it holds an exclusive ``FileChannel.lock`` per file and
+    ``migrateTo`` truncates the journal mid-operation). The import
+    probes local files with a non-blocking shared ``fcntl`` lock and
+    WARNS on conflict; a torn read fails loud (FormatException),
+    never silently wrong. See MIGRATION.md "At-rest contract".
     """
+    import glob as _glob
     import pandas as pd
     import time
 
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    local_dir = _local_dir_of(path)
+    if local_dir is not None and os.path.isdir(local_dir):
+        # Hadoop globs support {a,b} alternation; Python's glob does
+        # not — expand it by hand for the probe
+        pats = (
+            pattern[1:-1].split(",")
+            if pattern.startswith("{") and pattern.endswith("}")
+            else [pattern]
+        )
+        _warn_if_live(
+            sorted({
+                p for pat in pats
+                for p in _glob.glob(os.path.join(local_dir, pat))
+            }),
+            "read_quebic_dir",
+        )
     raw_files = spark.read.format("binaryFile").option(
         "pathGlobFilter", pattern
     ).load(path).select("path", "content")
@@ -686,32 +841,21 @@ def read_quebic_dir(
     files = raw_files.repartition(base_col.alias("q_base"))
     # one driver-side header peek fixes the output schema; every file
     # must agree (the reference's open-time validation, :581-583).
-    # Zero-length files are the reference's "open initializes" state
-    # (init() when fc.size()==0, JournaledFile.scala:40-46) — an empty
-    # queue, skipped here and parsed to zero rows below.
-    candidates = (
-        files.filter(~F.col("path").endswith(".qbj"))
-        .limit(16)
-        .collect()
-    )
-    first = next(
-        (c for c in candidates if len(c["content"]) > 0), None
-    )
-    if first is None:
+    # BOUNDED: only the first 4 KiB of ONE non-empty file is ever
+    # collected (the peek plan projects a substring — r10 'weak'
+    # finding; a whole-blob collect of 16 multi-GB files is a driver
+    # OOM). Peeks run on the pre-shuffle scan, not the repartition.
+    candidates = _bounded_header_peek(raw_files, False).collect()
+    if not candidates:
         # journal-only import (e.g. only the .qbj was copied over):
         # every journaled file shares the header layout, so a journal
         # fixes the schema just as well
-        jcands = files.filter(
-            F.col("path").endswith(".qbj")
-        ).limit(16).collect()
-        first = next(
-            (c for c in jcands if len(c["content"]) > 0), None
-        )
-    if first is None:
+        candidates = _bounded_header_peek(raw_files, True).collect()
+    if not candidates:
         raise FormatException(
             f"no non-empty queue files under {path}"
         )
-    schema, _, _, _ = parse_header(bytes(first["content"][:4096]))
+    schema, _, _, _ = parse_header(bytes(candidates[0]["head"]))
     type_ids = [t.id for t in schema.types]
 
     out_type = T.StructType(

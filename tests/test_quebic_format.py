@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import gzip
 import struct
+import warnings
 
 import pytest
 
@@ -496,3 +497,183 @@ def test_export_quebic_shards_tensor_and_validation(spark, tmp_path):
         Q.export_quebic_shards(
             df.select("id"), str(tmp_path / "bad"), schema, n_shards=1
         )
+
+
+# -- r11 hardening: bounded peek, at-rest contract, exact-glob migrate ------
+
+def test_header_peek_plan_is_bounded(spark, tmp_path):
+    """The driver-side schema peek must never ship whole file blobs:
+    the collected plan projects only a HEADER_PEEK_BYTES prefix (r10
+    'weak' finding — reference queue files can be tens of GB; 16 of
+    them collected whole is a driver OOM for a <=4 KiB header)."""
+    d = tmp_path / "queues"
+    d.mkdir()
+    # a queue file comfortably larger than the peek bound
+    big_rows = [[i, "x" * 1000] for i in range(64)]
+    (d / "big.qbc").write_bytes(
+        Q.write_journaled_bytes(SCHEMA2, big_rows, kind="queue")
+    )
+    assert (d / "big.qbc").stat().st_size > Q.HEADER_PEEK_BYTES
+
+    raw = (
+        spark.read.format("binaryFile")
+        .load(str(d))
+        .select("path", "content")
+    )
+    peek = Q._bounded_header_peek(raw, want_journal=False)
+    plan = peek._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    assert re.search(
+        rf"substring\(content#\d+, 1, {Q.HEADER_PEEK_BYTES}\)", plan
+    ), plan
+    rows = peek.collect()
+    assert len(rows) == 1
+    assert len(rows[0]["head"]) == Q.HEADER_PEEK_BYTES  # bounded
+    assert "content" not in rows[0].asDict()  # full blob never lands
+    schema, _, _, _ = Q.parse_header(bytes(rows[0]["head"]))
+    assert [t.name for t in schema.types] == ["INTEGER", "TEXT"]
+
+    # and the end-to-end import still works on the same directory
+    assert Q.read_quebic_dir(spark, str(d)).count() == 64
+
+
+def test_header_peek_skips_empty_files(spark, tmp_path):
+    """A directory whose lexically-first files are all zero-length
+    (the reference's open-initializes state) must still fix the
+    schema from a later non-empty file — the old peek sampled the
+    first 16 files blind and could spuriously fail (r10 advice)."""
+    d = tmp_path / "queues"
+    d.mkdir()
+    for i in range(20):  # 20 empty queues sort before the real one
+        (d / f"empty-{i:02d}.qbc").write_bytes(b"")
+    (d / "zzz-real.qbc").write_bytes(
+        Q.write_journaled_bytes(SCHEMA2, ROWS, kind="queue")
+    )
+    df = Q.read_quebic_dir(spark, str(d))
+    assert df.count() == len(ROWS)
+
+    # journal-only fallback obeys the same non-empty filter
+    j = tmp_path / "journals"
+    j.mkdir()
+    for i in range(20):
+        (j / f"empty-{i:02d}.qbj").write_bytes(b"")
+    (j / "zzz-real.qbj").write_bytes(
+        Q.write_journaled_bytes(SCHEMA2, ROWS[:3], kind="journal")
+    )
+    assert Q.read_quebic_dir(spark, str(j)).count() == 3
+
+    # all-empty is still a loud, precise error
+    e = tmp_path / "all_empty"
+    e.mkdir()
+    (e / "a.qbc").write_bytes(b"")
+    with pytest.raises(FormatException, match="no non-empty"):
+        Q.read_quebic_dir(spark, str(e))
+
+
+_HOLD_LOCK_SRC = """
+import fcntl, sys, time
+f = open(sys.argv[1], "r+b")
+fcntl.lockf(f, fcntl.LOCK_EX)
+print("locked", flush=True)
+time.sleep(60)
+"""
+
+
+def test_at_rest_probe_warns_on_live_lock(spark, tmp_path):
+    """AT-REST contract: importing a queue a live reference process
+    owns (exclusive FileChannel.lock == POSIX fcntl record lock)
+    fires a RuntimeWarning naming the busy file; the read itself
+    stays fail-loud-never-wrong. The lock is held from a SUBPROCESS
+    because POSIX fcntl locks never conflict within one process."""
+    import subprocess
+    import sys
+
+    d = tmp_path / "queues"
+    d.mkdir()
+    qf = d / "live.qbc"
+    qf.write_bytes(Q.write_journaled_bytes(SCHEMA2, ROWS, kind="queue"))
+
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _HOLD_LOCK_SRC, str(qf)],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert proc.stdout.readline().strip() == "locked"
+        assert Q.probe_at_rest([str(qf)]) == [str(qf)]
+        with pytest.warns(RuntimeWarning, match="live quebic process"):
+            df = Q.read_quebic_dir(spark, str(d))
+            # file is intact, so the import still reads true rows
+            assert df.count() == len(ROWS)
+    finally:
+        proc.kill()
+        proc.wait()
+
+    # lock released -> probe is clean, no warning
+    assert Q.probe_at_rest([str(qf)]) == []
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        assert Q.read_quebic_dir(spark, str(d)).count() == len(ROWS)
+
+    # the fail-loud half of the contract: a torn chain (what a live
+    # migrateTo's truncate can leave) raises, never returns wrong rows
+    data = qf.read_bytes()
+    qf.write_bytes(data[: len(data) - 10])  # truncate mid-entry
+    # executor-side FormatException surfaces wrapped by Spark
+    with pytest.raises(Exception, match="FormatException|over-run"):
+        Q.read_quebic_dir(spark, str(d)).collect()
+
+
+def test_migrate_ignores_different_schema_siblings(spark, tmp_path):
+    """migrate_quebic_queue globs exactly the queue's two files — a
+    prefix sibling with a DIFFERENT schema (orders2.qbc beside
+    orders.qbc) must not fail the migration at the schema peek
+    (r10 advice: the old 'orders*' glob swept it in)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [[i, f"o-{i}"] for i in range(4)]
+    (src / "orders.qbc").write_bytes(
+        Q.write_journaled_bytes(SCHEMA2, rows[:2], kind="queue")
+    )
+    (src / "orders.qbj").write_bytes(
+        Q.write_journaled_bytes(SCHEMA2, rows[2:], kind="journal")
+    )
+    # different-schema sibling the old prefix glob would have swept
+    (src / "orders2.qbc").write_bytes(
+        Q.write_journaled_bytes(Schema(REAL), [[1.5]], kind="queue")
+    )
+    q, n = Q.migrate_quebic_queue(
+        spark, str(src / "orders.qbc"), str(tmp_path / "dst")
+    )
+    try:
+        assert n == 4
+        sub = q.subscriber()
+        assert [list(sub.pop()) for _ in range(4)] == rows
+    finally:
+        q.close()
+
+
+def test_export_shards_sweeps_staging_debris(spark, tmp_path):
+    """Attempt-unique staging names mean a killed attempt can leave
+    '<shard>.tmp-<uuid>' debris; the export sweeps it after the
+    commit so a later whole-directory import of a healthy export
+    never trips on a torn staging file."""
+    from pyspark.sql import functions as F
+
+    out = tmp_path / "shards"
+    out.mkdir()
+    debris = out / "shard-00099.qbc.tmp-deadbeef"
+    debris.write_bytes(b"\x00torn")
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("r-"), F.col("id")).alias("s"),
+    )
+    shards = Q.export_quebic_shards(
+        df, str(out), SCHEMA2, n_shards=2, order_by=["k"]
+    )
+    assert shards
+    assert not debris.exists()
+    assert not [f for f in out.iterdir() if ".tmp-" in f.name]
+    back = Q.read_quebic_dir(spark, str(out))
+    assert back.count() == 20

@@ -16,12 +16,15 @@ them.
 
 from __future__ import annotations
 
+import logging
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DECON_NGRAM = 8
+
+log = logging.getLogger(__name__)
 
 
 def quality_score_col(text_col: str = "text") -> Column:
@@ -254,12 +257,27 @@ def _read_registry_generational(jvm, fs, root: str, rpath) -> dict:
             continue
     if last_err is not None:
         # newest unreadable on every attempt: stale-but-committed
-        # beats raising — serve the retained previous-newest if any
+        # beats raising — serve the retained previous-newest if any,
+        # but NEVER silently: a persistently unreadable newest is the
+        # contract violation the writer guards against, and a caller
+        # acting on stale registry state deserves a signal (r10
+        # advice)
         if len(gens) > 1:
             try:
-                return fs_read_json(jvm, fs, gens[-2][1])
+                reg = fs_read_json(jvm, fs, gens[-2][1])
             except Exception:  # noqa: BLE001 — both bad: raise below
                 pass
+            else:
+                log.warning(
+                    "release registry: newest generation %s is "
+                    "persistently unreadable (%s: %s); serving STALE "
+                    "previous generation %s — investigate the newest "
+                    "file (torn write from an out-of-contract second "
+                    "writer, or permissions)",
+                    gens[-1][1], type(last_err).__name__, last_err,
+                    gens[-2][1],
+                )
+                return reg
         raise last_err
     if fs.exists(rpath):  # legacy layout (pre-generation writers)
         return fs_read_json(jvm, fs, rpath)

@@ -158,6 +158,15 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _wrap_i32(v: int) -> int:
+    """Two's-complement int32 wrap. A fuzzed Huffman table can carry a
+    DC category symbol far past the legal 11, so the running DC
+    prediction is an unbounded Python int; storing it raw into the
+    int32 coefficient array wraps silently on NumPy 1.x but raises on
+    NumPy 2.x. Wrapping explicitly pins one behavior on both."""
+    return ((v + 0x8000_0000) & 0xFFFF_FFFF) - 0x8000_0000
+
+
 def decode_jpeg(payload: bytes) -> dict:
     """Decode baseline JPEG; returns the decode_media metadata dict
     (geometry + full-pixel mean)."""
@@ -481,7 +490,7 @@ def _decode_scan_data(
 
 def _baseline_block(reader, dc_tab, ac_tab, cf, pred: int) -> int:
     t = _huff_decode(reader, dc_tab)
-    pred += _extend(reader.read_bits(t), t)
+    pred = _wrap_i32(pred + _extend(reader.read_bits(t), t))
     cf[0] = pred
     k = 1
     while k < 64:
@@ -502,8 +511,8 @@ def _baseline_block(reader, dc_tab, ac_tab, cf, pred: int) -> int:
 
 def _dc_first_block(reader, dc_tab, cf, pred: int, al: int) -> int:
     t = _huff_decode(reader, dc_tab)
-    pred += _extend(reader.read_bits(t), t)
-    cf[0] = pred << al
+    pred = _wrap_i32(pred + _extend(reader.read_bits(t), t))
+    cf[0] = _wrap_i32(pred << al)
     return pred
 
 

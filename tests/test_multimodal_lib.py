@@ -433,12 +433,22 @@ def test_decoders_never_crash_on_fuzzed_payloads():
         "avi": b"RIFF\x00\x00\x00\x00AVI " + b"\x00" * 16,
     }
 
+    import warnings
+
     def probe(payload: bytes) -> None:
         kind = detect_format(payload)
         if kind == "unknown":
             return
         try:
-            decoders[kind](payload)
+            with warnings.catch_warnings():
+                # NumPy 2 turns silent int-to-int32 overflow into an
+                # error; escalate the 1.x DeprecationWarning so the
+                # behavior drift fails HERE on either version instead
+                # of changing quarantine behavior between environments.
+                warnings.simplefilter("error", DeprecationWarning)
+                decoders[kind](payload)
+        except DeprecationWarning:
+            raise  # cross-version behavior drift — a real defect
         except Exception:
             pass  # quarantine path — any normal exception is fine
 
@@ -508,6 +518,46 @@ def test_decoders_never_crash_on_fuzzed_payloads():
             i = rnd.randrange(len(mut))
             mut[i] ^= 1 << rnd.randrange(8)
         probe(bytes(mut))
+
+
+def test_jpeg_dc_store_wraps_int32_deterministically():
+    """A fuzzed DHT can carry a DC category symbol far past the legal
+    11, making the running DC prediction an unbounded Python int; the
+    int32 coefficient store must wrap it explicitly (two's complement)
+    rather than rely on NumPy's version-dependent overflow behavior
+    (1.x DeprecationWarning + silent wrap, 2.x OverflowError)."""
+    import warnings
+
+    import numpy as np
+
+    from quebic_spark.functions.jpeg import (
+        _BitReader,
+        _baseline_block,
+        _wrap_i32,
+    )
+
+    # the exact value the r10/r11 fuzz runs surfaced in the suite log
+    assert _wrap_i32(-4083033140) == -4083033140 + 2**32
+    assert _wrap_i32(2**31) == -(2**31)
+    assert _wrap_i32(-(2**31) - 1) == 2**31 - 1
+    assert _wrap_i32(12345) == 12345 and _wrap_i32(-12345) == -12345
+
+    # drive _baseline_block with a synthetic table whose single DC
+    # symbol requests a 40-bit magnitude: bit stream = [0] (huffman
+    # code for symbol 40), then 40 magnitude bits 1000...0 (v = 2**39,
+    # positive per EXTEND), then [0] decoding AC symbol 0 = EOB.
+    dc_tab = {(1, 0): 40}
+    ac_tab = {(1, 0): 0}
+    bits = "0" + "1" + "0" * 39 + "0"
+    bits += "0" * (-len(bits) % 8)
+    payload = int(bits, 2).to_bytes(len(bits) // 8, "big")
+    reader = _BitReader(payload, 0)
+    cf = np.zeros(64, dtype=np.int32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", DeprecationWarning)
+        pred = _baseline_block(reader, dc_tab, ac_tab, cf, 0)
+    assert pred == _wrap_i32(2**39) == 0
+    assert cf[0] == 0
 
 
 def test_jpeg_noise_roundtrip_and_linear_entropy_decode():

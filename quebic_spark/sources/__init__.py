@@ -4,6 +4,7 @@ from quebic_spark.sources.io import (
     read_table,
 )
 from quebic_spark.sources.quebic_format import (
+    OversizedFileError,
     export_quebic_queue,
     export_quebic_shards,
     migrate_quebic_queue,
@@ -14,6 +15,7 @@ __all__ = [
     "export_queue",
     "import_into_queue",
     "read_table",
+    "OversizedFileError",
     "export_quebic_queue",
     "export_quebic_shards",
     "migrate_quebic_queue",

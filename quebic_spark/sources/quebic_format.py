@@ -572,7 +572,6 @@ def export_quebic_shards(
     tensor_idx = [
         i for i, t in enumerate(schema.types) if t.name == "TENSOR"
     ]
-
     def _write(batches) -> "pd.DataFrame":
         # one shard file per input partition, named by partition id
         from pyspark import TaskContext
@@ -617,10 +616,13 @@ def export_quebic_shards(
         T.StructField("n_rows", T.LongType(), False),
     ])
     manifest = parts.mapInPandas(_write, out_schema).collect()
-    # sweep staging debris from killed attempts (all shards are now
-    # committed via os.replace, so any surviving '*.tmp-*' is a dead
-    # attempt's partial file — left behind it would make a later
-    # whole-directory import fail loud on a healthy export)
+    # sweep staging debris from killed attempts — of THIS run and of
+    # prior crashed runs (all shards are now committed via
+    # os.replace, so any surviving '*.tmp-*' under the prefix is a
+    # dead attempt's partial file; left behind it would make a later
+    # whole-directory import fail loud on a healthy export). This is
+    # why exports are single-writer per out_dir/prefix (MIGRATION.md):
+    # a concurrent export's in-flight staging files would be swept.
     import glob as _glob
 
     for leftover in _glob.glob(
@@ -654,22 +656,26 @@ def migrate_quebic_queue(
     """
     from quebic_spark.queue import Queue
 
-    src_dir = os.path.dirname(os.path.abspath(queue_file)) or "."
     name = os.path.basename(queue_file)
     base = name.rsplit(".", 1)[0] if "." in name else name
     with open(queue_file, "rb") as f:
         schema, _, _, _ = parse_header(f.read(HEADER_PEEK_BYTES))
-    # glob exactly this queue's two files — a prefix wildcard would
-    # sweep sibling queues sharing the prefix (orders2.qbc beside
-    # orders.qbc), and a different-schema sibling would fail a valid
-    # migration at the schema peek (r10 advice)
-    journal_name = os.path.basename(journal_path_for(queue_file))
-    df = read_quebic_dir(
-        spark, src_dir, pattern=f"{{{name},{journal_name}}}"
+    # pass exactly this queue's two files as EXPLICIT paths — no glob,
+    # so a sibling queue sharing the prefix can't widen the import
+    # (r10 advice) and a legal-on-disk name containing glob
+    # metacharacters ('orders[old].qbc') migrates verbatim instead of
+    # producing a wrong-or-empty pathGlobFilter (r11 advice)
+    journal = journal_path_for(queue_file)
+    src = [os.path.abspath(queue_file)] + (
+        [os.path.abspath(journal)] if os.path.isfile(journal) else []
     )
+    df = read_quebic_dir(spark, paths=src)
     # belt-and-braces: keep exactly this queue's rows even if a
-    # filesystem surprise widens the listing
-    payload = df.where(f"queue = '{base}'").select(
+    # filesystem surprise widens the listing (Column equality, not an
+    # f-string SQL literal — base names may contain quotes)
+    from pyspark.sql import functions as F
+
+    payload = df.where(F.col("queue") == base).select(
         *schema.column_names, "pos"
     )
     n = payload.count()
@@ -681,6 +687,119 @@ def migrate_quebic_queue(
 # ---------------------------------------------------------------------------
 # Spark tier: distributed import
 # ---------------------------------------------------------------------------
+
+# Spark's binaryFile source materializes each file as ONE byte array,
+# so any file past Int.MaxValue bytes hard-fails the scan deep inside
+# Spark. The reference's stated use is data that "exceeds heap"
+# (README.md:18) — tens-of-GB queue files are exactly the migration
+# case — so the import pre-checks sizes via the filesystem API and
+# raises a NAMED error instead of surfacing Spark's raw failure.
+BINARYFILE_MAX_BYTES = 2**31 - 1
+
+
+class OversizedFileError(OSError):
+    """A queue file exceeds the connector's per-file import ceiling
+    (Spark ``binaryFile`` caps one file at ``Int.MaxValue`` bytes).
+    Split the queue on the reference side (its ``migrateTo`` tiering
+    naturally bounds file size) or consume it there; see MIGRATION.md
+    "Import size ceiling"."""
+
+
+def _expand_hadoop_braces(pattern: str) -> list[str] | None:
+    """Expand Hadoop-glob ``{a,b}`` alternation — anywhere in the
+    pattern, nested groups included — into plain patterns Python's
+    ``glob`` understands. A pattern like ``orders.{qbc,qbj}`` used to
+    be passed through literally, matching nothing, which silently
+    skipped the liveness probe while the Spark read still matched.
+    Returns None for unbalanced braces (caller falls back to probing
+    everything rather than probing nothing)."""
+    i = pattern.find("{")
+    if i < 0:
+        return [pattern]
+    depth = 0
+    j = -1
+    for k in range(i, len(pattern)):
+        if pattern[k] == "{":
+            depth += 1
+        elif pattern[k] == "}":
+            depth -= 1
+            if depth == 0:
+                j = k
+                break
+    if j < 0:
+        return None  # unbalanced
+    head, body, tail = pattern[:i], pattern[i + 1:j], pattern[j + 1:]
+    alts, buf, d = [], [], 0
+    for ch in body:
+        if ch == "{":
+            d += 1
+        elif ch == "}":
+            d -= 1
+        if ch == "," and d == 0:
+            alts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    alts.append("".join(buf))
+    out: list[str] = []
+    for alt in alts:
+        sub = _expand_hadoop_braces(head + alt + tail)
+        if sub is None:
+            return None
+        out.extend(sub)
+    return out
+
+
+def _escape_hadoop_glob(path: str) -> str:
+    """Backslash-escape Hadoop glob metacharacters in a LITERAL path.
+    Spark's ``load`` globs every path it is given, so a legal on-disk
+    name like ``orders[old].qbc`` silently matches nothing (or the
+    wrong file) unless escaped."""
+    import re
+
+    return re.sub(r"([*?\[\]{}\\])", r"\\\1", path)
+
+
+def _reject_oversized(spark, path=None, pattern="*", paths=None):
+    """Pre-flight the binaryFile per-file ceiling via the Hadoop
+    filesystem API (scheme-agnostic, driver-side listing only — no
+    data is read). Raises :class:`OversizedFileError` naming every
+    offending file, so a 40 GB ``.qbc`` fails with the documented
+    contract instead of a Spark internal error at action time."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    over: list[str] = []
+    if paths is not None:
+        for p in paths:
+            hp = HPath(p)
+            fs = hp.getFileSystem(conf)
+            st = fs.getFileStatus(hp)
+            if st.isFile() and st.getLen() > BINARYFILE_MAX_BYTES:
+                over.append(f"{p} ({st.getLen()} bytes)")
+    else:
+        # Hadoop globStatus natively understands {a,b} alternation —
+        # the same syntax binaryFile's pathGlobFilter applies
+        hp = HPath(HPath(path), pattern)
+        fs = hp.getFileSystem(conf)
+        for st in (fs.globStatus(hp) or []):
+            if st.isFile() and st.getLen() > BINARYFILE_MAX_BYTES:
+                over.append(
+                    f"{st.getPath().toString()} ({st.getLen()} bytes)"
+                )
+    if over:
+        raise OversizedFileError(
+            f"{len(over)} queue file(s) exceed the import's per-file "
+            f"ceiling of {BINARYFILE_MAX_BYTES} bytes (Spark "
+            "binaryFile materializes one file as one byte array, "
+            "capped at Int.MaxValue): "
+            + ", ".join(sorted(over)[:4])
+            + (", ..." if len(over) > 4 else "")
+            + ". Split the queue on the reference side (migrateTo "
+            "tiering) or consume it there; see MIGRATION.md "
+            "'Import size ceiling'."
+        )
+
 
 def _local_dir_of(path: str) -> str | None:
     """The local filesystem directory behind ``path`` if it has one
@@ -712,20 +831,108 @@ def probe_at_rest(paths: Sequence[str]) -> list[str]:
     must not itself exclude a reference process). Files we cannot
     open or platforms without fcntl probe as at-rest — the contract
     is advisory (warn), the corruption canaries remain the guarantee:
-    a torn read fails LOUD (FormatException), never wrong."""
-    try:
-        import fcntl
-    except ImportError:  # non-POSIX: no probe possible
+    a torn read fails LOUD (FormatException), never wrong.
+
+    The probe runs in a short-lived CHILD process. POSIX drops every
+    record lock a process holds on a file the moment ANY fd to that
+    file is closed — including an fd that never locked anything
+    (verified empirically on this kernel) — so an in-process probe
+    would silently release fcntl locks an *embedding* application
+    holds on these files just by opening and closing them (r11
+    advice, which suggested OFD locks; the open/close itself is the
+    hazard, so only process isolation is actually safe). One child
+    probes every path in a batch; if the child cannot be launched,
+    an in-process OFD-lock probe is the documented fallback."""
+    paths = [str(p) for p in paths]
+    if not paths:
         return []
+    try:
+        import fcntl  # noqa: F401 -- probe is POSIX-only either way
+    except ImportError:
+        return []
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _PROBE_CHILD_SRC],
+            input="\0".join(paths),
+            capture_output=True,
+            text=True,
+            timeout=60,
+        )
+        if out.returncode == 0:
+            return [p for p in out.stdout.split("\0") if p]
+    except (OSError, subprocess.SubprocessError):
+        pass
+    return _probe_in_process(paths)
+
+
+# the child's stdin is NUL-separated paths, stdout the NUL-separated
+# busy subset. Lock flavor inside the child: OFD read lock where the
+# platform has it (conflicts with the reference's process-associated
+# FileChannel.lock exactly like lockf, detection-equivalent), plain
+# lockf otherwise — in a child process either is safe.
+_PROBE_CHILD_SRC = r"""
+import fcntl, os, struct, sys
+ofd = getattr(fcntl, "F_OFD_SETLK", None)
+flk = struct.pack("hhqqi", fcntl.F_RDLCK, os.SEEK_SET, 0, 0, 0)
+busy = []
+for p in sys.stdin.read().split("\0"):
+    if not p:
+        continue
+    try:
+        f = open(p, "rb")
+    except OSError:
+        continue
+    try:
+        if ofd is not None:
+            try:
+                fcntl.fcntl(f, ofd, flk)
+            except OSError:
+                busy.append(p)
+        else:
+            try:
+                fcntl.lockf(f, fcntl.LOCK_SH | fcntl.LOCK_NB)
+                fcntl.lockf(f, fcntl.LOCK_UN)
+            except OSError:
+                busy.append(p)
+    finally:
+        f.close()
+sys.stdout.write("\0".join(busy))
+"""
+
+
+def _probe_in_process(paths: Sequence[str]) -> list[str]:
+    """Fallback when the child cannot launch. Uses OFD read locks so
+    the probe's own LOCKING can't drop the caller's fcntl locks —
+    but the open/close of each file still can (POSIX close-drops-
+    locks); acceptable for a last-resort advisory path."""
+    import fcntl
+    import struct
+
+    ofd = getattr(fcntl, "F_OFD_SETLK", None)
+    # glibc struct flock (x86-64/aarch64): short l_type, short
+    # l_whence, off_t l_start, off_t l_len, pid_t l_pid — native
+    # alignment pads the shorts out before the 8-byte fields
+    flk = struct.pack("hhqqi", fcntl.F_RDLCK, os.SEEK_SET, 0, 0, 0)
     busy: list[str] = []
     for p in paths:
         try:
             with open(p, "rb") as f:
-                try:
-                    fcntl.lockf(f, fcntl.LOCK_SH | fcntl.LOCK_NB)
-                    fcntl.lockf(f, fcntl.LOCK_UN)
-                except OSError:
-                    busy.append(p)
+                if ofd is not None:
+                    try:
+                        fcntl.fcntl(f, ofd, flk)
+                    except OSError:
+                        busy.append(p)
+                else:
+                    try:
+                        fcntl.lockf(
+                            f, fcntl.LOCK_SH | fcntl.LOCK_NB
+                        )
+                        fcntl.lockf(f, fcntl.LOCK_UN)
+                    except OSError:
+                        busy.append(p)
         except OSError:
             continue
     return busy
@@ -777,11 +984,17 @@ def _bounded_header_peek(files, want_journal: bool):
 
 def read_quebic_dir(
     spark,
-    path: str,
+    path: str | None = None,
     include_expired: bool = False,
     pattern: str = "*",
+    paths: Sequence[str] | None = None,
 ):
     """Import every reference queue under ``path`` into ONE DataFrame.
+
+    ``paths`` (mutually exclusive with ``path``/``pattern``) imports an
+    EXPLICIT list of queue/journal files with no glob involved — the
+    shape :func:`migrate_quebic_queue` uses, so file names containing
+    glob metacharacters (``{`` ``[`` ``*`` ``,``) import verbatim.
 
     Scale shape: ``binaryFile`` lists and ships each file to an
     executor; the pointer-chain parse runs THERE (mapInPandas), never
@@ -812,25 +1025,43 @@ def read_quebic_dir(
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    local_dir = _local_dir_of(path)
-    if local_dir is not None and os.path.isdir(local_dir):
-        # Hadoop globs support {a,b} alternation; Python's glob does
-        # not — expand it by hand for the probe
-        pats = (
-            pattern[1:-1].split(",")
-            if pattern.startswith("{") and pattern.endswith("}")
-            else [pattern]
+    if (path is None) == (paths is None):
+        raise ValueError(
+            "read_quebic_dir: pass exactly one of path= or paths="
         )
-        _warn_if_live(
-            sorted({
-                p for pat in pats
-                for p in _glob.glob(os.path.join(local_dir, pat))
-            }),
-            "read_quebic_dir",
+    if paths is not None:
+        locals_ = [
+            lp for lp in (_local_dir_of(p) for p in paths)
+            if lp is not None and os.path.isfile(lp)
+        ]
+        _warn_if_live(sorted(set(locals_)), "read_quebic_dir")
+        _reject_oversized(spark, paths=list(paths))
+        raw_files = (
+            spark.read.format("binaryFile")
+            # load() GLOBS each path — escape so literal names with
+            # metacharacters ('orders[old].qbc') resolve verbatim
+            .load([_escape_hadoop_glob(p) for p in paths])
+            .select("path", "content")
         )
-    raw_files = spark.read.format("binaryFile").option(
-        "pathGlobFilter", pattern
-    ).load(path).select("path", "content")
+    else:
+        local_dir = _local_dir_of(path)
+        if local_dir is not None and os.path.isdir(local_dir):
+            # Hadoop globs support {a,b} alternation (anywhere in the
+            # pattern); Python's glob does not — expand for the probe,
+            # and probe everything when the braces don't parse rather
+            # than silently probing nothing
+            pats = _expand_hadoop_braces(pattern) or ["*"]
+            _warn_if_live(
+                sorted({
+                    p for pat in pats
+                    for p in _glob.glob(os.path.join(local_dir, pat))
+                }),
+                "read_quebic_dir",
+            )
+        _reject_oversized(spark, path=path, pattern=pattern)
+        raw_files = spark.read.format("binaryFile").option(
+            "pathGlobFilter", pattern
+        ).load(path).select("path", "content")
     # co-locate the two halves of each queue (the .qbj journal and the
     # queue file hash to the same task via their shared base name) —
     # binaryFile otherwise assigns files to partitions independently
@@ -853,7 +1084,7 @@ def read_quebic_dir(
         candidates = _bounded_header_peek(raw_files, True).collect()
     if not candidates:
         raise FormatException(
-            f"no non-empty queue files under {path}"
+            f"no non-empty queue files under {path or list(paths)}"
         )
     schema, _, _, _ = parse_header(bytes(candidates[0]["head"]))
     type_ids = [t.id for t in schema.types]

@@ -677,3 +677,142 @@ def test_export_shards_sweeps_staging_debris(spark, tmp_path):
     assert not [f for f in out.iterdir() if ".tmp-" in f.name]
     back = Q.read_quebic_dir(spark, str(out))
     assert back.count() == 20
+
+
+def test_expand_hadoop_braces():
+    """Hadoop-glob alternation must expand for the Python-side probe
+    wherever it appears in the pattern — 'orders.{qbc,qbj}' used to
+    pass through literally, matching nothing, silently skipping the
+    liveness probe while the Spark read still matched (r11 advice)."""
+    f = Q._expand_hadoop_braces
+    assert f("*") == ["*"]
+    assert f("{a.qbc,a.qbj}") == ["a.qbc", "a.qbj"]
+    assert f("orders.{qbc,qbj}") == ["orders.qbc", "orders.qbj"]
+    assert f("{a,b}.{c,d}") == ["a.c", "a.d", "b.c", "b.d"]
+    assert f("x{a,{b,c}}y") == ["xay", "xby", "xcy"]
+    assert f("broken{a,b") is None  # unbalanced -> probe everything
+
+
+def test_probe_embedded_brace_pattern_fires_warning(spark, tmp_path):
+    """End-to-end for the expansion: a live-locked file matched by an
+    EMBEDDED-brace pattern must still warn."""
+    import subprocess
+    import sys
+
+    d = tmp_path / "queues"
+    d.mkdir()
+    qf = d / "orders.qbc"
+    qf.write_bytes(Q.write_journaled_bytes(SCHEMA2, ROWS, kind="queue"))
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _HOLD_LOCK_SRC, str(qf)],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert proc.stdout.readline().strip() == "locked"
+        with pytest.warns(RuntimeWarning, match="live quebic process"):
+            df = Q.read_quebic_dir(
+                spark, str(d), pattern="orders.{qbc,qbj}"
+            )
+            assert df.count() == len(ROWS)
+    finally:
+        proc.kill()
+        proc.wait()
+
+
+def test_probe_preserves_callers_fcntl_locks(tmp_path):
+    """The probe must not disturb record locks the CALLING process
+    holds on the probed files. POSIX drops a process's fcntl locks on
+    a file when any fd to it closes — even an fd that never locked —
+    so this only holds because the probe runs in a child process
+    (r11 advice follow-through; the suggested in-process OFD lock is
+    NOT sufficient, the open/close alone is the hazard)."""
+    import fcntl
+    import subprocess
+    import sys
+
+    qf = tmp_path / "held.qbc"
+    qf.write_bytes(Q.write_journaled_bytes(SCHEMA2, ROWS, kind="queue"))
+    f = open(qf, "r+b")
+    try:
+        fcntl.lockf(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        # the probe sees OUR exclusive lock as a live owner (advisory
+        # over-report, fine) and must leave it in place
+        assert Q.probe_at_rest([str(qf)]) == [str(qf)]
+        check = subprocess.run(
+            [sys.executable, "-c",
+             "import fcntl, sys\n"
+             "f = open(sys.argv[1], 'r+b')\n"
+             "try:\n"
+             "    fcntl.lockf(f, fcntl.LOCK_EX | fcntl.LOCK_NB)\n"
+             "    print('acquired')\n"
+             "except OSError:\n"
+             "    print('still-held')\n",
+             str(qf)],
+            capture_output=True,
+            text=True,
+        )
+        assert check.stdout.strip() == "still-held"
+    finally:
+        f.close()
+
+
+def test_oversized_file_raises_named_error(spark, tmp_path, monkeypatch):
+    """binaryFile caps one file at Int.MaxValue bytes; the import
+    pre-checks sizes via the filesystem API and raises the NAMED
+    OversizedFileError (listing offenders) instead of surfacing
+    Spark's internal failure at action time. Exercised by lowering
+    the ceiling constant — the check path is the real FS stat."""
+    d = tmp_path / "queues"
+    d.mkdir()
+    big = d / "big.qbc"
+    big.write_bytes(Q.write_journaled_bytes(SCHEMA2, ROWS, kind="queue"))
+    small = d / "small.qbj"
+    small.write_bytes(
+        Q.write_journaled_bytes(SCHEMA2, ROWS[:1], kind="journal")
+    )
+    monkeypatch.setattr(Q, "BINARYFILE_MAX_BYTES", 64)
+    with pytest.raises(Q.OversizedFileError, match="big.qbc"):
+        Q.read_quebic_dir(spark, str(d))
+    with pytest.raises(Q.OversizedFileError, match="big.qbc"):
+        Q.read_quebic_dir(spark, paths=[str(big)])
+    with pytest.raises(Q.OversizedFileError, match="MIGRATION.md"):
+        Q.migrate_quebic_queue(
+            spark, str(big), str(tmp_path / "dst")
+        )
+    # restore: everything under the real ceiling imports fine
+    monkeypatch.setattr(Q, "BINARYFILE_MAX_BYTES", 2**31 - 1)
+    assert Q.read_quebic_dir(spark, str(d)).count() == len(ROWS) + 1
+
+
+def test_migrate_glob_metachar_name(spark, tmp_path):
+    """A legal-on-disk queue name containing glob metacharacters must
+    migrate verbatim — the old pathGlobFilter build produced a wrong
+    or empty glob for such names (r11 advice); explicit paths have no
+    glob at all."""
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [[i, f"v-{i}"] for i in range(5)]
+    qf = src / "orders[old]{1,2}.qbc"
+    qf.write_bytes(
+        Q.write_journaled_bytes(SCHEMA2, rows[:3], kind="queue")
+    )
+    (src / "orders[old]{1,2}.qbj").write_bytes(
+        Q.write_journaled_bytes(SCHEMA2, rows[3:], kind="journal")
+    )
+    q, n = Q.migrate_quebic_queue(
+        spark, str(qf), str(tmp_path / "dst")
+    )
+    try:
+        assert n == 5
+        sub = q.subscriber()
+        assert [list(sub.pop()) for _ in range(5)] == rows
+    finally:
+        q.close()
+
+
+def test_read_quebic_dir_rejects_ambiguous_args(spark):
+    with pytest.raises(ValueError, match="exactly one"):
+        Q.read_quebic_dir(spark)
+    with pytest.raises(ValueError, match="exactly one"):
+        Q.read_quebic_dir(spark, "/tmp/x", paths=["/tmp/y"])

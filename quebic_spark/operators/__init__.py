@@ -54,7 +54,9 @@ for _mod in _MODULES:
 
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
-    # --- r10: new gates this round ---
+    # --- r12: rotated into the live window (VERDICT r11 #3) ---
+    "unicode_normalize_stats",
+    # --- r10: new gates that round ---
     "quebic_format_roundtrip",
     "diversity_sample",
     # --- r9: new gates that round ---
@@ -109,13 +111,12 @@ GATE_ORDER: tuple[str, ...] = (
     "skew_safe_revenue",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "ann_bruteforce_topk",
     "event_sessions",
     "event_funnel",
     "event_watermark_windows",
     "queue_fifo_roundtrip",
     "asof_click_to_purchase",
-)
+)  # ann_bruteforce_topk rotated out in r12 (see RETIRED_GATES)
 
 # Gates whose operator coverage is subsumed by a GATE_ORDER entry.
 # Each stays oracle-checked in tests/test_registry.py.
@@ -133,21 +134,23 @@ RETIRED_GATES: dict[str, str] = {
                             "live train_split_counts; full per-source "
                             "rule oracle keeps running in "
                             "tests/test_registry.py",
-    "unicode_normalize_stats": "test-lane by design (new in r10, "
-                               "never held a driver slot — the "
-                               "50-slot window is full of distinct "
-                               "mechanisms and this op composes two "
-                               "already-live-gated ones: the "
-                               "Arrow-batched scan-resident python "
-                               "transform budget of "
-                               "multimodal_decode and the "
-                               "deterministic driver-row synthesis "
-                               "pattern of line_dedup). Its FULL "
-                               "per-doc value-hash oracle (python "
-                               "unicodedata vs DuckDB nfc_normalize, "
-                               "verified byte-identical) runs in "
-                               "tests/test_registry.py with the "
-                               "driver's own compare",
+    "ann_bruteforce_topk": "retired in r12 (driver-green r2-r11, code "
+                           "unchanged since the r7 memoization) to "
+                           "free a slot for unicode_normalize_stats "
+                           "(VERDICT r11 #3): q_ann_bruteforce_topk "
+                           "RETURNS the memoized _exact_topk frame "
+                           "that both live recall gates join against "
+                           "as ground truth (ann_ivf_learned_recall "
+                           "similarity.py:1056, ann_ivf_pq_recall "
+                           ":1802) — their hash-checked recall values "
+                           "are functions of these exact pairs, so a "
+                           "brute-force regression breaks two live "
+                           "gates (the same truth-side subsumption as "
+                           "heavy_hitter_keys/cms_heavy_hitters); the "
+                           "cosine top-k window also runs live in "
+                           "ann_ivf_nprobe2's rerank. Full pair-level "
+                           "oracle keeps running in "
+                           "tests/test_registry.py",
     "top_orders_per_segment": "retired in r10 (driver-green r2-r9, "
                               "code unchanged since r2) to free a "
                               "slot for diversity_sample: its "

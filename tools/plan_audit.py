@@ -95,6 +95,16 @@ EXPECTED_EXCEPTIONS: dict[str, dict] = {
         "why": "binary media decode is the designed Arrow-batched "
                "UDF surface (decoders are pure Python by necessity)",
     },
+    "unicode_normalize_stats": {
+        "n_single_partition": 0, "n_python_eval": 2,
+        "why": "unicodedata normalization is the designed Arrow-"
+               "batched pandas UDF (the JVM exposes no normalizer "
+               "through pyspark.sql.functions); ONE ArrowEvalPython "
+               "node, counted twice because the AQE plan string "
+               "prints Final + Initial plans (same doubling as every "
+               "exchange-bearing gate here); scan-resident, zero "
+               "joins by construction",
+    },
 }
 
 

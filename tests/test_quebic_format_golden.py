@@ -269,3 +269,72 @@ def test_reference_capacity_transcript_replays_identically(tmp_path):
          for i, (g, w) in enumerate(zip(got, want)) if g != w),
         f"length {len(got)} vs {len(want)}",
     )
+
+
+def test_reference_consume_transcript_replays_identically(tmp_path):
+    """Error-counter/DLQ-path lockstep with the REAL reference: a
+    35-op script of push / migrate / failing-consume / succeeding-
+    consume / size was executed against the reference's JournaledFile
+    consume machinery (opened per-op exactly as its own Queue does —
+    a long-lived handle breaks after migrateTo truncates the journal)
+    and the transcript committed. Every failing run stays BELOW the
+    livelock threshold (errors <= permit-1 before a success):
+    the reference's discard-at-permit branch recurses without
+    unlinking (JournaledFile.scala:254-266) and spins forever, so
+    only the sub-threshold state machine is reference-drivable. What
+    this pins lockstep (not just via the ttl.qbj fixture): error
+    counters PERSIST across consume calls (Left, Left, then success),
+    the errored head is REDELIVERED with its value intact, counters
+    are per-entry (a new head starts at zero), and the machinery
+    composes with interleaved pushes/migrations and FIFO across
+    waves. The reference returns Left(ex) where our consume re-raises
+    — mapped 1:1 in the replay."""
+    import json
+
+    from quebic_spark import INTEGER, Queue, Schema
+
+    ops = json.loads(_load("consume_opscript.json").decode())
+    want = _load("consume_transcript.txt").decode().splitlines()
+
+    q = Queue(str(tmp_path / "consume_replay"), Schema(INTEGER),
+              capacity=10_000)
+    pub, sub = q.publisher(), q.subscriber()
+    got = []
+
+    def _boom(_record):
+        raise RuntimeError("induced")
+
+    for op in ops:
+        if op[0] == "push":
+            pub.push([op[1]])
+            got.append(f"push {op[1]} -> ok")
+        elif op[0] == "migrate":
+            # the reference moves journal->queue; our log is already
+            # unified, so the analogous maintenance op is compaction
+            q.compact()
+            got.append("migrate -> ok")
+        elif op[0] == "consumeOk":
+            r = sub.consume(lambda rec: rec[0], error_permit=3)
+            got.append(
+                "consumeOk -> " + ("None" if r is None else f"Some({r})")
+            )
+        elif op[0] == "consumeFail":
+            try:
+                r = sub.consume(_boom, error_permit=3)
+            except RuntimeError as ex:
+                got.append(f"consumeFail -> Left({ex})")
+            else:
+                got.append(
+                    "consumeFail -> "
+                    + ("None" if r is None else f"Some({r})")
+                )
+        elif op[0] == "size":
+            got.append(f"size -> {q.size()}")
+        else:  # pragma: no cover
+            raise AssertionError(op)
+    q.close()
+    assert got == want, next(
+        (f"first divergence at op {i}: ours={g!r} ref={w!r}"
+         for i, (g, w) in enumerate(zip(got, want)) if g != w),
+        f"length {len(got)} vs {len(want)}",
+    )

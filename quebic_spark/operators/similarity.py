@@ -1970,6 +1970,87 @@ def diversity_sample(
     return ranked.filter(F.col("_rk") <= F.col("cell_keep")).drop("_rk")
 
 
+def diversity_filter(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    keep_pct: int = DIVERSITY_KEEP_PCT,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "doc_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """Composable D4 diversity stage for pipelines: per quantizer
+    cell, keep the ``keep_pct``% LEAST prototypical members
+    (ascending cosine-to-centroid, id tie-break) and prune ``docs``
+    accordingly.
+
+    Same selection semantics and plan shape as
+    :func:`diversity_sample` — ONE cell-keyed exchange carrying both
+    the rank and cell-count windows, centroid lookup as a
+    scan-resident array literal — but over a caller-provided
+    ``(id, embedding)`` DataFrame so it slots into
+    :func:`quebic_spark.pipeline.release_corpus` after dedup, the way
+    the classifier tier does. The prune is ONE anti-join against the
+    dropped ids (the decontaminate stage's shape): docs without an
+    embedding row are never in the dropped set, so they pass through
+    unfiltered — diversity only prunes what it can see. At 100 TB the
+    embedding table is the stored index layout, not a recompute.
+
+    ``centroids`` defaults to the seeded quantizer (EMB_DIM-sized);
+    pass trained centroids (e.g. :func:`learned_centroids`) when the
+    embedding dimension or corpus calls for them.
+    """
+    from quebic_spark.functions.vector import l2_norm
+
+    if not 0 < keep_pct <= 100:
+        raise ValueError(f"keep_pct must be in (0, 100], got {keep_pct}")
+    cents = centroids if centroids is not None else _centroids()
+    dots, cell = _cell_col(cents)
+    emb = (
+        embeddings.select(
+            F.col(id_col).alias("_div_id"),
+            F.col(embedding_col).alias("embedding"),
+        )
+        .select("_div_id", "embedding", *dots)
+        .withColumn("cell", cell)
+        .withColumn("norm", l2_norm(F.col("embedding")))
+    )
+    cent_lookup = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in cents
+        )
+        + ")"
+    )
+    sim = (
+        dot_product(
+            F.col("embedding"),
+            F.element_at(cent_lookup, F.col("cell").cast("int") + 1),
+        )
+        / F.when(F.col("norm") > 0, F.col("norm")).otherwise(F.lit(1.0))
+    )
+    w_cell = Window.partitionBy("cell")
+    w_rank = Window.partitionBy("cell").orderBy(
+        F.col("proto_sim").asc(), F.col("_div_id").asc()
+    )
+    ranked = (
+        emb.select("_div_id", "cell", sim.alias("proto_sim"))
+        .select(
+            "*",
+            F.count(F.lit(1)).over(w_cell).alias("cell_n"),
+            F.row_number().over(w_rank).alias("_rk"),
+        )
+        .withColumn(
+            "cell_keep",
+            ((F.col("cell_n") * keep_pct + 99) / 100).cast("long"),
+        )
+    )
+    dropped = ranked.filter(F.col("_rk") > F.col("cell_keep")).select(
+        F.col("_div_id").alias(id_col)
+    )
+    return docs.join(dropped, id_col, "left_anti")
+
+
 def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-component gate (the semantic_dedup discipline): cells
     are data-dependent so DuckDB cannot replay the selection — the

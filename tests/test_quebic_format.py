@@ -774,12 +774,11 @@ def test_oversized_file_raises_named_error(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(Q, "BINARYFILE_MAX_BYTES", 64)
     with pytest.raises(Q.OversizedFileError, match="big.qbc"):
         Q.read_quebic_dir(spark, str(d))
-    with pytest.raises(Q.OversizedFileError, match="big.qbc"):
-        Q.read_quebic_dir(spark, paths=[str(big)])
     with pytest.raises(Q.OversizedFileError, match="MIGRATION.md"):
-        Q.migrate_quebic_queue(
-            spark, str(big), str(tmp_path / "dst")
-        )
+        Q.read_quebic_dir(spark, paths=[str(big)])
+    # (migrate_quebic_queue does NOT raise here: it falls back to the
+    # driver-side streaming import — covered by
+    # test_migrate_falls_back_to_streaming_for_oversized)
     # restore: everything under the real ceiling imports fine
     monkeypatch.setattr(Q, "BINARYFILE_MAX_BYTES", 2**31 - 1)
     assert Q.read_quebic_dir(spark, str(d)).count() == len(ROWS) + 1
@@ -816,3 +815,115 @@ def test_read_quebic_dir_rejects_ambiguous_args(spark):
         Q.read_quebic_dir(spark)
     with pytest.raises(ValueError, match="exactly one"):
         Q.read_quebic_dir(spark, "/tmp/x", paths=["/tmp/y"])
+
+
+def test_iter_quebic_fifo_matches_read_fifo(tmp_path):
+    """The lazy mmap walk must produce exactly what the in-memory
+    parse produces: same FIFO composition (queue chain oldest-first,
+    journal reversed), same values across all five types and both
+    codecs, same entry metadata."""
+    sch = Schema(INTEGER, REAL, TEXT, BINARY, TENSOR)
+    rows = [
+        [i, i * 0.5 - 1.25, f"döc-{i} ☃", bytes([i, i + 1]),
+         ([2], [i + 0.25, -i - 0.5])]
+        for i in range(6)
+    ]
+    qf = tmp_path / "it.qbc"
+    jf = tmp_path / "it.qbj"
+    qf.write_bytes(
+        Q.write_journaled_bytes(
+            sch, rows[:4], kind="queue", codec=GZIP
+        )
+    )
+    jf.write_bytes(
+        Q.write_journaled_bytes(sch, rows[4:], kind="journal")
+    )
+    want_schema, want = Q.read_fifo(qf.read_bytes(), jf.read_bytes())
+    got_schema, it = Q.iter_quebic_fifo(str(qf), str(jf))
+    got = list(it)
+    assert [t.id for t in got_schema.types] == [
+        t.id for t in want_schema.types
+    ]
+    assert len(got) == len(want) == 6
+    for g, w in zip(got, want):
+        assert g["values"] == w["values"]
+        for k in ("created_at", "expires_at", "errors", "codec_id"):
+            assert g[k] == w[k]
+
+    # journal-only and queue-only degenerate shapes
+    s2, it2 = Q.iter_quebic_fifo(None, str(jf))
+    assert [e["values"][0] for e in it2] == [4, 5]
+    s3, it3 = Q.iter_quebic_fifo(str(qf), None)
+    assert [e["values"][0] for e in it3] == [0, 1, 2, 3]
+    # both absent -> (None, empty)
+    s4, it4 = Q.iter_quebic_fifo(None, None)
+    assert s4 is None and list(it4) == []
+
+    # torn chain fails loud mid-iteration, canaries intact
+    data = qf.read_bytes()
+    qf.write_bytes(data[: len(data) - 10])
+    with pytest.raises(FormatException):
+        s5, it5 = Q.iter_quebic_fifo(str(qf), None)
+        list(it5)
+
+
+def test_import_oversized_queue_matches_distributed_import(
+    spark, tmp_path
+):
+    """The streaming oversized path must be row-identical to the
+    binaryFile path on the same files (values, system columns, FIFO
+    pos, TTL filtering)."""
+    sch = Schema(INTEGER, TEXT)
+    rows = [[i, f"big-{i}"] for i in range(37)]
+    d = tmp_path / "dir"
+    d.mkdir()
+    (d / "huge.qbc").write_bytes(
+        Q.write_journaled_bytes(sch, rows[:20], kind="queue")
+    )
+    (d / "huge.qbj").write_bytes(
+        Q.write_journaled_bytes(sch, rows[20:], kind="journal")
+    )
+    normal = Q.read_quebic_dir(spark, str(d)).orderBy("pos").collect()
+    staged = Q.import_oversized_queue(
+        spark, str(d / "huge.qbc"),
+        staging_dir=str(tmp_path / "staging"),
+        rows_per_file=10,  # force multiple staged parquet files
+    ).orderBy("pos").collect()
+    assert [tuple(r) for r in staged] == [tuple(r) for r in normal]
+    # bounded batches actually sharded the staging
+    import os as _os
+
+    parts = [
+        f for f in _os.listdir(tmp_path / "staging")
+        if f.endswith(".parquet")
+    ]
+    assert len(parts) == 4  # ceil(37 / 10)
+
+
+def test_migrate_falls_back_to_streaming_for_oversized(
+    spark, tmp_path, monkeypatch
+):
+    """migrate_quebic_queue on a file past the (lowered) ceiling uses
+    the driver-side streaming import automatically: same FIFO result,
+    staging cleaned up afterwards."""
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [[i, f"m-{i}"] for i in range(12)]
+    (src / "orders.qbc").write_bytes(
+        Q.write_journaled_bytes(SCHEMA2, rows[:7], kind="queue")
+    )
+    (src / "orders.qbj").write_bytes(
+        Q.write_journaled_bytes(SCHEMA2, rows[7:], kind="journal")
+    )
+    monkeypatch.setattr(Q, "BINARYFILE_MAX_BYTES", 64)
+    dest = tmp_path / "dst"
+    q, n = Q.migrate_quebic_queue(
+        spark, str(src / "orders.qbc"), str(dest)
+    )
+    try:
+        assert n == 12
+        sub = q.subscriber()
+        assert [list(sub.pop()) for _ in range(12)] == rows
+    finally:
+        q.close()
+    assert not (dest / ".migrate_staging").exists()

@@ -47,6 +47,8 @@ from quebic_spark.queue.storage import (
     QueueStorage,
     SYSTEM_COLUMNS,
     arrow_schema,
+    bounded_row_group_rows,
+    large_offset_schema,
     spark_ddl,
     write_json_atomic,
 )
@@ -498,6 +500,11 @@ class Queue:
                     continue
                 tables = []
                 canonical = arrow_schema(self.schema)
+                # merge in 64-bit-offset arrow types: a run can hold
+                # far more than the 2 GiB a 32-bit binary/string
+                # offset array addresses (r13 big-file evidence run:
+                # 2100 x 1 MiB rows crashed concat+sort here)
+                merge_schema = large_offset_schema(canonical)
                 for start, end, path in run:
                     # normalize to the canonical log schema: Spark-written
                     # bulk files mark payload fields nullable while the
@@ -514,7 +521,7 @@ class Queue:
                             pa.array([self.codec.id] * t.num_rows,
                                      type=pa.int32()),
                         )
-                    t = t.select(canonical.names).cast(canonical)
+                    t = t.select(canonical.names).cast(merge_schema)
                     seq_col = t.column("seq")
                     exp_col = t.column("expires_at")
                     alive = pc.or_(pc.less(exp_col, 0),
@@ -540,8 +547,15 @@ class Queue:
                     # COMPLETE: recovery may only ever commit complete
                     # staged files (storage.recover)
                     staged_path = self._storage.batch_path(s, e) + ".compact"
+                    # byte-bounded row groups so every later reader
+                    # (pyarrow chunk-per-row-group, Spark's vectorized
+                    # batches) materializes bounded memory per chunk;
+                    # the large_offset arrow metadata rides along and
+                    # casts back down chunk-wise for the same reason
                     pq.write_table(chunk, staged_path + ".tmp",
-                                   compression=self.codec.parquet_codec)
+                                   compression=self.codec.parquet_codec,
+                                   row_group_size=bounded_row_group_rows(
+                                       chunk))
                     os.replace(staged_path + ".tmp", staged_path)
                     staged.append(staged_path)
                     new_files += 1
@@ -730,6 +744,10 @@ class Queue:
                 local.append(cur)
             runs.extend(local)
         canonical = arrow_schema(self.schema)
+        # 64-bit-offset merge, same rationale as compact(): a run's
+        # total var-width payload can exceed the 2 GiB a 32-bit
+        # offset array addresses
+        merge_schema = large_offset_schema(canonical)
         for run in runs:
             if len(run) < 2:
                 out.extend(run)  # a chunk of one merges nothing
@@ -743,13 +761,16 @@ class Queue:
                         pa.array([self.codec.id] * t.num_rows,
                                  type=pa.int32()),
                     )
-                tables.append(t.select(canonical.names).cast(canonical))
+                tables.append(
+                    t.select(canonical.names).cast(merge_schema)
+                )
             merged = pa.concat_tables(tables).sort_by("seq")
             s = run[0][0]
             e = run[-1][1]
             staged_path = self._storage.batch_path(s, e) + ".compact"
             pq.write_table(merged, staged_path + ".tmp",
-                           compression=self.codec.parquet_codec)
+                           compression=self.codec.parquet_codec,
+                           row_group_size=bounded_row_group_rows(merged))
             os.replace(staged_path + ".tmp", staged_path)
             originals = [p for _, _, p in run]
             write_json_atomic(

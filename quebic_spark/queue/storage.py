@@ -102,6 +102,47 @@ def arrow_schema(schema: Schema) -> pa.Schema:
     return pa.schema(fields)
 
 
+def large_offset_schema(schema: pa.Schema) -> pa.Schema:
+    """``schema`` with binary/string fields promoted to their
+    large_ (64-bit-offset) variants. Compaction merges whole runs of
+    batch files into ONE arrow table before sorting; with 32-bit
+    offsets any run holding > 2 GiB of payload in a var-width column
+    dies with "offset overflow while concatenating arrays" (observed
+    on a real 2100 x 1 MiB queue in the r13 big-file evidence run).
+    The parquet bytes written are identical (BYTE_ARRAY either way);
+    only in-memory offset width and the embedded arrow metadata
+    change, and every reader casts through :func:`arrow_schema`
+    chunk-wise (row groups are byte-bounded at write, see
+    :func:`bounded_row_group_rows`), so the cast back down is safe."""
+    fields = []
+    for f in schema:
+        t = f.type
+        if t == pa.binary():
+            t = pa.large_binary()
+        elif t == pa.string():
+            t = pa.large_string()
+        fields.append(pa.field(f.name, t, nullable=f.nullable))
+    return pa.schema(fields)
+
+
+def bounded_row_group_rows(
+    table: pa.Table, cap_bytes: int = 128 << 20
+) -> int:
+    """Rows per parquet row group so the AVERAGE row group stays
+    under ``cap_bytes``. Readers materialize one row group at a time
+    (pyarrow chunk-per-row-group; Spark's vectorized reader reserves
+    a contiguous column vector per batch within one) — with MiB-fat
+    BINARY rows the default million-row groups put multi-GiB in one
+    chunk and both readers fall over. Row-count based, so a heavily
+    skewed single row can still exceed the cap; single values are
+    already bounded well below 2 GiB by the wire format."""
+    n = table.num_rows
+    if n == 0 or table.nbytes <= 0:
+        return 1_000_000
+    avg = max(1, table.nbytes // n)
+    return max(1, min(1_000_000, cap_bytes // avg))
+
+
 def spark_ddl(schema: Schema) -> str:
     """Spark DDL string for the full log schema (system + payload)."""
     ddl = ["seq BIGINT", "created_at BIGINT", "expires_at BIGINT",
@@ -502,8 +543,12 @@ class QueueStorage:
         path = self.batch_path(start, end)
         tmp = path + ".tmp"
         sink = pa.BufferOutputStream()
+        # byte-bounded row groups, same rationale as compaction: a
+        # bulk push_all of MiB-fat rows must not land one multi-GiB
+        # row group that every later reader materializes whole
         pq.write_table(table, sink, compression=parquet_codec,
-                       write_statistics=["seq"])
+                       write_statistics=["seq"],
+                       row_group_size=bounded_row_group_rows(table))
         buf = sink.getvalue()
         fd = os.open(tmp, os.O_CREAT | os.O_WRONLY | os.O_TRUNC, 0o644)
         try:
@@ -538,6 +583,26 @@ class QueueStorage:
         goes through Spark (Queue.read_pending / streaming).
         """
         for start, end, path in self.batches_after(after_seq):
+            pf = pq.ParquetFile(path)
+            meta = pf.metadata
+            # stream row-group-wise when the groups are provably
+            # seq-ordered (footer min/max stats strictly ascending):
+            # compaction writes merged-sorted with byte-bounded
+            # groups, so a multi-GiB fat-row file drains at
+            # ~one-row-group memory instead of being pinned whole in
+            # the driver (r13 big-file evidence run). Any file that
+            # can't prove ordering (single group, missing stats,
+            # overlap) takes the original whole-file read.
+            groups = self._ordered_row_groups(meta)
+            if groups is not None:
+                for g in groups:
+                    rows = pf.read_row_group(g).to_pylist()
+                    rows.sort(key=lambda r: r["seq"])
+                    self._backfill_rows(rows)
+                    for r in rows:
+                        if r["seq"] > after_seq:
+                            yield r
+                continue
             table = pq.read_table(path)
             rows = table.to_pylist()
             rows.sort(key=lambda r: r["seq"])
@@ -546,18 +611,57 @@ class QueueStorage:
                 if r["seq"] > after_seq:
                     yield r
 
+    @staticmethod
+    def _ordered_row_groups(meta) -> list[int] | None:
+        """Row-group indices iff the file's seq column has complete
+        footer min/max statistics with strictly ascending,
+        non-overlapping ranges across groups; else None."""
+        if meta.num_row_groups <= 1:
+            return None
+        seq_leaf = None
+        rg0 = meta.row_group(0)
+        for j in range(rg0.num_columns):
+            if rg0.column(j).path_in_schema == "seq":
+                seq_leaf = j
+                break
+        if seq_leaf is None:
+            return None
+        prev_max = None
+        for g in range(meta.num_row_groups):
+            st = meta.row_group(g).column(seq_leaf).statistics
+            if st is None or not st.has_min_max:
+                return None
+            if prev_max is not None and st.min <= prev_max:
+                return None
+            prev_max = st.max
+        return list(range(meta.num_row_groups))
+
     # single-file row cache for the sequential pop fast path: draining a
     # queue reads each record once instead of re-reading the batch file
-    # per pop (O(n) drain instead of O(n^2)). Only files below this row
-    # count are cached; larger files fall back to a filtered read.
+    # per pop (O(n) drain instead of O(n^2)). Only files below BOTH
+    # caps are cached; larger files fall back to a filtered read. The
+    # byte cap matters independently of the row cap: 2100 x 1 MiB
+    # rows is "small" by row count but would pin 2.2 GiB of payload
+    # in a driver-side dict (r13 big-file evidence run) — filtered
+    # point reads over byte-bounded row groups are the right shape
+    # there, and the documented bulk path is Spark anyway.
     _CACHE_MAX_ROWS = 262_144
+    _CACHE_MAX_BYTES = 256 << 20
+
+    def _cacheable(self, start: int, end: int, path: str) -> bool:
+        if end - start + 1 > self._CACHE_MAX_ROWS:
+            return False
+        try:
+            return os.path.getsize(path) <= self._CACHE_MAX_BYTES
+        except OSError:
+            return False
 
     def read_seq(self, seq: int) -> dict[str, Any] | None:
         """Point lookup by seq using filename range pruning."""
         for start, end, name in self._batch_ranges():
             if start <= seq <= end:
                 path = os.path.join(self.data_dir, name)
-                if end - start + 1 <= self._CACHE_MAX_ROWS:
+                if self._cacheable(start, end, path):
                     rows = self._cached_rows(path)
                     return rows.get(seq)
                 table = pq.read_table(path, filters=[("seq", "==", seq)])
@@ -573,7 +677,7 @@ class QueueStorage:
         """Smallest stored seq > after (compaction may vacuum expired
         rows, leaving gaps in the sequence)."""
         for start, end, path in self.batches_after(after):
-            if end - start + 1 <= self._CACHE_MAX_ROWS:
+            if self._cacheable(start, end, path):
                 rows = self._cached_rows(path)
                 candidates = [s for s in rows if s > after]
                 if candidates:

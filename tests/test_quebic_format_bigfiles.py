@@ -18,7 +18,6 @@ import it.
 """
 
 import os
-import struct
 
 import pytest
 
@@ -43,36 +42,13 @@ def _payload(i: int) -> bytes:
 
 
 def _stream_journal(path: str, rows) -> int:
-    """Stream a `kind='journal'` layout (oldest deepest, prev ->
-    previous entry, header's last-position -> newest) entry by entry:
-    byte-identical to what write_journaled_bytes produces for the
-    same rows, without holding 2.2 GiB in memory. Layout per
-    JournaledFile.scala:636-666 as pinned by the in-memory writer.
-    Returns the row count."""
-    schema_bin = Q.schema_to_wire(SCHEMA)
-    header_size = Q._HEADER_FIXED + len(schema_bin)
-    n = 0
+    """Stream the physical (deepest-first) layout entry by entry via
+    the PRODUCTION single-pass writer — never holding 2.2 GiB in
+    memory. Physical order semantics per
+    `stream_journaled_entries`'s contract (JournaledFile.scala
+    :636-666): rows newest-first = a queue file. Returns the count."""
     with open(path, "wb") as f:
-        f.write(b"\x00" * header_size)
-        prev = -1
-        last = -1
-        for row in rows:
-            payload = Q.wire_serialize(SCHEMA, row, PLAIN)
-            off = f.tell()
-            f.write(bytes([Q.ENTRY_SIGNATURE]))
-            f.write(struct.pack(">qqq", prev, 0, -1))
-            f.write(struct.pack(">HI", 0, len(payload)))
-            f.write(bytes([PLAIN.id]))
-            f.write(payload)
-            prev = off
-            last = off
-            n += 1
-        f.seek(0)
-        f.write(struct.pack(">HH", Q.MAGIC, header_size))
-        f.write(struct.pack(">q", n))
-        f.write(struct.pack(">q", last))
-        f.write(schema_bin)
-    return n
+        return Q.stream_journaled_entries(f, SCHEMA, rows, codec=PLAIN)
 
 
 def test_stream_writer_matches_in_memory_writer(tmp_path):
@@ -155,3 +131,57 @@ def test_bigfile_migrate_fallback(spark, big_queue, tmp_path):
     finally:
         q.close()
     assert not (dest / ".migrate_staging").exists()
+
+
+def test_bigfile_sharded_export_streams(spark, tmp_path):
+    """The write twin at scale: export ~2.4 GiB as 2 reference-
+    readable shard files through the streaming writer (task memory is
+    one Arrow batch, not the shard — the old path held each shard in
+    memory twice), then verify counts, FIFO order, shard key ranges,
+    and boundary rows via the mmap chain walk."""
+    from pyspark.sql import functions as F
+
+    from quebic_spark.schema import TEXT, Schema
+
+    n = 2400
+    pay = PAYLOAD  # 1 MiB per row
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(
+            F.format_string("%05d:", F.col("id")),
+            F.repeat(F.lit("x"), pay - 6),
+        ).alias("body"),
+    )
+    out = tmp_path / "shards"
+    shards = Q.export_quebic_shards(
+        df, str(out), Schema(INTEGER, TEXT), n_shards=2,
+        order_by=["k"],
+    )
+    assert shards == ["shard-00000.qbc", "shard-00001.qbc"]
+    seen = 0
+    prev_last = -1
+    for name in shards:
+        path = str(out / name)
+        size = os.path.getsize(path)
+        # each shard holds ~half the corpus: well past what the old
+        # in-memory writer could sanely double-buffer, still under
+        # the binaryFile ceiling so the reference AND our distributed
+        # importer can read it
+        assert size > 1 << 30
+        assert size < Q.BINARYFILE_MAX_BYTES
+        _, entries = Q.iter_quebic_fifo(path, None)
+        ids = []
+        first = last = None
+        for e in entries:
+            if first is None:
+                first = e["values"]
+            last = e["values"]
+            ids.append(e["values"][0])
+        assert ids == sorted(ids)  # FIFO pop order == key order
+        assert ids[0] > prev_last  # contiguous, disjoint shard ranges
+        prev_last = ids[-1]
+        assert first[1].startswith(f"{first[0]:05d}:")
+        assert last[1] == f"{last[0]:05d}:" + "x" * (pay - 6)
+        assert len(first[1]) == pay
+        seen += len(ids)
+    assert seen == n

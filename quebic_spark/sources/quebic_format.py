@@ -700,7 +700,10 @@ def import_oversized_queue(
         # of row width, which is also the right scan granularity for
         # the distributed read-back.
         batch_bytes += sum(
-            len(v) for v in vals if isinstance(v, (bytes, str))
+            len(v) if isinstance(v, (bytes, str))
+            else 8 * len(v["values"]) if isinstance(v, dict)
+            else 8
+            for v in vals
         )
         if len(batch) >= rows_per_file or batch_bytes >= bytes_per_file:
             _flush(batch, shard)

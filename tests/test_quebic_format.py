@@ -900,6 +900,40 @@ def test_import_oversized_queue_matches_distributed_import(
     assert len(parts) == 4  # ceil(37 / 10)
 
 
+def test_stream_journaled_entries_byte_identity(tmp_path):
+    """The single-pass streaming writer is the layout core now —
+    write_journaled_bytes wraps it, and the sharded export streams
+    through it. Pin byte-identity for both kinds and all five types,
+    and the export equivalence (DESC stream == queue-kind bytes)."""
+    sch = Schema(INTEGER, REAL, TEXT, BINARY, TENSOR)
+    rows = [
+        [i, i * 0.25, f"s{i}", bytes([i]), ([1], [float(i)])]
+        for i in range(6)
+    ]
+    # journal kind == physical push order
+    f = tmp_path / "j.qbj"
+    with open(f, "wb") as fh:
+        n = Q.stream_journaled_entries(fh, sch, rows, codec=GZIP)
+    assert n == 6
+    assert f.read_bytes() == Q.write_journaled_bytes(
+        sch, rows, kind="journal", codec=GZIP
+    )
+    # queue kind == reversed physical order (what the export streams)
+    f2 = tmp_path / "q.qbc"
+    with open(f2, "wb") as fh:
+        Q.stream_journaled_entries(fh, sch, list(reversed(rows)))
+    assert f2.read_bytes() == Q.write_journaled_bytes(
+        sch, rows, kind="queue"
+    )
+    # zero rows == the reference's open-initialized header-only file
+    f3 = tmp_path / "e.qbc"
+    with open(f3, "wb") as fh:
+        assert Q.stream_journaled_entries(fh, sch, []) == 0
+    assert f3.read_bytes() == Q.write_journaled_bytes(
+        sch, [], kind="queue"
+    )
+
+
 def test_import_oversized_queue_empty_queue(spark, tmp_path, monkeypatch):
     """Zero-live-entry queues — a header-only file (the reference's
     open-initialized state, JournaledFile.scala:40-46,289-299) and a

@@ -153,11 +153,17 @@ def bench_queue() -> tuple[dict[str, float], dict]:
 # rounds running (r10-r12; r12: pop median 0.493 s in-run vs 0.169 s
 # in a fresh low-load process) because the queue loop runs last, after
 # 50 Spark queries have heated the box. When an in-run median crosses
-# a bar, re-time once in a FRESH process and record BOTH numbers so
-# the adjudication is in the detail file, not a judge re-measurement
-# (VERDICT r12 next #2).
+# the TRIGGER, re-time once in a FRESH process and record BOTH numbers
+# so the adjudication is in the detail file, not a judge
+# re-measurement (VERDICT r12 next #2). The triggers sit at ~2x the
+# fresh-process floors (push ~0.45, pop ~0.17 ms/op), tighter than
+# the bars on purpose: r12's misleading pop median was 7/1000 UNDER
+# the bar and still needed hand adjudication — a bar-level trigger
+# would have stayed silent.
 _QUEUE_PUSH_BAR_S = 1.0  # 1 ms/op over the 1k-push loop
 _QUEUE_POP_BAR_S = 0.5   # 0.5 ms/op over the 1k-pop loop
+_QUEUE_PUSH_TRIGGER_S = 0.75
+_QUEUE_POP_TRIGGER_S = 0.35
 
 
 def isolated_queue_retime() -> dict:
@@ -256,8 +262,8 @@ def main() -> None:
     queue_best, queue_median = bench_queue()
     queue_isolated = None
     if (
-        queue_median["queue_push_1k_median"] > _QUEUE_PUSH_BAR_S
-        or queue_median["queue_pop_1k_median"] > _QUEUE_POP_BAR_S
+        queue_median["queue_push_1k_median"] > _QUEUE_PUSH_TRIGGER_S
+        or queue_median["queue_pop_1k_median"] > _QUEUE_POP_TRIGGER_S
     ):
         try:
             queue_isolated = isolated_queue_retime()
@@ -284,11 +290,13 @@ def main() -> None:
                 "samples": samples,
                 "queue_median": queue_median,
                 # fresh-process adjudication, present ONLY when an
-                # in-run queue median crossed its discipline bar
-                # (push > 1 ms/op or pop > 0.5 ms/op): the in-run
-                # tail number has read 2-3x over a low-load fresh
-                # process three rounds running, so both numbers land
-                # here and no judge has to re-measure by hand
+                # in-run queue median crossed its trigger (push >
+                # 0.75 / pop > 0.35 ms/op — ~2x the fresh-process
+                # floors, deliberately tighter than the 1 / 0.5
+                # discipline bars): the in-run tail number has read
+                # 2-3x over a low-load fresh process three rounds
+                # running, so both numbers land here and no judge
+                # has to re-measure by hand
                 "queue_isolated": queue_isolated,
                 # fresh-process ground truth for the most expensive
                 # queries; compare against `samples` to attribute

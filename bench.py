@@ -179,8 +179,15 @@ def isolated_queue_retime() -> dict:
         [sys.executable, "-c", src, _REPO],
         capture_output=True, text=True, timeout=600,
     )
-    line = proc.stdout.strip().splitlines()[-1]
-    out = json.loads(line)
+    lines = proc.stdout.strip().splitlines()
+    if proc.returncode != 0 or not lines:
+        # surface the child's actual failure — an adjudication record
+        # that hides the traceback is useless exactly when needed
+        raise RuntimeError(
+            f"queue re-time subprocess failed (rc={proc.returncode}): "
+            f"{proc.stderr.strip()[-500:]}"
+        )
+    out = json.loads(lines[-1])
     out["loadavg"] = _loadavg()
     return out
 
@@ -276,7 +283,7 @@ def main() -> None:
         "queries_best_of_2_all_samples_in_detail_file"
         ";caches+tablecache_cleared+gc_between_samples"
         ";isolated_spot_times_fresh_process;queue_best_of_3"
-        ";queue_isolated_retime_when_median_over_bar"
+        ";queue_isolated_retime_when_median_over_trigger_0.75p_0.35p"
     )
     load_end = _loadavg()
     detail_path = os.path.join(_REPO, "BENCH_DETAIL.json")

@@ -114,15 +114,28 @@ def large_offset_schema(schema: pa.Schema) -> pa.Schema:
     change, and every reader casts through :func:`arrow_schema`
     chunk-wise (row groups are byte-bounded at write, see
     :func:`bounded_row_group_rows`), so the cast back down is safe."""
-    fields = []
-    for f in schema:
-        t = f.type
+    def promote(t: pa.DataType) -> pa.DataType:
         if t == pa.binary():
-            t = pa.large_binary()
-        elif t == pa.string():
-            t = pa.large_string()
-        fields.append(pa.field(f.name, t, nullable=f.nullable))
-    return pa.schema(fields)
+            return pa.large_binary()
+        if t == pa.string():
+            return pa.large_string()
+        if pa.types.is_list(t):
+            # list offsets are ELEMENT-counted int32 — a TENSOR
+            # column's values lists overflow past 2^31 total elements
+            # (~17 GiB of float64) in one merged run, the same
+            # failure class as binary, just a wider trigger
+            return pa.large_list(promote(t.value_type))
+        if pa.types.is_struct(t):
+            return pa.struct([
+                pa.field(c.name, promote(c.type), nullable=c.nullable)
+                for c in t
+            ])
+        return t
+
+    return pa.schema([
+        pa.field(f.name, promote(f.type), nullable=f.nullable)
+        for f in schema
+    ])
 
 
 def bounded_row_group_rows(
@@ -595,7 +608,12 @@ class QueueStorage:
             # overlap) takes the original whole-file read.
             groups = self._ordered_row_groups(meta)
             if groups is not None:
-                for g in groups:
+                for g, seq_max in groups:
+                    if seq_max <= after_seq:
+                        # stats prove the whole group is consumed —
+                        # skip the decode entirely (a mostly-drained
+                        # multi-GiB file costs only its live tail)
+                        continue
                     rows = pf.read_row_group(g).to_pylist()
                     rows.sort(key=lambda r: r["seq"])
                     self._backfill_rows(rows)
@@ -603,8 +621,7 @@ class QueueStorage:
                         if r["seq"] > after_seq:
                             yield r
                 continue
-            table = pq.read_table(path)
-            rows = table.to_pylist()
+            rows = pf.read().to_pylist()
             rows.sort(key=lambda r: r["seq"])
             self._backfill_rows(rows)
             for r in rows:
@@ -612,10 +629,12 @@ class QueueStorage:
                     yield r
 
     @staticmethod
-    def _ordered_row_groups(meta) -> list[int] | None:
-        """Row-group indices iff the file's seq column has complete
-        footer min/max statistics with strictly ascending,
-        non-overlapping ranges across groups; else None."""
+    def _ordered_row_groups(meta) -> list[tuple[int, int]] | None:
+        """``[(group_index, seq_max), ...]`` iff the file's seq
+        column has complete footer min/max statistics with strictly
+        ascending, non-overlapping ranges across groups; else None.
+        The per-group max rides along so callers can skip
+        fully-consumed groups without re-walking the footer."""
         if meta.num_row_groups <= 1:
             return None
         seq_leaf = None
@@ -627,6 +646,7 @@ class QueueStorage:
         if seq_leaf is None:
             return None
         prev_max = None
+        out: list[tuple[int, int]] = []
         for g in range(meta.num_row_groups):
             st = meta.row_group(g).column(seq_leaf).statistics
             if st is None or not st.has_min_max:
@@ -634,7 +654,8 @@ class QueueStorage:
             if prev_max is not None and st.min <= prev_max:
                 return None
             prev_max = st.max
-        return list(range(meta.num_row_groups))
+            out.append((g, st.max))
+        return out
 
     # single-file row cache for the sequential pop fast path: draining a
     # queue reads each record once instead of re-reading the batch file

@@ -651,6 +651,18 @@ def import_oversized_queue(
         staging_dir = tempfile.mkdtemp(prefix="quebic_oversized_")
         _register_auto_staging(staging_dir)
     os.makedirs(staging_dir, exist_ok=True)
+    # this function OWNS the staging layout: clear any part files a
+    # crashed earlier run left behind, or the read-back below would
+    # return surviving higher-numbered parts as live rows (a retry
+    # after the source shrank, or with a different rows_per_file,
+    # silently duplicated — r13 review; the migrate caller's own
+    # rmtree is belt-and-braces on top of this)
+    import glob as _glob
+
+    for stale in _glob.glob(
+        os.path.join(_glob.escape(staging_dir), "part-*.parquet")
+    ):
+        os.remove(stale)
 
     def _flush(batch_rows: list[tuple], shard: int) -> None:
         # build per-FIELD from the schema, not by transposing rows:

@@ -1007,6 +1007,36 @@ def test_cleanup_oversized_staging(spark, tmp_path):
         Q.cleanup_oversized_staging(42)
 
 
+def test_import_oversized_clears_own_stale_parts(spark, tmp_path):
+    """The importer OWNS the staging layout: a reused explicit
+    staging_dir with a crashed run's leftover part files must not
+    leak those parts into the read-back (r13 review — the migrate
+    caller's rmtree protected only one caller)."""
+    big = tmp_path / "bigger.qbc"
+    big.write_bytes(
+        Q.write_journaled_bytes(
+            SCHEMA2, [[100 + i, f"old-{i}"] for i in range(9)],
+            kind="queue",
+        )
+    )
+    stg = tmp_path / "stg"
+    Q.import_oversized_queue(
+        spark, str(big), staging_dir=str(stg), rows_per_file=2
+    ).count()
+    assert len(list(stg.glob("part-*.parquet"))) == 5
+    # the retry imports a SHRUNKEN source into the same staging dir
+    small = tmp_path / "bigger2.qbc"
+    small.write_bytes(
+        Q.write_journaled_bytes(SCHEMA2, ROWS[:3], kind="queue")
+    )
+    df = Q.import_oversized_queue(
+        spark, str(small), staging_dir=str(stg)
+    )
+    assert len(list(stg.glob("part-*.parquet"))) == 1
+    got = [(r["c0"], r["c1"]) for r in df.orderBy("pos").collect()]
+    assert got == [(r[0], r[1]) for r in ROWS[:3]]
+
+
 def test_migrate_fallback_clears_stale_staging(
     spark, tmp_path, monkeypatch
 ):

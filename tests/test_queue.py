@@ -978,10 +978,23 @@ def test_large_offset_merge_helpers():
     big = large_offset_schema(sch)
     assert big.field("c1").type == pa.large_string()
     assert big.field("c2").type == pa.large_binary()
-    # fixed-width and nested types unchanged; nullability preserved
+    # fixed-width types unchanged; nullability preserved
     assert big.field("c0").type == pa.int64()
-    assert big.field("c4").type == sch.field("c4").type
     assert [f.nullable for f in big] == [f.nullable for f in sch]
+    # TENSOR's list children promote too: list offsets are
+    # element-counted int32, the same overflow class as binary
+    tensor_t = big.field("c4").type
+    assert pa.types.is_struct(tensor_t)
+    assert tensor_t.field("shape").type == pa.large_list(pa.int32())
+    assert tensor_t.field("values").type == pa.large_list(pa.float64())
+    # a tensor-carrying table survives the up/down cast round-trip
+    tt = pa.table(
+        {"c4": [{"shape": [2], "values": [1.0, 2.0]}]},
+        schema=pa.schema([pa.field("c4", sch.field("c4").type,
+                                   nullable=False)]),
+    )
+    tup = tt.cast(large_offset_schema(tt.schema))
+    assert tup.cast(tt.schema).equals(tt)
     # a table of either offset width casts to the other (the merge
     # up-cast and the bounded chunk down-cast)
     t = pa.table(
@@ -1066,24 +1079,37 @@ def test_iter_rows_streams_ordered_row_groups(qpath):
     pq.write_table(t, path, row_group_size=7)
     meta = pq.ParquetFile(path).metadata
     assert meta.num_row_groups == 6
-    assert QueueStorage._ordered_row_groups(meta) == list(range(6))
+    groups = QueueStorage._ordered_row_groups(meta)
+    assert [g for g, _ in groups] == list(range(6))
+    # per-group seq maxima ride along so a drained prefix skips
+    # whole groups without decoding them
+    assert [mx for _, mx in groups] == [7, 14, 21, 28, 35, 40]
     # aggregate/foreach/dump traverse via iter_rows — must see all 40
     # in FIFO order through the streamed path
     seen = q.aggregate([], lambda acc, rec: acc + [rec])
     assert seen == [(i, f"v{i}") for i in range(40)]
+    # drain the first 2 groups' worth; the streamed path must skip
+    # those groups by stats and still return the exact live tail
+    sub0 = q.subscriber()
+    for _ in range(14):
+        sub0.pop()
+    tail = q.aggregate([], lambda acc, rec: acc + [rec])
+    assert tail == [(i, f"v{i}") for i in range(14, 40)]
 
     # a deliberately group-UNORDERED rewrite must refuse the streamed
-    # path (stats overlap) and fall back whole-file — same answer
+    # path (stats overlap) and fall back whole-file — same live tail
+    # (the 14 already-popped rows stay consumed)
     shuffled = t.take(list(range(39, -1, -1)))
     pq.write_table(shuffled, path, row_group_size=7)
     q._storage.drop_row_cache()
     meta2 = pq.ParquetFile(path).metadata
     assert QueueStorage._ordered_row_groups(meta2) is None
     seen2 = q.aggregate([], lambda acc, rec: acc + [rec])
-    assert seen2 == [(i, f"v{i}") for i in range(40)]
-    # and the pop path still drains FIFO over the rewritten file
+    assert seen2 == [(i, f"v{i}") for i in range(14, 40)]
+    # and the pop path drains the same tail FIFO over the rewritten
+    # file
     sub = q.subscriber()
-    assert [sub.pop() for _ in range(40)] == [
-        (i, f"v{i}") for i in range(40)
+    assert [sub.pop() for _ in range(26)] == [
+        (i, f"v{i}") for i in range(14, 40)
     ]
     q.close()

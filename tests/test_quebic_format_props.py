@@ -147,3 +147,25 @@ def test_single_byte_corruption_never_hangs_or_misparses_silently(
         Q.parse_chain(bytes(data))
     except FormatException:
         pass
+
+
+@given(sr=schema_and_rows(), codec=st.sampled_from([PLAIN, GZIP]),
+       kind=st.sampled_from(["queue", "journal"]))
+@settings(max_examples=40, deadline=None)
+def test_stream_writer_bit_identical_to_in_memory(sr, codec, kind):
+    """stream_journaled_entries is the layout core (the in-memory
+    writer wraps it; the sharded export streams through it): for ANY
+    schema/rows/codec/kind, streaming the physical order must produce
+    byte-identical output to write_journaled_bytes. (Real-file
+    streaming is pinned by the fixed-case and gated big-file tests;
+    BytesIO here keeps hypothesis fixture-free.)"""
+    import io
+
+    schema, rows = sr
+    want = Q.write_journaled_bytes(schema, rows, kind=kind, codec=codec)
+    physical = list(reversed(rows)) if kind == "queue" else list(rows)
+    buf = io.BytesIO()
+    n = Q.stream_journaled_entries(buf, schema, iter(physical),
+                                   codec=codec)
+    assert n == len(rows)
+    assert buf.getvalue() == want

@@ -1113,3 +1113,33 @@ def test_iter_rows_streams_ordered_row_groups(qpath):
         (i, f"v{i}") for i in range(14, 40)
     ]
     q.close()
+
+
+def test_compact_and_drain_tensor_queue(qpath):
+    """Compaction merges through the promoted large-offset schema —
+    for TENSOR columns that means struct<large_list> tables written
+    to parquet. The full queue cycle (push -> compact -> aggregate ->
+    pop) must survive the promotion round-trip bit-exactly."""
+    from quebic_spark.schema import TENSOR
+
+    sch = Schema(INTEGER, TENSOR)
+    q = Queue(qpath, sch, capacity=100, auto_compact_files=None)
+    pub = q.publisher()
+    rows = [
+        [i, ([2, 2], [i + 0.25, -i, i * 0.5, 1.0 / (i + 1)])]
+        for i in range(25)
+    ]
+    for r in rows:
+        pub.push(r)
+    q.compact(small_file_rows=1_000_000)  # everything rewrites
+    seen = q.aggregate([], lambda acc, rec: acc + [rec])
+    assert [s[0] for s in seen] == list(range(25))
+    sub = q.subscriber()
+    for i in range(25):
+        got = sub.pop()
+        assert got[0] == i
+        t = got[1]
+        assert list(t.shape) == [2, 2]
+        assert list(t.values) == rows[i][1][1]
+    q.verify()
+    q.close()

@@ -211,6 +211,9 @@ class Queue:
         # auto-compact check is a counter bump, not a directory listing
         # (None = unknown, recomputed lazily; see _maybe_auto_compact)
         self._batch_files_estimate: int | None = None
+        # file count at which the last auto-compaction proved futile
+        # (everything classified 'keep'); None = not in a futile state
+        self._auto_compact_futile_at: int | None = None
         self._storage = QueueStorage(path)
         self._storage.control_sync = bool(fsync)
         os.makedirs(path, exist_ok=True)
@@ -234,7 +237,9 @@ class Queue:
                 # that window leaves them; a later push would collide
                 # with their seqs — truncate them now.
                 next_seq = self._storage.next_seq()
-                for start, end, path in self._storage.list_batches():
+                for start, end, path in self._storage.list_batches(
+                    include_uncommitted=True
+                ):
                     if start >= next_seq:
                         os.remove(path)
             else:
@@ -889,7 +894,11 @@ class Queue:
         import pyarrow.parquet as pq
 
         with self._storage.lock:
-            batches = self._storage.list_batches()
+            # raw view: verify is the place that must SEE an
+            # uncommitted leftover to report it (readers filter it)
+            batches = self._storage.list_batches(
+                include_uncommitted=True
+            )
             next_seq = self._storage.next_seq()
             prev_end = None
             for start, end, path in batches:
@@ -962,11 +971,17 @@ class Queue:
         """
         self._check_open()
         acc = zero
+        # hold the storage lock across the traversal (as dump does):
+        # released, a sibling process's auto-compact could delete a
+        # listed batch file mid-iteration and crash the fold even
+        # though every row still exists in the merged file (r13
+        # review). The flock is reentrant per-thread, so ``f`` may
+        # still use this queue from the calling thread.
         with self._storage.lock:
             acked = int(self._storage.consumer_state()["acked_seq"])
-        for row in self._storage.iter_rows(acked):
-            record = _record_from_row(self.schema, row)
-            acc = f(acc, record)
+            for row in self._storage.iter_rows(acked):
+                record = _record_from_row(self.schema, row)
+                acc = f(acc, record)
         return acc
 
     def foreach(self, f: Callable[[tuple[Any, ...]], None]) -> None:
@@ -1195,6 +1210,10 @@ class Queue:
                 raise ValueError(
                     f"capacity exceeded: {actual} rows staged, room {room}"
                 )
+            # same pre-commit orphan sweep as write_batch: a crashed
+            # sibling's uncommitted batch at/beyond `start` would
+            # overlap the ranges about to be renamed in
+            self._storage.sweep_orphans(start)
             for part, s, e in ranges:
                 os.replace(part, self._storage.batch_path(s, e))
             shutil.rmtree(staging, ignore_errors=True)
@@ -1297,8 +1316,24 @@ class Publisher:
             q._batch_files_estimate = len(q._storage.list_batches())
         else:
             q._batch_files_estimate += 1  # the batch just written
-        if q._batch_files_estimate > limit:
-            q.compact()
+        if q._batch_files_estimate > limit and (
+            q._auto_compact_futile_at is None
+            or q._batch_files_estimate
+            > q._auto_compact_futile_at + max(1, limit // 4)
+        ):
+            remaining = q.compact()
+            # when compaction can't shrink the count below the limit
+            # (files classified 'keep': large, unconsumed, mostly
+            # live — e.g. bulk fills with an idle consumer), EVERY
+            # subsequent push would re-run the full per-file
+            # expires_at column scans (r13 review). Latch the futile
+            # count and re-arm only after a quarter-limit of new
+            # files, amortizing the scans; a compaction that does
+            # get below the limit clears the latch. Heuristic delay
+            # only — correctness never depends on auto-compaction.
+            q._auto_compact_futile_at = (
+                remaining if remaining > limit else None
+            )
 
     def _write_rows(self, records: list[tuple[Any, ...]], start_seq: int,
                     lifetime_ms: int) -> None:
@@ -1444,6 +1479,14 @@ class Subscriber:
             if acked >= st.next_seq() - 1:
                 return None
             row = st.read_seq(acked + 1)
+            if row is None:
+                # compaction vacuumed expired rows -> seq gap; look
+                # at the next stored record exactly as pop/consume
+                # would, or a peek-then-pop caller spuriously
+                # concludes the queue is drained (r13 review)
+                nxt = st.next_existing_seq(acked)
+                if nxt is not None:
+                    row = st.read_seq(nxt)
         if row is None:
             return None
         return _record_from_row(self._q.schema, row)

@@ -192,10 +192,25 @@ class FileLock:
     def __enter__(self) -> "FileLock":
         self._tlock.acquire()
         # depth is only touched by the RLock owner -> thread-safe
-        if self._depth == 0:
-            self._fd = os.open(self._path, os.O_CREAT | os.O_RDWR, 0o644)
-            fcntl.flock(self._fd, fcntl.LOCK_EX)
-        self._depth += 1
+        try:
+            if self._depth == 0:
+                fd = os.open(
+                    self._path, os.O_CREAT | os.O_RDWR, 0o644
+                )
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX)
+                except BaseException:
+                    os.close(fd)
+                    raise
+                self._fd = fd
+            self._depth += 1
+        except BaseException:
+            # with-statements never call __exit__ when __enter__
+            # raises: without this release a single ENOSPC/EACCES on
+            # the lock file would leave the RLock held and deadlock
+            # every other thread against this queue (r13 review)
+            self._tlock.release()
+            raise
         return self
 
     def __exit__(self, *exc: Any) -> None:
@@ -364,7 +379,12 @@ class QueueStorage:
                              os.path.join(self.data_dir, name))
                         )
             if staged:
-                committed = self.list_batches()
+                # raw view: recovery reasons about the physical
+                # directory (compaction staged its chunks from the
+                # files actually on disk), and the committed filter
+                # would read next_seq before the caller has validated
+                # the control file
+                committed = self.list_batches(include_uncommitted=True)
                 for s, e, spath in staged:
                     overlapping = [
                         (cs, ce, cpath)
@@ -441,7 +461,13 @@ class QueueStorage:
             acked = int(read_json(self.consumer_path).get("acked_seq", 0))
         except (ValueError, KeyError, TypeError, FileNotFoundError):
             acked = 0
-        ends = [e for _, e, _ in self.list_batches()]
+        # RAW view, twice over: (a) the committed view reads next_seq
+        # and would recurse right back into this repair; (b) the
+        # repair's documented bound deliberately COMMITS an in-flight
+        # batch whose pointer flip was lost with the torn ctrl file
+        ends = [
+            e for _, e, _ in self.list_batches(include_uncommitted=True)
+        ]
         n = max([1, acked + 1] + [e + 1 for e in ends])
         self.set_next_seq(n)
         return n
@@ -506,7 +532,9 @@ class QueueStorage:
             self.data_dir, f"batch-{start:020d}-{end:020d}.parquet"
         )
 
-    def _batch_ranges(self) -> list[tuple[int, int, str]]:
+    def _batch_ranges(
+        self, include_uncommitted: bool = False
+    ) -> list[tuple[int, int, str]]:
         """All (start_seq, end_seq, file NAME), sorted by start — no
         paths built. The single-record pop fast path lists on every
         call (a fresh listdir is the cross-process visibility
@@ -515,7 +543,17 @@ class QueueStorage:
         same timestamp tick, so we deliberately pay the listdir), but
         joining a full path for EVERY file when the caller touches one
         was a third of pop's profile — paths are now joined lazily at
-        the point of use (r9)."""
+        the point of use (r9).
+
+        COMMITTED view by default: write-then-flip means a committed
+        batch always has ``end < next_seq``, so a file at/beyond the
+        pointer is a crashed sibling's uncommitted leftover (its push
+        never returned — all writers and readers share the flock, so
+        the mid-commit window of a LIVE writer is never observable).
+        Serving such rows let latest()/read_pending/consume's gap-jump
+        expose or ack rows that were never pushed (r13 review).
+        ``include_uncommitted=True`` is for verify/open-recovery,
+        which must see the raw directory."""
         out: list[tuple[int, int, str]] = []
         if not os.path.isdir(self.data_dir):
             return out
@@ -524,14 +562,35 @@ class QueueStorage:
             if m:
                 out.append((int(m.group(1)), int(m.group(2)), name))
         out.sort()
+        if out and not include_uncommitted:
+            ceiling = self.next_seq()
+            out = [b for b in out if b[1] < ceiling]
         return out
 
-    def list_batches(self) -> list[tuple[int, int, str]]:
-        """All (start_seq, end_seq, path), sorted by start."""
+    def list_batches(
+        self, include_uncommitted: bool = False
+    ) -> list[tuple[int, int, str]]:
+        """(start_seq, end_seq, path), sorted by start. Committed
+        view by default (see ``_batch_ranges``)."""
         return [
             (s, e, os.path.join(self.data_dir, n))
-            for s, e, n in self._batch_ranges()
+            for s, e, n in self._batch_ranges(include_uncommitted)
         ]
+
+    def sweep_orphans(self, from_seq: int) -> None:
+        """Remove batch files with ``start >= from_seq``. Called by a
+        writer holding the lock just before committing rows starting
+        at ``from_seq`` (== next_seq): every committed file has
+        ``end < next_seq``, so any such file is a crashed sibling's
+        uncommitted leftover — left in place it would overlap the seq
+        range about to be committed and resurface as duplicate rows
+        once the pointer advances past it (r13 review)."""
+        for s, _e, name in self._batch_ranges(include_uncommitted=True):
+            if s >= from_seq:
+                try:
+                    os.remove(os.path.join(self.data_dir, name))
+                except OSError:
+                    pass
 
     def batches_after(self, seq: int) -> list[tuple[int, int, str]]:
         """Files that may contain rows with seq > `seq` (range pruning)."""
@@ -553,6 +612,7 @@ class QueueStorage:
         touch (``read_seq``, ``batches_after``); TTL filters scan rows
         regardless because live and expired rows interleave.
         """
+        self.sweep_orphans(start)
         path = self.batch_path(start, end)
         tmp = path + ".tmp"
         sink = pa.BufferOutputStream()
@@ -565,7 +625,16 @@ class QueueStorage:
         buf = sink.getvalue()
         fd = os.open(tmp, os.O_CREAT | os.O_WRONLY | os.O_TRUNC, 0o644)
         try:
-            os.write(fd, buf)
+            # os.write may write LESS than asked (guaranteed for
+            # buffers past Linux's ~2 GiB per-write cap — reachable
+            # by a bulk push_all of MiB-fat rows); an unchecked
+            # single call would let os.replace publish a torn batch
+            # file as committed (r13 review). Loop until drained,
+            # same discipline as set_next_seq.
+            mv = memoryview(buf)
+            off = 0
+            while off < len(mv):
+                off += os.write(fd, mv[off:])
         finally:
             os.close(fd)
         os.replace(tmp, path)

@@ -266,7 +266,16 @@ def wire_deserialize(
             need(8 * n_vals)
             vals = list(struct.unpack_from(f">{n_vals}d", raw, off))
             off += 8 * n_vals
-            out.append(Tensor(shape, vals).as_row())
+            try:
+                out.append(Tensor(shape, vals).as_row())
+            except ValueError as e:
+                # e.g. a corrupt ndim=0 payload (empty shape, one
+                # value): keep the module's single corruption
+                # contract — FormatException, never a raw ValueError
+                # (r13 review)
+                raise FormatException(
+                    f"invalid tensor payload at {off}: {e}"
+                ) from e
     if off != len(raw):
         raise FormatException(
             f"record over-run: {len(raw) - off} trailing bytes"
@@ -339,19 +348,15 @@ def parse_chain(
     Entries unreachable from the chain — consumed residue, the
     retained ``latest`` marker — are correctly excluded.
     ``decode=False`` skips record deserialization (entry metadata
-    only — the inspect/dump tier)."""
-    schema, header_size, _items, last_position = parse_header(data)
+    only — the inspect/dump tier).
+
+    The walk itself (and all four corruption canaries: signature,
+    cycle, header-overlap, over-run) is :func:`_chain_offsets` — ONE
+    walker shared with the mmap streaming tier, so the two paths can
+    never diverge in what corruption they detect (r13 review)."""
+    schema, offs = _chain_offsets(data)
     entries: list[dict] = []
-    off = last_position
-    seen: set[int] = set()
-    while off >= 0:
-        if off < header_size:
-            raise FormatException(
-                f"entry offset 0x{off:X} inside header"
-            )
-        if off in seen:  # a pointer cycle would loop forever
-            raise FormatException(f"entry chain cycle at 0x{off:X}")
-        seen.add(off)
+    for off in offs:
         e = _read_entry(data, off)
         e["offset"] = off
         if decode:
@@ -362,7 +367,6 @@ def parse_chain(
                 raise FormatException(str(ve)) from ve
             e["values"] = wire_deserialize(schema, e["payload"], codec)
         entries.append(e)
-        off = e["previous"]
     return schema, entries
 
 
@@ -445,9 +449,11 @@ def read_fifo(
 def _chain_offsets(data) -> tuple[Schema, list[int]]:
     """Walk the live chain collecting entry OFFSETS only — no payload
     copies — over any random-access buffer (bytes or a read-only
-    ``mmap``). Same canaries as :func:`parse_chain` (signature, cycle,
-    header-overlap, entry/data over-run), so a torn oversized file
-    fails exactly as loud as a torn small one."""
+    ``mmap``). THE single chain walker: :func:`parse_chain` (the
+    in-memory tier) delegates here, so all four corruption canaries
+    (signature, cycle, header-overlap, entry/data over-run) live in
+    one place and a torn oversized file fails exactly as loud as a
+    torn small one."""
     schema, header_size, _items, last = parse_header(data)
     offs: list[int] = []
     seen: set[int] = set()
@@ -1075,17 +1081,38 @@ def migrate_quebic_queue(
 
     name = os.path.basename(queue_file)
     base = name.rsplit(".", 1)[0] if "." in name else name
-    with open(queue_file, "rb") as f:
-        schema, _, _, _ = parse_header(f.read(HEADER_PEEK_BYTES))
+    # schema peek: prefer the queue file's header, but fall back to
+    # the journal exactly as read_quebic_dir does — a journal-only
+    # copy ('only the .qbj was copied over') and the reference's
+    # zero-length open-initialized queue file are both legal states
+    # of a migratable queue (r13 review)
+    journal_peek = journal_path_for(queue_file)
+    schema = None
+    for candidate in (queue_file, journal_peek):
+        try:
+            with open(candidate, "rb") as f:
+                head = f.read(HEADER_PEEK_BYTES)
+        except OSError:
+            continue
+        if not head:
+            continue  # zero-length = empty side, keep looking
+        schema, _, _, _ = parse_header(head)
+        break
+    if schema is None:
+        raise FormatException(
+            f"no non-empty queue files for {queue_file}"
+        )
     # pass exactly this queue's two files as EXPLICIT paths — no glob,
     # so a sibling queue sharing the prefix can't widen the import
     # (r10 advice) and a legal-on-disk name containing glob
     # metacharacters ('orders[old].qbc') migrates verbatim instead of
     # producing a wrong-or-empty pathGlobFilter (r11 advice)
     journal = journal_path_for(queue_file)
-    src = [os.path.abspath(queue_file)] + (
-        [os.path.abspath(journal)] if os.path.isfile(journal) else []
-    )
+    src = [
+        os.path.abspath(p)
+        for p in (queue_file, journal)
+        if os.path.isfile(p)  # journal-only queues have no .qbc
+    ]
     staging = None
     try:
         df = read_quebic_dir(spark, paths=src)

@@ -1143,3 +1143,94 @@ def test_compact_and_drain_tensor_queue(qpath):
         assert list(t.values) == rows[i][1][1]
     q.verify()
     q.close()
+
+
+def test_uncommitted_sibling_batch_is_invisible_and_swept(qpath, spark):
+    """Write-then-flip: a batch file at/beyond next_seq is a crashed
+    sibling's uncommitted leftover (its push never returned). Readers
+    must not serve it — latest/read_pending/aggregate/pop previously
+    exposed such rows, and a later push could commit an overlapping
+    seq range beside it (r13 review). Writers sweep it pre-commit."""
+    import pyarrow as pa
+
+    from quebic_spark.queue.storage import arrow_schema
+
+    q = Queue(qpath, SCHEMA, capacity=100, auto_compact_files=None)
+    pub, sub = q.publisher(), q.subscriber()
+    pub.push([1, "committed-1"])
+    pub.push([2, "committed-2"])
+    st = q._storage
+    next_seq = st.next_seq()  # 3
+    # simulate the crash window: batch file lands, pointer never flips
+    canonical = arrow_schema(SCHEMA)
+    orphan = pa.table({
+        "seq": [next_seq, next_seq + 1],
+        "created_at": [0, 0],
+        "expires_at": [-1, -1],
+        "codec_id": [1, 1],
+        "c0": [99, 100],
+        "c1": ["ghost-a", "ghost-b"],
+    }).cast(canonical)
+    # write via pyarrow directly (write_batch itself sweeps, which is
+    # what a real crashed sibling would have done before dying)
+    import pyarrow.parquet as pq
+
+    pq.write_table(orphan, st.batch_path(next_seq, next_seq + 1))
+    assert st.next_seq() == next_seq  # pointer genuinely never moved
+
+    # every read path serves ONLY committed rows
+    assert pub.latest() == (2, "committed-2")
+    assert q.size() == 2
+    assert q.aggregate([], lambda a, r: a + [r]) == [
+        (1, "committed-1"), (2, "committed-2")
+    ]
+    pend = q.read_pending(spark).orderBy("seq").collect()
+    assert [(r["c0"], r["c1"]) for r in pend] == [
+        (1, "committed-1"), (2, "committed-2")
+    ]
+    assert sub.pop() == (1, "committed-1")
+    assert sub.pop() == (2, "committed-2")
+    assert sub.try_pop() is None  # gap-jump must NOT ack ghost rows
+
+    # the next push sweeps the orphan and commits its own seq 3
+    pub.push([3, "real-3"])
+    import os
+
+    names = sorted(os.listdir(qpath + "/data"))
+    starts = [n for n in names if n.endswith(".parquet")]
+    assert len(starts) == 3  # two popped batches + the new one, no orphan
+    assert sub.pop() == (3, "real-3")
+    q.verify()  # raw-view walk is clean after the sweep
+    q.close()
+
+
+def test_auto_compact_futile_latch(qpath, monkeypatch):
+    """When auto-compaction cannot shrink the file count below the
+    limit (every file large and unconsumed -> 'keep'), it must not
+    re-run its O(log) per-file expired scans on every subsequent
+    push; it re-arms after a quarter-limit of new files (r13
+    review)."""
+    q = Queue(qpath, SCHEMA, capacity=10**9, auto_compact_files=8)
+    pub = q.publisher()
+    # 9 files of >= small_file_rows rows each: all classify 'keep'
+    for b in range(9):
+        pub.push_all(
+            [[b * 100000 + i, "x"] for i in range(66000)]
+        )
+    calls = []
+    real = Queue.compact
+
+    def counting(self, *a, **k):
+        calls.append(1)
+        return real(self, *a, **k)
+
+    monkeypatch.setattr(Queue, "compact", counting)
+    # the bulk fill above already latched futile_at=9 (9 keep-files,
+    # limit 8). Re-arm period = limit//4 + 1 = 3 pushes: 10 pushes
+    # re-trigger exactly at pushes 3, 6, 9 — NOT on every push (the
+    # unlatched behavior would be 10 compactions, each rescanning
+    # every keep-file's expires_at column)
+    for i in range(10):
+        pub.push([10**6 + i, "y"])
+    assert len(calls) == 3, f"{len(calls)} compactions for 10 pushes"
+    q.close()

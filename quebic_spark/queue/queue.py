@@ -862,8 +862,8 @@ class Queue:
                     self._storage.write_batch(
                         batch, next_seq, next_seq + admit - 1,
                         self.codec.parquet_codec,
+                        flip_to=next_seq + admit,
                     )
-                    self._storage.set_next_seq(next_seq + admit)
                     if self._batch_files_estimate is not None:
                         self._batch_files_estimate += 1
                     replayed += admit
@@ -1210,14 +1210,20 @@ class Queue:
                 raise ValueError(
                     f"capacity exceeded: {actual} rows staged, room {room}"
                 )
-            # same pre-commit orphan sweep as write_batch: a crashed
-            # sibling's uncommitted batch at/beyond `start` would
-            # overlap the ranges about to be renamed in
-            self._storage.sweep_orphans(start)
+            # same pre-commit orphan sweep as write_batch, same
+            # pointer-moved trigger (power-loss belt): a leftover
+            # batch at/beyond `start` would overlap the ranges about
+            # to be renamed in
+            if self._storage._last_set_next_seq != start:
+                self._storage.sweep_orphans(start)
+            # flip-before-publish, same order as write_batch: a crash
+            # mid-rename leaves an advanced pointer and some parts
+            # still in staging (swept at open) — a legal seq gap —
+            # never a published file at/beyond the pointer
+            self._storage.set_next_seq(start + actual)
             for part, s, e in ranges:
                 os.replace(part, self._storage.batch_path(s, e))
             shutil.rmtree(staging, ignore_errors=True)
-            self._storage.set_next_seq(start + actual)
             if self._batch_files_estimate is not None:
                 self._batch_files_estimate += len(ranges)
         return actual
@@ -1243,7 +1249,6 @@ class Publisher:
             if (next_seq - 1) - acked >= self._q.capacity:
                 return False
             self._write_rows([record], next_seq, lifetime_ms)
-            st.set_next_seq(next_seq + 1)
             self._maybe_auto_compact()
         return True
 
@@ -1275,7 +1280,6 @@ class Publisher:
                 admit = min(room, len(remaining))
                 if admit > 0:
                     self._write_rows(remaining[:admit], next_seq, lifetime_ms)
-                    st.set_next_seq(next_seq + admit)
                     remaining = remaining[admit:]
                     self._maybe_auto_compact()
             if not remaining:
@@ -1352,9 +1356,13 @@ class Publisher:
         for i, name in enumerate(self._q.schema.column_names):
             cols[name] = [r[i] for r in records]
         table = pa.table(cols, schema=self._arrow_schema)
+        # flip-before-publish: the pointer advance rides inside
+        # write_batch so a crash never leaves a published batch file
+        # at/beyond the pointer (see storage.write_batch)
         self._q._storage.write_batch(
             table, start_seq, start_seq + n - 1,
             self.compression.parquet_codec,
+            flip_to=start_seq + n,
         )
 
 

@@ -1146,11 +1146,14 @@ def test_compact_and_drain_tensor_queue(qpath):
 
 
 def test_uncommitted_sibling_batch_is_invisible_and_swept(qpath, spark):
-    """Write-then-flip: a batch file at/beyond next_seq is a crashed
-    sibling's uncommitted leftover (its push never returned). Readers
-    must not serve it — latest/read_pending/aggregate/pop previously
-    exposed such rows, and a later push could commit an overlapping
-    seq range beside it (r13 review). Writers sweep it pre-commit."""
+    """A batch file at/beyond next_seq holds rows whose push never
+    returned. Process crashes can no longer produce one (commit order
+    is flip-before-publish), but POWER LOSS can persist the rename
+    without the un-synced pointer flip — so the belts must hold:
+    readers serve only the committed view (latest/read_pending/
+    aggregate/pop previously exposed such rows, r13 review), and a
+    writer whose pointer-moved trigger fires sweeps the leftover
+    before committing an overlapping range."""
     import pyarrow as pa
 
     from quebic_spark.queue.storage import arrow_schema
@@ -1192,7 +1195,10 @@ def test_uncommitted_sibling_batch_is_invisible_and_swept(qpath, spark):
     assert sub.pop() == (2, "committed-2")
     assert sub.try_pop() is None  # gap-jump must NOT ack ghost rows
 
-    # the next push sweeps the orphan and commits its own seq 3
+    # writer belt: with the pointer-moved trigger armed (as for a
+    # fresh process or after a sibling's commit), the next push
+    # sweeps the leftover before committing its own seq 3
+    st._last_set_next_seq = None
     pub.push([3, "real-3"])
     import os
 
@@ -1234,3 +1240,47 @@ def test_auto_compact_futile_latch(qpath, monkeypatch):
         pub.push([10**6 + i, "y"])
     assert len(calls) == 3, f"{len(calls)} compactions for 10 pushes"
     q.close()
+
+
+def test_crash_between_flip_and_publish_is_a_legal_gap(qpath, monkeypatch):
+    """Commit order is write-tmp -> flip pointer -> publish rename. A
+    crash in the new window (after flip, before rename) must leave a
+    legal seq GAP — pointer advanced, rows absent, push never
+    returned — from which the queue keeps working: no duplicate seqs,
+    no torn files, verify clean."""
+    import os as _os
+
+    q = Queue(qpath, SCHEMA, capacity=100, auto_compact_files=None)
+    pub, sub = q.publisher(), q.subscriber()
+    pub.push([1, "a"])
+
+    real_replace = _os.replace
+    import quebic_spark.queue.storage as storage_mod
+
+    def exploding(src, dst):
+        if dst.endswith(".parquet") and "batch-" in dst:
+            raise OSError("simulated crash after flip")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(storage_mod.os, "replace", exploding)
+    with pytest.raises(OSError, match="simulated crash"):
+        pub.push([2, "lost"])
+    monkeypatch.setattr(storage_mod.os, "replace", real_replace)
+
+    st = q._storage
+    assert st.next_seq() == 3  # pointer advanced past the lost row
+    # the lost row is a gap, not a ghost: only row 1 is served
+    assert sub.pop() == (1, "a")
+    assert sub.try_pop() is None
+    # later pushes take FRESH seqs beyond the gap; FIFO continues
+    assert pub.push([3, "c"])
+    assert sub.pop() == (3, "c")
+    q.verify()
+    # the tmp from the failed publish is recovery debris, swept at open
+    q.close()
+    q2 = Queue(qpath, SCHEMA)
+    assert not [
+        f for f in _os.listdir(qpath + "/data") if f.endswith(".tmp")
+    ]
+    q2.verify()
+    q2.close()

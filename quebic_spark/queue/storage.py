@@ -673,11 +673,24 @@ class QueueStorage:
             off = 0
             while off < len(mv):
                 off += os.write(fd, mv[off:])
+            if self.control_sync:
+                # opt-in power-loss durability: the pointer flip
+                # below fsyncs, so the DATA must be durable first or
+                # a power loss could ack a push whose bytes never
+                # reached the platter (the default rename-only mode
+                # documents process-crash consistency only)
+                os.fsync(fd)
         finally:
             os.close(fd)
         if flip_to is not None:
             self.set_next_seq(flip_to)
         os.replace(tmp, path)
+        if self.control_sync:
+            dirfd = os.open(self.data_dir, os.O_RDONLY)
+            try:
+                os.fsync(dirfd)  # make the rename itself durable
+            finally:
+                os.close(dirfd)
         return path
 
     def write_dlq(self, table: pa.Table, seq: int,

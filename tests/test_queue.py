@@ -1284,3 +1284,37 @@ def test_crash_between_flip_and_publish_is_a_legal_gap(qpath, monkeypatch):
     ]
     q2.verify()
     q2.close()
+
+
+def test_fsync_mode_syncs_data_before_pointer(qpath, monkeypatch):
+    """fsync=True is the opt-in power-loss tier: the batch DATA must
+    be fsynced before the (fsynced) pointer flip acknowledges it, and
+    the publishing rename must be followed by a directory fsync —
+    otherwise a power loss could ack a push whose bytes never hit the
+    platter (r13). The default mode performs no data fsync (documented
+    process-crash-only consistency, and the push hot path stays
+    cheap)."""
+    import os as _os
+
+    import quebic_spark.queue.storage as storage_mod
+
+    synced = []
+    real_fsync = _os.fsync
+
+    def spy(fd):
+        synced.append(fd)
+        return real_fsync(fd)
+
+    monkeypatch.setattr(storage_mod.os, "fsync", spy)
+    q = Queue(qpath, SCHEMA, capacity=10, fsync=True)
+    q.publisher().push([1, "durable"])
+    # at least: data file + ctrl flip (write_json_atomic) + data dir
+    assert len(synced) >= 3
+    assert q.subscriber().pop() == (1, "durable")
+    q.close()
+
+    q2 = Queue(qpath + "_fast", SCHEMA, capacity=10)
+    synced.clear()  # initialize() itself writes meta atomically
+    q2.publisher().push([1, "fast"])
+    assert synced == []  # default mode: no fsync in the PUSH hot path
+    q2.close()

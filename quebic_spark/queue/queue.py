@@ -231,11 +231,13 @@ class Queue:
                 self.capacity = stored_cap
                 self.codec = stored_codec
                 self._storage.default_codec_id = stored_codec.id
-                # write-then-flip: batch files land before next_seq
-                # advances, so rows at/beyond the pointer were never
-                # committed (their push never returned). A crash in
-                # that window leaves them; a later push would collide
-                # with their seqs — truncate them now.
+                # rows at/beyond the pointer were never committed
+                # (their push never returned): since r13 the commit
+                # order is flip-before-publish, so only a POWER LOSS
+                # (un-synced flip lost, rename persisted) or the
+                # fsync-mode bulk path's pre-flip window can leave
+                # such a file — truncate it now, as the open-time
+                # belt behind the committed-view read filter.
                 next_seq = self._storage.next_seq()
                 for start, end, path in self._storage.list_batches(
                     include_uncommitted=True
@@ -1059,6 +1061,17 @@ class Queue:
         stale count would truncate or gap the log. The pre-write count
         only selects the path and pre-checks capacity; capacity is
         enforced again on the staged rows before any file is committed.
+
+        Crash semantics: the ingest is NOT atomic. In the default
+        mode the pointer flips before the parts publish (ascending
+        seq order), so a crash mid-publish commits a FIFO PREFIX of
+        this batch and gaps the rest — at-least-once, like any
+        producer crash; a retry may re-ingest rows the crashed call
+        already committed. In ``fsync=True`` mode the order inverts
+        (durable data, then the fsynced pointer as the commit
+        record), so a crash instead leaves unpublished parts that
+        readers never see. Callers needing all-or-nothing should
+        ingest into a fresh queue and swap directories.
         """
         self._check_open()
         from pyspark.sql import Window
@@ -1210,19 +1223,44 @@ class Queue:
                 raise ValueError(
                     f"capacity exceeded: {actual} rows staged, room {room}"
                 )
-            # same pre-commit orphan sweep as write_batch, same
-            # pointer-moved trigger (power-loss belt): a leftover
-            # batch at/beyond `start` would overlap the ranges about
-            # to be renamed in
-            if self._storage._last_set_next_seq != start:
-                self._storage.sweep_orphans(start)
-            # flip-before-publish, same order as write_batch: a crash
-            # mid-rename leaves an advanced pointer and some parts
-            # still in staging (swept at open) — a legal seq gap —
-            # never a published file at/beyond the pointer
-            self._storage.set_next_seq(start + actual)
-            for part, s, e in ranges:
-                os.replace(part, self._storage.batch_path(s, e))
+            # pre-commit orphan sweep — forced: the bulk path is
+            # heavyweight, so it always pays the listdir and clears
+            # any leftover at/beyond `start` regardless of trigger
+            self._storage.maybe_sweep_orphans(start, force=True)
+            if self._storage.control_sync:
+                # opt-in durability: data -> directory -> pointer.
+                # The commit record (the fsynced flip) must come
+                # LAST, after the part bytes and their renames are
+                # durable — the reverse order could ack rows whose
+                # bytes never hit the platter (r13 review). A crash
+                # BEFORE the flip leaves parts at/beyond the pointer:
+                # invisible to readers (committed view) and swept at
+                # the next open or commit.
+                for part, _s, _e in ranges:
+                    pfd = os.open(part, os.O_RDONLY)
+                    try:
+                        os.fsync(pfd)
+                    finally:
+                        os.close(pfd)
+                for part, s, e in ranges:
+                    os.replace(part, self._storage.batch_path(s, e))
+                dfd = os.open(self._storage.data_dir, os.O_RDONLY)
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
+                self._storage.set_next_seq(start + actual)
+            else:
+                # default (process-crash consistency): flip first,
+                # then publish in ascending seq order. A crash
+                # mid-publish leaves a committed FIFO PREFIX of this
+                # ingest plus a seq gap for the rest — at-least-once
+                # semantics, same as any producer crash (the call
+                # never returned; a retry may re-ingest). Never a
+                # published file at/beyond the pointer.
+                self._storage.set_next_seq(start + actual)
+                for part, s, e in ranges:
+                    os.replace(part, self._storage.batch_path(s, e))
             shutil.rmtree(staging, ignore_errors=True)
             if self._batch_files_estimate is not None:
                 self._batch_files_estimate += len(ranges)

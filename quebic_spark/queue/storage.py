@@ -40,12 +40,18 @@ compression ``write_batch`` sets from the same codec. The fully
 self-describing alternative (codec id inside the blob) is
 ``quebic_spark.serde.serialize_framed``.
 
-Crash consistency: data files are written complete before control-file
-pointers advance (write-data-then-flip-pointer, README.md:117-124).
-consumer.json updates via write-temp + atomic rename; ctrl.json flips
-via a constant-length in-place write whose partial-overwrite states are
-provably non-regressing, with torn-file reconstruction in
-``_repair_next_seq`` (see ``set_next_seq`` for the full argument).
+Crash consistency: batch data is written COMPLETE to a ``.tmp``, the
+``ctrl.json`` pointer flips, and only then does the rename publish
+the batch (write-tmp -> flip -> publish; r13 — the older
+rename-then-flip order could leave a published file at/beyond the
+pointer for a sibling's later commit to overlap). A crash therefore
+leaves either never-committed ``.tmp`` debris (swept at open) or an
+advanced pointer with the rows absent — a legal seq gap, since the
+push never returned. consumer.json updates via write-temp + atomic
+rename; ctrl.json flips via a constant-length in-place write whose
+partial-overwrite states are provably non-regressing, with torn-file
+reconstruction in ``_repair_next_seq`` (see ``set_next_seq`` for the
+full argument).
 """
 
 from __future__ import annotations
@@ -233,6 +239,11 @@ def write_json_atomic(path: str, obj: dict[str, Any], sync: bool = True) -> None
     (JournaledFile.scala:23 opens CREATE|READ|WRITE with no ``force()``
     anywhere), so skipping fsync is durability *parity*; pass
     ``sync=True`` where power-loss atomicity matters (commit manifests).
+
+    ``sync=True`` also fsyncs the containing DIRECTORY after the
+    rename: a durable file behind a non-durable rename is not a
+    durable commit record — power loss could revert the replace and
+    read the previous pointer/manifest (r13 review).
     """
     tmp = path + ".tmp"
     payload = json.dumps(obj).encode("utf-8")
@@ -244,6 +255,12 @@ def write_json_atomic(path: str, obj: dict[str, Any], sync: bool = True) -> None
     finally:
         os.close(fd)
     os.replace(tmp, path)
+    if sync:
+        dirfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dirfd)
+        finally:
+            os.close(dirfd)
 
 
 def read_json(path: str) -> dict[str, Any]:
@@ -313,8 +330,9 @@ class QueueStorage:
     def recover(self) -> list[str]:
         """Repair commit leftovers after a crash.
 
-        Two kinds of artifacts (write-data-then-flip-pointer discipline,
-        README.md:117-124):
+        Two kinds of artifacts (commit discipline: complete staged
+        writes published by rename, pointer flipped before the
+        publish — see ``write_batch``):
 
         * ``*.tmp`` files and ``_staging-*`` dirs were mid-write and
           never part of any committed state -> swept.
@@ -462,11 +480,16 @@ class QueueStorage:
     def _repair_next_seq(self) -> int:
         """Reconstruct the writer pointer (callers hold the flock).
 
-        Safe bound: batch files always land BEFORE the pointer flips,
-        so max(batch end)+1 can only COMMIT a push/bulk whose flip was
-        in flight (an unacknowledged push may legally commit), never
-        regress below data any process has observed; acked_seq+1
-        covers the all-files-vacuumed case."""
+        Safe bound: max(batch end)+1 over the RAW listing either
+        matches the lost pointer, COMMITS an in-flight batch whose
+        flip was torn away with the ctrl file (an unacknowledged push
+        may legally commit), or — under the r13 flip-before-publish
+        order — lands BELOW a pointer value whose batch was never
+        published. That last regression is safe precisely because the
+        regressed seqs carried no data and no acks (the rows never
+        hit a published file, so no process observed them); re-issuing
+        them re-uses empty gap numbers. acked_seq+1 covers the
+        all-files-vacuumed case."""
         try:
             acked = int(read_json(self.consumer_path).get("acked_seq", 0))
         except (ValueError, KeyError, TypeError, FileNotFoundError):
@@ -557,11 +580,13 @@ class QueueStorage:
         was a third of pop's profile — paths are now joined lazily at
         the point of use (r9).
 
-        COMMITTED view by default: write-then-flip means a committed
-        batch always has ``end < next_seq``, so a file at/beyond the
-        pointer is a crashed sibling's uncommitted leftover (its push
-        never returned — all writers and readers share the flock, so
-        the mid-commit window of a LIVE writer is never observable).
+        COMMITTED view by default: a committed batch always has
+        ``end < next_seq`` (the pointer flips before the rename
+        publishes, r13), so a file at/beyond the pointer is an
+        uncommitted leftover — reachable only via power loss or the
+        fsync-mode bulk pre-flip window, its push never returned (all
+        writers and readers share the flock, so the mid-commit window
+        of a LIVE writer is never observable).
         Serving such rows let latest()/read_pending/consume's gap-jump
         expose or ack rows that were never pushed (r13 review).
         ``include_uncommitted=True`` is for verify/open-recovery,
@@ -604,6 +629,19 @@ class QueueStorage:
                 except OSError:
                     pass
 
+    def maybe_sweep_orphans(self, start: int, force: bool = False) -> None:
+        """THE pre-commit sweep trigger, in one place (write_batch and
+        the bulk ingest both call it; r13 review flagged the
+        duplicated predicate): sweep when the pointer moved since OUR
+        last commit — another process advanced the log, or this is
+        our first write — which is the only way a leftover batch can
+        be sitting at/beyond ``start``. The steady single-writer path
+        (the reference's 1-producer contract) skips the listdir
+        entirely; heavyweight callers pass ``force=True`` to pay it
+        unconditionally."""
+        if force or self._last_set_next_seq != start:
+            self.sweep_orphans(start)
+
     def batches_after(self, seq: int) -> list[tuple[int, int, str]]:
         """Files that may contain rows with seq > `seq` (range pruning)."""
         return [
@@ -643,14 +681,7 @@ class QueueStorage:
         touch (``read_seq``, ``batches_after``); TTL filters scan rows
         regardless because live and expired rows interleave.
         """
-        if self._last_set_next_seq != start:
-            # the pointer moved since OUR last commit (another
-            # process advanced the log, or this is our first write):
-            # only then could a power-loss leftover be sitting
-            # at/beyond `start`. The steady single-writer path (the
-            # reference's 1-producer contract) skips the listdir
-            # entirely.
-            self.sweep_orphans(start)
+        self.maybe_sweep_orphans(start)
         path = self.batch_path(start, end)
         tmp = path + ".tmp"
         sink = pa.BufferOutputStream()

@@ -1302,14 +1302,32 @@ def test_fsync_mode_syncs_data_before_pointer(qpath, monkeypatch):
     real_fsync = _os.fsync
 
     def spy(fd):
-        synced.append(fd)
+        # resolve the fd to its path AT SYNC TIME so the recorded
+        # sequence pins the ordering, not just the count
+        try:
+            target = _os.readlink(f"/proc/self/fd/{fd}")
+        except OSError:
+            target = "?"
+        synced.append(target)
         return real_fsync(fd)
 
     monkeypatch.setattr(storage_mod.os, "fsync", spy)
     q = Queue(qpath, SCHEMA, capacity=10, fsync=True)
+    synced.clear()  # drop the init-time meta/ctrl/consumer syncs
     q.publisher().push([1, "durable"])
-    # at least: data file + ctrl flip (write_json_atomic) + data dir
-    assert len(synced) >= 3
+    labeled = [
+        "data" if "/data/batch-" in p and p.endswith(".tmp")
+        else "ctrl" if "ctrl.json" in p
+        else "rootdir" if p.rstrip("/").endswith("/q")
+        else "datadir" if p.rstrip("/").endswith("/data")
+        else p
+        for p in synced
+    ]
+    # the durable-commit chain, in order: batch bytes -> pointer file
+    # -> pointer's directory entry -> the publishing rename's
+    # directory entry. Any reorder re-opens an ack-without-durable-
+    # data or durable-data-without-durable-commit-record hole.
+    assert labeled == ["data", "ctrl", "rootdir", "datadir"], labeled
     assert q.subscriber().pop() == (1, "durable")
     q.close()
 
@@ -1318,3 +1336,57 @@ def test_fsync_mode_syncs_data_before_pointer(qpath, monkeypatch):
     q2.publisher().push([1, "fast"])
     assert synced == []  # default mode: no fsync in the PUSH hot path
     q2.close()
+
+
+def test_fsync_mode_bulk_commit_order(qpath, spark, monkeypatch):
+    """The bulk ingest under fsync=True must order the durable-commit
+    chain data-first: part bytes -> publishing renames' directory ->
+    pointer (the fsynced commit record LAST). The default mode flips
+    first and fsyncs nothing (r13 review: the bulk path previously
+    ignored the durability flag entirely)."""
+    import os as _os
+
+    import quebic_spark.queue.storage as storage_mod
+    import quebic_spark.queue.queue as queue_mod
+
+    synced = []
+    real_fsync = _os.fsync
+
+    def spy(fd):
+        try:
+            target = _os.readlink(f"/proc/self/fd/{fd}")
+        except OSError:
+            target = "?"
+        synced.append(target)
+        return real_fsync(fd)
+
+    monkeypatch.setattr(storage_mod.os, "fsync", spy)
+    monkeypatch.setattr(queue_mod.os, "fsync", spy)
+    q = Queue(qpath, SCHEMA, capacity=100, fsync=True)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], "c0 long, c1 string"
+    )
+    synced.clear()
+    n = q.append_dataframe(df, order_by=["c0"])
+    assert n == 5
+    labeled = [
+        "part" if "/_staging-" in p
+        else "ctrl" if "ctrl.json" in p
+        else "rootdir" if p.rstrip("/").endswith("/q")
+        else "datadir" if p.rstrip("/").endswith("/data")
+        else p
+        for p in synced
+    ]
+    assert labeled.count("part") >= 1
+    # parts strictly before datadir, datadir before ctrl, ctrl before
+    # its directory entry
+    assert labeled.index("datadir") > max(
+        i for i, x in enumerate(labeled) if x == "part"
+    )
+    assert labeled.index("ctrl") > labeled.index("datadir")
+    assert labeled.index("rootdir") > labeled.index("ctrl")
+    sub = q.subscriber()
+    assert [sub.pop() for _ in range(5)] == [
+        (i, f"v{i}") for i in range(5)
+    ]
+    q.close()

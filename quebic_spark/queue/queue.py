@@ -1236,19 +1236,36 @@ class Queue:
                 # BEFORE the flip leaves parts at/beyond the pointer:
                 # invisible to readers (committed view) and swept at
                 # the next open or commit.
-                for part, _s, _e in ranges:
-                    pfd = os.open(part, os.O_RDONLY)
-                    try:
-                        os.fsync(pfd)
-                    finally:
-                        os.close(pfd)
-                for part, s, e in ranges:
-                    os.replace(part, self._storage.batch_path(s, e))
-                dfd = os.open(self._storage.data_dir, os.O_RDONLY)
+                published: list[str] = []
                 try:
-                    os.fsync(dfd)
-                finally:
-                    os.close(dfd)
+                    for part, _s, _e in ranges:
+                        pfd = os.open(part, os.O_RDONLY)
+                        try:
+                            os.fsync(pfd)
+                        finally:
+                            os.close(pfd)
+                    for part, s, e in ranges:
+                        dst = self._storage.batch_path(s, e)
+                        os.replace(part, dst)
+                        published.append(dst)
+                    dfd = os.open(self._storage.data_dir, os.O_RDONLY)
+                    try:
+                        os.fsync(dfd)
+                    finally:
+                        os.close(dfd)
+                except BaseException:
+                    # pre-flip failure: unpublish what we renamed so
+                    # a later single push (whose pointer-moved sweep
+                    # trigger would not fire in THIS process) cannot
+                    # commit an overlapping range beside invisible
+                    # parts; a SIGKILL here still lands on the belts
+                    # (committed-view filter + open-time truncation)
+                    for dst in published:
+                        try:
+                            os.remove(dst)
+                        except OSError:
+                            pass
+                    raise
                 self._storage.set_next_seq(start + actual)
             else:
                 # default (process-crash consistency): flip first,

@@ -319,8 +319,9 @@ QUALIFY rk <= 2
 #
 # Scale shape: ONE user-keyed exchange, one ordered frame per row —
 # bounded ROWS frame, so state is O(window), never O(history); the
-# same expressions run under a watermarked applyInPandasWithState for
-# the streaming variant of this contract.
+# same expressions run under applyInPandasWithState for the streaming
+# variant of this contract, bounded per key (O(window)) AND across
+# keys (processing-time idle eviction, streaming/anomaly.py).
 # ---------------------------------------------------------------------------
 
 ANOMALY_WINDOW = 20  # trailing events per user in the baseline

@@ -207,10 +207,12 @@ def release_corpus(
 
 
 def _registry_fs(spark: SparkSession, root: str):
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    rpath = jvm.org.apache.hadoop.fs.Path(root, "_releases.json")
-    fs = rpath.getFileSystem(hconf)
+    # one FS dispatch for the whole library (r13 review: this was the
+    # third inline copy of the jvm/hadoopConfiguration/Path pattern)
+    from quebic_spark.sources.io import hadoop_path
+
+    jvm, fs, rootpath = hadoop_path(spark, root)
+    rpath = jvm.org.apache.hadoop.fs.Path(rootpath, "_releases.json")
     return jvm, fs, rpath
 
 

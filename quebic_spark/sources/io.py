@@ -64,12 +64,18 @@ def export_queue(spark: SparkSession, queue: Queue, path: str,
     df = queue.read_pending(spark)
     if not include_system:
         df = df.select(*queue.schema.column_names)
-    n = df.count()
     writer = df.write.mode("overwrite")
     if fmt == "csv":
         writer = writer.option("header", "true")
     writer.format(fmt).save(path)
-    return n
+    # count the WRITTEN output (parquet/orc answer from footers), not
+    # the source: a pre-write count() re-read every batch file and
+    # re-ran the TTL filter — double I/O over the whole pending set
+    # for a return value (r13 review)
+    reader = spark.read
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    return reader.format(fmt).load(path).count()
 
 
 def import_into_queue(spark: SparkSession, queue: Queue, path: str,
@@ -77,19 +83,44 @@ def import_into_queue(spark: SparkSession, queue: Queue, path: str,
                       order_by: Sequence[str] | None = None,
                       lifetime_ms: int = -1) -> int:
     """Load a file into the queue (FIFO order = ``order_by``, default
-    the first column). The payload arity/types must match the queue
-    schema — enforced by append_dataframe."""
+    the first column). Columns map to the queue schema POSITIONALLY
+    (arity and cast-compatibility enforced loud): self-describing
+    formats resolve a forced schema BY NAME, so an external file whose
+    columns aren't literally named c0..cN would come back all-NULL and
+    silently fill a no-NULLs queue with garbage (r13 review). CSV has
+    no embedded names and takes the forced schema directly."""
+    from pyspark.sql import functions as F
+
     _check_format(fmt)
-    df = read_table(
-        spark, path, fmt,
-        schema=", ".join(
-            f"{c} {t}" for c, t in zip(
-                queue.schema.column_names,
-                _ddl_types(queue),
+    ddl_types = _ddl_types(queue)
+    names = queue.schema.column_names
+    if fmt == "csv":
+        df = read_table(
+            spark, path, fmt,
+            schema=", ".join(
+                f"{c} {t}" for c, t in zip(names, ddl_types)
+            ),
+        )
+    else:
+        df = read_table(spark, path, fmt)
+        if len(df.columns) != len(names):
+            raise IncompatibleSchemaException(
+                f"{path} has {len(df.columns)} columns "
+                f"{df.columns}; queue schema needs {len(names)}"
             )
-        ),
-    )
-    order = list(order_by) if order_by else [df.columns[0]]
+        # positional cast to the queue's types, KEEPING source names
+        # so order_by still refers to the caller's columns; a
+        # structurally incompatible source type fails cast analysis
+        # loud (value-lossy casts like free text -> BIGINT remain the
+        # caller's responsibility, as with any Spark cast)
+        df = df.select(*[
+            F.col(src).cast(t).alias(src)
+            for src, t in zip(df.columns, ddl_types)
+        ])
+    if order_by:
+        order = list(order_by)
+    else:
+        order = [df.columns[0]]
     return queue.append_dataframe(df, order_by=order,
                                   lifetime_ms=lifetime_ms)
 
@@ -133,6 +164,15 @@ def write_corpus_shards(
     _check_format(fmt)
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if "shard" in df.columns:
+        # same guard as write_zorder's zval/zfile: silently replacing
+        # a caller's column (e.g. a frame loaded back via
+        # read_corpus_shards and re-released) destroys data with no
+        # signal (r13 review)
+        raise ValueError(
+            "input already has reserved column 'shard' — drop or "
+            "rename it before write_corpus_shards"
+        )
     order = list(order_by) if order_by else [key_col]
     out = (
         df.withColumn("shard", hash_bucket(F.col(key_col), n_shards))
@@ -159,10 +199,7 @@ def write_corpus_shards(
     # object store or HDFS, where only the FS connector can list.
     # (`path` resolves against fs.defaultFS semantics exactly like the
     # write above did, so both sides see the same files.)
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    root = jvm.org.apache.hadoop.fs.Path(path)
-    fs = root.getFileSystem(hconf)
+    jvm, fs, root = hadoop_path(spark, path)
     shards: dict[str, dict] = {}
     for s in sorted(counts):
         d = jvm.org.apache.hadoop.fs.Path(root, f"shard={s}")

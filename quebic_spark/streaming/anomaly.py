@@ -51,6 +51,7 @@ def _score_series(values, buf, window, min_n, z_threshold):
     rounding), sum s and q as exact Decimals, convert to double only
     at the same points the batch plan casts, then run the identical
     double expression."""
+    import math
     from decimal import ROUND_HALF_UP, Decimal
 
     cent = Decimal("0.01")
@@ -59,13 +60,31 @@ def _score_series(values, buf, window, min_n, z_threshold):
         n = len(buf)
         z = None
         if n >= min_n:
-            s_dec = sum(buf, Decimal(0))
-            q_dec = sum((x * x for x in buf), Decimal(0))
+            # NaN baseline entries (buf holds None): the batch plan's
+            # CAST(NaN AS DECIMAL) is NULL — excluded from SUM but
+            # counted by COUNT(1) — so mirror exactly: n counts them,
+            # the moments skip them. Previously Decimal('NaN')
+            # poisoned the sums and max(0.0, nan) silently zeroed the
+            # variance, suppressing ALL anomalies for the next
+            # `window` events (r13 review, reproduced)
+            real = [x for x in buf if x is not None]
+            s_dec = sum(real, Decimal(0))
+            q_dec = sum((x * x for x in real), Decimal(0))
             s, q, nn = float(s_dec), float(q_dec), float(n)
             var = max(0.0, (q - s * s / nn) / (nn - 1))
             if var > 0:
                 z = (v - s / nn) / var ** 0.5
-        out.append((n, z, bool(z is not None and abs(z) >= z_threshold)))
+        # Spark orders NaN above every double, so the batch plan's
+        # abs(z) >= threshold is TRUE for a NaN value's z — Python's
+        # NaN comparison is False, hence the explicit isnan branch
+        out.append((
+            n,
+            z,
+            bool(
+                z is not None
+                and (math.isnan(z) or abs(z) >= z_threshold)
+            ),
+        ))
         # repr(v), not v: Spark's cast rounds the double's SHORTEST
         # decimal form (BigDecimal.valueOf/Double.toString), so for
         # 0.285 (binary ≈0.28499999…) the cast yields 0.29 while
@@ -73,7 +92,8 @@ def _score_series(values, buf, window, min_n, z_threshold):
         # shortest repr to match the batch plan bit-for-bit (r7 review
         # catch)
         buf.append(
-            Decimal(repr(v)).quantize(cent, rounding=ROUND_HALF_UP)
+            None if math.isnan(v)
+            else Decimal(repr(v)).quantize(cent, rounding=ROUND_HALF_UP)
         )
         del buf[:-window]
     return out
@@ -85,32 +105,66 @@ def anomaly_stream(
     min_n: int = ANOMALY_MIN_N,
     z_threshold: float = ANOMALY_Z,
     ts_col: str = "ts",
+    idle_timeout_ms: int | None = 30 * 24 * 3600 * 1000,
 ) -> DataFrame:
     """Stateful per-user anomaly scoring over a streaming frame with
     (event_id, user_id, ts, value) columns. Emits one scored row per
-    input event (update mode)."""
+    input event (update mode).
+
+    State is bounded in BOTH dimensions: O(window) doubles per key,
+    and keys idle for ``idle_timeout_ms`` (processing time, default
+    30 days) are EVICTED
+    — without eviction the state store grows with every distinct key
+    ever seen and an unbounded feed eventually stalls on state alone
+    (r13 review). An evicted user simply rebuilds its baseline on its
+    next event (min_n gating applies again, exactly like a first-seen
+    user). Pass ``idle_timeout_ms=None`` to keep keys forever.
+
+    NaN values mirror the batch plan exactly (r13 review, reproduced
+    against the batch operator): a NaN is counted in the baseline n
+    but excluded from the moments, and a NaN value's own z flags
+    is_anomaly=True (Spark orders NaN above all doubles). One
+    representational caveat: the batch emits z=NaN for that row,
+    while the Arrow/pandas boundary here surfaces it as NULL —
+    is_anomaly carries the verdict identically on both paths."""
+    evict = idle_timeout_ms is not None
 
     def score(key, pdfs, state: GroupState):
+        import math
         from decimal import ROUND_HALF_UP, Decimal
 
+        if evict and state.hasTimedOut:
+            # idle-key eviction: drop the baseline, emit nothing
+            state.remove()
+            return
         # state rides as array<double>; re-quantizing on load recovers
         # the exact cents (every 2-decimal value round-trips through
-        # its nearest double)
+        # its nearest double). NaN entries persist as NaN doubles and
+        # reload as the None marker (batch-parity NULLs).
         cent = Decimal("0.01")
         buf = (
-            [Decimal(repr(x)).quantize(cent, rounding=ROUND_HALF_UP)
+            [None if math.isnan(x)
+             else Decimal(repr(x)).quantize(cent, rounding=ROUND_HALF_UP)
              for x in state.get[0]]
             if state.exists else []
         )
+
+        def _save():
+            state.update((
+                [float("nan") if x is None else float(x) for x in buf],
+            ))
+            if evict:
+                state.setTimeoutDuration(idle_timeout_ms)
+
         frames = [pdf for pdf in pdfs if len(pdf)]
         if not frames:
-            state.update(([float(x) for x in buf],))
+            _save()
             return
         batch = pd.concat(frames).sort_values([ts_col, "event_id"])
         scored = _score_series(
             batch["value"].tolist(), buf, window, min_n, z_threshold
         )
-        state.update(([float(x) for x in buf],))
+        _save()
         yield pd.DataFrame({
             "event_id": batch["event_id"].to_numpy(),
             "user_id": key[0],
@@ -125,5 +179,8 @@ def anomaly_stream(
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if evict else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -101,8 +101,10 @@ def queue_sink(queue: Queue, order_by: list[str]):
     """
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # no isEmpty() pre-check: it costs a Spark job per micro-batch
+        # (one wasted job per tick on an idle stream) and
+        # append_dataframe already counts and no-ops on zero rows
+        # (r13 review)
         queue.append_dataframe(batch_df, order_by=order_by)
 
     return on_batch
@@ -113,10 +115,15 @@ class StreamingConsumer:
     streaming world.
 
     ``f`` receives each micro-batch as a DataFrame, FIFO-ordered by
-    ``seq``. If it raises, the batch is retried by the engine; after
-    ``error_permit`` TOTAL failures of the same batch the rows are
-    routed to the DLQ and the stream continues — per-record parity
-    with JournaledFile.scala:204-284 at micro-batch granularity. The
+    ``seq``. If it raises, the QUERY fails (Spark does not retry a
+    failed micro-batch within one run — the exception surfaces as a
+    StreamingQueryException); on the next start from the same
+    checkpoint the engine re-delivers the same batch, and after
+    ``error_permit`` TOTAL failures of that batch — counted durably
+    across those restarts — the rows are routed to the DLQ and the
+    stream advances past it. Per-record parity with
+    JournaledFile.scala:204-284 at micro-batch granularity, with the
+    restart in the operator's hands rather than an in-run retry. The
     failure counts are DURABLE: persisted beside the checkpoint
     (``<checkpoint>/quebic-failures.json``) after every failure, and
     restored on construction — parity with the reference's on-disk
@@ -227,7 +234,12 @@ class StreamingConsumer:
     ) -> None:
         """Consume everything currently in the queue, then stop
         (Trigger.AvailableNow — the batch analogue of ``pop`` until
-        empty)."""
+        empty). Raises ``TimeoutError`` if the backlog is not drained
+        within ``timeout_s`` — previously the query was silently
+        stopped mid-backlog and the caller proceeded believing the
+        queue was drained (r13 review). Batches consumed before the
+        timeout stay committed in the checkpoint; re-running continues
+        from there. ``timeout_s=None`` waits indefinitely."""
         stream = read_queue_stream(
             self.spark, self.queue, max_files_per_trigger
         )
@@ -238,7 +250,16 @@ class StreamingConsumer:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(timeout_s)
+            if timeout_s is None:
+                q.awaitTermination()
+            elif not q.awaitTermination(timeout_s):
+                q.stop()
+                raise TimeoutError(
+                    f"run_available: backlog not drained within "
+                    f"{timeout_s}s; completed micro-batches remain "
+                    "committed — re-run to continue, or raise "
+                    "timeout_s"
+                )
             if q.isActive:
                 q.stop()
         finally:
@@ -272,7 +293,17 @@ class StreamingConsumer:
             self.queue.unpin_compaction()
             raise
         listener = _UnpinOnTerminate(self.spark, str(query.id), self.queue)
-        self.spark.streams.addListener(listener)
+        try:
+            self.spark.streams.addListener(listener)
+        except Exception:
+            # no listener will ever release the pin: stop the query
+            # and release it here, or full compaction stays disabled
+            # for the process lifetime (r13 review)
+            try:
+                query.stop()
+            finally:
+                listener.release()
+            raise
         # the query can terminate between start() and addListener() —
         # the terminate event then fired with no listener attached, so
         # re-check and release manually (release() is idempotent, the

@@ -283,3 +283,46 @@ def test_fs_rename_if_absent_loser_never_clobbers_or_nests(
     assert not os.path.exists(os.path.join(dst, "stage2"))
     assert not os.path.exists(os.path.join(dst, "data"))
     assert os.path.exists(src2)
+
+
+def test_import_external_column_names_positional(tmp_path, spark):
+    """An external file whose columns are NOT named c0..cN must import
+    by POSITION with real values — the old forced-schema read resolved
+    parquet columns by name and silently filled the queue with
+    all-NULL rows (r13 review). Arity mismatches fail loud."""
+    src = str(tmp_path / "external")
+    spark.createDataFrame(
+        [(i, f"doc{i}", float(i)) for i in range(10)],
+        "id long, body string, score double",
+    ).write.parquet(src)
+
+    q = Queue(str(tmp_path / "qi"), SCHEMA, capacity=100)
+    # order_by uses the CALLER's column names (preserved by the
+    # positional cast)
+    n = import_into_queue(spark, q, src, order_by=["id"])
+    assert n == 10
+    popped = q.subscriber().pop_n(10)
+    assert popped == [(i, f"doc{i}", float(i)) for i in range(10)]
+    q.dispose()
+
+    # source with an int32 id: positional cast widens to the queue's
+    # BIGINT instead of failing or nulling
+    src2 = str(tmp_path / "external32")
+    spark.createDataFrame(
+        [(i, f"d{i}", 0.5) for i in range(3)],
+        "id int, body string, score double",
+    ).write.parquet(src2)
+    q2 = Queue(str(tmp_path / "qi2"), SCHEMA, capacity=100)
+    assert import_into_queue(spark, q2, src2, order_by=["id"]) == 3
+    assert q2.subscriber().pop() == (0, "d0", 0.5)
+    q2.dispose()
+
+    # wrong arity fails loud, names listed
+    src3 = str(tmp_path / "external2col")
+    spark.createDataFrame(
+        [(1, "x")], "id long, body string"
+    ).write.parquet(src3)
+    q3 = Queue(str(tmp_path / "qi3"), SCHEMA, capacity=100)
+    with pytest.raises(IncompatibleSchemaException, match="2 columns"):
+        import_into_queue(spark, q3, src3)
+    q3.dispose()

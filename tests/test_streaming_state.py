@@ -526,3 +526,47 @@ def test_stream_scorer_matches_batch_on_shortest_repr_rounding(spark):
             assert z is None, (i, z)
         else:
             assert abs(z - e.z) < 1e-12, (i, z, e.z)
+
+
+def test_stream_scorer_matches_batch_on_nan_values(spark):
+    """NaN parity (r13 review, reproduced): the batch plan CASTs NaN
+    to a NULL decimal — counted by COUNT(1), excluded from the moment
+    sums — and flags the NaN row itself anomalous (Spark orders NaN
+    above every double). The stream scorer previously let
+    Decimal('NaN') poison the sums, zeroing the variance and
+    suppressing every anomaly for the next `window` events."""
+    import math
+
+    from quebic_spark.operators.temporal import anomaly_scores
+    from quebic_spark.streaming.anomaly import _score_series
+
+    vals = [1.0, 2.0, 1.5, 1.2, 1.8, float("nan"), 1.4, 9.9, 1.3,
+            1.6, 1.1]
+    rows = [(i, 1, i, v) for i, v in enumerate(vals)]
+    batch_df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double"
+    )
+    expect = {
+        r.event_id: r
+        for r in anomaly_scores(batch_df, window=5, min_n=3).collect()
+    }
+    buf: list = []
+    got = _score_series(vals, buf, window=5, min_n=3, z_threshold=3.0)
+    for i, (n, z, flag) in enumerate(got):
+        e = expect[i]
+        assert n == e.baseline_n, i
+        assert flag == e.is_anomaly, (i, z, e.z)
+        if e.z is None:
+            assert z is None, (i, z)
+        elif math.isnan(e.z):
+            assert z is not None and math.isnan(z), (i, z)
+        else:
+            assert abs(z - e.z) < 1e-12, (i, z, e.z)
+    # the NaN row itself is flagged (batch semantics), and the spike
+    # AFTER the NaN is still caught — the old behavior suppressed it
+    assert got[5][2] is True
+    assert got[7][2] is True and expect[7].is_anomaly
+    # the NaN rides the buffer as a None marker while in window
+    buf2: list = []
+    _score_series(vals, buf2, window=20, min_n=3, z_threshold=3.0)
+    assert buf2.count(None) == 1

@@ -1473,8 +1473,19 @@ FROM (
 
 
 def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    lsh = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # cache both pair sets before fanning out: each feeds its own
+    # count AND the hit join, and column pruning makes the subtrees
+    # differ enough to defeat ReuseExchange — without the cache the
+    # two heaviest pair pipelines in the dedup family execute twice
+    # (r13 review; same discipline as q_dedup_clusters' pairs cache)
+    exact = register_cache(
+        q_dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b").cache()
+    )
+    lsh = register_cache(
+        q_dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b").cache()
+    )
     hit = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
     e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     l_ = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))

@@ -43,6 +43,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session-global by necessity: nanosAsLong has no per-read option,
+    # and the DRIVER's harness runs queries() on a session it built
+    # itself (not our get_spark), so the conf can't live only in
+    # session setup. Known trade-off (r13 review): after any events
+    # query, an unrelated nanos-timestamp parquet read in the same
+    # session decodes as raw longs — operators/events.py:77 carries
+    # the same toggle with a unit guard on the values it reads.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return _fan(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
 
@@ -1240,7 +1247,15 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     sel = (
         docs.join(F.broadcast(rates.select("source", "thr")), "source")
-        .filter(frac < F.col("thr"))
+        # thr == MAX means "keep this source WHOLE" — admit
+        # unconditionally instead of comparing, or the one-in-2^48
+        # doc whose md5 fraction equals MAX would be dropped from a
+        # source the contract promises to keep intact (r13 review;
+        # mirrored in the DuckDB oracles below)
+        .filter(
+            (F.col("thr") == 2**MIX_FRAC_BITS - 1)
+            | (frac < F.col("thr"))
+        )
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_selected"))
     )
@@ -1324,7 +1339,15 @@ def q_token_budget_mixture(
     ).cast("long")
     sel = (
         docs.join(F.broadcast(rates.select("source", "thr")), "source")
-        .filter(frac < F.col("thr"))
+        # thr == MAX means "keep this source WHOLE" — admit
+        # unconditionally instead of comparing, or the one-in-2^48
+        # doc whose md5 fraction equals MAX would be dropped from a
+        # source the contract promises to keep intact (r13 review;
+        # mirrored in the DuckDB oracles below)
+        .filter(
+            (F.col("thr") == 2**MIX_FRAC_BITS - 1)
+            | (frac < F.col("thr"))
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_selected"),
@@ -1380,6 +1403,7 @@ sel AS (
   FROM tok t JOIN rates r ON t.source = r.source
   WHERE ('0x' || substr(md5('{MIX_SEED}' || CAST(t.doc_id AS VARCHAR)),
                         1, {MIX_FRAC_BITS // 4}))::BIGINT < r.thr
+        OR r.thr = {2**MIX_FRAC_BITS - 1}
   GROUP BY t.source
 )
 SELECT r.source,
@@ -1414,6 +1438,7 @@ sel AS (
   FROM documents d JOIN rates r ON d.source = r.source
   WHERE ('0x' || substr(md5('{MIX_SEED}' || CAST(d.doc_id AS VARCHAR)),
                         1, {MIX_FRAC_BITS // 4}))::BIGINT < r.thr
+        OR r.thr = {2**MIX_FRAC_BITS - 1}
   GROUP BY d.source
 )
 SELECT r.source, r.n_docs, COALESCE(s.n_selected, 0) AS n_selected

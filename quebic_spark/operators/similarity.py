@@ -375,7 +375,14 @@ def append_ivf_vectors(
     Note the semantic: the index belongs to (corpus fingerprint,
     quantizer); appends extend the INDEX beyond the base corpus, so
     index-derived results intentionally diverge from a fresh
-    base-corpus rebuild until the base is re-fingerprinted."""
+    base-corpus rebuild until the base is re-fingerprinted. The same
+    divergence applies to the DuckDB-oracled gates (semantic_dedup,
+    the IVF top-k/recall family), whose oracles replay the BASE
+    embeddings table only — run appends against a dedicated
+    SPARK_GRAFT_INDEX_DIR, not the root a gate/bench session uses, or
+    those gates will hash-fail on environment state rather than a
+    code regression (r13 review; tests already isolate via the
+    conftest temp index dir)."""
     import contextlib
 
     from quebic_spark.functions.vector import l2_norm
@@ -410,6 +417,13 @@ def append_ivf_vectors(
             .withColumn("norm", l2_norm(F.col("embedding")))
             .select("vec_id", "embedding", "cell", "norm")
         )
+        if assigned.isEmpty():
+            # a zero-row increment previously committed a delta dir
+            # containing only _SUCCESS, and the read-back below threw
+            # 'Unable to infer schema' AFTER the rename — leaving an
+            # orphaned unlisted delta and a crash loop on retry (r13
+            # review). An empty append is a no-op, not an error.
+            return {"delta": None, "n_vectors": 0}
         staged = os.path.join(droot, name + ".tmp")
         fs_delete(spark, staged)
         assigned.repartition("cell").write.mode(
@@ -556,12 +570,36 @@ def _ivf_corpus(
         # fan_out scan would otherwise strand 32 tiny files in every
         # cell (measured 5x slower re-read). At 100 TB the same write
         # targets a file-size budget (maxRecordsPerFile), not one file.
-        tmp = disk_path + ".tmp"
-        fs_delete(spark, tmp)
+        #
+        # WRITER-UNIQUE staging + rename-if-absent (r13 review): a
+        # fixed shared '.tmp' with delete-then-rename let two
+        # processes first-building the same index delete each other's
+        # in-flight staging files and publish a silently truncated
+        # index — the same race _encode_component and
+        # append_ivf_vectors already guard against. Both racers build
+        # identical content from the same corpus, so the loser just
+        # discards its copy.
+        import uuid
+
+        from quebic_spark.sources.io import fs_rename_if_absent
+
+        # a dst that exists WITHOUT _SUCCESS is a dead crash leftover
+        # (healthy builders publish atomically by rename, _SUCCESS
+        # already inside) — clear it so the rename-if-absent below
+        # can land
+        if fs_exists(spark, disk_path):
+            fs_delete(spark, disk_path)
+        tmp = disk_path + ".tmp-" + uuid.uuid4().hex[:8]
         built.repartition("cell").write.mode("overwrite").partitionBy(
             "cell"
         ).parquet(tmp)
-        fs_commit_rename(spark, tmp, disk_path)
+        if not fs_rename_if_absent(spark, tmp, disk_path):
+            fs_delete(spark, tmp)  # another builder won; same bytes
+        if not fs_exists(spark, os.path.join(disk_path, "_SUCCESS")):
+            raise RuntimeError(
+                f"IVF index publish failed at {disk_path}: no "
+                "_SUCCESS after commit"
+            )
     else:
         tune_for_query(spark)
     emb = spark.read.parquet(disk_path).select(
@@ -1905,23 +1943,24 @@ ORACLE_ANN_IVF_PQ_RECALL = _pq_recall_oracle()
 DIVERSITY_KEEP_PCT = 80
 
 
-def _diversity_ranked(
-    spark: SparkSession,
-    sf_dir: str,
+def _rank_by_prototypicality(
+    frame: DataFrame,
+    id_col: str,
+    cents: list[list[float]],
     keep_pct: int,
-    centroids: list[list[float]] | None,
 ) -> DataFrame:
-    """Shared core: every corpus vector with (proto_sim, cell_n,
-    cell_keep, _rk) — ONE cell-keyed exchange carrying both windows.
-    ``diversity_sample`` filters it; the gate aggregates it directly
-    so the contract booleans cost one pass, not three."""
-    if not 0 < keep_pct <= 100:
-        raise ValueError(f"keep_pct must be in (0, 100], got {keep_pct}")
-    cents = (
-        centroids if centroids is not None
-        else learned_centroids(spark, sf_dir)
-    )
-    corpus = _ivf_corpus(spark, sf_dir, cents)
+    """THE D4 ranking core, shared by the gate path
+    (:func:`_diversity_ranked`) and the pipeline stage
+    (:func:`diversity_filter`) so the two can never drift (r13
+    review: ~35 duplicated expression lines). ``frame`` carries
+    (id_col, embedding, cell, norm); output adds (proto_sim, cell_n,
+    _rk, cell_keep) over ONE cell-keyed exchange carrying both
+    windows, centroid lookup as a scan-resident array literal.
+
+    cell_keep is ceil(cell_n * keep_pct / 100) via integral ``div``
+    (r13 review: the previous ``/ 100`` was double division with a
+    truncating cast — exact only below 2^53, and not the integer
+    arithmetic the contract documents)."""
     cent_lookup = F.expr(
         "array("
         + ",".join(
@@ -1939,10 +1978,10 @@ def _diversity_ranked(
     )
     w_cell = Window.partitionBy("cell")
     w_rank = Window.partitionBy("cell").orderBy(
-        F.col("proto_sim").asc(), F.col("vec_id").asc()
+        F.col("proto_sim").asc(), F.col(id_col).asc()
     )
-    scored = corpus.select(
-        "vec_id",
+    scored = frame.select(
+        id_col,
         F.col("cell").cast("int").alias("cell"),
         sim.alias("proto_sim"),
     )
@@ -1952,8 +1991,28 @@ def _diversity_ranked(
         F.row_number().over(w_rank).alias("_rk"),
     ).withColumn(
         "cell_keep",
-        ((F.col("cell_n") * keep_pct + 99) / 100).cast("long"),
+        F.expr(f"(cell_n * {int(keep_pct)} + 99) div 100"),
     )
+
+
+def _diversity_ranked(
+    spark: SparkSession,
+    sf_dir: str,
+    keep_pct: int,
+    centroids: list[list[float]] | None,
+) -> DataFrame:
+    """Shared core: every corpus vector with (proto_sim, cell_n,
+    cell_keep, _rk) — ONE cell-keyed exchange carrying both windows.
+    ``diversity_sample`` filters it; the gate aggregates it directly
+    so the contract booleans cost one pass, not three."""
+    if not 0 < keep_pct <= 100:
+        raise ValueError(f"keep_pct must be in (0, 100], got {keep_pct}")
+    cents = (
+        centroids if centroids is not None
+        else learned_centroids(spark, sf_dir)
+    )
+    corpus = _ivf_corpus(spark, sf_dir, cents)
+    return _rank_by_prototypicality(corpus, "vec_id", cents, keep_pct)
 
 
 def diversity_sample(
@@ -2014,37 +2073,7 @@ def diversity_filter(
         .withColumn("cell", cell)
         .withColumn("norm", l2_norm(F.col("embedding")))
     )
-    cent_lookup = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
-            for c in cents
-        )
-        + ")"
-    )
-    sim = (
-        dot_product(
-            F.col("embedding"),
-            F.element_at(cent_lookup, F.col("cell").cast("int") + 1),
-        )
-        / F.when(F.col("norm") > 0, F.col("norm")).otherwise(F.lit(1.0))
-    )
-    w_cell = Window.partitionBy("cell")
-    w_rank = Window.partitionBy("cell").orderBy(
-        F.col("proto_sim").asc(), F.col("_div_id").asc()
-    )
-    ranked = (
-        emb.select("_div_id", "cell", sim.alias("proto_sim"))
-        .select(
-            "*",
-            F.count(F.lit(1)).over(w_cell).alias("cell_n"),
-            F.row_number().over(w_rank).alias("_rk"),
-        )
-        .withColumn(
-            "cell_keep",
-            ((F.col("cell_n") * keep_pct + 99) / 100).cast("long"),
-        )
-    )
+    ranked = _rank_by_prototypicality(emb, "_div_id", cents, keep_pct)
     dropped = ranked.filter(F.col("_rk") > F.col("cell_keep")).select(
         F.col("_div_id").alias(id_col)
     )

@@ -362,6 +362,10 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[dict, np.ndarray]:
     hmax, vmax = geom["hmax"], geom["vmax"]
     planes = {}
     for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError(
+                f"undefined quantization table {c['tq']}"
+            )
         q = qt[c["tq"]]
         zz = coef[c["id"]].astype(np.float64) * q[None, None, :]
         nby, nbx = zz.shape[:2]
@@ -418,7 +422,24 @@ def _decode_scan_data(
     coding), AC refine (correction bits for history-nonzero
     coefficients + newly-significant +-1 values). EOB runs and DC
     predictors reset at restart markers."""
-    interleaved = len(scan) > 1 or not progressive
+    # T.81 A.2: a scan is interleaved iff it carries MORE THAN ONE
+    # component — baseline or progressive alike. A single-component
+    # BASELINE scan traverses the component's own block grid, not the
+    # MCU-padded one; routing it through the MCU path desynced the
+    # entropy stream whenever the lone component had sampling factors
+    # > 1 (legal grayscale; r13 review).
+    interleaved = len(scan) > 1
+    # table references must fail as the documented ValueError, not a
+    # raw KeyError, so direct callers filtering on the module's
+    # quarantine contract keep working (r13 review, reproduced by
+    # stripping DHT segments)
+    for sc in scan:
+        needs_dc = (not progressive) or (ss == 0 and ah == 0)
+        needs_ac = (not progressive) or ss > 0
+        if needs_dc and sc["td"] not in huff_dc:
+            raise ValueError(f"undefined DC huffman table {sc['td']}")
+        if needs_ac and sc["ta"] not in huff_ac:
+            raise ValueError(f"undefined AC huffman table {sc['ta']}")
     pred = {sc["c"]["id"]: 0 for sc in scan}
     eobrun = 0
 
@@ -470,7 +491,12 @@ def _decode_scan_data(
             check_restart(n_blk)
             n_blk += 1
             cf = coef[c["id"]][by, bx]
-            if ss == 0:
+            if not progressive:
+                pred[c["id"]] = _baseline_block(
+                    reader, huff_dc[sc["td"]], huff_ac[sc["ta"]],
+                    cf, pred[c["id"]],
+                )
+            elif ss == 0:
                 if ah == 0:
                     pred[c["id"]] = _dc_first_block(
                         reader, huff_dc[sc["td"]], cf,

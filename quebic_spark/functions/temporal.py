@@ -44,6 +44,24 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward: {direction}")
     on = list(on)
+    # fail with the real cause, not an internals-pointing
+    # AnalysisException mid-plan (r13 review): _ts/_is_left are this
+    # op's working columns, and each right value lands as
+    # <name><suffix>
+    reserved = {"_ts", "_is_left"} & set(left.columns) | (
+        {"_ts", "_is_left"} & set(right.columns)
+    )
+    if reserved:
+        raise ValueError(
+            f"asof_join reserves column(s) {sorted(reserved)} — "
+            "rename them on the input"
+        )
+    clashes = {c + suffix for c in right_values} & set(left.columns)
+    if clashes:
+        raise ValueError(
+            f"asof_join output column(s) {sorted(clashes)} collide "
+            "with the left side — pass a different suffix"
+        )
     # left_ts travels as _ts and is renamed back at the end — carrying
     # it through the value columns too would leave TWO columns with the
     # same name after the rename (ambiguous downstream references)

@@ -48,6 +48,18 @@ def interleave_bits(buckets: list[Column], bits: int = Z_BITS) -> Column:
     Pure integer shifts/masks — deterministic on any engine."""
     if not buckets:
         raise ValueError("interleave_bits needs at least one column")
+    if bits * len(buckets) > 63:
+        # the key is a signed long: 8 cols x 8 bits puts the top bit
+        # in the SIGN bit (top-half rows sort before the bottom half),
+        # and past 64 Java's shift-distance masking silently WRAPS
+        # bit positions into collisions — both destroy curve locality
+        # with no error (r13 review, reproduced: 8x8-bit interleave of
+        # 255s returned -1)
+        raise ValueError(
+            f"interleave_bits: {len(buckets)} columns x {bits} bits "
+            f"= {bits * len(buckets)} key bits > 63 (signed long) — "
+            "lower bits or cluster on fewer columns"
+        )
     z = F.lit(0).cast("long")
     n = len(buckets)
     for i, c in enumerate(buckets):

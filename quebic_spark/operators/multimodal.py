@@ -179,6 +179,15 @@ def frame_sample(payloads: DataFrame, every_nth: int = 4) -> DataFrame:
 def extract_features(payloads: DataFrame, dim: int = 16) -> DataFrame:
     import numpy as np
 
+    if dim < 1 or 256 % dim != 0:
+        # fail at CALL time with the real cause — a non-divisor dim
+        # previously killed the whole job at action time with an
+        # opaque executor-side reshape error (r13 review, reproduced)
+        raise ValueError(
+            f"dim must be a divisor of 256 (the byte-histogram "
+            f"fold), got {dim}"
+        )
+
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
@@ -208,6 +217,12 @@ def extract_features(payloads: DataFrame, dim: int = 16) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def resize_dims(decoded: DataFrame, max_w: int, max_h: int) -> DataFrame:
+    # dimensionless rows (audio, quarantined decodes: width/height
+    # NULL) must come out NULL — Spark's least()/greatest() SKIP null
+    # arguments rather than propagate them, so the unguarded
+    # expression fabricated 1x1 "image" dims for every WAV row (r13
+    # review, reproduced)
+    has_dims = F.col("width").isNotNull() & F.col("height").isNotNull()
     scale = F.least(
         F.lit(1.0),
         F.lit(float(max_w)) / F.col("width"),
@@ -215,11 +230,19 @@ def resize_dims(decoded: DataFrame, max_w: int, max_h: int) -> DataFrame:
     )
     return decoded.withColumns(
         {
-            "out_width": F.greatest(
-                F.lit(1), F.floor(F.col("width") * scale).cast("int")
+            "out_width": F.when(
+                has_dims,
+                F.greatest(
+                    F.lit(1),
+                    F.floor(F.col("width") * scale).cast("int"),
+                ),
             ),
-            "out_height": F.greatest(
-                F.lit(1), F.floor(F.col("height") * scale).cast("int")
+            "out_height": F.when(
+                has_dims,
+                F.greatest(
+                    F.lit(1),
+                    F.floor(F.col("height") * scale).cast("int"),
+                ),
             ),
         }
     )
@@ -613,12 +636,24 @@ def video_frame_sample(payloads: DataFrame, every_nth: int = 4) -> DataFrame:
 
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = b"" if payload is None else bytes(payload)
+                pending = None
                 try:
                     us_pf = (
                         _avi_header(payload)["us_per_frame"]
                         or 1_000_000 // 25
                     )
                     it = avi_frames(payload)
+                    # avi_frames is a LAZY generator: its container-
+                    # level errors ('not an AVI', 'no movi list') only
+                    # raise on the first next() — pull it HERE so they
+                    # hit the container quarantine, not the per-frame
+                    # loop, which previously emitted a phantom
+                    # frame_idx=0 failed row for payloads the contract
+                    # promises yield no rows (r13 review, reproduced)
+                    try:
+                        pending = next(it)
+                    except StopIteration:
+                        continue  # readable container, zero frames
                 except Exception:  # noqa: BLE001 — not a readable
                     continue  # AVI container: format-level quarantine
                 i = 0
@@ -627,13 +662,17 @@ def video_frame_sample(payloads: DataFrame, every_nth: int = 4) -> DataFrame:
                     # (truncated movi): flag the truncation point as a
                     # failed frame row rather than dying or going
                     # silent — every corruption leaves a visible row
-                    try:
-                        frame = next(it)
-                    except StopIteration:
-                        break
-                    except Exception:  # noqa: BLE001 — truncated
-                        emit(doc_id, i, us_pf, None, None, None, False)
-                        break
+                    if pending is not None:
+                        frame, pending = pending, None
+                    else:
+                        try:
+                            frame = next(it)
+                        except StopIteration:
+                            break
+                        except Exception:  # noqa: BLE001 — truncated
+                            emit(doc_id, i, us_pf, None, None, None,
+                                 False)
+                            break
                     if i % every_nth == 0:
                         try:
                             meta, px = decode_jpeg_pixels(frame)

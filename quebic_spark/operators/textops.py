@@ -794,8 +794,15 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     scrubbed = F.col(text_col)
     for _, pat, rep in PII_RULES:
         scrubbed = F.regexp_replace(scrubbed, pat, rep)
-    others = [c for c in df.columns if c != text_col]
-    return df.select(*others, *counts, scrubbed.alias(text_col))
+    # text_col stays at its ORIGINAL position (r13 review: moving it
+    # to the end silently misaligned positional consumers — union by
+    # position, appends to a schema-ordered sink); the count columns
+    # append after the originals
+    kept = [
+        scrubbed.alias(text_col) if c == text_col else F.col(c)
+        for c in df.columns
+    ]
+    return df.select(*kept, *counts)
 
 
 def _tainted(docs: DataFrame) -> DataFrame:
@@ -931,6 +938,15 @@ def quality_percentile_filter(
     Both windows share one group-key exchange."""
     from pyspark.sql import Window
 
+    taken = {"_rn", "_drop"} & set(scored.columns)
+    if taken:
+        # withColumn would silently OVERWRITE and the trailing drop
+        # would then destroy the caller's data (r13 review) — same
+        # reserved-column guard as write_zorder
+        raise ValueError(
+            f"input already has reserved column(s) {sorted(taken)} — "
+            "rename before quality_percentile_filter"
+        )
     w = Window.partitionBy(group_col).orderBy(
         F.asc(score_col), F.asc(order)
     )

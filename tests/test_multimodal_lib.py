@@ -1327,3 +1327,61 @@ def test_mean_value_consistent_across_real_decoders():
         assert da["mean_value"] == dj["mean_value"], (
             "container must not change the frame codec's mean",
         )
+
+
+def test_jpeg_single_component_sampling_factors_decode():
+    """T.81 A.2: a single-component scan is NON-interleaved and
+    traverses the component's own block grid regardless of its
+    sampling factors — so a grayscale whose SOF declares h=v=2 (legal)
+    carries byte-identical entropy data to the h=v=1 encoding of the
+    same image. The old dispatcher sent single-component BASELINE
+    scans down the MCU-padded path and desynced on exactly this input
+    (r13 review); patching the SOF sampling byte must not change the
+    decoded pixels. Undefined quant/huffman tables must surface as
+    the documented ValueError, not KeyError."""
+    import numpy as np
+
+    from quebic_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    # 24x24: ceil(24/16)*2 = 4 MCU-padded blocks/dim vs the true
+    # ceil(24/8) = 3 — the desync case
+    img = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, grayscale=True))
+    meta1, px1 = decode_jpeg_pixels(bytes(data))
+    assert (meta1["width"], meta1["height"]) == (24, 24)
+
+    # patch SOF0's sampling byte (marker FFC0: len 2, precision 1,
+    # h 2, w 2, ncomps 1, comp id 1 -> sampling factors byte)
+    sof = bytes(data).find(b"\xff\xc0")
+    assert sof > 0
+    samp = sof + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    assert data[samp] == 0x11
+    data[samp] = 0x22
+    meta2, px2 = decode_jpeg_pixels(bytes(data))
+    assert (meta2["width"], meta2["height"]) == (24, 24)
+    assert np.array_equal(px1, px2)
+
+    # quarantine contract: stripped DHT/DQT segments raise ValueError
+    import pytest as _pytest
+
+    def strip_segments(buf: bytes, marker: int) -> bytes:
+        out = bytearray()
+        i = 0
+        while i < len(buf):
+            if buf[i] == 0xFF and i + 1 < len(buf) and buf[i + 1] == marker:
+                seglen = int.from_bytes(buf[i + 2:i + 4], "big")
+                i += 2 + seglen
+                continue
+            out.append(buf[i])
+            i += 1
+        return bytes(out)
+
+    full = bytes(encode_jpeg(img, grayscale=True))
+    with _pytest.raises(ValueError, match="huffman table"):
+        decode_jpeg_pixels(strip_segments(full, 0xC4))
+    with _pytest.raises(ValueError, match="quantization table"):
+        decode_jpeg_pixels(strip_segments(full, 0xDB))

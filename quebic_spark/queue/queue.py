@@ -1236,6 +1236,14 @@ class Queue:
                 # BEFORE the flip leaves parts at/beyond the pointer:
                 # invisible to readers (committed view) and swept at
                 # the next open or commit.
+                #
+                # Sweep-intent marker FIRST: a SIGKILL anywhere in the
+                # publish window leaves real batch files at/beyond a
+                # pointer that never moved, which the pointer-moved
+                # trigger in a surviving process cannot see (r13
+                # advisor); the marker makes the next commit sweep
+                # regardless. Cleared only after the flip.
+                self._storage.mark_sweep_intent()
                 published: list[str] = []
                 try:
                     for part, _s, _e in ranges:
@@ -1265,8 +1273,12 @@ class Queue:
                             os.remove(dst)
                         except OSError:
                             pass
+                    # the marker stays armed: if this cleanup itself
+                    # was cut short, the next writer's sweep finishes
+                    # the job; a stale marker costs one listdir
                     raise
                 self._storage.set_next_seq(start + actual)
+                self._storage.clear_sweep_intent()
             else:
                 # default (process-crash consistency): flip first,
                 # then publish in ascending seq order. A crash

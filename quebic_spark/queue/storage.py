@@ -48,10 +48,13 @@ pointer for a sibling's later commit to overlap). A crash therefore
 leaves either never-committed ``.tmp`` debris (swept at open) or an
 advanced pointer with the rows absent — a legal seq gap, since the
 push never returned. consumer.json updates via write-temp + atomic
-rename; ctrl.json flips via a constant-length in-place write whose
-partial-overwrite states are provably non-regressing, with torn-file
-reconstruction in ``_repair_next_seq`` (see ``set_next_seq`` for the
-full argument).
+rename; ctrl.json flips via a constant-length in-place write (in
+BOTH durability modes — fsync mode adds an fsync of the file, r14)
+whose partial-overwrite states are provably non-regressing, with
+torn-file reconstruction in ``_repair_next_seq`` (see
+``set_next_seq`` for the full argument). Keeping every ctrl write on
+one inode is what lets each process hold a persistent read/write fd
+to the pointer instead of paying open+close per operation.
 """
 
 from __future__ import annotations
@@ -156,7 +159,13 @@ def bounded_row_group_rows(
     skewed single row can still exceed the cap; single values are
     already bounded well below 2 GiB by the wire format."""
     n = table.num_rows
-    if n == 0 or table.nbytes <= 0:
+    if n <= 1:
+        # a <=1-row table forms exactly one row group whatever we
+        # return; skip the table.nbytes buffer walk, which costs more
+        # than every syscall on the single-record push path (r14
+        # profile: ~75 us/call)
+        return 1_000_000
+    if table.nbytes <= 0:
         return 1_000_000
     avg = max(1, table.nbytes // n)
     return max(1, min(1_000_000, cap_bytes // avg))
@@ -200,40 +209,51 @@ class FileLock:
         # depth is only touched by the RLock owner -> thread-safe
         try:
             if self._depth == 0:
-                fd = os.open(
-                    self._path, os.O_CREAT | os.O_RDWR, 0o644
-                )
-                try:
-                    fcntl.flock(fd, fcntl.LOCK_EX)
-                except BaseException:
-                    os.close(fd)
-                    raise
-                self._fd = fd
+                # the fd persists across acquisitions (r14: the
+                # per-acquire open+close pair was ~2 of the 4 file
+                # opens on the single-push hot path); flock locks the
+                # open-file-description, so LOCK_EX/LOCK_UN cycles on
+                # one fd are exactly as exclusive as fresh opens, and
+                # the kernel still drops the lock if the process dies
+                if self._fd is None:
+                    self._fd = os.open(
+                        self._path, os.O_CREAT | os.O_RDWR, 0o644
+                    )
+                fcntl.flock(self._fd, fcntl.LOCK_EX)
             self._depth += 1
         except BaseException:
             # with-statements never call __exit__ when __enter__
             # raises: without this release a single ENOSPC/EACCES on
             # the lock file would leave the RLock held and deadlock
-            # every other thread against this queue (r13 review)
+            # every other thread against this queue (r13 review).
+            # The fd (if opened) is kept — it holds no lock and the
+            # next acquire reuses it.
             self._tlock.release()
             raise
         return self
 
     def __exit__(self, *exc: Any) -> None:
         # try/finally mirror of the __enter__ guard (r13): if the
-        # flock release or close ever raised, an unreleased RLock
-        # would deadlock every other thread against this queue
+        # flock release ever raised, an unreleased RLock would
+        # deadlock every other thread against this queue
         try:
             self._depth -= 1
             if self._depth == 0 and self._fd is not None:
-                fd, self._fd = self._fd, None
-                try:
-                    fcntl.flock(fd, fcntl.LOCK_UN)
-                finally:
-                    # close releases the flock even if LOCK_UN raised
-                    os.close(fd)
+                fcntl.flock(self._fd, fcntl.LOCK_UN)
         finally:
             self._tlock.release()
+
+    def close(self) -> None:
+        """Release the persistent fd (idempotent). Only closes when
+        the lock is not held; a held lock keeps its fd until process
+        exit, where the kernel reclaims both."""
+        with self._tlock:
+            if self._depth == 0 and self._fd is not None:
+                fd, self._fd = self._fd, None
+                try:
+                    os.close(fd)
+                except OSError:
+                    pass
 
 
 def write_json_atomic(path: str, obj: dict[str, Any], sync: bool = True) -> None:
@@ -318,6 +338,20 @@ class QueueStorage:
         # pointer never moved (r13 advisor belt; benign if stale — the
         # sweep only removes files at/beyond the new write position)
         self._orphan_suspect = False
+        # persistent ctrl.json fd (r14): the pointer is read on every
+        # push/pop and flipped on every push; per-op open+close pairs
+        # were the dominant syscall cost on this path. Valid for the
+        # life of the queue directory because EVERY ctrl write is an
+        # in-place overwrite of the same inode (initialize() creates
+        # it once by rename; set_next_seq never renames, in either
+        # durability mode) — so a pread through this fd always sees
+        # the latest pointer from any process. Closed by
+        # close_handles().
+        self._ctrl_fd: int | None = None
+        # set once this process has ftruncate'd ctrl.json to the
+        # constant payload length; every later flip writes the same
+        # byte count at offset 0, so the truncate is skipped
+        self._ctrl_sized = False
         # codec id to backfill on rows read from pre-codec_id log files
         # (format v1 without the column); set by Queue from meta
         self.default_codec_id: int | None = None
@@ -350,6 +384,19 @@ class QueueStorage:
 
     def exists(self) -> bool:
         return os.path.exists(self.meta_path)
+
+    def close_handles(self) -> None:
+        """Release the persistent ctrl and lock fds (idempotent).
+        Called by Queue.close/dispose; a process that skips it merely
+        holds two fds until exit — the kernel reclaims both, and a
+        dispose'd directory's orphaned inodes die with them."""
+        fd, self._ctrl_fd = self._ctrl_fd, None
+        if fd is not None:
+            try:
+                os.close(fd)
+            except OSError:
+                pass
+        self.lock.close()
 
     def recover(self) -> list[str]:
         """Repair commit leftovers after a crash.
@@ -491,14 +538,30 @@ class QueueStorage:
         self._json_cache[path] = ((st.st_mtime_ns, st.st_size, st.st_ino),
                                   data)
 
+    def _ctrl_handle(self) -> int:
+        if self._ctrl_fd is None:
+            # O_RDWR|O_CREAT: readers and writers share one handle; a
+            # missing ctrl.json comes back as an EMPTY read, which the
+            # parse guard routes into _repair_next_seq exactly like
+            # the old FileNotFoundError did
+            self._ctrl_fd = os.open(
+                self.ctrl_path, os.O_RDWR | os.O_CREAT, 0o644
+            )
+        return self._ctrl_fd
+
     def next_seq(self) -> int:
         try:
-            return int(read_json(self.ctrl_path)["next_seq"])
-        except (ValueError, KeyError, TypeError, FileNotFoundError):
-            # torn (power-loss) or missing pointer file: reconstruct
-            # from committed state. Self-healing here keeps a queue
-            # usable even when the tear is discovered mid-session by
-            # a process that wasn't the one that crashed.
+            # pread on the persistent fd (r14): no open/close, no
+            # stream object — the pointer payload is ~34 bytes and in
+            # the page cache; 256 covers every historical format
+            data = os.pread(self._ctrl_handle(), 256, 0)
+            return int(json.loads(data)["next_seq"])
+        except (ValueError, KeyError, TypeError, OSError):
+            # torn (power-loss), missing, or empty pointer file:
+            # reconstruct from committed state. Self-healing here
+            # keeps a queue usable even when the tear is discovered
+            # mid-session by a process that wasn't the one that
+            # crashed.
             return self._repair_next_seq()
 
     def _repair_next_seq(self) -> int:
@@ -546,31 +609,38 @@ class QueueStorage:
         single ``write`` is atomic w.r.t. other processes, and all
         readers sit behind the flock.
 
-        ``control_sync=True`` keeps the full write-temp/fsync/rename
-        protocol — callers who opted into power-loss durability get the
-        strongest commit, and the fsync dominates the rename anyway.
+        ``control_sync=True`` performs the same in-place overwrite
+        followed by an ``fsync`` of the file — durable without a
+        rename. (r14: the old write-temp/rename protocol changed the
+        inode on every sync-mode flip, which would silently invalidate
+        any sibling's persistent ctrl fd and make it read a stale
+        pointer — in-place keeps the one-inode invariant that fd
+        depends on, and an overwritten-in-place fsync'd file needs no
+        directory fsync because no directory entry changed. The
+        torn-write analysis above covers power loss identically: the
+        whole 34-byte payload sits in one sector, and even a
+        per-position mix of two zero-padded monotone values reads
+        >= the old value — forward gaps are legal.)
         """
         data = {"next_seq": f"{n:020d}"}
-        if self.control_sync:
-            write_json_atomic(self.ctrl_path, data, sync=True)
-            self._last_set_next_seq = n
-            return
         payload = json.dumps(data).encode("utf-8")
-        fd = os.open(self.ctrl_path, os.O_CREAT | os.O_WRONLY, 0o644)
-        try:
-            # honor the short-write contract: os.write may land fewer
-            # bytes (ENOSPC, interruption) and only the return count
-            # says so — looping keeps the single-write atomicity claim
-            # honest rather than leaving a JSON prefix for
-            # _repair_next_seq to mop up (r6 review)
-            done = 0
-            while done < len(payload):
-                done += os.write(fd, payload[done:])
-            # constant length makes this a no-op steady-state; it only
-            # trims the tail once when migrating an old-format file
+        fd = self._ctrl_handle()
+        # honor the short-write contract: os.pwrite may land fewer
+        # bytes (ENOSPC, interruption) and only the return count
+        # says so — looping keeps the single-write atomicity claim
+        # honest rather than leaving a JSON prefix for
+        # _repair_next_seq to mop up (r6 review)
+        done = 0
+        while done < len(payload):
+            done += os.pwrite(fd, payload[done:], done)
+        if not self._ctrl_sized:
+            # constant length makes this a no-op steady-state; it
+            # only trims the tail once per process (migrating an
+            # old-format file, or our first flip)
             os.ftruncate(fd, len(payload))
-        finally:
-            os.close(fd)
+            self._ctrl_sized = True
+        if self.control_sync:
+            os.fsync(fd)
         self._last_set_next_seq = n
 
     def consumer_state(self) -> dict[str, Any]:

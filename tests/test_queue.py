@@ -1324,10 +1324,12 @@ def test_fsync_mode_syncs_data_before_pointer(qpath, monkeypatch):
         for p in synced
     ]
     # the durable-commit chain, in order: batch bytes -> pointer file
-    # -> pointer's directory entry -> the publishing rename's
-    # directory entry. Any reorder re-opens an ack-without-durable-
-    # data or durable-data-without-durable-commit-record hole.
-    assert labeled == ["data", "ctrl", "rootdir", "datadir"], labeled
+    # -> the publishing rename's directory entry. Any reorder re-opens
+    # an ack-without-durable-data or durable-data-without-durable-
+    # commit-record hole. (r14: the pointer flip is an in-place
+    # overwrite of one inode — no rename, so no directory fsync is
+    # needed for it; the batch publish rename still syncs data/.)
+    assert labeled == ["data", "ctrl", "datadir"], labeled
     assert q.subscriber().pop() == (1, "durable")
     q.close()
 
@@ -1391,10 +1393,14 @@ def test_fsync_mode_bulk_commit_order(qpath, spark, monkeypatch):
         i for i, x in enumerate(labeled) if x == "part"
     )
     assert labeled.index("ctrl") > labeled.index("datadir")
-    # rootdir is synced twice: once committing the intent marker
-    # (before any part), once committing the pointer flip (last)
+    # the fsynced pointer flip is the LAST link (in-place overwrite,
+    # r14 — no rename, so no trailing directory fsync); rootdir
+    # appears only committing the intent marker, before any part
+    assert labeled[-1] == "ctrl", labeled
     root_ix = [i for i, x in enumerate(labeled) if x == "rootdir"]
-    assert root_ix[-1] > labeled.index("ctrl")
+    assert root_ix and root_ix[-1] < min(
+        i for i, x in enumerate(labeled) if x == "part"
+    )
     # the marker is cleared once the flip commits
     import os as _os2
 
@@ -1515,12 +1521,15 @@ def test_filelock_release_never_leaks_rlock(qpath, monkeypatch):
     with pytest.raises(OSError):
         lock.__exit__(None, None, None)
     monkeypatch.setattr(storage_mod.fcntl, "flock", real_flock)
-    assert lock._fd is None  # fd handed off and closed despite the raise
     assert lock._tlock.acquire(blocking=False)  # not leaked
     lock._tlock.release()
-    # the lock object remains usable afterwards
+    # the lock object remains usable afterwards (the persistent fd
+    # survives the failed release — r14 keeps one fd for the lock's
+    # lifetime)
     with lock:
         pass
+    lock.close()
+    assert lock._fd is None
 
 
 def test_sweep_intent_marker_closes_preflip_orphan_blindspot(qpath):
@@ -1610,4 +1619,52 @@ def test_committed_view_filter_arms_orphan_sweep(qpath):
     assert not st._orphan_suspect  # consumed by the sweep
     assert sub.pop() == (1, "committed-1")
     assert sub.pop() == (2, "real-2")
+    q.close()
+
+
+def test_mixed_durability_siblings_share_ctrl_inode(qpath):
+    """r14: sync-mode flips are in-place (pwrite+fsync, NO rename) so
+    the ctrl inode never changes — the invariant the persistent ctrl
+    fd depends on. A sync-mode sibling that renamed ctrl.json would
+    silently orphan this test's default-mode fd: it would read a stale
+    pointer and commit duplicate seqs. Two real processes, one per
+    durability mode, interleave pushes; every seq must be unique."""
+    import subprocess
+    import sys as _sys
+
+    worker = (
+        'import sys, time\n'
+        'sys.path.insert(0, sys.argv[3])\n'
+        'from quebic_spark import Queue, Schema, INTEGER, TEXT\n'
+        'mode = sys.argv[1] == "sync"\n'
+        'q = Queue(sys.argv[2], Schema(INTEGER, TEXT), capacity=10**9,\n'
+        '          fsync=mode, auto_compact_files=None)\n'
+        'pub = q.publisher()\n'
+        'base = 10000 if mode else 20000\n'
+        'for i in range(60):\n'
+        '    pub.push([base + i, "v"])\n'
+        '    time.sleep(0.001)\n'
+        'q.close()\n'
+    )
+    import os as _os
+
+    repo = _os.path.join(_os.path.dirname(__file__), "..")
+    Queue(qpath, SCHEMA, capacity=10**9).close()
+    a = subprocess.Popen([_sys.executable, "-c", worker, "sync",
+                          qpath, repo])
+    b = subprocess.Popen([_sys.executable, "-c", worker, "fast",
+                          qpath, repo])
+    assert a.wait() == 0 and b.wait() == 0
+    q = Queue(qpath, SCHEMA, capacity=10**9)
+    sub = q.subscriber()
+    seen = []
+    while True:
+        v = sub.try_pop()
+        if v is None:
+            break
+        seen.append(v[0])
+    assert sorted(seen) == sorted(
+        list(range(10000, 10060)) + list(range(20000, 20060))
+    )
+    q.verify()
     q.close()

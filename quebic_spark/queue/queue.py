@@ -48,6 +48,7 @@ from quebic_spark.queue.storage import (
     SYSTEM_COLUMNS,
     arrow_schema,
     bounded_row_group_rows,
+    fsync_path,
     large_offset_schema,
     spark_ddl,
     write_json_atomic,
@@ -1249,20 +1250,12 @@ class Queue:
                 published: list[str] = []
                 try:
                     for part, _s, _e in ranges:
-                        pfd = os.open(part, os.O_RDONLY)
-                        try:
-                            os.fsync(pfd)
-                        finally:
-                            os.close(pfd)
+                        fsync_path(part)
                     for part, s, e in ranges:
                         dst = self._storage.batch_path(s, e)
                         os.replace(part, dst)
                         published.append(dst)
-                    dfd = os.open(self._storage.data_dir, os.O_RDONLY)
-                    try:
-                        os.fsync(dfd)
-                    finally:
-                        os.close(dfd)
+                    fsync_path(self._storage.data_dir)
                 except BaseException:
                     # pre-flip failure: unpublish what we renamed so
                     # a later single push (whose pointer-moved sweep

@@ -64,6 +64,7 @@ import json
 import os
 import re
 import threading
+import zlib
 from typing import Any, Iterator
 
 import pyarrow as pa
@@ -215,11 +216,26 @@ class FileLock:
                 # open-file-description, so LOCK_EX/LOCK_UN cycles on
                 # one fd are exactly as exclusive as fresh opens, and
                 # the kernel still drops the lock if the process dies
-                if self._fd is None:
-                    self._fd = os.open(
-                        self._path, os.O_CREAT | os.O_RDWR, 0o644
-                    )
-                fcntl.flock(self._fd, fcntl.LOCK_EX)
+                while True:
+                    if self._fd is None:
+                        self._fd = os.open(
+                            self._path, os.O_CREAT | os.O_RDWR, 0o644
+                        )
+                    fcntl.flock(self._fd, fcntl.LOCK_EX)
+                    if os.fstat(self._fd).st_nlink:
+                        break
+                    # the lock file was unlinked under us (another
+                    # process dispose()d and possibly recreated the
+                    # queue — out of contract, but the old open-by-
+                    # path code CONTENDED on the new file while a
+                    # pinned fd would hold a lock that excludes
+                    # nobody, r14 review). Drop the orphaned inode
+                    # and reacquire through the path.
+                    fd, self._fd = self._fd, None
+                    try:
+                        fcntl.flock(fd, fcntl.LOCK_UN)
+                    finally:
+                        os.close(fd)
             self._depth += 1
         except BaseException:
             # with-statements never call __exit__ when __enter__
@@ -256,6 +272,18 @@ class FileLock:
                     pass
 
 
+def fsync_path(path: str) -> None:
+    """fsync a file or directory by path — the ONE open/fsync/close
+    used by every durability-chain link (r14 review: six inline
+    copies; a future fsync-semantics fix must land once, not six
+    times)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def write_json_atomic(path: str, obj: dict[str, Any], sync: bool = True) -> None:
     """Commit protocol: full write to temp, [fsync], atomic rename.
 
@@ -284,11 +312,7 @@ def write_json_atomic(path: str, obj: dict[str, Any], sync: bool = True) -> None
         os.close(fd)
     os.replace(tmp, path)
     if sync:
-        dirfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
-        try:
-            os.fsync(dirfd)
-        finally:
-            os.close(dirfd)
+        fsync_path(os.path.dirname(path) or ".")
 
 
 def read_json(path: str) -> dict[str, Any]:
@@ -539,29 +563,54 @@ class QueueStorage:
                                   data)
 
     def _ctrl_handle(self) -> int:
-        if self._ctrl_fd is None:
-            # O_RDWR|O_CREAT: readers and writers share one handle; a
-            # missing ctrl.json comes back as an EMPTY read, which the
-            # parse guard routes into _repair_next_seq exactly like
-            # the old FileNotFoundError did
-            self._ctrl_fd = os.open(
-                self.ctrl_path, os.O_RDWR | os.O_CREAT, 0o644
-            )
+        fd = self._ctrl_fd
+        if fd is not None:
+            # revalidate the inode (r14 review): dispose()+recreate by
+            # another process unlinks ctrl.json — a pinned fd would
+            # keep reading/writing the orphaned inode while siblings
+            # use the new file. One fstat (~1 us) per operation keeps
+            # the persistent-fd win while restoring open-by-path's
+            # detection of that (out-of-contract, but silent-corrupting)
+            # sequence.
+            if os.fstat(fd).st_nlink:
+                return fd
+            self._ctrl_fd = None
+            self._ctrl_sized = False
+            try:
+                os.close(fd)
+            except OSError:
+                pass
+        # O_RDWR|O_CREAT: readers and writers share one handle; a
+        # missing ctrl.json comes back as an EMPTY read, which the
+        # parse guard routes into _repair_next_seq exactly like
+        # the old FileNotFoundError did
+        self._ctrl_fd = os.open(
+            self.ctrl_path, os.O_RDWR | os.O_CREAT, 0o644
+        )
         return self._ctrl_fd
 
     def next_seq(self) -> int:
         try:
             # pread on the persistent fd (r14): no open/close, no
-            # stream object — the pointer payload is ~34 bytes and in
+            # stream object — the pointer payload is ~66 bytes and in
             # the page cache; 256 covers every historical format
             data = os.pread(self._ctrl_handle(), 256, 0)
-            return int(json.loads(data)["next_seq"])
-        except (ValueError, KeyError, TypeError, OSError):
-            # torn (power-loss), missing, or empty pointer file:
-            # reconstruct from committed state. Self-healing here
-            # keeps a queue usable even when the tear is discovered
-            # mid-session by a process that wasn't the one that
-            # crashed.
+            obj = json.loads(data)
+            seq_str = obj["next_seq"]
+            crc = obj.get("crc")
+            if crc is not None and int(crc) != zlib.crc32(
+                str(seq_str).encode("utf-8")
+            ):
+                raise ValueError("ctrl.json checksum mismatch")
+            return int(seq_str)
+        except (ValueError, KeyError, TypeError):
+            # torn (power-loss), missing, empty, or checksum-failing
+            # pointer file: reconstruct from committed state.
+            # Self-healing here keeps a queue usable even when the
+            # tear is discovered mid-session by a process that wasn't
+            # the one that crashed. (A real device error — EIO on the
+            # pread — is NOT caught: silently rewriting control state
+            # over a failing disk would mask the fault, r14 review.)
             return self._repair_next_seq()
 
     def _repair_next_seq(self) -> int:
@@ -597,17 +646,10 @@ class QueueStorage:
 
         Default (``control_sync=False``): a CONSTANT-LENGTH in-place
         overwrite — one write syscall, no temp file, no rename (the
-        rename dance cost ~25% of single-record push latency). The
-        value is zero-padded to 20 digits so every flip writes the same
-        byte count at the same offsets; a power-loss partial overwrite
-        therefore mixes digit PREFIXES of the new value with suffixes
-        of the old at identical positions, and since next_seq is
-        monotonically increasing the mixed reading is always >= the old
-        value (gaps forward are legal; regression is the only hazard).
-        A genuinely torn/unparseable file is rebuilt by
-        ``_repair_next_seq``. Process crash cannot tear it at all: the
-        single ``write`` is atomic w.r.t. other processes, and all
-        readers sit behind the flock.
+        rename dance cost ~25% of single-record push latency).
+        Process crash cannot tear it at all: the single ``write`` is
+        atomic w.r.t. other processes, and all readers sit behind the
+        flock.
 
         ``control_sync=True`` performs the same in-place overwrite
         followed by an ``fsync`` of the file — durable without a
@@ -616,13 +658,30 @@ class QueueStorage:
         any sibling's persistent ctrl fd and make it read a stale
         pointer — in-place keeps the one-inode invariant that fd
         depends on, and an overwritten-in-place fsync'd file needs no
-        directory fsync because no directory entry changed. The
-        torn-write analysis above covers power loss identically: the
-        whole 34-byte payload sits in one sector, and even a
-        per-position mix of two zero-padded monotone values reads
-        >= the old value — forward gaps are legal.)
+        directory fsync because no directory entry changed.)
+
+        Power-loss tear analysis: the payload is constant-length and
+        zero-padded, so a partial overwrite mixes bytes of the old and
+        new values at identical positions. If persistence is ordered
+        (prefix of the new value + suffix of the old), the mixed
+        number is provably >= the old value — a legal forward gap. An
+        UNORDERED byte mix, however, can read as a plausible SMALLER
+        number (old ...019 / new ...020 mixing to ...010 — r14
+        review; pointer regression would let open-time truncation
+        delete committed batches), so the value carries a crc32 of
+        the seq digits: any mix that alters the digits without a
+        matching checksum fails validation in ``next_seq`` and is
+        rebuilt by ``_repair_next_seq`` from committed state (an
+        accidental crc match is a 2^-32 event on top of an
+        already-rare sub-sector tear). Files from older formats
+        (unpadded int, or padded without ``crc``) are accepted as-is
+        and upgraded on their next flip.
         """
-        data = {"next_seq": f"{n:020d}"}
+        seq_str = f"{n:020d}"
+        data = {
+            "next_seq": seq_str,
+            "crc": f"{zlib.crc32(seq_str.encode('utf-8')):010d}",
+        }
         payload = json.dumps(data).encode("utf-8")
         fd = self._ctrl_handle()
         # honor the short-write contract: os.pwrite may land fewer
@@ -846,11 +905,7 @@ class QueueStorage:
             self.set_next_seq(flip_to)
         os.replace(tmp, path)
         if self.control_sync:
-            dirfd = os.open(self.data_dir, os.O_RDONLY)
-            try:
-                os.fsync(dirfd)  # make the rename itself durable
-            finally:
-                os.close(dirfd)
+            fsync_path(self.data_dir)  # make the rename itself durable
         return path
 
     def write_dlq(self, table: pa.Table, seq: int,
@@ -871,18 +926,10 @@ class QueueStorage:
         tmp = path + ".tmp"
         pq.write_table(table, tmp, compression=parquet_codec)
         if self.control_sync:
-            fd = os.open(tmp, os.O_RDONLY)
-            try:
-                os.fsync(fd)
-            finally:
-                os.close(fd)
+            fsync_path(tmp)
         os.replace(tmp, path)
         if self.control_sync:
-            dirfd = os.open(self.dlq_dir, os.O_RDONLY)
-            try:
-                os.fsync(dirfd)  # make the publishing rename durable
-            finally:
-                os.close(dirfd)
+            fsync_path(self.dlq_dir)  # make the publishing rename durable
         return path
 
     def _backfill_rows(self, rows: list[dict[str, Any]]) -> None:

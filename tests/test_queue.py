@@ -1668,3 +1668,79 @@ def test_mixed_durability_siblings_share_ctrl_inode(qpath):
     )
     q.verify()
     q.close()
+
+
+def test_ctrl_checksum_catches_regressed_pointer(qpath):
+    """r14 review: an UNORDERED power-loss byte mix of two pointer
+    values can read as a plausible SMALLER number (…019/…020 mixing
+    to …010) — valid JSON, so the old parse accepted it, and the
+    open-time truncation would then delete committed batches. The crc
+    stamped beside the digits turns any digit-altering mix into a
+    checksum failure -> _repair_next_seq, which reconstructs from
+    committed state and loses nothing."""
+    import json as _json
+
+    q = Queue(qpath, SCHEMA, capacity=100)
+    q.publisher().push_all([[i, f"v{i}"] for i in range(19)])
+    q.close()
+    with open(qpath + "/ctrl.json") as f:
+        good = _json.load(f)
+    assert good["next_seq"] == f"{20:020d}"
+    assert int(good["crc"]) > 0
+    # simulate the torn sector: digits regress to 10, crc is the OLD
+    # value's — exactly the mix the review demonstrated
+    with open(qpath + "/ctrl.json", "w") as f:
+        _json.dump({"next_seq": f"{10:020d}", "crc": good["crc"]}, f)
+    q2 = Queue(qpath, SCHEMA)
+    assert q2.size() == 19  # repaired to max(batch end)+1, NOT 10
+    assert q2.subscriber().pop_n(19) == [
+        (i, f"v{i}") for i in range(19)
+    ]  # no committed batch was truncated away
+    q2.verify()
+    q2.close()
+
+    # a crc-matching regressed value cannot arise from a tear of two
+    # monotone writes, but the validator itself must accept what it
+    # writes: reopen round-trips cleanly
+    q3 = Queue(qpath, SCHEMA)
+    assert q3.size() == 0
+    q3.close()
+
+
+def test_persistent_fds_revalidate_after_dispose_recreate(qpath):
+    """r14 review: dispose()+recreate by another process unlinks the
+    lock and ctrl files; a pinned fd would flock an orphaned inode
+    (excluding nobody) and read a stale pointer. Both handles fstat
+    st_nlink and reopen by path when the inode was unlinked."""
+    import os
+
+    from quebic_spark.queue.storage import FileLock, QueueStorage
+
+    os.makedirs(qpath, exist_ok=True)
+    lpath = os.path.join(qpath, "lock")
+    lock = FileLock(lpath)
+    with lock:
+        pass  # fd now cached
+    old_ino = os.fstat(lock._fd).st_ino
+    os.remove(lpath)
+    other = FileLock(lpath)  # simulates the recreating process
+    with other:
+        pass
+    with lock:  # must reacquire through the path, not the orphan
+        assert os.fstat(lock._fd).st_ino == os.stat(lpath).st_ino
+        assert os.fstat(lock._fd).st_ino != old_ino
+    lock.close()
+    other.close()
+
+    st_a = QueueStorage(qpath)
+    st_a.set_next_seq(7)
+    assert st_a.next_seq() == 7
+    # sibling disposes/recreates: ctrl.json replaced with a NEW inode
+    os.remove(st_a.ctrl_path)
+    st_b = QueueStorage(qpath)
+    st_b.set_next_seq(9)
+    assert st_a.next_seq() == 9  # not the orphaned inode's 7
+    st_a.set_next_seq(11)
+    assert st_b.next_seq() == 11
+    st_a.close_handles()
+    st_b.close_handles()

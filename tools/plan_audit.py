@@ -109,28 +109,36 @@ EXPECTED_EXCEPTIONS: dict[str, dict] = {
 
 
 def code_fingerprint() -> str:
-    """sha256 over every quebic_spark/operators/*.py and
-    quebic_spark/functions/*.py source file (name + raw bytes, sorted).
+    """sha256 over EVERY quebic_spark/**/*.py source file (relative
+    path + raw bytes, sorted).
 
     Stamped into the artifact so staleness is detected by CONTENT, not
     by window membership: r13 showed the window-only freshness proxy is
     blind when GATE_ORDER is stable but gate code changes (the judge
-    had to regenerate the artifact to prove zero drift). Any edit under
-    those two trees — the modules every gate's plan is built from —
-    invalidates the committed artifact and fails
-    test_artifact_fingerprint_is_current until it is regenerated.
+    had to regenerate the artifact to prove zero drift). The scope is
+    the WHOLE package, not just operators/+functions/ — gate plans are
+    also shaped by plans/ (salted_agg, fan_out), sources/ (the
+    quebic-format and queue gates), sql.py, and queue/ (r14 review:
+    an operators-only hash stayed blind to a plans/ edit, the exact
+    class the stamp exists to catch). Any package edit invalidates the
+    committed artifact and fails test_artifact_fingerprint_is_current
+    until it is regenerated — the conservative reading of "regenerate
+    when gate code changes".
     """
     import hashlib
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "quebic_spark")
     h = hashlib.sha256()
-    for sub in ("operators", "functions"):
-        d = os.path.join(repo, "quebic_spark", sub)
-        for fn in sorted(os.listdir(d)):
+    for root, dirs, files in sorted(os.walk(pkg)):
+        dirs.sort()
+        dirs[:] = [d for d in dirs if d != "__pycache__"]
+        for fn in sorted(files):
             if not fn.endswith(".py"):
                 continue
-            h.update(f"{sub}/{fn}\0".encode())
-            with open(os.path.join(d, fn), "rb") as fh:
+            full = os.path.join(root, fn)
+            h.update(f"{os.path.relpath(full, pkg)}\0".encode())
+            with open(full, "rb") as fh:
                 h.update(fh.read())
             h.update(b"\0")
     return h.hexdigest()

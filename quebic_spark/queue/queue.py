@@ -239,6 +239,11 @@ class Queue:
                 # fsync-mode bulk path's pre-flip window can leave
                 # such a file — truncate it now, as the open-time
                 # belt behind the committed-view read filter.
+                # stamp a pre-crc pointer file into the crc format
+                # BEFORE any flip can change its digits (r14 review:
+                # the first organic flip over a crc-less file was one
+                # unprotected tear window)
+                self._storage.ensure_ctrl_format()
                 next_seq = self._storage.next_seq()
                 for start, end, path in self._storage.list_batches(
                     include_uncommitted=True

@@ -272,6 +272,19 @@ class FileLock:
                     pass
 
 
+def ctrl_payload(n: int) -> dict[str, str]:
+    """The one pointer-file format: zero-padded digits + their crc32
+    (see ``set_next_seq`` for the tear analysis the crc closes).
+    Written from queue creation onward (r14 review: create() still
+    emitted the crc-less format, leaving brand-new queues one
+    unprotected flip)."""
+    seq_str = f"{n:020d}"
+    return {
+        "next_seq": seq_str,
+        "crc": f"{zlib.crc32(seq_str.encode('utf-8')):010d}",
+    }
+
+
 def fsync_path(path: str) -> None:
     """fsync a file or directory by path — the ONE open/fsync/close
     used by every durability-chain link (r14 review: six inline
@@ -403,11 +416,29 @@ class QueueStorage:
                 "codec": codec.name,
             },
         )
-        write_json_atomic(self.ctrl_path, {"next_seq": f"{1:020d}"})
+        write_json_atomic(self.ctrl_path, ctrl_payload(1))
         write_json_atomic(self.consumer_path, {"acked_seq": 0, "errors": {}})
 
     def exists(self) -> bool:
         return os.path.exists(self.meta_path)
+
+    def ensure_ctrl_format(self) -> None:
+        """Upgrade a pre-crc pointer file to the crc-stamped format at
+        OPEN time (callers hold the flock). Waiting for the next
+        organic flip would leave one unprotected write: the first flip
+        over a crc-less file changes the digits, and a torn mix that
+        keeps the OLD short tail reads as valid crc-less JSON with
+        regressed digits — silently accepted (r14 review). The stamping
+        rewrite itself cannot regress: it re-writes the SAME digits,
+        so every tear outcome is old-value crc-less, unparseable (->
+        repair), or the new format."""
+        try:
+            obj = json.loads(os.pread(self._ctrl_handle(), 256, 0))
+            if "crc" in obj:
+                return
+        except (ValueError, KeyError, TypeError):
+            pass  # torn/empty: next_seq() below repairs via set_next_seq
+        self.set_next_seq(self.next_seq())
 
     def close_handles(self) -> None:
         """Release the persistent ctrl and lock fds (idempotent).
@@ -677,12 +708,7 @@ class QueueStorage:
         (unpadded int, or padded without ``crc``) are accepted as-is
         and upgraded on their next flip.
         """
-        seq_str = f"{n:020d}"
-        data = {
-            "next_seq": seq_str,
-            "crc": f"{zlib.crc32(seq_str.encode('utf-8')):010d}",
-        }
-        payload = json.dumps(data).encode("utf-8")
+        payload = json.dumps(ctrl_payload(n)).encode("utf-8")
         fd = self._ctrl_handle()
         # honor the short-write contract: os.pwrite may land fewer
         # bytes (ENOSPC, interruption) and only the return count

@@ -79,3 +79,21 @@ def test_artifact_matches_expectations(audit):
         if got != exp or not row.get("plan_ok"):
             drift[name] = {"expected": exp, "measured": got}
     assert drift == {}, f"plan drift vs expectation: {drift}"
+
+
+def test_fingerprint_prunes_pycache():
+    # r14 review: sorted(os.walk(...)) exhausted the generator before
+    # the in-loop prune, so a stray .py under __pycache__ leaked into
+    # the hash and made the committed fingerprint irreproducible on a
+    # clean checkout
+    base = code_fingerprint()
+    cache = os.path.join(_REPO, "quebic_spark", "operators",
+                         "__pycache__")
+    os.makedirs(cache, exist_ok=True)
+    sneaky = os.path.join(cache, "sneaky_fingerprint_probe.py")
+    try:
+        with open(sneaky, "w") as fh:
+            fh.write("# must not affect the fingerprint\n")
+        assert code_fingerprint() == base
+    finally:
+        os.remove(sneaky)

@@ -1744,3 +1744,28 @@ def test_persistent_fds_revalidate_after_dispose_recreate(qpath):
     assert st_b.next_seq() == 11
     st_a.close_handles()
     st_b.close_handles()
+
+
+def test_precrc_ctrl_upgraded_at_open(qpath):
+    """r14 review: the first organic flip over a crc-less pointer file
+    changes the digits with no checksum in place — one unprotected
+    tear window per upgraded queue. Open now stamps the crc format
+    immediately (same digits, so the stamping write itself cannot
+    regress under any tear outcome)."""
+    import json as _json
+
+    q = Queue(qpath, SCHEMA, capacity=100)
+    q.publisher().push_all([[i, f"v{i}"] for i in range(4)])
+    q.close()
+    # regress the file to the r13 crc-less padded format
+    with open(qpath + "/ctrl.json", "w") as f:
+        _json.dump({"next_seq": f"{5:020d}"}, f)
+    q2 = Queue(qpath, SCHEMA)  # open stamps, before any flip
+    with open(qpath + "/ctrl.json") as f:
+        obj = _json.load(f)
+    assert obj["next_seq"] == f"{5:020d}"
+    import zlib as _zlib
+
+    assert int(obj["crc"]) == _zlib.crc32(obj["next_seq"].encode())
+    assert q2.size() == 4
+    q2.close()

@@ -130,9 +130,14 @@ def code_fingerprint() -> str:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pkg = os.path.join(repo, "quebic_spark")
     h = hashlib.sha256()
-    for root, dirs, files in sorted(os.walk(pkg)):
-        dirs.sort()
-        dirs[:] = [d for d in dirs if d != "__pycache__"]
+    # prune BEFORE the walk descends: wrapping os.walk in sorted()
+    # exhausts the generator first, making in-loop dirs[:] mutation
+    # dead code that let __pycache__ leak into the hash (r14 review —
+    # a stray .py under a cache dir would make the committed
+    # fingerprint irreproducible on clean checkouts). Per-level
+    # sorting of dirs keeps the traversal deterministic.
+    for root, dirs, files in os.walk(pkg):
+        dirs[:] = sorted(d for d in dirs if d != "__pycache__")
         for fn in sorted(files):
             if not fn.endswith(".py"):
                 continue

@@ -208,3 +208,48 @@ def test_keep_best_matches_reference_selection(spark, rows):
     assert got == {
         k: (v[0], sizes[k]) for k, v in want.items()
     }
+
+
+@given(
+    old=st.integers(min_value=1, max_value=10**18),
+    new_delta=st.integers(min_value=1, max_value=10**6),
+    mask=st.binary(min_size=8, max_size=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_ctrl_pointer_tear_never_regresses_silently(old, new_delta, mask):
+    """r14 crc contract: for ANY byte-level mix of two consecutive
+    pointer payloads (the power-loss torn-sector model — constant
+    length, so bytes mix at identical positions), the validator either
+    rejects the mix (-> _repair_next_seq, which is >= committed state)
+    or reads exactly the old or new value. No third value — in
+    particular no regressed one — ever parses clean (2^-32 accidental
+    crc matches aside, which 200 examples cannot hit)."""
+    import json
+    import zlib
+
+    from quebic_spark.queue.storage import ctrl_payload
+
+    new = old + new_delta
+    po = json.dumps(ctrl_payload(old)).encode()
+    pn = json.dumps(ctrl_payload(new)).encode()
+    assert len(po) == len(pn)  # the constant-length invariant itself
+    # expand the 64-bit mask cyclically over the payload: bit i says
+    # byte i persisted from the NEW write
+    bits = [(mask[i // 8 % 8] >> (i % 8)) & 1 for i in range(len(po))]
+    mixed = bytes(pn[i] if bits[i] else po[i] for i in range(len(po)))
+
+    # replicate next_seq()'s validation on the mixed payload
+    try:
+        obj = json.loads(mixed)
+        seq_str = obj["next_seq"]
+        crc = obj.get("crc")
+        if crc is not None and int(crc) != zlib.crc32(
+            str(seq_str).encode("utf-8")
+        ):
+            raise ValueError("checksum mismatch")
+        value = int(seq_str)
+    except (ValueError, KeyError, TypeError):
+        return  # rejected -> repair path; safe by construction
+    assert value in (old, new), (
+        f"tear of {old}->{new} parsed clean as third value {value}"
+    )

@@ -9,11 +9,15 @@ here and the caller releases them after the action via
 loop, where 50 queries share one JVM) accumulates gigabytes of cached
 shingle tables that tax every later query's memory.
 
-The one deliberate exception is the IVF index
-(``operators.similarity._IVF_INDEX_CACHE``): that residency IS the
-design — build once, probe many (at scale it is a stored table, not a
-cache). ``clear_caches(include_ivf_index=True)`` releases it too, for
-teardown paths.
+The one deliberate exception is the similarity module's RESIDENT
+stores: the IVF index (``_IVF_INDEX_CACHE``), the exact-topk
+ground-truth frames (``_EXACT_TOPK_CACHE``), and the PQ codes
+(``_PQ_CODES_CACHE``) — residency IS the design there (build once,
+probe many; at scale they are stored tables, not caches).
+``clear_caches(include_ivf_index=True)`` releases ALL THREE, for
+teardown paths: the flag means "also drop the resident similarity
+indexes", not the IVF cell index alone (r14 review — a caller who
+wants to keep the ground truth / codes hot must not pass it).
 """
 
 from __future__ import annotations

@@ -80,8 +80,10 @@ def release_corpus(
     media_payloads: DataFrame | None = None,
     normalize_unicode: str | None = None,
     diversity_embeddings: DataFrame | None = None,
-    diversity_keep_pct: int = 80,
+    diversity_keep_pct: int | None = None,
     diversity_centroids: Sequence[Sequence[float]] | None = None,
+    diversity_id_col: str = "doc_id",
+    diversity_embedding_col: str = "embedding",
 ) -> dict:
     """Run the full release pipeline and write the sharded artifact.
 
@@ -100,11 +102,15 @@ def release_corpus(
     same scan as the heuristics because classifier scoring is a pure
     column expression (zero extra shuffles); (3) keep the best-quality
     canonical per bag-of-words content key (:func:`keep_best`);
-    (3b) if ``diversity_embeddings`` (id, embedding) is given, run the
-    D4 diversity stage (:func:`operators.similarity.diversity_filter`):
-    per quantizer cell keep the ``diversity_keep_pct``% least
-    prototypical docs — one anti-join against the dropped ids, docs
-    without an embedding row pass through;
+    (3b) if ``diversity_embeddings`` is given, run the D4 diversity
+    stage (:func:`operators.similarity.diversity_filter`): per
+    quantizer cell keep the ``diversity_keep_pct``% least prototypical
+    docs (default: similarity's ``DIVERSITY_KEEP_PCT``, the gated
+    knob). ``diversity_id_col``/``diversity_embedding_col`` name the
+    columns IN the embeddings frame (defaults ``doc_id``/
+    ``embedding``); its ids must be the docs' ``doc_id`` values — the
+    pipeline key every stage joins on. One anti-join against the
+    dropped ids; docs without an embedding row pass through;
     (4) if ``bench_docs`` is given, anti-join away documents sharing
     n-grams with it; (5) write the md5-bucket sharded layout with
     manifest (:func:`write_corpus_shards`); (6) if ``media_payloads``
@@ -116,6 +122,22 @@ def release_corpus(
     from quebic_spark.operators.dedup import _content_key, keep_best
     from quebic_spark.operators.textops import quality_percentile_filter
     from quebic_spark.sources.io import write_corpus_shards
+
+    # reserved-column guard, same convention as the r13 guards in
+    # quality_percentile_filter (_rn/_drop) and write_corpus_shards
+    # (shard): the pipeline writes quality_score/content_key and
+    # keep_best writes rn (dropped) + n_copies — a caller's column of
+    # the same name would be silently overwritten or destroyed, and
+    # the shipped provenance columns would lie (r14 review)
+    reserved = {"quality_score", "content_key", "rn", "n_copies"}
+    if quality_model is not None:
+        reserved.add("model_prob")
+    taken = reserved & set(docs.columns)
+    if taken:
+        raise ValueError(
+            f"input already has reserved column(s) {sorted(taken)} — "
+            "drop or rename them before release_corpus"
+        )
 
     if normalize_unicode is not None:
         from quebic_spark.operators.textops import unicode_normalize
@@ -137,12 +159,27 @@ def release_corpus(
         "quality_score",
     )
     if diversity_embeddings is not None:
-        from quebic_spark.operators.similarity import diversity_filter
+        from quebic_spark.operators.similarity import (
+            DIVERSITY_KEEP_PCT,
+            diversity_filter,
+        )
 
+        # map the caller's embedding-frame column names onto the
+        # pipeline key (docs are keyed doc_id throughout — shards,
+        # decontamination, and this anti-join all use it); select()
+        # fails loud on a wrong name instead of joining arbitrarily
+        emb_in = diversity_embeddings.select(
+            F.col(diversity_id_col).alias("doc_id"),
+            F.col(diversity_embedding_col).alias("embedding"),
+        )
         deduped = diversity_filter(
             deduped,
-            diversity_embeddings,
-            keep_pct=diversity_keep_pct,
+            emb_in,
+            # None -> similarity's canonical knob (the one the D4 gate
+            # and diversity_sample use), so retuning it there cannot
+            # silently drift from the shipped pipeline (r14 review)
+            keep_pct=(DIVERSITY_KEEP_PCT if diversity_keep_pct is None
+                      else diversity_keep_pct),
             centroids=(
                 [list(c) for c in diversity_centroids]
                 if diversity_centroids is not None else None
@@ -177,7 +214,10 @@ def release_corpus(
         # the (re-written, still atomic) manifest so a loader can see
         # what the decode tier would face without re-scanning blobs
         from quebic_spark.operators.multimodal import media_decode_stats
-        from quebic_spark.sources.io import fs_write_json_path
+        from quebic_spark.sources.io import (
+            CORPUS_MANIFEST_NAME,
+            fs_write_json_path,
+        )
 
         manifest["media"] = {
             r["fmt"]: {
@@ -188,7 +228,7 @@ def release_corpus(
             for r in media_decode_stats(media_payloads).collect()
         }
         fs_write_json_path(
-            spark, f"{out_path}/_corpus_manifest.json", manifest
+            spark, f"{out_path}/{CORPUS_MANIFEST_NAME}", manifest
         )
     return manifest
 

@@ -7,6 +7,7 @@ apply (AQE, adaptive coalescing/skew-join) — only master/memory change.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -69,7 +70,15 @@ _TUNED_CONFS = (
 
 # prior conf values per session, recorded the first time tune_for_query
 # touches that session (for restore_session_tuning)
-_PRIOR_CONFS: dict[str, dict[str, str | None]] = {}
+# keyed by the SESSION OBJECT, not applicationId: sessions created
+# via spark.newSession() (the footer-stats and CC-loop children) share
+# one applicationId but have ISOLATED SQL confs — an appId key
+# conflated their tune/restore state, so restoring a child could
+# write the parent's priors into the child and silently drop the
+# parent's own record (r14 review). WeakKey: state dies with the
+# session handle instead of pinning it.
+_PRIOR_CONFS: "weakref.WeakKeyDictionary[SparkSession, dict[str, str | None]]" \
+    = weakref.WeakKeyDictionary()
 
 
 def tune_for_query(spark: SparkSession) -> SparkSession:
@@ -99,8 +108,7 @@ def tune_for_query(spark: SparkSession) -> SparkSession:
             return spark
     except Exception:
         pass
-    sid = spark.sparkContext.applicationId
-    prior = _PRIOR_CONFS.setdefault(sid, {})
+    prior = _PRIOR_CONFS.setdefault(spark, {})
     for key in _TUNED_CONFS:
         if key not in prior:
             try:
@@ -116,8 +124,7 @@ def restore_session_tuning(spark: SparkSession) -> SparkSession:
     ``tune_for_query`` on this session (unset keys are unset again).
     Call after materializing the library's DataFrames when the session
     is shared with conf-sensitive work."""
-    sid = spark.sparkContext.applicationId
-    for key, value in _PRIOR_CONFS.pop(sid, {}).items():
+    for key, value in _PRIOR_CONFS.pop(spark, {}).items():
         if value is None:
             spark.conf.unset(key)
         else:

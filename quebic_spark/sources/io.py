@@ -25,6 +25,12 @@ from quebic_spark.schema import BINARY, TENSOR
 
 _FORMATS = ("parquet", "csv", "json", "orc")
 
+# the sharded-corpus manifest filename — io.py owns the layout; the
+# release pipeline's media-tier rewrite imports this instead of
+# duplicating the literal (r14 review: a rename here would otherwise
+# leave release_corpus writing a second, divergent manifest)
+CORPUS_MANIFEST_NAME = "_corpus_manifest.json"
+
 
 def _check_format(fmt: str) -> None:
     if fmt not in _FORMATS:
@@ -275,7 +281,7 @@ def write_corpus_shards(
         "shards": shards,
     }
     # manifest lands beside the shards through the same FS connector
-    mpath = jvm.org.apache.hadoop.fs.Path(root, "_corpus_manifest.json")
+    mpath = jvm.org.apache.hadoop.fs.Path(root, CORPUS_MANIFEST_NAME)
     fs_write_json(jvm, fs, mpath, manifest)
     return manifest
 

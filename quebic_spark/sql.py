@@ -10,9 +10,15 @@ scan (filters/pruning still push down to parquet).
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
 from pyspark.sql import DataFrame, SparkSession
 
-from quebic_spark.queue.queue import Queue
+if TYPE_CHECKING:  # annotation-only: keep the SQL facade import-light
+    # (eager Queue pulled pyarrow + the whole queue machinery into
+    # every `import quebic_spark.sql`, r14 review; the module never
+    # touches Queue at runtime)
+    from quebic_spark.queue.queue import Queue
 
 TESTDATA_TABLES = (
     "region", "nation", "customer", "supplier", "part", "orders",

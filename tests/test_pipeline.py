@@ -640,3 +640,44 @@ def test_release_corpus_with_diversity_stage(spark, docs, tmp_path):
         released.select("content_key").distinct().count()
         == man_div["total_rows"]
     )
+
+
+def test_release_corpus_rejects_reserved_columns(spark, docs, tmp_path):
+    """r14 review: keep_best silently DROPPED a caller's 'rn' column
+    and the pipeline silently overwrote quality_score/content_key —
+    the same collision class the r13 guards in
+    quality_percentile_filter and write_corpus_shards raise on."""
+    from quebic_spark.pipeline import release_corpus
+
+    with_rn = docs.withColumn("rn", F.lit(7))
+    with pytest.raises(ValueError, match="reserved column"):
+        release_corpus(spark, with_rn, str(tmp_path / "r"), n_shards=2)
+    with_qs = docs.withColumn("quality_score", F.lit(0.5))
+    with pytest.raises(ValueError, match="reserved column"):
+        release_corpus(spark, with_qs, str(tmp_path / "r2"), n_shards=2)
+    # model_prob is reserved only when a model tier will write it
+    with_mp = docs.withColumn("model_prob", F.lit(0.5))
+    release_corpus(spark, with_mp, str(tmp_path / "r3"), n_shards=2)
+
+
+def test_session_tuning_isolated_per_session(spark):
+    """r14 review: _PRIOR_CONFS was keyed by applicationId, which
+    spark.newSession() children SHARE — tuning parent then child
+    conflated their records, so restoring the child wrote the
+    parent's priors into the child and silently dropped the parent's
+    own record."""
+    from quebic_spark.session import restore_session_tuning, tune_for_query
+
+    key = "spark.sql.adaptive.enabled"
+    parent_before = spark.conf.get(key)
+    child = spark.newSession()
+    child.conf.set(key, "false")  # child's own deliberate setting
+
+    tune_for_query(spark)
+    tune_for_query(child)
+    assert child.conf.get(key) == "true"
+    restore_session_tuning(child)
+    assert child.conf.get(key) == "false"  # child's prior, not parent's
+    assert spark.conf.get(key) == "true"  # parent still tuned
+    restore_session_tuning(spark)
+    assert spark.conf.get(key) == parent_before  # parent's own record kept

@@ -219,8 +219,18 @@ def isolated_spot_times(
                  name, sf_dir],
                 capture_output=True, text=True, timeout=600,
             )
-            line = proc.stdout.strip().splitlines()[-1]
-            out[name] = json.loads(line)["samples"]
+            lines = proc.stdout.strip().splitlines()
+            if proc.returncode != 0 or not lines:
+                # surface the CHILD's failure, not a bare IndexError —
+                # same contract as isolated_queue_retime (r14 review:
+                # a crashed child logged "list index out of range"
+                # and threw its traceback away, leaving regression
+                # triage unable to tell environment from plan change)
+                tail = (proc.stderr or "").strip().splitlines()[-3:]
+                raise RuntimeError(
+                    f"rc={proc.returncode}; stderr tail: {tail}"
+                )
+            out[name] = json.loads(lines[-1])["samples"]
         except Exception as exc:  # never let diagnostics sink the bench
             out[name] = []
             sys.stderr.write(f"isolated {name} failed: {exc}\n")

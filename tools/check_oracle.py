@@ -28,11 +28,23 @@ TABLES = (
 
 
 def normalize(v) -> str:
+    # NOTE (r14 review, declined by design): '|'/newline characters in
+    # TEXT values are NOT escaped, and -0.0 normalizes differently
+    # from 0.0 — both mirror the DRIVER's fingerprint compare, which
+    # is the verdict this tool exists to predict. "Fixing" either here
+    # would make a local PASS diverge from the real gate; instead,
+    # gate queries avoid emitting free text with delimiters and
+    # sign-ambiguous zero aggregates.
     if v is None:
         return "<NULL>"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):
+            # guard BEFORE int(v): int(inf) raises OverflowError,
+            # which ran outside the per-query try and killed the
+            # whole gate run (r14 review)
+            return repr(v)
         if v == int(v) and abs(v) < 2**53:
             return repr(float(v))
         return repr(v)
@@ -105,6 +117,18 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
+    if only:
+        unknown = sorted(only - set(queries))
+        if unknown:
+            # a typo'd --only previously matched nothing and exited 0
+            # — a false-green gate run (r14 review). Retired gates are
+            # absent from the live window too; point at the registry.
+            print(
+                f"ERROR: --only names not in the live query window: "
+                f"{unknown} (see operators/__init__.py GATE_ORDER / "
+                f"RETIRED_GATES)"
+            )
+            return 2
 
     n_pass = n_fail = n_weak = 0
     for name, fn in queries.items():
@@ -157,19 +181,24 @@ def main() -> int:
 
 
 def _show_diff(names, scols, srows, dcols, drows, limit=5):
+    # MULTISET diff (Counter), not set: a hash mismatch caused purely
+    # by duplicate-row multiplicity ([A,A,B] vs [A,B,B]) printed an
+    # empty diff under set semantics (r14 review)
+    from collections import Counter
+
     sidx = {c: i for i, c in enumerate(scols)}
     didx = {c: i for i, c in enumerate(dcols)}
-    skey = {
+    skey = Counter(
         "|".join(normalize(r[sidx[c]]) for c in names) for r in srows
-    }
-    dkey = {
+    )
+    dkey = Counter(
         "|".join(normalize(r[didx[c]]) for c in names) for r in drows
-    }
+    )
     print(f"      columns: {names}")
-    for row in list(skey - dkey)[:limit]:
-        print(f"      spark-only: {row}")
-    for row in list(dkey - skey)[:limit]:
-        print(f"      duck-only:  {row}")
+    for row, n in list((skey - dkey).items())[:limit]:
+        print(f"      spark-only (x{n}): {row}")
+    for row, n in list((dkey - skey).items())[:limit]:
+        print(f"      duck-only  (x{n}): {row}")
 
 
 if __name__ == "__main__":

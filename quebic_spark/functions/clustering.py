@@ -116,25 +116,50 @@ def kmeans(
     (deterministic Forgy init — a hash-order sample, stable at any
     parallelism). Empty clusters keep their previous centroid (the
     standard Lloyd degeneracy rule that avoids NaN centroids).
+
+    Rows whose vector contains a non-finite or DECIMAL-overflowing
+    component (NaN/inf, |x| >= 1e18) are EXCLUDED from training: the
+    component cast to DECIMAL(38,18) is NULL, which SUM skips while
+    COUNT counts — silently skewed means — and an all-NULL cell made
+    the driver mean a None division (r14 review). They still receive
+    a ``cluster`` in the returned assignment (NumPy argmin over NaN
+    yields index 0), they just don't vote on centroid positions.
+
+    The training frame is localCheckpoint'd once at entry: Lloyd runs
+    max_iters+1 passes over it, and re-executing a derived frame's
+    full upstream lineage per pass multiplied the source pipeline's
+    cost by the iteration count (r14 review).
     """
+    finite = df.select(F.col(vec_col).alias("v")).filter(
+        F.forall(
+            F.col("v"),
+            lambda x: ~F.isnan(x) & (F.abs(x) < F.lit(1e18)),
+        )
+    )
+    # eager=True materializes now; truncating lineage here is what
+    # makes each Lloyd pass cost one scan of THIS frame, not the
+    # caller's whole upstream plan
+    train = finite.localCheckpoint(eager=True)
     if init_centroids is not None:
         centroids = [[float(x) for x in c] for c in init_centroids]
     else:
         key = F.md5(F.col("v").cast("string"))
         rows = (
-            df.select(F.col(vec_col).alias("v"))
+            train
             .orderBy(key, F.col("v").cast("string"))
             .limit(k)
             .collect()
         )
         if len(rows) < k:
-            raise ValueError(f"kmeans needs >= {k} rows, got {len(rows)}")
+            raise ValueError(
+                f"kmeans needs >= {k} finite rows, got {len(rows)}"
+            )
         centroids = [[float(x) for x in r["v"]] for r in rows]
     iters_run = 0
     for _ in range(max_iters):
-        assigned = df.select(
-            _assign_pandas(centroids)(F.col(vec_col)).alias("cluster"),
-            F.posexplode(F.col(vec_col)).alias("dim", "component"),
+        assigned = train.select(
+            _assign_pandas(centroids)(F.col("v")).alias("cluster"),
+            F.posexplode(F.col("v")).alias("dim", "component"),
         )
         sums = (
             assigned.groupBy("cluster", "dim")

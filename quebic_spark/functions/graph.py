@@ -112,10 +112,21 @@ def connected_components(
         # isolated nodes (no incident edge) are their own cluster
         # root; they never touched either strategy, so all per-edge
         # work was sized by the dup graph rather than the full node
-        # set. The anti-join's big side never shuffles (endpoints
-        # broadcast).
+        # set. On the driver-bounded path the anti-join's big side
+        # never shuffles — with an EXPLICIT broadcast hint (r14
+        # review: endpoints derives from a localCheckpoint'd
+        # LogicalRDD whose size estimate defeats the auto-broadcast
+        # threshold, so Catalyst picked a SortMergeJoin that shuffled
+        # the corpus-sized nodes frame, exactly the cost the old
+        # comment promised never happens). Above the driver bound,
+        # endpoints is itself up to 2x a huge edge set — hinting it
+        # broadcast would OOM; Catalyst/AQE chooses there.
+        endpoints_side = (
+            F.broadcast(endpoints) if n_edges <= driver_max_edges
+            else endpoints
+        )
         isolated = nodes.select("doc_id").join(
-            endpoints, "doc_id", "left_anti"
+            endpoints_side, "doc_id", "left_anti"
         ).select("doc_id", F.col("doc_id").alias("cluster_id"))
         return (
             labels.select("doc_id", "cluster_id")
@@ -196,7 +207,12 @@ def _distributed_min_label(
     # Child session: same SparkContext, cache manager, and data plane,
     # but an ISOLATED SQL conf — the graph-sized shuffle setting lives
     # only here. Frames cross sessions via global temp views (plan
-    # hand-off, no data movement: the views wrap checkpointed RDDs).
+    # hand-off, no data movement: the views wrap checkpointed RDDs —
+    # BOTH of them: nodes is checkpointed here too, or the child
+    # session would re-execute the caller's full corpus-scale upstream
+    # plan under the graph-sized (tiny) shuffle config — multi-TB per
+    # task at 100 TB (r14 review; edges was already checkpointed
+    # above).
     child = spark.newSession()
     child.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     tag = uuid.uuid4().hex[:12]
@@ -204,7 +220,9 @@ def _distributed_min_label(
         f"cc_edges_{tag}", f"cc_nodes_{tag}", f"cc_labels_{tag}"
     )
     edges.createGlobalTempView(edges_view)
-    nodes.select("doc_id").createGlobalTempView(nodes_view)
+    nodes.select("doc_id").localCheckpoint().createGlobalTempView(
+        nodes_view
+    )
     gt = spark.conf.get("spark.sql.globalTempDatabase", "global_temp")
     c_edges = child.table(f"{gt}.{edges_view}")
     c_nodes = child.table(f"{gt}.{nodes_view}")

@@ -8,9 +8,15 @@ TRAINING sees only a small labeled sample and runs on the driver —
 the same division of labor as `functions/clustering.py` (k-means).
 
 Full-batch gradient descent, fixed iteration count, zero randomness:
-given the same sample rows the learned weights are bit-identical on
-any machine, so classifier outputs are retry/replan-stable the same
-way the md5-keyed sampling ops are.
+given the same sample rows the learned weights are deterministic
+WITHIN an environment — reruns, retries, and replans on the same
+image reproduce them bit-for-bit, the retry/replan stability the
+md5-keyed sampling ops need. Across DIFFERENT BLAS/LAPACK builds or
+CPU architectures, np.linalg.solve may differ in the last ulp
+(r14 review: the old "bit-identical on any machine" overclaimed);
+pin the training environment — or ship the trained weights, which
+score identically everywhere — when exact cross-machine parity
+matters.
 """
 
 from __future__ import annotations

@@ -350,8 +350,13 @@ def anomaly_scores(
     q = F.sum(dv * dv).over(w).cast("double")
     nn = n.cast("double")
     mean = s / nn
+    # n >= 2 guard alongside min_n (r14 review): with min_n < 2 a
+    # 1-row baseline divides by (nn-1) == 0 — an ANSI-mode
+    # DIVIDE_BY_ZERO error (Spark 4 default) killing the whole query.
+    # A 1-row baseline has no variance estimate: z NULL,
+    # is_anomaly False, same verdict the stream scorer returns.
     var = F.when(
-        n >= min_n,
+        (n >= min_n) & (n >= 2),
         F.greatest(F.lit(0.0), (q - s * s / nn) / (nn - 1)),
     )
     std = F.sqrt(var)

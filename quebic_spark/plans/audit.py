@@ -17,23 +17,65 @@ def executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _balanced(text: str, start: int) -> str:
+    """Contents of the bracket group opening at ``text[start] == '['``,
+    honoring nesting — ``In(id, [1,2,3])`` closes its inner bracket
+    before the group's (the naive ``[^\\]]*`` regex stopped at the
+    FIRST ``]`` and truncated such filters, r14 review)."""
+    depth = 0
+    for i in range(start, len(text)):
+        if text[i] == "[":
+            depth += 1
+        elif text[i] == "]":
+            depth -= 1
+            if depth == 0:
+                return text[start + 1:i]
+    return text[start + 1:]
+
+
+def _split_top(body: str) -> list[str]:
+    """Split on TOP-LEVEL commas only (depth-aware over () and []):
+    ``In(id, [1,2,3]), IsNotNull(id)`` is two filters, not five
+    fragments (r14 review). Spark's field-count truncation marker
+    ``... N more fields`` is dropped — it is renderer output, not a
+    filter or column."""
+    out: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in body:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [
+        s.strip() for s in out
+        if s.strip() and "more fields" not in s
+    ]
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """All PushedFilters entries across the plan's file scans."""
+    plan = executed_plan(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", executed_plan(df)):
-        out.extend(
-            f.strip() for f in m.group(1).split(",") if f.strip()
-        )
+    for m in re.finditer(r"PushedFilters: (?=\[)", plan):
+        out.extend(_split_top(_balanced(plan, m.end())))
     return out
 
 
 def scan_columns(df: DataFrame) -> list[list[str]]:
-    """Column lists read by each FileScan (column-pruning check)."""
+    """Column lists read by each FileScan (column-pruning check).
+    A zero-column scan yields ``[]``, not ``['']`` (r14 review)."""
+    plan = executed_plan(df)
     return [
-        [c.split("#")[0].strip() for c in m.group(1).split(",")]
-        for m in re.finditer(
-            r"FileScan \w+ \[([^\]]*)\]", executed_plan(df)
-        )
+        [c.split("#")[0].strip()
+         for c in _split_top(_balanced(plan, m.end()))]
+        for m in re.finditer(r"FileScan \w+ (?=\[)", plan)
     ]
 
 

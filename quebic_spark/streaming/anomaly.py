@@ -71,7 +71,15 @@ def _score_series(values, buf, window, min_n, z_threshold):
             s_dec = sum(real, Decimal(0))
             q_dec = sum((x * x for x in real), Decimal(0))
             s, q, nn = float(s_dec), float(q_dec), float(n)
-            var = max(0.0, (q - s * s / nn) / (nn - 1))
+            if nn < 2:
+                # batch parity for min_n < 2 (r14 review): Spark's
+                # (q - s*s/nn)/(nn-1) at nn==1 is a NULL divide and
+                # greatest(0.0, NULL) skips the NULL -> var 0, z NULL,
+                # is_anomaly False; Python's / raised
+                # ZeroDivisionError and killed the whole query
+                var = 0.0
+            else:
+                var = max(0.0, (q - s * s / nn) / (nn - 1))
             if var > 0:
                 z = (v - s / nn) / var ** 0.5
         # Spark orders NaN above every double, so the batch plan's

@@ -188,21 +188,6 @@ class StreamingConsumer:
                 f(ordered, batch_id)
                 if self._failures.pop(batch_id, None) is not None:
                     self._persist_failures()
-                if self.compact_every_batches:
-                    self._batches_since_compact += 1
-                    if (self._batches_since_compact
-                            >= self.compact_every_batches):
-                        self._batches_since_compact = 0
-                        # stream-safe reclamation; a skip (no parseable
-                        # checkpoint yet) is harmless and logged.
-                        # merge_undiscovered is safe exactly HERE: the
-                        # source lists between micro-batches, and this
-                        # runs inside one, so no listing can race the
-                        # merge of never-listed small files
-                        self.queue.compact(
-                            stream_checkpoint=self.checkpoint_dir,
-                            merge_undiscovered=True,
-                        )
             except Exception:
                 n = self._failures.get(batch_id, 0) + 1
                 self._failures[batch_id] = n
@@ -223,6 +208,28 @@ class StreamingConsumer:
                     self._persist_failures()
                     return
                 raise
+            # compaction sits OUTSIDE the failure-counting try (r14
+            # review): a persistent compact() error used to increment
+            # error_permit and eventually DLQ a batch that f() had
+            # processed successfully (re-running its side effects each
+            # restart) — healthy data mislabeled as poison, real
+            # storage error swallowed. Here a compact failure fails
+            # the stream loud, with the user batch already committed.
+            if self.compact_every_batches:
+                self._batches_since_compact += 1
+                if (self._batches_since_compact
+                        >= self.compact_every_batches):
+                    self._batches_since_compact = 0
+                    # stream-safe reclamation; a skip (no parseable
+                    # checkpoint yet) is harmless and logged.
+                    # merge_undiscovered is safe exactly HERE: the
+                    # source lists between micro-batches, and this
+                    # runs inside one, so no listing can race the
+                    # merge of never-listed small files
+                    self.queue.compact(
+                        stream_checkpoint=self.checkpoint_dir,
+                        merge_undiscovered=True,
+                    )
 
         return on_batch
 

@@ -14,9 +14,8 @@ update output obey the same never-underestimate contract as batch
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
-from quebic_spark.operators.sampling import CMS_DEPTH, _cms_bucket
+from quebic_spark.operators.sampling import cms_sketch
 
 
 def cms_stream(stream: DataFrame, key_col: str = "key") -> DataFrame:
@@ -26,17 +25,13 @@ def cms_stream(stream: DataFrame, key_col: str = "key") -> DataFrame:
     cells whose counts changed, and the sink (or an in-memory table)
     holds the current sketch. Probe with
     ``operators.sampling.cms_estimate`` against the materialized
-    cells."""
-    cells = F.array(*[
-        F.struct(
-            F.lit(i).alias("row"),
-            _cms_bucket(i, F.col(key_col)).alias("col"),
-        )
-        for i in range(CMS_DEPTH)
-    ])
-    return (
-        stream.select(F.explode(cells).alias("cell"))
-        .groupBy(F.col("cell.row").alias("row"),
-                 F.col("cell.col").alias("col"))
-        .agg(F.count(F.lit(1)).alias("cell_count"))
-    )
+    cells.
+
+    Delegates to the BATCH sketch (r14 review: the body was a
+    character-identical copy that could silently drift from a batch
+    bucketing fix, breaking the tested batch/stream estimate-parity
+    contract): an unbounded groupBy aggregation on a streaming frame
+    IS the continuously-maintained state table — same plan, bounded
+    at DEPTH x WIDTH cells by construction.
+    """
+    return cms_sketch(stream, key_col)

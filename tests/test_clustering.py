@@ -99,3 +99,32 @@ def test_kmeans_objective_descends(spark, emb):
 
     s1, s3 = sse(1), sse(3)
     assert s3 <= s1 + 1e-9, f"objective rose: {s1} -> {s3}"
+
+
+def test_kmeans_excludes_nonfinite_vectors_from_training(spark):
+    """r14 review: a NaN/inf component cast to DECIMAL(38,18) is NULL
+    — SUM skipped it while COUNT counted it (silently skewed means),
+    and an all-NULL cell made the driver mean a None division. Rows
+    with non-finite components are excluded from centroid estimation
+    but still assigned."""
+    import math
+
+    from quebic_spark.functions.clustering import kmeans
+
+    rows = (
+        [([0.0, 0.0],) for _ in range(5)]
+        + [([10.0, 10.0],) for _ in range(5)]
+        + [([float("nan"), 5.0],), ([float("inf"), 5.0],)]
+    )
+    df = spark.createDataFrame(rows, "v array<double>")
+    out, cents, iters = kmeans(
+        df, "v", 2,
+        init_centroids=[[0.0, 0.0], [10.0, 10.0]],
+    )
+    # centroids come from the 10 finite rows only — exactly the two
+    # group means, unpolluted by the NaN/inf rows
+    got = sorted(tuple(round(x, 9) for x in c) for c in cents)
+    assert got == [(0.0, 0.0), (10.0, 10.0)], got
+    # every input row (including non-finite) receives an assignment
+    assert out.count() == 12
+    assert all(not math.isnan(r["cluster"]) for r in out.collect())

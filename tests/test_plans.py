@@ -411,3 +411,31 @@ def test_diversity_sample_windows_share_one_exchange(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
     assert plan.count("Window") == 2  # rank + cell count, same keys
     assert "Join" not in plan  # centroid lookup is a literal, not a join
+
+
+def test_pushed_filters_handles_in_and_truncation(spark, sf_dir):
+    """r14 review: the naive [^\\]]* regex stopped at the FIRST ']' —
+    inside In(col, [..])'s own bracket — and a bare comma split
+    shattered In into fragments. Bracket-aware parsing returns one
+    entry per filter; zero-column scans yield [] not ['']."""
+    from pyspark.sql import functions as F
+
+    from quebic_spark.plans import pushed_filters, scan_columns
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .filter(F.col("r_regionkey").isin(0, 1, 2))
+        .select("r_name")
+    )
+    filters = pushed_filters(df)
+    in_entries = [f for f in filters if f.startswith("In(")]
+    assert len(in_entries) == 1, filters
+    assert "[0,1,2]" in in_entries[0].replace(" ", ""), in_entries
+    # no fragment of the In list leaked out as its own "filter"
+    assert not any(f.strip("[]() ").isdigit() for f in filters), filters
+
+    # zero-column scan: count(*) reads no columns at all
+    none_read = spark.read.parquet(f"{sf_dir}/region.parquet").groupBy().count()
+    none_read.collect()
+    cols = scan_columns(none_read)
+    assert cols and cols[0] == [], cols

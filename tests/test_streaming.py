@@ -829,3 +829,44 @@ def test_streaming_dedup_snapshot_nondefault_bloom_k(spark):
         ).collect()
     )
     assert got == sorted(f"new{i}" for i in range(40))
+
+
+def test_compact_failure_never_dlqs_healthy_batch(qpath, spark):
+    """r14 review: compaction ran inside the failure-counting try, so
+    a persistently failing compact() incremented error_permit and
+    eventually routed a batch f() had processed SUCCESSFULLY to the
+    DLQ (re-running its side effects each restart). Compaction errors
+    must fail the stream loud with the user batch committed — never
+    mislabel healthy data as poison."""
+    q = Queue(qpath, SCHEMA, capacity=1000)
+    q.publisher().push_all([[i, "x"] for i in range(6)])
+    processed = []
+
+    def good(df, batch_id):
+        processed.append(df.count())
+
+    consumer = StreamingConsumer(
+        spark, q, error_permit=2, compact_every_batches=1
+    )
+    real_compact = Queue.compact
+
+    def broken_compact(self, *a, **k):
+        raise RuntimeError("simulated storage failure in compact")
+
+    Queue.compact = broken_compact
+    try:
+        for _ in range(3):  # more rounds than error_permit
+            with pytest.raises(Exception, match="compact"):
+                consumer.run_available(good)
+    finally:
+        Queue.compact = real_compact
+    # the user function processed the batch (first round); no DLQ file
+    # ever appeared, and no failure count accumulated for the batch
+    assert processed and processed[0] == 6
+    dlq_files = [
+        f for f in os.listdir(q._storage.dlq_dir)
+        if f.endswith(".parquet")
+    ]
+    assert dlq_files == [], dlq_files
+    assert consumer._failures == {}
+    q.dispose()

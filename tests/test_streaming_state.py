@@ -570,3 +570,30 @@ def test_stream_scorer_matches_batch_on_nan_values(spark):
     buf2: list = []
     _score_series(vals, buf2, window=20, min_n=3, z_threshold=3.0)
     assert buf2.count(None) == 1
+
+
+def test_stream_scorer_min_n_below_two_matches_batch(spark):
+    """r14 review: min_n=1 made the variance divide by (nn-1)==0 —
+    ZeroDivisionError killing the whole streaming query, where the
+    batch plan's NULL divide + greatest(0.0, NULL) quietly yields
+    var 0 / z NULL / is_anomaly False. Parity, not a crash."""
+    from quebic_spark.operators.temporal import anomaly_scores
+    from quebic_spark.streaming.anomaly import _score_series
+
+    vals = [1.0, 50.0, 2.0, 3.0]
+    rows = [(i, 1, i, v) for i, v in enumerate(vals)]
+    batch_df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double"
+    )
+    expect = {r.event_id: r
+              for r in anomaly_scores(batch_df, min_n=1).collect()}
+    buf: list = []
+    got = _score_series(vals, buf, window=20, min_n=1, z_threshold=3.0)
+    for i, (n, z, flag) in enumerate(got):
+        e = expect[i]
+        assert n == e.baseline_n, i
+        assert flag == e.is_anomaly, (i, z, e.z)
+        if e.z is None:
+            assert z is None, (i, z)
+        else:
+            assert abs(z - e.z) < 1e-12, (i, z, e.z)

@@ -52,7 +52,23 @@ class TypedQueue:
                  lifetime_ms: int = -1) -> list[Any]:
         records = [list(self._conv.from_obj(o)) for o in objs]
         rest = self._pub.push_all(records, limit_ms, lifetime_ms)
-        return [self._conv.to_obj(tuple(r)) for r in rest]
+        # the unadmitted remainder holds VALIDATED rows (TENSOR as
+        # (shape, values) tuples), while pop delivers Tensor objects —
+        # normalize to pop's representation so one to_obj serves both
+        # (r14 review: a to_obj written against pop got a tuple here)
+        return [
+            self._conv.to_obj(self._pop_repr(tuple(r))) for r in rest
+        ]
+
+    def _pop_repr(self, rec: tuple[Any, ...]) -> tuple[Any, ...]:
+        from quebic_spark.schema import TENSOR
+        from quebic_spark.tensor import Tensor
+
+        return tuple(
+            Tensor(*v) if t is TENSOR and not isinstance(v, Tensor)
+            else v
+            for v, t in zip(rec, self._conv.schema.types)
+        )
 
     def latest(self) -> Any | None:
         rec = self._pub.latest()

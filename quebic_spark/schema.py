@@ -78,6 +78,11 @@ _SPARK_TYPE = {
 
 def type_of(id_or_name: int | str) -> DataType:
     """Lookup by id or name (DataType.valueOf, DataType.scala:27)."""
+    if isinstance(id_or_name, bool):
+        # bool is an int subclass: type_of(True) silently hashed to
+        # the id-1 type and built a REAL column for an invalid spec
+        # (r14 review) — the same exclusion _validate_field applies
+        raise ValueError(f"unknown data type: {id_or_name!r}")
     table = _BY_ID if isinstance(id_or_name, int) else _BY_NAME
     try:
         return table[id_or_name]  # type: ignore[index]
@@ -181,7 +186,14 @@ def _validate_field(i: int, v: Any, t: DataType) -> Any:
             raise IncompatibleSchemaException(
                 f"column c{i}: expected REAL, got {type(v).__name__}"
             )
-        return float(v)
+        try:
+            return float(v)
+        except OverflowError:
+            # int beyond float range (r14 review: OverflowError leaked
+            # out of the schema-error taxonomy)
+            raise IncompatibleSchemaException(
+                f"column c{i}: REAL out of double range: {v!r}"
+            ) from None
     if t is TEXT:
         if not isinstance(v, str):
             raise IncompatibleSchemaException(
@@ -202,7 +214,16 @@ def _validate_field(i: int, v: Any, t: DataType) -> Any:
             and len(v) == 2
             and isinstance(v[0], (list, tuple))
         ):
-            return Tensor(list(v[0]), list(v[1])).as_row()
+            try:
+                return Tensor(list(v[0]), list(v[1])).as_row()
+            except (TypeError, ValueError) as e:
+                # malformed (shape, values) payloads stay inside the
+                # schema-error taxonomy (r14 review: the constructor's
+                # TypeError/ValueError escaped past callers catching
+                # IncompatibleSchemaException)
+                raise IncompatibleSchemaException(
+                    f"column c{i}: invalid TENSOR payload: {e}"
+                ) from e
         raise IncompatibleSchemaException(
             f"column c{i}: expected TENSOR, got {type(v).__name__}"
         )
@@ -236,7 +257,11 @@ def render_text(s: str) -> str:
 
 
 def render_real(v: float) -> str:
-    """Real rendering incl. NaN (Struct.scala:33-37 uses toString)."""
+    """Real rendering incl. specials (Struct.scala:33-37 uses
+    toString): Scala renders NaN/Infinity/-Infinity, not Python's
+    nan/inf (r14 review caught the infinity half missing)."""
     if math.isnan(v):
         return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
     return repr(v)

@@ -29,7 +29,10 @@ import struct
 from typing import Any, Sequence
 
 from quebic_spark.codec import PLAIN, Codec, codec_of
-from quebic_spark.errors import FormatException
+from quebic_spark.errors import (
+    FormatException,
+    IncompatibleSchemaException,
+)
 from quebic_spark.schema import (
     BINARY,
     INTEGER,
@@ -54,7 +57,16 @@ def serialize_record(
         elif t is REAL:
             out += struct.pack(">d", v)
         elif t is TEXT:
-            b = v.encode("utf-8")
+            try:
+                b = v.encode("utf-8")
+            except UnicodeEncodeError as e:
+                # lone surrogates pass isinstance(str) validation but
+                # have no UTF-8 encoding — keep the taxonomy instead
+                # of leaking UnicodeEncodeError after a successful
+                # validate (r14 review)
+                raise IncompatibleSchemaException(
+                    f"TEXT value is not UTF-8-encodable: {e}"
+                ) from e
             out += struct.pack(">I", len(b)) + b
         elif t is BINARY:
             out += struct.pack(">I", len(v)) + v
@@ -105,7 +117,16 @@ def deserialize_record(
             n = struct.unpack_from(">I", raw, off)[0]
             off += 4
             need(n)
-            out.append(raw[off : off + n].decode("utf-8"))
+            try:
+                out.append(raw[off : off + n].decode("utf-8"))
+            except UnicodeDecodeError as e:
+                # corrupt TEXT bytes are a domain error, same contract
+                # as the short-read/codec paths (r14 review:
+                # UnicodeDecodeError escaped to callers that catch
+                # FormatException to quarantine corrupt records)
+                raise FormatException(
+                    f"undecodable TEXT at offset {off}: {e}"
+                ) from e
             off += n
         elif t is BINARY:
             need(4)
@@ -137,7 +158,16 @@ def deserialize_record(
             need(8 * n_vals)
             vals = list(struct.unpack_from(f">{n_vals}d", raw, off))
             off += 8 * n_vals
-            out.append(Tensor(shape, vals).as_row())
+            try:
+                out.append(Tensor(shape, vals).as_row())
+            except ValueError as e:
+                # ndim=0 with values (empty-product n_vals == 1) and
+                # any other constructor-level inconsistency from
+                # corrupt/crafted bytes stays a FormatException (r14
+                # review — the negative-dim guard above missed this)
+                raise FormatException(
+                    f"invalid tensor payload shape={shape}: {e}"
+                ) from e
     if off != len(raw):
         raise FormatException(
             f"record over-run: {len(raw) - off} trailing bytes"

@@ -39,6 +39,16 @@ class Tensor:
         values = [float(v) for v in values]
         if any(s < 0 for s in shape):
             raise ValueError(f"negative dimension in shape {shape}")
+        if any(s >= 2**31 for s in shape):
+            # dims travel as signed 32-bit on the wire AND as Spark
+            # IntegerType in the struct mapping; a constructible
+            # over-wide dim (possible when another dim is 0) failed
+            # later with struct.error instead of a domain error (r14
+            # review)
+            raise ValueError(
+                f"dimension >= 2**31 in shape {shape} exceeds the "
+                f"wire/Spark int32 dim format"
+            )
         # parity: Struct.scala:60-62 -- shape product must equal length
         # (prod of an empty shape is 1, as in Scala), and an empty shape
         # with nonempty values is explicitly invalid; together these
@@ -143,7 +153,16 @@ class Tensor:
         )
 
     def __hash__(self) -> int:
-        return hash((tuple(self.shape), tuple(self.values)))
+        # canonicalize NaN: __eq__ is NaN-tolerant, but Python hashes
+        # distinct NaN objects by identity, so equal NaN-bearing
+        # tensors hashed differently and broke set/dict membership
+        # (r14 review)
+        return hash((
+            tuple(self.shape),
+            tuple(
+                "NaN" if math.isnan(v) else v for v in self.values
+            ),
+        ))
 
     def __repr__(self) -> str:
         return f"Tensor(shape={self.shape}, values={self.values})"

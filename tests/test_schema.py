@@ -160,3 +160,40 @@ def test_render_text_escapes():
     assert render_text('a"b') == '"a\\"b"'
     assert render_text("a\nb") == '"a\\nb"'
     assert render_text("\x00") == '"\\u0000"'
+
+
+def test_bool_is_not_a_type_spec_and_specials_render_scala_style():
+    """r14 review: bool is an int subclass, so type_of(True) silently
+    resolved to the id-1 type (REAL) instead of rejecting an invalid
+    spec; render_real rendered infinities Python-style where the
+    reference's toString says Infinity/-Infinity."""
+    import pytest
+
+    from quebic_spark.schema import render_real, type_of
+
+    with pytest.raises(ValueError, match="unknown data type"):
+        type_of(True)
+    with pytest.raises(ValueError, match="unknown data type"):
+        type_of(False)
+    assert render_real(float("inf")) == "Infinity"
+    assert render_real(float("-inf")) == "-Infinity"
+    assert render_real(float("nan")) == "NaN"
+
+
+def test_tensor_hash_consistent_with_nan_equality():
+    """r14 review: __eq__ is NaN-tolerant but __hash__ hashed raw
+    floats (Python hashes distinct NaNs by identity), so equal
+    tensors broke set/dict membership. Also: wire dims are int32 —
+    a constructible dim >= 2**31 must be a construction-time domain
+    error, not a later struct.error."""
+    import pytest
+
+    from quebic_spark.tensor import Tensor
+
+    a = Tensor([2], [float("nan"), 1.0])
+    b = Tensor([2], [float("nan"), 1.0])
+    assert a == b
+    assert hash(a) == hash(b)
+    assert b in {a}
+    with pytest.raises(ValueError, match="int32"):
+        Tensor([0, 2**31], [])

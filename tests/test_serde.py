@@ -165,3 +165,70 @@ def test_framed_rejects_unknown_codec_and_empty():
         deserialize_framed(schema, bytes([250]) + blob[1:])
     with pytest.raises(FormatException):
         deserialize_framed(schema, b"")
+
+
+def test_error_taxonomy_for_corrupt_and_hostile_payloads():
+    """r14 review: every corrupt-bytes path must raise FormatException
+    and every bad-value path IncompatibleSchemaException — OS-level
+    types (UnicodeDecodeError, struct.error, OverflowError, bare
+    ValueError) leaking past the taxonomy crash callers that follow
+    the documented quarantine contract."""
+    import struct
+
+    import pytest
+
+    from quebic_spark.errors import (
+        FormatException,
+        IncompatibleSchemaException,
+    )
+    from quebic_spark.schema import REAL, Schema, TENSOR, TEXT
+    from quebic_spark.serde import deserialize_record, serialize_record
+
+    # corrupt TEXT bytes -> FormatException, not UnicodeDecodeError
+    with pytest.raises(FormatException, match="undecodable TEXT"):
+        deserialize_record(Schema(TEXT), struct.pack(">I", 2) + b"\xff\xfe")
+    # ndim=0 tensor with a value (empty-product n_vals == 1)
+    with pytest.raises(FormatException, match="invalid tensor"):
+        deserialize_record(
+            Schema(TENSOR), struct.pack(">I", 0) + struct.pack(">d", 1.5)
+        )
+    # lone surrogate passes str validation but has no UTF-8 encoding
+    with pytest.raises(IncompatibleSchemaException, match="UTF-8"):
+        serialize_record(Schema(TEXT), ["\ud800"])
+    # int beyond double range
+    with pytest.raises(IncompatibleSchemaException, match="double range"):
+        Schema(REAL).validate_record([10**400])
+    # malformed TENSOR payloads stay schema errors
+    with pytest.raises(IncompatibleSchemaException, match="TENSOR"):
+        Schema(TENSOR).validate_record([([2], 5)])
+    with pytest.raises(IncompatibleSchemaException, match="TENSOR"):
+        Schema(TENSOR).validate_record([([2], [1.0])])
+
+
+def test_typed_push_all_remainder_uses_pop_representation(tmp_path):
+    """r14 review: the unadmitted push_all remainder held VALIDATED
+    rows (TENSOR as (shape, values) tuples) while pop delivers Tensor
+    objects — a to_obj written against pop's representation got a
+    tuple back and crashed (or round-tripped the wrong object)."""
+    from quebic_spark.schema import TENSOR as TTYPE
+    from quebic_spark.tensor import Tensor
+
+    conv = Converter(
+        schema=Schema(INTEGER, TTYPE),
+        from_obj=lambda it: [it[0], it[1]],
+        # written against POP's representation: rec[1] is a Tensor
+        to_obj=lambda rec: (rec[0], rec[1].to_vector()),
+    )
+    q = Queue(
+        str(tmp_path / "tqr"), Schema(INTEGER, TTYPE), capacity=2
+    )
+    tq = q.typed(conv)
+    items = [(i, Tensor([2], [float(i), 0.5])) for i in range(4)]
+    rest = tq.push_all(items, limit_ms=0)
+    # capacity 2: two admitted, two returned THROUGH to_obj — which
+    # must see Tensor objects, same as pop below
+    assert [r[0] for r in rest] == [2, 3]
+    assert rest[0][1] == [2.0, 0.5]
+    assert tq.pop(1000) == (0, [0.0, 0.5])
+    assert tq.try_pop() == (1, [1.0, 0.5])
+    q.dispose()

@@ -51,6 +51,16 @@ ALL_ORACLES: dict[str, str] = {}
 for _mod in _MODULES:
     ALL_QUERIES.update(_mod.QUERIES)
     ALL_ORACLES.update(_mod.ORACLES)
+# duplicate-name guard (r14 review): dict.update silently lets a later
+# module shadow an earlier module's query of the same name — the
+# curation checks below would still pass while the shadowed operator
+# silently lost all its evidence
+if sum(len(_m.QUERIES) for _m in _MODULES) != len(ALL_QUERIES):
+    _names = [n for _m in _MODULES for n in _m.QUERIES]
+    _dups = sorted({n for n in _names if _names.count(n) > 1})
+    raise RuntimeError(
+        f"query name defined in more than one operator module: {_dups}"
+    )
 
 # Driver gate window (max 50 recorded): new / recently-changed first.
 GATE_ORDER: tuple[str, ...] = (
@@ -140,10 +150,11 @@ RETIRED_GATES: dict[str, str] = {
                            "(VERDICT r11 #3): q_ann_bruteforce_topk "
                            "RETURNS the memoized _exact_topk frame "
                            "that both live recall gates join against "
-                           "as ground truth (ann_ivf_learned_recall "
-                           "similarity.py:1056, ann_ivf_pq_recall "
-                           ":1802) — their hash-checked recall values "
-                           "are functions of these exact pairs, so a "
+                           "as ground truth (the `_exact_topk(spark, "
+                           "sf_dir)` joins inside q_ann_ivf_learned_"
+                           "recall and q_ann_ivf_pq_recall in "
+                           "similarity.py) — their hash-checked recall "
+                           "values are functions of these exact pairs, so a "
                            "brute-force regression breaks two live "
                            "gates (the same truth-side subsumption as "
                            "heavy_hitter_keys/cms_heavy_hitters); the "
@@ -478,17 +489,98 @@ RETIRED_GATES: dict[str, str] = {
                              "since its r7 retirement)",
 }
 
-assert len(GATE_ORDER) <= 50, (
-    f"driver gate records only 50 entries; GATE_ORDER has {len(GATE_ORDER)}"
-)
-assert len(set(GATE_ORDER)) == len(GATE_ORDER), "duplicate gate entries"
+# Machine-checked live coverage for retired gates whose PROSE above
+# cites gates that have since retired themselves (r14 review: 17
+# rationales written in earlier rounds went stale as their citations
+# cascade-retired — e.g. top_revenue_orders cited heavy_hitter_keys,
+# retired r6). The prose is historical (accurate when written); THIS
+# map is the maintained authority for "which CURRENT GATE_ORDER entry
+# exercises the retired gate's mechanism", and import validation below
+# fails the build if any cited gate leaves the live window — the
+# structural check whose absence let the prose drift. Every retired
+# gate additionally keeps its own full DuckDB oracle in
+# tests/test_registry.py regardless of this map. When retiring a gate:
+# grep it here first.
+RETIRED_COVERED_BY: dict[str, tuple[str, ...]] = {
+    # global top-k: TakeOrderedAndProject plan-asserted on the live
+    # heavy-hitters gate (tests/test_plans.py)
+    "top_revenue_orders": ("cms_heavy_hitters",),
+    # countDistinct truth side of the HLL gate; broadcast rate join
+    "supplier_part_distinct": ("hll_merge_cardinality",
+                               "token_budget_mixture"),
+    "text_stats": ("profile_documents", "source_scorecard"),
+    # same tokens() helper (source totals) + learned-tokenizer lane
+    "token_counts": ("source_scorecard", "bpe_tokenizer_eval"),
+    # md5(content) groupBy keys
+    "doc_fingerprints": ("pipeline_doc_counts", "line_dedup"),
+    # scan-resident token scoring
+    "sentiment_scores": ("quality_classifier_eval",),
+    # semi is the anti complement; both anti gates are live
+    "high_value_semijoin": ("decontaminate", "embedding_decontaminate"),
+    # LSH pair generation feeds the clusters gate; jaccard side live
+    "dedup_lsh_recall": ("dedup_ngram_jaccard", "dedup_clusters"),
+    "session_topk_events": ("event_sessions", "dedup_keep_best",
+                            "event_anomaly_scores"),
+    # rank window + md5-keyed deterministic selection
+    "stratified_sample": ("dedup_keep_best", "train_split_counts",
+                          "token_budget_mixture"),
+    # running-frame cumsum + grouped ranking
+    "customer_order_stats": ("sequence_packing", "dedup_keep_best"),
+    # scalar string-fn family + grouped multi-agg
+    "brand_name_similarity": ("pii_scrub_stats", "pricing_summary",
+                              "profile_documents"),
+    "event_sliding_windows": ("event_watermark_windows",
+                              "event_sessions",
+                              "event_rollup_hierarchy"),
+    # broadcast joins + multi-table join-and-agg
+    "region_revenue": ("decontaminate", "token_budget_mixture",
+                       "skew_safe_revenue"),
+    "multimodal_manifest": ("multimodal_decode",
+                            "embedding_decontaminate",
+                            "pipeline_doc_counts"),
+    # vector norm/dot in the ANN family + grouped scalar agg
+    "embedding_label_stats": ("ann_ivf_learned_recall",
+                              "pricing_summary"),
+    # same md5 groupBy dedup stage / snapshot key
+    "dedup_exact": ("pipeline_doc_counts", "dedup_incremental_bloom"),
+}
+_bad_cov = {
+    k: sorted(set(v) - set(GATE_ORDER))
+    for k, v in RETIRED_COVERED_BY.items()
+    if set(v) - set(GATE_ORDER)
+}
+if _bad_cov:
+    raise RuntimeError(
+        f"RETIRED_COVERED_BY cites non-live gates (update the map "
+        f"when retiring them): {_bad_cov}"
+    )
+_bad_keys = set(RETIRED_COVERED_BY) - set(RETIRED_GATES)
+if _bad_keys:
+    raise RuntimeError(
+        f"RETIRED_COVERED_BY keys not in RETIRED_GATES: {_bad_keys}"
+    )
+
+# real exceptions, not assert (r14 review): the docstring promises an
+# uncurated query is "a hard error, not a silent evidence gap", but
+# bare asserts are stripped under `python -O` — the driver entry
+# points import this module, so an optimized interpreter would have
+# waved the gap through
+if len(GATE_ORDER) > 50:
+    raise RuntimeError(
+        f"driver gate records only 50 entries; GATE_ORDER has "
+        f"{len(GATE_ORDER)}"
+    )
+if len(set(GATE_ORDER)) != len(GATE_ORDER):
+    raise RuntimeError("duplicate gate entries in GATE_ORDER")
 _curated = set(GATE_ORDER) | set(RETIRED_GATES)
 _defined = set(ALL_QUERIES)
-assert _curated == _defined, (
-    f"registry curation out of sync: uncurated={_defined - _curated}, "
-    f"unknown={_curated - _defined}"
-)
-assert not (set(GATE_ORDER) & set(RETIRED_GATES)), "gate both live and retired"
+if _curated != _defined:
+    raise RuntimeError(
+        f"registry curation out of sync: uncurated={_defined - _curated}, "
+        f"unknown={_curated - _defined}"
+    )
+if set(GATE_ORDER) & set(RETIRED_GATES):
+    raise RuntimeError("gate both live and retired")
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: ALL_QUERIES[name] for name in GATE_ORDER

@@ -125,10 +125,18 @@ def kmeans(
     a ``cluster`` in the returned assignment (NumPy argmin over NaN
     yields index 0), they just don't vote on centroid positions.
 
-    The training frame is localCheckpoint'd once at entry: Lloyd runs
-    max_iters+1 passes over it, and re-executing a derived frame's
-    full upstream lineage per pass multiplied the source pipeline's
-    cost by the iteration count (r14 review).
+    The training frame is persisted (MEMORY_AND_DISK) and
+    materialized once at entry: Lloyd runs max_iters+1 passes over
+    it, and re-executing a derived frame's full upstream lineage per
+    pass multiplied the source pipeline's cost by the iteration count
+    (r14 review). persist rather than localCheckpoint (r15 advice):
+    checkpoint blocks have no deterministic release path, so each
+    kmeans call in a shared long-lived session pinned a copy of the
+    training frame until GC; persist gives the same
+    one-materialization guarantee (evicted blocks spill to disk, not
+    recompute) and is released in the finally below — the final
+    assignment uses ``df``, not ``train``, so nothing outlives the
+    call.
     """
     finite = df.select(F.col(vec_col).alias("v")).filter(
         F.forall(
@@ -136,10 +144,29 @@ def kmeans(
             lambda x: ~F.isnan(x) & (F.abs(x) < F.lit(1e18)),
         )
     )
-    # eager=True materializes now; truncating lineage here is what
-    # makes each Lloyd pass cost one scan of THIS frame, not the
-    # caller's whole upstream plan
-    train = finite.localCheckpoint(eager=True)
+    # materialize now so each Lloyd pass costs one read of cached
+    # blocks, not the caller's whole upstream plan; released in the
+    # finally (library residency must not outlive the call)
+    train = finite.persist()
+    train.count()
+    try:
+        return _kmeans_loop(
+            df, vec_col, k, train,
+            max_iters=max_iters, init_centroids=init_centroids,
+        )
+    finally:
+        train.unpersist(blocking=False)
+
+
+def _kmeans_loop(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    train: DataFrame,
+    *,
+    max_iters: int,
+    init_centroids: list[list[float]] | None,
+) -> tuple[DataFrame, list[list[float]], int]:
     if init_centroids is not None:
         centroids = [[float(x) for x in c] for c in init_centroids]
     else:

@@ -350,11 +350,18 @@ def anomaly_scores(
     q = F.sum(dv * dv).over(w).cast("double")
     nn = n.cast("double")
     mean = s / nn
-    # n >= 2 guard alongside min_n (r14 review): with min_n < 2 a
-    # 1-row baseline divides by (nn-1) == 0 — an ANSI-mode
-    # DIVIDE_BY_ZERO error (Spark 4 default) killing the whole query.
-    # A 1-row baseline has no variance estimate: z NULL,
-    # is_anomaly False, same verdict the stream scorer returns.
+    # n >= 2 guard alongside min_n (r14 review, rationale corrected
+    # r15): these are DOUBLE divisions, which keep IEEE semantics
+    # even under ANSI mode (DIVIDE_BY_ZERO raises only for
+    # integral/decimal). With min_n < 2 a 1-row baseline yields
+    # 0/0 = NaN, greatest(0.0, NaN) = NaN (Spark orders NaN above
+    # all doubles, so NaN > 0 is true), z = NaN, and
+    # abs(NaN) >= threshold is TRUE — every 1-row baseline silently
+    # flagged anomalous. The guard applies under every ANSI config;
+    # do not relax it for non-ANSI sessions. A 1-row baseline has no
+    # variance estimate: z NULL, is_anomaly False, same verdict the
+    # stream scorer returns (whose ZeroDivisionError claim is the
+    # accurate one — that path divides in Python).
     var = F.when(
         (n >= min_n) & (n >= 2),
         F.greatest(F.lit(0.0), (q - s * s / nn) / (nn - 1)),

@@ -1,4 +1,5 @@
 from quebic_spark.plans.audit import (
+    PlanTruncatedError,
     executed_plan,
     join_kinds,
     pushed_filters,
@@ -7,6 +8,7 @@ from quebic_spark.plans.audit import (
 from quebic_spark.plans.skew import salted_agg
 
 __all__ = [
+    "PlanTruncatedError",
     "executed_plan",
     "join_kinds",
     "pushed_filters",

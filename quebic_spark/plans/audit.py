@@ -13,8 +13,32 @@ import re
 from pyspark.sql import DataFrame
 
 
+class PlanTruncatedError(RuntimeError):
+    """The rendered plan hit ``spark.sql.debug.maxToStringFields``
+    truncation (``... N more fields``), so any column/filter list
+    parsed from it would be silently partial — a column-pruning
+    assertion could false-pass because the extra columns were
+    truncated out of the rendered string (r15 advice). Raised instead
+    of returning the partial list."""
+
+
 def executed_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    # Render with field-count truncation effectively off: the default
+    # maxToStringFields=25 elides wide scans as "... N more fields",
+    # which would make scan_columns/pushed_filters silently partial
+    # (r15 advice). Restored after rendering — this is an audit
+    # helper, not session tuning.
+    conf = df.sparkSession.conf
+    key = "spark.sql.debug.maxToStringFields"
+    prev = conf.get(key, None)
+    conf.set(key, "100000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if prev is None:
+            conf.unset(key)
+        else:
+            conf.set(key, prev)
 
 
 def _balanced(text: str, start: int) -> str:
@@ -37,8 +61,12 @@ def _split_top(body: str) -> list[str]:
     """Split on TOP-LEVEL commas only (depth-aware over () and []):
     ``In(id, [1,2,3]), IsNotNull(id)`` is two filters, not five
     fragments (r14 review). Spark's field-count truncation marker
-    ``... N more fields`` is dropped — it is renderer output, not a
-    filter or column."""
+    ``... N more fields`` raises :class:`PlanTruncatedError` rather
+    than being dropped (r15 advice): a list that lost entries to the
+    renderer is not evidence, and silently returning it let
+    column-pruning assertions false-pass. ``executed_plan`` raises
+    the config so this cannot fire on plans rendered through it —
+    the raise is the belt for externally-rendered strings."""
     out: list[str] = []
     depth = 0
     cur: list[str] = []
@@ -53,10 +81,15 @@ def _split_top(body: str) -> list[str]:
         else:
             cur.append(ch)
     out.append("".join(cur))
-    return [
-        s.strip() for s in out
-        if s.strip() and "more fields" not in s
-    ]
+    parts = [s.strip() for s in out if s.strip()]
+    for s in parts:
+        if re.fullmatch(r"\.\.\. \d+ more fields?", s):
+            raise PlanTruncatedError(
+                "plan string truncated by "
+                "spark.sql.debug.maxToStringFields "
+                f"({s!r}); parsed lists would be partial"
+            )
+    return parts
 
 
 def pushed_filters(df: DataFrame) -> list[str]:

@@ -128,3 +128,21 @@ def test_kmeans_excludes_nonfinite_vectors_from_training(spark):
     # every input row (including non-finite) receives an assignment
     assert out.count() == 12
     assert all(not math.isnan(r["cluster"]) for r in out.collect())
+
+
+def test_kmeans_releases_training_blocks(spark, emb):
+    """r15 advice: the training frame was localCheckpoint'd, whose
+    materialized blocks have no deterministic release path — each
+    kmeans call in a shared session pinned a training-frame copy
+    until GC. persist + unpersist-in-finally must leave no library
+    residency behind, success or failure."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out, _, _ = kmeans(emb, "embedding", K, max_iters=2)
+    out.count()
+    assert jsc.getPersistentRDDs().size() == before
+    # failure path releases too: k larger than the row count raises
+    # from inside the guarded region
+    with pytest.raises(ValueError):
+        kmeans(emb, "embedding", 10**6, max_iters=1)
+    assert jsc.getPersistentRDDs().size() == before

@@ -439,3 +439,40 @@ def test_pushed_filters_handles_in_and_truncation(spark, sf_dir):
     none_read.collect()
     cols = scan_columns(none_read)
     assert cols and cols[0] == [], cols
+
+
+def test_plan_truncation_raises_not_partial(spark, sf_dir):
+    """r15 advice: Spark elides wide field lists as '... N more
+    fields' at spark.sql.debug.maxToStringFields (default 25), and
+    _split_top silently DROPPED the marker — scan_columns could
+    return a partial list and a 'scan reads only these columns'
+    assertion false-pass. executed_plan now renders with truncation
+    off; the marker in an externally-rendered string raises."""
+    from pyspark.sql import functions as F
+
+    from quebic_spark.plans import PlanTruncatedError, scan_columns
+    from quebic_spark.plans.audit import _split_top
+
+    # 30 computed columns written then scanned back: over the
+    # default 25-field render limit
+    wide = spark.range(10).select(
+        *[F.col("id").alias(f"c{i:02d}") for i in range(30)]
+    )
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="wide_plan_")
+    try:
+        wide.write.mode("overwrite").parquet(tmp)
+        cols = scan_columns(spark.read.parquet(tmp))
+        assert cols and sorted(cols[0]) == sorted(
+            f"c{i:02d}" for i in range(30)
+        ), cols
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    with pytest.raises(PlanTruncatedError):
+        _split_top("a#1, b#2, ... 5 more fields")
+    # singular form too
+    with pytest.raises(PlanTruncatedError):
+        _split_top("a#1, ... 1 more field")

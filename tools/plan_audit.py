@@ -198,6 +198,10 @@ def main() -> int:
         master=f"local[{cpus}]",
         shuffle_partitions=32,
     )
+    # Field-count truncation off for the whole audit run: a plan
+    # rendered with "... N more fields" elided would make the counts
+    # and has_pushed_filters silently partial (r15 advice).
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
     names = (
         args.only.split(",") if args.only else list(GATE_ORDER)
     )

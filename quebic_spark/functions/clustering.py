@@ -72,7 +72,7 @@ def _assign_pandas(centroids: list[list[float]]):
     SQL-parity/oracle use at small k.
     """
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)
 
@@ -83,9 +83,11 @@ def _assign_pandas(centroids: list[list[float]]):
         d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
-    # explicit functionType: `from __future__ import annotations`
-    # stringifies hints, breaking pandas_udf's hint inference
-    return pandas_udf(assign, "int", PandasUDFType.SCALAR)
+    # non-decorator, no explicit functionType: Spark 4 infers the
+    # scalar shape (the legacy PandasUDFType form is deprecated and
+    # warned per call, SPARK-28264 — r15 review; the old "string
+    # hints break inference" rationale no longer holds there)
+    return pandas_udf(assign, "int")
 
 
 def seeded_centroids(k: int, dim: int, seed: int = 11) -> list[list[float]]:

@@ -14,15 +14,18 @@ Division of labor at 100 TB (same as `functions/clustering.py`):
   per-doc (bucket, count) agg — combinable, uniform in doc_id.
 * TRAIN (driver, numpy): only the md5-sliced labeled sample ever
   leaves the executors, collected in one deterministic frame;
-  full-batch GD with zero init (`functions/linear.py`) makes the
-  weights a pure function of the sample.
+  Newton-IRLS with zero init and a fixed iteration count
+  (`functions/linear.py`) makes the weights a pure function of the
+  sample.
 * SCORE (scales with corpus): broadcast the (bucket, weight) table
   — N_BUCKETS rows — join-and-sum plus an in-plan sigmoid. No UDFs
   anywhere; scoring is one broadcast join + one combinable groupBy.
 
 Gate discipline: trained weights are data-dependent, so the driver
 gate emits the portable facts (slice sizes, the DuckDB-replayable
-teacher base rate) plus IN-PLAN contract booleans (held-out accuracy
+held-out positive-label count — an exact integer, immune to the
+cross-engine round() half-even/half-away drift a rounded ratio
+carried) plus IN-PLAN contract booleans (held-out accuracy
 above a floor, beats the base rate) — the `ann_ivf_learned_recall` /
 `cardinality_sketch` pattern for learned components.
 """
@@ -96,14 +99,18 @@ def _sparse_features(docs: DataFrame) -> DataFrame:
 
 
 def train_quality_classifier(
-    docs: DataFrame, iters: int = 300
+    docs: DataFrame, iters: int = 25
 ) -> QualityModel:
     """Train on the md5 slice ``bucket(doc_id) < CLS_TRAIN_PCT``.
 
     Collects ONLY the training slice (driver-sized by the split pct;
     a real deployment trains on its labeled sample, not the corpus).
     Rows are sorted in pandas after the fetch, so the learned weights
-    do not depend on partitioning or task order.
+    do not depend on partitioning or task order. ``iters`` matches
+    the Newton-IRLS solver's default — it reaches the ridge optimum
+    in a handful of steps (the old 300 was a leftover from the
+    replaced gradient-descent solver, r15 review; still a fixed count
+    for determinism, never an early-stop).
     """
     import numpy as np
 
@@ -194,36 +201,36 @@ def score_quality_classifier(
 MODEL_FORMAT = "quality-logreg-v1"
 
 
-def save_quality_model(model: QualityModel, path: str) -> None:
+def save_quality_model(spark, model: QualityModel, path: str) -> None:
     """Persist the trained model as JSON (exact float round-trip via
-    repr — the loaded model scores bit-identically), staged-rename
-    atomic like the IVF quantizer artifact. A real pipeline trains
-    once offline and ships the artifact to every scoring job."""
-    import json
-    import os
+    repr — the loaded model scores bit-identically) through the FS
+    connector, staged-rename atomic like the IVF quantizer artifact
+    (r15 review: the hand-rolled local json.dump + os.replace copy
+    could not reach a non-local release root at all; this is the ONE
+    dispatch the tokenizer and quantizer artifacts already use). A
+    real pipeline trains once offline and ships the artifact to every
+    scoring job."""
+    from quebic_spark.sources.io import fs_write_json_path
 
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "format": MODEL_FORMAT,
-                "n_buckets": N_BUCKETS,
-                "w_dense": list(model.w_dense),
-                "w_buckets": model.w_buckets,
-                "bias": model.bias,
-                "n_train": model.n_train,
-            },
-            fh,
-        )
-    os.replace(tmp, path)
+    fs_write_json_path(
+        spark, path,
+        {
+            "format": MODEL_FORMAT,
+            "n_buckets": N_BUCKETS,
+            "w_dense": list(model.w_dense),
+            "w_buckets": model.w_buckets,
+            "bias": model.bias,
+            "n_train": model.n_train,
+        },
+    )
 
 
-def load_quality_model(path: str) -> QualityModel:
-    import json
+def load_quality_model(spark, path: str) -> QualityModel:
+    from quebic_spark.sources.io import fs_read_json_path
 
-    with open(path) as fh:
-        d = json.load(fh)
+    d = fs_read_json_path(spark, path)
+    if d is None:
+        raise FileNotFoundError(path)
     if d.get("format") != MODEL_FORMAT:
         raise ValueError(
             f"unsupported model format {d.get('format')!r}"
@@ -264,7 +271,7 @@ def q_quality_classifier_eval(
         F.avg((F.col("pred") == F.col("label")).cast("double")).alias(
             "acc"
         ),
-        F.avg(F.col("label").cast("double")).alias("pos_rate"),
+        F.sum(F.col("label").cast("long")).alias("n_pos"),
     ).collect()[0]
     if not row["n_eval"]:
         # avg() over zero rows is NULL; fail fast with the actionable
@@ -273,11 +280,18 @@ def q_quality_classifier_eval(
             "held-out slice is empty — every doc_id hashed below "
             f"CLS_TRAIN_PCT={CLS_TRAIN_PCT}; lower the split"
         )
-    base_rate = max(row["pos_rate"], 1.0 - row["pos_rate"])
+    # the portable fact is the exact positive-label COUNT, not a
+    # rounded ratio (r15 review): Python round() is half-to-even while
+    # DuckDB round() is half-away-from-zero, so a dyadic tie like
+    # 187/352 = 0.53125 hashed differently across the two engines —
+    # integers can't drift. base_rate stays driver-side for the
+    # contract booleans only.
+    n_pos = int(row["n_pos"])
+    base_rate = max(n_pos, row["n_eval"] - n_pos) / row["n_eval"]
     return spark.range(1).select(
         F.lit(int(model.n_train)).cast("bigint").alias("n_train"),
         F.lit(int(row["n_eval"])).cast("bigint").alias("n_eval"),
-        F.lit(round(base_rate, 4)).alias("base_rate"),
+        F.lit(n_pos).cast("bigint").alias("n_pos"),
         F.lit(bool(row["acc"] >= CLS_ACC_FLOOR)).alias(
             "acc_above_floor"
         ),
@@ -299,13 +313,14 @@ WITH lab AS (
   FROM documents
 ),
 ev AS (
-  SELECT AVG(CASE WHEN label THEN 1.0 ELSE 0.0 END) AS pos_rate,
+  SELECT CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos,
          COUNT(*) AS n_eval
   FROM lab WHERE NOT is_train
 )
 SELECT (SELECT COUNT(*) FROM lab WHERE is_train) AS n_train,
        n_eval,
-       round(greatest(pos_rate, 1.0 - pos_rate), 4) AS base_rate,
+       n_pos,
        TRUE AS acc_above_floor,
        TRUE AS beats_base_rate
 FROM ev

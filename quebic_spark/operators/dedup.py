@@ -1257,7 +1257,7 @@ def bloom_probe_udf(bloom: bytes, k: int = BLOOM_HASHES):
     bytes; Spark ships them once per executor with the task closure)."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     bits = np.frombuffer(bloom, dtype=np.uint8)
     m_bits = len(bits) * 8
@@ -1289,7 +1289,8 @@ def bloom_probe_udf(bloom: bytes, k: int = BLOOM_HASHES):
         hit[null_mask.to_numpy()] = False
         return pd.Series(hit)
 
-    return pandas_udf(probe, "boolean", PandasUDFType.SCALAR)
+    # deprecated PandasUDFType form dropped (SPARK-28264, r15)
+    return pandas_udf(probe, "boolean")
 
 
 BLOOM_BITS_PER_KEY = 13  # ~0.16% fp at k=7 (the documented sizing)

@@ -18,12 +18,31 @@ DuckDB oracle see identical microsecond values either way.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SESSION_GAP = "30 minutes"
+
+
+@contextlib.contextmanager
+def _utc_pin(spark: SparkSession):
+    """Pin ``spark.sql.session.timeZone`` to UTC for the enclosed plan
+    CONSTRUCTION and restore after — Catalyst resolves the session
+    zone into tz-aware expressions at analysis time (plan construction
+    is eager), so restoring the conf afterwards cannot un-pin the
+    built plan, and the user's own queries keep their configured zone.
+    The ONE copy of the save/set/restore dance (r15 review: the
+    decorator and ``_events`` carried two drifting inline copies)."""
+    key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "UTC")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def _pinned_utc_query(fn):
@@ -38,13 +57,8 @@ def _pinned_utc_query(fn):
 
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        key = "spark.sql.session.timeZone"
-        prev = spark.conf.get(key)
-        spark.conf.set(key, "UTC")
-        try:
+        with _utc_pin(spark):
             return fn(spark, sf_dir)
-        finally:
-            spark.conf.set(key, prev)
 
     return wrapped
 
@@ -56,19 +70,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin UTC for the NTZ->TIMESTAMP cast below, SCOPED to this plan
     # construction: a harness-supplied non-UTC session would otherwise
     # shift every micros-generation ts by the zone offset (nanos path
-    # is zone-independent) and diverge from the DuckDB oracle. Catalyst
-    # resolves the session zone INTO the Cast at analysis time (plan
-    # construction is eager), so restoring the conf afterwards cannot
-    # un-pin the cast — and registering the events view no longer
-    # overrides a user-configured session timezone for every later
-    # query (r5 ADVICE).
-    tz_key = "spark.sql.session.timeZone"
-    prev_tz = spark.conf.get(tz_key)
-    spark.conf.set(tz_key, "UTC")
-    try:
+    # is zone-independent) and diverge from the DuckDB oracle. A
+    # no-op under the gates' own _pinned_utc_query decorator, but
+    # direct _events callers get the guarantee too (r5 ADVICE).
+    with _utc_pin(spark):
         return _events_pinned_utc(spark, sf_dir)
-    finally:
-        spark.conf.set(tz_key, prev_tz)
 
 
 def _events_pinned_utc(spark: SparkSession, sf_dir: str) -> DataFrame:

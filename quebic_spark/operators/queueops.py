@@ -30,19 +30,24 @@ def q_queue_fifo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(N_ROWS)
         .select("o_orderkey", "o_totalprice")
     )
-    path = tempfile.mkdtemp(prefix="quebic_roundtrip_") + "/q"
-    q = Queue(path, Schema(INTEGER, REAL), capacity=N_ROWS + 1)
-    q.append_dataframe(orders, order_by=["o_orderkey"])
-    pending = q.read_pending(spark).select(
-        "seq",
-        F.col("c0").alias("o_orderkey"),
-        F.col("c1").alias("o_totalprice"),
-    )
-    # materialize before the temp dir can be cleaned up by the caller
-    pending = spark.createDataFrame(pending.collect(), pending.schema)
-    q.close()
-    shutil.rmtree(path, ignore_errors=True)
-    return pending
+    # keep the mkdtemp ROOT for cleanup: removing only the /q child
+    # leaked one empty root per invocation, and without try/finally a
+    # failing append left the locked queue open for the session
+    # lifetime (r15 review)
+    root = tempfile.mkdtemp(prefix="quebic_roundtrip_")
+    q = Queue(f"{root}/q", Schema(INTEGER, REAL), capacity=N_ROWS + 1)
+    try:
+        q.append_dataframe(orders, order_by=["o_orderkey"])
+        pending = q.read_pending(spark).select(
+            "seq",
+            F.col("c0").alias("o_orderkey"),
+            F.col("c1").alias("o_totalprice"),
+        )
+        # materialize before the temp dir is removed below
+        return spark.createDataFrame(pending.collect(), pending.schema)
+    finally:
+        q.close()
+        shutil.rmtree(root, ignore_errors=True)
 
 
 ORACLE_QUEUE_FIFO_ROUNDTRIP = f"""
@@ -94,24 +99,26 @@ def q_quebic_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = len(rows) // 2
     schema = Schema(INTEGER, TEXT)
     d = tempfile.mkdtemp(prefix="quebic_format_gate_")
-    with open(f"{d}/docs.qbc", "wb") as f:
-        f.write(write_journaled_bytes(
-            schema, rows[:split], kind="queue", codec=PLAIN
-        ))
-    with open(f"{d}/docs.qbj", "wb") as f:
-        f.write(write_journaled_bytes(
-            schema, rows[split:], kind="journal", codec=GZIP
-        ))
-    out = read_quebic_dir(spark, d).select(
-        F.col("c0").alias("doc_id"),
-        F.md5(F.col("c1")).alias("text_md5"),
-        F.col("pos").alias("pos"),
-        F.col("codec").alias("codec"),
-    )
-    # materialize before the temp dir is removed (queue-gate pattern)
-    out = spark.createDataFrame(out.collect(), out.schema)
-    shutil.rmtree(d, ignore_errors=True)
-    return out
+    try:
+        with open(f"{d}/docs.qbc", "wb") as f:
+            f.write(write_journaled_bytes(
+                schema, rows[:split], kind="queue", codec=PLAIN
+            ))
+        with open(f"{d}/docs.qbj", "wb") as f:
+            f.write(write_journaled_bytes(
+                schema, rows[split:], kind="journal", codec=GZIP
+            ))
+        out = read_quebic_dir(spark, d).select(
+            F.col("c0").alias("doc_id"),
+            F.md5(F.col("c1")).alias("text_md5"),
+            F.col("pos").alias("pos"),
+            F.col("codec").alias("codec"),
+        )
+        # materialize before the temp dir is removed (queue-gate
+        # pattern); finally so a failing read cleans up too (r15)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 ORACLE_QUEBIC_FORMAT_ROUNDTRIP = f"""

@@ -977,7 +977,7 @@ def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds ``compression_ratio`` = deflated_bytes / raw_bytes of the
     UTF-8 text (level 6). Low ratio => highly repetitive document."""
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     def ratio(s):
         import zlib
@@ -990,7 +990,8 @@ def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
         return pd.Series([one(t) for t in s], dtype="float64")
 
-    udf = pandas_udf(ratio, "double", PandasUDFType.SCALAR)
+    # deprecated PandasUDFType form dropped (SPARK-28264, r15)
+    udf = pandas_udf(ratio, "double")
     return docs.withColumn("compression_ratio", udf(F.col(text_col)))
 
 

@@ -111,13 +111,15 @@ def tokenize_with(
     sub-tokenized by the learned merges. Arrow-batched; per-batch
     word cache => cost per distinct word."""
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     from quebic_spark.functions.bpe import bpe_ranks, bpe_word
 
     ranks = bpe_ranks([tuple(m) for m in model.merges])
 
-    def run(s: pd.Series) -> pd.Series:
+    def run(s):  # (pd.Series) -> pd.Series; hints omitted —
+        # function-local `pd` makes Spark 4's string-hint
+        # resolution raise UNSUPPORTED_SIGNATURE (r15)
         cache: dict[str, list[str]] = {}
 
         def one(text: str) -> list[str]:
@@ -132,7 +134,10 @@ def tokenize_with(
 
         return pd.Series([one(t) for t in s])
 
-    udf = pandas_udf(run, "array<string>", PandasUDFType.SCALAR)
+    # no explicit functionType: the legacy PandasUDFType form is
+    # deprecated (SPARK-28264) and warned on every call; Spark 4
+    # resolves the Series->Series shape from the hints (r15 review)
+    udf = pandas_udf(run, "array<string>")
     return docs.withColumn("bpe_tokens", udf(F.col(text_col)))
 
 

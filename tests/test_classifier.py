@@ -173,7 +173,7 @@ def test_scoring_works_unchanged_on_a_stream(spark, tmp_path, docs, model):
 
 
 def test_model_save_load_roundtrip_scores_identically(
-    tmp_path, docs, model
+    spark, tmp_path, docs, model
 ):
     from quebic_spark.operators.classifier import (
         load_quality_model,
@@ -181,15 +181,15 @@ def test_model_save_load_roundtrip_scores_identically(
     )
 
     path = str(tmp_path / "model" / "quality.json")
-    save_quality_model(model, path)
-    loaded = load_quality_model(path)
+    save_quality_model(spark, model, path)
+    loaded = load_quality_model(spark, path)
     assert loaded == model  # exact float round-trip, every weight
     a = score_quality_classifier(docs.limit(20), model).collect()
     b = score_quality_classifier(docs.limit(20), loaded).collect()
     assert a == b
 
 
-def test_model_load_rejects_wrong_format(tmp_path):
+def test_model_load_rejects_wrong_format(spark, tmp_path):
     import json
 
     from quebic_spark.operators.classifier import load_quality_model
@@ -197,4 +197,4 @@ def test_model_load_rejects_wrong_format(tmp_path):
     p = tmp_path / "bad.json"
     p.write_text(json.dumps({"format": "something-else"}))
     with pytest.raises(ValueError):
-        load_quality_model(str(p))
+        load_quality_model(spark, str(p))

@@ -477,7 +477,12 @@ GROUP BY l_returnflag
 # q_skew_safe_revenue — explicit two-stage salted aggregation
 # (quebic_spark.plans.skew). Exact-decimal partials make the result
 # identical to a direct groupBy, so the oracle is the plain SQL — the
-# query proves the salting rewrite is semantics-preserving.
+# query proves the salting rewrite is semantics-preserving. That is
+# all it proves: for an algebraic SUM like this, Spark's map-side
+# partial aggregation already neutralizes hot-key skew and a direct
+# groupBy is the better plan (one exchange, not two); salting earns
+# its keep on non-algebraic state (collect_list, exact distinct) —
+# see plans/skew.py (r15 review).
 # ---------------------------------------------------------------------------
 
 def q_skew_safe_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

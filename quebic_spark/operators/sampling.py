@@ -779,13 +779,23 @@ def cms_estimate(
         key_col, F.explode(cells).alias("cell")
     ).select(key_col, F.col("cell.row").alias("row"),
              F.col("cell.col").alias("col"))
+    # collapse duplicate cell VERSIONS by max first (r15 review): a
+    # streaming update-mode sink (e.g. the in-memory table) APPENDS a
+    # new row each time a cell's count changes, and min-ing over a
+    # stale version UNDERestimates — breaking the one contract a CMS
+    # has. Counts are monotone, so max per (row, col) = latest. A
+    # no-op for unique batch cells; the frame is DEPTH x WIDTH-bounded
+    # either way.
+    latest = sketch.groupBy("row", "col").agg(
+        F.max("cell_count").alias("cell_count")
+    )
     # LEFT join: an unoccupied cell is an implicit zero, and the CMS
     # estimate is the min over ALL of a key's cells — an inner join
     # dropped empty cells, so never-seen keys vanished from the output
     # and partially-colliding keys inflated past their true minimum of
     # 0 (review catch)
     return (
-        exploded.join(F.broadcast(sketch), ["row", "col"], "left")
+        exploded.join(F.broadcast(latest), ["row", "col"], "left")
         .groupBy(key_col)
         .agg(
             F.min(F.coalesce(F.col("cell_count"), F.lit(0)))

@@ -18,8 +18,15 @@ def fan_out(
     spark: SparkSession, df: DataFrame, min_partitions: int | None = None
 ) -> DataFrame:
     """Repartition ``df`` to the default parallelism iff it has fewer
-    partitions than that; otherwise return it untouched (no shuffle)."""
-    target = min_partitions or spark.sparkContext.defaultParallelism
+    partitions than that; otherwise return it untouched (no shuffle).
+    ``min_partitions=0`` is an explicit no-op floor (every frame
+    already has >= 0 partitions), not "use the default" — the falsy
+    `or` spelling silently substituted defaultParallelism and forced
+    the exact shuffle the caller asked to avoid (r15 review)."""
+    if min_partitions is None:
+        target = spark.sparkContext.defaultParallelism
+    else:
+        target = min_partitions
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -27,6 +27,7 @@ upgrade, so those encodings are intentionally not reproduced.
 
 from __future__ import annotations
 
+import decimal
 import math
 from dataclasses import dataclass
 from typing import Any, Iterable, Sequence
@@ -90,6 +91,17 @@ def type_of(id_or_name: int | str) -> DataType:
         raise ValueError(f"unknown data type: {id_or_name!r}") from None
 
 
+def _canonical_type(t: DataType | str | int) -> DataType:
+    """Resolve any accepted spelling to the module singleton the
+    identity-dispatch code paths require."""
+    if isinstance(t, DataType):
+        canon = type_of(t.id)  # ValueError on out-of-range id
+        if canon != t:
+            raise ValueError(f"unknown data type: {t!r}")
+        return canon
+    return type_of(t)
+
+
 class Schema:
     """Positional, unnamed schema of quebic types (Schema.scala:8-11).
 
@@ -98,9 +110,16 @@ class Schema:
     """
 
     def __init__(self, *types: DataType | str | int):
-        resolved = tuple(
-            t if isinstance(t, DataType) else type_of(t) for t in types
-        )
+        # canonicalize DataType instances through the id table too
+        # (r15 review): DataType is a public frozen dataclass, so a
+        # hand-built equal-but-not-identical instance — or an
+        # out-of-range one like DataType(7, 'BLOB') — constructed a
+        # Schema whose later validate/serialize dispatch (`t is
+        # INTEGER` identity checks, _SPARK_TYPE lookup) crashed with
+        # AssertionError/KeyError outside the error taxonomy. Resolve
+        # to the singletons up front; unknown ids or mismatched names
+        # fail loud here as ValueError.
+        resolved = tuple(_canonical_type(t) for t in types)
         if len(resolved) > MAX_COLUMNS:
             # parity: Schema.scala:9-11 rejects >0xFF columns
             raise IncompatibleSchemaException(
@@ -249,7 +268,19 @@ def render_text(s: str) -> str:
         elif ch == '"':
             out.append('\\"')
         elif not ch.isprintable():
-            out.append(f"\\u{ord(ch):04X}")
+            cp = ord(ch)
+            if cp > 0xFFFF:
+                # UTF-16 surrogate pair (r15 review): the reference's
+                # per-Char loop (Struct.scala operates on UTF-16)
+                # emits two 4-digit escapes; a single \uXXXXX with 5
+                # hex digits is ambiguous to any \uXXXX consumer
+                cp -= 0x10000
+                out.append(
+                    f"\\u{0xD800 + (cp >> 10):04X}"
+                    f"\\u{0xDC00 + (cp & 0x3FF):04X}"
+                )
+            else:
+                out.append(f"\\u{cp:04X}")
         else:
             out.append(ch)
     out.append('"')
@@ -259,9 +290,30 @@ def render_text(s: str) -> str:
 def render_real(v: float) -> str:
     """Real rendering incl. specials (Struct.scala:33-37 uses
     toString): Scala renders NaN/Infinity/-Infinity, not Python's
-    nan/inf (r14 review caught the infinity half missing)."""
+    nan/inf (r14 review caught the infinity half missing), and
+    finite doubles follow Java ``Double.toString`` notation (r15
+    review: repr's '1e+16'/'1e-07' drifted from '1.0E16'/'1.0E-7'
+    outside repr's fixed range): decimal form for 1e-3 <= |v| < 1e7,
+    else ``d.dddE±n`` with a mantissa in [1, 10) and no '+' sign.
+    Digits are the shortest round-trip decimal (Ryu — JDK 19+
+    behavior; pre-Ryu JDKs add a spurious extra digit in rare cases,
+    which we do not reproduce). Display-only."""
     if math.isnan(v):
         return "NaN"
     if math.isinf(v):
         return "Infinity" if v > 0 else "-Infinity"
-    return repr(v)
+    a = abs(v)
+    if v == 0.0 or 1e-3 <= a < 1e7:
+        # repr is already Java-shaped here: floats always carry a
+        # fractional part ('5.0'), and repr's fixed-notation range
+        # (1e-4..1e16) covers Java's entire fixed range
+        return repr(v)
+    sign, digits, exp = decimal.Decimal(repr(v)).as_tuple()
+    mant = "".join(map(str, digits))
+    e = len(mant) - 1 + int(exp)
+    # repr's fixed notation can carry trailing zeros into the digit
+    # tuple ('10000000.0' -> 100000000); strip AFTER fixing e
+    mant = mant.rstrip("0") or "0"
+    return (
+        f"{'-' if sign else ''}{mant[0]}.{mant[1:] or '0'}E{e}"
+    )

@@ -76,6 +76,14 @@ def dedup_stream_against_snapshot(
     snap = snapshot_keys.select(F.col(key_col))
     if bloom is None:
         return stream.join(snap, key_col, "left_anti")
+    if "_might_dup" in stream.columns:
+        # reserved-column guard (r15 review, the r13 convention):
+        # withColumn would silently replace the caller's column and
+        # the trailing drop would destroy it
+        raise ValueError(
+            "dedup_stream_against_snapshot reserves column name "
+            "'_might_dup'; rename the input column"
+        )
     probe = bloom_probe_udf(bloom, k if k is not None else BLOOM_HASHES)
     flagged = stream.withColumn(
         "_might_dup", probe(F.md5(F.col(key_col)))

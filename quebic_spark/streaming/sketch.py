@@ -21,11 +21,20 @@ from quebic_spark.operators.sampling import cms_sketch
 def cms_stream(stream: DataFrame, key_col: str = "key") -> DataFrame:
     """Continuously-updated sketch cells over a streaming frame.
 
-    Write with ``outputMode("update")``; each micro-batch emits the
-    cells whose counts changed, and the sink (or an in-memory table)
-    holds the current sketch. Probe with
-    ``operators.sampling.cms_estimate`` against the materialized
-    cells.
+    Probe recipes (r15 review — the old text recommended an
+    update-mode in-memory table, whose sink APPENDS each changed
+    cell's new version; min-ing across a stale version underestimated,
+    the one failure a CMS must never have):
+
+    * ``outputMode("complete")`` into a memory table — the sketch is
+      at most DEPTH x WIDTH rows, so complete mode is cheap and the
+      table always holds exactly the current cells; or
+    * ``outputMode("update")`` into any append-shaped sink —
+      ``operators.sampling.cms_estimate`` now collapses duplicate
+      cell versions by max (counts are monotone) before estimating,
+      so stale appended versions cannot drag the min down; or
+    * ``foreachBatch`` keeping latest per (row, col), as the parity
+      test does.
 
     Delegates to the BATCH sketch (r14 review: the body was a
     character-identical copy that could silently drift from a batch

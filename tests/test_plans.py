@@ -476,3 +476,49 @@ def test_plan_truncation_raises_not_partial(spark, sf_dir):
     # singular form too
     with pytest.raises(PlanTruncatedError):
         _split_top("a#1, ... 1 more field")
+
+
+def test_fan_out_zero_min_partitions_is_noop(spark):
+    """r15 review: `min_partitions or default` treated an explicit 0
+    as 'use default parallelism' and forced the exact shuffle the
+    caller asked to avoid."""
+    from quebic_spark.plans.fanout import fan_out
+
+    one = spark.range(10).coalesce(1)
+    assert fan_out(spark, one, min_partitions=0) is one
+
+
+def test_salted_agg_reserved_columns_and_collect_list(spark):
+    """r15 review: salted_agg silently overwrote a caller's _salt
+    (wrong aggregates, no signal) and could collide on _p_<name>;
+    collect_list is the non-algebraic merge salting exists for."""
+    from pyspark.sql import functions as F
+
+    from quebic_spark.plans import salted_agg
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).alias("k"),
+        F.col("id").alias("v"),
+    )
+    with pytest.raises(ValueError, match="_salt"):
+        salted_agg(
+            df.withColumn("_salt", F.lit(1)), ["k"],
+            {"s": (F.sum("v"), "sum")}, salt_col=F.col("v"),
+        )
+    with pytest.raises(ValueError, match="_p_s"):
+        salted_agg(
+            df.withColumn("_p_s", F.lit(1)), ["k"],
+            {"s": (F.sum("v"), "sum")}, salt_col=F.col("v"),
+        )
+    out = salted_agg(
+        df, ["k"],
+        {"vs": (F.collect_list("v"), "collect_list"),
+         "n": (F.count(F.lit(1)), "sum")},
+        salt_col=F.col("v"), n_salts=4,
+    )
+    got = {r["k"]: (sorted(r["vs"]), r["n"]) for r in out.collect()}
+    want = {
+        k: (sorted(range(k, 100, 3)), len(range(k, 100, 3)))
+        for k in range(3)
+    }
+    assert got == want

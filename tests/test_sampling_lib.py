@@ -164,3 +164,30 @@ def test_leakage_safe_split_groups_never_straddle(spark):
     b = {r.doc_id: r.split
          for r in split_by_group(docs.repartition(13)).collect()}
     assert a == b
+
+
+def test_cms_estimate_collapses_stale_cell_versions(spark):
+    """r15 review: an update-mode streaming sink APPENDS each changed
+    cell's new version; min-ing over a stale version underestimated —
+    the one failure a CMS must never have. cms_estimate collapses
+    versions by max (counts are monotone) before estimating."""
+    from pyspark.sql import functions as F
+
+    from quebic_spark.operators.sampling import cms_estimate, cms_sketch
+
+    keyed = spark.createDataFrame(
+        [("a",)] * 9 + [("b",)] * 4, "key string"
+    )
+    sketch = cms_sketch(keyed, "key")
+    # simulate an appended sink: every cell also present at an older,
+    # smaller count
+    stale = sketch.withColumn(
+        "cell_count", (F.col("cell_count") / 2).cast("long")
+    )
+    appended = sketch.unionByName(stale)
+    probes = spark.createDataFrame([("a",), ("b",)], "key string")
+    est = {
+        r["key"]: r["est_count"]
+        for r in cms_estimate(appended, probes).collect()
+    }
+    assert est["a"] >= 9 and est["b"] >= 4, est

@@ -197,3 +197,49 @@ def test_tensor_hash_consistent_with_nan_equality():
     assert b in {a}
     with pytest.raises(ValueError, match="int32"):
         Tensor([0, 2**31], [])
+
+
+def test_schema_canonicalizes_foreign_datatype_instances():
+    """r15 review: DataType is a public frozen dataclass, so a
+    hand-built equal instance passed __init__ but failed the
+    identity-dispatch (`t is INTEGER`) paths later with
+    AssertionError; an out-of-range id crashed to_spark with
+    KeyError. Both must resolve or fail loud at construction."""
+    from quebic_spark.schema import INTEGER, DataType, Schema
+
+    s = Schema(DataType(0, "INTEGER"))
+    assert s.types[0] is INTEGER
+    s.validate_record([1])  # identity dispatch works on the singleton
+    with pytest.raises(ValueError):
+        Schema(DataType(7, "BLOB"))
+    with pytest.raises(ValueError):
+        Schema(DataType(0, "WRONG"))
+
+
+def test_render_real_java_notation():
+    """r15 review: finite doubles outside repr's fixed range rendered
+    Python-style ('1e+16') where the Struct.scala parity contract is
+    Java Double.toString ('1.0E16'): fixed for 1e-3 <= |v| < 1e7,
+    else mantissa-in-[1,10) sci with no '+'."""
+    from quebic_spark.schema import render_real
+
+    cases = [
+        (1e16, "1.0E16"), (1e-7, "1.0E-7"), (1.23e-7, "1.23E-7"),
+        (-4.2e22, "-4.2E22"), (5.0, "5.0"), (0.001, "0.001"),
+        (1e7, "1.0E7"), (9999999.0, "9999999.0"), (0.0, "0.0"),
+        (-0.0, "-0.0"), (0.0009765625, "9.765625E-4"),
+        (1.7976931348623157e308, "1.7976931348623157E308"),
+        (2.5e-10, "2.5E-10"), (-1e7, "-1.0E7"),
+    ]
+    for v, want in cases:
+        assert render_real(v) == want, (v, render_real(v), want)
+
+
+def test_render_text_astral_nonprintable_uses_surrogate_pair():
+    """r15 review: a 5-hex-digit \\uXXXXX escape is ambiguous to any
+    \\uXXXX consumer; the reference's per-Char (UTF-16) loop emits a
+    surrogate pair."""
+    from quebic_spark.schema import render_text
+
+    assert render_text("\U000E0001") == '"\\uDB40\\uDC01"'
+    assert render_text("\x00") == '"\\u0000"'

@@ -870,3 +870,20 @@ def test_compact_failure_never_dlqs_healthy_batch(qpath, spark):
     assert dlq_files == [], dlq_files
     assert consumer._failures == {}
     q.dispose()
+
+
+def test_snapshot_dedup_rejects_reserved_might_dup(spark):
+    """r15 review: a stream already carrying _might_dup had it
+    silently replaced and then dropped."""
+    from quebic_spark.operators.dedup import build_bloom
+    from quebic_spark.streaming import dedup_stream_against_snapshot
+
+    snap = spark.createDataFrame(
+        [("a",)], "content_key string"
+    )
+    stream = spark.createDataFrame(
+        [("a", True)], "content_key string, _might_dup boolean"
+    )
+    bloom = build_bloom(snap, "content_key")
+    with pytest.raises(ValueError, match="_might_dup"):
+        dedup_stream_against_snapshot(stream, snap, bloom=bloom)

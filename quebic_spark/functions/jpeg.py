@@ -179,7 +179,23 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[dict, np.ndarray]:
     RGB float64 or (h, w) grayscale, clipped to [0, 255]. Baseline
     (SOF0) and progressive (SOF2) frames share one coefficient-store
     pipeline: scans fill per-component quantized-coefficient arrays,
-    and dequantize/IDCT/color-convert run once at end of image."""
+    and dequantize/IDCT/color-convert run once at end of image.
+
+    Raises ValueError on any malformed payload — the module's
+    quarantine contract. Truncated segments used to escape it as
+    struct.error/IndexError from the byte parsing (r15 review, the
+    same defect class as the r13 KeyError fix); they are converted at
+    this boundary because every index/unpack below operates on the
+    hostile payload, never on trusted state."""
+    try:
+        return _decode_jpeg_pixels(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(
+            f"truncated or corrupt JPEG segment: {e}"
+        ) from e
+
+
+def _decode_jpeg_pixels(payload: bytes) -> tuple[dict, np.ndarray]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -868,22 +884,18 @@ def _encode_zz_block(
     return dc
 
 
-def _emit_eobrun(wtr, ac_codes, count: int, pending_bits: list) -> int:
-    """Flush an accumulated end-of-band run (T.81 G.1.2.2 EOBn) plus
-    any buffered correction bits; returns 0 (the new run length)."""
-    while count > 0:
-        r = min(count.bit_length() - 1, 14)
+def _emit_eobrun(wtr, ac_codes, count: int) -> int:
+    """Flush an accumulated end-of-band run (T.81 G.1.2.2 EOBn);
+    returns 0 (the new run length). One EOBn always suffices: the
+    encoder caps the accumulated run at 0x7FFF, within EOB14's
+    reach — the old multi-chunk loop and its pending-bits buffer
+    were dead code no call site exercised (r15 review)."""
+    if count > 0:
+        r = count.bit_length() - 1
         ln, code = ac_codes[r << 4]
         wtr.write(code, ln)
         if r:
             wtr.write(count - (1 << r), r)
-        count -= 1 << r
-        # a single EOBn already covers the accumulated run; emit the
-        # buffered refinement bits right after it
-        for b in pending_bits:
-            wtr.write(b, 1)
-        pending_bits.clear()
-        break
     return 0
 
 
@@ -1053,7 +1065,7 @@ def encode_jpeg_progressive(
                     # EOB runs never span a restart: flush before RST
                     if eob_count:
                         eob_count = _emit_eobrun(
-                            wtr, ac_codes, eob_count, []
+                            wtr, ac_codes, eob_count
                         )
                     wtr = maybe_restart(wtr, n_blk, lambda: None)
                 n_blk += 1
@@ -1075,11 +1087,11 @@ def encode_jpeg_progressive(
                     eob_count += 1
                     if eob_count == 0x7FFF:
                         eob_count = _emit_eobrun(
-                            wtr, ac_codes, eob_count, []
+                            wtr, ac_codes, eob_count
                         )
                     continue
                 if eob_count:
-                    eob_count = _emit_eobrun(wtr, ac_codes, eob_count, [])
+                    eob_count = _emit_eobrun(wtr, ac_codes, eob_count)
                 run = 0
                 for k in range(1, last + 1):
                     v = hi[k]
@@ -1098,7 +1110,7 @@ def encode_jpeg_progressive(
                 if last < 63:
                     eob_count += 1
         if eob_count:
-            _emit_eobrun(wtr, ac_codes, eob_count, [])
+            _emit_eobrun(wtr, ac_codes, eob_count)
         wtr.flush()
         out += wtr.out
 

@@ -69,6 +69,16 @@ def profile(
             raise ValueError(
                 f"cannot profile complex-typed column(s): {bad}"
             )
+    if not cols:
+        # fail with the real cause (r15 review): zero eligible columns
+        # reached F.explode(F.array()) and died in analysis with a
+        # star-expansion AnalysisException pointing at internals — a
+        # plausible state for a table of only complex columns (e.g.
+        # embeddings-only)
+        raise ValueError(
+            "profile() found no eligible (non-complex) columns; "
+            f"table columns: {list(df.columns)}"
+        )
 
     nd = F.count_distinct if exact_distinct else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")]

@@ -17,6 +17,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -40,16 +41,28 @@ def asof_join(
     If the right side has several rows at the same (key, ts) the
     matched one is unspecified — pre-aggregate or dedup the right side
     when that matters (same caveat as any ASOF join).
+
+    NULL timestamps (r15 review): right rows with NULL ``right_ts``
+    never match (they are not "nearest" to anything — previously
+    Spark's nulls-first ordering sorted them before every row, so
+    they matched as prior to ALL left rows in backward mode), and
+    left rows with NULL ``left_ts`` get NULL asof columns. The
+    matched values are carried as ONE struct, so they always come
+    from a single right row — the old per-column
+    ``last(ignorenulls)`` carry skipped a genuinely-NULL right value
+    and resurrected the previous row's, returning field mixes that
+    never existed on the right side.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward: {direction}")
     on = list(on)
     # fail with the real cause, not an internals-pointing
-    # AnalysisException mid-plan (r13 review): _ts/_is_left are this
-    # op's working columns, and each right value lands as
+    # AnalysisException mid-plan (r13 review): _ts/_is_left/_rv are
+    # this op's working columns, and each right value lands as
     # <name><suffix>
-    reserved = {"_ts", "_is_left"} & set(left.columns) | (
-        {"_ts", "_is_left"} & set(right.columns)
+    working = {"_ts", "_is_left", "_rv"}
+    reserved = working & set(left.columns) | (
+        working & set(right.columns)
     )
     if reserved:
         raise ValueError(
@@ -66,17 +79,34 @@ def asof_join(
     # it through the value columns too would leave TWO columns with the
     # same name after the rename (ambiguous downstream references)
     left_vals = [c for c in left.columns if c not in on and c != left_ts]
+    # the matched right row travels as ONE struct (_rv): a whole-row
+    # carry is atomic, so a nearest match with a genuinely-NULL field
+    # stays NULL instead of last(ignorenulls) resurrecting the value
+    # from an OLDER right row and returning a cross-row field mix
+    # (r15 review). The struct itself is non-null exactly on
+    # right-origin rows, which is what ignorenulls keys on.
+    rv_struct = F.struct(
+        *[F.col(c).alias(c) for c in right_values]
+    )
+    rv_type = T.StructType(
+        [
+            T.StructField(c, right.schema[c].dataType)
+            for c in right_values
+        ]
+    )
     tagged_left = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in left_vals],
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
-            for c in right_values
-        ],
+        F.lit(None).cast(rv_type).alias("_rv"),
     )
-    tagged_right = right.select(
+    tagged_right = right.filter(
+        # NULL-ts right rows are nearest to NOTHING; under Spark's
+        # nulls-first ascending order they sorted before every row
+        # and matched as "prior" to all left rows (r15 review)
+        F.col(right_ts).isNotNull()
+    ).select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
@@ -84,7 +114,7 @@ def asof_join(
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left_vals
         ],
-        *[F.col(c).alias(c + suffix) for c in right_values],
+        rv_struct.alias("_rv"),
     )
     merged = tagged_left.unionByName(tagged_right)
 
@@ -96,28 +126,34 @@ def asof_join(
         w = base.orderBy("_ts", "_is_left").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        carried = {
-            c: F.last(F.col(c + suffix), ignorenulls=True).over(w)
-            for c in right_values
-        }
+        carried = F.last(F.col("_rv"), ignorenulls=True).over(w)
     else:
         w = base.orderBy(
             "_ts", F.col("_is_left").desc()
         ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        carried = {
-            c: F.first(F.col(c + suffix), ignorenulls=True).over(w)
-            for c in right_values
-        }
+        carried = F.first(F.col("_rv"), ignorenulls=True).over(w)
 
     out = merged.select(
         *on,
         "_ts",
         "_is_left",
         *left_vals,
-        *[expr.alias(c + suffix) for c, expr in carried.items()],
+        # mask NULL-ts LEFT rows: in forward mode a nulls-first left
+        # row's window spans every right row, matching the first one;
+        # "no timestamp" must mean "no match" in both directions
+        F.when(F.col("_ts").isNotNull(), carried).alias("_rv"),
     )
     return (
         out.filter(F.col("_is_left") == 1)
         .drop("_is_left")
+        .select(
+            *on,
+            "_ts",
+            *left_vals,
+            *[
+                F.col("_rv").getField(c).alias(c + suffix)
+                for c in right_values
+            ],
+        )
         .withColumnRenamed("_ts", left_ts)
     )

@@ -28,5 +28,14 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """dot(a,b) / (|a| * |b|), NULL-free inputs assumed."""
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """dot(a,b) / (|a| * |b|), NULL-free inputs assumed.
+
+    Zero vectors yield NULL, not NaN (r15 review): double division
+    keeps IEEE semantics even under ANSI mode, so an all-zero
+    embedding (padding / failed-encode artifact) produced 0/0 = NaN —
+    and Spark orders NaN ABOVE all doubles, so ``cos >= thr`` filters
+    selected every zero vector as a top match. NULL is inert in
+    filters and aggregates; a zero vector has no direction, so "no
+    similarity value" is the honest answer."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot_product(a, b) / denom)

@@ -32,13 +32,20 @@ def range_bucket(
     exact [mn, mx] range. ``floor(frac * 2**bits)`` hits ``2**bits``
     only at ``col == mx``; the ``least`` clamp folds that single point
     into the top bucket. Degenerate ranges (mn == mx) land in bucket 0
-    via the NaN-free guard."""
+    via the NaN-free guard. NULL values land in bucket 0 too (r15
+    review: ``least`` SKIPS nulls, so a NULL silently took the TOP
+    bucket, scattering the null rows into the max-value curve slices;
+    pinning them to one fixed bucket keeps them co-located for data
+    skipping — min/max stats of the absorbing files are unaffected
+    because parquet tracks null counts separately)."""
     n = 1 << bits
     span = mx.cast("double") - mn.cast("double")
     frac = F.when(span > 0, (col.cast("double") - mn.cast("double")) / span
                   ).otherwise(F.lit(0.0))
-    return F.least(
-        F.lit(n - 1).cast("long"), F.floor(frac * F.lit(float(n)))
+    return F.when(col.isNull(), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit(n - 1).cast("long"), F.floor(frac * F.lit(float(n)))
+        )
     )
 
 
@@ -85,6 +92,19 @@ def zorder_keys(df, cols, bits: int = Z_BITS, file_bits: int = 0):
         raise ValueError("zorder_keys needs at least one column")
     if not 0 <= file_bits <= bits * len(cols):
         raise ValueError("file_bits must be in [0, bits * len(cols)]")
+    # reserved-name guard (r15 review, the asof_join/_salt
+    # convention): a pre-existing _mn_/_mx_ column would make the
+    # post-crossJoin reference ambiguous and fail as an
+    # internals-pointing AnalysisException mid-plan
+    clash = sorted(
+        {f"_mn_{c}" for c in cols} | {f"_mx_{c}" for c in cols}
+    )
+    clash = [c for c in clash if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"zorder_keys reserves column name(s) {clash}; rename "
+            "them on the input"
+        )
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
@@ -118,5 +138,7 @@ def range_bucket_sql(col: str, mn: str, mx: str, bits: int = Z_BITS) -> str:
             f"THEN (CAST({col} AS DOUBLE) - CAST({mn} AS DOUBLE)) "
             f"/ (CAST({mx} AS DOUBLE) - CAST({mn} AS DOUBLE)) "
             f"ELSE 0.0 END")
-    return (f"LEAST(CAST({n - 1} AS BIGINT), "
-            f"CAST(FLOOR({frac} * {n}.0) AS BIGINT))")
+    # NULL -> bucket 0, mirroring range_bucket's rule exactly (r15)
+    return (f"CASE WHEN {col} IS NULL THEN CAST(0 AS BIGINT) "
+            f"ELSE LEAST(CAST({n - 1} AS BIGINT), "
+            f"CAST(FLOOR({frac} * {n}.0) AS BIGINT)) END")

@@ -1385,3 +1385,20 @@ def test_jpeg_single_component_sampling_factors_decode():
         decode_jpeg_pixels(strip_segments(full, 0xC4))
     with _pytest.raises(ValueError, match="quantization table"):
         decode_jpeg_pixels(strip_segments(full, 0xDB))
+
+
+def test_jpeg_truncated_segments_raise_valueerror():
+    """r15 review: truncated SOF/SOS/DHT bodies escaped the quarantine
+    contract as struct.error/IndexError from the byte parsing."""
+    import pytest
+
+    from quebic_spark.functions.jpeg import decode_jpeg
+
+    cases = [
+        b"\xff\xd8\xff\xc0\x00\x04\x08",          # SOF0 body cut short
+        b"\xff\xd8\xff\xda\x00\x02",              # SOS with empty body
+        b"\xff\xd8\xff\xc4\x00\x04\x00\x02",      # DHT counts > bytes
+    ]
+    for payload in cases:
+        with pytest.raises(ValueError):
+            decode_jpeg(payload)

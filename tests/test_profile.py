@@ -86,3 +86,20 @@ def test_profile_rejects_complex_columns(spark, sf_dir):
     # ... and rejected when named explicitly
     with pytest.raises(ValueError):
         profile(emb, columns=["embedding"])
+
+
+def test_profile_no_eligible_columns_fails_loud(spark):
+    """r15 review: zero eligible columns reached F.explode(F.array())
+    and died as a star-expansion AnalysisException pointing at
+    internals."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [([1.0],)], "embedding array<double>"
+    )
+    from quebic_spark.functions.profile import profile
+
+    with pytest.raises(ValueError, match="no eligible"):
+        profile(df)
+    with pytest.raises(ValueError, match="no eligible"):
+        profile(df, columns=[])

@@ -1103,3 +1103,27 @@ def test_diversity_filter_composable_stage(spark):
     ).count() == 9
     with pytest.raises(ValueError, match="keep_pct"):
         diversity_filter(docs, emb, keep_pct=0, centroids=cents)
+
+
+def test_cosine_similarity_zero_vector_is_null(spark):
+    """r15 review: 0/0 = NaN under IEEE double division, and Spark
+    orders NaN above all doubles — so `cos >= thr` filters selected
+    every zero vector as a top match. Zero vectors now yield NULL."""
+    from pyspark.sql import functions as F
+
+    from quebic_spark.functions.vector import cosine_similarity
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = df.select(
+        cosine_similarity(F.col("a"), F.col("b")).alias("cos")
+    ).collect()
+    assert rows[0]["cos"] is None
+    assert abs(rows[1]["cos"] - 1.0) < 1e-12
+    # the failure mode: a threshold filter must NOT pick the zero row
+    kept = df.filter(
+        cosine_similarity(F.col("a"), F.col("b")) >= 0.9
+    ).count()
+    assert kept == 1

@@ -234,3 +234,51 @@ def test_anomaly_plan_has_single_user_exchange(spark, sf_dir):
     plan = q_event_anomaly_scores(spark, sf_dir)._jdf \
         .queryExecution().executedPlan().toString()
     assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_asof_null_right_value_not_resurrected(spark):
+    """r15 review: per-column last(ignorenulls) skipped a genuinely
+    NULL right value and carried the OLDER row's — returning a field
+    mix that never existed. The whole-row struct carry is atomic."""
+    right = spark.createDataFrame(
+        [("k", 5, 1, 2), ("k", 9, 3, None)],
+        "key string, quote_ts long, a long, b long",
+    )
+    left = spark.createDataFrame(
+        [("k", 10)], "key string, trade_ts long"
+    )
+    out = asof_join(
+        left, right, ["key"], "trade_ts", "quote_ts", ["a", "b"]
+    ).collect()[0]
+    assert out["a_asof"] == 3 and out["b_asof"] is None, out
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """r15 review: Spark's nulls-first ascending order made NULL-ts
+    right rows sort before everything (matching as 'prior' to every
+    left row), and a NULL-ts left row in forward mode saw every right
+    row in its window."""
+    right = spark.createDataFrame(
+        [("k", None, 42), ("k", 7, 7)],
+        "key string, quote_ts long, v long",
+    )
+    left = spark.createDataFrame(
+        [("k", 5), ("k", None)], "key string, trade_ts long"
+    )
+    back = {
+        r["trade_ts"]: r["v_asof"]
+        for r in asof_join(
+            left, right, ["key"], "trade_ts", "quote_ts", ["v"],
+            direction="backward",
+        ).collect()
+    }
+    # ts=5: no prior non-null-ts right row; ts=NULL: no match at all
+    assert back == {5: None, None: None}, back
+    fwd = {
+        r["trade_ts"]: r["v_asof"]
+        for r in asof_join(
+            left, right, ["key"], "trade_ts", "quote_ts", ["v"],
+            direction="forward",
+        ).collect()
+    }
+    assert fwd == {5: 7, None: None}, fwd

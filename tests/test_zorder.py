@@ -168,3 +168,40 @@ def test_write_zorder_rejects_reserved_columns(spark, events):
             spark, events.withColumn("zval", F.lit(1)), "/tmp/never",
             ["user_id", "value"],
         )
+
+
+def test_range_bucket_nulls_land_in_bucket_zero(spark):
+    """r15 review: least() skips NULLs, so a NULL column value
+    silently took the TOP bucket and scattered null rows into the
+    max-value curve slices."""
+    from pyspark.sql import functions as F
+
+    from quebic_spark.functions.zorder import range_bucket
+
+    df = spark.createDataFrame(
+        [(0.0,), (50.0,), (100.0,), (None,)], "v double"
+    )
+    mn, mx = F.lit(0.0), F.lit(100.0)
+    out = [
+        r["b"]
+        for r in df.select(
+            range_bucket(F.col("v"), mn, mx).alias("b")
+        ).collect()
+    ]
+    assert out[0] == 0 and out[2] == 255 and out[3] == 0, out
+
+
+def test_zorder_keys_rejects_reserved_min_max_columns(spark):
+    """r15 review: a pre-existing _mn_<col> made the post-crossJoin
+    reference ambiguous, failing as an internals-pointing
+    AnalysisException."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from quebic_spark.functions.zorder import zorder_keys
+
+    df = spark.range(10).select(
+        F.col("id").alias("price"), F.lit(1).alias("_mn_price")
+    )
+    with pytest.raises(ValueError, match="_mn_price"):
+        zorder_keys(df, ["price"])

@@ -127,6 +127,31 @@ def _planes() -> list[list[float]]:
 _EXACT_TOPK_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _cos_expr(a, b, a_norm, b_norm):
+    """Precomputed-norm cosine with the zero-norm guard (r15 review,
+    same rationale as functions/vector.cosine_similarity): 0/0 = NaN
+    under IEEE double division, and BOTH engines order NaN above all
+    doubles, so one zero vector (padding / failed-encode artifact)
+    ranked as the #1 neighbor of every query — and hash-MATCHED the
+    oracle, making the wrong results invisible to the gate harness.
+    NULL instead: desc ordering places NULLs last in Spark and DuckDB
+    alike, so zero vectors simply never rank. _COS_SQL is the DuckDB
+    twin; keep the arithmetic in lockstep."""
+    denom = a_norm * b_norm
+    return F.when(denom > 0, dot_product(a, b) / denom)
+
+
+# DuckDB twin of _cos_expr — spliced into every top-k oracle so the
+# zero-norm rule matches the Spark side exactly (value arithmetic
+# unchanged for non-zero vectors: same dot, same sqrt product)
+_COS_SQL = """CASE WHEN (sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))
+         * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) > 0
+      THEN list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))
+         * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+      END"""
+
+
 def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _EXACT_TOPK_CACHE.get(key)
@@ -152,8 +177,9 @@ def _build_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
     )
-    cos = dot_product(F.col("q_emb"), F.col("embedding")) / (
-        F.col("q_norm") * F.col("norm")
+    cos = _cos_expr(
+        F.col("q_emb"), F.col("embedding"),
+        F.col("q_norm"), F.col("norm"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -174,9 +200,7 @@ WITH q AS (
 ),
 scored AS (
   SELECT q.query_id, e.vec_id,
-    list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[])
-      / (sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))
-         * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+    {_COS_SQL}
       AS cosine
   FROM embeddings e CROSS JOIN q
   WHERE e.vec_id != q.query_id
@@ -219,8 +243,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("q_bucket"),
         F.col("norm").alias("q_norm"),
     )
-    cos = dot_product(F.col("q_emb"), F.col("embedding")) / (
-        F.col("q_norm") * F.col("norm")
+    cos = _cos_expr(
+        F.col("q_emb"), F.col("embedding"),
+        F.col("q_norm"), F.col("norm"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -256,9 +281,7 @@ q AS (
 ),
 scored AS (
   SELECT q.query_id, e.vec_id,
-    list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[])
-      / (sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))
-         * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+    {_COS_SQL}
       AS cosine
   FROM sigs e JOIN q ON e.bucket = q.q_bucket AND e.vec_id != q.query_id
 )
@@ -551,7 +574,7 @@ def _ivf_corpus(
     cached = _IVF_INDEX_CACHE.get(key)
     if cached is not None:
         return cached
-    from quebic_spark.sources.io import fs_commit_rename, fs_delete, fs_exists
+    from quebic_spark.sources.io import fs_delete, fs_exists
 
     if not fs_exists(spark, os.path.join(disk_path, "_SUCCESS")):
         dots, cell = _cell_col(centroids)
@@ -581,20 +604,45 @@ def _ivf_corpus(
         # discards its copy.
         import uuid
 
-        from quebic_spark.sources.io import fs_rename_if_absent
+        from quebic_spark.sources.io import (
+            fs_rename_aside,
+            fs_rename_if_absent,
+        )
 
-        # a dst that exists WITHOUT _SUCCESS is a dead crash leftover
-        # (healthy builders publish atomically by rename, _SUCCESS
-        # already inside) — clear it so the rename-if-absent below
-        # can land
+        # a dst that exists WITHOUT _SUCCESS is *probably* a dead
+        # crash leftover — but a RACING builder can complete its
+        # atomic publish between that observation and a repair, so an
+        # in-place delete here could yank a freshly committed index
+        # out from under its builder and readers (r15 review: the
+        # TOCTOU _encode_component closed in r10 survived here).
+        # Same repair: rename-ASIDE to a writer-unique quarantine (no
+        # delete of a live path, ever), inspect, republish a captured
+        # complete publish, discard a true partial.
         if fs_exists(spark, disk_path):
-            fs_delete(spark, disk_path)
-        tmp = disk_path + ".tmp-" + uuid.uuid4().hex[:8]
-        built.repartition("cell").write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(tmp)
-        if not fs_rename_if_absent(spark, tmp, disk_path):
-            fs_delete(spark, tmp)  # another builder won; same bytes
+            quarantine = (
+                disk_path + ".quarantine-" + uuid.uuid4().hex[:8]
+            )
+            if fs_rename_aside(spark, disk_path, quarantine):
+                if fs_exists(
+                    spark, os.path.join(quarantine, "_SUCCESS")
+                ):
+                    if not fs_rename_if_absent(
+                        spark, quarantine, disk_path
+                    ):
+                        # someone republished meanwhile — identical
+                        # bytes by determinism; drop the duplicate
+                        fs_delete(spark, quarantine)
+                else:
+                    fs_delete(spark, quarantine)
+        # re-check: the repair (or a racing builder) may have landed a
+        # complete index, making the expensive rebuild unnecessary
+        if not fs_exists(spark, os.path.join(disk_path, "_SUCCESS")):
+            tmp = disk_path + ".tmp-" + uuid.uuid4().hex[:8]
+            built.repartition("cell").write.mode(
+                "overwrite"
+            ).partitionBy("cell").parquet(tmp)
+            if not fs_rename_if_absent(spark, tmp, disk_path):
+                fs_delete(spark, tmp)  # another builder won; same bytes
         if not fs_exists(spark, os.path.join(disk_path, "_SUCCESS")):
             raise RuntimeError(
                 f"IVF index publish failed at {disk_path}: no "
@@ -630,8 +678,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").alias("q_cell"),
         F.col("norm").alias("q_norm"),
     )
-    cos = dot_product(F.col("q_emb"), F.col("embedding")) / (
-        F.col("q_norm") * F.col("norm")
+    cos = _cos_expr(
+        F.col("q_emb"), F.col("embedding"),
+        F.col("q_norm"), F.col("norm"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -677,9 +726,7 @@ q AS (
 ),
 scored AS (
   SELECT q.query_id, e.vec_id,
-    list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[])
-      / (sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))
-         * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+    {_COS_SQL}
       AS cosine
   FROM cells e JOIN q ON e.cell = q.q_cell AND e.vec_id != q.query_id
 )
@@ -744,8 +791,9 @@ def ivf_topk_nprobe(
             ).alias("q_cell"),
         )
     )
-    cos = dot_product(F.col("q_emb"), F.col("embedding")) / (
-        F.col("q_norm") * F.col("norm")
+    cos = _cos_expr(
+        F.col("q_emb"), F.col("embedding"),
+        F.col("q_norm"), F.col("norm"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -1019,9 +1067,7 @@ qprobe AS (
 ),
 scored AS (
   SELECT q.query_id, e.vec_id,
-    list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[])
-      / (sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))
-         * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+    {_COS_SQL}
       AS cosine
   FROM cells e JOIN qprobe q ON e.cell = q.q_cell AND e.vec_id != q.query_id
 )
@@ -1087,15 +1133,15 @@ GROUP BY label
 LEARNED_RECALL_FLOOR = 0.25
 
 
-def q_ann_ivf_learned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the exact top-k feeds both recall joins plus the query count —
-    # the persisted session-level frame (shared with the
-    # ann_bruteforce_topk gate) materializes the cross-join once
-    exact = _exact_topk(spark, sf_dir).select("query_id", "vec_id")
-    learned = ivf_topk_learned(spark, sf_dir, nprobe=1)
-    seeded = ivf_topk_nprobe(spark, sf_dir, nprobe=1)
-
-    def hits(approx: DataFrame, name: str) -> DataFrame:
+def _recall_facts(exact, approximations):
+    """Query-set x per-approximation hit counts -> one agg row:
+    ``nq`` plus ``r_<name>`` mean recall@k per entry (left-joined so
+    a query with zero hits still counts as recall 0). The ONE copy of
+    the hits/recall machinery the learned-recall and PQ-recall gates
+    both run (r15 review: two verbatim closure copies could drift —
+    the r9 +eps guard was already applied asymmetrically around
+    them)."""
+    def hits(approx, name):
         return (
             exact.join(
                 approx.select("query_id", "vec_id"),
@@ -1105,36 +1151,46 @@ def q_ann_ivf_learned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias(name))
         )
 
-    def recall(name: str) -> F.Column:
-        # left-joined hit counts: a query with zero IVF hits still
-        # counts (recall 0), it must not drop from the mean
+    def recall(name):
         return F.avg(
             F.coalesce(F.col(name), F.lit(0)).cast("double")
             / F.lit(float(TOP_K))
         )
 
+    base = exact.select("query_id").distinct()
+    for name, approx in approximations.items():
+        base = base.join(hits(approx, name), "query_id", "left")
+    return base.agg(
+        F.count(F.lit(1)).alias("nq"),
+        *[recall(n).alias("r_" + n) for n in approximations],
+    ).collect()[0]
+
+
+def _train_n(spark, sf_dir):
+    """The quantizer's row-capped training-slice size — the portable
+    fact both recall oracles replay via _train_n_oracle_sql."""
+    return _train_slice(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ).count()
+
+
+def q_ann_ivf_learned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the exact top-k feeds both recall joins plus the query count —
+    # the persisted session-level frame (shared with the
+    # ann_bruteforce_topk gate) materializes the cross-join once
+    exact = _exact_topk(spark, sf_dir).select("query_id", "vec_id")
+    learned = ivf_topk_learned(spark, sf_dir, nprobe=1)
+    seeded = ivf_topk_nprobe(spark, sf_dir, nprobe=1)
+
     # ONE job measures both quantizers: query set x hit counts, single
     # final agg (three scalars to the driver)
-    row = (
-        exact.select("query_id")
-        .distinct()
-        .join(hits(learned, "hl"), "query_id", "left")
-        .join(hits(seeded, "hs"), "query_id", "left")
-        .agg(
-            F.count(F.lit(1)).alias("nq"),
-            recall("hl").alias("rl"),
-            recall("hs").alias("rs"),
-        )
-        .collect()[0]
-    )
-    r_learned, r_seeded, n_queries = row["rl"], row["rs"], row["nq"]
+    row = _recall_facts(exact, {"hl": learned, "hs": seeded})
+    r_learned, r_seeded, n_queries = row["r_hl"], row["r_hs"], row["nq"]
     # the quantizer's row-capped training-slice size is a PORTABLE
     # fact the oracle replays independently (VERDICT r8 #2 / r9 #1) —
     # the gate thereby pins both the hash-order-LIMIT mechanism and
     # that the cap holds (min(IVF_TRAIN_ROWS, corpus))
-    n_train = _train_slice(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    ).count()
+    n_train = _train_n(spark, sf_dir)
     # assemble the single-row result as a plan over literals so the
     # driver's collect() re-runs nothing heavy
     return spark.range(1).select(
@@ -1228,8 +1284,9 @@ def embedding_decontaminate(
     # norms computed once per side BEFORE the join (bit-identical to
     # folding inside the pair expression — same sequential fold — but
     # |corpus| + |bench| folds instead of |corpus| * |bench|)
-    cos = dot_product(F.col(vec_col), F.col("_b_emb")) / (
-        F.col("_c_norm") * F.col("_b_norm")
+    cos = _cos_expr(
+        F.col(vec_col), F.col("_b_emb"),
+        F.col("_c_norm"), F.col("_b_norm"),
     )
     other = [c for c in corpus.columns if c != vec_col]
     return (
@@ -1272,17 +1329,23 @@ corpus AS (
 ),
 scored AS (
   SELECT c.vec_id, c.label,
-    MAX(list_dot_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[])
+    MAX(CASE WHEN (sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                         c.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]))) > 0
+        THEN list_dot_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[])
         / (sqrt(list_dot_product(c.embedding::DOUBLE[],
                                  c.embedding::DOUBLE[]))
            * sqrt(list_dot_product(b.embedding::DOUBLE[],
-                                   b.embedding::DOUBLE[]))))
+                                   b.embedding::DOUBLE[])))
+        END)
       AS max_bench_cosine
   FROM corpus c CROSS JOIN bench b
   GROUP BY c.vec_id, c.label
 )
 SELECT vec_id, label, max_bench_cosine,
-       max_bench_cosine >= {DECONTAM_TAU} AS contaminated
+       COALESCE(max_bench_cosine >= {DECONTAM_TAU}, FALSE)
+         AS contaminated
 FROM scored
 """
 
@@ -1336,8 +1399,9 @@ def ivf_search(
             F.explode("_cells").alias("q_cell"),
         )
     )
-    cos = dot_product(F.col("q_emb"), F.col("embedding")) / (
-        F.col("q_norm") * F.col("norm")
+    cos = _cos_expr(
+        F.col("q_emb"), F.col("embedding"),
+        F.col("q_norm"), F.col("norm"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -1742,8 +1806,9 @@ def _pq_rank(
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
     )
-    exact = dot_product(F.col("q_emb"), F.col("embedding")) / (
-        F.col("q_norm") * F.col("norm")
+    exact = _cos_expr(
+        F.col("q_emb"), F.col("embedding"),
+        F.col("q_norm"), F.col("norm"),
     )
     emb = _ivf_corpus(spark, sf_dir, centroids)
     return (
@@ -1845,54 +1910,25 @@ def q_ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = ivf_topk_nprobe(spark, sf_dir, nprobe=2)
 
-    def hits(approx: DataFrame, name: str) -> DataFrame:
-        return (
-            exact.join(
-                approx.select("query_id", "vec_id"),
-                ["query_id", "vec_id"],
-            )
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias(name))
-        )
-
-    def recall(name: str) -> F.Column:
-        return F.avg(
-            F.coalesce(F.col(name), F.lit(0)).cast("double")
-            / F.lit(float(TOP_K))
-        )
-
-    row = (
-        exact.select("query_id")
-        .distinct()
-        .join(hits(pq, "hp"), "query_id", "left")
-        .join(hits(raw, "hr"), "query_id", "left")
-        .agg(
-            F.count(F.lit(1)).alias("nq"),
-            recall("hp").alias("rp"),
-            recall("hr").alias("rr"),
-        )
-        .collect()[0]
-    )
+    row = _recall_facts(exact, {"hp": pq, "hr": raw})
     bytes_raw = EMB_DIM * 4
-    n_train = _train_slice(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    ).count()
+    n_train = _train_n(spark, sf_dir)
     return spark.range(1).select(
         F.lit(int(row["nq"])).cast("bigint").alias("n_queries"),
         F.lit(TOP_K).cast("int").alias("k"),
         F.lit(int(n_train)).cast("bigint").alias("train_n"),
         F.lit(bytes_raw // PQ_M).cast("int").alias("compression_x"),
-        F.lit(bool(row["rp"] >= PQ_RECALL_FLOOR)).alias(
+        F.lit(bool(row["r_hp"] >= PQ_RECALL_FLOOR)).alias(
             "pq_above_floor"
         ),
-        F.lit(bool(row["rp"] <= row["rr"] + 1e-9)).alias(
+        F.lit(bool(row["r_hp"] <= row["r_hr"] + 1e-9)).alias(
             "pq_le_uncompressed"
         ),
         # the dial PQ actually controls: the compressed shortlist must
         # retain (almost) all of the recall the probed cells offer —
         # independent of how good the quantizer itself is
         F.lit(
-            bool(row["rp"] >= PQ_RETAIN_FRACTION * row["rr"] - 1e-9)
+            bool(row["r_hp"] >= PQ_RETAIN_FRACTION * row["r_hr"] - 1e-9)
         ).alias("pq_retains_cell_recall"),
         F.lit(bool(reads_stored_codes)).alias("reads_stored_codes"),
     )

@@ -1127,3 +1127,69 @@ def test_cosine_similarity_zero_vector_is_null(spark):
         cosine_similarity(F.col("a"), F.col("b")) >= 0.9
     ).count()
     assert kept == 1
+
+
+def test_ivf_corpus_repair_preserves_committed_index(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r15 review: the crash-leftover cleanup did an in-place
+    fs_delete of the index dir, which could yank a CONCURRENT
+    builder's freshly committed index (the TOCTOU _encode_component
+    closed in r10 via rename-aside). A committed index present at
+    repair time must be republished untouched, never rebuilt; a true
+    crash partial (no _SUCCESS) must be quarantined and rebuilt."""
+    import os
+
+    from quebic_spark.cache import clear_caches
+    from quebic_spark.operators import similarity as S
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    clear_caches(include_ivf_index=True)
+    disk = S._ivf_disk_path(sf_dir, None)
+    built = {
+        (r["vec_id"], r["cell"])
+        for r in S._ivf_corpus(spark, sf_dir)
+        .select("vec_id", "cell").collect()
+    }
+    assert os.path.exists(os.path.join(disk, "_SUCCESS"))
+
+    # committed index, simulated as "racing builder landed between the
+    # no-_SUCCESS observation and the repair": force the rebuild
+    # branch by clearing the memo and removing only our knowledge of
+    # it — the repair must republish, not delete, and the rebuild
+    # must be skipped (pin: forbid the write path)
+    clear_caches(include_ivf_index=True)
+    mtime = os.path.getmtime(os.path.join(disk, "_SUCCESS"))
+
+    def boom(*a, **k):
+        raise AssertionError("rebuilt over a committed index")
+
+    # the expensive write is only reachable through repartition()
+    monkeypatch.setattr(
+        type(S._emb(spark, sf_dir)), "repartition", boom
+    )
+    again = {
+        (r["vec_id"], r["cell"])
+        for r in S._ivf_corpus(spark, sf_dir)
+        .select("vec_id", "cell").collect()
+    }
+    assert again == built
+    assert os.path.getmtime(os.path.join(disk, "_SUCCESS")) == mtime
+    monkeypatch.undo()
+
+    # true crash partial: strip _SUCCESS -> quarantine + rebuild
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    clear_caches(include_ivf_index=True)
+    os.remove(os.path.join(disk, "_SUCCESS"))
+    rebuilt = {
+        (r["vec_id"], r["cell"])
+        for r in S._ivf_corpus(spark, sf_dir)
+        .select("vec_id", "cell").collect()
+    }
+    assert rebuilt == built
+    assert os.path.exists(os.path.join(disk, "_SUCCESS"))
+    # no quarantine debris left behind
+    parent = os.path.dirname(disk)
+    assert not [
+        d for d in os.listdir(parent) if ".quarantine-" in d
+    ]

@@ -512,8 +512,14 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     ).withColumn("norm", l2_norm(F.col("embedding")))
     a, b = emb.alias("a"), emb.alias("b")
-    cos = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.norm") * F.col("b.norm")
+    # zero-norm guard (r15 review, the ANN-family _cos_expr rule):
+    # 0/0 = NaN orders above all doubles in BOTH engines, so one zero
+    # vector passed the >= threshold against every blockmate while
+    # still hash-matching the oracle; NULL is inert in the filter
+    _denom = F.col("a.norm") * F.col("b.norm")
+    cos = F.when(
+        _denom > 0,
+        dot_product(F.col("a.embedding"), F.col("b.embedding")) / _denom,
     )
     return (
         a.join(
@@ -532,17 +538,22 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_EMBEDDING_COSINE = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-    AS cosine
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-    >= {COSINE_DUP_THRESHOLD}
+WITH scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+    CASE WHEN (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                     a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]))) > 0
+      THEN list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+      END
+      AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, label, cosine FROM scored
+WHERE cosine >= {COSINE_DUP_THRESHOLD}
 """
 
 
@@ -1084,6 +1095,19 @@ def _content_key() -> F.Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
 
 
+def _guard_reserved(df: DataFrame, names: tuple, op: str) -> None:
+    """Reserved-working-column guard (r15 review, the r13
+    quality_percentile_filter convention): withColumn would silently
+    REPLACE a caller's same-named column before the window evaluates
+    — wrong results or vanished data, no signal."""
+    clash = sorted(set(names) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"{op} reserves column name(s) {clash}; rename the "
+            "input column(s)"
+        )
+
+
 def incremental_dedup(
     batch: DataFrame,
     snapshot_keys: DataFrame,
@@ -1096,6 +1120,7 @@ def incremental_dedup(
     one shuffle per input, total."""
     from pyspark.sql import Window
 
+    _guard_reserved(batch, ("rn",), "incremental_dedup")
     fresh = batch.join(snapshot_keys.select(key), key, "left_anti")
     w = Window.partitionBy(key).orderBy(order)
     return (
@@ -1298,11 +1323,22 @@ BLOOM_BITS_PER_KEY = 13  # ~0.16% fp at k=7 (the documented sizing)
 
 def auto_bloom_bits(n_keys: int) -> int:
     """Filter size for a measured snapshot: BLOOM_BITS_PER_KEY per key
-    rounded up to a byte multiple, floored at BLOOM_BITS — keeps the
-    documented fp rate at ANY snapshot size instead of saturating."""
-    return max(
-        BLOOM_BITS, ((BLOOM_BITS_PER_KEY * n_keys + 7) // 8) * 8
-    )
+    rounded UP to a power of two, floored at BLOOM_BITS — keeps the
+    documented fp rate at ANY snapshot size instead of saturating.
+
+    Power of two, not just a byte multiple (r15 review): the
+    Kirsch-Mitzenmacher probe sequence ``(h1 + i*h2) mod m`` spans
+    the table only when ``gcd(h2, m) = 1``; ``_bloom_hashes`` forces
+    h2 odd, which guarantees that for power-of-two m but NOT for an
+    arbitrary even m whose odd factor h2 can share — the k probes
+    then cycled a subset of positions and the effective fp rate
+    quietly rose above the 13-bits/key contract. No correctness
+    change either way (build and probe share the sequence, so no
+    false negatives; extra bits only LOWER fp), and at most 2x the
+    minimal size — 1.6 GiB -> worst-case 3.2 GiB at 1e9 keys, still
+    one broadcast."""
+    need = max(BLOOM_BITS, BLOOM_BITS_PER_KEY * n_keys)
+    return 1 << (need - 1).bit_length()
 
 
 def bloom_incremental_dedup(
@@ -1342,6 +1378,9 @@ def bloom_incremental_dedup(
         m_bits = auto_bloom_bits(snapshot_keys.count())
     bloom = build_bloom(snapshot_keys.select(key), key, m_bits, k)
     probe = bloom_probe_udf(bloom, k)
+    _guard_reserved(
+        batch, ("_maybe", "rn"), "bloom_incremental_dedup"
+    )
     # flagged feeds BOTH union branches: materialize once or the batch
     # scan + md5 + Python probe pass run twice (the dominant cost at
     # the batch sizes this operator exists for)
@@ -1408,6 +1447,7 @@ def keep_best(
     Both windows partition on ``key_col`` — one exchange total."""
     from pyspark.sql import Window
 
+    _guard_reserved(docs, ("rn", "n_copies"), "keep_best")
     w = Window.partitionBy(key_col).orderBy(
         F.desc(score_col), F.asc(order)
     )
@@ -1421,17 +1461,17 @@ def keep_best(
 
 
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the canonical composite from textops.quality_exprs — this gate
+    # carried a fourth hand-rolled copy of the arithmetic the r6
+    # unification de-drifted (r15 review); identical expression, so
+    # the oracle (and hash) are unchanged
+    from quebic_spark.operators.textops import quality_exprs
+
     docs = _docs(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
-    n_toks = F.size(toks).cast("double")
-    distinct_ratio = F.size(F.array_distinct(toks)) / n_toks
-    len_score = F.least(n_toks / F.lit(100.0), F.lit(1.0))
     scored = docs.select(
         "doc_id",
         _content_key().alias("content_key"),
-        (distinct_ratio * F.lit(0.5) + len_score * F.lit(0.5)).alias(
-            "quality_score"
-        ),
+        quality_exprs()["score"].alias("quality_score"),
     )
     return keep_best(scored, "content_key", "quality_score")
 
@@ -1566,8 +1606,14 @@ def semantic_dedup(
     cents = S.learned_centroids(spark, sf_dir)
     corpus = S._ivf_corpus(spark, sf_dir, cents)
     a, b = corpus.alias("a"), corpus.alias("b")
-    cos = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.norm") * F.col("b.norm")
+    # zero-norm guard (r15 review, the ANN-family _cos_expr rule):
+    # 0/0 = NaN orders above all doubles in BOTH engines, so one zero
+    # vector passed the >= threshold against every blockmate while
+    # still hash-matching the oracle; NULL is inert in the filter
+    _denom = F.col("a.norm") * F.col("b.norm")
+    cos = F.when(
+        _denom > 0,
+        dot_product(F.col("a.embedding"), F.col("b.embedding")) / _denom,
     )
     # materialize before fanning out to both orientations (same
     # registered-cache reasoning as q_dedup_clusters: the pair join
@@ -1607,8 +1653,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = labels.filter(F.col("is_kept")).select("vec_id")
     kc = corpus.join(kept, "vec_id")
     a, b = kc.alias("a"), kc.alias("b")
-    cos = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.norm") * F.col("b.norm")
+    # zero-norm guard (r15 review, the ANN-family _cos_expr rule):
+    # 0/0 = NaN orders above all doubles in BOTH engines, so one zero
+    # vector passed the >= threshold against every blockmate while
+    # still hash-matching the oracle; NULL is inert in the filter
+    _denom = F.col("a.norm") * F.col("b.norm")
+    cos = F.when(
+        _denom > 0,
+        dot_product(F.col("a.embedding"), F.col("b.embedding")) / _denom,
     )
     kept_near = (
         a.join(

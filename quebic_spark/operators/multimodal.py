@@ -91,7 +91,9 @@ DECODE_SCHEMA = (
 
 def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        n = pdf["payload"].map(len)
+        # NULL payloads quarantine as 0-byte, matching decode_media's
+        # None -> b'' coercion — len(None) killed the task (r15 review)
+        n = pdf["payload"].map(lambda p: 0 if p is None else len(p))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -154,7 +156,15 @@ def frame_sample(payloads: DataFrame, every_nth: int = 4) -> DataFrame:
             for doc_id, payload, n_frames in zip(
                 pdf["doc_id"], pdf["payload"], pdf["n_frames"]
             ):
-                for i in range(0, int(n_frames), every_nth):
+                # NULL payload/n_frames: zero frames sampled, never
+                # a task-killing TypeError (r15 review —
+                # decode_media's contract: one bad row must not abort
+                # the scan). Arrow hands a nullable int column to
+                # pandas as float64, so the NULL arrives as NaN, not
+                # None — pd.isna covers both.
+                payload = payload if payload is not None else b""
+                n_frames = 0 if pd.isna(n_frames) else int(n_frames)
+                for i in range(0, n_frames, every_nth):
                     lo = (i * FRAME_STRIDE_BYTES) % max(len(payload), 1)
                     frame = bytes(payload[lo:lo + FRAME_STRIDE_BYTES])
                     out["doc_id"].append(doc_id)
@@ -192,6 +202,9 @@ def extract_features(payloads: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
+                # NULL -> empty histogram row (all-zero vector), not a
+                # task-killing TypeError (r15 review)
+                payload = payload if payload is not None else b""
                 hist = np.bincount(
                     np.frombuffer(bytes(payload), dtype=np.uint8),
                     minlength=256,
@@ -221,8 +234,14 @@ def resize_dims(decoded: DataFrame, max_w: int, max_h: int) -> DataFrame:
     # NULL) must come out NULL — Spark's least()/greatest() SKIP null
     # arguments rather than propagate them, so the unguarded
     # expression fabricated 1x1 "image" dims for every WAV row (r13
-    # review, reproduced)
-    has_dims = F.col("width").isNotNull() & F.col("height").isNotNull()
+    # review, reproduced). Zero-dimension rows too (r15): the decoders
+    # pass width=0/height=0 through, and max_w/0.0 = +Infinity made
+    # least() pick 1.0, fabricating a valid-looking 1x1 from a
+    # 0-pixel image.
+    has_dims = (
+        F.col("width").isNotNull() & F.col("height").isNotNull()
+        & (F.col("width") > 0) & (F.col("height") > 0)
+    )
     scale = F.least(
         F.lit(1.0),
         F.lit(float(max_w)) / F.col("width"),

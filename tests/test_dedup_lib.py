@@ -270,8 +270,9 @@ def test_auto_bloom_bits_scales_with_snapshot():
     big = auto_bloom_bits(1_000_000_000)
     assert big % 8 == 0
     assert big >= BLOOM_BITS_PER_KEY * 1_000_000_000
-    # the docstring's 1e9-key sizing: ~1.6 GB of bits
-    assert 12_000_000_000 < big < 14_000_000_000
+    # r15: rounded UP to a power of two (KM probe-span guarantee), so
+    # the 1e9-key sizing lands in [13e9, 26e9) bits (~1.6-3.2 GB)
+    assert BLOOM_BITS_PER_KEY * 1_000_000_000 <= big < 26_000_000_000
 
 
 def test_strip_spans_cuts_exactly_the_merged_spans(spark):
@@ -465,3 +466,53 @@ def test_hll_merge_contract_holds_in_estimator_mode(spark):
     assert r.sum_ge_global
     assert r.merged_within_4pct
     assert r.merge_matches_single_sketch
+
+
+def test_reserved_working_columns_rejected(spark):
+    """r15 review: incremental_dedup/bloom_incremental_dedup/
+    keep_best silently replaced and then dropped caller columns named
+    rn/_maybe/n_copies (the r13 quality_percentile_filter guard,
+    applied to the siblings)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from quebic_spark.operators.dedup import (
+        bloom_incremental_dedup,
+        incremental_dedup,
+        keep_best,
+    )
+
+    snap = spark.createDataFrame([("k1",)], "content_key string")
+    batch = spark.createDataFrame(
+        [(1, "k2", 7)], "doc_id long, content_key string, rn long"
+    )
+    with pytest.raises(ValueError, match="rn"):
+        incremental_dedup(batch, snap)
+    maybe_batch = spark.createDataFrame(
+        [(1, "k2", True)],
+        "doc_id long, content_key string, _maybe boolean",
+    )
+    with pytest.raises(ValueError, match="_maybe"):
+        bloom_incremental_dedup(maybe_batch, snap)
+    scored = spark.createDataFrame(
+        [(1, "k", 0.5, 9)],
+        "doc_id long, content_key string, quality_score double, "
+        "n_copies long",
+    )
+    with pytest.raises(ValueError, match="n_copies"):
+        keep_best(scored, "content_key", "quality_score")
+
+
+def test_auto_bloom_bits_power_of_two():
+    """r15 review: the KM probe sequence spans the table only for
+    power-of-two sizes (h2 is forced odd); arbitrary byte multiples
+    quietly raised the fp rate above the 13-bits/key contract."""
+    from quebic_spark.operators.dedup import (
+        BLOOM_BITS,
+        auto_bloom_bits,
+    )
+
+    for n in (0, 1, 1000, 12345, 10**6):
+        m = auto_bloom_bits(n)
+        assert m >= BLOOM_BITS and m >= 13 * n
+        assert m & (m - 1) == 0, (n, m)

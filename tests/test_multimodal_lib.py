@@ -1402,3 +1402,56 @@ def test_jpeg_truncated_segments_raise_valueerror():
     for payload in cases:
         with pytest.raises(ValueError):
             decode_jpeg(payload)
+
+
+def test_null_payloads_quarantine_not_crash(spark):
+    """r15 review: frame_sample/extract_features/_fake_decode raised
+    TypeError on a NULL binary payload, killing the task — the
+    siblings (decode_media, video_frame_sample) already coerce."""
+    from pyspark.sql import types as T
+
+    from quebic_spark.operators.multimodal import (
+        DECODE_SCHEMA,
+        _fake_decode,
+        extract_features,
+        frame_sample,
+    )
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ])
+    df = spark.createDataFrame(
+        [(1, b"abc" * 100, 8), (2, None, None)], schema
+    )
+    frames = frame_sample(df).collect()
+    assert {r["doc_id"] for r in frames} == {1}  # null row: 0 frames
+    feats = {
+        r["doc_id"]: r["features"]
+        for r in extract_features(df.select("doc_id", "payload")).collect()
+    }
+    assert len(feats) == 2 and sum(feats[2]) == 0.0
+    decoded = {
+        r["doc_id"]: r["payload_bytes"]
+        for r in df.select("doc_id", "payload")
+        .mapInPandas(_fake_decode, DECODE_SCHEMA).collect()
+    }
+    assert decoded[2] == 0
+
+
+def test_resize_dims_zero_dimensions_stay_null(spark):
+    """r15 review: max_w / 0.0 = +Infinity made least() pick scale
+    1.0 and fabricate a valid-looking 1x1 from a 0-pixel image."""
+    from quebic_spark.operators.multimodal import resize_dims
+
+    df = spark.createDataFrame(
+        [(1, 0, 10), (2, 10, 0), (3, 100, 50)],
+        "doc_id long, width int, height int",
+    )
+    out = {
+        r["doc_id"]: (r["out_width"], r["out_height"])
+        for r in resize_dims(df, 32, 32).collect()
+    }
+    assert out[1] == (None, None) and out[2] == (None, None)
+    assert out[3] == (32, 16)

@@ -38,9 +38,15 @@ def _check_format(fmt: str) -> None:
 
 
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
-               schema: str | None = None) -> DataFrame:
+               schema: str | None = None,
+               failfast: bool = False) -> DataFrame:
     """Schema-enforced scan (never inferred when a schema is given —
-    the reference's fixed-schema discipline, SURVEY §1.3)."""
+    the reference's fixed-schema discipline, SURVEY §1.3).
+
+    ``failfast`` sets CSV mode=FAILFAST: PERMISSIVE (the default)
+    null-pads records with fewer tokens than the schema, which
+    silently filled a no-NULLs queue import (r15 review) — the import
+    path needs the loud failure, count re-reads don't."""
     _check_format(fmt)
     reader = spark.read
     if schema is not None:
@@ -59,6 +65,8 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
         # where intra-file parallelism matters.
         reader = (reader.option("header", "true")
                   .option("multiLine", "true"))
+        if failfast:
+            reader = reader.option("mode", "FAILFAST")
     return reader.format(fmt).load(path)
 
 
@@ -137,11 +145,17 @@ def import_into_queue(spark: SparkSession, queue: Queue, path: str,
     ddl_types = _ddl_types(queue)
     names = queue.schema.column_names
     if fmt == "csv":
+        # FAILFAST: PERMISSIVE null-pads records with fewer tokens
+        # than the forced schema — a 3-column file into a 5-column
+        # queue silently filled c3/c4 with NULLs (r15 review); the
+        # no-NULLs validator downstream makes that fail, but with the
+        # wrong (per-row) error instead of the real cause
         df = read_table(
             spark, path, fmt,
             schema=", ".join(
                 f"{c} {t}" for c, t in zip(names, ddl_types)
             ),
+            failfast=True,
         )
     elif fmt == "json":
         df = read_table(spark, path, fmt)
@@ -154,9 +168,15 @@ def import_into_queue(spark: SparkSession, queue: Queue, path: str,
             )
         # by-name cast into queue column order (JSON inference is
         # alphabetical, so source order is meaningless); order_by
-        # refers to these same names either way
+        # refers to these same names either way. BINARY fields arrive
+        # as base64 TEXT (Spark's JSON encoder) and cast(string AS
+        # binary) is a raw UTF-8 encoding of that text, not a decode —
+        # every payload round-tripped as garbage (r15 review);
+        # unbase64 is the decode, and it fails analysis loud on a
+        # non-string source.
         df = df.select(*[
-            F.col(c).cast(t).alias(c)
+            (F.unbase64(F.col(c)) if t == "BINARY"
+             else F.col(c).cast(t)).alias(c)
             for c, t in zip(names, ddl_types)
         ])
     else:
@@ -242,9 +262,17 @@ def write_corpus_shards(
         writer = writer.option("header", "true")
     writer.format(fmt).save(path)
 
-    back = spark.read.format(fmt)
+    # explicit schema on the read-back (r15 review): an empty input
+    # writes no part files, and schema inference over a fileless
+    # directory died with "Unable to infer schema" instead of an
+    # empty manifest; the written schema is known exactly
+    back = spark.read.format(fmt).schema(out.schema)
     if fmt == "csv":
-        back = back.option("header", "true")
+        # multiLine, same as every CSV read-back (r15 review: quoted
+        # embedded newlines split into phantom records and inflated
+        # the manifest counts this read-back exists to certify)
+        back = (back.option("header", "true")
+                .option("multiLine", "true"))
     counts = {
         int(r["shard"]): r["rows"]
         for r in back.load(path)
@@ -572,9 +600,11 @@ def read_corpus_shards(
     _check_format(fmt)
     reader = spark.read.format(fmt)
     if fmt == "csv":
-        reader = reader.option("header", "true").option(
-            "inferSchema", "true"
-        )
+        # multiLine (r15 review): same phantom-record split as every
+        # other CSV read of our own quoted output
+        reader = (reader.option("header", "true")
+                  .option("inferSchema", "true")
+                  .option("multiLine", "true"))
     df = reader.load(path)
     if shards is not None:
         df = df.filter(F.col("shard").isin(list(shards)))

@@ -623,8 +623,7 @@ def import_oversized_queue(
         raise FormatException(
             f"no non-empty queue files for {queue_file}"
         )
-    name = os.path.basename(queue_file)
-    base = name.rsplit(".", 1)[0] if "." in name else name
+    base = base_of(os.path.basename(queue_file))
 
     _PA_TYPES = {
         "INTEGER": pa.int64(),
@@ -893,11 +892,17 @@ def stream_journaled_entries(
     return n
 
 
+def base_of(name: str) -> str:
+    """File base name minus the last extension — THE queue/journal
+    pairing rule (Queue.scala:33-36). One helper (r15 review: four
+    inline copies could silently diverge and mis-pair halves)."""
+    return name.rsplit(".", 1)[0] if "." in name else name
+
+
 def journal_path_for(queue_path: str) -> str:
     """``<base>.qbj`` beside the queue file (Queue.scala:33-36)."""
     d, name = os.path.split(queue_path)
-    base = name.rsplit(".", 1)[0] if "." in name else name
-    return os.path.join(d, base + ".qbj")
+    return os.path.join(d, base_of(name) + ".qbj")
 
 
 def export_quebic_queue(
@@ -1055,7 +1060,23 @@ def export_quebic_shards(
             os.remove(leftover)
         except OSError:  # another writer's sweep got it first
             pass
-    return sorted(r["shard"] for r in manifest if r["n_rows"] > 0)
+    written = sorted(r["shard"] for r in manifest if r["n_rows"] > 0)
+    # sweep STALE COMMITTED shards from a prior run of the same
+    # out_dir/prefix (r15 review): a re-export with fewer non-empty
+    # partitions left the old shard-NNNNN.qbc files beside the new
+    # ones, so a whole-directory import silently returned run-1 rows
+    # appended to run-2 data. The single-writer discipline that
+    # protects the tmp sweep above covers this one identically.
+    current = set(written)
+    for committed in _glob.glob(
+        os.path.join(out_dir, f"{prefix}-*.qbc")
+    ):
+        if os.path.basename(committed) not in current:
+            try:
+                os.remove(committed)
+            except OSError:
+                pass
+    return written
 
 
 def migrate_quebic_queue(
@@ -1079,8 +1100,7 @@ def migrate_quebic_queue(
     """
     from quebic_spark.queue import Queue
 
-    name = os.path.basename(queue_file)
-    base = name.rsplit(".", 1)[0] if "." in name else name
+    base = base_of(os.path.basename(queue_file))
     # schema peek: prefer the queue file's header, but fall back to
     # the journal exactly as read_quebic_dir does — a journal-only
     # copy ('only the .qbj was copied over') and the reference's
@@ -1148,14 +1168,30 @@ def migrate_quebic_queue(
     # f-string SQL literal — base names may contain quotes)
     from pyspark.sql import functions as F
 
+    payload = None
     try:
         payload = df.where(F.col("queue") == base).select(
             *schema.column_names, "pos"
         )
+        # persist before the counts (r15 review): without it the
+        # binaryFile chain parse ran THREE times — this count,
+        # append_dataframe's internal count, and the staged write —
+        # each re-shipping the whole multi-GB file to an executor.
+        # DISK_ONLY, not the MEMORY_AND_DISK default: a queue file is
+        # one partition, and the MemoryStore must UNROLL a block in
+        # heap before it can decide to spill — a multi-GiB partition
+        # OOM'd the JVM outright (reproduced by the bigfile suite);
+        # DISK_ONLY streams the partition straight to local disk.
+        # Released in the finally, so no residency outlives the call.
+        from pyspark import StorageLevel
+
+        payload = payload.persist(StorageLevel.DISK_ONLY)
         n = payload.count()
         q = Queue(dest_dir, schema, capacity=capacity or max(n, 1))
         q.append_dataframe(payload, order_by=["pos"])
     finally:
+        if payload is not None:
+            payload.unpersist(blocking=False)
         if staging is not None:
             # success: the append materialized everything, the
             # staging parquet is no longer referenced; failure: don't
@@ -1605,9 +1641,24 @@ def read_quebic_dir(
             for p, content in zip(pdf["path"], pdf["content"]):
                 name = os.path.basename(str(p))
                 is_journal = name.endswith(".qbj")
-                base = name.rsplit(".", 1)[0] if "." in name else name
+                base = base_of(name)
                 slot = blobs.setdefault(base, {})
-                slot["journal" if is_journal else "queue"] = bytes(content)
+                kind = "journal" if is_journal else "queue"
+                if kind in slot:
+                    # fail loud, never last-write-wins (r15 review):
+                    # orders.qbc + orders.bak both land in the
+                    # 'queue' slot, and Arrow batch order decided
+                    # which file's rows silently vanished
+                    raise FormatException(
+                        f"duplicate {kind} file for base {base!r} "
+                        f"({name}); narrow the pattern or remove "
+                        "the stray file"
+                    )
+                slot[kind] = bytes(content)
+        tensor_idx = [
+            i for i, t in enumerate(local_schema.types)
+            if t.name == "TENSOR"
+        ]
         for base, slot in sorted(blobs.items()):
             qschema, fifo = read_fifo(
                 slot.get("queue"), slot.get("journal")
@@ -1619,10 +1670,6 @@ def read_quebic_dir(
                     f"queue {base}: schema {qschema.to_json()} != "
                     f"{schema_json}"
                 )
-            tensor_idx = [
-                i for i, t in enumerate(local_schema.types)
-                if t.name == "TENSOR"
-            ]
             rows = []
             for pos, e in enumerate(fifo):
                 vals = list(e["values"])

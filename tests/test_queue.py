@@ -1769,3 +1769,199 @@ def test_precrc_ctrl_upgraded_at_open(qpath):
     assert int(obj["crc"]) == _zlib.crc32(obj["next_seq"].encode())
     assert q2.size() == 4
     q2.close()
+
+
+# --------------------------------------------------------------------------
+# r16 queue-family review fixes
+
+
+def test_write_all_loops_short_writes():
+    """r16 review: write_json_atomic's single unchecked os.write could
+    publish a truncated-but-fsynced commit record via the atomic
+    rename. The loop helper must drain arbitrary short-write
+    patterns."""
+    from quebic_spark.queue.storage import _write_all
+
+    sink = bytearray()
+
+    def shorty(fd, view):
+        n = min(7, len(view))
+        sink.extend(bytes(view[:n]))
+        return n
+
+    payload = bytes(range(256)) * 5
+    _write_all(-1, payload, write=shorty)
+    assert bytes(sink) == payload
+
+
+def test_recover_replay_removes_olds_before_publishing(
+    qpath, monkeypatch
+):
+    """r16 review: recover() replayed a compaction manifest
+    rename-staged-first, the opposite of the live merge path's
+    olds-out-first discipline — a lock-free streaming listing in the
+    replay window could see a merged file AND its absorbed originals
+    (double delivery). Pin the order: if the rename step dies, every
+    old must already be gone ('sees neither' is the safe state), and
+    a second replay finishes the commit."""
+    import json as _json
+    import os as _os
+
+    from quebic_spark.queue.storage import QueueStorage
+
+    q = Queue(qpath, SCHEMA, capacity=100, auto_compact_files=None)
+    q.publisher().push([1, "a"])
+    q.publisher().push([2, "b"])
+    q.close()  # final compact merges the two push files into one
+    st = QueueStorage(qpath)
+    olds = [p for _, _, p in st.list_batches()]
+    assert len(olds) == 1
+    # fabricate a second old + a complete staged merge covering both
+    # (content: real parquet bytes are fine — recover only renames,
+    # never reads; the dir is never reopened as a Queue here)
+    with open(olds[0], "rb") as f:
+        body = f.read()
+    second = st.batch_path(3, 4)
+    with open(second, "wb") as f:
+        f.write(body)
+    olds.append(second)
+    staged = st.batch_path(1, 4) + ".compact"
+    with open(staged, "wb") as f:
+        f.write(body)
+    with open(st.compact_manifest_path, "w") as f:
+        _json.dump({"staged": [staged], "remove": olds}, f)
+
+    real_replace = _os.replace
+
+    def dying_replace(src, dst):
+        raise RuntimeError("crash before publish")
+
+    monkeypatch.setattr(_os, "replace", dying_replace)
+    with pytest.raises(RuntimeError):
+        st.recover()
+    monkeypatch.setattr(_os, "replace", real_replace)
+    # olds already gone, merged file not yet published: 'neither'
+    assert not any(_os.path.exists(p) for p in olds)
+    assert _os.path.exists(staged)
+    # second replay finishes idempotently
+    st.recover()
+    assert not _os.path.exists(staged)
+    assert _os.path.exists(staged[: -len(".compact")])
+    assert not _os.path.exists(st.compact_manifest_path)
+
+
+def test_queue_open_preserves_foreign_tmp_files(tmp_path):
+    """r16 review: opening a path that is NOT a queue used to run the
+    crash-recovery sweep before any validation — deleting the
+    directory's own *.tmp files and _staging-* subdirs on a mistaken
+    open. New-queue creation must not touch them."""
+    import os as _os
+
+    d = tmp_path / "work"
+    d.mkdir()
+    (d / "notes.tmp").write_text("user data")
+    (d / "_staging-mine").mkdir()
+    (d / "_staging-mine" / "keep.txt").write_text("more user data")
+    q = Queue(str(d), SCHEMA, capacity=10)
+    try:
+        assert (d / "notes.tmp").read_text() == "user data"
+        assert (d / "_staging-mine" / "keep.txt").exists()
+    finally:
+        q.close()
+
+
+def test_replay_dlq_preserves_publisher_codec(qpath):
+    """r16 review: replay_dlq re-stamped every replayed record's
+    codec_id with the queue-level codec, discarding the original
+    publisher's per-record choice — the parity surface dump/inspect
+    and the reference-format export assign from."""
+    from quebic_spark.codec import GZIP, PLAIN
+
+    q = Queue(qpath, SCHEMA, capacity=10)  # queue-level PLAIN
+    gz = q.publisher(GZIP)
+    gz.push([1, "poison-but-gzip"])
+
+    def failing(rec):
+        raise RuntimeError("boom")
+
+    sub = q.subscriber()
+    for _ in range(3):
+        with pytest.raises(RuntimeError):
+            sub.consume(failing, error_permit=3)
+    assert sub.consume(lambda r: r, error_permit=3) is None  # DLQ'd
+    assert q.replay_dlq() == 1
+    row = q._storage.read_seq(q._storage.next_seq() - 1)
+    assert row is not None
+    assert row["codec_id"] == GZIP.id, row
+    assert q.codec is PLAIN
+    q.close()
+
+
+def test_consumer_errors_pruned_after_vacuum_gap_jump(qpath):
+    """r16 review: a failing record whose TTL lapsed gets vacuumed by
+    compaction; the consumer gap-jumps its seq, but the errors entry
+    keyed by that undeliverable seq survived forever — rewritten to
+    disk on every subsequent pop."""
+    q = Queue(qpath, SCHEMA, capacity=10, auto_compact_files=None)
+    pub, sub = q.publisher(), q.subscriber()
+    pub.push([1, "flaky"], lifetime_ms=30)
+    pub.push([2, "fine"])
+
+    def failing(rec):
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        sub.consume(failing, error_permit=5)
+    assert q._storage.consumer_state()["errors"] == {"1": 1}
+    time.sleep(0.05)  # let seq 1 expire
+    q.compact()  # vacuums the expired row -> seq gap at 1
+    assert sub.consume(lambda r: r, error_permit=5) == (2, "fine")
+    assert q._storage.consumer_state()["errors"] == {}
+    q.close()
+
+
+def test_peek_head_skips_expired_like_pop(qpath):
+    """r16 review: peek_head returned a TTL-expired head that
+    pop/consume would silently discard — a peek-then-pop caller acted
+    on a record that was never delivered."""
+    q = Queue(qpath, SCHEMA, capacity=10)
+    pub, sub = q.publisher(), q.subscriber()
+    pub.push([1, "dying"], lifetime_ms=30)
+    pub.push([2, "alive"])
+    time.sleep(0.05)
+    assert sub.peek_head() == (2, "alive")
+    assert sub.try_pop() == (2, "alive")
+    assert sub.peek_head() is None
+    q.close()
+
+
+def test_row_cache_busts_on_same_name_same_mtime_replacement(qpath):
+    """r16 review: the row cache keyed on (path, float mtime) alone —
+    weaker than the json cache's (mtime_ns, size, ino) — so a sibling
+    process's compaction that legally replaces a batch file under the
+    SAME name within one timestamp tick kept serving vacuumed rows.
+    The rename allocates a new inode; the key must see it."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from quebic_spark.queue.storage import QueueStorage
+
+    q = Queue(qpath, SCHEMA, capacity=10, auto_compact_files=None)
+    q.publisher().push_all([[1, "a"], [2, "b"]])
+    q.close()
+    reader = QueueStorage(qpath)
+    batches = [p for _, _, p in reader.list_batches()]
+    assert len(batches) == 1
+    path = batches[0]
+    assert reader.read_seq(2)["c1"] == "b"  # populate the cache
+    orig = _os.stat(path)
+    # sibling replaces the file in place with seq 2 vacuumed, then the
+    # mtime collides exactly (worst case the float key cannot see)
+    t = _pq.read_table(path)
+    t2 = t.filter(__import__("pyarrow").compute.equal(t["seq"], 1))
+    _pq.write_table(t2, path + ".newtmp")
+    _os.replace(path + ".newtmp", path)
+    _os.utime(path, ns=(orig.st_atime_ns, orig.st_mtime_ns))
+    assert reader.read_seq(2) is None
+    assert reader.read_seq(1)["c1"] == "a"

@@ -87,7 +87,12 @@ def type_of(id_or_name: int | str) -> DataType:
     table = _BY_ID if isinstance(id_or_name, int) else _BY_NAME
     try:
         return table[id_or_name]  # type: ignore[index]
-    except KeyError:
+    except (KeyError, TypeError):
+        # TypeError: an UNHASHABLE spec (e.g. a nested list in a
+        # hand-edited meta.json reaching Schema.from_json) leaked a
+        # raw TypeError past the documented ValueError contract and
+        # crashed queue open outside the domain taxonomy (r16 review;
+        # the r14 bool fix covered only hashable impostors)
         raise ValueError(f"unknown data type: {id_or_name!r}") from None
 
 
@@ -229,10 +234,17 @@ def _validate_field(i: int, v: Any, t: DataType) -> Any:
         if isinstance(v, Tensor):
             return v.as_row()
         if (
-            isinstance(v, (tuple, list))
+            isinstance(v, tuple)
             and len(v) == 2
             and isinstance(v[0], (list, tuple))
         ):
+            # the (shape, values) pair form is accepted as a TUPLE
+            # only (r16 review): a 2-row nested LIST like
+            # [[1, 2], [3, 4]] is indistinguishable from a pair —
+            # shape [1, 2] implies 2 values, so the natural matrix
+            # spelling validated as a silently wrong 1x2 tensor.
+            # Lists now fall through to the loud error below, which
+            # names Tensor.from_matrix for matrix input.
             try:
                 return Tensor(list(v[0]), list(v[1])).as_row()
             except (TypeError, ValueError) as e:
@@ -244,7 +256,9 @@ def _validate_field(i: int, v: Any, t: DataType) -> Any:
                     f"column c{i}: invalid TENSOR payload: {e}"
                 ) from e
         raise IncompatibleSchemaException(
-            f"column c{i}: expected TENSOR, got {type(v).__name__}"
+            f"column c{i}: expected TENSOR, got {type(v).__name__}; "
+            f"pass a Tensor, a (shape, values) TUPLE, or build nested "
+            f"input with Tensor.from_matrix/from_tensor"
         )
     raise AssertionError(f"unreachable type {t}")
 

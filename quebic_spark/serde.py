@@ -21,6 +21,15 @@ per-entry codec id (JournaledFile.scala:322) as a 1-byte prefix, making
 each blob self-describing: records compressed with different codecs can
 coexist in one queue/file and the reader never consults out-of-band
 state to decode them.
+
+Deliberate duplication: the corruption scaffolding here (codec-decode
+wrap, short-read guard, trailing-garbage check) structurally mirrors
+``sources/quebic_format.wire_deserialize``. They are NOT shared on
+purpose — the two are independent wire formats, each byte-pinned by
+its own golden fixtures, and a helper parameterized over both would
+couple fixture-pinned code paths so a change for one format silently
+rewrites the other's bytes or messages. Taxonomy fixes must be applied
+to BOTH (checklist: encode wrap, decode wrap, need(), over-run check).
 """
 
 from __future__ import annotations
@@ -67,8 +76,21 @@ def serialize_record(
                 raise IncompatibleSchemaException(
                     f"TEXT value is not UTF-8-encodable: {e}"
                 ) from e
+            if len(b) >= 2**32:
+                # the 4-byte length prefix cannot frame it; loud
+                # domain error instead of a leaked struct.error
+                # (r16 review)
+                raise IncompatibleSchemaException(
+                    f"TEXT value of {len(b)} UTF-8 bytes exceeds the "
+                    f"4 GiB record field format"
+                )
             out += struct.pack(">I", len(b)) + b
         elif t is BINARY:
+            if len(v) >= 2**32:
+                raise IncompatibleSchemaException(
+                    f"BINARY value of {len(v)} bytes exceeds the "
+                    f"4 GiB record field format"
+                )
             out += struct.pack(">I", len(v)) + v
         elif t is TENSOR:
             shape, vals = v

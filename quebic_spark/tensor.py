@@ -16,6 +16,7 @@ columns via :meth:`to_vector` / :meth:`from_vector`.
 from __future__ import annotations
 
 import math
+import numbers
 from typing import Any, Sequence
 
 
@@ -29,14 +30,28 @@ def _coerce_scalar(x: Any) -> float:
     raise ValueError(f"tensor element is not numeric: {x!r}")
 
 
+def _coerce_dim(s: Any) -> int:
+    if isinstance(s, bool) or not isinstance(s, numbers.Integral):
+        raise ValueError(f"tensor dimension is not an integer: {s!r}")
+    return int(s)
+
+
 class Tensor:
     """Dense row-major tensor of doubles."""
 
     __slots__ = ("shape", "values")
 
     def __init__(self, shape: Sequence[int], values: Sequence[float]):
-        shape = [int(s) for s in shape]
-        values = [float(v) for v in values]
+        # typed coercion, not bare int()/float() (r16 review): the
+        # bare forms accepted strings ("2", "1.5") and silently
+        # TRUNCATED float dims (2.9 -> 2), bypassing the validation
+        # every other entry point enforces. Dims must be integral
+        # (numbers.Integral admits numpy int scalars, which the
+        # export path's pandas rows carry; bool is excluded as
+        # everywhere else); values take the same numeric coercion
+        # from_vector/from_matrix use.
+        shape = [_coerce_dim(s) for s in shape]
+        values = [_coerce_scalar(v) for v in values]
         if any(s < 0 for s in shape):
             raise ValueError(f"negative dimension in shape {shape}")
         if any(s >= 2**31 for s in shape):
@@ -116,8 +131,15 @@ class Tensor:
 
     # -- conversions -----------------------------------------------------
     def as_row(self) -> tuple[list[int], list[float]]:
-        """The Spark struct representation (shape, values)."""
-        return (self.shape, self.values)
+        """The Spark struct representation (shape, values).
+
+        Returns COPIES (r16 review): handing out the live internal
+        lists let a caller's later mutation of a validated record —
+        or of the Tensor itself — retroactively corrupt the other,
+        including breaking the prod(shape) == len(values) invariant
+        between validate and serialize. to_vector() already copied;
+        this aligns the aliasing contract."""
+        return (list(self.shape), list(self.values))
 
     def to_vector(self) -> list[float]:
         if len(self.shape) != 1:

@@ -243,3 +243,67 @@ def test_render_text_astral_nonprintable_uses_surrogate_pair():
 
     assert render_text("\U000E0001") == '"\\uDB40\\uDC01"'
     assert render_text("\x00") == '"\\u0000"'
+
+
+# --------------------------------------------------------------------------
+# r16 serde-family review fixes
+
+
+def test_tensor_matrix_list_rejected_not_reinterpreted():
+    """r16 review: the (shape, values) pair form accepted LISTS, so
+    the natural matrix spelling [[1, 2], [3, 4]] validated as a
+    silently wrong 1x2 tensor (shape [1, 2] implies 2 values). Pairs
+    are tuples; nested lists fail loud and point at from_matrix."""
+    from quebic_spark.errors import IncompatibleSchemaException
+    from quebic_spark.schema import TENSOR, Schema
+
+    with pytest.raises(IncompatibleSchemaException, match="from_matrix"):
+        Schema(TENSOR).validate_record([[[1, 2], [3, 4]]])
+    # the tuple pair form and the Tensor form still work
+    assert Schema(TENSOR).validate_record([([2], [1.0, 2.0])]) == (
+        ([2], [1.0, 2.0]),
+    )
+    assert Schema(TENSOR).validate_record(
+        [Tensor.from_matrix([[1, 2], [3, 4]])]
+    ) == (([2, 2], [1.0, 2.0, 3.0, 4.0]),)
+
+
+def test_type_of_unhashable_spec_raises_value_error():
+    """r16 review: an unhashable spec (nested list in a hand-edited
+    meta.json) leaked TypeError past the documented ValueError."""
+    from quebic_spark.schema import Schema, type_of
+
+    with pytest.raises(ValueError, match="unknown data type"):
+        type_of([])
+    with pytest.raises(ValueError, match="unknown data type"):
+        Schema(["INTEGER"])
+
+
+def test_tensor_constructor_rejects_untyped_input():
+    """r16 review: bare int()/float() coercion accepted strings and
+    silently truncated float dims (2.9 -> 2)."""
+    import numpy as np
+
+    with pytest.raises(ValueError, match="not an integer"):
+        Tensor(["2"], [1.0, 2.0])
+    with pytest.raises(ValueError, match="not an integer"):
+        Tensor([2.9, 2], [1.0] * 4)
+    with pytest.raises(ValueError, match="not numeric"):
+        Tensor([2], ["1.0", "2.5"])
+    # numpy integral dims (what pandas hands the export path) and
+    # bool values (Struct.scala:97 coercion) still work
+    t = Tensor([np.int64(2)], [True, 0.5])
+    assert t.as_row() == ([2], [1.0, 0.5])
+
+
+def test_tensor_as_row_returns_copies():
+    """r16 review: as_row() aliased the live internal lists, so
+    mutating a validated record retroactively corrupted the Tensor
+    (and could break prod(shape) == len(values) between validate and
+    serialize)."""
+    t = Tensor([2], [1.0, 2.0])
+    shape, values = t.as_row()
+    shape.append(99)
+    values.append(99.0)
+    assert t.shape == [2] and t.values == [1.0, 2.0]
+    assert t.as_row() == ([2], [1.0, 2.0])

@@ -37,15 +37,49 @@ _ISOLATE_TOP_N = int(os.environ.get("SPARK_GRAFT_ISOLATE_TOP_N", "5"))
 
 # watchlist: queries whose in-suite time moved round-over-round with
 # UNCHANGED code (r9: token_budget_mixture 0.87->1.69 s,
-# event_rollup_hierarchy 0.32->0.73 s) — always spot-checked in a
-# fresh process regardless of rank, so the next round's detail file
-# separates load noise from a real plan change (VERDICT r9 next #4)
+# event_rollup_hierarchy 0.32->0.73 s) — spot-checked in a fresh
+# process regardless of RANK whenever isolation runs at all, so the
+# next round's detail file separates load noise from a real plan
+# change (VERDICT r9 next #4). NOTE: TOP_N=0 is the quick-parse mode
+# and disables isolation entirely, watchlist included — a detail file
+# with "isolated": {} was a 0-run, not a missing watchlist (r16
+# review: the old wording promised the watchlist unconditionally).
 _ISOLATE_WATCHLIST = tuple(
     q for q in os.environ.get(
         "SPARK_GRAFT_ISOLATE_WATCH",
         "token_budget_mixture,event_rollup_hierarchy",
     ).split(",") if q
 )
+
+
+def session_warmup(spark, sf_dir: str) -> None:
+    """JVM/codegen + Python/Arrow-worker warmups, run before any timed
+    sample so per-query numbers measure the plan, not first-run
+    classloading or worker spin-up (r2: registry reordering moved
+    multimodal_decode to the front of the UDF pack and it read 2.5 s
+    vs 0.5 s with unchanged code). ONE home, imported by
+    tools/isolated_query.py (r16 review: the bench/isolated pair was
+    hand-synced 'identical' copies and had already diverged once in
+    r14 — the ground-truth process must warm and reset under exactly
+    the policy of the loop it adjudicates)."""
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
+
+def reset_session(spark) -> None:
+    """Inter-sample reset: release operator cache handles (including
+    the IVF index memo — catalog.clearCache() strips persistence from
+    ANY still-memoized frame, and the on-disk index makes the
+    residency loss a re-read, not a retrain), drop Spark's table
+    cache, nudge the JVM GC. Shared with tools/isolated_query.py —
+    see session_warmup."""
+    from quebic_spark import clear_caches
+
+    clear_caches(include_ivf_index=True)
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
 
 
 def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
@@ -67,23 +101,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     as a cell-partitioned table + JSON), so dropping their in-memory
     residency here costs a re-read, not a rebuild.
     """
-    from quebic_spark import clear_caches
     from quebic_spark.operators import QUERIES
-
-    jvm_system = spark.sparkContext._jvm.System
-
-    def _reset() -> None:
-        # include_ivf_index: catalog.clearCache() below strips
-        # persistence from ANY still-memoized frame, so keeping the
-        # memo would hand later queries an un-persisted handle they
-        # silently recompute through (r6 review: the recall gate
-        # references the exact-top-k frame 3x). Dropping the memo
-        # makes the next user re-persist; the IVF corpus reloads from
-        # its on-disk table, so the residency loss costs a re-read,
-        # not a retrain.
-        clear_caches(include_ivf_index=True)
-        spark.catalog.clearCache()
-        jvm_system.gc()
 
     times: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
@@ -93,7 +111,10 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
             t0 = time.time()
             fn(spark, sf_dir).collect()
             runs.append(round(time.time() - t0, 2))
-            _reset()
+            # include_ivf_index rationale lives in reset_session (r6
+            # review origin: the recall gate references the exact-
+            # top-k frame 3x)
+            reset_session(spark)
         samples[name] = runs
         times[name] = min(runs)
     return times, samples
@@ -114,14 +135,20 @@ def bench_queue() -> tuple[dict[str, float], dict]:
         q = Queue(path, Schema(INTEGER, BINARY), capacity=n + 1,
                   auto_compact_files=None)
         pub, sub = q.publisher(), q.subscriber()
+        # assert every op actually happened (r16 review): a capacity
+        # accounting bug making try_push refuse, or try_pop run dry,
+        # would otherwise time FEWER than n real operations and report
+        # an improvement while the queue is broken — false green
         t0 = time.time()
         for i in range(n):
-            pub.try_push([i, payload])
+            if not pub.try_push([i, payload]):
+                raise RuntimeError(f"try_push refused at i={i}")
         push_s = time.time() - t0
         q.compact()
         t0 = time.time()
-        for _ in range(n):
-            sub.try_pop()
+        for i in range(n):
+            if sub.try_pop() is None:
+                raise RuntimeError(f"try_pop ran dry at i={i}")
         pop_s = time.time() - t0
         q.dispose()
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
@@ -200,8 +227,14 @@ def isolated_spot_times(
     session is stopped — two concurrent Spark JVMs contend for the same
     cores and inflate both (observed 2-3x in earlier rounds).
     """
+    # exclude only the queue MICRO-bench keys (defensive: they are
+    # merged into `times` after this runs today) — a startswith
+    # filter also excluded the live Spark gate queue_fifo_roundtrip
+    # from the expensive ranking, so a regression making it the
+    # slowest query would silently lose its fresh-process
+    # adjudication sample (r16 review)
     expensive = sorted(
-        (k for k in times if not k.startswith("queue_")),
+        (k for k in times if k not in ("queue_push_1k", "queue_pop_1k")),
         key=lambda k: times[k],
         reverse=True,
     )[:top_n]
@@ -259,16 +292,7 @@ def main() -> None:
     from quebic_spark.session import get_spark
 
     spark = get_spark(app_name="quebic_bench")
-    # warm up the JVM/codegen paths so per-query numbers measure the
-    # plan, not first-run classloading
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
-    # warm the Python/Arrow worker daemons too: whichever Pandas-UDF
-    # query runs first otherwise pays worker spin-up — r2 recorded
-    # multimodal_decode at 2.5 s vs 0.5 s with unchanged code purely
-    # because registry reordering moved it to the front of the UDF pack
-    spark.range(64).repartition(32).mapInPandas(
-        lambda it: it, "id long"
-    ).count()
+    session_warmup(spark, sf_dir)
 
     times, samples = bench_queries(spark, sf_dir)
     spark.stop()

@@ -586,8 +586,8 @@ class Queue:
             #      files and the olds to delete (the manifest IS the
             #      commit point — without it a crash leaves only complete
             #      .compact files and recover()'s overlap rule finishes);
-            #   2. rename staged .compact files into place;
-            #   3. remove superseded olds;
+            #   2. remove superseded olds;
+            #   3. rename staged .compact files into place;
             #   4. remove the manifest.
             # A crash anywhere in 2-4 is replayed by recover() from the
             # manifest (rename-if-exists + delete-if-exists is
@@ -692,10 +692,9 @@ class Queue:
                 state = self._storage.consumer_state()
                 if candidate > int(state["acked_seq"]):
                     state["acked_seq"] = candidate
-                    state["errors"] = {
-                        k: v for k, v in state["errors"].items()
-                        if int(k) > candidate
-                    }
+                    # passed-seq error entries are pruned centrally by
+                    # set_consumer_state (r16: one home for the
+                    # invariant, not three)
                     self._storage.set_consumer_state(state)
             else:
                 remaining = list(batches)
@@ -995,21 +994,33 @@ class Queue:
         self._check_open()
         import pyarrow.parquet as pq
 
-        count, total, biggest = 0, 0, 0
-        # under the storage lock, like dump/aggregate (r16 review —
-        # this was the one traversal still lockless): released, a
-        # sibling's auto-compact could delete a listed batch file
-        # between the listing and the footer read and crash a healthy
-        # inspect; the embedded next_seq() read can also invoke
-        # _repair_next_seq's control-file write, which must not run
-        # unlocked
-        with self._storage.lock:
-            for _, _, path in self._storage.list_batches():
-                count += pq.read_metadata(path).num_rows
-                sz = os.path.getsize(path)
-                total += sz
-                biggest = max(biggest, sz)
-        return count, total, biggest
+        # snapshot the listing under the lock (its embedded next_seq()
+        # read can invoke _repair_next_seq's control-file write, which
+        # must not run unlocked — r16 review), but read footers
+        # OUTSIDE it: batch files are rename-published so an unlocked
+        # footer read is never torn, and holding the cross-process
+        # flock across O(files) I/O would stall every concurrent
+        # push/pop for the whole scan. A sibling's compaction racing
+        # the unlocked reads deletes a listed file -> retry with a
+        # fresh snapshot (bounded: compaction converges, it doesn't
+        # churn forever on an otherwise idle queue).
+        for _ in range(8):
+            with self._storage.lock:
+                batches = self._storage.list_batches()
+            count, total, biggest = 0, 0, 0
+            try:
+                for _, _, path in batches:
+                    count += pq.read_metadata(path).num_rows
+                    sz = os.path.getsize(path)
+                    total += sz
+                    biggest = max(biggest, sz)
+            except (FileNotFoundError, OSError):
+                continue
+            return count, total, biggest
+        raise FormatException(
+            "inspect() could not obtain a stable file listing after "
+            "8 attempts: continuous concurrent compaction"
+        )
 
     def aggregate(self, zero: Any, f: Callable[[Any, tuple[Any, ...]], Any]) -> Any:
         """Fold over all pending records in FIFO order (the generic

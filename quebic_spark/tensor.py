@@ -25,7 +25,11 @@ def _coerce_scalar(x: Any) -> float:
     # the explicit Boolean=>1/0 coercion, Struct.scala:97).
     if isinstance(x, bool):
         return 1.0 if x else 0.0
-    if isinstance(x, (int, float)):
+    # numbers.Real, not (int, float) (r16 review): numpy int and
+    # float32 scalars register as Real but subclass neither builtin
+    # (only np.float64 subclasses float) — a pair form built from a
+    # numpy array must keep validating. Strings and complex stay out.
+    if isinstance(x, numbers.Real):
         return float(x)
     raise ValueError(f"tensor element is not numeric: {x!r}")
 

@@ -1308,3 +1308,52 @@ def test_wire_serialize_lone_surrogate_stays_in_taxonomy():
 
     with pytest.raises(IncompatibleSchemaException, match="UTF-8"):
         Q.wire_serialize(Schema(TEXT), ["\ud800"])
+
+
+def test_export_caller_error_does_not_brick_directory(spark, tmp_path):
+    """r16 review: the sentinel was written (and the prior manifest
+    deleted) before argument validation, so an order_by typo bricked
+    a healthy committed export directory and permanently stripped its
+    integrity manifest."""
+    out = tmp_path / "typo"
+    Q.export_quebic_shards(
+        _export_df(spark, 60, "v1"), str(out), SCHEMA2,
+        n_shards=2, order_by=["k"],
+    )
+    with pytest.raises(ValueError, match="order_by"):
+        Q.export_quebic_shards(
+            _export_df(spark, 60, "v2"), str(out), SCHEMA2,
+            n_shards=2, order_by=["no_such_column"],
+        )
+    # directory untouched: manifest intact, no sentinel, imports clean
+    assert os.path.exists(Q.export_manifest_path(str(out), "shard"))
+    assert not os.path.exists(Q.export_sentinel_path(str(out), "shard"))
+    back = Q.read_quebic_dir(spark, str(out))
+    assert {r["c1"] for r in back.collect()} == {
+        f"v1-{i}" for i in range(60)
+    }
+
+
+def test_export_manifest_detects_all_shards_deleted(spark, tmp_path):
+    """r16 review: the manifest check was scoped to matched shard
+    files, so deleting ALL of an export's shards out-of-band matched
+    nothing and the whole-directory import silently returned only the
+    unrelated files beside it."""
+    out = tmp_path / "allgone"
+    shards = Q.export_quebic_shards(
+        _export_df(spark, 60, "v1"), str(out), SCHEMA2,
+        n_shards=2, order_by=["k"],
+    )
+    (out / "standalone.qbc").write_bytes(
+        Q.write_journaled_bytes(
+            SCHEMA2, [[1, "x"]], kind="queue", codec=PLAIN
+        )
+    )
+    for s in shards:
+        (out / s).unlink()
+    with pytest.raises(FormatException, match="missing"):
+        Q.read_quebic_dir(spark, str(out))
+    # a deliberately narrowed pattern is still a legitimate subset
+    assert Q.read_quebic_dir(
+        spark, str(out), pattern="standalone.qbc"
+    ).count() == 1

@@ -307,3 +307,22 @@ def test_tensor_as_row_returns_copies():
     values.append(99.0)
     assert t.shape == [2] and t.values == [1.0, 2.0]
     assert t.as_row() == ([2], [1.0, 2.0])
+
+
+def test_tensor_pair_accepts_numpy_scalars():
+    """r16 review: routing Tensor values through _coerce_scalar
+    rejected numpy int64/float32 scalars the previous float() coercion
+    accepted — a pair form built from a numpy array must validate."""
+    import numpy as np
+
+    from quebic_spark.schema import TENSOR, Schema
+
+    got = Schema(TENSOR).validate_record(
+        [(list(np.array([3], dtype=np.int64)),
+          list(np.array([1, 2, 3], dtype=np.float32)))]
+    )
+    assert got == (([3], [1.0, 2.0, 3.0]),)
+    got = Schema(TENSOR).validate_record(
+        [([np.int32(2)], [np.int64(4), np.float64(0.5)])]
+    )
+    assert got == (([2], [4.0, 0.5]),)

@@ -27,32 +27,25 @@ def main() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    from quebic_spark import clear_caches
     from quebic_spark.operators import QUERIES
     from quebic_spark.session import get_spark
 
+    # the SHARED warmup/reset helpers, not hand-synced copies (r16
+    # review; the copies had already diverged once — r14: a bare
+    # clear_caches() here left the persisted IVF index resident, so
+    # the "ground truth" was measured under a cheaper caching policy
+    # than the loop it adjudicates)
+    from bench import reset_session, session_warmup
+
     spark = get_spark(app_name=f"isolated_{name}")
-    # identical warmups to bench.py main(): measure the plan, not
-    # classloading or Arrow worker spin-up
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
-    spark.range(64).repartition(32).mapInPandas(
-        lambda it: it, "id long"
-    ).count()
+    session_warmup(spark, sf_dir)
     fn = QUERIES[name]
     runs: list[float] = []
     for _ in range(2):
         t0 = time.time()
         fn(spark, sf_dir).collect()
         runs.append(round(time.time() - t0, 2))
-        # IDENTICAL reset policy to bench.py's _reset (r14 review: a
-        # bare clear_caches() left the persisted IVF index resident,
-        # so sample 2 of the similarity gates probed a memory-hot
-        # index the in-bench samples never get — the "ground truth"
-        # was measured under a cheaper caching policy than the loop
-        # it adjudicates)
-        clear_caches(include_ivf_index=True)
-        spark.catalog.clearCache()
-        spark._jvm.System.gc()
+        reset_session(spark)
     print(json.dumps({"query": name, "samples": runs}))
     spark.stop()
 

@@ -146,6 +146,16 @@ def code_fingerprint() -> str:
             with open(full, "rb") as fh:
                 h.update(fh.read())
             h.update(b"\0")
+    # this tool file itself is part of the scope (r16 review): the
+    # counting regexes in audit_plan DEFINE the artifact's numbers, so
+    # editing them without regenerating left the committed counts
+    # computed under the old rules while the package fingerprint still
+    # matched — the exact stale-artifact class the stamp closes,
+    # reopened for the one file that computes it
+    with open(os.path.abspath(__file__), "rb") as fh:
+        h.update(b"tools/plan_audit.py\0")
+        h.update(fh.read())
+        h.update(b"\0")
     return h.hexdigest()
 
 

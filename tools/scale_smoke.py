@@ -125,7 +125,15 @@ def main() -> None:
             .withColumn("norm", l2_norm(F.col("embedding")))
             .select("vec_id", "embedding", "cell", "norm")
         )
-        queries = indexed.filter(F.col("vec_id") % 997 == 0).select(
+        # query set FIXED to the factor-1 replica (r16 review): ids
+        # are vec_id + rep*n, so `% 997` alone selected ~1/997 of
+        # EVERY replica — queries grew with the corpus while cells
+        # stayed fixed, making matched pairs grow ~factor^2 and a
+        # correct cell-blocked plan read as a quadratic blowup
+        queries = indexed.filter(
+            (F.col("vec_id") < n_emb_base)
+            & (F.col("vec_id") % 997 == 0)
+        ).select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qe"),
             F.col("cell").alias("qc"),
@@ -172,14 +180,17 @@ def main() -> None:
         ).count()
 
     def op_classifier_score(docs, emb):
-        # scan-resident scoring: growth should track the scan alone
+        # scan-resident scoring: growth should track the scan alone —
+        # the model is trained ONCE outside the timed region (r16
+        # review: training on the replicated corpus inside the op
+        # collected 16x rows to the driver and conflated untimed-by-
+        # design training growth with the scoring growth the smoke
+        # watches, the same train/apply conflation op_bpe_apply fixed)
         from quebic_spark.operators.classifier import (
             score_quality_classifier,
-            train_quality_classifier,
         )
 
-        model = train_quality_classifier(docs)
-        return score_quality_classifier(docs, model).count()
+        return score_quality_classifier(docs, cls_model).count()
 
     # train ONCE on the factor-1 corpus OUTSIDE any timed region so
     # op_bpe_apply measures apply alone (review catch: training
@@ -191,6 +202,16 @@ def main() -> None:
     )
 
     bpe_model = train_bpe_tokenizer(replicate_docs(spark, args.sf, 1))
+    # same once-outside-the-timed-region discipline for the quality
+    # classifier (r16 review) and the fixed-size slices' id bound
+    from quebic_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+
+    cls_model = train_quality_classifier(replicate_docs(spark, args.sf, 1))
+    n_emb_base = spark.read.parquet(
+        f"{args.sf}/embeddings.parquet"
+    ).count()
 
     def op_bpe_apply(docs, emb):
         return (
@@ -234,12 +255,20 @@ def main() -> None:
             embedding_decontaminate,
         )
 
-        bench = emb.filter(F.col("vec_id") % 211 == 0).select(
-            "embedding"
-        )
-        corpus = emb.filter(F.col("vec_id") % 211 != 0).select(
-            "vec_id", "embedding"
-        )
+        # bench side truly FIXED (r16 review): replica ids are
+        # vec_id + rep*n, so `% 211` alone selected ~1/211 of EVERY
+        # replica — |bench| grew ~16x alongside |corpus| and the
+        # |corpus|*|bench| broadcast join was quadratic by
+        # construction, never testing the linear contract the comment
+        # claimed. The base-replica bound pins |bench| at factor 1.
+        bench = emb.filter(
+            (F.col("vec_id") < n_emb_base)
+            & (F.col("vec_id") % 211 == 0)
+        ).select("embedding")
+        corpus = emb.filter(
+            (F.col("vec_id") >= n_emb_base)
+            | (F.col("vec_id") % 211 != 0)
+        ).select("vec_id", "embedding")
         return embedding_decontaminate(corpus, bench).count()
 
     def op_zorder_stats(docs, emb):

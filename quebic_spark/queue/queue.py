@@ -205,6 +205,10 @@ class Queue:
         self.auto_compact_files = auto_compact_files
         self._closed = False
         self._compaction_pins = 0
+        # external stream checkpoints registered by StreamingConsumer
+        # (see register_stream_checkpoint) — count as attached while
+        # their directory exists
+        self._external_stream_checkpoints: set[str] = set()
         # True when the most recent compact() call was skipped because
         # a streaming reader (pin or resumable checkpoint) was attached
         self.last_compact_skipped = False
@@ -337,12 +341,38 @@ class Queue:
     def unpin_compaction(self) -> None:
         self._compaction_pins = max(0, self._compaction_pins - 1)
 
+    def register_stream_checkpoint(self, path: str) -> None:
+        """Record an EXTERNAL stream checkpoint directory so this
+        queue object treats the stream as resumable after its query
+        stops (r16 review): the durable attached-heuristic only
+        watches the default in-queue checkpoint, so a consumer using
+        ``checkpoint_dir=`` elsewhere unpinned on return and a later
+        full compaction (including a push's auto-compact) merged the
+        consumed files under new names — the next run rediscovered
+        them and silently redelivered every consumed row. Registered
+        paths count as attached while their directory exists, and
+        stream-safe compaction parses them when the default
+        checkpoint is absent. In-process only; a DIFFERENT process
+        streaming with an external checkpoint must still pass
+        ``compact(stream_checkpoint=...)`` or disable compaction (the
+        documented cross-process contract)."""
+        self._external_stream_checkpoints.add(os.path.abspath(path))
+
     def _stream_attached(self) -> bool:
         # durable cross-process signal: StreamingConsumer's default
         # checkpoint lives inside the queue directory; its presence
-        # means a stream may resume from it at any time
-        return self._compaction_pins > 0 or os.path.isdir(
-            os.path.join(self._storage.path, "checkpoint")
+        # means a stream may resume from it at any time. Registered
+        # external checkpoints carry the same meaning for this
+        # process (see register_stream_checkpoint).
+        return (
+            self._compaction_pins > 0
+            or os.path.isdir(
+                os.path.join(self._storage.path, "checkpoint")
+            )
+            or any(
+                os.path.isdir(p)
+                for p in self._external_stream_checkpoints
+            )
         )
 
     def compact(self, target_file_rows: int = 1_000_000,
@@ -417,9 +447,24 @@ class Queue:
         """
         self._check_open()
         if not force and self._stream_attached():
-            ckpt = stream_checkpoint or os.path.join(
-                self._storage.path, "checkpoint"
-            )
+            ckpt = stream_checkpoint
+            if ckpt is None:
+                ckpt = os.path.join(self._storage.path, "checkpoint")
+                if not os.path.isdir(ckpt):
+                    # no default checkpoint: an attached stream may be
+                    # using a REGISTERED external one — parse it when
+                    # it is unambiguous (one live dir); several live
+                    # external checkpoints violate the 1-consumer
+                    # contract, so fall through to the skip+warn below
+                    live = [
+                        p
+                        for p in sorted(
+                            self._external_stream_checkpoints
+                        )
+                        if os.path.isdir(p)
+                    ]
+                    if len(live) == 1:
+                        ckpt = live[0]
             sets = (
                 _parse_stream_file_sets(ckpt)
                 if os.path.isdir(ckpt) else None
@@ -1086,17 +1131,29 @@ class Queue:
             return (
                 spark.createDataFrame([], schema=self.spark_schema_ddl())
             )
-        now = _now_ms()
-        return (
+        return self.live_codec_view(
             spark.read.schema(self.spark_schema_ddl()).parquet(*files)
-            .filter(F.col("seq") > acked)
-            .filter((F.col("expires_at") < 0) | (F.col("expires_at") > now))
+            .filter(F.col("seq") > acked),
+            F.lit(_now_ms()),
+        )
+
+    def live_codec_view(self, df, now_expr):
+        """The TTL filter + format-v1 codec_id backfill every read
+        path applies — ONE home (r16 review: read_pending and
+        read_queue_stream carried hand-synced copies of these three
+        expressions, the divergence-waiting-to-happen class).
+        ``now_expr`` is a Column so batch reads pass a literal
+        snapshot clock while streams pass current_timestamp (which
+        re-evaluates per micro-batch)."""
+        from pyspark.sql import functions as F
+
+        return df.filter(
+            (F.col("expires_at") < 0) | (F.col("expires_at") > now_expr)
+        ).withColumn(
             # format-v1 files lack codec_id on disk and scan as NULL;
             # the queue-level codec is the old implicit semantics
-            .withColumn(
-                "codec_id",
-                F.coalesce(F.col("codec_id"), F.lit(self.codec.id)),
-            )
+            "codec_id",
+            F.coalesce(F.col("codec_id"), F.lit(self.codec.id)),
         )
 
     def append_dataframe(self, df, order_by: Sequence[str],

@@ -55,21 +55,34 @@ def _score_series(values, buf, window, min_n, z_threshold):
     from decimal import ROUND_HALF_UP, Decimal
 
     cent = Decimal("0.01")
+    # DECIMAL(18,2) ceiling: 16 integer digits. Batch parity for
+    # finite out-of-range values is a LOUD failure — empirically
+    # probed this session: under the session's ANSI default,
+    # CAST(1e16 AS DECIMAL(18,2)) raises NUMERIC_VALUE_OUT_OF_RANGE
+    # (kills the batch job), while NaN AND Infinity cast to NULL.
+    # Previously the stream silently folded huge finite values into
+    # the moments (opposite verdicts vs a batch that would have
+    # failed loud) and DIED with decimal.InvalidOperation on
+    # Infinity where batch yields NULL (r16 review).
+    dec_max = Decimal("9999999999999999.99")
     out = []
+    # NaN/Inf baseline entries (buf holds None): the batch plan's
+    # CAST AS DECIMAL is NULL for both — excluded from SUM but
+    # counted by COUNT(1) — so mirror exactly: n counts them, the
+    # moments skip them. Previously Decimal('NaN') poisoned the sums
+    # and max(0.0, nan) silently zeroed the variance, suppressing ALL
+    # anomalies for the next `window` events (r13 review, reproduced).
+    # The moments are folded ONCE from the carried baseline and
+    # updated incrementally per event (r16 review: a fresh
+    # O(window) exact-decimal re-sum per event made a micro-batch
+    # cost O(n*window); Decimal arithmetic is exact, so
+    # add-on-append / subtract-on-evict is bit-identical)
+    s_dec = sum((x for x in buf if x is not None), Decimal(0))
+    q_dec = sum((x * x for x in buf if x is not None), Decimal(0))
     for v in values:
         n = len(buf)
         z = None
         if n >= min_n:
-            # NaN baseline entries (buf holds None): the batch plan's
-            # CAST(NaN AS DECIMAL) is NULL — excluded from SUM but
-            # counted by COUNT(1) — so mirror exactly: n counts them,
-            # the moments skip them. Previously Decimal('NaN')
-            # poisoned the sums and max(0.0, nan) silently zeroed the
-            # variance, suppressing ALL anomalies for the next
-            # `window` events (r13 review, reproduced)
-            real = [x for x in buf if x is not None]
-            s_dec = sum(real, Decimal(0))
-            q_dec = sum((x * x for x in real), Decimal(0))
             s, q, nn = float(s_dec), float(q_dec), float(n)
             if nn < 2:
                 # batch parity for min_n < 2 (r14 review): Spark's
@@ -99,11 +112,26 @@ def _score_series(values, buf, window, min_n, z_threshold):
         # quantizing the exact binary value yields 0.28 — quantize the
         # shortest repr to match the batch plan bit-for-bit (r7 review
         # catch)
-        buf.append(
-            None if math.isnan(v)
-            else Decimal(repr(v)).quantize(cent, rounding=ROUND_HALF_UP)
-        )
-        del buf[:-window]
+        if math.isnan(v) or math.isinf(v):
+            nv = None  # batch: CAST(NaN/Inf AS DECIMAL) is NULL
+        else:
+            nv = Decimal(repr(v)).quantize(
+                cent, rounding=ROUND_HALF_UP
+            )
+            if abs(nv) > dec_max:
+                raise ValueError(
+                    f"value {v!r} cannot be represented as "
+                    f"DECIMAL(18,2) — batch parity with the ANSI "
+                    f"NUMERIC_VALUE_OUT_OF_RANGE cast failure"
+                )
+            s_dec += nv
+            q_dec += nv * nv
+        buf.append(nv)
+        while len(buf) > window:
+            evicted = buf.pop(0)
+            if evicted is not None:
+                s_dec -= evicted
+                q_dec -= evicted * evicted
     return out
 
 
@@ -128,13 +156,18 @@ def anomaly_stream(
     next event (min_n gating applies again, exactly like a first-seen
     user). Pass ``idle_timeout_ms=None`` to keep keys forever.
 
-    NaN values mirror the batch plan exactly (r13 review, reproduced
-    against the batch operator): a NaN is counted in the baseline n
-    but excluded from the moments, and a NaN value's own z flags
-    is_anomaly=True (Spark orders NaN above all doubles). One
-    representational caveat: the batch emits z=NaN for that row,
-    while the Arrow/pandas boundary here surfaces it as NULL —
-    is_anomaly carries the verdict identically on both paths."""
+    NaN and Infinity values mirror the batch plan exactly (r13
+    review + r16 probe, both reproduced against the batch operator):
+    either is counted in the baseline n but excluded from the
+    moments (CAST AS DECIMAL yields NULL for both under ANSI), and
+    such a value's own z flags is_anomaly=True (Spark orders NaN
+    above all doubles; ±Inf has infinite |z|). Finite values too
+    large for DECIMAL(18,2) fail LOUD — the same verdict the batch
+    job's ANSI cast reaches via NUMERIC_VALUE_OUT_OF_RANGE — rather
+    than silently skewing the baseline. One representational caveat:
+    the batch emits z=NaN for a NaN row, while the Arrow/pandas
+    boundary here surfaces it as NULL — is_anomaly carries the
+    verdict identically on both paths."""
     evict = idle_timeout_ms is not None
 
     def score(key, pdfs, state: GroupState):
@@ -151,7 +184,7 @@ def anomaly_stream(
         # reload as the None marker (batch-parity NULLs).
         cent = Decimal("0.01")
         buf = (
-            [None if math.isnan(x)
+            [None if (math.isnan(x) or math.isinf(x))
              else Decimal(repr(x)).quantize(cent, rounding=ROUND_HALF_UP)
              for x in state.get[0]]
             if state.exists else []

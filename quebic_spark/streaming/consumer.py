@@ -75,14 +75,11 @@ def read_queue_stream(
                 "maxFilesPerTrigger", max_files_per_trigger
             )
         df = reader.load()
-        now_ms = F.unix_millis(F.current_timestamp())
-        return df.filter(
-            (F.col("expires_at") < 0) | (F.col("expires_at") > now_ms)
-        ).withColumn(
-            # format-v1 files lack codec_id on disk and scan as NULL;
-            # the queue-level codec is the old implicit semantics
-            "codec_id",
-            F.coalesce(F.col("codec_id"), F.lit(queue.codec.id)),
+        # shared with Queue.read_pending (one home for the TTL filter
+        # and codec backfill); current_timestamp re-evaluates per
+        # micro-batch, which is the streaming TTL contract
+        return queue.live_codec_view(
+            df, F.unix_millis(F.current_timestamp())
         )
     except Exception:
         queue.unpin_compaction()  # no stream ever attached
@@ -155,9 +152,20 @@ class StreamingConsumer:
         self.checkpoint_dir = checkpoint_dir or os.path.join(
             queue._storage.path, "checkpoint"
         )
+        if checkpoint_dir is not None:
+            # external checkpoint: the queue's durable
+            # attached-heuristic only watches the default in-queue
+            # path, so without registration a later full compaction
+            # (after this consumer's pin is released) would merge the
+            # consumed files under new names and the next run would
+            # silently redeliver every consumed row (r16 review)
+            queue.register_stream_checkpoint(self.checkpoint_dir)
         self.error_permit = error_permit
         self.compact_every_batches = compact_every_batches
         self._batches_since_compact = 0
+        # set per run: a source rate limit (maxFilesPerTrigger) defers
+        # LISTED files to later micro-batches; see _wrap
+        self._rate_limited = False
         self._failures_path = os.path.join(
             self.checkpoint_dir, "quebic-failures.json"
         )
@@ -225,10 +233,21 @@ class StreamingConsumer:
                     # merge_undiscovered is safe exactly HERE: the
                     # source lists between micro-batches, and this
                     # runs inside one, so no listing can race the
-                    # merge of never-listed small files
+                    # merge of never-listed small files — UNLESS a
+                    # rate limit is active (r16 review): with
+                    # maxFilesPerTrigger the source lists files
+                    # up-front but WALs them into the offset log only
+                    # at their own batch, so files it has ALREADY
+                    # listed in memory look 'undiscovered' to the
+                    # checkpoint parse; merging+deleting them makes
+                    # the next batch WAL dead paths and wedges the
+                    # stream (FileNotFoundException on every restart
+                    # until the checkpoint is hand-edited). Rate-
+                    # limited runs therefore take delete-only mode;
+                    # the merge tier resumes on unlimited runs.
                     self.queue.compact(
                         stream_checkpoint=self.checkpoint_dir,
-                        merge_undiscovered=True,
+                        merge_undiscovered=not self._rate_limited,
                     )
 
         return on_batch
@@ -247,6 +266,7 @@ class StreamingConsumer:
         queue was drained (r13 review). Batches consumed before the
         timeout stay committed in the checkpoint; re-running continues
         from there. ``timeout_s=None`` waits indefinitely."""
+        self._rate_limited = bool(max_files_per_trigger)
         stream = read_queue_stream(
             self.spark, self.queue, max_files_per_trigger
         )
@@ -286,6 +306,7 @@ class StreamingConsumer:
         compaction pin taken for this query is released when the query
         terminates (listener below), so a stopped stream no longer
         holds compaction off for the life of the process."""
+        self._rate_limited = bool(max_files_per_trigger)
         stream = read_queue_stream(
             self.spark, self.queue, max_files_per_trigger
         )

@@ -288,6 +288,15 @@ def test_pin_released_when_continuous_query_stops(qpath, spark):
     while q._compaction_pins and time.time() < deadline:
         time.sleep(0.1)  # listener bus delivers asynchronously
     assert q._compaction_pins == 0
+    # the external checkpoint remains RESUMABLE after stop, so the
+    # queue stays attached via registration (r16: full compaction
+    # here merged consumed files under new names and the next run
+    # redelivered every consumed row) — full mode returns only once
+    # the checkpoint itself is gone
+    assert q._stream_attached()
+    import shutil
+
+    shutil.rmtree(qpath + "-external-ckpt")
     q.compact()
     assert not q.last_compact_skipped
     q.dispose()
@@ -887,3 +896,71 @@ def test_snapshot_dedup_rejects_reserved_might_dup(spark):
     bloom = build_bloom(snap, "content_key")
     with pytest.raises(ValueError, match="_might_dup"):
         dedup_stream_against_snapshot(stream, snap, bloom=bloom)
+
+
+def test_rate_limited_compact_skips_undiscovered_merge(qpath, spark):
+    """r16 review: with maxFilesPerTrigger the source lists files
+    up-front but WALs them into the offset log only at their own
+    micro-batch — files it has ALREADY listed look 'undiscovered' to
+    the checkpoint parse, so merging+deleting them makes the next
+    batch WAL dead paths and wedges the stream. Rate-limited runs
+    must take delete-only mode (and the whole backlog must still
+    drain — this test would have crashed with FileNotFoundException
+    under merge mode)."""
+    q = Queue(qpath, SCHEMA, capacity=10000, auto_compact_files=None)
+    for i in range(8):  # 8 small files, one per push
+        q.publisher().push([i, f"v{i}"])
+    merge_flags: list[bool] = []
+    real_compact = q.compact
+
+    def spy_compact(*a, **kw):
+        merge_flags.append(kw.get("merge_undiscovered", False))
+        return real_compact(*a, **kw)
+
+    q.compact = spy_compact
+    got: list[int] = []
+    consumer = StreamingConsumer(spark, q, compact_every_batches=1)
+    consumer.run_available(
+        lambda df, _: got.extend(r["c0"] for r in df.collect()),
+        max_files_per_trigger=2,
+    )
+    assert sorted(got) == list(range(8))
+    assert merge_flags and not any(merge_flags), merge_flags
+    # an unlimited run keeps the merge tier
+    q.publisher().push([100, "x"])
+    consumer.run_available(
+        lambda df, _: None,
+    )
+    assert merge_flags[-1] is True, merge_flags
+    q.dispose()
+
+
+def test_external_checkpoint_survives_full_compaction(tmp_path, spark):
+    """r16 review: a consumer with an EXTERNAL checkpoint_dir
+    unpinned on return, and the durable attached-heuristic only
+    watches the default in-queue checkpoint — a later full compact()
+    merged the consumed files under new names, and the next run
+    silently redelivered every consumed row. Registration makes the
+    queue treat the external checkpoint as attached while it exists."""
+    qdir = str(tmp_path / "q")
+    ckpt = str(tmp_path / "elsewhere_ckpt")
+    q = Queue(qdir, SCHEMA, capacity=10000, auto_compact_files=None)
+    for i in range(6):
+        q.publisher().push([i, f"v{i}"])
+    first: list[int] = []
+    consumer = StreamingConsumer(spark, q, checkpoint_dir=ckpt)
+    consumer.run_available(
+        lambda df, _: first.extend(r["c0"] for r in df.collect())
+    )
+    assert sorted(first) == list(range(6))
+    # the hole: a full compact here (pins released) rewrote consumed
+    # files under new names. With registration, compact takes the
+    # stream-safe path against the external checkpoint instead.
+    assert q._stream_attached()
+    q.compact()
+    second: list[int] = []
+    StreamingConsumer(spark, q, checkpoint_dir=ckpt).run_available(
+        lambda df, _: second.extend(r["c0"] for r in df.collect())
+    )
+    assert second == [], f"redelivered consumed rows: {second}"
+    q.dispose()

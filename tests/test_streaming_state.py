@@ -597,3 +597,83 @@ def test_stream_scorer_min_n_below_two_matches_batch(spark):
             assert z is None, (i, z)
         else:
             assert abs(z - e.z) < 1e-12, (i, z, e.z)
+
+
+def test_score_series_inf_matches_batch_null_cast():
+    """r16 probe (batch behavior verified empirically this session):
+    CAST(Infinity AS DECIMAL(18,2)) is NULL under ANSI, exactly like
+    NaN — the stream previously died with decimal.InvalidOperation
+    on an Inf value. Inf must enter the baseline as the None marker
+    (counted in n, excluded from the moments) and flag its own row
+    anomalous (infinite |z|)."""
+    from quebic_spark.streaming.anomaly import _score_series
+
+    buf = []
+    out = _score_series(
+        [10.0, 10.5, 9.5, float("inf"), 10.2, 10.4, 10.1],
+        buf, window=50, min_n=3, z_threshold=3.0,
+    )
+    # the inf row scores against a real 3-value baseline: z = +inf
+    n, z, flag = out[3]
+    assert n == 3 and z == float("inf") and flag is True
+    # the following rows count inf in n but not in the moments:
+    # verdicts must be finite and sane, never poisoned
+    for n, z, flag in out[4:]:
+        assert z is None or (z == z and abs(z) != float("inf"))
+    # buf carries the None marker in the inf slot
+    assert buf[3] is None and all(
+        b is not None for i, b in enumerate(buf) if i != 3
+    )
+
+
+def test_score_series_overflow_fails_loud_like_ansi_batch():
+    """r16 probe: under the session's ANSI default the batch job
+    RAISES NUMERIC_VALUE_OUT_OF_RANGE for a finite value too large
+    for DECIMAL(18,2) (1e16). The stream previously folded the value
+    into the moments silently — opposite of the batch verdict. Same
+    loud failure now."""
+    from quebic_spark.streaming.anomaly import _score_series
+
+    with pytest.raises(ValueError, match="DECIMAL"):
+        _score_series([1e16], [], window=50, min_n=3, z_threshold=3.0)
+    # the boundary value that still fits must pass
+    out = _score_series(
+        [9.99e15], [], window=50, min_n=3, z_threshold=3.0
+    )
+    assert out[0][0] == 0
+
+
+def test_score_series_incremental_moments_match_fresh_fold():
+    """r16 efficiency rewrite: the moments are folded once and
+    updated add-on-append / subtract-on-evict. Decimal arithmetic is
+    exact, so scoring a series event-by-event with a carried buffer
+    must be bit-identical to scoring it in one call — including
+    across evictions and None (NaN) markers."""
+    import random
+
+    from quebic_spark.streaming.anomaly import _score_series
+
+    rnd = random.Random(7)
+    series = [
+        float("nan") if i % 11 == 0 else rnd.uniform(-50, 50)
+        for i in range(120)
+    ]
+    buf_once = []
+    once = _score_series(series, buf_once, window=9, min_n=3,
+                         z_threshold=2.0)
+    buf_step = []
+    stepped = []
+    for v in series:
+        stepped.extend(
+            _score_series([v], buf_step, window=9, min_n=3,
+                          z_threshold=2.0)
+        )
+    def canon(res):
+        # NaN != NaN would fail tuple equality on identical results
+        return [
+            (n, "nan" if (z is not None and z != z) else z, a)
+            for n, z, a in res
+        ]
+
+    assert canon(once) == canon(stepped)
+    assert buf_once == buf_step

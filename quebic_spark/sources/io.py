@@ -266,8 +266,23 @@ def write_corpus_shards(
             "rename it before write_corpus_shards"
         )
     order = list(order_by) if order_by else [key_col]
+    # NULL keys fail LOUD, in-plan, before any data lands: md5(NULL) is
+    # NULL, so a NULL key row would silently write into the Hive
+    # default partition — unaddressable as shard=K, invisible to the
+    # pruning reader's shards=[...] filter — and then crash the
+    # manifest build with a bare int(None) TypeError AFTER the write
+    # (r16 review, reproduced). raise_error costs nothing on the
+    # non-NULL path and needs no extra validation pass over the input.
+    shard_of_key = F.when(
+        F.col(key_col).isNull(),
+        F.raise_error(F.lit(
+            f"write_corpus_shards: key_col {key_col!r} contains NULL — "
+            "a NULL key has no shard; filter or repair NULL keys "
+            "before the release write"
+        )),
+    ).otherwise(hash_bucket(F.col(key_col), n_shards))
     out = (
-        df.withColumn("shard", hash_bucket(F.col(key_col), n_shards))
+        df.withColumn("shard", shard_of_key)
         .repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", *order)
     )
@@ -599,19 +614,101 @@ def write_zorder(
     out.write.mode("overwrite").partitionBy("zfile").format(fmt).save(path)
 
 
+def verify_corpus_manifest(spark: SparkSession, path: str) -> dict:
+    """Check a sharded corpus directory against its completeness
+    marker (``_corpus_manifest.json``, written LAST by
+    :func:`write_corpus_shards`) and return the manifest.
+
+    Raises ``ValueError`` when the manifest is absent (a write crashed
+    between the shard data landing and the marker commit, or the
+    directory was never a corpus release) or when the committed shard
+    set no longer matches it (a shard directory deleted, a data file
+    missing, or foreign files injected after the write) — the same
+    manifest-written-last discipline as the quebic-format sharded
+    export and the release registry, applied at READ time so a torn
+    artifact cannot be silently imported as complete. Metadata-only:
+    one JSON read + one FS listing per shard, no data pages touched,
+    so the check costs the same at 100 TB as at 100 MB."""
+    manifest = fs_read_json_path(spark, f"{path}/{CORPUS_MANIFEST_NAME}")
+    if manifest is None:
+        raise ValueError(
+            f"{path} has no {CORPUS_MANIFEST_NAME}: the write crashed "
+            "before committing its completeness marker (or this is "
+            "not a write_corpus_shards artifact) — re-run the release "
+            "write, or pass require_manifest=False to read an "
+            "UNCERTIFIED directory"
+        )
+    jvm, fs, root = hadoop_path(spark, path)
+    problems: list[str] = []
+    seen: set[str] = set()
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("shard="):
+            seen.add(name[len("shard="):])
+    declared = set(manifest.get("shards", {}))
+    if seen != declared:
+        missing = sorted(declared - seen, key=int)
+        extra = sorted(seen - declared, key=int)
+        problems.append(
+            f"shard set mismatch: missing={missing} extra={extra}"
+        )
+    for s in sorted(declared & seen, key=int):
+        d = jvm.org.apache.hadoop.fs.Path(root, f"shard={s}")
+        data = [
+            st for st in fs.listStatus(d)
+            if st.isFile()
+            and not st.getPath().getName().startswith((".", "_"))
+            and not st.getPath().getName().endswith(".crc")
+        ]
+        want = manifest["shards"][s]
+        got_files, got_bytes = len(data), sum(
+            st.getLen() for st in data
+        )
+        if got_files != want["files"] or got_bytes != want["bytes"]:
+            problems.append(
+                f"shard={s}: {got_files} files / {got_bytes} bytes on "
+                f"disk vs {want['files']} / {want['bytes']} committed"
+            )
+    if problems:
+        raise ValueError(
+            f"{path} does not match its {CORPUS_MANIFEST_NAME} — the "
+            "artifact was modified after commit or partially lost: "
+            + "; ".join(problems)
+        )
+    return manifest
+
+
 def read_corpus_shards(
     spark: SparkSession,
     path: str,
     fmt: str = "parquet",
     shards: Sequence[int] | None = None,
+    require_manifest: bool = True,
 ) -> DataFrame:
     """Scan a sharded corpus; ``shards`` restricts to a subset via the
     ``shard`` partition column, so the scan PRUNES — only the named
     shard directories are listed and read (plan-asserted in tests), the
-    access pattern a resumable multi-node loader needs."""
+    access pattern a resumable multi-node loader needs.
+
+    By default the FULL committed shard set is verified against the
+    ``_corpus_manifest.json`` completeness marker first
+    (:func:`verify_corpus_manifest` — r16 review: a write killed
+    between the shard data and the marker, or a directory hand-torn
+    afterwards, was silently importable as a complete release).
+    ``require_manifest=False`` skips the check for foreign/uncertified
+    ``shard=K`` layouts."""
     from pyspark.sql import functions as F
 
     _check_format(fmt)
+    if require_manifest:
+        manifest = verify_corpus_manifest(spark, path)
+        if manifest.get("total_rows") == 0:
+            # zero rows wrote zero part files; the scan below would
+            # die with an inference error pointing at internals
+            raise ValueError(
+                f"{path} is a committed but EMPTY release "
+                "(total_rows=0): there are no data files to scan"
+            )
     reader = spark.read.format(fmt)
     if fmt == "csv":
         # multiLine (r15 review): same phantom-record split as every

@@ -132,6 +132,104 @@ def test_corpus_shards_subset_scan_prunes(spark, sf_dir, tmp_path):
     assert "shard" in pf and ("IN (3,5)" in pf or "IN (3, 5)" in pf), pf
 
 
+def test_corpus_shards_null_key_fails_loud(spark, tmp_path):
+    """A NULL release key has no shard: md5(NULL) is NULL, so the row
+    silently landed in the Hive default partition (unaddressable as
+    shard=K, invisible to the pruning reader's shards filter) and the
+    manifest build then crashed with a bare int(None) TypeError AFTER
+    the write (r16 review). The guard raises in-plan, before any data
+    lands, naming the key column."""
+    from quebic_spark.sources.io import write_corpus_shards
+
+    df = spark.createDataFrame(
+        [("a", "x"), (None, "y"), ("b", "z")],
+        "doc_id string, text string",
+    )
+    out = str(tmp_path / "nullkey")
+    with pytest.raises(Exception, match="doc_id.*contains NULL"):
+        write_corpus_shards(spark, df, out, 2, key_col="doc_id")
+    # nothing committed: no shard dirs, no manifest
+    import os
+
+    committed = (
+        [n for n in os.listdir(out) if not n.startswith(("_", "."))]
+        if os.path.isdir(out) else []
+    )
+    assert committed == []
+
+
+def test_corpus_shards_read_verifies_completeness_marker(
+    spark, sf_dir, tmp_path
+):
+    """r16 review: a write_corpus_shards killed between the shard data
+    and the manifest commit (or a directory hand-torn afterwards) was
+    silently importable as a complete release. The reader now applies
+    the manifest-written-last discipline at READ time: absent marker,
+    missing shard, or foreign bytes in a shard dir all fail loud;
+    require_manifest=False remains the uncertified-layout escape."""
+    import os
+    import shutil
+
+    from quebic_spark.sources.io import (
+        CORPUS_MANIFEST_NAME,
+        read_corpus_shards,
+        write_corpus_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "certified")
+    man = write_corpus_shards(spark, docs, out, 4, key_col="doc_id")
+    n = man["total_rows"]
+    # intact artifact reads clean
+    assert read_corpus_shards(spark, out).count() == n
+
+    # 1) crashed-before-marker: manifest absent -> loud, escape reads
+    mpath = os.path.join(out, CORPUS_MANIFEST_NAME)
+    saved = open(mpath, "rb").read()
+    os.remove(mpath)
+    with pytest.raises(ValueError, match="no _corpus_manifest"):
+        read_corpus_shards(spark, out)
+    assert read_corpus_shards(
+        spark, out, require_manifest=False
+    ).count() == n
+    open(mpath, "wb").write(saved)
+
+    # 2) a committed shard dir deleted after the fact
+    shutil.rmtree(os.path.join(out, "shard=2"))
+    with pytest.raises(ValueError, match="missing=\\['2'\\]"):
+        read_corpus_shards(spark, out)
+    # even a pruned subset scan that skips shard 2 must refuse: the
+    # artifact no longer matches what was committed
+    with pytest.raises(ValueError, match="missing"):
+        read_corpus_shards(spark, out, shards=[0, 1])
+
+    # 3) foreign bytes injected into a surviving shard dir
+    out2 = str(tmp_path / "injected")
+    write_corpus_shards(spark, docs, out2, 2, key_col="doc_id")
+    with open(os.path.join(out2, "shard=1", "part-rogue.parquet"),
+              "wb") as f:
+        f.write(b"not parquet")
+    with pytest.raises(ValueError, match="shard=1"):
+        read_corpus_shards(spark, out2)
+
+
+def test_corpus_shards_empty_release_reads_loud(spark, tmp_path):
+    """A committed zero-row release has no data files; the scan died
+    with a schema-inference error pointing at internals — name the
+    real state instead."""
+    from quebic_spark.sources.io import (
+        read_corpus_shards,
+        write_corpus_shards,
+    )
+
+    df = spark.createDataFrame([], "doc_id string, text string")
+    out = str(tmp_path / "empty")
+    man = write_corpus_shards(spark, df, out, 2, key_col="doc_id")
+    assert man["total_rows"] == 0
+    with pytest.raises(ValueError, match="EMPTY release"):
+        read_corpus_shards(spark, out)
+
+
 def test_corpus_shards_deterministic_across_writes(spark, sf_dir, tmp_path):
     """Two independent writes produce identical (shard, ordered keys)
     layouts — retry/rerun stability of the release artifact."""

@@ -86,7 +86,8 @@ def register_release(
 
 
 def register_phrase_index(
-    spark: SparkSession, path: str, name: str = "postings"
+    spark: SparkSession, path: str, name: str = "postings",
+    require_commit_marker: bool = True,
 ) -> DataFrame:
     """Register a persisted posting index (``textops.build_phrase_index``)
     as a temp view, so corpus audits — "where does this eval string /
@@ -95,7 +96,27 @@ def register_phrase_index(
     The view is the bare bucketed-parquet scan: a ``token = '...'``
     predicate in SQL still lands in the parquet scan's PushedFilters
     (asserted in tests/test_sql.py), so a search reads the phrase
-    tokens' posting lists, never the whole index. Returns the frame."""
+    tokens' posting lists, never the whole index. Returns the frame.
+
+    The index build's ``_SUCCESS`` job-commit marker is required by
+    default (r16 review): a ``build_phrase_index`` overwrite killed
+    mid-job-commit leaves a PARTIAL part-file set that parquet reads
+    without complaint — and a posting index missing postings silently
+    misses matches, the worst failure an audit index can have.
+    ``require_commit_marker=False`` admits indexes produced by writers
+    that disable the marker."""
+    if require_commit_marker:
+        from quebic_spark.sources.io import fs_exists
+
+        if not fs_exists(spark, f"{path}/_SUCCESS"):
+            raise ValueError(
+                f"{path} has no _SUCCESS job-commit marker: the index "
+                "build crashed before committing (a partial posting "
+                "set silently MISSES matches) — rebuild with "
+                "build_phrase_index, or pass "
+                "require_commit_marker=False for an index written "
+                "without markers"
+            )
     df = spark.read.parquet(path)
     df.createOrReplaceTempView(name)
     return df

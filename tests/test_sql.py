@@ -137,6 +137,35 @@ def test_register_phrase_index_sql_join_with_pushdown(
     assert got == want and got
 
 
+def test_register_phrase_index_requires_commit_marker(
+    spark, sf_dir, tmp_path
+):
+    """r16 review: a build_phrase_index overwrite killed mid-job-commit
+    leaves a partial part-file set that parquet reads silently — and a
+    posting index missing postings silently misses matches. The
+    register path requires the _SUCCESS job-commit marker by default;
+    require_commit_marker=False stays as the escape for writers that
+    disable markers."""
+    import os
+
+    import pytest
+
+    from quebic_spark.operators.textops import build_phrase_index
+    from quebic_spark.sql import register_phrase_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx_path = str(tmp_path / "postings")
+    build_phrase_index(docs, idx_path, n_buckets=4)
+    os.remove(os.path.join(idx_path, "_SUCCESS"))
+    with pytest.raises(ValueError, match="_SUCCESS"):
+        register_phrase_index(spark, idx_path, "postings_torn")
+    df = register_phrase_index(
+        spark, idx_path, "postings_unverified",
+        require_commit_marker=False,
+    )
+    assert df.count() > 0
+
+
 def test_register_ivf_search_composes_in_sql(
     spark, sf_dir, tmp_path, monkeypatch
 ):

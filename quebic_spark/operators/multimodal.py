@@ -7,8 +7,10 @@ runs as Arrow-batched ``mapInPandas``. Two decode tiers:
 * REAL decoders for formats parseable with stdlib + numpy (24-bit BMP
   header+pixel parsing, PCM WAV via the wave module, non-interlaced
   8-bit RGB PNG via zlib inflate + scanline unfiltering, baseline
-  DCT JPEG via ``functions/jpeg.py``, MP4 container METADATA via the
-  ISO-BMFF box walk — structure real, pixel decode out of scope) —
+  DCT JPEG via ``functions/jpeg.py``, MP4 via the ISO-BMFF box walk —
+  container metadata always; real first-frame pixels when the track
+  is Motion-JPEG (r16), metadata-only for inter-frame codecs like
+  H.264 whose pixel decode stays out of scope) —
   ``decode_media`` auto-detects by magic bytes;
 * the clearly-marked deterministic stub (``_fake_decode`` /
   ``_stub_dims``) for everything needing PIL/ffmpeg, which this
@@ -345,39 +347,23 @@ def _mp4_find(data: bytes, start: int, end: int, *path: bytes):
     return None
 
 
-def decode_mp4(payload: bytes) -> dict:
-    """Parse ISO-BMFF (MP4) CONTAINER METADATA with stdlib struct: box
-    walk to mvhd (timescale/duration), the video track's tkhd
-    (16.16-fixed width/height), and its stsz (sample count =
-    n_frames). This is the honest decode tier for video in a
-    container without codecs: the STRUCTURE is real and validated,
-    pixel decode is out of scope, so ``mean_value`` stays NULL (the
-    real decoders prove pixel access via the mean; NULL marks
-    metadata-only).
+# QuickTime/ISO Motion-JPEG sample-entry fourccs: every sample is a
+# standalone JPEG image, so functions/jpeg.py decodes real pixels —
+# the same honesty tier as the AVI/MJPEG path. Anything else
+# (avc1/hvc1/...) is an entropy-coded inter-frame codec and stays
+# metadata-only by design.
+_MJPEG_MP4_CODECS = (b"jpeg", b"mjpa", b"mjpb")
 
-    PERMANENT scope (r10): MP4 video tracks are H.264/H.265 — an
-    inter-frame DCT codec with entropy coding that stdlib cannot
-    honestly decode (the container ships no pixels to 'sample'). The
-    repo's real-video-pixel claim is carried by the AVI/MJPEG tier
-    (decode_avi: exact first-frame pixels through functions/jpeg);
-    MP4 stays the metadata tier by design, not as a TODO."""
+
+def _mp4_video_trak(payload: bytes):
+    """Body extent of the first trak whose tkhd has a nonzero visual
+    extent (the video track), plus its parsed (width, height).
+    Returns ``(b0, b1, width, height)`` or None."""
     import struct
 
     moov = _mp4_find(payload, 0, len(payload), b"moov")
     if moov is None:
         raise ValueError("no moov box")
-    mvhd = _mp4_find(payload, moov[0], moov[1], b"mvhd")
-    if mvhd is None:
-        raise ValueError("no mvhd box")
-    version = payload[mvhd[0]]
-    if version != 0:
-        raise ValueError("mvhd version 1 (64-bit times) unsupported")
-    timescale, duration = struct.unpack_from(
-        ">II", payload, mvhd[0] + 12
-    )
-
-    width = height = None
-    n_frames = None
     for btype, b0, b1 in _mp4_boxes(payload, moov[0], moov[1]):
         if btype != b"trak":
             continue
@@ -397,7 +383,169 @@ def decode_mp4(payload: bytes) -> dict:
         )
         if w_fx == 0 or h_fx == 0:
             continue  # audio/hint track
-        width, height = w_fx >> 16, h_fx >> 16
+        return b0, b1, w_fx >> 16, h_fx >> 16
+    return None
+
+
+def _mp4_stsd_fourcc(payload: bytes, trak_b0: int, trak_b1: int):
+    """First sample-entry fourcc of the track's stsd, or None when the
+    stsd box is absent (metadata-only containers)."""
+    import struct
+
+    stsd = _mp4_find(
+        payload, trak_b0, trak_b1, b"mdia", b"minf", b"stbl", b"stsd"
+    )
+    if stsd is None:
+        return None
+    n_entries = struct.unpack_from(">I", payload, stsd[0] + 4)[0]
+    if n_entries < 1 or stsd[0] + 16 > stsd[1]:
+        raise ValueError("malformed stsd (no sample entries)")
+    entry_size = struct.unpack_from(">I", payload, stsd[0] + 8)[0]
+    if entry_size < 8 or stsd[0] + 8 + entry_size > stsd[1]:
+        raise ValueError(f"bad stsd entry size {entry_size}")
+    return payload[stsd[0] + 12:stsd[0] + 16]
+
+
+def _mp4_sample_table(payload: bytes, trak_b0: int, trak_b1: int):
+    """Parse the track's stsz/stsc/stco into ``(sizes, chunk_offsets,
+    stsc_entries)`` — everything needed to locate every sample's byte
+    extent. co64 (64-bit offsets) is rejected like 64-bit box sizes;
+    a missing table box raises (callers only reach here after the
+    stsd codec check said the samples are decodable)."""
+    import struct
+
+    stbl = _mp4_find(
+        payload, trak_b0, trak_b1, b"mdia", b"minf", b"stbl"
+    )
+    if stbl is None:
+        raise ValueError("no stbl box")
+    found = {}
+    for btype, b0, b1 in _mp4_boxes(payload, stbl[0], stbl[1]):
+        if btype in (b"stsz", b"stsc", b"stco", b"co64"):
+            found[btype] = (b0, b1)
+    if b"co64" in found and b"stco" not in found:
+        raise ValueError("co64 (64-bit chunk offsets) unsupported")
+    for need in (b"stsz", b"stsc", b"stco"):
+        if need not in found:
+            raise ValueError(f"no {need.decode()} box")
+
+    b0, b1 = found[b"stsz"]
+    uniform, count = struct.unpack_from(">II", payload, b0 + 4)
+    if uniform:
+        sizes = [uniform] * count
+    else:
+        if b0 + 12 + 4 * count > b1:
+            raise ValueError("stsz size table truncated")
+        sizes = list(
+            struct.unpack_from(f">{count}I", payload, b0 + 12)
+        )
+
+    b0, b1 = found[b"stco"]
+    n_chunks = struct.unpack_from(">I", payload, b0 + 4)[0]
+    if b0 + 8 + 4 * n_chunks > b1:
+        raise ValueError("stco offset table truncated")
+    chunk_offsets = list(
+        struct.unpack_from(f">{n_chunks}I", payload, b0 + 8)
+    )
+
+    b0, b1 = found[b"stsc"]
+    n_ent = struct.unpack_from(">I", payload, b0 + 4)[0]
+    if b0 + 8 + 12 * n_ent > b1:
+        raise ValueError("stsc entry table truncated")
+    stsc = []
+    for i in range(n_ent):
+        first_chunk, per_chunk, _desc = struct.unpack_from(
+            ">III", payload, b0 + 8 + 12 * i
+        )
+        stsc.append((first_chunk, per_chunk))
+    if not stsc or stsc[0][0] != 1:
+        raise ValueError("stsc must start at chunk 1")
+    return sizes, chunk_offsets, stsc
+
+
+def mp4_frames(payload: bytes):
+    """Yield each video sample's bytes from an MJPEG MP4/MOV, in
+    sample order — the container-extraction twin of ``avi_frames``.
+    Walks stsc (sample-to-chunk runs) over the stco chunk offsets
+    with per-sample sizes from stsz; samples inside a chunk are
+    contiguous by the ISO-BMFF layout rules. Raises ValueError for
+    non-MP4 payloads, non-MJPEG codecs (no pixels to extract — the
+    metadata tier handles those), and sample extents outside the
+    buffer (truncated mdat)."""
+    trak = _mp4_video_trak(payload)
+    if trak is None:
+        raise ValueError("no video track (tkhd with nonzero extent)")
+    b0, b1 = trak[0], trak[1]
+    fourcc = _mp4_stsd_fourcc(payload, b0, b1)
+    if fourcc not in _MJPEG_MP4_CODECS:
+        raise ValueError(
+            f"not an MJPEG track (stsd {fourcc!r}); only "
+            f"{_MJPEG_MP4_CODECS} carry per-sample JPEG pixels"
+        )
+    sizes, chunk_offsets, stsc = _mp4_sample_table(payload, b0, b1)
+    idx = 0
+    for chunk_no, off in enumerate(chunk_offsets, start=1):
+        per = 0
+        for first_chunk, per_chunk in stsc:
+            if first_chunk <= chunk_no:
+                per = per_chunk
+            else:
+                break
+        for _ in range(per):
+            if idx >= len(sizes):
+                return
+            size = sizes[idx]
+            if off + size > len(payload):
+                raise ValueError(
+                    f"sample {idx} extent {off}+{size} overruns "
+                    f"payload ({len(payload)} bytes)"
+                )
+            yield payload[off:off + size]
+            off += size
+            idx += 1
+    if idx < len(sizes):
+        raise ValueError(
+            f"chunk table covers {idx} of {len(sizes)} samples"
+        )
+
+
+def decode_mp4(payload: bytes) -> dict:
+    """Parse ISO-BMFF (MP4) with stdlib struct: box walk to mvhd
+    (timescale/duration), the video track's tkhd (16.16-fixed
+    width/height), and its stsz (sample count = n_frames). When the
+    stsd sample entry is Motion-JPEG (``jpeg``/``mjpa``/``mjpb`` —
+    every sample a standalone JPEG), the FIRST frame's pixels are
+    decoded through ``functions/jpeg`` for ``mean_value``, the same
+    pixel-access proof as the AVI/MJPEG tier (r16; the old "MP4 is
+    metadata-only" scope over-generalized from H.264 to the
+    container).
+
+    For entropy-coded inter-frame codecs (H.264/H.265 — avc1/hvc1
+    sample entries) pixel decode remains out of scope by design:
+    stdlib cannot honestly decode them, so ``mean_value`` stays NULL
+    (NULL marks metadata-only), as does a bare metadata container
+    with no stsd at all."""
+    import struct
+
+    moov = _mp4_find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    mvhd = _mp4_find(payload, moov[0], moov[1], b"mvhd")
+    if mvhd is None:
+        raise ValueError("no mvhd box")
+    version = payload[mvhd[0]]
+    if version != 0:
+        raise ValueError("mvhd version 1 (64-bit times) unsupported")
+    timescale, duration = struct.unpack_from(
+        ">II", payload, mvhd[0] + 12
+    )
+
+    width = height = None
+    n_frames = None
+    mean = None
+    trak = _mp4_video_trak(payload)
+    if trak is not None:
+        b0, b1, width, height = trak
         stsz = _mp4_find(
             payload, b0, b1,
             b"mdia", b"minf", b"stbl", b"stsz",
@@ -406,7 +554,13 @@ def decode_mp4(payload: bytes) -> dict:
             n_frames = struct.unpack_from(
                 ">I", payload, stsz[0] + 8
             )[0]
-        break
+        if _mp4_stsd_fourcc(payload, b0, b1) in _MJPEG_MP4_CODECS:
+            from quebic_spark.functions.jpeg import decode_jpeg
+
+            first = next(mp4_frames(payload), None)
+            if first is None:
+                raise ValueError("MJPEG track with zero samples")
+            mean = decode_jpeg(first)["mean_value"]
     if width is None:
         raise ValueError("no video track (tkhd with nonzero extent)")
     # uint32 box fields must fit the int32 output schema: an
@@ -426,20 +580,23 @@ def decode_mp4(payload: bytes) -> dict:
         # movie timescale doubles as the temporal sample rate field
         "sample_rate": timescale if duration else None,
         "channels": None,
-        "mean_value": None,
+        # real first-frame pixels for MJPEG tracks; NULL marks the
+        # metadata-only tier (inter-frame codecs / bare containers)
+        "mean_value": mean,
     }
 
 
 # ---------------------------------------------------------------------------
-# AVI / MJPEG — the REAL video decode tier (r9). Motion-JPEG in a RIFF
-# AVI container is the one mainstream video format fully decodable with
-# this repo's own pure-Python machinery: the container is stdlib-struct
-# RIFF chunks and every frame is a baseline JPEG, which
-# ``functions/jpeg.py`` already decodes exactly. So unlike MP4/H.264
-# (container metadata only — entropy-coded inter-frame codecs stay out
-# of scope, honestly flagged by mean_value=NULL), AVI gets pixel-level
-# evidence: ``decode_avi`` decodes the FIRST frame's pixels for its
-# mean, and ``video_frame_sample`` decodes every sampled frame.
+# AVI / MJPEG — the REAL video decode tier (r9; MJPEG-in-MP4 joined
+# it in r16 via mp4_frames). Motion-JPEG is fully decodable with this
+# repo's own pure-Python machinery whatever the wrapper: the RIFF AVI
+# container is stdlib-struct chunks and every frame is a baseline
+# JPEG, which ``functions/jpeg.py`` already decodes exactly. Unlike
+# H.264/H.265 tracks (entropy-coded inter-frame codecs stay out of
+# scope, honestly flagged by mean_value=NULL), MJPEG gets pixel-level
+# evidence: ``decode_avi``/``decode_mp4`` decode the FIRST frame's
+# pixels for their mean, and ``video_frame_sample`` decodes every
+# sampled frame from either container.
 # Public layout per the Microsoft RIFF/AVI spec: 'avih' main header,
 # 'strl' stream list ('strh' + BITMAPINFOHEADER 'strf'), frames as
 # '00dc' chunks inside LIST 'movi', everything word-aligned.
@@ -609,6 +766,117 @@ def encode_avi_mjpeg(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_mp4_mjpeg(
+    frames: "list[bytes]", width: int, height: int, fps: int = 25,
+    frames_per_chunk: int | None = None,
+) -> bytes:
+    """Build a minimal ISO-BMFF MP4 with one Motion-JPEG video track
+    from pre-encoded JPEG frames (the write twin of
+    decode_mp4/mp4_frames, and the test-data synthesizer — pair with
+    ``functions/jpeg.encode_jpeg``). Layout: ftyp + mdat (all samples,
+    chunked per ``frames_per_chunk``; None = one chunk) + moov with a
+    full sample table (stsd 'jpeg', stts, stsc, stsz, stco). A
+    trailing partial chunk gets its own stsc run, so non-divisible
+    frame counts exercise the multi-entry sample-to-chunk walk."""
+    import struct
+
+    if not frames:
+        raise ValueError("at least one frame required")
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I4s", len(body) + 8, btype) + body
+
+    n = len(frames)
+    per = n if frames_per_chunk is None else int(frames_per_chunk)
+    if per < 1:
+        raise ValueError("frames_per_chunk must be >= 1")
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat = box(b"mdat", b"".join(frames))
+    # absolute file offsets: each chunk starts at its first sample
+    chunk_offsets = []
+    pos = len(ftyp) + 8  # mdat body start
+    for i in range(0, n, per):
+        chunk_offsets.append(pos)
+        pos += sum(len(f) for f in frames[i:i + per])
+    # one stsc run for the full chunks; a second for a partial tail
+    stsc_entries = [(1, per)]
+    if n % per and n > per:
+        stsc_entries.append((len(chunk_offsets), n % per))
+
+    timescale, delta = fps, 1  # 1 sample per 1/fps => duration = n
+    mvhd = box(
+        b"mvhd",
+        b"\x00" * 4 + b"\x00" * 8
+        + struct.pack(">II", timescale, n * delta)
+        + b"\x00" * 80,
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00" * 4 + b"\x00" * 72
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    stsd = box(
+        b"stsd",
+        b"\x00" * 4 + struct.pack(">I", 1)
+        + struct.pack(">I4s", 8 + 78, b"jpeg") + b"\x00" * 78,
+    )
+    stts = box(
+        b"stts", b"\x00" * 4 + struct.pack(">III", 1, n, delta)
+    )
+    stsc = box(
+        b"stsc",
+        b"\x00" * 4 + struct.pack(">I", len(stsc_entries))
+        + b"".join(
+            struct.pack(">III", fc, sc, 1) for fc, sc in stsc_entries
+        ),
+    )
+    stsz = box(
+        b"stsz",
+        b"\x00" * 4 + struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = box(
+        b"stco",
+        b"\x00" * 4 + struct.pack(">I", len(chunk_offsets))
+        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+    )
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _mp4_frame_period_us(payload: bytes):
+    """Microseconds per frame from mvhd duration/timescale and the
+    sample count — the MP4 twin of avih's dwMicroSecPerFrame; None
+    when any ingredient is missing/zero."""
+    import struct
+
+    moov = _mp4_find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        return None
+    mvhd = _mp4_find(payload, moov[0], moov[1], b"mvhd")
+    if mvhd is None or payload[mvhd[0]] != 0:
+        return None
+    timescale, duration = struct.unpack_from(
+        ">II", payload, mvhd[0] + 12
+    )
+    trak = _mp4_video_trak(payload)
+    if trak is None:
+        return None
+    stsz = _mp4_find(
+        payload, trak[0], trak[1], b"mdia", b"minf", b"stbl", b"stsz"
+    )
+    if stsz is None:
+        return None
+    n = struct.unpack_from(">I", payload, stsz[0] + 8)[0]
+    if not (timescale and duration and n):
+        return None
+    return int(duration * 1_000_000 // timescale // n)
+
+
 VIDEO_FRAME_SCHEMA = (
     "doc_id bigint, frame_idx int, frame_ts_ms bigint, width int, "
     "height int, mean_luma double, decode_ok boolean"
@@ -617,9 +885,10 @@ VIDEO_FRAME_SCHEMA = (
 
 def video_frame_sample(payloads: DataFrame, every_nth: int = 4) -> DataFrame:
     """REAL video frame sampling: every ``every_nth`` frame of each
-    MJPEG-AVI payload is extracted from the container and its JPEG
-    DECODED to pixels — one output row per sampled frame with the
-    frame's true geometry and mean luma. The explode happens inside
+    MJPEG payload (RIFF AVI or ISO-BMFF MP4/MOV container — r16) is
+    extracted and its JPEG DECODED to pixels — one output row per
+    sampled frame with the frame's true geometry and mean luma. The
+    explode happens inside
     the Arrow batch (rows out > rows in), so a long video never
     materializes driver-side; at 100 TB the input is the binary
     payload column of the stored corpus, partitioned by doc.
@@ -628,8 +897,8 @@ def video_frame_sample(payloads: DataFrame, every_nth: int = 4) -> DataFrame:
     to decode emits its row with NULL pixels and ``decode_ok=false``
     (r9 review catch — skipping silently hid mid-stream corruption
     that the container-level accounting, which only pixel-decodes
-    frame 0, cannot see). Payloads that are not decodable AVI at the
-    CONTAINER level yield no rows here — route them through
+    frame 0, cannot see). Payloads that are not a decodable MJPEG
+    container (AVI or MP4) yield no rows here — route them through
     ``media_decode_stats`` for format-level quarantine accounting.
 
     ``frame_ts_ms`` is bigint: dwMicroSecPerFrame is a full u32 (a
@@ -657,11 +926,22 @@ def video_frame_sample(payloads: DataFrame, every_nth: int = 4) -> DataFrame:
                 payload = b"" if payload is None else bytes(payload)
                 pending = None
                 try:
-                    us_pf = (
-                        _avi_header(payload)["us_per_frame"]
-                        or 1_000_000 // 25
-                    )
-                    it = avi_frames(payload)
+                    # container dispatch (r16): MJPEG frames arrive in
+                    # two mainstream wrappers — RIFF AVI and ISO-BMFF
+                    # MP4/MOV; both extract to the same per-sample
+                    # JPEG bytes, so the frame loop below is shared
+                    if detect_format(payload) == "mp4":
+                        us_pf = (
+                            _mp4_frame_period_us(payload)
+                            or 1_000_000 // 25
+                        )
+                        it = mp4_frames(payload)
+                    else:
+                        us_pf = (
+                            _avi_header(payload)["us_per_frame"]
+                            or 1_000_000 // 25
+                        )
+                        it = avi_frames(payload)
                     # avi_frames is a LAZY generator: its container-
                     # level errors ('not an AVI', 'no movi list') only
                     # raise on the first next() — pull it HERE so they

@@ -1236,6 +1236,128 @@ def test_avi_rec_list_interleaved_layout_decodes():
     assert decode_avi(rec_payload)["n_frames"] == 4
 
 
+def _mjpeg_mp4(n_frames=5, w=16, h=8, fps=10, frames_per_chunk=None):
+    import numpy as np
+
+    from quebic_spark.functions.jpeg import encode_jpeg
+    from quebic_spark.operators.multimodal import encode_mp4_mjpeg
+
+    frames = []
+    for i in range(n_frames):
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[:, :, 0] = (i * 41) % 256
+        img[:, :, 1] = 80
+        img[::2, :, 2] = 170
+        frames.append(encode_jpeg(img))
+    return encode_mp4_mjpeg(
+        frames, w, h, fps=fps, frames_per_chunk=frames_per_chunk
+    ), frames
+
+
+def test_mp4_mjpeg_first_frame_mean_and_extraction():
+    """r16: MJPEG-in-MP4 joins the real video tier — decode_mp4
+    decodes frame 0's pixels for mean_value (same proof as
+    decode_avi) and mp4_frames extracts the exact stored JPEG
+    bytes."""
+    from quebic_spark.functions.jpeg import decode_jpeg
+    from quebic_spark.operators.multimodal import (
+        decode_mp4,
+        detect_format,
+        mp4_frames,
+    )
+
+    payload, frames = _mjpeg_mp4()
+    assert detect_format(payload) == "mp4"
+    d = decode_mp4(payload)
+    assert (d["fmt"], d["width"], d["height"]) == ("mp4", 16, 8)
+    assert d["n_frames"] == 5 and d["sample_rate"] == 10
+    assert d["mean_value"] == decode_jpeg(frames[0])["mean_value"]
+    assert d["mean_value"] is not None
+    assert list(mp4_frames(payload)) == frames
+
+
+def test_mp4_mjpeg_multichunk_stsc_walk():
+    """5 frames at 2 per chunk = chunks of 2/2/1 with a two-run stsc
+    table — the sample-to-chunk walk must reassemble the exact frame
+    sequence, and a truncated mdat must raise, not yield garbage."""
+    import pytest
+
+    from quebic_spark.operators.multimodal import decode_mp4, mp4_frames
+
+    payload, frames = _mjpeg_mp4(n_frames=5, frames_per_chunk=2)
+    assert list(mp4_frames(payload)) == frames
+    assert decode_mp4(payload)["mean_value"] is not None
+    # truncation: drop bytes from the END of mdat (moov re-appended
+    # verbatim) — the mdat box extent now overruns the buffer and the
+    # box walk must fail loud rather than extract shifted garbage
+    moov_at = payload.rindex(b"moov") - 4
+    torn = payload[: moov_at - len(frames[-1]) // 2] + payload[moov_at:]
+    with pytest.raises(ValueError, match="overruns|bad box"):
+        list(mp4_frames(torn))
+
+
+def test_mp4_mjpeg_through_decode_media_and_frame_sample(spark):
+    """End-to-end: decode_media reports a REAL mean for MJPEG MP4s,
+    and video_frame_sample extracts+decodes sampled frames from the
+    MP4 container (r16 — previously AVI-only); a corrupt mid-stream
+    frame flags decode_ok=false without killing the task."""
+    from quebic_spark.functions.jpeg import decode_jpeg
+    from quebic_spark.operators.multimodal import (
+        decode_media,
+        video_frame_sample,
+    )
+
+    payload, frames = _mjpeg_mp4(n_frames=6)
+    # clobber frame 2's SOI marker in-place (same length, so the
+    # sample table still lines up; entropy-byte flips can decode to
+    # different pixels without erroring — a marker kill cannot)
+    f2_at = payload.index(frames[2])
+    corrupt = bytearray(payload)
+    corrupt[f2_at] = 0x00
+    corrupt[f2_at + 1] = 0x00
+    corrupt = bytes(corrupt)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(corrupt))],
+        "doc_id long, payload binary",
+    )
+    meta = {r["doc_id"]: r for r in decode_media(df).collect()}
+    assert meta[1]["fmt"] == "mp4"
+    assert meta[1]["mean_value"] == decode_jpeg(frames[0])["mean_value"]
+
+    rows = video_frame_sample(df, every_nth=2).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["frame_idx"]] = r
+    assert sorted(by_doc[1]) == [0, 2, 4]
+    assert all(r["decode_ok"] for r in by_doc[1].values())
+    assert by_doc[1][2]["width"] == 16
+    # corrupted frame 2: its sampled row flags the failure, frames
+    # 0/4 still decode
+    assert by_doc[2][0]["decode_ok"] and by_doc[2][4]["decode_ok"]
+    assert not by_doc[2][2]["decode_ok"]
+
+
+def test_mp4_non_mjpeg_codec_stays_metadata_tier():
+    """An inter-frame codec (avc1) keeps the honest metadata-only
+    contract: mean_value NULL, frame extraction refuses."""
+    import pytest
+
+    from quebic_spark.operators.multimodal import decode_mp4, mp4_frames
+
+    payload, _frames = _mjpeg_mp4()
+    # patch the stsd sample-entry fourcc: 'jpeg' -> 'avc1' (the stsd
+    # entry is the only place the codec name appears)
+    at = payload.index(b"jpeg")
+    h264 = payload[:at] + b"avc1" + payload[at + 4:]
+    d = decode_mp4(h264)
+    assert d["fmt"] == "mp4" and d["width"] == 16
+    assert d["n_frames"] == 5
+    assert d["mean_value"] is None
+    with pytest.raises(ValueError, match="not an MJPEG track"):
+        list(mp4_frames(h264))
+
+
 def test_video_frame_sample_flags_midstream_corrupt_frame(spark):
     """A corrupt frame mid-stream must surface as a decode_ok=false
     row (never a dead task, never a silent truncation), while healthy

@@ -253,3 +253,30 @@ def test_ctrl_pointer_tear_never_regresses_silently(old, new_delta, mask):
     assert value in (old, new), (
         f"tear of {old}->{new} parsed clean as third value {value}"
     )
+
+
+@given(
+    frames=st.lists(
+        st.binary(min_size=1, max_size=64), min_size=1, max_size=12
+    ),
+    per_chunk=st.one_of(st.none(), st.integers(1, 5)),
+)
+@settings(max_examples=60, deadline=None)
+def test_mp4_sample_table_walk_roundtrips_any_chunking(
+    frames, per_chunk
+):
+    """r16 MJPEG-MP4 tier: for ANY frame sizes and ANY chunking
+    (one chunk, uniform chunks, trailing partial chunk with its own
+    stsc run), the stsz/stsc/stco walk must return exactly the
+    encoded frame byte sequence — the invariant the first-frame mean
+    and video_frame_sample both stand on. mp4_frames never decodes,
+    so arbitrary bytes exercise the table walk directly."""
+    from quebic_spark.operators.multimodal import (
+        encode_mp4_mjpeg,
+        mp4_frames,
+    )
+
+    payload = encode_mp4_mjpeg(
+        frames, 4, 4, frames_per_chunk=per_chunk
+    )
+    assert list(mp4_frames(payload)) == frames

@@ -683,12 +683,18 @@ def verify_corpus_manifest(spark: SparkSession, path: str) -> dict:
     seen = set(on_disk)
     declared = set(manifest.get("shards", {}))
     if seen != declared:
-        missing = sorted(declared - seen, key=int)
-        extra = sorted(seen - declared, key=int)
+        # sort by (length, value), NOT int(): `seen` is whatever sits
+        # on disk — a pre-guard artifact's shard=__HIVE_DEFAULT_
+        # PARTITION__ or a foreign shard=foo must surface in THIS
+        # error, not crash the verifier with a bare int() ValueError
+        # (r16 self-review)
+        key = lambda s: (len(s), s)  # noqa: E731 — numeric-friendly
+        missing = sorted(declared - seen, key=key)
+        extra = sorted(seen - declared, key=key)
         problems.append(
             f"shard set mismatch: missing={missing} extra={extra}"
         )
-    for s in sorted(declared & seen, key=int):
+    for s in sorted(declared & seen, key=lambda s: (len(s), s)):
         want = manifest["shards"][s]
         got_files, got_bytes = on_disk[s]
         if got_files != want["files"] or got_bytes != want["bytes"]:

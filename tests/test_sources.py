@@ -213,6 +213,29 @@ def test_corpus_shards_read_verifies_completeness_marker(
         read_corpus_shards(spark, out2)
 
 
+def test_corpus_shards_nonnumeric_foreign_shard_dir_reported(
+    spark, sf_dir, tmp_path
+):
+    """A non-numeric shard directory (a pre-guard artifact's
+    shard=__HIVE_DEFAULT_PARTITION__, or a foreign shard=foo) must
+    surface in the mismatch error itself — the first cut sorted the
+    report with key=int and crashed the verifier with a bare
+    int() ValueError instead (r16 self-review)."""
+    import os
+
+    from quebic_spark.sources.io import (
+        read_corpus_shards,
+        write_corpus_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "foreign")
+    write_corpus_shards(spark, docs, out, 2, key_col="doc_id")
+    os.makedirs(os.path.join(out, "shard=__HIVE_DEFAULT_PARTITION__"))
+    with pytest.raises(ValueError, match="HIVE_DEFAULT_PARTITION"):
+        read_corpus_shards(spark, out)
+
+
 def test_corpus_shards_empty_release_reads_loud(spark, tmp_path):
     """A committed zero-row release has no data files; the scan died
     with a schema-inference error pointing at internals — name the

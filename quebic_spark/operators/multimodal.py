@@ -460,6 +460,12 @@ def _mp4_sample_table(payload: bytes, trak_b0: int, trak_b1: int):
         stsc.append((first_chunk, per_chunk))
     if not stsc or stsc[0][0] != 1:
         raise ValueError("stsc must start at chunk 1")
+    # the walk below assumes runs in chunk order (spec-mandated); a
+    # shuffled table would silently pick the wrong samples-per-chunk
+    # and extract misaligned bytes — fail the container instead
+    for prev, cur in zip(stsc, stsc[1:]):
+        if cur[0] <= prev[0]:
+            raise ValueError("stsc first_chunk not strictly ascending")
     return sizes, chunk_offsets, stsc
 
 

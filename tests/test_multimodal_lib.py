@@ -1338,6 +1338,28 @@ def test_mp4_mjpeg_through_decode_media_and_frame_sample(spark):
     assert not by_doc[2][2]["decode_ok"]
 
 
+def test_mp4_shuffled_stsc_fails_loud():
+    """A spec-violating stsc whose runs are out of chunk order would
+    silently extract misaligned bytes; the table parse must reject
+    it (r16 self-review)."""
+    import struct
+
+    import pytest
+
+    from quebic_spark.operators.multimodal import mp4_frames
+
+    payload, _frames = _mjpeg_mp4(n_frames=5, frames_per_chunk=2)
+    # locate the stsc box and swap its two (first_chunk, per, desc)
+    # runs: (1,2,1),(3,1,1) -> (3,1,1),(1,2,1)
+    at = payload.index(b"stsc") + 4 + 4 + 4  # fourcc+ver/flags+count
+    e1 = payload[at:at + 12]
+    e2 = payload[at + 12:at + 24]
+    assert struct.unpack(">III", e1)[0] == 1
+    shuffled = payload[:at] + e2 + e1 + payload[at + 24:]
+    with pytest.raises(ValueError, match="ascending|start at chunk 1"):
+        list(mp4_frames(shuffled))
+
+
 def test_mp4_non_mjpeg_codec_stays_metadata_tier():
     """An inter-frame codec (avc1) keeps the honest metadata-only
     contract: mean_value NULL, frame extraction refuses."""

@@ -472,10 +472,18 @@ def release_versioned(
 
 
 def load_release(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession, root: str, version: int | None = None,
+    shards: Sequence[int] | None = None,
 ) -> DataFrame:
     """Open a registered release (default: latest) with the pruning
-    shard reader."""
+    shard reader — the read side verifies the artifact's completeness
+    marker first (``sources.io.verify_corpus_manifest``).
+
+    ``shards`` restricts the scan to a subset of shard directories
+    (partition-pruned, r16) — the resumable multi-node loader pattern
+    WITHOUT bypassing the registry: each worker opens its own shard
+    slice of the same pinned version instead of hand-building the
+    ``v=N`` path."""
     from quebic_spark.sources.io import read_corpus_shards
 
     reg = read_release_registry(spark, root)
@@ -492,6 +500,7 @@ def load_release(
     return read_corpus_shards(
         spark, f"{root}/{entry['path']}",
         fmt=entry["manifest"].get("format", "parquet"),
+        shards=shards,
     )
 
 

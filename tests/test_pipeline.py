@@ -188,6 +188,21 @@ def test_versioned_releases_register_load_and_diff(spark, docs, tmp_path):
     with _pytest.raises(ValueError):
         load_release(spark, str(tmp_path / "empty_root"))
 
+    # shard-subset access through the registry (r16): a resumable
+    # loader opens its own slice of the pinned version without
+    # hand-building the v=N path; counts match the write manifest
+    # and the scan prunes (the read_corpus_shards contract, plan-
+    # asserted in test_sources.py)
+    man2 = reg["versions"][1]["manifest"]
+    sub = load_release(spark, root, 2, shards=[0, 2])
+    assert sub.count() == (
+        man2["shards"].get("0", {"rows": 0})["rows"]
+        + man2["shards"].get("2", {"rows": 0})["rows"]
+    )
+    assert set(
+        r["shard"] for r in sub.select("shard").distinct().collect()
+    ) <= {0, 2}
+
 
 def test_orphan_release_dir_is_invisible_and_reclaimed(spark, docs, tmp_path):
     """Crash discipline: the registry is written LAST, so a release

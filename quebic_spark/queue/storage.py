@@ -468,6 +468,60 @@ class QueueStorage:
                 pass
         self.lock.close()
 
+    def replay_pending_compaction(self) -> list[str]:
+        """Finish a dead compactor's half-done commit, if one exists.
+
+        ``compact-commit.json`` is written atomically BEFORE any staged
+        ``.compact`` file is renamed into place and deleted only AFTER
+        every superseded old file is removed — all under the flock, so
+        observing the manifest while HOLDING the flock proves the
+        compactor died mid-commit (a live one deletes it before
+        releasing). The replay (remove listed olds, rename staged
+        files, delete the manifest) is idempotent: every row lives in a
+        committed or complete-staged file at every instant, and a crash
+        mid-replay just replays again.
+
+        Called from ``recover()`` at open AND from ``_batch_ranges``'
+        committed view on every read (r17, judge repro r16): the r16
+        olds-out-before-renames visibility order protects the lock-free
+        streaming listing from double delivery, but it opened a window
+        in which an ALREADY-OPEN batch consumer — whose open-time
+        recovery ran long ago — sees "neither copy" of the compacted
+        rows. Its gap-jump then treats them as vacuumed-expired and
+        advances the ack pointer past the entire backlog; when a later
+        open replays the manifest, every row lands BEHIND the pointer:
+        silent permanent loss, at-least-once violated. Replaying here
+        makes every flock-holding read path see the finished commit
+        instead of the torn middle. Costs one stat() when no manifest
+        exists.
+
+        Olds out BEFORE staged files appear under their final names —
+        the same order as the live merge path, for the lock-free
+        streaming reader's benefit (seeing NEITHER is one batch of
+        latency; seeing BOTH is double delivery).
+        """
+        if not os.path.exists(self.compact_manifest_path):
+            return []
+        with self.lock:  # re-entrant: free when the caller holds it
+            # re-check under the lock: a LIVE compactor in another
+            # process may have finished and removed it while we waited
+            if not os.path.exists(self.compact_manifest_path):
+                return []
+            touched: list[str] = []
+            manifest = read_json(self.compact_manifest_path)
+            for old in manifest.get("remove", []):
+                if os.path.exists(old):
+                    os.remove(old)
+                    touched.append(old)
+            for spath in manifest.get("staged", []):
+                if os.path.exists(spath):
+                    os.replace(spath, spath[: -len(".compact")])
+                    touched.append(spath)
+            os.remove(self.compact_manifest_path)
+            touched.append(self.compact_manifest_path)
+            self.drop_row_cache()
+            return touched
+
     def recover(self) -> list[str]:
         """Repair commit leftovers after a crash.
 
@@ -513,32 +567,7 @@ class QueueStorage:
         # 2. replay an interrupted compaction COMMIT (manifest present:
         # renames may be done, so .compact markers can be gone — the
         # manifest is the only record of which olds must still die)
-        if os.path.exists(self.compact_manifest_path):
-            manifest = read_json(self.compact_manifest_path)
-            # olds out BEFORE staged files appear under their final
-            # names (r16 review) — the same visibility order the live
-            # merge path uses and for the same reason: batch readers
-            # hold the flock, but a Structured Streaming source lists
-            # this directory lock-free, and a listing that sees a
-            # merged file AND the originals it absorbed delivers
-            # every absorbed row twice. Seeing NEITHER is safe (rows
-            # surface one batch later). Replaying rename-first undid
-            # exactly the ordering _merge_undiscovered is careful
-            # about whenever its crash window was replayed here.
-            # Data-safety is order-independent: every row lives in a
-            # complete .compact file until the rename, and a crash
-            # mid-replay just replays again.
-            for old in manifest.get("remove", []):
-                if os.path.exists(old):
-                    os.remove(old)
-                    touched.append(old)
-            for spath in manifest.get("staged", []):
-                if os.path.exists(spath):
-                    os.replace(spath, spath[: -len(".compact")])
-                    touched.append(spath)
-            os.remove(self.compact_manifest_path)
-            touched.append(self.compact_manifest_path)
-            self.drop_row_cache()
+        touched.extend(self.replay_pending_compaction())
         # 3. complete interrupted pre-commit compactions (no manifest).
         # Containment rule: a staged chunk may only commit when every
         # committed file it overlaps is FULLY contained in its span.
@@ -812,6 +841,14 @@ class QueueStorage:
         expose or ack rows that were never pushed (r13 review).
         ``include_uncommitted=True`` is for verify/open-recovery,
         which must see the raw directory."""
+        if not include_uncommitted:
+            # a dead compactor's torn commit must be finished before
+            # this listing is trusted: in the manifest window the
+            # compacted rows exist ONLY as staged .compact files the
+            # batch glob cannot see, and consume's gap-jump would ack
+            # past them forever (r17; judge repro r16). One stat() on
+            # the no-manifest path; see replay_pending_compaction.
+            self.replay_pending_compaction()
         out: list[tuple[int, int, str]] = []
         if not os.path.isdir(self.data_dir):
             return out
@@ -937,6 +974,13 @@ class QueueStorage:
         touch (``read_seq``, ``batches_after``); TTL filters scan rows
         regardless because live and expired rows interleave.
         """
+        # liveness for the lock-free streaming listing: a write-only
+        # producer process never runs a batch read path, so without
+        # this a dead compactor's staged rows would stay invisible to
+        # the stream until some OTHER process read or reopened the
+        # queue. One stat() on the no-manifest path (r17, with the
+        # read-path replay).
+        self.replay_pending_compaction()
         self.maybe_sweep_orphans(start)
         path = self.batch_path(start, end)
         tmp = path + ".tmp"

@@ -312,6 +312,24 @@ def detect_format(payload: bytes) -> str:
         return "avi"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
+    if len(payload) >= 12 and payload[4:8] in (
+        b"moov", b"mdat", b"wide", b"skip", b"free", b"pnot",
+    ):
+        # classic QuickTime .mov files — the main real-world carrier
+        # of the 'jpeg'/'mjpa'/'mjpb' MJPEG fourccs this tier decodes
+        # — often lack a leading ftyp box; they open directly with a
+        # top-level moov/mdat (or a wide/skip/free/pnot pad box).
+        # Without this they fell to 'unknown' and were quarantined
+        # despite being fully decodable (r17 advice). The size field
+        # must look like a real box (0 = to-end is legal for mdat)
+        # so arbitrary text starting with these letters at offset 4
+        # doesn't get misrouted — it would quarantine anyway, but the
+        # fmt label should stay honest.
+        import struct
+
+        size = struct.unpack_from(">I", payload, 0)[0]
+        if size == 0 or 8 <= size <= len(payload):
+            return "mp4"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
     return "unknown"
@@ -432,6 +450,17 @@ def _mp4_sample_table(payload: bytes, trak_b0: int, trak_b1: int):
     b0, b1 = found[b"stsz"]
     uniform, count = struct.unpack_from(">II", payload, b0 + 4)
     if uniform:
+        # bound count BEFORE materializing: count is an unchecked
+        # uint32 straight from the payload, and every uniform-size
+        # sample must lie inside the payload — so the total extent
+        # can never exceed it. Without this, a <1 KiB crafted
+        # container with count near 2^32 allocates a ~34 GB list
+        # (OOM-killing the executor) instead of raising the
+        # catchable error the quarantine contract relies on
+        # (r17; VERDICT r16 #2). Mirrors the truncation checks the
+        # non-uniform/stco/stsc tables already have.
+        if uniform * count > len(payload):
+            raise ValueError("stsz sample extent exceeds payload")
         sizes = [uniform] * count
     else:
         if b0 + 12 + 4 * count > b1:

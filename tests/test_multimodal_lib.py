@@ -1296,6 +1296,105 @@ def test_mp4_mjpeg_multichunk_stsc_walk():
         list(mp4_frames(torn))
 
 
+def test_quicktime_without_ftyp_detected_and_decoded():
+    """r17 advice: classic QuickTime MJPEG .mov files — the main
+    real-world carrier of the jpeg/mjpa/mjpb fourccs — often lack a
+    leading ftyp box (they open with moov/mdat directly). detect_format
+    must still route them to the MP4 tier; the box walk itself never
+    needed ftyp. A text payload that merely spells a box name at
+    offset 4 must NOT be misrouted (its size field is implausible)."""
+    from quebic_spark.operators.multimodal import (
+        decode_mp4,
+        detect_format,
+        mp4_frames,
+    )
+
+    payload, frames = _mjpeg_mp4(n_frames=3)
+    assert payload[4:8] == b"ftyp"
+    import struct
+
+    # swap ftyp for an equal-size 'free' pad box (QuickTime's own
+    # idiom) so every absolute stco offset stays valid — the file now
+    # opens with a non-ftyp box exactly like a classic .mov
+    ftyp_size = struct.unpack_from(">I", payload, 0)[0]
+    qt = (
+        struct.pack(">I4s", ftyp_size, b"free")
+        + b"\x00" * (ftyp_size - 8)
+        + payload[ftyp_size:]
+    )
+    assert qt[4:8] == b"free"
+    assert detect_format(qt) == "mp4"
+    assert list(mp4_frames(qt)) == frames
+    assert decode_mp4(qt)["n_frames"] == 3
+    # a text row that happens to contain 'mdat' at offset 4: the
+    # leading 4 bytes as a big-endian size are implausible -> unknown
+    assert detect_format(b"hugemdat is a word here") == "unknown"
+
+
+def test_mp4_uniform_stsz_huge_count_raises_before_allocating():
+    """VERDICT r16 #2: the uniform-stsz branch materialized
+    ``[uniform] * count`` with count an unchecked uint32 straight from
+    the payload — a <1 KiB crafted container with count near 2^32
+    attempted a ~34 GB list, OOM-killing the executor instead of
+    raising the catchable ValueError the quarantine contract relies
+    on. The extent bound (uniform * count <= len(payload)) must fire
+    BEFORE any allocation."""
+    import struct
+
+    import pytest
+
+    from quebic_spark.operators.multimodal import decode_mp4, mp4_frames
+
+    payload, _frames = _mjpeg_mp4(n_frames=2)
+
+    def with_uniform_stsz(uniform: int, count: int) -> bytes:
+        at = payload.index(b"stsz")  # box type; fields follow
+        out = bytearray(payload)
+        out[at + 8: at + 16] = struct.pack(">II", uniform, count)
+        return bytes(out)
+
+    # worst case: count = 2^32-1 (the ~34 GB list)
+    for uniform, count in [
+        (8, 0xFFFFFFFF),      # 34 GB extent
+        (1, 500_000_000),     # "merely large": 500 MB per row
+        (1 << 20, 1 << 20),   # overflow-ish product, both plausible
+    ]:
+        crafted = with_uniform_stsz(uniform, count)
+        assert len(crafted) < 4096  # tiny container, huge claim
+        with pytest.raises(ValueError, match="stsz sample extent"):
+            decode_mp4(crafted)
+        with pytest.raises(ValueError, match="stsz sample extent"):
+            list(mp4_frames(crafted))
+    # a TRUE uniform table of the same shape still decodes: rewrite
+    # count honestly (2 samples of the real first-frame size would
+    # not match the mdat layout, so just assert the guard math lets
+    # a consistent extent through the table parse)
+    ok = with_uniform_stsz(1, len(payload))
+    try:
+        decode_mp4(ok)
+    except ValueError as e:  # may fail later (bogus sample walk) ...
+        assert "stsz sample extent" not in str(e)  # ... but not here
+
+
+def test_mp4_uniform_stsz_huge_count_quarantines(spark):
+    """The same crafted container through the Spark tier: decode_media
+    must quarantine it as mp4-error-stub (never fail the job, never
+    balloon executor memory)."""
+    import struct
+
+    from quebic_spark.operators.multimodal import decode_media
+
+    payload, _frames = _mjpeg_mp4(n_frames=2)
+    at = payload.index(b"stsz")
+    out = bytearray(payload)
+    out[at + 8: at + 16] = struct.pack(">II", 16, 0xFFFFFFFE)
+    df = spark.createDataFrame(
+        [(1, bytearray(out))], "doc_id long, payload binary"
+    )
+    rows = decode_media(df).collect()
+    assert rows[0]["fmt"] == "mp4-error-stub"
+
+
 def test_mp4_mjpeg_through_decode_media_and_frame_sample(spark):
     """End-to-end: decode_media reports a REAL mean for MJPEG MP4s,
     and video_frame_sample extracts+decodes sampled frames from the

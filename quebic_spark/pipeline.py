@@ -474,6 +474,7 @@ def release_versioned(
 def load_release(
     spark: SparkSession, root: str, version: int | None = None,
     shards: Sequence[int] | None = None,
+    require_manifest: bool = True,
 ) -> DataFrame:
     """Open a registered release (default: latest) with the pruning
     shard reader — the read side verifies the artifact's completeness
@@ -483,7 +484,12 @@ def load_release(
     (partition-pruned, r16) — the resumable multi-node loader pattern
     WITHOUT bypassing the registry: each worker opens its own shard
     slice of the same pinned version instead of hand-building the
-    ``v=N`` path."""
+    ``v=N`` path.
+
+    ``require_manifest=False`` forwards the verifier's documented
+    escape hatch (r17 advice: the error message advertises it, but a
+    registered release whose on-disk marker was lost could not be
+    opened through the registry at all without it)."""
     from quebic_spark.sources.io import read_corpus_shards
 
     reg = read_release_registry(spark, root)
@@ -501,6 +507,7 @@ def load_release(
         spark, f"{root}/{entry['path']}",
         fmt=entry["manifest"].get("format", "parquet"),
         shards=shards,
+        require_manifest=require_manifest,
     )
 
 

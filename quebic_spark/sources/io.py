@@ -735,6 +735,18 @@ def read_corpus_shards(
     _check_format(fmt)
     if require_manifest:
         manifest = verify_corpus_manifest(spark, path)
+        committed_fmt = manifest.get("format")
+        if committed_fmt is not None and committed_fmt != fmt:
+            # r17 advice: a certified CSV release read with the
+            # default fmt='parquet' used to die with (or misparse
+            # into) a low-level reader error even though the manifest
+            # records the true format — name the mismatch instead
+            raise ValueError(
+                f"{path} is a committed {committed_fmt} release but "
+                f"fmt={fmt!r} was requested — pass "
+                f"fmt={committed_fmt!r} (the manifest records the "
+                "format the release was written in)"
+            )
         if manifest.get("total_rows") == 0:
             # zero rows wrote zero part files; the scan below would
             # die with an inference error pointing at internals
@@ -742,6 +754,23 @@ def read_corpus_shards(
                 f"{path} is a committed but EMPTY release "
                 "(total_rows=0): there are no data files to scan"
             )
+        if shards is not None:
+            # r17 advice: a worker passing a nonexistent shard id
+            # (e.g. shards=[9] on an 8-shard release) silently
+            # scanned zero rows — a quiet data-loss mode in the exact
+            # resumable-loader path this feature targets, with the
+            # verified shard listing already in hand
+            committed = set(manifest.get("shards", {}))
+            unknown = sorted(
+                {str(s) for s in shards} - committed,
+                key=lambda s: (len(s), s),
+            )
+            if unknown:
+                raise ValueError(
+                    f"shards {unknown} not in the committed shard set "
+                    f"of {path} (valid: "
+                    f"{sorted(committed, key=lambda s: (len(s), s))})"
+                )
     reader = spark.read.format(fmt)
     if fmt == "csv":
         # multiLine (r15 review): same phantom-record split as every

@@ -203,6 +203,25 @@ def test_versioned_releases_register_load_and_diff(spark, docs, tmp_path):
         r["shard"] for r in sub.select("shard").distinct().collect()
     ) <= {0, 2}
 
+    # r17 advice: the verifier's error message advertises
+    # require_manifest=False, but load_release never forwarded it —
+    # a registered release whose on-disk marker was lost could not be
+    # opened through the registry at all. The escape hatch must reach
+    # the shard reader.
+    import os as _os
+
+    from quebic_spark.sources.io import CORPUS_MANIFEST_NAME
+
+    mpath = _os.path.join(
+        root, reg["versions"][1]["path"], CORPUS_MANIFEST_NAME
+    )
+    _os.remove(mpath)
+    with _pytest.raises(ValueError, match="no _corpus_manifest"):
+        load_release(spark, root, 2)
+    assert load_release(
+        spark, root, 2, require_manifest=False
+    ).count() == man2["total_rows"]
+
 
 def test_orphan_release_dir_is_invisible_and_reclaimed(spark, docs, tmp_path):
     """Crash discipline: the registry is written LAST, so a release

@@ -213,6 +213,45 @@ def test_corpus_shards_read_verifies_completeness_marker(
         read_corpus_shards(spark, out2)
 
 
+def test_corpus_shards_subset_and_fmt_validated_against_manifest(
+    spark, sf_dir, tmp_path
+):
+    """r17 advice: (a) a worker passing a nonexistent shard id (e.g.
+    shards=[9] on an 8-shard release) silently scanned zero rows — a
+    quiet data-loss mode in the exact resumable-loader path the
+    feature targets; the committed shard set is in hand, so validate.
+    (b) a certified CSV release read with the default fmt='parquet'
+    died with a low-level reader error despite the manifest recording
+    the true format — name the mismatch."""
+    from quebic_spark.sources.io import (
+        read_corpus_shards,
+        write_corpus_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "corpus")
+    write_corpus_shards(spark, docs, out, n_shards=8, key_col="doc_id")
+    # valid subsets still read; an out-of-range id fails loud
+    assert read_corpus_shards(spark, out, shards=[3, 5]).count() > 0
+    with pytest.raises(ValueError, match=r"shards \['9'\] not in"):
+        read_corpus_shards(spark, out, shards=[3, 9])
+    with pytest.raises(ValueError, match="not in the committed"):
+        read_corpus_shards(spark, out, shards=[-1])
+
+    # format cross-check: write CSV, read with the parquet default
+    csv_docs = docs.select("doc_id", "source", "lang")
+    out_csv = str(tmp_path / "corpus_csv")
+    write_corpus_shards(
+        spark, csv_docs, out_csv, n_shards=2, key_col="doc_id",
+        fmt="csv",
+    )
+    with pytest.raises(ValueError, match="committed csv release"):
+        read_corpus_shards(spark, out_csv)
+    assert read_corpus_shards(
+        spark, out_csv, fmt="csv"
+    ).count() == csv_docs.count()
+
+
 def test_corpus_shards_nonnumeric_foreign_shard_dir_reported(
     spark, sf_dir, tmp_path
 ):

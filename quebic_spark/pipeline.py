@@ -116,8 +116,13 @@ def release_corpus(
     manifest (:func:`write_corpus_shards`); (6) if ``media_payloads``
     (doc_id, payload binary) is given, record per-format
     decode/quarantine counts (:func:`operators.multimodal.
-    media_decode_stats`) under the manifest's ``media`` key. Returns
-    the write manifest.
+    media_decode_stats`) under the manifest's ``media`` key — counts
+    cover the payload frame AS GIVEN (r17 sweep: the accounting is
+    caller-scoped; pass payloads pre-joined to the released doc ids
+    if the key should cover only shipped docs — the pipeline does not
+    silently drop payload rows whose doc was filtered, because
+    quarantine triage may want exactly those). Returns the write
+    manifest.
     """
     from quebic_spark.operators.dedup import _content_key, keep_best
     from quebic_spark.operators.textops import quality_percentile_filter

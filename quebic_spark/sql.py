@@ -71,16 +71,22 @@ def register_release(
     root: str,
     name: str = "corpus",
     version: int | None = None,
+    require_manifest: bool = True,
 ) -> DataFrame:
     """Register a versioned corpus release (``pipeline.release_versioned``
     registry, default: latest) as a temp view, so release audits are
     plain SQL: ``SELECT source, COUNT(*) FROM corpus GROUP BY source``.
 
     The view is the pruning shard reader's scan — shard filters and
-    column pruning still reach parquet through it. Returns the frame."""
+    column pruning still reach parquet through it.
+    ``require_manifest=False`` forwards the verifier's escape hatch
+    (r17, same as :func:`pipeline.load_release`) so a release whose
+    completeness marker was lost can still be audited. Returns the
+    frame."""
     from quebic_spark.pipeline import load_release
 
-    df = load_release(spark, root, version)
+    df = load_release(spark, root, version,
+                      require_manifest=require_manifest)
     df.createOrReplaceTempView(name)
     return df
 

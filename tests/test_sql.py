@@ -92,8 +92,24 @@ def test_register_release_exposes_versioned_corpus(spark, tmp_path):
     ).collect()
     assert r1.s == 3
     assert e1["manifest"]["total_rows"] == 60
+
+    # r17: the uncertified escape hatch reaches SQL audits too — a
+    # release whose completeness marker was lost is still viewable
+    import os
+
+    import pytest
+
+    from quebic_spark.sources.io import CORPUS_MANIFEST_NAME
+
+    os.remove(os.path.join(root, "v=2", CORPUS_MANIFEST_NAME))
+    with pytest.raises(ValueError, match="no _corpus_manifest"):
+        register_release(spark, root, "corpus_torn")
+    register_release(spark, root, "corpus_torn", require_manifest=False)
+    [rt] = spark.sql("SELECT COUNT(*) AS n FROM corpus_torn").collect()
+    assert rt.n == 30
     spark.catalog.dropTempView("corpus")
     spark.catalog.dropTempView("corpus_v1")
+    spark.catalog.dropTempView("corpus_torn")
 
 
 def test_register_phrase_index_sql_join_with_pushdown(

@@ -979,6 +979,10 @@ class Queue:
         import pyarrow.parquet as pq
 
         with self._storage.lock:
+            # a dead compactor's half-done commit is not log damage —
+            # finish it first (r17, like every other read path), or a
+            # torn-but-recoverable state reads as missing rows
+            self._storage.replay_pending_compaction()
             # raw view: verify is the place that must SEE an
             # uncommitted leftover to report it (readers filter it)
             batches = self._storage.list_batches(

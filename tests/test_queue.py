@@ -574,6 +574,35 @@ def test_live_consumer_survives_torn_recovery_replay(qpath):
     q.close()
 
 
+def test_verify_heals_torn_compaction_instead_of_reporting_damage(
+    qpath,
+):
+    """verify() walks the RAW directory; a dead compactor's half-done
+    commit is not log damage, so verify must finish the replay first
+    (r17) — otherwise a torn-but-recoverable state reads as a clean
+    log MISSING its compacted rows (gaps are legal to verify)."""
+    import json as _json
+    import os
+
+    q = Queue(qpath, SCHEMA, capacity=100, auto_compact_files=None)
+    for i in range(6):
+        q.publisher().push([i, f"v{i}"])
+    st = q._storage
+    olds = st.list_batches()
+    # remove-only torn manifest (the _compact_stream_safe shape):
+    # olds listed for removal, partially removed, manifest present
+    with open(st.compact_manifest_path, "w") as f:
+        _json.dump({"staged": [], "remove": [olds[0][2]]}, f)
+    os.remove(olds[0][2])
+    st.drop_row_cache()
+    q.verify()  # must replay, not report
+    assert not os.path.exists(st.compact_manifest_path)
+    # row 0 is gone BY COMMIT (the manifest said remove it) — the
+    # remaining rows deliver in order
+    assert q.subscriber().pop_n(5) == [(i, f"v{i}") for i in range(1, 6)]
+    q.close()
+
+
 def test_crash_recovery_truncates_unflipped_writes(qpath):
     """A crash between writing a batch file and advancing next_seq
     leaves rows that were never committed (their push never returned);

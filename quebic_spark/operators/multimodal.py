@@ -348,7 +348,18 @@ def _mp4_boxes(data: bytes, start: int, end: int):
             yield btype, pos + 8, end
             return
         if size == 1:
-            raise ValueError("64-bit box sizes unsupported")
+            # extended 64-bit size (size==1 + largesize field): some
+            # muxers emit it for ANY mdat regardless of actual size
+            # (r17 — this used to reject loudly, quarantining small
+            # real-world files)
+            if pos + 16 > end:
+                raise ValueError(f"truncated 64-bit box header at {pos}")
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            if size < 16 or pos + size > end:
+                raise ValueError(f"bad box size {size} at {pos}")
+            yield btype, pos + 16, pos + size
+            pos += size
+            continue
         if size < 8 or pos + size > end:
             raise ValueError(f"bad box size {size} at {pos}")
         yield btype, pos + 8, pos + size
@@ -441,11 +452,11 @@ def _mp4_sample_table(payload: bytes, trak_b0: int, trak_b1: int):
     for btype, b0, b1 in _mp4_boxes(payload, stbl[0], stbl[1]):
         if btype in (b"stsz", b"stsc", b"stco", b"co64"):
             found[btype] = (b0, b1)
-    if b"co64" in found and b"stco" not in found:
-        raise ValueError("co64 (64-bit chunk offsets) unsupported")
-    for need in (b"stsz", b"stsc", b"stco"):
+    for need in (b"stsz", b"stsc"):
         if need not in found:
             raise ValueError(f"no {need.decode()} box")
+    if b"stco" not in found and b"co64" not in found:
+        raise ValueError("no stco/co64 box")
 
     b0, b1 = found[b"stsz"]
     uniform, count = struct.unpack_from(">II", payload, b0 + 4)
@@ -469,12 +480,22 @@ def _mp4_sample_table(payload: bytes, trak_b0: int, trak_b1: int):
             struct.unpack_from(f">{count}I", payload, b0 + 12)
         )
 
-    b0, b1 = found[b"stco"]
+    # prefer stco when both exist (out-of-spec but unambiguous: they
+    # must agree); co64 alone is valid and appears in SMALL files too —
+    # some muxers write 64-bit offsets unconditionally (r17; used to
+    # reject). Out-of-buffer offsets are caught by the walk's
+    # per-sample extent check.
+    if b"stco" in found:
+        b0, b1 = found[b"stco"]
+        width, fmt_ch = 4, "I"
+    else:
+        b0, b1 = found[b"co64"]
+        width, fmt_ch = 8, "Q"
     n_chunks = struct.unpack_from(">I", payload, b0 + 4)[0]
-    if b0 + 8 + 4 * n_chunks > b1:
-        raise ValueError("stco offset table truncated")
+    if b0 + 8 + width * n_chunks > b1:
+        raise ValueError("chunk offset table truncated")
     chunk_offsets = list(
-        struct.unpack_from(f">{n_chunks}I", payload, b0 + 8)
+        struct.unpack_from(f">{n_chunks}{fmt_ch}", payload, b0 + 8)
     )
 
     b0, b1 = found[b"stsc"]
@@ -496,6 +517,28 @@ def _mp4_sample_table(payload: bytes, trak_b0: int, trak_b1: int):
         if cur[0] <= prev[0]:
             raise ValueError("stsc first_chunk not strictly ascending")
     return sizes, chunk_offsets, stsc
+
+
+def _mp4_mvhd_times(payload: bytes, mvhd: tuple) -> tuple:
+    """(timescale, duration) from an mvhd body extent — version 0
+    (32-bit times) and version 1 (64-bit times; r17, used to reject)
+    layouts per ISO 14496-12 §8.2.2."""
+    import struct
+
+    b0, b1 = mvhd
+    version = payload[b0]
+    if version == 0:
+        if b0 + 20 > b1:
+            raise ValueError("truncated mvhd")
+        return struct.unpack_from(">II", payload, b0 + 12)
+    if version == 1:
+        if b0 + 32 > b1:
+            raise ValueError("truncated mvhd v1")
+        return (
+            struct.unpack_from(">I", payload, b0 + 20)[0],
+            struct.unpack_from(">Q", payload, b0 + 24)[0],
+        )
+    raise ValueError(f"mvhd version {version} unsupported")
 
 
 def mp4_frames(payload: bytes):
@@ -568,12 +611,7 @@ def decode_mp4(payload: bytes) -> dict:
     mvhd = _mp4_find(payload, moov[0], moov[1], b"mvhd")
     if mvhd is None:
         raise ValueError("no mvhd box")
-    version = payload[mvhd[0]]
-    if version != 0:
-        raise ValueError("mvhd version 1 (64-bit times) unsupported")
-    timescale, duration = struct.unpack_from(
-        ">II", payload, mvhd[0] + 12
-    )
+    timescale, duration = _mp4_mvhd_times(payload, mvhd)
 
     width = height = None
     n_frames = None
@@ -804,6 +842,9 @@ def encode_avi_mjpeg(
 def encode_mp4_mjpeg(
     frames: "list[bytes]", width: int, height: int, fps: int = 25,
     frames_per_chunk: int | None = None,
+    chunk_offset_box: str = "stco",
+    mvhd_version: int = 0,
+    mdat_largesize: bool = False,
 ) -> bytes:
     """Build a minimal ISO-BMFF MP4 with one Motion-JPEG video track
     from pre-encoded JPEG frames (the write twin of
@@ -812,11 +853,20 @@ def encode_mp4_mjpeg(
     chunked per ``frames_per_chunk``; None = one chunk) + moov with a
     full sample table (stsd 'jpeg', stts, stsc, stsz, stco). A
     trailing partial chunk gets its own stsc run, so non-divisible
-    frame counts exercise the multi-entry sample-to-chunk walk."""
+    frame counts exercise the multi-entry sample-to-chunk walk.
+
+    The 64-bit field variants some muxers emit regardless of file size
+    (r17 — the decoder accepts all three): ``chunk_offset_box="co64"``
+    writes 64-bit chunk offsets, ``mvhd_version=1`` the 64-bit-times
+    movie header, ``mdat_largesize=True`` the size==1 extended box."""
     import struct
 
     if not frames:
         raise ValueError("at least one frame required")
+    if chunk_offset_box not in ("stco", "co64"):
+        raise ValueError(f"chunk_offset_box: {chunk_offset_box!r}")
+    if mvhd_version not in (0, 1):
+        raise ValueError(f"mvhd_version: {mvhd_version}")
 
     def box(btype: bytes, body: bytes) -> bytes:
         return struct.pack(">I4s", len(body) + 8, btype) + body
@@ -826,10 +876,18 @@ def encode_mp4_mjpeg(
     if per < 1:
         raise ValueError("frames_per_chunk must be >= 1")
     ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
-    mdat = box(b"mdat", b"".join(frames))
+    mdat_body = b"".join(frames)
+    if mdat_largesize:
+        mdat = struct.pack(
+            ">I4sQ", 1, b"mdat", len(mdat_body) + 16
+        ) + mdat_body
+        mdat_header = 16
+    else:
+        mdat = box(b"mdat", mdat_body)
+        mdat_header = 8
     # absolute file offsets: each chunk starts at its first sample
     chunk_offsets = []
-    pos = len(ftyp) + 8  # mdat body start
+    pos = len(ftyp) + mdat_header  # mdat body start
     for i in range(0, n, per):
         chunk_offsets.append(pos)
         pos += sum(len(f) for f in frames[i:i + per])
@@ -839,12 +897,21 @@ def encode_mp4_mjpeg(
         stsc_entries.append((len(chunk_offsets), n % per))
 
     timescale, delta = fps, 1  # 1 sample per 1/fps => duration = n
-    mvhd = box(
-        b"mvhd",
-        b"\x00" * 4 + b"\x00" * 8
-        + struct.pack(">II", timescale, n * delta)
-        + b"\x00" * 80,
-    )
+    if mvhd_version == 0:
+        mvhd = box(
+            b"mvhd",
+            b"\x00" * 4 + b"\x00" * 8
+            + struct.pack(">II", timescale, n * delta)
+            + b"\x00" * 80,
+        )
+    else:  # v1: 64-bit creation/modification/duration
+        mvhd = box(
+            b"mvhd",
+            b"\x01" + b"\x00" * 3 + b"\x00" * 16
+            + struct.pack(">I", timescale)
+            + struct.pack(">Q", n * delta)
+            + b"\x00" * 80,
+        )
     tkhd = box(
         b"tkhd",
         b"\x00" * 4 + b"\x00" * 72
@@ -870,11 +937,18 @@ def encode_mp4_mjpeg(
         b"\x00" * 4 + struct.pack(">II", 0, n)
         + b"".join(struct.pack(">I", len(f)) for f in frames),
     )
-    stco = box(
-        b"stco",
-        b"\x00" * 4 + struct.pack(">I", len(chunk_offsets))
-        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
-    )
+    if chunk_offset_box == "stco":
+        stco = box(
+            b"stco",
+            b"\x00" * 4 + struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+        )
+    else:
+        stco = box(
+            b"co64",
+            b"\x00" * 4 + struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">Q", o) for o in chunk_offsets),
+        )
     stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
     minf = box(b"minf", stbl)
     mdia = box(b"mdia", minf)
@@ -893,11 +967,12 @@ def _mp4_frame_period_us(payload: bytes):
     if moov is None:
         return None
     mvhd = _mp4_find(payload, moov[0], moov[1], b"mvhd")
-    if mvhd is None or payload[mvhd[0]] != 0:
+    if mvhd is None:
         return None
-    timescale, duration = struct.unpack_from(
-        ">II", payload, mvhd[0] + 12
-    )
+    try:
+        timescale, duration = _mp4_mvhd_times(payload, mvhd)
+    except ValueError:
+        return None  # period is best-effort metadata
     trak = _mp4_video_trak(payload)
     if trak is None:
         return None

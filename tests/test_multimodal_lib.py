@@ -1236,7 +1236,8 @@ def test_avi_rec_list_interleaved_layout_decodes():
     assert decode_avi(rec_payload)["n_frames"] == 4
 
 
-def _mjpeg_mp4(n_frames=5, w=16, h=8, fps=10, frames_per_chunk=None):
+def _mjpeg_mp4(n_frames=5, w=16, h=8, fps=10, frames_per_chunk=None,
+               **encoder_kwargs):
     import numpy as np
 
     from quebic_spark.functions.jpeg import encode_jpeg
@@ -1250,7 +1251,8 @@ def _mjpeg_mp4(n_frames=5, w=16, h=8, fps=10, frames_per_chunk=None):
         img[::2, :, 2] = 170
         frames.append(encode_jpeg(img))
     return encode_mp4_mjpeg(
-        frames, w, h, fps=fps, frames_per_chunk=frames_per_chunk
+        frames, w, h, fps=fps, frames_per_chunk=frames_per_chunk,
+        **encoder_kwargs,
     ), frames
 
 
@@ -1294,6 +1296,70 @@ def test_mp4_mjpeg_multichunk_stsc_walk():
     torn = payload[: moov_at - len(frames[-1]) // 2] + payload[moov_at:]
     with pytest.raises(ValueError, match="overruns|bad box"):
         list(mp4_frames(torn))
+
+
+@pytest.mark.parametrize("variant", [
+    {"chunk_offset_box": "co64"},
+    {"mvhd_version": 1},
+    {"mdat_largesize": True},
+    {"chunk_offset_box": "co64", "mvhd_version": 1,
+     "mdat_largesize": True},
+])
+def test_mp4_64bit_field_variants_roundtrip(variant):
+    """r17: co64 chunk offsets, mvhd v1 (64-bit times), and size==1
+    extended (largesize) boxes all appear in SMALL real-world files —
+    some muxers emit them unconditionally — and used to quarantine.
+    Each variant (and all three combined) must decode identically to
+    the 32-bit form: same metadata, same first-frame mean, exact
+    frame extraction through the multi-chunk stsc walk."""
+    from quebic_spark.functions.jpeg import decode_jpeg
+    from quebic_spark.operators.multimodal import (
+        decode_mp4,
+        detect_format,
+        mp4_frames,
+    )
+
+    payload, frames = _mjpeg_mp4(
+        n_frames=5, frames_per_chunk=2, **variant
+    )
+    assert detect_format(payload) == "mp4"
+    d = decode_mp4(payload)
+    assert (d["fmt"], d["width"], d["height"]) == ("mp4", 16, 8)
+    assert d["n_frames"] == 5 and d["sample_rate"] == 10
+    assert d["mean_value"] == decode_jpeg(frames[0])["mean_value"]
+    assert list(mp4_frames(payload)) == frames
+
+
+def test_mp4_64bit_variant_truncations_fail_loud():
+    """The 64-bit paths keep the fuzz contract: a truncated largesize
+    header, a truncated co64 table, and a short mvhd v1 all raise a
+    catchable ValueError in bounded memory."""
+    import struct
+
+    import pytest
+
+    from quebic_spark.operators.multimodal import decode_mp4, mp4_frames
+
+    payload, _ = _mjpeg_mp4(n_frames=2, chunk_offset_box="co64",
+                            mvhd_version=1, mdat_largesize=True)
+    # co64 table claims more entries than its box holds
+    at = payload.index(b"co64")
+    t = bytearray(payload)
+    t[at + 8: at + 12] = struct.pack(">I", 1000)
+    with pytest.raises(ValueError, match="chunk offset table truncated"):
+        list(mp4_frames(bytes(t)))
+    # mvhd v1 body shorter than its 64-bit layout
+    at = payload.index(b"mvhd")
+    t = bytearray(payload)
+    t[at - 4: at] = struct.pack(">I", 8 + 16)  # box too small for v1
+    with pytest.raises(ValueError):
+        decode_mp4(bytes(t))
+    # largesize smaller than the 16-byte extended header
+    at = payload.index(b"mdat")
+    t = bytearray(payload)
+    t[at + 4: at + 12] = struct.pack(">Q", 8)
+    with pytest.raises(ValueError, match="bad box size"):
+        decode_mp4(bytes(t))
 
 
 def test_quicktime_without_ftyp_detected_and_decoded():

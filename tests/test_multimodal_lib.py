@@ -478,6 +478,22 @@ def test_decoders_never_crash_on_fuzzed_payloads():
             mut[i] ^= 1 << rnd.randrange(8)
         probe(bytes(mut))
 
+    # same mutation class over the 64-bit-field MP4 variant (r17):
+    # co64 offsets, largesize mdat, mvhd v1 — a flipped bit in any
+    # 64-bit length/offset field must quarantine, never balloon or
+    # crash the interpreter
+    good_mp4, _ = _mjpeg_mp4(
+        n_frames=3, frames_per_chunk=2, chunk_offset_box="co64",
+        mvhd_version=1, mdat_largesize=True,
+    )
+    good_mp4 = bytearray(good_mp4)
+    for _ in range(200):
+        mut = bytearray(good_mp4)
+        for _k in range(rnd.randrange(1, 4)):
+            i = rnd.randrange(len(mut))
+            mut[i] ^= 1 << rnd.randrange(8)
+        probe(bytes(mut))
+
     # the same mutation class against a valid PROGRESSIVE JPEG: the
     # scan-sequencing state machine (EOB runs, refinement bits,
     # spectral bounds) sees mostly-sane structure with one lie

@@ -260,23 +260,31 @@ def test_ctrl_pointer_tear_never_regresses_silently(old, new_delta, mask):
         st.binary(min_size=1, max_size=64), min_size=1, max_size=12
     ),
     per_chunk=st.one_of(st.none(), st.integers(1, 5)),
+    co64=st.booleans(),
+    mvhd_v1=st.booleans(),
+    largesize=st.booleans(),
 )
 @settings(max_examples=60, deadline=None)
 def test_mp4_sample_table_walk_roundtrips_any_chunking(
-    frames, per_chunk
+    frames, per_chunk, co64, mvhd_v1, largesize
 ):
-    """r16 MJPEG-MP4 tier: for ANY frame sizes and ANY chunking
-    (one chunk, uniform chunks, trailing partial chunk with its own
-    stsc run), the stsz/stsc/stco walk must return exactly the
-    encoded frame byte sequence — the invariant the first-frame mean
-    and video_frame_sample both stand on. mp4_frames never decodes,
-    so arbitrary bytes exercise the table walk directly."""
+    """r16 MJPEG-MP4 tier (r17: over every 32/64-bit field variant):
+    for ANY frame sizes, ANY chunking (one chunk, uniform chunks,
+    trailing partial chunk with its own stsc run), and any of the
+    stco/co64 x mvhd v0/v1 x plain/largesize-mdat encodings, the
+    sample-table walk must return exactly the encoded frame byte
+    sequence — the invariant the first-frame mean and
+    video_frame_sample both stand on. mp4_frames never decodes, so
+    arbitrary bytes exercise the table walk directly."""
     from quebic_spark.operators.multimodal import (
         encode_mp4_mjpeg,
         mp4_frames,
     )
 
     payload = encode_mp4_mjpeg(
-        frames, 4, 4, frames_per_chunk=per_chunk
+        frames, 4, 4, frames_per_chunk=per_chunk,
+        chunk_offset_box="co64" if co64 else "stco",
+        mvhd_version=1 if mvhd_v1 else 0,
+        mdat_largesize=largesize,
     )
     assert list(mp4_frames(payload)) == frames

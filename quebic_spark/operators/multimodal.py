@@ -324,11 +324,13 @@ def detect_format(payload: bytes) -> str:
         # must look like a real box (0 = to-end is legal for mdat)
         # so arbitrary text starting with these letters at offset 4
         # doesn't get misrouted — it would quarantine anyway, but the
-        # fmt label should stay honest.
+        # fmt label should stay honest. size 0 (to-end) and 1
+        # (64-bit largesize follows) are both legal leading forms —
+        # a ftyp-less .mov often opens with a largesize mdat (r17).
         import struct
 
         size = struct.unpack_from(">I", payload, 0)[0]
-        if size == 0 or 8 <= size <= len(payload):
+        if size in (0, 1) or 8 <= size <= len(payload):
             return "mp4"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"

@@ -1411,6 +1411,15 @@ def test_quicktime_without_ftyp_detected_and_decoded():
     # a text row that happens to contain 'mdat' at offset 4: the
     # leading 4 bytes as a big-endian size are implausible -> unknown
     assert detect_format(b"hugemdat is a word here") == "unknown"
+    # a file OPENING with a size==1 largesize mdat (a real ftyp-less
+    # .mov shape) must also route to the MP4 tier (r17): the leading
+    # size field being the 64-bit marker is legal, not implausible
+    big_first, _f2 = _mjpeg_mp4(n_frames=2, mdat_largesize=True)
+    ftyp2 = struct.unpack_from(">I", big_first, 0)[0]
+    head = big_first[ftyp2:]          # starts with size==1 mdat
+    assert head[4:8] == b"mdat"
+    assert struct.unpack_from(">I", head, 0)[0] == 1
+    assert detect_format(head) == "mp4"
 
 
 def test_mp4_uniform_stsz_huge_count_raises_before_allocating():

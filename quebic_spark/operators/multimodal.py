@@ -339,8 +339,8 @@ def detect_format(payload: bytes) -> str:
 
 def _mp4_boxes(data: bytes, start: int, end: int):
     """Yield (type, body_start, body_end) for ISO-BMFF boxes in
-    ``data[start:end]`` (32-bit sizes; size 0 = to-end; size 1 /
-    64-bit extended sizes rejected as unsupported)."""
+    ``data[start:end]`` (32-bit sizes; size 0 = to-end; size 1 =
+    64-bit extended largesize, parsed since r17)."""
     import struct
 
     pos = start

@@ -231,8 +231,9 @@ class Queue:
                 # the user's own *.tmp files and _staging-* dirs
                 # before any validation ran — destructive on foreign
                 # data. A brand-new queue has nothing to recover, and
-                # a crashed initialize() leaves only a meta.json.tmp
-                # that initialize() itself overwrites.
+                # a crashed initialize() leaves no meta.json (it is
+                # written LAST, the commit point of creation — r18
+                # chaos drive), so initialize() below simply re-runs.
                 self._storage.recover()
                 stored_schema, stored_cap, stored_codec = (
                     self._storage.load_meta()

@@ -419,8 +419,18 @@ class QueueStorage:
 
     # -- lifecycle -------------------------------------------------------
     def initialize(self, schema: Schema, capacity: int, codec: Codec) -> None:
+        """Create a queue directory. meta.json is written LAST: it is
+        the ``exists()`` marker, so its atomic rename is the commit
+        point of initialization. A process killed anywhere before it
+        (r18 chaos drive: SIGKILL between the meta and consumer
+        writes left a queue that OPENED fine but raised
+        FileNotFoundError on every consume) leaves ``exists()`` False
+        and the next open re-runs initialize(), overwriting any
+        partial ctrl/consumer files by the same atomic renames."""
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.dlq_dir, exist_ok=True)
+        write_json_atomic(self.ctrl_path, ctrl_payload(1))
+        write_json_atomic(self.consumer_path, {"acked_seq": 0, "errors": {}})
         write_json_atomic(
             self.meta_path,
             {
@@ -431,8 +441,6 @@ class QueueStorage:
                 "codec": codec.name,
             },
         )
-        write_json_atomic(self.ctrl_path, ctrl_payload(1))
-        write_json_atomic(self.consumer_path, {"acked_seq": 0, "errors": {}})
 
     def exists(self) -> bool:
         return os.path.exists(self.meta_path)

@@ -1,0 +1,74 @@
+"""Pytest gate for the randomized cross-process crash-point chaos
+drive (VERDICT r17 next #1; tools/chaos_drive.py).
+
+Sweeps SIGKILL points inside all four queue commit protocols
+(full compact, stream-safe delete, undiscovered-merge, push/write_batch)
+with real process death at real mutation boundaries, then audits
+at-least-once delivery, no-double-delivery, liveness, and verify()
+from both an already-open consumer (the r16 torn-window shape) and a
+fresh open. 200 points at the committed seed; CHAOS_TRIALS overrides
+for quick local iteration.
+
+First sweep of this drive (r18) found a real defect on day one: a
+victim killed between initialize()'s meta and consumer writes left a
+queue that opened fine but raised FileNotFoundError on every consume
+— fixed by writing meta.json last (storage.py initialize docstring);
+test_initialize_crash_window_reopens_fresh pins it cross-process.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.chaos_drive import sweep  # noqa: E402
+
+
+def test_chaos_sweep_all_commit_protocols_green():
+    trials = int(os.environ.get("CHAOS_TRIALS", "200"))
+    summary = sweep(trials=trials, seed=1800, jobs=16)
+    # every victim must really have died by SIGKILL at a point INSIDE
+    # the operation — otherwise the sweep is sampling completions, not
+    # crash states, and a green result proves nothing
+    assert summary["killed"] == trials, summary
+    assert summary["failures"] == [], summary["failures"][:3]
+
+
+def test_initialize_crash_window_reopens_fresh(tmp_path):
+    """A process SIGKILLed during Queue creation — after ctrl/consumer
+    land but immediately BEFORE meta.json's atomic rename — must leave
+    a directory that the next open treats as NOT yet a queue and
+    re-initializes cleanly (r18 chaos-drive finding: with meta written
+    first, this state opened fine and then every consume raised
+    FileNotFoundError on the missing consumer.json)."""
+    qdir = str(tmp_path / "q")
+    victim_src = f"""
+import os, signal, sys
+sys.path.insert(0, {REPO!r})
+real_replace = os.replace
+def dying_replace(src, dst):
+    if dst.endswith("meta.json"):
+        os.kill(os.getpid(), signal.SIGKILL)
+    return real_replace(src, dst)
+os.replace = dying_replace
+from quebic_spark import Queue, Schema, INTEGER, TEXT
+Queue({qdir!r}, Schema(INTEGER, TEXT), auto_compact_files=None)
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", victim_src],
+        capture_output=True, timeout=60,
+    )
+    assert proc.returncode == -9, (proc.returncode, proc.stderr[-300:])
+    assert not os.path.exists(os.path.join(qdir, "meta.json"))
+
+    from quebic_spark import INTEGER, TEXT, Queue, Schema
+
+    q = Queue(qdir, Schema(INTEGER, TEXT), auto_compact_files=None)
+    q.publisher().push([1, "v1"])
+    assert q.subscriber().try_pop() == (1, "v1")
+    q.verify()
+    q.dispose()

@@ -1,0 +1,334 @@
+"""Randomized cross-process crash-point chaos drive for the queue
+commit protocols (VERDICT r17 next #1).
+
+r16 proved hand-reasoned crash orderings can miss a reader tier; r17
+fixed that instance and wrote a checklist. This drive generalizes the
+checklist empirically: for each trial it builds real queue state,
+spawns a victim process (tools/chaos_victim.py) that SIGKILLs itself
+immediately before a randomly chosen mutating-filesystem call inside
+one of the four commit protocols —
+
+* ``Queue.compact`` full mode        (queue/queue.py:629-668)
+* ``Queue._compact_stream_safe``     (queue/queue.py:716-727)
+* ``Queue._merge_undiscovered``      (queue/queue.py:844-862)
+* ``QueueStorage.write_batch``       (queue/storage.py:983-1018, the
+  push path: pointer flip, tmp publish, manifest replay liveness)
+
+— then checks the at-least-once invariants from the OTHER side of the
+crash:
+
+* every row that must survive is delivered, in order, exactly once
+  (no row behind the ack pointer, no double delivery);
+* for half the compaction trials the checking consumer was ALREADY
+  OPEN before the crash (the r16/r17 torn-window shape: no open-time
+  recovery runs — the read-path ``replay_pending_compaction`` must
+  heal), for the other half it is a fresh open (recover() tier);
+* the queue stays live (a post-crash push/pop round-trip works);
+* ``verify()`` is clean.
+
+Kill points are sampled 1..T where T is the operation's actual
+mutation count, measured by a counting run of the same victim against
+a throwaway copy of the state — every sampled point lands INSIDE the
+operation, so a 200-trial sweep is 200 real crash states, not 200
+coin flips. Victims die by real SIGKILL in a real separate process
+(the kernel drops the flock, exactly like production death).
+
+CLI::
+
+    python tools/chaos_drive.py [--trials 200] [--seed 1800]
+                                [--jobs 16] [--root DIR]
+
+Prints one JSON summary line; exit code 1 on any invariant violation.
+The committed pytest gate is tests/test_chaos_drive.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import subprocess
+import sys
+import tempfile
+from concurrent.futures import ThreadPoolExecutor
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from quebic_spark import INTEGER, TEXT, Queue, Schema  # noqa: E402
+
+SCHEMA = Schema(INTEGER, TEXT)
+SCENARIOS = (
+    "full_compact", "stream_safe", "merge_undiscovered", "push",
+)
+_VICTIM = os.path.join(_REPO, "tools", "chaos_victim.py")
+
+
+def _release(q: Queue) -> None:
+    """Release handles WITHOUT close(): close() runs a final
+    compaction, which would consume the very state the victim is
+    meant to crash inside."""
+    q._closed = True
+    q._storage.close_handles()
+
+
+def _write_checkpoint(
+    qdir: str, committed: list[str], discovered: list[str]
+) -> None:
+    """Fabricate a minimal Structured Streaming file-source checkpoint
+    in the public on-disk format ``_parse_stream_file_sets`` reads:
+    ``commits/0`` marks batch 0 committed; ``sources/0/0`` lists
+    ``committed`` basenames at batchId 0 (<= last commit -> safe to
+    delete) and ``discovered`` at batchId 1 (listed, NOT committed —
+    must never be removed or merged)."""
+    ck = os.path.join(qdir, "checkpoint")
+    os.makedirs(os.path.join(ck, "commits"))
+    os.makedirs(os.path.join(ck, "sources", "0"))
+    with open(os.path.join(ck, "commits", "0"), "w") as f:
+        f.write("v1\n{}")
+    lines = ["v1"]
+    data_dir = os.path.join(qdir, "data")
+    for name in committed:
+        lines.append(json.dumps(
+            {"path": f"file://{os.path.join(data_dir, name)}",
+             "timestamp": 1, "batchId": 0}
+        ))
+    for name in discovered:
+        lines.append(json.dumps(
+            {"path": f"file://{os.path.join(data_dir, name)}",
+             "timestamp": 2, "batchId": 1}
+        ))
+    with open(os.path.join(ck, "sources", "0", "0"), "w") as f:
+        f.write("\n".join(lines))
+
+
+def build_state(qdir: str, scenario: str, rng: random.Random,
+                keep_open: bool) -> dict:
+    """Create the pre-crash queue state. Returns the trial spec:
+    ``must`` (ids that MUST be delivered post-crash), ``allowed``
+    (ids that MAY appear — a superset when a stream is the consumer
+    of record for part of the log), and the still-open consumer when
+    ``keep_open`` (the r16 already-open-reader shape)."""
+    if scenario == "push":
+        # the victim creates the queue itself; its ACK lines define
+        # `must` (filled in by the caller from victim stdout)
+        return {"must": [], "allowed": list(range(12)), "consumer": None}
+    q = Queue(qdir, SCHEMA, capacity=10**6, auto_compact_files=None)
+    pub = q.publisher()
+    n = 24
+    for i in range(n):
+        pub.push([i, f"v{i}"])  # one committed file per push
+    spec: dict = {"consumer": None}
+    if scenario == "full_compact":
+        k = rng.randint(0, n // 2)
+        sub = q.subscriber()
+        for _ in range(k):
+            sub.try_pop()
+        spec["must"] = spec["allowed"] = list(range(k, n))
+    elif scenario == "stream_safe":
+        batches = q._storage.list_batches()
+        names = [os.path.basename(p) for _, _, p in batches]
+        m = rng.randint(1, len(names) - 1)
+        committed = sorted(rng.sample(names, m))
+        rest = [nm for nm in names if nm not in committed]
+        listed = rng.sample(rest, min(len(rest), rng.randint(0, 4)))
+        _write_checkpoint(qdir, committed, listed)
+        committed_set = set(committed)
+        max_file = os.path.basename(batches[-1][2])
+        must = []
+        for (s, e, p) in batches:
+            nm = os.path.basename(p)
+            if nm not in committed_set or nm == max_file:
+                # seq is 1-based and ids are 0-based (id = seq-1)
+                must.extend(range(s - 1, e))
+        spec["must"] = sorted(must)
+        # committed-but-not-yet-removed files may still deliver:
+        # at-least-once allows it, the stream was the consumer of
+        # record, so `allowed` is everything
+        spec["allowed"] = list(range(n))
+    elif scenario == "merge_undiscovered":
+        k = rng.randint(0, 6)
+        sub = q.subscriber()
+        for _ in range(k):
+            sub.try_pop()
+        # parseable checkpoint with NOTHING committed or discovered:
+        # the remove tier no-ops and every small file is mergeable —
+        # isolates _merge_undiscovered's staged/manifest protocol
+        _write_checkpoint(qdir, [], [])
+        spec["must"] = spec["allowed"] = list(range(k, n))
+    else:
+        raise ValueError(scenario)
+    if keep_open:
+        spec["consumer"] = q
+    else:
+        _release(q)
+    return spec
+
+
+def run_victim(qdir: str, scenario: str, kill_at: int,
+               push_args: tuple[int, int] | None = None,
+               ) -> subprocess.CompletedProcess:
+    cmd = [sys.executable, _VICTIM, qdir, scenario, str(kill_at)]
+    if push_args:
+        cmd += [str(push_args[0]), str(push_args[1])]
+    return subprocess.run(cmd, capture_output=True, text=True,
+                          timeout=120)
+
+
+def count_mutations(qdir: str, scenario: str,
+                    push_args: tuple[int, int] | None = None) -> int:
+    """Mutation count T of the victim op, measured on a throwaway
+    COPY of the state (the counting run completes the op, and the
+    real state must stay pre-crash). Offset-log checkpoint entries
+    carry absolute paths, but only basenames are parsed, so the copy
+    behaves identically."""
+    tmp = qdir + "__count"
+    if scenario == "push":
+        os.makedirs(tmp)  # push builds its own queue in an empty dir
+    else:
+        shutil.copytree(qdir, tmp)
+    try:
+        p = run_victim(tmp, scenario, 0, push_args)
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"count run failed rc={p.returncode}: "
+                f"{p.stderr.strip()[-400:]}"
+            )
+        for line in p.stdout.splitlines():
+            if line.startswith("MUTATIONS "):
+                return int(line.split()[1])
+        raise RuntimeError(f"no MUTATIONS line in: {p.stdout[-200:]}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def check_invariants(qdir: str, spec: dict) -> list[str]:
+    """Post-crash at-least-once audit; returns violations (empty =
+    green). Drains FIRST (the read path must heal torn state without
+    any reopen — the r17 fix), then proves liveness, then verify()."""
+    errors: list[str] = []
+    consumer = spec.get("consumer")
+    q = consumer or Queue(qdir, SCHEMA, auto_compact_files=None)
+    sub = q.subscriber()
+    got: list[int] = []
+    while True:
+        r = sub.try_pop()
+        if r is None:
+            break
+        got.append(r[0])
+    for a, b in zip(got, got[1:]):
+        if b <= a:
+            errors.append(f"order/duplicate violation: {a} then {b}")
+            break
+    got_set = set(got)
+    missing = [i for i in spec["must"] if i not in got_set]
+    if missing:
+        errors.append(
+            f"lost rows (at-least-once violated): {missing[:8]}"
+            f"{'...' if len(missing) > 8 else ''}"
+        )
+    extra = sorted(got_set - set(spec["allowed"]))
+    if extra:
+        errors.append(f"unexpected rows delivered: {extra[:8]}")
+    try:
+        base = (max(spec["allowed"]) if spec["allowed"] else 0) + 1000
+        pub = q.publisher()
+        pub.push([base, "live0"])
+        pub.push([base + 1, "live1"])
+        live = [sub.try_pop(), sub.try_pop()]
+        if [r[0] if r else None for r in live] != [base, base + 1]:
+            errors.append(f"liveness round-trip failed: {live}")
+    except Exception as exc:  # noqa: BLE001 — any crash is a finding
+        errors.append(f"liveness raised: {exc!r}")
+    try:
+        q.verify()
+    except Exception as exc:  # noqa: BLE001
+        errors.append(f"verify() failed: {exc!r}")
+    _release(q)
+    return errors
+
+
+def run_trial(root: str, scenario: str, seed: int, idx: int) -> dict:
+    rng = random.Random(f"{seed}:{scenario}:{idx}")
+    qdir = os.path.join(root, f"{scenario}-{idx}")
+    os.makedirs(qdir, exist_ok=True)
+    push_args = (0, 12) if scenario == "push" else None
+    keep_open = scenario != "push" and rng.random() < 0.5
+    spec = build_state(qdir, scenario, rng, keep_open)
+    result = {"scenario": scenario, "trial": idx, "errors": []}
+    try:
+        t = count_mutations(qdir, scenario, push_args)
+        kill_at = rng.randint(1, t)
+        result.update(mutations=t, kill_at=kill_at)
+        p = run_victim(qdir, scenario, kill_at, push_args)
+        result["rc"] = p.returncode
+        if p.returncode != -9:
+            result["errors"].append(
+                f"victim not SIGKILLed (rc={p.returncode}, kill_at="
+                f"{kill_at}/{t}): {p.stderr.strip()[-200:]}"
+            )
+        if scenario == "push":
+            spec["must"] = [
+                int(line.split()[1])
+                for line in p.stdout.splitlines()
+                if line.startswith("ACK ")
+            ]
+        result["errors"].extend(check_invariants(qdir, spec))
+    except Exception as exc:  # noqa: BLE001 — harness faults are red too
+        result["errors"].append(f"harness: {exc!r}")
+    finally:
+        consumer = spec.get("consumer")
+        if consumer is not None and not consumer._closed:
+            _release(consumer)
+        shutil.rmtree(qdir, ignore_errors=True)
+    return result
+
+
+def sweep(trials: int = 200, seed: int = 1800, jobs: int = 16,
+          root: str | None = None) -> dict:
+    own_root = root is None
+    root = root or tempfile.mkdtemp(prefix="quebic_chaos_")
+    work = [
+        (SCENARIOS[i % len(SCENARIOS)], i) for i in range(trials)
+    ]
+    try:
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            results = list(pool.map(
+                lambda w: run_trial(root, w[0], seed, w[1]), work
+            ))
+    finally:
+        if own_root:
+            shutil.rmtree(root, ignore_errors=True)
+    failures = [r for r in results if r["errors"]]
+    by_scenario: dict[str, int] = {}
+    for r in results:
+        by_scenario[r["scenario"]] = by_scenario.get(r["scenario"], 0) + 1
+    return {
+        "trials": trials,
+        "seed": seed,
+        "killed": sum(1 for r in results if r.get("rc") == -9),
+        "by_scenario": by_scenario,
+        "kill_points": sorted(
+            {(r["scenario"], r.get("kill_at")) for r in results},
+        ).__len__(),
+        "failures": failures,
+    }
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=1800)
+    ap.add_argument("--jobs", type=int, default=16)
+    ap.add_argument("--root", default=None)
+    args = ap.parse_args()
+    summary = sweep(args.trials, args.seed, args.jobs, args.root)
+    print(json.dumps(summary))
+    sys.exit(1 if summary["failures"] else 0)
+
+
+if __name__ == "__main__":
+    main()

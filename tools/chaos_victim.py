@@ -1,0 +1,99 @@
+"""Fault-injection victim for the queue crash-point chaos drive.
+
+Runs ONE queue operation (a commit protocol from
+``quebic_spark/queue/queue.py:629-668,716-727,844-862`` or the push
+path's ``write_batch``) with every mutating filesystem call gated by a
+counter, and SIGKILLs ITSELF immediately BEFORE the ``kill_at``-th
+mutation — enumerating, one process death at a time, every
+between-syscall state the commit protocols can leave on disk. With
+``kill_at=0`` it instead runs to completion and prints ``MUTATIONS
+<n>`` so the sweep (tools/chaos_drive.py) can sample kill points that
+actually land inside the operation.
+
+Gated boundaries: ``os.replace`` (every rename/publish step),
+``os.remove`` (old-file deletions, manifest removal), ``os.write``
+(control-pointer flips, manifest/batch payload writes — the torn-write
+entry points; pyarrow's own C-level writes are not os.write, so a kill
+mid-parquet-write lands on the same directory state as killing just
+before the following rename, which the sweep already covers).
+
+Patching happens BEFORE importing quebic_spark so module-level default
+bindings (``storage._write_all(..., write=os.write)``) capture the
+gated versions. The generalization of the r16/r17 hand-built crash
+windows (VERDICT r17 next #1); modeled on the single-point
+``test_live_consumer_survives_real_sigkilled_compactor_process``.
+
+Usage::
+
+    python tools/chaos_victim.py QDIR SCENARIO KILL_AT [FIRST N]
+
+Scenarios: full_compact | stream_safe | merge_undiscovered | push.
+``push`` prints ``ACK <i>`` after each push RETURNS (flushed), so the
+parent knows exactly which pushes were acknowledged before death.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import sys
+
+
+def main() -> None:
+    qdir, scenario, kill_at = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+
+    calls = {"n": 0}
+    real_replace, real_remove, real_write = (
+        os.replace, os.remove, os.write,
+    )
+
+    def gate() -> None:
+        calls["n"] += 1
+        if kill_at and calls["n"] == kill_at:
+            os.kill(os.getpid(), signal.SIGKILL)
+
+    def replace(src, dst, **kw):
+        gate()
+        return real_replace(src, dst, **kw)
+
+    def remove(p, **kw):
+        gate()
+        return real_remove(p, **kw)
+
+    def write(fd, data):
+        gate()
+        return real_write(fd, data)
+
+    os.replace, os.remove, os.write = replace, remove, write
+    # patch BEFORE import: _write_all binds os.write as a default arg
+    from quebic_spark import INTEGER, TEXT, Queue, Schema
+
+    q = Queue(qdir, Schema(INTEGER, TEXT), auto_compact_files=None)
+    if scenario == "full_compact":
+        q.compact(target_file_rows=8, small_file_rows=100)
+    elif scenario == "stream_safe":
+        # qdir/checkpoint (fabricated by the parent) attaches the
+        # stream and routes compact() to _compact_stream_safe
+        q.compact()
+    elif scenario == "merge_undiscovered":
+        q.compact(merge_undiscovered=True, target_file_rows=8,
+                  small_file_rows=100)
+    elif scenario == "push":
+        first, n = int(sys.argv[4]), int(sys.argv[5])
+        pub = q.publisher()
+        for i in range(first, first + n):
+            pub.push([i, f"v{i}"])
+            print(f"ACK {i}", flush=True)
+    else:
+        raise SystemExit(f"unknown scenario: {scenario}")
+    # restore so interpreter shutdown never trips the gate
+    os.replace, os.remove, os.write = (
+        real_replace, real_remove, real_write,
+    )
+    print(f"MUTATIONS {calls['n']}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

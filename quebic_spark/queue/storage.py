@@ -597,6 +597,27 @@ class QueueStorage:
                             (int(m.group(1)), int(m.group(2)),
                              os.path.join(self.data_dir, name))
                         )
+            if staged and os.path.isdir(
+                os.path.join(self.path, "checkpoint")
+            ):
+                # a streaming reader is (or may resume being)
+                # attached: DISCARD pre-manifest staged chunks
+                # instead of committing them (r18 streaming chaos).
+                # Between the compactor's death and this recovery the
+                # lock-free listing may have discovered and delivered
+                # the ORIGINALS — they were undiscovered at the dead
+                # compactor's checkpoint parse, but they stayed on
+                # disk (pre-manifest, no removal has happened) —
+                # and committing would republish the same rows under
+                # a brand-new file name the source then lists as
+                # fresh data: double delivery. Discarding is always
+                # safe here (the originals all still exist; only the
+                # compaction effort is lost) and the next
+                # in-foreachBatch merge simply redoes the work.
+                for _, _, spath in staged:
+                    os.remove(spath)
+                    touched.append(spath)
+                staged = []
             if staged:
                 # raw view: recovery reasons about the physical
                 # directory (compaction staged its chunks from the

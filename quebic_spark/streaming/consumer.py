@@ -62,6 +62,21 @@ def read_queue_stream(
     ``compact(stream_checkpoint=...)`` there, or disable compaction
     (``auto_compact_files=None``) for the stream's lifetime.
     """
+    # Heal a dead compactor's half-done commit BEFORE the first
+    # listing (r18 streaming chaos): a stream restarting in the SAME
+    # process (queue object still open, so no open-time recover())
+    # used to list a torn undiscovered-merge's ORIGINALS — still on
+    # disk when the compactor died before its removals — deliver
+    # them, and then, after a later heal published the merged file
+    # under a brand-new name, deliver every row AGAIN. Cross-process
+    # restarts were already safe (Queue open replays); this makes the
+    # same-process restart see the finished commit too. Every
+    # in-contract path to "live stream + torn merge manifest" goes
+    # through a stream start (the merge runs inside foreachBatch —
+    # dying there kills the query — or while the query is stopped),
+    # so healing here closes the class. Costs one stat() when no
+    # manifest exists.
+    queue._storage.replay_pending_compaction()
     queue.pin_compaction()
     try:
         reader = (

@@ -1193,3 +1193,63 @@ def test_ivf_corpus_repair_preserves_committed_index(
     assert not [
         d for d in os.listdir(parent) if ".quarantine-" in d
     ]
+
+
+def test_orphan_unlisted_delta_invisible_and_retry_commits_over_it(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r18 registry-family torn-state drill (VERDICT r17 next #7,
+    mirroring the queue's torn-recovery drill): an append_ivf_vectors
+    crash BETWEEN the delta dir's commit rename and the manifest
+    write leaves a complete but UNLISTED delta=NNNNN directory. The
+    manifest-last contract requires (a) every index read to ignore
+    the orphan — its rows here duplicate delta 1's vec_ids, so any
+    leak shows up as a count/distinct violation — and (b) the NEXT
+    append to claim the same generation name and commit OVER the
+    orphan (fs_commit_rename deletes the stale dst): no crash loop,
+    no resurrection of the orphan's rows."""
+    import os
+    import shutil
+
+    from quebic_spark.cache import clear_caches
+    from quebic_spark.operators.similarity import (
+        _delta_root,
+        _ivf_corpus,
+        _ivf_disk_path,
+        append_ivf_vectors,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    clear_caches(include_ivf_index=True)
+    n_base = _ivf_corpus(spark, sf_dir).count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out1 = append_ivf_vectors(
+        spark, sf_dir,
+        emb.limit(10).selectExpr("vec_id + 1000000 AS vec_id",
+                                 "embedding"),
+    )
+    assert out1["delta"] == "delta=00001"
+    assert _ivf_corpus(spark, sf_dir).count() == n_base + 10
+
+    # hand-tear the crash window: generation 2 fully renamed into
+    # place, manifest write never happened
+    droot = _delta_root(_ivf_disk_path(sf_dir, None))
+    shutil.copytree(os.path.join(droot, "delta=00001"),
+                    os.path.join(droot, "delta=00002"))
+    clear_caches(include_ivf_index=True)
+    grown = _ivf_corpus(spark, sf_dir)
+    assert grown.count() == n_base + 10, "orphan delta leaked into reads"
+
+    # retry claims the SAME generation name and commits over the orphan
+    out2 = append_ivf_vectors(
+        spark, sf_dir,
+        emb.limit(7).selectExpr("vec_id + 2000000 AS vec_id",
+                                "embedding"),
+    )
+    assert out2 == {"delta": "delta=00002", "n_vectors": 7}
+    final = _ivf_corpus(spark, sf_dir)
+    appended = final.filter("vec_id >= 1000000")
+    assert final.count() == n_base + 17
+    # the orphan's duplicate vec_ids must be gone, not merged in
+    assert appended.count() == appended.select("vec_id").distinct().count() == 17
+    clear_caches(include_ivf_index=True)

@@ -438,9 +438,9 @@ def _mp4_stsd_fourcc(payload: bytes, trak_b0: int, trak_b1: int):
 
 
 def _mp4_sample_table(payload: bytes, trak_b0: int, trak_b1: int):
-    """Parse the track's stsz/stsc/stco into ``(sizes, chunk_offsets,
-    stsc_entries)`` — everything needed to locate every sample's byte
-    extent. co64 (64-bit offsets) is rejected like 64-bit box sizes;
+    """Parse the track's stsz/stsc/stco|co64 into ``(sizes,
+    chunk_offsets, stsc_entries)`` — everything needed to locate every
+    sample's byte extent (co64's 64-bit offsets accepted since r17);
     a missing table box raises (callers only reach here after the
     stsd codec check said the samples are decodable)."""
     import struct
@@ -521,6 +521,353 @@ def _mp4_sample_table(payload: bytes, trak_b0: int, trak_b1: int):
     return sizes, chunk_offsets, stsc
 
 
+def _mp4_tkhd_track_id(payload: bytes, trak_b0: int, trak_b1: int) -> int:
+    """track_ID from the trak's tkhd (v0: after two 32-bit times; v1:
+    after two 64-bit times) — the join key between a track and its
+    per-fragment traf boxes."""
+    import struct
+
+    tkhd = _mp4_find(payload, trak_b0, trak_b1, b"tkhd")
+    if tkhd is None:
+        raise ValueError("no tkhd box")
+    version = payload[tkhd[0]]
+    off = tkhd[0] + (12 if version == 0 else 20)
+    if off + 4 > tkhd[1]:
+        raise ValueError("truncated tkhd")
+    return struct.unpack_from(">I", payload, off)[0]
+
+
+def _mp4_trex_defaults(payload: bytes) -> dict:
+    """{track_ID: (default_sample_size, default_sample_duration)} from
+    moov/mvex/trex — the per-track defaults fragment runs fall back to
+    when tfhd/trun carry no explicit values (fMP4, r18)."""
+    import struct
+
+    moov = _mp4_find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        return {}
+    mvex = _mp4_find(payload, moov[0], moov[1], b"mvex")
+    if mvex is None:
+        return {}
+    out = {}
+    for btype, b0, b1 in _mp4_boxes(payload, mvex[0], mvex[1]):
+        if btype != b"trex":
+            continue
+        if b0 + 24 > b1:
+            raise ValueError("truncated trex")
+        tid, _sdi, dur, size, _flags = struct.unpack_from(
+            ">IIIII", payload, b0 + 4
+        )
+        out[tid] = (size or None, dur or None)
+    return out
+
+
+def _mp4_mehd_duration(payload: bytes):
+    """Movie-extends fragment_duration (mehd v0/v1) or None — fMP4
+    files typically carry mvhd duration 0 and the real total here."""
+    import struct
+
+    moov = _mp4_find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        return None
+    mehd = _mp4_find(payload, moov[0], moov[1], b"mvex", b"mehd")
+    if mehd is None:
+        return None
+    version = payload[mehd[0]]
+    if version == 0:
+        if mehd[0] + 8 > mehd[1]:
+            raise ValueError("truncated mehd")
+        return struct.unpack_from(">I", payload, mehd[0] + 4)[0]
+    if version == 1:
+        if mehd[0] + 12 > mehd[1]:
+            raise ValueError("truncated mehd v1")
+        return struct.unpack_from(">Q", payload, mehd[0] + 4)[0]
+    raise ValueError(f"mehd version {version} unsupported")
+
+
+def _mp4_stsz_count(payload: bytes, trak_b0: int, trak_b1: int):
+    """The stsz sample_count, or None when the box is absent. Count 0
+    with movie fragments present is the fMP4 shape (empty stbl, all
+    samples in per-fragment trun runs)."""
+    import struct
+
+    stsz = _mp4_find(
+        payload, trak_b0, trak_b1, b"mdia", b"minf", b"stbl", b"stsz"
+    )
+    if stsz is None:
+        return None
+    return struct.unpack_from(">I", payload, stsz[0] + 8)[0]
+
+
+# tfhd/trun flag bits used by the fragment walk (ISO 14496-12 §8.8)
+_TFHD_BASE_DATA_OFFSET = 0x000001
+_TFHD_SAMPLE_DESC_IDX = 0x000002
+_TFHD_DEFAULT_DURATION = 0x000008
+_TFHD_DEFAULT_SIZE = 0x000010
+_TFHD_DEFAULT_FLAGS = 0x000020
+_TFHD_DEFAULT_BASE_IS_MOOF = 0x020000
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_FIRST_SAMPLE_FLAGS = 0x000004
+_TRUN_SAMPLE_DURATION = 0x000100
+_TRUN_SAMPLE_SIZE = 0x000200
+_TRUN_SAMPLE_FLAGS = 0x000400
+_TRUN_SAMPLE_CTS = 0x000800
+
+
+def _mp4_fragment_samples(
+    payload: bytes, track_id: int, count_only: bool = False
+):
+    """(offset, size) byte extents of every sample the movie fragments
+    (top-level moof boxes) carry for ``track_id``, in fragment order —
+    the fMP4/DASH/CMAF twin of the stbl walk (r18; reference scope is
+    containers only, this is north-star multimodal tier).
+
+    Supported base-offset modes: explicit tfhd base_data_offset and
+    default-base-is-moof (what CMAF mandates). The legacy implicit
+    default (first traf = moof start, later trafs = end of previous
+    traf's data) is quarantined loudly — resolving it requires global
+    mdat accounting this honest tier does not pretend to have.
+
+    ``count_only`` returns just the total sample count without
+    resolving sizes (metadata tier for non-MJPEG codecs, where trun
+    runs may omit sizes that only trex knows — or nobody does).
+
+    Balloon discipline (the r16 stsz lesson): per-sample field bytes
+    are bounds-checked against the trun extent BEFORE any loop, and a
+    size-less run must fit ``n * default_size`` inside the payload, so
+    a forged 2^31 sample_count dies in O(1) without materializing
+    anything."""
+    import struct
+
+    trex = _mp4_trex_defaults(payload)
+    samples: list = []
+    total = 0
+    hdr = 0  # boxes are contiguous: this box's header = prev box's end
+    for btype, b0, b1 in _mp4_boxes(payload, 0, len(payload)):
+        if btype != b"moof":
+            hdr = b1
+            continue
+        moof_hdr = hdr
+        hdr = b1
+        for t, tb0, tb1 in _mp4_boxes(payload, b0, b1):
+            if t != b"traf":
+                continue
+            tfhd = _mp4_find(payload, tb0, tb1, b"tfhd")
+            if tfhd is None:
+                raise ValueError("traf without tfhd")
+            verflags = struct.unpack_from(">I", payload, tfhd[0])[0]
+            flags = verflags & 0xFFFFFF
+            if tfhd[0] + 8 > tfhd[1]:
+                raise ValueError("truncated tfhd")
+            tid = struct.unpack_from(">I", payload, tfhd[0] + 4)[0]
+            off = tfhd[0] + 8
+            base = None
+            if flags & _TFHD_BASE_DATA_OFFSET:
+                if off + 8 > tfhd[1]:
+                    raise ValueError("truncated tfhd")
+                base = struct.unpack_from(">Q", payload, off)[0]
+                off += 8
+            if flags & _TFHD_SAMPLE_DESC_IDX:
+                off += 4
+            default_dur = None
+            if flags & _TFHD_DEFAULT_DURATION:
+                if off + 4 > tfhd[1]:
+                    raise ValueError("truncated tfhd")
+                default_dur = struct.unpack_from(
+                    ">I", payload, off
+                )[0]
+                off += 4
+            default_size = None
+            if flags & _TFHD_DEFAULT_SIZE:
+                if off + 4 > tfhd[1]:
+                    raise ValueError("truncated tfhd")
+                default_size = struct.unpack_from(
+                    ">I", payload, off
+                )[0]
+                off += 4
+            if flags & _TFHD_DEFAULT_FLAGS:
+                off += 4
+            if off > tfhd[1]:
+                raise ValueError("truncated tfhd")
+            if tid != track_id:
+                continue
+            if base is None:
+                if flags & _TFHD_DEFAULT_BASE_IS_MOOF:
+                    base = moof_hdr
+                else:
+                    raise ValueError(
+                        "tfhd without base-data-offset or "
+                        "default-base-is-moof (implicit base "
+                        "unsupported)"
+                    )
+            if default_size is None:
+                default_size = trex.get(tid, (None, None))[0]
+            del default_dur  # duration handled by the elst helper
+            cursor: int | None = None
+            for t2, u0, u1 in _mp4_boxes(payload, tb0, tb1):
+                if t2 != b"trun":
+                    continue
+                vf = struct.unpack_from(">I", payload, u0)[0]
+                tflags = vf & 0xFFFFFF
+                if u0 + 8 > u1:
+                    raise ValueError("truncated trun")
+                n = struct.unpack_from(">I", payload, u0 + 4)[0]
+                p = u0 + 8
+                if tflags & _TRUN_DATA_OFFSET:
+                    if p + 4 > u1:
+                        raise ValueError("truncated trun")
+                    (doff,) = struct.unpack_from(">i", payload, p)
+                    p += 4
+                    cursor = base + doff
+                if tflags & _TRUN_FIRST_SAMPLE_FLAGS:
+                    p += 4
+                per_sample = 4 * (
+                    bool(tflags & _TRUN_SAMPLE_DURATION)
+                    + bool(tflags & _TRUN_SAMPLE_SIZE)
+                    + bool(tflags & _TRUN_SAMPLE_FLAGS)
+                    + bool(tflags & _TRUN_SAMPLE_CTS)
+                )
+                if p + n * per_sample > u1:
+                    raise ValueError(
+                        f"trun sample fields ({n} x {per_sample}B) "
+                        "exceed box extent"
+                    )
+                if count_only:
+                    total += n
+                    continue
+                if cursor is None:
+                    raise ValueError(
+                        "first trun carries no data_offset"
+                    )
+                if not (tflags & _TRUN_SAMPLE_SIZE):
+                    if not default_size:
+                        raise ValueError(
+                            "no sample size in trun/tfhd/trex"
+                        )
+                    if cursor + n * default_size > len(payload):
+                        raise ValueError(
+                            "fragment run exceeds payload"
+                        )
+                sz_off = p + (
+                    4 if tflags & _TRUN_SAMPLE_DURATION else 0
+                )
+                for _ in range(n):
+                    if tflags & _TRUN_SAMPLE_SIZE:
+                        size = struct.unpack_from(
+                            ">I", payload, sz_off
+                        )[0]
+                    else:
+                        size = default_size
+                    sz_off += per_sample
+                    if cursor < 0 or cursor + size > len(payload):
+                        raise ValueError(
+                            f"fragment sample extent {cursor}+{size} "
+                            f"overruns payload ({len(payload)} bytes)"
+                        )
+                    samples.append((cursor, size))
+                    cursor += size
+    return total if count_only else samples
+
+
+def _mp4_has_moof(payload: bytes) -> bool:
+    return any(
+        btype == b"moof"
+        for btype, _, _ in _mp4_boxes(payload, 0, len(payload))
+    )
+
+
+def _mp4_first_presented_sample(
+    payload: bytes, trak_b0: int, trak_b1: int
+) -> int:
+    """Index of the first PRESENTED sample after applying the track's
+    edit list (r18, VERDICT r17 next #4): a nonzero elst media_time
+    shifts which sample plays first, so decode_mp4's first-frame mean
+    must skip the pre-roll instead of silently using storage-order
+    sample 0.
+
+    Returns 0 with no edts/elst. Leading EMPTY edits (media_time ==
+    -1, a presentation delay) are skipped; exactly one real entry is
+    supported and its media_time (media-timescale units) is mapped to
+    a sample index through stts — or through the trex default sample
+    duration for fragmented tracks with an empty stts. Multi-entry
+    edit lists (splice programs) quarantine loudly."""
+    import struct
+
+    elst = _mp4_find(payload, trak_b0, trak_b1, b"edts", b"elst")
+    if elst is None:
+        return 0
+    version = payload[elst[0]]
+    if version not in (0, 1):
+        raise ValueError(f"elst version {version} unsupported")
+    n = struct.unpack_from(">I", payload, elst[0] + 4)[0]
+    entry_bytes = 12 if version == 0 else 20
+    if elst[0] + 8 + n * entry_bytes > elst[1]:
+        raise ValueError("truncated elst")
+    entries = []
+    for i in range(n):
+        off = elst[0] + 8 + i * entry_bytes
+        if version == 0:
+            _seg, media_time = struct.unpack_from(">Ii", payload, off)
+        else:
+            _seg, media_time = struct.unpack_from(">Qq", payload, off)
+        entries.append(media_time)
+    # leading empty edits delay presentation but map no media
+    while entries and entries[0] == -1:
+        entries.pop(0)
+    if len(entries) != 1:
+        raise ValueError(
+            f"unsupported edit list ({n} entries): only a single "
+            "media segment (with optional leading empty edits) maps "
+            "to one first sample"
+        )
+    media_time = entries[0]
+    if media_time < 0:
+        raise ValueError(f"bad elst media_time {media_time}")
+    if media_time == 0:
+        return 0
+    # map media_time -> sample index via stts (media timescale units
+    # on both sides, no conversion needed)
+    stts = _mp4_find(
+        payload, trak_b0, trak_b1, b"mdia", b"minf", b"stbl", b"stts"
+    )
+    deltas: list[tuple[int, int]] = []
+    if stts is not None:
+        n_runs = struct.unpack_from(">I", payload, stts[0] + 4)[0]
+        if stts[0] + 8 + n_runs * 8 > stts[1]:
+            raise ValueError("truncated stts")
+        for i in range(n_runs):
+            cnt, delta = struct.unpack_from(
+                ">II", payload, stts[0] + 8 + i * 8
+            )
+            deltas.append((cnt, delta))
+    if not deltas:
+        # fragmented track: stts is empty; a uniform trex default
+        # duration still maps the skip exactly
+        tid = _mp4_tkhd_track_id(payload, trak_b0, trak_b1)
+        default_dur = _mp4_trex_defaults(payload).get(
+            tid, (None, None)
+        )[1]
+        if not default_dur:
+            raise ValueError(
+                "elst media_time with no stts and no trex default "
+                "duration"
+            )
+        return media_time // default_dur
+    idx = 0
+    cum = 0
+    for cnt, delta in deltas:
+        if delta <= 0:
+            raise ValueError(f"bad stts delta {delta}")
+        run_span = cnt * delta
+        if media_time < cum + run_span:
+            return idx + (media_time - cum) // delta
+        cum += run_span
+        idx += cnt
+    raise ValueError(
+        f"elst media_time {media_time} beyond track duration {cum}"
+    )
+
+
 def _mp4_mvhd_times(payload: bytes, mvhd: tuple) -> tuple:
     """(timescale, duration) from an mvhd body extent — version 0
     (32-bit times) and version 1 (64-bit times; r17, used to reject)
@@ -548,10 +895,12 @@ def mp4_frames(payload: bytes):
     sample order — the container-extraction twin of ``avi_frames``.
     Walks stsc (sample-to-chunk runs) over the stco chunk offsets
     with per-sample sizes from stsz; samples inside a chunk are
-    contiguous by the ISO-BMFF layout rules. Raises ValueError for
-    non-MP4 payloads, non-MJPEG codecs (no pixels to extract — the
-    metadata tier handles those), and sample extents outside the
-    buffer (truncated mdat)."""
+    contiguous by the ISO-BMFF layout rules. Fragmented files
+    (DASH/CMAF: empty stbl, per-fragment moof/trun sample runs) walk
+    the fragments instead (r18). Raises ValueError for non-MP4
+    payloads, non-MJPEG codecs (no pixels to extract — the metadata
+    tier handles those), and sample extents outside the buffer
+    (truncated mdat)."""
     trak = _mp4_video_trak(payload)
     if trak is None:
         raise ValueError("no video track (tkhd with nonzero extent)")
@@ -562,31 +911,49 @@ def mp4_frames(payload: bytes):
             f"not an MJPEG track (stsd {fourcc!r}); only "
             f"{_MJPEG_MP4_CODECS} carry per-sample JPEG pixels"
         )
-    sizes, chunk_offsets, stsc = _mp4_sample_table(payload, b0, b1)
-    idx = 0
-    for chunk_no, off in enumerate(chunk_offsets, start=1):
-        per = 0
-        for first_chunk, per_chunk in stsc:
-            if first_chunk <= chunk_no:
-                per = per_chunk
-            else:
-                break
-        for _ in range(per):
-            if idx >= len(sizes):
-                return
-            size = sizes[idx]
-            if off + size > len(payload):
-                raise ValueError(
-                    f"sample {idx} extent {off}+{size} overruns "
-                    f"payload ({len(payload)} bytes)"
-                )
-            yield payload[off:off + size]
-            off += size
-            idx += 1
-    if idx < len(sizes):
-        raise ValueError(
-            f"chunk table covers {idx} of {len(sizes)} samples"
+    # fragmented tier (r18): an empty stbl (stsz sample_count 0) with
+    # top-level moof boxes is the DASH/CMAF shape — every sample
+    # lives in per-fragment trun runs. A hybrid file (non-empty stbl
+    # AND fragments) yields stbl samples first, fragment samples
+    # after, per ISO ordering.
+    frag: list = []
+    if _mp4_has_moof(payload):
+        frag = _mp4_fragment_samples(
+            payload, _mp4_tkhd_track_id(payload, b0, b1)
         )
+    if _mp4_stsz_count(payload, b0, b1) == 0:
+        if not frag:
+            raise ValueError(
+                "empty sample table and no fragment samples"
+            )
+    else:
+        sizes, chunk_offsets, stsc = _mp4_sample_table(payload, b0, b1)
+        idx = 0
+        for chunk_no, off in enumerate(chunk_offsets, start=1):
+            per = 0
+            for first_chunk, per_chunk in stsc:
+                if first_chunk <= chunk_no:
+                    per = per_chunk
+                else:
+                    break
+            for _ in range(per):
+                if idx >= len(sizes):
+                    break
+                size = sizes[idx]
+                if off + size > len(payload):
+                    raise ValueError(
+                        f"sample {idx} extent {off}+{size} overruns "
+                        f"payload ({len(payload)} bytes)"
+                    )
+                yield payload[off:off + size]
+                off += size
+                idx += 1
+        if idx < len(sizes):
+            raise ValueError(
+                f"chunk table covers {idx} of {len(sizes)} samples"
+            )
+    for off, size in frag:
+        yield payload[off:off + size]
 
 
 def decode_mp4(payload: bytes) -> dict:
@@ -604,7 +971,15 @@ def decode_mp4(payload: bytes) -> dict:
     sample entries) pixel decode remains out of scope by design:
     stdlib cannot honestly decode them, so ``mean_value`` stays NULL
     (NULL marks metadata-only), as does a bare metadata container
-    with no stsd at all."""
+    with no stsd at all.
+
+    Fragmented files (DASH/CMAF — empty stbl, moof/trun sample runs,
+    mvex defaults) are first-class since r18: n_frames sums the trun
+    runs, duration falls back to mvex/mehd when mvhd says 0, and
+    MJPEG fragments decode pixels through the same mp4_frames walk.
+    A track edit list shifts the first PRESENTED sample
+    (``_mp4_first_presented_sample``); multi-entry edit lists
+    quarantine loudly."""
     import struct
 
     moov = _mp4_find(payload, 0, len(payload), b"moov")
@@ -621,20 +996,33 @@ def decode_mp4(payload: bytes) -> dict:
     trak = _mp4_video_trak(payload)
     if trak is not None:
         b0, b1, width, height = trak
-        stsz = _mp4_find(
-            payload, b0, b1,
-            b"mdia", b"minf", b"stbl", b"stsz",
-        )
-        if stsz is not None:
-            n_frames = struct.unpack_from(
-                ">I", payload, stsz[0] + 8
-            )[0]
+        n_frames = _mp4_stsz_count(payload, b0, b1)
+        if n_frames == 0 and _mp4_has_moof(payload):
+            # fragmented file: the empty stbl's count is a
+            # placeholder; the real total is the sum of the
+            # per-fragment trun sample counts (r18)
+            n_frames = _mp4_fragment_samples(
+                payload, _mp4_tkhd_track_id(payload, b0, b1),
+                count_only=True,
+            )
         if _mp4_stsd_fourcc(payload, b0, b1) in _MJPEG_MP4_CODECS:
+            from itertools import islice
+
             from quebic_spark.functions.jpeg import decode_jpeg
 
-            first = next(mp4_frames(payload), None)
+            # the first PRESENTED sample: a nonzero elst media_time
+            # shifts it past the pre-roll (r18)
+            skip = _mp4_first_presented_sample(payload, b0, b1)
+            first = next(
+                islice(mp4_frames(payload), skip, skip + 1), None
+            )
             if first is None:
-                raise ValueError("MJPEG track with zero samples")
+                raise ValueError(
+                    "MJPEG track with zero samples"
+                    if skip == 0 else
+                    f"elst first sample {skip} beyond the track's "
+                    "sample count"
+                )
             mean = decode_jpeg(first)["mean_value"]
     if width is None:
         raise ValueError("no video track (tkhd with nonzero extent)")
@@ -647,6 +1035,10 @@ def decode_mp4(payload: bytes) -> dict:
     ):
         if v is not None and v > 0x7FFFFFFF:
             raise ValueError(f"implausible {name} {v}")
+    if not duration:
+        # fMP4 carries mvhd duration 0; the real total (when the
+        # muxer recorded one) lives in mvex/mehd (r18)
+        duration = _mp4_mehd_duration(payload) or 0
     return {
         "fmt": "mp4",
         "width": width,
@@ -847,6 +1239,11 @@ def encode_mp4_mjpeg(
     chunk_offset_box: str = "stco",
     mvhd_version: int = 0,
     mdat_largesize: bool = False,
+    fragmented: bool = False,
+    frames_per_fragment: int | None = None,
+    edit_media_time: int | None = None,
+    edit_list: "list[tuple[int, int]] | None" = None,
+    elst_version: int = 0,
 ) -> bytes:
     """Build a minimal ISO-BMFF MP4 with one Motion-JPEG video track
     from pre-encoded JPEG frames (the write twin of
@@ -860,7 +1257,20 @@ def encode_mp4_mjpeg(
     The 64-bit field variants some muxers emit regardless of file size
     (r17 — the decoder accepts all three): ``chunk_offset_box="co64"``
     writes 64-bit chunk offsets, ``mvhd_version=1`` the 64-bit-times
-    movie header, ``mdat_largesize=True`` the size==1 extended box."""
+    movie header, ``mdat_largesize=True`` the size==1 extended box.
+
+    ``fragmented=True`` (r18) writes the DASH/CMAF shape instead:
+    empty stbl tables, mvex (mehd total duration + trex defaults,
+    mvhd duration 0), and one moof (mfhd + traf: tfhd with
+    default-base-is-moof, tfdt, trun with data_offset + per-sample
+    sizes) + mdat pair per ``frames_per_fragment`` frames (None = one
+    fragment).
+
+    ``edit_media_time=k`` prepends an edts/elst whose single entry
+    starts presentation at media time k (skipping k samples at the
+    encoder's 1-tick-per-sample timescale); ``edit_list`` writes raw
+    (segment_duration, media_time) entries verbatim for quarantine
+    fixtures, ``elst_version`` selects the 32/64-bit entry layout."""
     import struct
 
     if not frames:
@@ -869,6 +1279,10 @@ def encode_mp4_mjpeg(
         raise ValueError(f"chunk_offset_box: {chunk_offset_box!r}")
     if mvhd_version not in (0, 1):
         raise ValueError(f"mvhd_version: {mvhd_version}")
+    if elst_version not in (0, 1):
+        raise ValueError(f"elst_version: {elst_version}")
+    if edit_media_time is not None and edit_list is not None:
+        raise ValueError("pass edit_media_time OR edit_list")
 
     def box(btype: bytes, body: bytes) -> bytes:
         return struct.pack(">I4s", len(body) + 8, btype) + body
@@ -899,11 +1313,13 @@ def encode_mp4_mjpeg(
         stsc_entries.append((len(chunk_offsets), n % per))
 
     timescale, delta = fps, 1  # 1 sample per 1/fps => duration = n
+    # fragmented files say duration 0 in mvhd; the total lives in mehd
+    mv_duration = 0 if fragmented else n * delta
     if mvhd_version == 0:
         mvhd = box(
             b"mvhd",
             b"\x00" * 4 + b"\x00" * 8
-            + struct.pack(">II", timescale, n * delta)
+            + struct.pack(">II", timescale, mv_duration)
             + b"\x00" * 80,
         )
     else:  # v1: 64-bit creation/modification/duration
@@ -911,14 +1327,28 @@ def encode_mp4_mjpeg(
             b"mvhd",
             b"\x01" + b"\x00" * 3 + b"\x00" * 16
             + struct.pack(">I", timescale)
-            + struct.pack(">Q", n * delta)
+            + struct.pack(">Q", mv_duration)
             + b"\x00" * 80,
         )
     tkhd = box(
         b"tkhd",
-        b"\x00" * 4 + b"\x00" * 72
+        b"\x00" * 4 + b"\x00" * 8 + struct.pack(">I", 1)  # track_ID 1
+        + b"\x00" * 60
         + struct.pack(">II", width << 16, height << 16),
     )
+    edts = b""
+    entries = edit_list
+    if edit_media_time is not None:
+        entries = [(n * delta, edit_media_time)]
+    if entries is not None:
+        fmt = ">Ii" if elst_version == 0 else ">Qq"
+        body = bytes([elst_version]) + b"\x00" * 3 + struct.pack(
+            ">I", len(entries)
+        )
+        for seg, mt in entries:
+            # media_rate 1.0 (16.16 fixed)
+            body += struct.pack(fmt, seg, mt) + struct.pack(">hh", 1, 0)
+        edts = box(b"edts", box(b"elst", body))
     stsd = box(
         b"stsd",
         b"\x00" * 4 + struct.pack(">I", 1)
@@ -951,12 +1381,80 @@ def encode_mp4_mjpeg(
             b"\x00" * 4 + struct.pack(">I", len(chunk_offsets))
             + b"".join(struct.pack(">Q", o) for o in chunk_offsets),
         )
+    if fragmented:
+        # DASH/CMAF shape: EMPTY stbl tables (the walk must go to the
+        # fragments), mvex defaults, one moof+mdat per fragment
+        stts = box(b"stts", b"\x00" * 4 + struct.pack(">I", 0))
+        stsc = box(b"stsc", b"\x00" * 4 + struct.pack(">I", 0))
+        stsz = box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, 0))
+        empty_off = b"\x00" * 4 + struct.pack(">I", 0)
+        stco = box(
+            b"stco" if chunk_offset_box == "stco" else b"co64",
+            empty_off,
+        )
     stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
     minf = box(b"minf", stbl)
     mdia = box(b"mdia", minf)
-    trak = box(b"trak", tkhd + mdia)
-    moov = box(b"moov", mvhd + trak)
-    return ftyp + mdat + moov
+    trak = box(b"trak", tkhd + edts + mdia)
+    if not fragmented:
+        moov = box(b"moov", mvhd + trak)
+        return ftyp + mdat + moov
+    mehd = box(b"mehd", b"\x00" * 4 + struct.pack(">I", n * delta))
+    trex = box(
+        b"trex",
+        b"\x00" * 4 + struct.pack(">IIIII", 1, 1, delta, 0, 0),
+    )
+    mvex = box(b"mvex", mehd + trex)
+    moov = box(b"moov", mvhd + trak + mvex)
+    out = ftyp + moov
+    per_frag = (
+        n if frames_per_fragment is None else int(frames_per_fragment)
+    )
+    if per_frag < 1:
+        raise ValueError("frames_per_fragment must be >= 1")
+    seq = 0
+    for i in range(0, n, per_frag):
+        grp = frames[i:i + per_frag]
+        seq += 1
+        mfhd = box(b"mfhd", b"\x00" * 4 + struct.pack(">I", seq))
+        tfhd = box(
+            b"tfhd",
+            struct.pack(">I", _TFHD_DEFAULT_BASE_IS_MOOF)
+            + struct.pack(">I", 1),
+        )
+        tfdt = box(
+            b"tfdt",
+            b"\x01" + b"\x00" * 3 + struct.pack(">Q", i * delta),
+        )
+        # trun with data_offset + per-sample sizes; data_offset is
+        # relative to the moof's first byte (default-base-is-moof)
+        trun_size = 8 + 4 + 4 + 4 + 4 * len(grp)
+        frag_mdat_header = 16 if mdat_largesize else 8
+        moof_size = (
+            8 + len(mfhd)
+            + 8 + len(tfhd) + len(tfdt) + trun_size
+        )
+        trun = box(
+            b"trun",
+            struct.pack(
+                ">I", _TRUN_DATA_OFFSET | _TRUN_SAMPLE_SIZE
+            )
+            + struct.pack(">I", len(grp))
+            + struct.pack(">i", moof_size + frag_mdat_header)
+            + b"".join(struct.pack(">I", len(f)) for f in grp),
+        )
+        traf = box(b"traf", tfhd + tfdt + trun)
+        moof = box(b"moof", mfhd + traf)
+        assert len(moof) == moof_size, (len(moof), moof_size)
+        body = b"".join(grp)
+        if mdat_largesize:
+            frag_mdat = struct.pack(
+                ">I4sQ", 1, b"mdat", len(body) + 16
+            ) + body
+        else:
+            frag_mdat = box(b"mdat", body)
+        out += moof + frag_mdat
+    return out
 
 
 def _mp4_frame_period_us(payload: bytes):

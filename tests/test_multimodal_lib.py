@@ -494,6 +494,22 @@ def test_decoders_never_crash_on_fuzzed_payloads():
             mut[i] ^= 1 << rnd.randrange(8)
         probe(bytes(mut))
 
+    # same mutation class over the FRAGMENTED variant (r18): a flipped
+    # bit in a trun sample_count, tfhd flags, data_offset, or mehd
+    # duration must quarantine in bounded memory — the trun walk
+    # pre-checks its per-sample field extent exactly like stsz
+    good_fmp4, _ = _mjpeg_mp4(
+        n_frames=5, fragmented=True, frames_per_fragment=2,
+        edit_media_time=1,
+    )
+    good_fmp4 = bytearray(good_fmp4)
+    for _ in range(200):
+        mut = bytearray(good_fmp4)
+        for _k in range(rnd.randrange(1, 4)):
+            i = rnd.randrange(len(mut))
+            mut[i] ^= 1 << rnd.randrange(8)
+        probe(bytes(mut))
+
     # the same mutation class against a valid PROGRESSIVE JPEG: the
     # scan-sequencing state machine (EOB runs, refinement bits,
     # spectral bounds) sees mostly-sane structure with one lie
@@ -1376,6 +1392,111 @@ def test_mp4_64bit_variant_truncations_fail_loud():
     t[at + 4: at + 12] = struct.pack(">Q", 8)
     with pytest.raises(ValueError, match="bad box size"):
         decode_mp4(bytes(t))
+
+
+@pytest.mark.parametrize("variant", [
+    {},
+    {"frames_per_fragment": 2},
+    {"frames_per_fragment": 2, "mdat_largesize": True},
+    {"frames_per_fragment": 1, "mvhd_version": 1,
+     "chunk_offset_box": "co64"},
+])
+def test_mp4_fragmented_variants_match_unfragmented(variant):
+    """r18 (VERDICT r17 next #3): DASH/CMAF fragmented MP4 — empty
+    stbl, per-fragment moof/trun sample runs, mvex defaults, mvhd
+    duration 0 with the real total in mehd. Every variant must decode
+    identically to the unfragmented form: same metadata, same
+    first-frame mean, byte-exact frame extraction across fragment
+    boundaries."""
+    from quebic_spark.operators.multimodal import (
+        decode_mp4,
+        detect_format,
+        mp4_frames,
+    )
+
+    plain, frames = _mjpeg_mp4(n_frames=5, frames_per_chunk=2)
+    frag, frames2 = _mjpeg_mp4(n_frames=5, fragmented=True, **variant)
+    assert frames2 == frames
+    assert detect_format(frag) == "mp4"
+    assert decode_mp4(frag) == decode_mp4(plain)
+    assert list(mp4_frames(frag)) == frames
+
+
+def test_mp4_fragmented_metadata_and_quarantine_tiers():
+    """The honest-tier contract over fragments: a metadata-only codec
+    (stsd avc1) still reports n_frames from the trun runs with
+    mean_value NULL; an implicit tfhd base (neither base_data_offset
+    nor default-base-is-moof) quarantines loudly; a forged huge trun
+    sample_count dies in O(1) on the extent pre-check."""
+    import struct
+
+    import pytest
+
+    from quebic_spark.operators.multimodal import (
+        decode_mp4,
+        mp4_frames,
+    )
+
+    frag, frames = _mjpeg_mp4(
+        n_frames=4, fragmented=True, frames_per_fragment=2
+    )
+    # metadata tier: swap the stsd fourcc to avc1
+    meta = frag.replace(b"jpeg", b"avc1")
+    d = decode_mp4(meta)
+    assert d["n_frames"] == 4 and d["mean_value"] is None
+    assert d["sample_rate"] == 10  # duration came from mehd
+
+    # implicit tfhd base: clear the default-base-is-moof flag
+    at = frag.index(b"tfhd")
+    t = bytearray(frag)
+    t[at + 4: at + 8] = struct.pack(">I", 0)
+    with pytest.raises(ValueError, match="base"):
+        list(mp4_frames(bytes(t)))
+
+    # forged sample_count: 2^28 samples in a tiny trun box
+    at = frag.index(b"trun")
+    t = bytearray(frag)
+    t[at + 8: at + 12] = struct.pack(">I", 1 << 28)
+    with pytest.raises(ValueError, match="exceed|truncated|overrun"):
+        list(mp4_frames(bytes(t)))
+
+
+def test_mp4_edit_list_shifts_first_presented_sample():
+    """r18 (VERDICT r17 next #4): a nonzero elst media_time makes a
+    LATER sample the first presented one — decode_mp4's first-frame
+    mean must follow it (v0 and v1 layouts, stts-mapped for plain
+    files, trex-default-mapped for fragmented ones); leading empty
+    edits (media_time -1) are presentation delay and skip nothing
+    extra; multi-entry edit lists and a media_time beyond the track
+    quarantine loudly."""
+    import pytest
+
+    from quebic_spark.functions.jpeg import decode_jpeg
+    from quebic_spark.operators.multimodal import decode_mp4
+
+    for kw in (
+        {"edit_media_time": 2},
+        {"edit_media_time": 2, "elst_version": 1},
+        {"edit_media_time": 2, "fragmented": True,
+         "frames_per_fragment": 2},
+        {"edit_list": [(1, -1), (4, 2)]},  # leading empty edit
+    ):
+        payload, frames = _mjpeg_mp4(n_frames=5, **kw)
+        d = decode_mp4(payload)
+        assert d["mean_value"] == decode_jpeg(frames[2])["mean_value"], kw
+        assert d["n_frames"] == 5
+    # media_time 0 is the common no-op edit list muxers write
+    payload, frames = _mjpeg_mp4(n_frames=3, edit_media_time=0)
+    assert decode_mp4(payload)["mean_value"] == \
+        decode_jpeg(frames[0])["mean_value"]
+    # splice program (two real segments): quarantine
+    payload, _ = _mjpeg_mp4(n_frames=5, edit_list=[(2, 0), (3, 2)])
+    with pytest.raises(ValueError, match="edit list"):
+        decode_mp4(payload)
+    # media_time beyond the track's stts span: quarantine
+    payload, _ = _mjpeg_mp4(n_frames=3, edit_media_time=99)
+    with pytest.raises(ValueError, match="beyond"):
+        decode_mp4(payload)
 
 
 def test_quicktime_without_ftyp_detected_and_decoded():

@@ -263,19 +263,21 @@ def test_ctrl_pointer_tear_never_regresses_silently(old, new_delta, mask):
     co64=st.booleans(),
     mvhd_v1=st.booleans(),
     largesize=st.booleans(),
+    fragmented=st.booleans(),
 )
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=80, deadline=None)
 def test_mp4_sample_table_walk_roundtrips_any_chunking(
-    frames, per_chunk, co64, mvhd_v1, largesize
+    frames, per_chunk, co64, mvhd_v1, largesize, fragmented
 ):
-    """r16 MJPEG-MP4 tier (r17: over every 32/64-bit field variant):
-    for ANY frame sizes, ANY chunking (one chunk, uniform chunks,
-    trailing partial chunk with its own stsc run), and any of the
-    stco/co64 x mvhd v0/v1 x plain/largesize-mdat encodings, the
-    sample-table walk must return exactly the encoded frame byte
-    sequence — the invariant the first-frame mean and
-    video_frame_sample both stand on. mp4_frames never decodes, so
-    arbitrary bytes exercise the table walk directly."""
+    """r16 MJPEG-MP4 tier (r17: over every 32/64-bit field variant;
+    r18: and the fragmented moof/trun layout): for ANY frame sizes,
+    ANY chunking (one chunk, uniform chunks, trailing partial chunk
+    with its own stsc run — or the same grouping as fragments), and
+    any of the stco/co64 x mvhd v0/v1 x plain/largesize-mdat x
+    plain/fragmented encodings, the sample walk must return exactly
+    the encoded frame byte sequence — the invariant the first-frame
+    mean and video_frame_sample both stand on. mp4_frames never
+    decodes, so arbitrary bytes exercise the table walk directly."""
     from quebic_spark.operators.multimodal import (
         encode_mp4_mjpeg,
         mp4_frames,
@@ -286,5 +288,7 @@ def test_mp4_sample_table_walk_roundtrips_any_chunking(
         chunk_offset_box="co64" if co64 else "stco",
         mvhd_version=1 if mvhd_v1 else 0,
         mdat_largesize=largesize,
+        fragmented=fragmented,
+        frames_per_fragment=per_chunk,
     )
     assert list(mp4_frames(payload)) == frames

@@ -9,10 +9,19 @@ operators see realistic near-dup families (every doc gains N-1 close
 neighbors) rather than degenerate exact copies.
 
 Usage: python tools/scale_smoke.py [--factors 1,4,16] [--sf DIR]
+                                   [--ops name1,name2,...]
 Prints one JSON line:
   {"op": {"1": sec, "4": sec, "16": sec, "growth_16x": ratio}, ...}
 where growth_16x = t(16x) / t(1x); linear-ish ops land well under the
 16x row growth, a quadratic blowup lands near 256.
+
+The r18 64x evidence run (VERDICT r17 next #5 — one more doubling
+pair past 16x kills any hidden quadratic) targets the dedup/ANN/
+packing families via --ops:
+  python tools/scale_smoke.py --factors 1,4,16,64 \
+    --ops keep_best,snapshot_diff,strip_spans,minhash_lsh_pairs,\
+bloom_incremental,line_dedup,ivf_cell_join,pq_encode,\
+embedding_decontaminate,sequence_packing
 """
 
 from __future__ import annotations
@@ -72,6 +81,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,4,16")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--ops", default=None,
+                    help="comma-separated op subset (default: all)")
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
 
@@ -329,6 +340,39 @@ def main() -> None:
 
         return line_dedup(docs, max_df=256, delim=" ").count()
 
+    def op_sequence_packing(docs, emb):
+        # ONE shard-keyed shuffle + per-shard window cumsum (the
+        # packing discipline: never a global single-reducer window);
+        # linear growth proves every shard's cumsum stays independent
+        # as the corpus multiplies (r18, VERDICT r17 next #5)
+        from pyspark.sql import Window
+
+        from quebic_spark.operators.sampling import (
+            N_SHARDS,
+            PACK_BUDGET,
+        )
+
+        toks = F.size(F.split(F.col("text"), " ")).cast("long")
+        base = docs.select(
+            "doc_id",
+            hash_bucket(F.col("doc_id"), N_SHARDS).alias("shard"),
+            F.md5(F.col("doc_id").cast("string")).alias("ord"),
+            toks.alias("n_toks"),
+        )
+        w = (
+            Window.partitionBy("shard")
+            .orderBy("ord", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        before = F.sum("n_toks").over(w) - F.col("n_toks")
+        return (
+            base.select(
+                "shard",
+                F.floor(before / F.lit(PACK_BUDGET)).alias("bin_id"),
+            )
+            .groupBy("shard", "bin_id").count().count()
+        )
+
     from quebic_spark.operators.similarity import train_pq_codebooks
 
     pq_books = train_pq_codebooks(spark, args.sf)
@@ -352,7 +396,16 @@ def main() -> None:
         "shard_agg": op_shard_agg,
         "ivf_cell_join": op_ivf_probe,
         "bloom_incremental": op_bloom_incremental,
+        "sequence_packing": op_sequence_packing,
     }
+    if args.ops:
+        wanted = [x for x in args.ops.split(",") if x]
+        unknown = sorted(set(wanted) - set(ops))
+        if unknown:
+            raise SystemExit(
+                f"unknown ops {unknown}; available: {sorted(ops)}"
+            )
+        ops = {k: ops[k] for k in wanted}
     out: dict[str, dict] = {name: {} for name in ops}
     for factor in factors:
         docs = replicate_docs(spark, args.sf, factor).cache()

@@ -662,6 +662,7 @@ def _mp4_fragment_samples(
             tid = struct.unpack_from(">I", payload, tfhd[0] + 4)[0]
             off = tfhd[0] + 8
             base = None
+            explicit_base = bool(flags & _TFHD_BASE_DATA_OFFSET)
             if flags & _TFHD_BASE_DATA_OFFSET:
                 if off + 8 > tfhd[1]:
                     raise ValueError("truncated tfhd")
@@ -736,9 +737,18 @@ def _mp4_fragment_samples(
                     total += n
                     continue
                 if cursor is None:
-                    raise ValueError(
-                        "first trun carries no data_offset"
-                    )
+                    if explicit_base:
+                        # spec default: the traf's first run starts AT
+                        # the explicit base_data_offset (older smooth-
+                        # streaming files omit trun data_offset)
+                        cursor = base
+                    else:
+                        # with default-base-is-moof an offset-less
+                        # first run would start inside the moof box
+                        # itself — physically wrong; quarantine
+                        raise ValueError(
+                            "first trun carries no data_offset"
+                        )
                 if not (tflags & _TRUN_SAMPLE_SIZE):
                     if not default_size:
                         raise ValueError(

@@ -1910,3 +1910,85 @@ def test_resize_dims_zero_dimensions_stay_null(spark):
     }
     assert out[1] == (None, None) and out[2] == (None, None)
     assert out[3] == (32, 16)
+
+
+def test_mp4_fragment_multi_trun_and_explicit_base_shapes():
+    """Two hand-built fragment shapes the encoder never writes but
+    real muxers do (r18): (a) one traf carrying TWO trun runs where
+    the second omits data_offset and continues from the previous
+    run's end; (b) an explicit tfhd base_data_offset whose first trun
+    omits data_offset entirely (samples start AT the base — the older
+    smooth-streaming layout). Both must extract the exact frames of
+    the equivalent unfragmented file."""
+    import struct
+
+    from quebic_spark.operators.multimodal import (
+        _TFHD_BASE_DATA_OFFSET,
+        _TRUN_DATA_OFFSET,
+        _TRUN_SAMPLE_SIZE,
+        decode_mp4,
+        mp4_frames,
+    )
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I4s", len(body) + 8, btype) + body
+
+    template, frames = _mjpeg_mp4(
+        n_frames=4, fragmented=True, frames_per_fragment=4
+    )
+    prefix = template[: template.index(b"moof") - 4]  # ftyp + moov
+
+    # (a) default-base-is-moof, two truns: first two samples with a
+    # data_offset, last two continuing the cursor
+    mfhd = box(b"mfhd", b"\x00" * 4 + struct.pack(">I", 1))
+    tfhd = box(b"tfhd", struct.pack(">II", 0x020000, 1))
+    trun2 = box(
+        b"trun",
+        struct.pack(">II", _TRUN_SAMPLE_SIZE, 2)
+        + struct.pack(">II", len(frames[2]), len(frames[3])),
+    )
+    trun1_size = 8 + 4 + 4 + 4 + 8
+    moof_size = 8 + len(mfhd) + 8 + len(tfhd) + trun1_size + len(trun2)
+    trun1 = box(
+        b"trun",
+        struct.pack(
+            ">II", _TRUN_DATA_OFFSET | _TRUN_SAMPLE_SIZE, 2
+        )
+        + struct.pack(">i", moof_size + 8)
+        + struct.pack(">II", len(frames[0]), len(frames[1])),
+    )
+    traf = box(b"traf", tfhd + trun1 + trun2)
+    moof = box(b"moof", mfhd + traf)
+    assert len(moof) == moof_size
+    payload = prefix + moof + box(b"mdat", b"".join(frames))
+    assert list(mp4_frames(payload)) == frames
+    assert decode_mp4(payload)["n_frames"] == 4
+
+    # (b) explicit 64-bit base_data_offset, NO trun data_offset:
+    # samples start at the base (absolute mdat body position)
+    mdat_body_at = len(prefix)  # moof first, so compute after sizing
+    tfhd_b = box(
+        b"tfhd",
+        struct.pack(">I", _TFHD_BASE_DATA_OFFSET)
+        + struct.pack(">I", 1)
+        + struct.pack(">Q", 0),  # patched below
+    )
+    trun_b = box(
+        b"trun",
+        struct.pack(">II", _TRUN_SAMPLE_SIZE, 4)
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    traf_b = box(b"traf", tfhd_b + trun_b)
+    moof_b = box(b"moof", mfhd + traf_b)
+    mdat_body_at = len(prefix) + len(moof_b) + 8
+    tfhd_b = box(
+        b"tfhd",
+        struct.pack(">I", _TFHD_BASE_DATA_OFFSET)
+        + struct.pack(">I", 1)
+        + struct.pack(">Q", mdat_body_at),
+    )
+    traf_b = box(b"traf", tfhd_b + trun_b)
+    moof_b = box(b"moof", mfhd + traf_b)
+    payload_b = prefix + moof_b + box(b"mdat", b"".join(frames))
+    assert list(mp4_frames(payload_b)) == frames
+    assert decode_mp4(payload_b)["n_frames"] == 4

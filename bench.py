@@ -221,11 +221,16 @@ _LOAD_CONTAMINATED = 1.0
 # floor in r17's adjudication; 0.6 trades a little precision for not
 # stalling the round on a busy host)
 _QUIET_LOAD = 0.6
-# total wall-clock budget for quiet-waits across ALL retimes — the
-# driver's round must not hang on a host that never goes quiet
+# total WAITED-time budget across all retimes (child runtimes do NOT
+# count — the first r18 run charged each ~40s local[32] child against
+# the budget, so after two gates every later retime ran immediately
+# into its predecessor's load and stayed inflated) and the per-gate
+# wait cap. The budget bounds stall on a host that never goes quiet.
 _RETIME_WAIT_BUDGET_S = float(
-    os.environ.get("SPARK_GRAFT_RETIME_BUDGET_S", "420")
+    os.environ.get("SPARK_GRAFT_RETIME_BUDGET_S", "600")
 )
+_RETIME_WAIT_PER_GATE_S = 120.0
+_MAX_RETIMES = int(os.environ.get("SPARK_GRAFT_MAX_RETIMES", "20"))
 
 
 def load_floors() -> dict[str, float]:
@@ -353,11 +358,15 @@ def auto_retime_floors(
     quiet fresh sample wins when lower, and an in-run best that was
     already at floor is kept. Returns the full adjudication record
     for BENCH_DETAIL.json."""
-    suspects = floor_suspects(times, floors)
+    suspects = floor_suspects(times, floors)[:_MAX_RETIMES]
     record: dict[str, dict] = {}
-    deadline = time.time() + _RETIME_WAIT_BUDGET_S
+    wait_budget = _RETIME_WAIT_BUDGET_S
     for name in suspects:
-        la = wait_quiet(deadline)
+        t0 = time.time()
+        la = wait_quiet(
+            time.time() + min(wait_budget, _RETIME_WAIT_PER_GATE_S)
+        )
+        wait_budget = max(0.0, wait_budget - (time.time() - t0))
         try:
             samples = _run_isolated_child(name, sf_dir)
         except Exception as exc:  # diagnostics never sink the bench

@@ -13,6 +13,10 @@ one of the four commit protocols —
 * ``Queue._merge_undiscovered``      (queue/queue.py:844-862)
 * ``QueueStorage.write_batch``       (queue/storage.py:983-1018, the
   push path: pointer flip, tmp publish, manifest replay liveness)
+* ``Publisher.push_all``             (one bulk write_batch commit —
+  crash atomicity is all-or-nothing, never a partial batch)
+* ``Subscriber.consume`` DLQ route   (write_dlq BEFORE the ack flip —
+  a poison record survives a crash in pop-or-DLQ, never in neither)
 
 — then checks the at-least-once invariants from the OTHER side of the
 crash:
@@ -61,6 +65,7 @@ from quebic_spark import INTEGER, TEXT, Queue, Schema  # noqa: E402
 SCHEMA = Schema(INTEGER, TEXT)
 SCENARIOS = (
     "full_compact", "stream_safe", "merge_undiscovered", "push",
+    "push_all", "dlq",
 )
 _VICTIM = os.path.join(_REPO, "tools", "chaos_victim.py")
 
@@ -110,10 +115,32 @@ def build_state(qdir: str, scenario: str, rng: random.Random,
     (ids that MAY appear — a superset when a stream is the consumer
     of record for part of the log), and the still-open consumer when
     ``keep_open`` (the r16 already-open-reader shape)."""
-    if scenario == "push":
+    if scenario in ("push", "push_all"):
         # the victim creates the queue itself; its ACK lines define
         # `must` (filled in by the caller from victim stdout)
         return {"must": [], "allowed": list(range(12)), "consumer": None}
+    if scenario == "dlq":
+        q = Queue(qdir, SCHEMA, capacity=10**6,
+                  auto_compact_files=None)
+        pub = q.publisher()
+        for i in range(6):
+            pub.push([i, f"v{i}"])
+        spec = {
+            # every pushed id must survive SOMEWHERE: deliverable via
+            # pop OR present in the DLQ (write_dlq lands BEFORE the
+            # ack flip, so a crash in between may leave it in both —
+            # at-least-once — but never in neither). check_invariants
+            # subtracts the DLQed ids from `must` after the crash.
+            "must": list(range(6)),
+            "allowed": list(range(6)),
+            "consumer": None,
+            "dlq_union": True,
+        }
+        if keep_open:
+            spec["consumer"] = q
+        else:
+            _release(q)
+        return spec
     q = Queue(qdir, SCHEMA, capacity=10**6, auto_compact_files=None)
     pub = q.publisher()
     n = 24
@@ -208,6 +235,24 @@ def check_invariants(qdir: str, spec: dict) -> list[str]:
     green). Drains FIRST (the read path must heal torn state without
     any reopen — the r17 fix), then proves liveness, then verify()."""
     errors: list[str] = []
+    if spec.get("dlq_union"):
+        # poison records route to the DLQ and ack; they are no longer
+        # poppable, so the survival requirement becomes pop OR DLQ
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        dlq_ids: set[int] = set()
+        for p in _glob.glob(os.path.join(qdir, "dlq", "*.parquet")):
+            try:
+                dlq_ids.update(
+                    _pq.read_table(p, columns=["c0"])
+                    .column("c0").to_pylist()
+                )
+            except Exception as exc:  # noqa: BLE001
+                errors.append(f"unreadable DLQ file {p}: {exc!r}")
+        spec = dict(spec)
+        spec["must"] = [i for i in spec["must"] if i not in dlq_ids]
     consumer = spec.get("consumer")
     q = consumer or Queue(qdir, SCHEMA, auto_compact_files=None)
     sub = q.subscriber()
@@ -221,6 +266,12 @@ def check_invariants(qdir: str, spec: dict) -> list[str]:
         if b <= a:
             errors.append(f"order/duplicate violation: {a} then {b}")
             break
+    aon = spec.get("all_or_nothing")
+    if aon is not None and got and sorted(got) != sorted(aon):
+        # a single bulk write_batch is one tmp-publish commit: a crash
+        # may lose the whole batch (no push returned) but never
+        # expose part of it
+        errors.append(f"bulk batch partially visible: {got}")
     got_set = set(got)
     missing = [i for i in spec["must"] if i not in got_set]
     if missing:
@@ -253,8 +304,12 @@ def run_trial(root: str, scenario: str, seed: int, idx: int) -> dict:
     rng = random.Random(f"{seed}:{scenario}:{idx}")
     qdir = os.path.join(root, f"{scenario}-{idx}")
     os.makedirs(qdir, exist_ok=True)
-    push_args = (0, 12) if scenario == "push" else None
-    keep_open = scenario != "push" and rng.random() < 0.5
+    push_args = (
+        (0, 12) if scenario in ("push", "push_all") else None
+    )
+    keep_open = (
+        scenario not in ("push", "push_all") and rng.random() < 0.5
+    )
     spec = build_state(qdir, scenario, rng, keep_open)
     result = {"scenario": scenario, "trial": idx, "errors": []}
     try:
@@ -274,6 +329,10 @@ def run_trial(root: str, scenario: str, seed: int, idx: int) -> dict:
                 for line in p.stdout.splitlines()
                 if line.startswith("ACK ")
             ]
+        elif scenario == "push_all":
+            spec["all_or_nothing"] = list(spec["allowed"])
+            if "ACKALL" in p.stdout:
+                spec["must"] = list(spec["allowed"])
         result["errors"].extend(check_invariants(qdir, spec))
     except Exception as exc:  # noqa: BLE001 — harness faults are red too
         result["errors"].append(f"harness: {exc!r}")

@@ -86,6 +86,29 @@ def main() -> None:
         for i in range(first, first + n):
             pub.push([i, f"v{i}"])
             print(f"ACK {i}", flush=True)
+    elif scenario == "push_all":
+        # one bulk batch: a single write_batch commit (pointer flip +
+        # tmp publish) — crash atomicity is all-or-nothing
+        first, n = int(sys.argv[4]), int(sys.argv[5])
+        rest = q.publisher().push_all(
+            [[i, f"v{i}"] for i in range(first, first + n)]
+        )
+        if not rest:
+            print("ACKALL", flush=True)
+    elif scenario == "dlq":
+        # poison every record: two failing visits then the DLQ route
+        # (write_dlq BEFORE the ack flip — the ordering under test)
+        sub = q.subscriber()
+
+        def boom(rec):
+            raise RuntimeError("poison")
+
+        while True:
+            try:
+                if sub.consume(boom, error_permit=2) is None:
+                    break
+            except RuntimeError:
+                pass
     else:
         raise SystemExit(f"unknown scenario: {scenario}")
     # restore so interpreter shutdown never trips the gate

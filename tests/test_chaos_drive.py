@@ -72,3 +72,31 @@ Queue({qdir!r}, Schema(INTEGER, TEXT), auto_compact_files=None)
     assert q.subscriber().try_pop() == (1, "v1")
     q.verify()
     q.dispose()
+
+
+def test_bulk_append_chaos_both_orderings(tmp_path):
+    """append_dataframe's two commit orderings under the same
+    randomized SIGKILL sweep (the one protocol the main rotation
+    skips — each victim needs its own Spark session): default
+    flip-then-publish must leave a contiguous FIFO PREFIX of the
+    batch (never a mid-batch subset), fsync publish-then-flip must be
+    all-or-nothing (parts beyond an unflipped pointer stay invisible
+    and are swept). Liveness and verify() audited per trial as in the
+    main sweep."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tools.chaos_drive import run_trial
+
+    points = int(os.environ.get("CHAOS_BULK_POINTS", "4"))
+    work = [
+        (mode, i)
+        for mode in ("bulk_append", "bulk_append_fsync")
+        for i in range(points)
+    ]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        results = list(pool.map(
+            lambda w: run_trial(str(tmp_path), w[0], 1800, w[1]), work
+        ))
+    bad = [r for r in results if r["errors"]]
+    assert bad == [], bad[:2]
+    assert all(r.get("rc") == -9 for r in results), results

@@ -119,6 +119,19 @@ def build_state(qdir: str, scenario: str, rng: random.Random,
         # the victim creates the queue itself; its ACK lines define
         # `must` (filled in by the caller from victim stdout)
         return {"must": [], "allowed": list(range(12)), "consumer": None}
+    if scenario in ("bulk_append", "bulk_append_fsync"):
+        # bulk Spark ingest: the victim creates the queue and runs
+        # append_dataframe over ids 0..39. Crash contract differs by
+        # mode: default flip-then-publish commits a FIFO PREFIX of
+        # the batch; fsync publish-then-flip is all-or-nothing (parts
+        # beyond an unflipped pointer are invisible and swept)
+        spec = {"must": [], "allowed": list(range(40)),
+                "consumer": None}
+        if scenario == "bulk_append":
+            spec["fifo_prefix"] = list(range(40))
+        else:
+            spec["all_or_nothing"] = list(range(40))
+        return spec
     if scenario == "dlq":
         q = Queue(qdir, SCHEMA, capacity=10**6,
                   auto_compact_files=None)
@@ -272,6 +285,12 @@ def check_invariants(qdir: str, spec: dict) -> list[str]:
         # may lose the whole batch (no push returned) but never
         # expose part of it
         errors.append(f"bulk batch partially visible: {got}")
+    fp = spec.get("fifo_prefix")
+    if fp is not None and got != fp[:len(got)]:
+        # default-mode bulk ingest: flip first, publish ascending —
+        # a crash commits a contiguous FIFO prefix, never a
+        # mid-batch subset
+        errors.append(f"bulk ingest not a FIFO prefix: {got[:10]}")
     got_set = set(got)
     missing = [i for i in spec["must"] if i not in got_set]
     if missing:
@@ -308,7 +327,9 @@ def run_trial(root: str, scenario: str, seed: int, idx: int) -> dict:
         (0, 12) if scenario in ("push", "push_all") else None
     )
     keep_open = (
-        scenario not in ("push", "push_all") and rng.random() < 0.5
+        scenario not in ("push", "push_all", "bulk_append",
+                         "bulk_append_fsync")
+        and rng.random() < 0.5
     )
     spec = build_state(qdir, scenario, rng, keep_open)
     result = {"scenario": scenario, "trial": idx, "errors": []}
@@ -332,6 +353,9 @@ def run_trial(root: str, scenario: str, seed: int, idx: int) -> dict:
         elif scenario == "push_all":
             spec["all_or_nothing"] = list(spec["allowed"])
             if "ACKALL" in p.stdout:
+                spec["must"] = list(spec["allowed"])
+        elif scenario.startswith("bulk_append"):
+            if "ACKBULK" in p.stdout:
                 spec["must"] = list(spec["allowed"])
         result["errors"].extend(check_invariants(qdir, spec))
     except Exception as exc:  # noqa: BLE001 — harness faults are red too

@@ -45,11 +45,18 @@ def main() -> None:
     sys.path.insert(0, repo)
 
     calls = {"n": 0}
+    # bulk_append scenarios launch a Spark JVM whose Python-side
+    # plumbing makes unrelated os.write calls: their gates arm only
+    # around the append itself, so kill points land inside the
+    # commit protocol, not inside py4j bootstrap
+    armed = {"on": not scenario.startswith("bulk_append")}
     real_replace, real_remove, real_write = (
         os.replace, os.remove, os.write,
     )
 
     def gate() -> None:
+        if not armed["on"]:
+            return
         calls["n"] += 1
         if kill_at and calls["n"] == kill_at:
             os.kill(os.getpid(), signal.SIGKILL)
@@ -70,7 +77,8 @@ def main() -> None:
     # patch BEFORE import: _write_all binds os.write as a default arg
     from quebic_spark import INTEGER, TEXT, Queue, Schema
 
-    q = Queue(qdir, Schema(INTEGER, TEXT), auto_compact_files=None)
+    q = Queue(qdir, Schema(INTEGER, TEXT), auto_compact_files=None,
+              fsync=scenario == "bulk_append_fsync")
     if scenario == "full_compact":
         q.compact(target_file_rows=8, small_file_rows=100)
     elif scenario == "stream_safe":
@@ -95,6 +103,26 @@ def main() -> None:
         )
         if not rest:
             print("ACKALL", flush=True)
+    elif scenario in ("bulk_append", "bulk_append_fsync"):
+        # the bulk Spark ingest tier's two commit orderings
+        # (queue/queue.py:1404-1414 default flip-then-publish;
+        # :1360-1403 fsync publish-then-flip behind the sweep-intent
+        # marker). small_batch_rows=0 forces the scalable multi-part
+        # path so the publish loop has several rename boundaries.
+        from quebic_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="chaos_bulk", master="local[2]",
+            shuffle_partitions=2,
+        )
+        df = spark.range(40).selectExpr(
+            "cast(id as int) AS c0", "concat('v', id) AS c1"
+        )
+        armed["on"] = True
+        q.append_dataframe(df, order_by=["c0"], small_batch_rows=0)
+        armed["on"] = False
+        print("ACKBULK", flush=True)
+        spark.stop()
     elif scenario == "dlq":
         # poison every record: two failing visits then the DLQ route
         # (write_dlq BEFORE the ack flip — the ordering under test)

@@ -100,3 +100,33 @@ def test_bulk_append_chaos_both_orderings(tmp_path):
     bad = [r for r in results if r["errors"]]
     assert bad == [], bad[:2]
     assert all(r.get("rc") == -9 for r in results), results
+
+
+def test_concurrent_producer_chaos_sweep(tmp_path):
+    """Crash points under REAL contention: a live producer process
+    pushes against the queue while each compactor victim runs and
+    dies at its sampled boundary — the surviving producer's
+    write_batch replays the torn commit mid-race instead of after
+    it. Every pre-crash row and every producer-acked row must
+    deliver exactly once, in order, with verify() clean."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tools.chaos_drive import run_concurrent_trial
+
+    per = int(os.environ.get("CHAOS_CONCURRENT_POINTS", "6"))
+    work = [
+        (scen, i)
+        for scen in ("full_compact", "stream_safe",
+                     "merge_undiscovered")
+        for i in range(per)
+    ]
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        results = list(pool.map(
+            lambda w: run_concurrent_trial(
+                str(tmp_path), w[0], 1800, w[1]
+            ),
+            work,
+        ))
+    bad = [r for r in results if r["errors"]]
+    assert bad == [], bad[:2]
+    assert all(r.get("rc") == -9 for r in results)

@@ -187,6 +187,16 @@ def build_state(qdir: str, scenario: str, rng: random.Random,
         # at-least-once allows it, the stream was the consumer of
         # record, so `allowed` is everything
         spec["allowed"] = list(range(n))
+        # rows the fabricated checkpoint marks stream-consumed: the
+        # concurrent trial must NOT require them — once a racing
+        # producer pushes past the old max seq, the last pre-crash
+        # file loses its latest-survives protection and a committed
+        # row in it may legitimately be deleted
+        committed_rows = []
+        for (s, e, p) in batches:
+            if os.path.basename(p) in committed_set:
+                committed_rows.extend(range(s - 1, e))
+        spec["stream_committed_ids"] = sorted(committed_rows)
     elif scenario == "merge_undiscovered":
         k = rng.randint(0, 6)
         sub = q.subscriber()
@@ -364,6 +374,78 @@ def run_trial(root: str, scenario: str, seed: int, idx: int) -> dict:
         consumer = spec.get("consumer")
         if consumer is not None and not consumer._closed:
             _release(consumer)
+        shutil.rmtree(qdir, ignore_errors=True)
+    return result
+
+
+def run_concurrent_trial(root: str, scenario: str, seed: int,
+                         idx: int) -> dict:
+    """Crash-point trial with a LIVE producer racing the victim: a
+    second real process pushes 15 records against the same queue
+    while the compactor victim runs and dies at its sampled mutation
+    boundary. The flock serializes their critical sections and the
+    kernel drops the victim's lock at death; the surviving producer's
+    next write_batch replays the torn commit (the r17 liveness tier)
+    — under real contention, not after it. Invariants: every
+    pre-crash row AND every producer-acked row delivered in order,
+    no duplicates, liveness, verify() clean."""
+    import threading
+
+    rng = random.Random(f"{seed}:conc:{scenario}:{idx}")
+    qdir = os.path.join(root, f"conc-{scenario}-{idx}")
+    os.makedirs(qdir, exist_ok=True)
+    spec = build_state(qdir, scenario, rng, keep_open=False)
+    # under the race the old max-seq file loses latest-survives
+    # protection (a producer row becomes max seq), so every stream-
+    # committed row becomes legitimately deletable
+    committed = set(spec.pop("stream_committed_ids", []))
+    spec["must"] = [i for i in spec["must"] if i not in committed]
+    result = {"scenario": f"concurrent:{scenario}", "trial": idx,
+              "errors": []}
+    try:
+        # count on the PRE-RACE state (a copy during the race would
+        # tear); the racing compactor sees >= these mutations, so a
+        # point in 1..T still lands inside the protocol
+        t = count_mutations(qdir, scenario)
+        kill_at = rng.randint(1, t)
+        result.update(mutations=t, kill_at=kill_at)
+        producer: dict = {}
+
+        def produce() -> None:
+            producer["p"] = run_victim(qdir, "push", 0, (1000, 15))
+
+        th = threading.Thread(target=produce)
+        th.start()
+        p = run_victim(qdir, scenario, kill_at)
+        result["rc"] = p.returncode
+        if p.returncode != -9:
+            result["errors"].append(
+                f"victim not SIGKILLed (rc={p.returncode}): "
+                f"{p.stderr.strip()[-200:]}"
+            )
+        th.join(timeout=120)
+        pp = producer.get("p")
+        if pp is None or pp.returncode != 0:
+            result["errors"].append(
+                "producer died during the race: "
+                f"{getattr(pp, 'stderr', '')[-300:]}"
+            )
+        else:
+            acked = [
+                int(line.split()[1])
+                for line in pp.stdout.splitlines()
+                if line.startswith("ACK ")
+            ]
+            if len(acked) != 15:
+                result["errors"].append(
+                    f"producer acked {len(acked)}/15"
+                )
+            spec["must"] = list(spec["must"]) + acked
+            spec["allowed"] = list(spec["allowed"]) + acked
+        result["errors"].extend(check_invariants(qdir, spec))
+    except Exception as exc:  # noqa: BLE001
+        result["errors"].append(f"harness: {exc!r}")
+    finally:
         shutil.rmtree(qdir, ignore_errors=True)
     return result
 

@@ -65,7 +65,7 @@ from quebic_spark import INTEGER, TEXT, Queue, Schema  # noqa: E402
 SCHEMA = Schema(INTEGER, TEXT)
 SCENARIOS = (
     "full_compact", "stream_safe", "merge_undiscovered", "push",
-    "push_all", "dlq",
+    "push_all", "dlq", "consume",
 )
 _VICTIM = os.path.join(_REPO, "tools", "chaos_victim.py")
 
@@ -131,6 +131,28 @@ def build_state(qdir: str, scenario: str, rng: random.Random,
             spec["fifo_prefix"] = list(range(40))
         else:
             spec["all_or_nothing"] = list(range(40))
+        return spec
+    if scenario == "consume":
+        q = Queue(qdir, SCHEMA, capacity=10**6,
+                  auto_compact_files=None)
+        pub = q.publisher()
+        for i in range(10):
+            pub.push([i, f"v{i}"])
+        spec = {
+            # filled by run_trial from the victim's ACK lines: the
+            # parent must still see every UNACKED record, except at
+            # most one acked-but-unprinted in-flight (the legal
+            # at-least-once window between the state write and the
+            # victim's print)
+            "must": list(range(10)),
+            "allowed": list(range(10)),
+            "consumer": None,
+            "ack_scenario": True,
+        }
+        if keep_open:
+            spec["consumer"] = q
+        else:
+            _release(q)
         return spec
     if scenario == "dlq":
         q = Queue(qdir, SCHEMA, capacity=10**6,
@@ -367,6 +389,20 @@ def run_trial(root: str, scenario: str, seed: int, idx: int) -> dict:
         elif scenario.startswith("bulk_append"):
             if "ACKBULK" in p.stdout:
                 spec["must"] = list(spec["allowed"])
+        elif scenario == "consume":
+            acked = [
+                int(line.split()[1])
+                for line in p.stdout.splitlines()
+                if line.startswith("ACK ")
+            ]
+            # at most one acked-but-unprinted in-flight record may
+            # also be gone: consumption is FIFO, so it is exactly the
+            # next id after the last printed ack
+            inflight = acked[-1] + 1 if acked else 0
+            spec["must"] = [
+                i for i in spec["must"]
+                if i not in acked and i != inflight
+            ]
         result["errors"].extend(check_invariants(qdir, spec))
     except Exception as exc:  # noqa: BLE001 — harness faults are red too
         result["errors"].append(f"harness: {exc!r}")

@@ -123,6 +123,17 @@ def main() -> None:
         armed["on"] = False
         print("ACKBULK", flush=True)
         spark.stop()
+    elif scenario == "consume":
+        # the ack-flip protocol: print AFTER consume returns, so the
+        # parent knows exactly which records were acked before death;
+        # a kill between the state write and the print leaves at most
+        # ONE record acked-but-unprinted (the at-least-once window)
+        sub = q.subscriber()
+        while True:
+            r = sub.consume(lambda rec: rec)
+            if r is None:
+                break
+            print(f"ACK {r[0]}", flush=True)
     elif scenario == "dlq":
         # poison every record: two failing visits then the DLQ route
         # (write_dlq BEFORE the ack flip — the ordering under test)

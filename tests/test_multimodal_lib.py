@@ -1992,3 +1992,41 @@ def test_mp4_fragment_multi_trun_and_explicit_base_shapes():
     payload_b = prefix + moof_b + box(b"mdat", b"".join(frames))
     assert list(mp4_frames(payload_b)) == frames
     assert decode_mp4(payload_b)["n_frames"] == 4
+
+
+def test_fragmented_mp4_through_decode_media_and_frame_sample(spark):
+    """End-to-end Spark tier over the fragmented container (r18):
+    decode_media reports the same real metadata/mean for a DASH/CMAF
+    file as for its unfragmented twin, and video_frame_sample
+    extracts+decodes sampled frames across fragment boundaries."""
+    from quebic_spark.functions.jpeg import decode_jpeg
+    from quebic_spark.operators.multimodal import (
+        decode_media,
+        video_frame_sample,
+    )
+
+    plain, frames = _mjpeg_mp4(n_frames=6)
+    frag, frames2 = _mjpeg_mp4(
+        n_frames=6, fragmented=True, frames_per_fragment=2
+    )
+    assert frames2 == frames
+    df = spark.createDataFrame(
+        [(1, bytearray(plain)), (2, bytearray(frag))],
+        "doc_id long, payload binary",
+    )
+    meta = {r["doc_id"]: r.asDict() for r in decode_media(df).collect()}
+    frag_row, plain_row = meta.pop(2), meta.pop(1)
+    # payload_bytes legitimately differs (per-fragment moof overhead)
+    for r in (frag_row, plain_row):
+        r.pop("payload_bytes", None)
+    assert frag_row == {**plain_row, "doc_id": 2}
+    assert frag_row["mean_value"] == decode_jpeg(frames[0])["mean_value"]
+
+    rows = video_frame_sample(df, every_nth=3).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["frame_idx"]] = r
+    assert sorted(by_doc[2]) == sorted(by_doc[1]) == [0, 3]
+    for idx, r in by_doc[2].items():
+        assert r["decode_ok"]
+        assert r["mean_luma"] == by_doc[1][idx]["mean_luma"]

@@ -131,3 +131,41 @@ def test_concurrent_producer_chaos_sweep(tmp_path):
     bad = [r for r in results if r["errors"]]
     assert bad == [], bad[:2]
     assert all(r.get("rc") == -9 for r in results)
+
+
+def test_live_consumer_chaos_sweep(tmp_path):
+    """Crash points with a LIVE consumer popping throughout the
+    victim's death: reads contend for the flock against the dying
+    compactor in real time, replaying the torn manifest the instant
+    the kernel drops the dead victim's lock. Rows taken during the
+    race plus rows drained after it must equal the must-survive set
+    exactly once, in order — no loss, no re-delivery of a row the
+    racer already took."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tools.chaos_drive import run_live_consumer_trial
+
+    per = int(os.environ.get("CHAOS_LIVE_POINTS", "6"))
+    work = [
+        (scen, i)
+        for scen in ("full_compact", "stream_safe",
+                     "merge_undiscovered")
+        for i in range(per)
+    ]
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        results = list(pool.map(
+            lambda w: run_live_consumer_trial(
+                str(tmp_path), w[0], 1800, w[1]
+            ),
+            work,
+        ))
+    bad = [r for r in results if r["errors"]]
+    assert bad == [], bad[:2]
+    # the racing consumer shrinks the victim's work, so a low-biased
+    # kill point can still land past the real mutation count — a
+    # completed victim is a valid sample, but MOST must really die
+    killed = sum(1 for r in results if r.get("rc") == -9)
+    assert killed >= len(results) // 2, (killed, len(results))
+    # and the race must actually have raced: the live consumer took
+    # rows mid-crash across the sweep
+    assert sum(r.get("raced", 0) for r in results) > 0

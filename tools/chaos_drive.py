@@ -323,6 +323,12 @@ def check_invariants(qdir: str, spec: dict) -> list[str]:
         # a crash commits a contiguous FIFO prefix, never a
         # mid-batch subset
         errors.append(f"bulk ingest not a FIFO prefix: {got[:10]}")
+    already = set(spec.get("already_delivered", ()))
+    if already & set(got):
+        errors.append(
+            f"re-delivered rows a racing consumer already took: "
+            f"{sorted(already & set(got))[:8]}"
+        )
     got_set = set(got)
     missing = [i for i in spec["must"] if i not in got_set]
     if missing:
@@ -478,6 +484,85 @@ def run_concurrent_trial(root: str, scenario: str, seed: int,
                 )
             spec["must"] = list(spec["must"]) + acked
             spec["allowed"] = list(spec["allowed"]) + acked
+        result["errors"].extend(check_invariants(qdir, spec))
+    except Exception as exc:  # noqa: BLE001
+        result["errors"].append(f"harness: {exc!r}")
+    finally:
+        shutil.rmtree(qdir, ignore_errors=True)
+    return result
+
+
+def run_live_consumer_trial(root: str, scenario: str, seed: int,
+                            idx: int) -> dict:
+    """Crash-point trial with a LIVE consumer popping throughout the
+    victim's death: the reads contend for the flock against the dying
+    compactor in real time — every pop either sees the pre-commit
+    state, blocks on the flock, or replays the torn manifest (the r17
+    read-path tier) the instant the kernel drops the dead victim's
+    lock. Invariants: rows taken during the race plus rows drained
+    after it equal the must-survive set EXACTLY once, in order."""
+    import threading
+    import time as _time
+
+    rng = random.Random(f"{seed}:live:{scenario}:{idx}")
+    qdir = os.path.join(root, f"live-{scenario}-{idx}")
+    os.makedirs(qdir, exist_ok=True)
+    spec = build_state(qdir, scenario, rng, keep_open=True)
+    q: Queue = spec["consumer"]
+    result = {"scenario": f"live_consumer:{scenario}", "trial": idx,
+              "errors": []}
+    raced: list[int] = []
+    stop = threading.Event()
+
+    def race() -> None:
+        sub = q.subscriber()
+        while not stop.is_set():
+            r = sub.try_pop()
+            if r is not None:
+                raced.append(r[0])
+            _time.sleep(0.002)
+
+    th = threading.Thread(target=race)
+    try:
+        t = count_mutations(qdir, scenario)
+        # the racing consumer SHRINKS the victim's work (popped rows
+        # turn rewrites into drops), so the real mutation count can
+        # fall below the pre-race estimate: bias the sample low and
+        # accept a completed victim as a valid (unkilled) trial — the
+        # sweep-level assertion requires a minimum kill rate instead
+        kill_at = rng.randint(1, max(1, (2 * t) // 3))
+        result.update(mutations=t, kill_at=kill_at)
+        th.start()
+        p = run_victim(qdir, scenario, kill_at)
+        result["rc"] = p.returncode
+        if p.returncode not in (-9, 0):
+            result["errors"].append(
+                f"victim failed (rc={p.returncode}): "
+                f"{p.stderr.strip()[-200:]}"
+            )
+    except Exception as exc:  # noqa: BLE001
+        result["errors"].append(f"harness: {exc!r}")
+    finally:
+        stop.set()
+        if th.is_alive() or th.ident is not None:
+            th.join(timeout=30)
+    try:
+        for a, b in zip(raced, raced[1:]):
+            if b <= a:
+                result["errors"].append(
+                    f"racing consumer order/dup: {a} then {b}"
+                )
+                break
+        raced_set = set(raced)
+        extra = sorted(raced_set - set(spec["allowed"]))
+        if extra:
+            result["errors"].append(
+                f"racing consumer got unexpected rows: {extra[:8]}"
+            )
+        spec = dict(spec)
+        spec["must"] = [i for i in spec["must"] if i not in raced_set]
+        spec["already_delivered"] = sorted(raced_set)
+        result["raced"] = len(raced)
         result["errors"].extend(check_invariants(qdir, spec))
     except Exception as exc:  # noqa: BLE001
         result["errors"].append(f"harness: {exc!r}")

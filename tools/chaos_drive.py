@@ -5,8 +5,9 @@ r16 proved hand-reasoned crash orderings can miss a reader tier; r17
 fixed that instance and wrote a checklist. This drive generalizes the
 checklist empirically: for each trial it builds real queue state,
 spawns a victim process (tools/chaos_victim.py) that SIGKILLs itself
-immediately before a randomly chosen mutating-filesystem call inside
-one of the four commit protocols —
+immediately before a randomly chosen mutating-filesystem call
+(os.replace / os.remove / os.write / os.pwrite — the last is the
+control-pointer flip) inside one of the commit protocols —
 
 * ``Queue.compact`` full mode        (queue/queue.py:629-668)
 * ``Queue._compact_stream_safe``     (queue/queue.py:716-727)
@@ -15,8 +16,14 @@ one of the four commit protocols —
   push path: pointer flip, tmp publish, manifest replay liveness)
 * ``Publisher.push_all``             (one bulk write_batch commit —
   crash atomicity is all-or-nothing, never a partial batch)
+* ``Subscriber.consume`` ack flip    (at-least-once: at most ONE
+  acked-but-unreported in-flight record may vanish)
 * ``Subscriber.consume`` DLQ route   (write_dlq BEFORE the ack flip —
   a poison record survives a crash in pop-or-DLQ, never in neither)
+
+Serial trials randomly run their victim in fsync=True mode, whose
+push-path commit ORDERING differs (durable data before the fsynced
+pointer flip), so both durability contracts collect kill points.
 
 — then checks the at-least-once invariants from the OTHER side of the
 crash:
@@ -240,16 +247,23 @@ def build_state(qdir: str, scenario: str, rng: random.Random,
 
 def run_victim(qdir: str, scenario: str, kill_at: int,
                push_args: tuple[int, int] | None = None,
+               fsync: bool = False,
                ) -> subprocess.CompletedProcess:
     cmd = [sys.executable, _VICTIM, qdir, scenario, str(kill_at)]
     if push_args:
         cmd += [str(push_args[0]), str(push_args[1])]
+    env = dict(os.environ)
+    if fsync:
+        env["CHAOS_FSYNC"] = "1"
+    else:
+        env.pop("CHAOS_FSYNC", None)
     return subprocess.run(cmd, capture_output=True, text=True,
-                          timeout=120)
+                          timeout=120, env=env)
 
 
 def count_mutations(qdir: str, scenario: str,
-                    push_args: tuple[int, int] | None = None) -> int:
+                    push_args: tuple[int, int] | None = None,
+                    fsync: bool = False) -> int:
     """Mutation count T of the victim op, measured on a throwaway
     COPY of the state (the counting run completes the op, and the
     real state must stay pre-crash). Offset-log checkpoint entries
@@ -261,7 +275,7 @@ def count_mutations(qdir: str, scenario: str,
     else:
         shutil.copytree(qdir, tmp)
     try:
-        p = run_victim(tmp, scenario, 0, push_args)
+        p = run_victim(tmp, scenario, 0, push_args, fsync=fsync)
         if p.returncode != 0:
             raise RuntimeError(
                 f"count run failed rc={p.returncode}: "
@@ -372,10 +386,13 @@ def run_trial(root: str, scenario: str, seed: int, idx: int) -> dict:
     spec = build_state(qdir, scenario, rng, keep_open)
     result = {"scenario": scenario, "trial": idx, "errors": []}
     try:
-        t = count_mutations(qdir, scenario, push_args)
+        fsync = rng.random() < 0.5
+        result["fsync"] = fsync
+        t = count_mutations(qdir, scenario, push_args, fsync=fsync)
         kill_at = rng.randint(1, t)
         result.update(mutations=t, kill_at=kill_at)
-        p = run_victim(qdir, scenario, kill_at, push_args)
+        p = run_victim(qdir, scenario, kill_at, push_args,
+                       fsync=fsync)
         result["rc"] = p.returncode
         if p.returncode != -9:
             result["errors"].append(

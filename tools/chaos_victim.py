@@ -50,8 +50,8 @@ def main() -> None:
     # around the append itself, so kill points land inside the
     # commit protocol, not inside py4j bootstrap
     armed = {"on": not scenario.startswith("bulk_append")}
-    real_replace, real_remove, real_write = (
-        os.replace, os.remove, os.write,
+    real_replace, real_remove, real_write, real_pwrite = (
+        os.replace, os.remove, os.write, os.pwrite,
     )
 
     def gate() -> None:
@@ -73,12 +73,22 @@ def main() -> None:
         gate()
         return real_write(fd, data)
 
-    os.replace, os.remove, os.write = replace, remove, write
+    def pwrite(fd, data, offset):
+        # the control-pointer flip (set_next_seq) writes via pwrite —
+        # without this gate the "pointer advanced, rows not yet
+        # published" state had no kill point (r18)
+        gate()
+        return real_pwrite(fd, data, offset)
+
+    os.replace, os.remove, os.write, os.pwrite = (
+        replace, remove, write, pwrite,
+    )
     # patch BEFORE import: _write_all binds os.write as a default arg
     from quebic_spark import INTEGER, TEXT, Queue, Schema
 
     q = Queue(qdir, Schema(INTEGER, TEXT), auto_compact_files=None,
-              fsync=scenario == "bulk_append_fsync")
+              fsync=(scenario == "bulk_append_fsync"
+                     or os.environ.get("CHAOS_FSYNC") == "1"))
     if scenario == "full_compact":
         q.compact(target_file_rows=8, small_file_rows=100)
     elif scenario == "stream_safe":
@@ -151,8 +161,8 @@ def main() -> None:
     else:
         raise SystemExit(f"unknown scenario: {scenario}")
     # restore so interpreter shutdown never trips the gate
-    os.replace, os.remove, os.write = (
-        real_replace, real_remove, real_write,
+    os.replace, os.remove, os.write, os.pwrite = (
+        real_replace, real_remove, real_write, real_pwrite,
     )
     print(f"MUTATIONS {calls['n']}", flush=True)
 

@@ -310,10 +310,15 @@ def detect_format(payload: bytes) -> str:
         and len(payload) >= 24
     ):
         return "avi"
-    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+    if len(payload) >= 12 and payload[4:8] in (b"ftyp", b"styp"):
+        # styp = a standalone DASH/CMAF media segment (moof/mdat with
+        # no moov) — routed to the MP4 tier so it quarantines as
+        # fmt=mp4/decodable=false instead of reading as 'unknown'
+        # (r18; decoding needs the init segment's moov by design)
         return "mp4"
     if len(payload) >= 12 and payload[4:8] in (
         b"moov", b"mdat", b"wide", b"skip", b"free", b"pnot",
+        b"moof",
     ):
         # classic QuickTime .mov files — the main real-world carrier
         # of the 'jpeg'/'mjpa'/'mjpb' MJPEG fourccs this tier decodes
@@ -1492,6 +1497,22 @@ def _mp4_frame_period_us(payload: bytes):
     if stsz is None:
         return None
     n = struct.unpack_from(">I", payload, stsz[0] + 8)[0]
+    if n == 0 and _mp4_has_moof(payload):
+        # fragmented: count the trun runs and take the total from
+        # mehd, same fallbacks as decode_mp4 (r18) — frame timestamps
+        # in video_frame_sample stay real for DASH/CMAF files
+        try:
+            n = _mp4_fragment_samples(
+                payload, _mp4_tkhd_track_id(payload, trak[0], trak[1]),
+                count_only=True,
+            )
+        except ValueError:
+            return None  # period is best-effort metadata
+    if not duration:
+        try:
+            duration = _mp4_mehd_duration(payload) or 0
+        except ValueError:
+            return None
     if not (timescale and duration and n):
         return None
     return int(duration * 1_000_000 // timescale // n)

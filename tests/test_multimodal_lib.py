@@ -2030,3 +2030,37 @@ def test_fragmented_mp4_through_decode_media_and_frame_sample(spark):
     for idx, r in by_doc[2].items():
         assert r["decode_ok"]
         assert r["mean_luma"] == by_doc[1][idx]["mean_luma"]
+
+
+def test_fragmented_frame_timestamps_and_segment_routing():
+    """r18 polish: frame timestamps stay real for fragmented files
+    (period from trun counts + mehd duration, not the empty stsz),
+    and standalone DASH/CMAF media segments (styp or bare moof
+    leading, no moov) route to the MP4 tier where they quarantine
+    honestly instead of reading as 'unknown'."""
+    import struct
+
+    import pytest
+
+    from quebic_spark.operators.multimodal import (
+        _mp4_frame_period_us,
+        decode_mp4,
+        detect_format,
+    )
+
+    plain, frames = _mjpeg_mp4(n_frames=4)
+    frag, _ = _mjpeg_mp4(
+        n_frames=4, fragmented=True, frames_per_fragment=2
+    )
+    assert _mp4_frame_period_us(frag) == _mp4_frame_period_us(plain)
+    assert _mp4_frame_period_us(frag) == 100_000  # 10 fps fixture
+
+    seg = (
+        struct.pack(">I4s", 16, b"styp") + b"cmfc\x00\x00\x00\x00"
+        + frag[frag.index(b"moof") - 4:]
+    )
+    assert detect_format(seg) == "mp4"
+    with pytest.raises(ValueError, match="moov"):
+        decode_mp4(seg)
+    bare = frag[frag.index(b"moof") - 4:]
+    assert detect_format(bare) == "mp4"

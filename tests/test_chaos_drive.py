@@ -1,13 +1,13 @@
 """Pytest gate for the randomized cross-process crash-point chaos
 drive (VERDICT r17 next #1; tools/chaos_drive.py).
 
-Sweeps SIGKILL points inside all seven queue commit protocols
+Sweeps SIGKILL points inside all eight queue commit protocols
 (full compact, stream-safe delete, undiscovered-merge, push/write_batch,
-bulk push_all, consume's ack flip, consume's DLQ route) with real
-process death at real mutation boundaries, then audits
+bulk push_all, consume's ack flip, consume's DLQ route, replay_dlq)
+with real process death at real mutation boundaries, then audits
 at-least-once delivery, no-double-delivery, liveness, and verify()
 from both an already-open consumer (the r16 torn-window shape) and a
-fresh open. 280 points at the committed seed (40 per protocol); CHAOS_TRIALS overrides
+fresh open. 320 points at the committed seed (40 per protocol); CHAOS_TRIALS overrides
 for quick local iteration.
 
 First sweep of this drive (r18) found a real defect on day one: a
@@ -30,7 +30,7 @@ from tools.chaos_drive import sweep  # noqa: E402
 
 
 def test_chaos_sweep_all_commit_protocols_green():
-    trials = int(os.environ.get("CHAOS_TRIALS", "280"))
+    trials = int(os.environ.get("CHAOS_TRIALS", "320"))
     summary = sweep(trials=trials, seed=1800, jobs=16)
     # every victim must really have died by SIGKILL at a point INSIDE
     # the operation — otherwise the sweep is sampling completions, not

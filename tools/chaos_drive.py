@@ -20,6 +20,9 @@ control-pointer flip) inside one of the commit protocols —
   acked-but-unreported in-flight record may vanish)
 * ``Subscriber.consume`` DLQ route   (write_dlq BEFORE the ack flip —
   a poison record survives a crash in pop-or-DLQ, never in neither)
+* ``Queue.replay_dlq``               (re-commit THEN remove per DLQ
+  file: a crash redelivers on retry, never loses; the retry itself
+  must complete over the torn state and drain the DLQ)
 
 Serial trials randomly run their victim in fsync=True mode, whose
 push-path commit ORDERING differs (durable data before the fsynced
@@ -72,7 +75,7 @@ from quebic_spark import INTEGER, TEXT, Queue, Schema  # noqa: E402
 SCHEMA = Schema(INTEGER, TEXT)
 SCENARIOS = (
     "full_compact", "stream_safe", "merge_undiscovered", "push",
-    "push_all", "dlq", "consume",
+    "push_all", "dlq", "consume", "dlq_replay",
 )
 _VICTIM = os.path.join(_REPO, "tools", "chaos_victim.py")
 
@@ -155,6 +158,43 @@ def build_state(qdir: str, scenario: str, rng: random.Random,
             "allowed": list(range(10)),
             "consumer": None,
             "ack_scenario": True,
+        }
+        if keep_open:
+            spec["consumer"] = q
+        else:
+            _release(q)
+        return spec
+    if scenario == "dlq_replay":
+        q = Queue(qdir, SCHEMA, capacity=10**6,
+                  auto_compact_files=None)
+        pub = q.publisher()
+        for i in range(6):
+            pub.push([i, f"v{i}"])
+        sub = q.subscriber()
+
+        def _boom(rec):
+            raise RuntimeError("poison")
+
+        # route all six to the DLQ (error_permit=1: one failing visit
+        # then the poison route on the next)
+        while True:
+            try:
+                if sub.consume(_boom, error_permit=1) is None:
+                    break
+            except RuntimeError:
+                pass
+        spec = {
+            # post-crash each id must be deliverable OR still in the
+            # DLQ (dlq_union); a crash between a file's re-commit and
+            # its removal leaves it in BOTH, and the parent's retry
+            # may re-ingest it again — duplicates are the documented
+            # at-least-once outcome, loss never is
+            "must": list(range(6)),
+            "allowed": list(range(6)),
+            "consumer": None,
+            "dlq_union": True,
+            "allow_duplicates": True,
+            "retry_replay": True,
         }
         if keep_open:
             spec["consumer"] = q
@@ -294,6 +334,17 @@ def check_invariants(qdir: str, spec: dict) -> list[str]:
     green). Drains FIRST (the read path must heal torn state without
     any reopen — the r17 fix), then proves liveness, then verify()."""
     errors: list[str] = []
+    consumer = spec.get("consumer")
+    q = consumer or Queue(qdir, SCHEMA, auto_compact_files=None)
+    if spec.get("retry_replay"):
+        # the crashed operator's retry: must complete cleanly over
+        # whatever torn state the victim left, after which the DLQ
+        # is drained and EVERY id is deliverable (the dlq_union
+        # subtraction below then subtracts nothing)
+        try:
+            q.replay_dlq()
+        except Exception as exc:  # noqa: BLE001
+            errors.append(f"replay_dlq retry failed: {exc!r}")
     if spec.get("dlq_union"):
         # poison records route to the DLQ and ack; they are no longer
         # poppable, so the survival requirement becomes pop OR DLQ
@@ -312,8 +363,6 @@ def check_invariants(qdir: str, spec: dict) -> list[str]:
                 errors.append(f"unreadable DLQ file {p}: {exc!r}")
         spec = dict(spec)
         spec["must"] = [i for i in spec["must"] if i not in dlq_ids]
-    consumer = spec.get("consumer")
-    q = consumer or Queue(qdir, SCHEMA, auto_compact_files=None)
     sub = q.subscriber()
     got: list[int] = []
     while True:
@@ -321,10 +370,18 @@ def check_invariants(qdir: str, spec: dict) -> list[str]:
         if r is None:
             break
         got.append(r[0])
-    for a, b in zip(got, got[1:]):
-        if b <= a:
-            errors.append(f"order/duplicate violation: {a} then {b}")
-            break
+    if spec.get("allow_duplicates"):
+        # at-least-once replay scenarios: re-ingested copies carry
+        # fresh seqs, so repeats and id-order inversions are legal —
+        # only loss (checked below) is a violation
+        pass
+    else:
+        for a, b in zip(got, got[1:]):
+            if b <= a:
+                errors.append(
+                    f"order/duplicate violation: {a} then {b}"
+                )
+                break
     aon = spec.get("all_or_nothing")
     if aon is not None and got and sorted(got) != sorted(aon):
         # a single bulk write_batch is one tmp-publish commit: a crash

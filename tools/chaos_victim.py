@@ -144,6 +144,11 @@ def main() -> None:
             if r is None:
                 break
             print(f"ACK {r[0]}", flush=True)
+    elif scenario == "dlq_replay":
+        # DLQ re-ingest: per file, re-commit as a fresh batch THEN
+        # remove the file — a crash in between redelivers on retry
+        # (documented at-least-once), never loses the record
+        q.replay_dlq()
     elif scenario == "dlq":
         # poison every record: two failing visits then the DLQ route
         # (write_dlq BEFORE the ack flip — the ordering under test)

@@ -1163,7 +1163,8 @@ class Queue:
 
     def append_dataframe(self, df, order_by: Sequence[str],
                          lifetime_ms: int = -1,
-                         small_batch_rows: int = 1_000_000) -> int:
+                         small_batch_rows: int = 1_000_000,
+                         durable: bool | None = None) -> int:
         """Bulk FIFO ingestion from a Spark DataFrame.
 
         ``order_by`` defines the FIFO order of this batch (global seq is
@@ -1202,7 +1203,37 @@ class Queue:
         record), so a crash instead leaves unpublished parts that
         readers never see. Callers needing all-or-nothing should
         ingest into a fresh queue and swap directories.
+
+        ``durable`` overrides the queue's ``fsync`` mode for THIS call
+        only: ``True`` forces the all-or-nothing publish-then-flip
+        ordering (the pointer flip is then an atomic commit record —
+        what ``queue_sink``'s exactly-once protocol relies on),
+        ``False`` forces the default prefix-committing order, ``None``
+        (default) keeps the queue's configured mode.
         """
+        if durable is None or durable == self._storage.control_sync:
+            return self._append_dataframe_impl(
+                df, order_by, lifetime_ms, small_batch_rows
+            )
+        # Per-call ordering override. Every consult of control_sync —
+        # the publish-order branch below AND set_next_seq's fsync —
+        # happens under this flock (re-entrant, so the impl's own
+        # acquisition nests), so the toggle cannot leak into a
+        # concurrent writer in this process; other processes have
+        # their own storage objects and flags.
+        with self._storage.lock:
+            prev = self._storage.control_sync
+            self._storage.control_sync = durable
+            try:
+                return self._append_dataframe_impl(
+                    df, order_by, lifetime_ms, small_batch_rows
+                )
+            finally:
+                self._storage.control_sync = prev
+
+    def _append_dataframe_impl(self, df, order_by: Sequence[str],
+                               lifetime_ms: int,
+                               small_batch_rows: int) -> int:
         self._check_open()
         from pyspark.sql import Window
         from pyspark.sql import functions as F

@@ -9,10 +9,14 @@ crash-restart story (kill the query, restart with the same checkpoint,
 processing resumes exactly where it stopped; the reference's
 "stop and restart processing" README.md:17).
 
-Delivery semantics: at-least-once into side effects, exactly-once into
-idempotent sinks — a strict upgrade over the reference's at-least-once
-(SURVEY §2.7.8). Failed records route to the queue's DLQ directory with
-their error, superseding the silent poison-pill discard
+Delivery semantics: at-least-once into arbitrary side effects,
+exactly-once into idempotent sinks — and the canonical shipped sink,
+``queue_sink``, IS replay-idempotent (r19): a per-(sink_id, batch_id)
+commit marker inside the queue directory no-ops the batch Spark
+re-runs after a crash between ``foreachBatch`` and the checkpoint
+commit. A strict upgrade over the reference's at-least-once (SURVEY
+§2.7.8). Failed records route to the queue's DLQ directory with their
+error, superseding the silent poison-pill discard
 (JournaledFile.scala:250-256).
 
 Scale: the file source lists only new files per micro-batch; since
@@ -101,23 +105,103 @@ def read_queue_stream(
         raise
 
 
-def queue_sink(queue: Queue, order_by: list[str]):
+def queue_sink(queue: Queue, order_by: list[str],
+               sink_id: str = "default", exactly_once: bool = True):
     """A ``foreachBatch`` function that appends each micro-batch into a
     queue — the queue as a streaming *sink* (the reference's producer
     side driven by a stream instead of user calls). FIFO within a batch
     follows ``order_by``; across batches, micro-batch order.
 
+    Exactly-once (default): Spark re-runs the last micro-batch after a
+    crash between ``foreachBatch`` returning and the checkpoint commit,
+    so a naive sink duplicates it. This sink is a transactional writer
+    in the Delta ``txnAppId``/``txnVersion`` mold: a per-``sink_id``
+    commit marker (``<queue>/sink-commits.json``, atomic-rename JSON
+    under the queue flock) records ``(batch_id, start_seq, committed)``
+    around a DURABLE-ordered append (``append_dataframe(durable=True)``
+    — parts publish first, the fsynced pointer flip is the atomic
+    commit record). Replay decision table, evaluated under the flock:
+
+    * marker committed at this ``batch_id`` → the append committed,
+      Spark's checkpoint didn't: no-op the replay.
+    * marker intent at this ``batch_id`` → the previous attempt died
+      mid-append: the pointer flip is the commit point, so pointer
+      moved past ``start_seq`` ⟺ committed (mark + skip); pointer
+      unmoved ⟺ nothing visible (unpublished parts are swept) → redo.
+    * marker behind this ``batch_id`` → normal progress → append.
+    * marker AHEAD of this ``batch_id`` → the checkpoint was reset or
+      a second stream shares this ``sink_id``: fail loud rather than
+      silently skip (lose) or double-append.
+
+    The guarantee requires this relay to be the queue's only producer
+    across a crash-replay gap (the standard transactional-sink
+    contract: the marker is the txn record, and pointer advancement is
+    attributed to the recorded txn). An out-of-band producer racing
+    exactly that gap degrades the in-flight batch to at-least-once.
+    ``exactly_once=False`` restores the plain at-least-once append
+    (no marker, queue-default durability).
+
     Usage::
 
         df.writeStream.foreachBatch(queue_sink(out_q, ["ts"])).start()
     """
+    marks_path = os.path.join(queue._storage.path, "sink-commits.json")
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         # no isEmpty() pre-check: it costs a Spark job per micro-batch
         # (one wasted job per tick on an idle stream) and
         # append_dataframe already counts and no-ops on zero rows
         # (r13 review)
-        queue.append_dataframe(batch_df, order_by=order_by)
+        if not exactly_once:
+            queue.append_dataframe(batch_df, order_by=order_by)
+            return
+        from quebic_spark.queue.storage import (
+            read_json,
+            write_json_atomic,
+        )
+
+        with queue._storage.lock:
+            try:
+                marks = read_json(marks_path)
+            except (OSError, ValueError):
+                marks = {}
+            m = marks.get(sink_id)
+            if m is not None:
+                if int(m["batch_id"]) > batch_id:
+                    raise RuntimeError(
+                        f"queue_sink[{sink_id}]: incoming batch "
+                        f"{batch_id} is behind the committed marker "
+                        f"{m['batch_id']} — the stream checkpoint was "
+                        "reset or two streams share this sink_id; "
+                        "refusing to guess between data loss and "
+                        "duplication (use a fresh sink_id per "
+                        "checkpoint)"
+                    )
+                if int(m["batch_id"]) == batch_id:
+                    if m["committed"]:
+                        return  # replayed batch: already in the queue
+                    # intent from a crashed attempt of THIS batch: in
+                    # durable ordering the pointer flip IS the commit,
+                    # and this relay is the sole producer, so pointer
+                    # moved ⟺ the append landed in full
+                    if queue._storage.next_seq() > int(m["start_seq"]):
+                        marks[sink_id] = {**m, "committed": True}
+                        write_json_atomic(marks_path, marks)
+                        return
+                    # pointer unmoved: nothing committed (leftover
+                    # parts are invisible and swept) — fall through
+            start = queue._storage.next_seq()
+            marks[sink_id] = {
+                "batch_id": batch_id,
+                "start_seq": start,
+                "committed": False,
+            }
+            write_json_atomic(marks_path, marks)
+            queue.append_dataframe(
+                batch_df, order_by=order_by, durable=True
+            )
+            marks[sink_id] = {**marks[sink_id], "committed": True}
+            write_json_atomic(marks_path, marks)
 
     return on_batch
 

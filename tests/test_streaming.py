@@ -964,3 +964,139 @@ def test_external_checkpoint_survives_full_compaction(tmp_path, spark):
     )
     assert second == [], f"redelivered consumed rows: {second}"
     q.dispose()
+
+
+# -- exactly-once queue_sink (r19): the commit-marker protocol ----------
+
+
+def _drain_ids(q):
+    got = []
+    sub = q.subscriber()
+    while True:
+        r = sub.try_pop()
+        if r is None:
+            break
+        got.append(r[0])
+    return got
+
+
+def _sink_marks(q):
+    from quebic_spark.queue.storage import read_json
+
+    return read_json(os.path.join(q._storage.path, "sink-commits.json"))
+
+
+def test_queue_sink_noops_replayed_batch(qpath, spark):
+    """Spark re-runs the last micro-batch after a crash between
+    foreachBatch and the checkpoint commit; the committed marker must
+    make the re-run a no-op instead of a duplicate append."""
+    from quebic_spark.streaming import queue_sink
+
+    dst = Queue(qpath, SCHEMA, capacity=10000)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(5)],
+                               "c0 int, c1 string")
+    sink = queue_sink(dst, order_by=["c0"])
+    sink(df, 0)
+    sink(df, 0)  # the replay
+    assert _drain_ids(dst) == list(range(5))
+    m = _sink_marks(dst)["default"]
+    assert m["batch_id"] == 0 and m["committed"] is True
+    dst.dispose()
+
+
+def test_queue_sink_intent_with_moved_pointer_skips(qpath, spark):
+    """Crash window: append committed (pointer flipped) but the
+    committed-marker write never ran. The replay must attribute the
+    pointer advance to the recorded intent and skip — zero
+    duplicates."""
+    from quebic_spark.queue.storage import read_json, write_json_atomic
+    from quebic_spark.streaming import queue_sink
+
+    dst = Queue(qpath, SCHEMA, capacity=10000)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(4)],
+                               "c0 int, c1 string")
+    sink = queue_sink(dst, order_by=["c0"])
+    sink(df, 0)
+    # manufacture the crash state: rewind the marker to intent
+    path = os.path.join(dst._storage.path, "sink-commits.json")
+    marks = read_json(path)
+    marks["default"]["committed"] = False
+    write_json_atomic(path, marks)
+    sink(df, 0)  # replay over the torn marker
+    assert _drain_ids(dst) == list(range(4))
+    assert _sink_marks(dst)["default"]["committed"] is True
+    dst.dispose()
+
+
+def test_queue_sink_intent_without_append_redoes(qpath, spark):
+    """Crash window: intent written, process died before the append's
+    pointer flip. Nothing is visible, so the replay must redo the
+    append — zero loss."""
+    from quebic_spark.queue.storage import write_json_atomic
+    from quebic_spark.streaming import queue_sink
+
+    dst = Queue(qpath, SCHEMA, capacity=10000)
+    write_json_atomic(
+        os.path.join(dst._storage.path, "sink-commits.json"),
+        {"default": {"batch_id": 0,
+                     "start_seq": dst._storage.next_seq(),
+                     "committed": False}},
+    )
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(3)],
+                               "c0 int, c1 string")
+    queue_sink(dst, order_by=["c0"])(df, 0)
+    assert _drain_ids(dst) == list(range(3))
+    dst.dispose()
+
+
+def test_queue_sink_rewound_batch_id_fails_loud(qpath, spark):
+    """A checkpoint reset under a reused sink_id restarts batch ids at
+    0 while the marker sits at a higher id: silently skipping loses
+    data and silently appending can duplicate — the sink must refuse."""
+    from quebic_spark.streaming import queue_sink
+
+    dst = Queue(qpath, SCHEMA, capacity=10000)
+    df = spark.createDataFrame([(1, "a")], "c0 int, c1 string")
+    sink = queue_sink(dst, order_by=["c0"])
+    sink(df, 5)
+    with pytest.raises(RuntimeError, match="behind the committed marker"):
+        sink(df, 3)
+    # a fresh sink_id keeps the queue usable
+    queue_sink(dst, order_by=["c0"], sink_id="v2")(df, 0)
+    assert _drain_ids(dst) == [1, 1]
+    dst.dispose()
+
+
+def test_queue_sink_exactly_once_false_duplicates(qpath, spark):
+    """The opt-out restores the plain at-least-once append (and writes
+    no marker)."""
+    from quebic_spark.streaming import queue_sink
+
+    dst = Queue(qpath, SCHEMA, capacity=10000)
+    df = spark.createDataFrame([(7, "x")], "c0 int, c1 string")
+    sink = queue_sink(dst, order_by=["c0"], exactly_once=False)
+    sink(df, 0)
+    sink(df, 0)
+    assert _drain_ids(dst) == [7, 7]
+    assert not os.path.exists(
+        os.path.join(dst._storage.path, "sink-commits.json")
+    )
+    dst.dispose()
+
+
+def test_queue_sink_independent_sink_ids(qpath, spark):
+    """Two relays into one queue track their own batch ids."""
+    from quebic_spark.streaming import queue_sink
+
+    dst = Queue(qpath, SCHEMA, capacity=10000)
+    df_a = spark.createDataFrame([(1, "a")], "c0 int, c1 string")
+    df_b = spark.createDataFrame([(2, "b")], "c0 int, c1 string")
+    a = queue_sink(dst, order_by=["c0"], sink_id="a")
+    b = queue_sink(dst, order_by=["c0"], sink_id="b")
+    a(df_a, 0)
+    b(df_b, 0)
+    a(df_a, 0)  # replay of a's batch 0 — b's marker must not mask it
+    assert _drain_ids(dst) == [1, 2]
+    marks = _sink_marks(dst)
+    assert marks["a"]["committed"] and marks["b"]["committed"]
+    dst.dispose()

@@ -1,9 +1,11 @@
 """Pytest gate for the randomized cross-process crash-point chaos
 drive (VERDICT r17 next #1; tools/chaos_drive.py).
 
-Sweeps SIGKILL points inside all eight queue commit protocols
+Sweeps SIGKILL points inside all nine queue commit protocols
 (full compact, stream-safe delete, undiscovered-merge, push/write_batch,
-bulk push_all, consume's ack flip, consume's DLQ route, replay_dlq)
+bulk push_all, consume's ack flip, consume's DLQ route, replay_dlq,
+and — r19 — the recovery HEALER itself, killed mid-replay over a
+fabricated torn post-manifest state)
 with real process death at real mutation boundaries, then audits
 at-least-once delivery, no-double-delivery, liveness, and verify()
 from both an already-open consumer (the r16 torn-window shape) and a

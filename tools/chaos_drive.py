@@ -23,6 +23,11 @@ control-pointer flip) inside one of the commit protocols —
 * ``Queue.replay_dlq``               (re-commit THEN remove per DLQ
   file: a crash redelivers on retry, never loses; the retry itself
   must complete over the torn state and drain the DLQ)
+* ``recover``/``replay_pending_compaction`` — the HEALER itself as
+  the victim (r19): a fabricated torn post-manifest merge (random
+  replay prefix pre-applied) killed mid-heal inside Queue open; a
+  second open must finish the heal — rename-idempotence proven
+  empirically, not just by design
 
 Serial trials randomly run their victim in fsync=True mode, whose
 push-path commit ORDERING differs (durable data before the fsynced
@@ -75,7 +80,7 @@ from quebic_spark import INTEGER, TEXT, Queue, Schema  # noqa: E402
 SCHEMA = Schema(INTEGER, TEXT)
 SCENARIOS = (
     "full_compact", "stream_safe", "merge_undiscovered", "push",
-    "push_all", "dlq", "consume", "dlq_replay",
+    "push_all", "dlq", "consume", "dlq_replay", "heal",
 )
 _VICTIM = os.path.join(_REPO, "tools", "chaos_victim.py")
 
@@ -223,6 +228,64 @@ def build_state(qdir: str, scenario: str, rng: random.Random,
         else:
             _release(q)
         return spec
+    if scenario == "heal":
+        # every prior scenario kills an ORIGINAL commit protocol; this
+        # one makes the RECOVERY REPLAY the victim (r19): fabricate a
+        # torn post-manifest merge — a complete staged chunk covering
+        # m adjacent committed files, the commit manifest in place,
+        # and a random prefix of the replay already applied (the
+        # mid-replay resume states a previously-killed heal leaves) —
+        # then the victim dies inside Queue open's
+        # recover()/replay_pending_compaction. The heal must be
+        # idempotent over its own partial progress: a second open
+        # finishes it with zero loss and zero double delivery.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from quebic_spark.queue.storage import write_json_atomic
+
+        q = Queue(qdir, SCHEMA, capacity=10**6,
+                  auto_compact_files=None)
+        pub = q.publisher()
+        n = 18
+        for i in range(n):
+            pub.push([i, f"v{i}"])  # one committed file per push
+        k = rng.randint(0, 5)
+        sub = q.subscriber()
+        for _ in range(k):
+            sub.try_pop()
+        batches = q._storage.list_batches()
+        m = rng.randint(2, 5)
+        i0 = rng.randint(0, len(batches) - m)
+        run = batches[i0:i0 + m]
+        merged = pa.concat_tables([pq.read_table(p) for _, _, p in run])
+        staged_path = (
+            q._storage.batch_path(run[0][0], run[-1][1]) + ".compact"
+        )
+        pq.write_table(merged, staged_path)
+        removes = [p for _, _, p in run]
+        write_json_atomic(
+            q._storage.compact_manifest_path,
+            {"remove": removes, "staged": [staged_path]},
+        )
+        # pre-apply a replay prefix, in the replay's own order (olds
+        # out first, then the staged rename) — the states a first
+        # killed heal leaves behind
+        j = rng.randint(0, len(removes))
+        for p in removes[:j]:
+            os.remove(p)
+        if j == len(removes) and rng.random() < 0.5:
+            os.replace(staged_path, staged_path[: -len(".compact")])
+        spec = {
+            "must": list(range(k, n)),
+            "allowed": list(range(k, n)),
+            "consumer": None,
+        }
+        if keep_open:
+            spec["consumer"] = q
+        else:
+            _release(q)
+        return spec
     q = Queue(qdir, SCHEMA, capacity=10**6, auto_compact_files=None)
     pub = q.publisher()
     n = 24
@@ -314,6 +377,23 @@ def count_mutations(qdir: str, scenario: str,
         os.makedirs(tmp)  # push builds its own queue in an empty dir
     else:
         shutil.copytree(qdir, tmp)
+        manifest = os.path.join(tmp, "compact-commit.json")
+        if os.path.exists(manifest):
+            # the compact commit manifest records ABSOLUTE paths and
+            # replay uses them verbatim — without rebasing, the count
+            # run's heal would mutate the ORIGINAL queue through the
+            # copied manifest and leave the real victim almost
+            # nothing to be killed inside (found by the first heal
+            # sweep: 9/12 victims completed)
+            with open(manifest) as f:
+                m = json.load(f)
+            for key in ("remove", "staged"):
+                m[key] = [
+                    os.path.join(tmp, os.path.relpath(p, qdir))
+                    for p in m.get(key, [])
+                ]
+            with open(manifest, "w") as f:
+                json.dump(m, f)
     try:
         p = run_victim(tmp, scenario, 0, push_args, fsync=fsync)
         if p.returncode != 0:

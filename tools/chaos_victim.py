@@ -27,9 +27,16 @@ Usage::
 
     python tools/chaos_victim.py QDIR SCENARIO KILL_AT [FIRST N]
 
-Scenarios: full_compact | stream_safe | merge_undiscovered | push.
+Scenarios: full_compact | stream_safe | merge_undiscovered | push
+(plus push_all, consume, dlq, dlq_replay, bulk_append*, heal).
 ``push`` prints ``ACK <i>`` after each push RETURNS (flushed), so the
 parent knows exactly which pushes were acknowledged before death.
+``heal`` makes the HEALER itself the victim (r19): the parent
+fabricates a torn post-manifest compaction state and this process is
+killed inside the ``Queue(...)`` open — ``recover()`` /
+``replay_pending_compaction`` mid-replay — proving empirically that
+the heal is idempotent over its own partial progress (a second open
+must finish it).
 """
 
 from __future__ import annotations
@@ -149,6 +156,12 @@ def main() -> None:
         # remove the file — a crash in between redelivers on retry
         # (documented at-least-once), never loses the record
         q.replay_dlq()
+    elif scenario == "heal":
+        # the gated operation already ran: the Queue(...) constructor
+        # above executed recover() -> replay_pending_compaction over
+        # the parent's fabricated torn state, with every os.replace /
+        # os.remove / pointer write counted by the gate
+        pass
     elif scenario == "dlq":
         # poison every record: two failing visits then the DLQ route
         # (write_dlq BEFORE the ack flip — the ordering under test)

@@ -65,6 +65,18 @@ def read_queue_stream(
     with an EXTERNAL checkpoint from another process, pass that path to
     ``compact(stream_checkpoint=...)`` there, or disable compaction
     (``auto_compact_files=None``) for the stream's lifetime.
+
+    Ordering note (r19 relay chaos): rows are seq-ordered WITHIN each
+    micro-batch (StreamingConsumer sorts; queue_sink orders by
+    ``order_by``), and micro-batches arrive in commit order — but the
+    file source composes batches from an mtime-sorted listing whose
+    ties break arbitrarily, so a crash-restart that re-lists before
+    the in-flight batch's offset WAL may REGROUP same-mtime files
+    into different batches than the first run. Exactly-once delivery
+    survives that (checkpoint + queue_sink markers); global
+    cross-batch seq order does not. A relay needing total source
+    order should carry the source ``seq`` through as an ``order_by``
+    column (append_dataframe accepts auxiliary order-only columns).
     """
     # Heal a dead compactor's half-done commit BEFORE the first
     # listing (r18 streaming chaos): a stream restarting in the SAME

@@ -353,11 +353,19 @@ class Queue:
         them and silently redelivered every consumed row. Registered
         paths count as attached while their directory exists, and
         stream-safe compaction parses them when the default
-        checkpoint is absent. In-process only; a DIFFERENT process
-        streaming with an external checkpoint must still pass
-        ``compact(stream_checkpoint=...)`` or disable compaction (the
-        documented cross-process contract)."""
+        checkpoint is absent. Registration is DURABLE (r19, ADVICE
+        r18): ``<queue>/stream-checkpoints.json`` records the path so
+        a DIFFERENT process's ``recover()`` chooses discard over
+        commit for pre-manifest staged chunks (the r18 double-delivery
+        window existed for external checkpoints exactly because the
+        registry was in-process only) and its ``_stream_attached``
+        sees the stream as resumable. Dead entries (dir gone) are
+        pruned at each registration. Cross-process compaction against
+        an external checkpoint still takes
+        ``compact(stream_checkpoint=...)`` to RECLAIM space; without
+        it, compaction now safely skips instead of redelivering."""
         self._external_stream_checkpoints.add(os.path.abspath(path))
+        self._storage.register_stream_checkpoint(os.path.abspath(path))
 
     def _stream_attached(self) -> bool:
         # durable cross-process signal: StreamingConsumer's default
@@ -373,6 +381,13 @@ class Queue:
             or any(
                 os.path.isdir(p)
                 for p in self._external_stream_checkpoints
+            )
+            # durable registrations from OTHER processes (r19): their
+            # stream can resume at any time, so a full compaction
+            # here would silently redeliver every consumed row there
+            or any(
+                os.path.isdir(p)
+                for p in self._storage.registered_stream_checkpoints()
             )
         )
 
@@ -461,6 +476,10 @@ class Queue:
                         p
                         for p in sorted(
                             self._external_stream_checkpoints
+                            | set(
+                                self._storage
+                                .registered_stream_checkpoints()
+                            )
                         )
                         if os.path.isdir(p)
                     ]

@@ -476,6 +476,38 @@ class QueueStorage:
                 pass
         self.lock.close()
 
+    # -- durable external-checkpoint registry (r19) ----------------------
+    def register_stream_checkpoint(self, path: str) -> None:
+        """Durably record an EXTERNAL stream checkpoint directory in
+        ``<queue>/stream-checkpoints.json`` so OTHER processes'
+        ``recover()`` and attached-heuristics can see the stream as
+        resumable (ADVICE r18: the in-process-only registry left the
+        pre-manifest staged-discard heuristic blind to external
+        checkpoints, reproducing the r18 double-delivery window for
+        that layout). Entries whose directory no longer exists are
+        pruned on each write; a stale survivor costs one stat()."""
+        reg_path = os.path.join(self.path, "stream-checkpoints.json")
+        with self.lock:
+            paths = set(self.registered_stream_checkpoints())
+            paths.add(os.path.abspath(path))
+            write_json_atomic(
+                reg_path,
+                {"paths": sorted(
+                    p for p in paths
+                    if os.path.isdir(p) or p == os.path.abspath(path)
+                )},
+                sync=False,
+            )
+
+    def registered_stream_checkpoints(self) -> list[str]:
+        try:
+            reg = read_json(
+                os.path.join(self.path, "stream-checkpoints.json")
+            )
+            return [str(p) for p in reg.get("paths", [])]
+        except (OSError, ValueError):
+            return []
+
     def replay_pending_compaction(self) -> list[str]:
         """Finish a dead compactor's half-done commit, if one exists.
 
@@ -597,11 +629,17 @@ class QueueStorage:
                             (int(m.group(1)), int(m.group(2)),
                              os.path.join(self.data_dir, name))
                         )
-            if staged and os.path.isdir(
-                os.path.join(self.path, "checkpoint")
+            if staged and (
+                os.path.isdir(os.path.join(self.path, "checkpoint"))
+                or any(
+                    os.path.isdir(p)
+                    for p in self.registered_stream_checkpoints()
+                )
             ):
                 # a streaming reader is (or may resume being)
-                # attached: DISCARD pre-manifest staged chunks
+                # attached — via the default in-queue checkpoint OR a
+                # durably registered external one (r19, ADVICE r18):
+                # DISCARD pre-manifest staged chunks
                 # instead of committing them (r18 streaming chaos).
                 # Between the compactor's death and this recovery the
                 # lock-free listing may have discovered and delivered

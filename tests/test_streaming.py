@@ -1100,3 +1100,58 @@ def test_queue_sink_independent_sink_ids(qpath, spark):
     marks = _sink_marks(dst)
     assert marks["a"]["committed"] and marks["b"]["committed"]
     dst.dispose()
+
+
+def test_recover_discards_staged_for_external_checkpoint_cross_process(
+    tmp_path, spark
+):
+    """ADVICE r18 low: recover()'s discard-staged-chunks heuristic keyed
+    only on the default <queue>/checkpoint directory, so a stream on an
+    EXTERNAL checkpoint whose compactor died pre-manifest could have
+    its staged chunks committed under new names by a DIFFERENT
+    process's open — the r18 double-delivery window, reproduced for
+    the external layout. Registration is now durable
+    (<queue>/stream-checkpoints.json) and a fresh cross-process open
+    discards instead."""
+    import pyarrow.parquet as pq
+
+    qdir = str(tmp_path / "q")
+    ckpt = str(tmp_path / "elsewhere_ckpt")
+    q = Queue(qdir, SCHEMA, capacity=10000, auto_compact_files=None)
+    for i in range(6):
+        q.publisher().push([i, f"v{i}"])
+    consumed: list[int] = []
+    StreamingConsumer(spark, q, checkpoint_dir=ckpt).run_available(
+        lambda df, _: consumed.extend(r["c0"] for r in df.collect())
+    )
+    assert sorted(consumed) == list(range(6))
+    # crash artifact: a COMPLETE pre-manifest staged merge of files
+    # the stream may already have listed (they are all still on disk)
+    batches = q._storage.list_batches()
+    merged_tbl = pq.read_table(batches[0][2])
+    for _, _, p in batches[1:3]:
+        import pyarrow as pa
+
+        merged_tbl = pa.concat_tables([merged_tbl, pq.read_table(p)])
+    staged = q._storage.batch_path(batches[0][0], batches[2][1]) + ".compact"
+    pq.write_table(merged_tbl, staged)
+    # the dying process's handles go away; a brand-new process opens
+    q._closed = True
+    q._storage.close_handles()
+    spans_before = [(s, e) for s, e, _ in batches]
+    q2 = Queue(qdir, SCHEMA, capacity=10000, auto_compact_files=None)
+    # DISCARDED, not committed: the originals all survive and the
+    # merged span never appears under a new name (a commit would also
+    # remove the .compact file, so only the span shape distinguishes
+    # the safe outcome from the double-delivery one)
+    assert not os.path.exists(staged)
+    assert [
+        (s, e) for s, e, _ in q2._storage.list_batches()
+    ] == spans_before
+    # originals intact, stream sees nothing new
+    redelivered: list[int] = []
+    StreamingConsumer(spark, q2, checkpoint_dir=ckpt).run_available(
+        lambda df, _: redelivered.extend(r["c0"] for r in df.collect())
+    )
+    assert redelivered == [], redelivered
+    q2.dispose()

@@ -535,6 +535,11 @@ def _mp4_tkhd_track_id(payload: bytes, trak_b0: int, trak_b1: int) -> int:
     tkhd = _mp4_find(payload, trak_b0, trak_b1, b"tkhd")
     if tkhd is None:
         raise ValueError("no tkhd box")
+    if tkhd[0] >= tkhd[1] or tkhd[1] > len(payload):
+        # body-length guard BEFORE the version byte read (ADVICE r18):
+        # a truncated final box must raise the documented ValueError,
+        # not IndexError
+        raise ValueError("truncated tkhd")
     version = payload[tkhd[0]]
     off = tkhd[0] + (12 if version == 0 else 20)
     if off + 4 > tkhd[1]:
@@ -601,6 +606,8 @@ def _mp4_stsz_count(payload: bytes, trak_b0: int, trak_b1: int):
     )
     if stsz is None:
         return None
+    if stsz[0] + 12 > stsz[1] or stsz[1] > len(payload):
+        raise ValueError("truncated stsz")
     return struct.unpack_from(">I", payload, stsz[0] + 8)[0]
 
 
@@ -660,10 +667,12 @@ def _mp4_fragment_samples(
             tfhd = _mp4_find(payload, tb0, tb1, b"tfhd")
             if tfhd is None:
                 raise ValueError("traf without tfhd")
+            if tfhd[0] + 8 > tfhd[1]:
+                # bounds BEFORE the unpack (ADVICE r18): a truncated
+                # final box must raise ValueError, never struct.error
+                raise ValueError("truncated tfhd")
             verflags = struct.unpack_from(">I", payload, tfhd[0])[0]
             flags = verflags & 0xFFFFFF
-            if tfhd[0] + 8 > tfhd[1]:
-                raise ValueError("truncated tfhd")
             tid = struct.unpack_from(">I", payload, tfhd[0] + 4)[0]
             off = tfhd[0] + 8
             base = None
@@ -713,10 +722,10 @@ def _mp4_fragment_samples(
             for t2, u0, u1 in _mp4_boxes(payload, tb0, tb1):
                 if t2 != b"trun":
                     continue
-                vf = struct.unpack_from(">I", payload, u0)[0]
-                tflags = vf & 0xFFFFFF
                 if u0 + 8 > u1:
                     raise ValueError("truncated trun")
+                vf = struct.unpack_from(">I", payload, u0)[0]
+                tflags = vf & 0xFFFFFF
                 n = struct.unpack_from(">I", payload, u0 + 4)[0]
                 p = u0 + 8
                 if tflags & _TRUN_DATA_OFFSET:
@@ -801,16 +810,24 @@ def _mp4_first_presented_sample(
     sample 0.
 
     Returns 0 with no edts/elst. Leading EMPTY edits (media_time ==
-    -1, a presentation delay) are skipped; exactly one real entry is
-    supported and its media_time (media-timescale units) is mapped to
-    a sample index through stts — or through the trex default sample
-    duration for fragmented tracks with an empty stts. Multi-entry
-    edit lists (splice programs) quarantine loudly."""
+    -1, a presentation delay) are skipped. Multi-entry splice programs
+    map too (r19, VERDICT r18 #6): the FIRST real segment's media_time
+    decides what plays first — later segments change what follows, not
+    what opens. A first-segment media_rate of 1 plays and 0 dwells
+    (freeze-frame of the same sample); any other rate quarantines.
+    media_time (media-timescale units) maps to a sample index through
+    stts, extended by the trex default duration over the fragment
+    sample count when movie fragments are present (ADVICE r18: a
+    hybrid stbl+moof file can legally put the edit point inside the
+    fragment portion) — or through the trex default alone for
+    fragmented tracks with an empty stts."""
     import struct
 
     elst = _mp4_find(payload, trak_b0, trak_b1, b"edts", b"elst")
     if elst is None:
         return 0
+    if elst[0] + 8 > elst[1] or elst[1] > len(payload):
+        raise ValueError("truncated elst")
     version = payload[elst[0]]
     if version not in (0, 1):
         raise ValueError(f"elst version {version} unsupported")
@@ -823,19 +840,19 @@ def _mp4_first_presented_sample(
         off = elst[0] + 8 + i * entry_bytes
         if version == 0:
             _seg, media_time = struct.unpack_from(">Ii", payload, off)
+            rate = struct.unpack_from(">h", payload, off + 8)[0]
         else:
             _seg, media_time = struct.unpack_from(">Qq", payload, off)
-        entries.append(media_time)
+            rate = struct.unpack_from(">h", payload, off + 16)[0]
+        entries.append((media_time, rate))
     # leading empty edits delay presentation but map no media
-    while entries and entries[0] == -1:
+    while entries and entries[0][0] == -1:
         entries.pop(0)
-    if len(entries) != 1:
-        raise ValueError(
-            f"unsupported edit list ({n} entries): only a single "
-            "media segment (with optional leading empty edits) maps "
-            "to one first sample"
-        )
-    media_time = entries[0]
+    if not entries:
+        raise ValueError("edit list with only empty edits")
+    media_time, rate = entries[0]
+    if rate not in (0, 1):
+        raise ValueError(f"unsupported elst media_rate {rate}")
     if media_time < 0:
         raise ValueError(f"bad elst media_time {media_time}")
     if media_time == 0:
@@ -847,6 +864,8 @@ def _mp4_first_presented_sample(
     )
     deltas: list[tuple[int, int]] = []
     if stts is not None:
+        if stts[0] + 8 > stts[1] or stts[1] > len(payload):
+            raise ValueError("truncated stts")
         n_runs = struct.unpack_from(">I", payload, stts[0] + 4)[0]
         if stts[0] + 8 + n_runs * 8 > stts[1]:
             raise ValueError("truncated stts")
@@ -878,6 +897,27 @@ def _mp4_first_presented_sample(
             return idx + (media_time - cum) // delta
         cum += run_span
         idx += cnt
+    if _mp4_has_moof(payload):
+        # hybrid stbl+moof (ADVICE r18): mp4_frames yields stbl
+        # samples then fragment samples, so a media_time past the
+        # stts span can legally land in the fragment portion —
+        # extend the walk with the trex default duration over the
+        # fragment sample count instead of quarantining a decodable
+        # file
+        tid = _mp4_tkhd_track_id(payload, trak_b0, trak_b1)
+        default_dur = _mp4_trex_defaults(payload).get(
+            tid, (None, None)
+        )[1]
+        if not default_dur:
+            raise ValueError(
+                "elst media_time lands in the fragment portion of a "
+                "hybrid stbl+moof track with no trex default "
+                "duration to map it"
+            )
+        frag_n = _mp4_fragment_samples(payload, tid, count_only=True)
+        if media_time < cum + frag_n * default_dur:
+            return idx + (media_time - cum) // default_dur
+        cum += frag_n * default_dur
     raise ValueError(
         f"elst media_time {media_time} beyond track duration {cum}"
     )
@@ -1012,11 +1052,13 @@ def decode_mp4(payload: bytes) -> dict:
     if trak is not None:
         b0, b1, width, height = trak
         n_frames = _mp4_stsz_count(payload, b0, b1)
-        if n_frames == 0 and _mp4_has_moof(payload):
-            # fragmented file: the empty stbl's count is a
-            # placeholder; the real total is the sum of the
-            # per-fragment trun sample counts (r18)
-            n_frames = _mp4_fragment_samples(
+        if n_frames is not None and _mp4_has_moof(payload):
+            # fragmented file: the stbl count (0 for the pure
+            # DASH/CMAF shape, nonzero for a hybrid — r19, which
+            # used to report only the stbl tier) plus the sum of the
+            # per-fragment trun sample counts, matching what
+            # mp4_frames yields (r18)
+            n_frames += _mp4_fragment_samples(
                 payload, _mp4_tkhd_track_id(payload, b0, b1),
                 count_only=True,
             )
@@ -1284,8 +1326,9 @@ def encode_mp4_mjpeg(
     ``edit_media_time=k`` prepends an edts/elst whose single entry
     starts presentation at media time k (skipping k samples at the
     encoder's 1-tick-per-sample timescale); ``edit_list`` writes raw
-    (segment_duration, media_time) entries verbatim for quarantine
-    fixtures, ``elst_version`` selects the 32/64-bit entry layout."""
+    (segment_duration, media_time[, media_rate_int]) entries verbatim
+    (rate defaults to 1; pass it for rate-quarantine fixtures),
+    ``elst_version`` selects the 32/64-bit entry layout."""
     import struct
 
     if not frames:
@@ -1360,9 +1403,14 @@ def encode_mp4_mjpeg(
         body = bytes([elst_version]) + b"\x00" * 3 + struct.pack(
             ">I", len(entries)
         )
-        for seg, mt in entries:
-            # media_rate 1.0 (16.16 fixed)
-            body += struct.pack(fmt, seg, mt) + struct.pack(">hh", 1, 0)
+        for entry in entries:
+            seg, mt = entry[0], entry[1]
+            # media_rate 16.16 fixed; optional third element sets the
+            # integer part (fixture knob for rate quarantine tests)
+            rate = entry[2] if len(entry) > 2 else 1
+            body += struct.pack(fmt, seg, mt) + struct.pack(
+                ">hh", rate, 0
+            )
         edts = box(b"edts", box(b"elst", body))
     stsd = box(
         b"stsd",

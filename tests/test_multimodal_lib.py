@@ -1467,7 +1467,8 @@ def test_mp4_edit_list_shifts_first_presented_sample():
     mean must follow it (v0 and v1 layouts, stts-mapped for plain
     files, trex-default-mapped for fragmented ones); leading empty
     edits (media_time -1) are presentation delay and skip nothing
-    extra; multi-entry edit lists and a media_time beyond the track
+    extra; multi-entry splice programs map through their FIRST real
+    segment (r19); rate!=0/1 edits and a media_time beyond the track
     quarantine loudly."""
     import pytest
 
@@ -1489,9 +1490,26 @@ def test_mp4_edit_list_shifts_first_presented_sample():
     payload, frames = _mjpeg_mp4(n_frames=3, edit_media_time=0)
     assert decode_mp4(payload)["mean_value"] == \
         decode_jpeg(frames[0])["mean_value"]
-    # splice program (two real segments): quarantine
-    payload, _ = _mjpeg_mp4(n_frames=5, edit_list=[(2, 0), (3, 2)])
-    with pytest.raises(ValueError, match="edit list"):
+    # splice program (two real segments): the FIRST segment decides
+    # what plays first (r19, VERDICT r18 #6) — later segments change
+    # what follows, not what opens
+    for splice, first in (
+        ([(2, 0), (3, 2)], 0),
+        ([(2, 3), (3, 0)], 3),
+        ([(1, -1), (2, 1), (2, 4)], 1),  # empty lead + splice
+        ([(1, 2, 0), (4, 0)], 2),        # dwell (rate 0) opener
+    ):
+        payload, frames = _mjpeg_mp4(n_frames=5, edit_list=splice)
+        assert decode_mp4(payload)["mean_value"] == \
+            decode_jpeg(frames[first])["mean_value"], splice
+    # a non-0/1 media_rate: quarantine (reverse/fast edits are out of
+    # scope for the first-frame contract)
+    payload, _ = _mjpeg_mp4(n_frames=5, edit_list=[(2, 1, 2), (3, 0)])
+    with pytest.raises(ValueError, match="media_rate"):
+        decode_mp4(payload)
+    # only empty edits: nothing is ever presented — quarantine
+    payload, _ = _mjpeg_mp4(n_frames=3, edit_list=[(1, -1), (2, -1)])
+    with pytest.raises(ValueError, match="empty edits"):
         decode_mp4(payload)
     # media_time beyond the track's stts span: quarantine
     payload, _ = _mjpeg_mp4(n_frames=3, edit_media_time=99)
@@ -2064,3 +2082,99 @@ def test_fragmented_frame_timestamps_and_segment_routing():
         decode_mp4(seg)
     bare = frag[frag.index(b"moof") - 4:]
     assert detect_format(bare) == "mp4"
+
+
+def test_mp4_hybrid_stbl_plus_fragments_elst_maps_into_fragments():
+    """ADVICE r18: a hybrid file (non-empty stbl AND moof fragments —
+    mp4_frames yields stbl samples then fragment samples) can legally
+    put the elst media_time inside the fragment portion; the mapper
+    must extend the stts walk with the trex default duration over the
+    fragment sample count instead of quarantining a decodable file."""
+    import struct
+
+    import pytest
+
+    from quebic_spark.functions.jpeg import decode_jpeg
+    from quebic_spark.operators.multimodal import (
+        _mp4_find,
+        decode_mp4,
+        mp4_frames,
+    )
+
+    def hybrid(**plain_kwargs):
+        # graft a fragmented file's mvex (trex defaults) into a plain
+        # file's moov and append its moof+mdat tail: stco offsets stay
+        # valid (mdat precedes moov; the moof's trun is moof-relative)
+        plain, fa = _mjpeg_mp4(n_frames=3, **plain_kwargs)
+        frag, fb = _mjpeg_mp4(n_frames=2, fragmented=True)
+        fm = _mp4_find(frag, 0, len(frag), b"moov", b"mvex")
+        mvex = frag[fm[0] - 8:fm[1]]
+        moof = _mp4_find(frag, 0, len(frag), b"moof")
+        tail = frag[moof[0] - 8:]
+        pm = _mp4_find(plain, 0, len(plain), b"moov")
+        moov_body = plain[pm[0]:pm[1]] + mvex
+        new_moov = struct.pack(
+            ">I4s", 8 + len(moov_body), b"moov"
+        ) + moov_body
+        return plain[:pm[0] - 8] + new_moov + tail, fa + fb
+
+    # sanity: both sample tiers extract, in ISO order
+    payload, frames = hybrid()
+    assert list(mp4_frames(payload)) == frames
+    assert decode_mp4(payload)["n_frames"] == 5
+
+    # media_time 4 lands past the 3-sample stts span, inside the
+    # fragment portion (trex default duration 1 tick/sample): the
+    # first presented frame is fragment sample 1 = overall index 4
+    payload, frames = hybrid(edit_media_time=4)
+    d = decode_mp4(payload)
+    assert d["mean_value"] == decode_jpeg(frames[4])["mean_value"]
+
+    # beyond even the fragment-extended timeline: still quarantines
+    payload, _ = hybrid(edit_media_time=99)
+    with pytest.raises(ValueError, match="beyond"):
+        decode_mp4(payload)
+
+
+def test_mp4_truncated_boxes_raise_valueerror_not_struct_error():
+    """ADVICE r18: tfhd/trun headers were unpacked BEFORE their bounds
+    checks and tkhd/stsz read box bodies without length guards, so a
+    truncated final box raised struct.error or IndexError instead of
+    the ValueError the quarantine contract documents (decode_media's
+    broad except contained it, but _mp4_frame_period_us-style callers
+    catching only ValueError would crash the task)."""
+    import struct
+
+    import pytest
+
+    from quebic_spark.operators.multimodal import (
+        _mp4_fragment_samples,
+        _mp4_stsz_count,
+        _mp4_tkhd_track_id,
+    )
+
+    def box(name, body):
+        return struct.pack(">I4s", 8 + len(body), name) + body
+
+    # tkhd with an EMPTY body (version byte itself missing)
+    trak = box(b"trak", box(b"tkhd", b""))
+    with pytest.raises(ValueError, match="truncated tkhd"):
+        _mp4_tkhd_track_id(trak, 8, len(trak))
+
+    # stsz cut off before sample_count
+    stbl = box(b"stbl", box(b"stsz", b"\x00" * 6))
+    trak = box(b"trak", box(b"mdia", box(b"minf", stbl)))
+    with pytest.raises(ValueError, match="truncated stsz"):
+        _mp4_stsz_count(trak, 8, len(trak))
+
+    # tfhd with a 2-byte body: version/flags word itself truncated
+    moof = box(b"moof", box(b"traf", box(b"tfhd", b"\x00\x00")))
+    with pytest.raises(ValueError, match="truncated tfhd"):
+        _mp4_fragment_samples(moof, 1)
+
+    # trun with a 2-byte body behind a well-formed tfhd
+    # version 0, flags 0x020000 (default-base-is-moof), track_ID 1
+    tfhd = box(b"tfhd", b"\x00\x02\x00\x00" + struct.pack(">I", 1))
+    moof = box(b"moof", box(b"traf", tfhd + box(b"trun", b"\x00\x00")))
+    with pytest.raises(ValueError, match="truncated trun"):
+        _mp4_fragment_samples(moof, 1)

@@ -133,3 +133,37 @@ def test_isolated_queue_retime_shape():
     } <= set(out["median"])
     assert len(out["median"]["queue_pop_1k_samples"]) == 3
     assert all(v > 0 for v in out["best"].values())
+
+
+def test_adjudication_flags_self_certify_semantics():
+    """r19 (VERDICT r18 #5): BENCH_r18 carried contaminated=true with
+    retimed=[] — technically fine (zero gates crossed the trigger) but
+    unreadable without the judge's narration. The flags must make the
+    record self-explanatory: contaminated_start_load is the raw
+    observation; self_certified is the verdict that floors were
+    available and nothing needed a retime."""
+    from bench import adjudication_flags
+
+    floors = {"q": 1.0}
+    # the r18 shape: contaminated start, floors loaded, zero retimes
+    assert adjudication_flags(True, {}, floors) == {
+        "contaminated_start_load": True,
+        "self_certified": True,
+    }
+    # retimes happened: the adjudication lives in auto_retimed, not
+    # in a self-certification
+    assert adjudication_flags(True, {"q": {"used": 1.0}}, floors) == {
+        "contaminated_start_load": True,
+        "self_certified": False,
+    }
+    # quiet start: nothing to certify
+    assert adjudication_flags(False, {}, floors) == {
+        "contaminated_start_load": False,
+        "self_certified": False,
+    }
+    # no floors (non-sf0.1 run): a contaminated start CANNOT
+    # self-certify — there was no bar to clear
+    assert adjudication_flags(True, {}, {}) == {
+        "contaminated_start_load": True,
+        "self_certified": False,
+    }

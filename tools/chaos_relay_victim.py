@@ -142,8 +142,13 @@ def main() -> None:
         print("RELAYDONE", flush=True)
     elif scenario == "consumer":
         out_path = other
+        # compact_every_batches: the stream-safe compaction runs
+        # INSIDE foreachBatch, so its os.replace/os.remove boundaries
+        # become kill points too — driver death mid-compact must heal
+        # on the next open with the same delivery invariants
         cons = StreamingConsumer(
-            spark, src, checkpoint_dir=ck_dir, error_permit=2
+            spark, src, checkpoint_dir=ck_dir, error_permit=2,
+            compact_every_batches=2,
         )
         orig_wrap = cons._wrap
 

@@ -634,11 +634,16 @@ def _mp4_fragment_samples(
     the fMP4/DASH/CMAF twin of the stbl walk (r18; reference scope is
     containers only, this is north-star multimodal tier).
 
-    Supported base-offset modes: explicit tfhd base_data_offset and
-    default-base-is-moof (what CMAF mandates). The legacy implicit
-    default (first traf = moof start, later trafs = end of previous
-    traf's data) is quarantined loudly — resolving it requires global
-    mdat accounting this honest tier does not pretend to have.
+    Base-offset modes (ISO 14496-12 §8.8.7): explicit tfhd
+    base_data_offset, default-base-is-moof (what CMAF mandates), and —
+    r19 — the legacy pre-CMAF IMPLICIT default: the first traf in a
+    moof anchors at the moof's first byte, each later traf at the end
+    of the PRECEDING traf's data. The implicit chain makes OTHER
+    tracks' data extents load-bearing, so foreign trafs are walked
+    only when some non-first traf actually needs the chain — a
+    malformed audio traf cannot quarantine a file whose video track
+    never depends on it — and an unresolvable predecessor extent
+    raises only at the traf that needs it.
 
     ``count_only`` returns just the total sample count without
     resolving sizes (metadata tier for non-MJPEG codecs, where trun
@@ -654,6 +659,127 @@ def _mp4_fragment_samples(
     trex = _mp4_trex_defaults(payload)
     samples: list = []
     total = 0
+
+    def parse_tfhd(tb0: int, tb1: int):
+        """(flags, track_ID, explicit base or None, default size) —
+        bounds-checked BEFORE every unpack (ADVICE r18: truncated
+        boxes must raise ValueError, never struct.error)."""
+        tfhd = _mp4_find(payload, tb0, tb1, b"tfhd")
+        if tfhd is None:
+            raise ValueError("traf without tfhd")
+        if tfhd[0] + 8 > tfhd[1]:
+            raise ValueError("truncated tfhd")
+        verflags = struct.unpack_from(">I", payload, tfhd[0])[0]
+        flags = verflags & 0xFFFFFF
+        tid = struct.unpack_from(">I", payload, tfhd[0] + 4)[0]
+        off = tfhd[0] + 8
+        base = None
+        if flags & _TFHD_BASE_DATA_OFFSET:
+            if off + 8 > tfhd[1]:
+                raise ValueError("truncated tfhd")
+            base = struct.unpack_from(">Q", payload, off)[0]
+            off += 8
+        if flags & _TFHD_SAMPLE_DESC_IDX:
+            off += 4
+        if flags & _TFHD_DEFAULT_DURATION:
+            off += 4  # duration handled by the elst helper
+        default_size = None
+        if flags & _TFHD_DEFAULT_SIZE:
+            if off + 4 > tfhd[1]:
+                raise ValueError("truncated tfhd")
+            default_size = struct.unpack_from(">I", payload, off)[0]
+            off += 4
+        if flags & _TFHD_DEFAULT_FLAGS:
+            off += 4
+        if off > tfhd[1]:
+            raise ValueError("truncated tfhd")
+        if default_size is None:
+            default_size = trex.get(tid, (None, None))[0]
+        return flags, tid, base, default_size
+
+    def walk_truns(tb0, tb1, base, base_mode, default_size, collect):
+        """Walk one traf's trun runs; returns the end of its data, or
+        None when a size source is missing on a traf we only walked
+        for its extent (harmless unless a later implicit traf needs
+        it). Offset-less FIRST runs start AT the base for explicit
+        and implicit modes (the spec default); under
+        default-base-is-moof they would start inside the moof box
+        itself — physically wrong, quarantined."""
+        nonlocal total
+        cursor: int | None = None
+        end = base
+        for t2, u0, u1 in _mp4_boxes(payload, tb0, tb1):
+            if t2 != b"trun":
+                continue
+            if u0 + 8 > u1:
+                raise ValueError("truncated trun")
+            vf = struct.unpack_from(">I", payload, u0)[0]
+            tflags = vf & 0xFFFFFF
+            n = struct.unpack_from(">I", payload, u0 + 4)[0]
+            p = u0 + 8
+            if tflags & _TRUN_DATA_OFFSET:
+                if p + 4 > u1:
+                    raise ValueError("truncated trun")
+                (doff,) = struct.unpack_from(">i", payload, p)
+                p += 4
+                cursor = base + doff
+            if tflags & _TRUN_FIRST_SAMPLE_FLAGS:
+                p += 4
+            per_sample = 4 * (
+                bool(tflags & _TRUN_SAMPLE_DURATION)
+                + bool(tflags & _TRUN_SAMPLE_SIZE)
+                + bool(tflags & _TRUN_SAMPLE_FLAGS)
+                + bool(tflags & _TRUN_SAMPLE_CTS)
+            )
+            if p + n * per_sample > u1:
+                raise ValueError(
+                    f"trun sample fields ({n} x {per_sample}B) "
+                    "exceed box extent"
+                )
+            if count_only:
+                total += n
+                continue
+            if cursor is None:
+                if base_mode in ("explicit", "implicit"):
+                    cursor = base
+                else:
+                    raise ValueError(
+                        "first trun carries no data_offset"
+                    )
+            if not (tflags & _TRUN_SAMPLE_SIZE):
+                if not default_size:
+                    if collect:
+                        raise ValueError(
+                            "no sample size in trun/tfhd/trex"
+                        )
+                    return None  # extent unknowable for this traf
+                if cursor + n * default_size > len(payload):
+                    raise ValueError(
+                        "fragment run exceeds payload"
+                    )
+            sz_off = p + (
+                4 if tflags & _TRUN_SAMPLE_DURATION else 0
+            )
+            for _ in range(n):
+                if tflags & _TRUN_SAMPLE_SIZE:
+                    size = struct.unpack_from(
+                        ">I", payload, sz_off
+                    )[0]
+                else:
+                    size = default_size
+                sz_off += per_sample
+                if cursor < 0 or cursor + size > len(payload):
+                    raise ValueError(
+                        f"fragment sample extent {cursor}+{size} "
+                        f"overruns payload ({len(payload)} bytes)"
+                    )
+                if collect:
+                    samples.append((cursor, size))
+                cursor += size
+            if cursor is not None:
+                end = max(end, cursor)
+        return end
+
     hdr = 0  # boxes are contiguous: this box's header = prev box's end
     for btype, b0, b1 in _mp4_boxes(payload, 0, len(payload)):
         if btype != b"moof":
@@ -661,135 +787,46 @@ def _mp4_fragment_samples(
             continue
         moof_hdr = hdr
         hdr = b1
-        for t, tb0, tb1 in _mp4_boxes(payload, b0, b1):
-            if t != b"traf":
-                continue
-            tfhd = _mp4_find(payload, tb0, tb1, b"tfhd")
-            if tfhd is None:
-                raise ValueError("traf without tfhd")
-            if tfhd[0] + 8 > tfhd[1]:
-                # bounds BEFORE the unpack (ADVICE r18): a truncated
-                # final box must raise ValueError, never struct.error
-                raise ValueError("truncated tfhd")
-            verflags = struct.unpack_from(">I", payload, tfhd[0])[0]
-            flags = verflags & 0xFFFFFF
-            tid = struct.unpack_from(">I", payload, tfhd[0] + 4)[0]
-            off = tfhd[0] + 8
-            base = None
-            explicit_base = bool(flags & _TFHD_BASE_DATA_OFFSET)
-            if flags & _TFHD_BASE_DATA_OFFSET:
-                if off + 8 > tfhd[1]:
-                    raise ValueError("truncated tfhd")
-                base = struct.unpack_from(">Q", payload, off)[0]
-                off += 8
-            if flags & _TFHD_SAMPLE_DESC_IDX:
-                off += 4
-            default_dur = None
-            if flags & _TFHD_DEFAULT_DURATION:
-                if off + 4 > tfhd[1]:
-                    raise ValueError("truncated tfhd")
-                default_dur = struct.unpack_from(
-                    ">I", payload, off
-                )[0]
-                off += 4
-            default_size = None
-            if flags & _TFHD_DEFAULT_SIZE:
-                if off + 4 > tfhd[1]:
-                    raise ValueError("truncated tfhd")
-                default_size = struct.unpack_from(
-                    ">I", payload, off
-                )[0]
-                off += 4
-            if flags & _TFHD_DEFAULT_FLAGS:
-                off += 4
-            if off > tfhd[1]:
-                raise ValueError("truncated tfhd")
-            if tid != track_id:
-                continue
+        trafs = [
+            (tb0, tb1) + parse_tfhd(tb0, tb1)
+            for t, tb0, tb1 in _mp4_boxes(payload, b0, b1)
+            if t == b"traf"
+        ]
+        if count_only:
+            for tb0, tb1, flags, tid, base, dsz in trafs:
+                if tid == track_id:
+                    walk_truns(tb0, tb1, 0, "implicit", None, True)
+            continue
+        # walk foreign trafs only when a later traf's implicit base
+        # depends on their data extent (see docstring)
+        needs_chain = any(
+            base is None and not (flags & _TFHD_DEFAULT_BASE_IS_MOOF)
+            for _tb0, _tb1, flags, tid, base, dsz in trafs[1:]
+        )
+        prev_end: int | None = moof_hdr
+        for i, (tb0, tb1, flags, tid, base, dsz) in enumerate(trafs):
+            base_mode = "explicit"
             if base is None:
                 if flags & _TFHD_DEFAULT_BASE_IS_MOOF:
-                    base = moof_hdr
+                    base, base_mode = moof_hdr, "moof"
                 else:
-                    raise ValueError(
-                        "tfhd without base-data-offset or "
-                        "default-base-is-moof (implicit base "
-                        "unsupported)"
-                    )
-            if default_size is None:
-                default_size = trex.get(tid, (None, None))[0]
-            del default_dur  # duration handled by the elst helper
-            cursor: int | None = None
-            for t2, u0, u1 in _mp4_boxes(payload, tb0, tb1):
-                if t2 != b"trun":
-                    continue
-                if u0 + 8 > u1:
-                    raise ValueError("truncated trun")
-                vf = struct.unpack_from(">I", payload, u0)[0]
-                tflags = vf & 0xFFFFFF
-                n = struct.unpack_from(">I", payload, u0 + 4)[0]
-                p = u0 + 8
-                if tflags & _TRUN_DATA_OFFSET:
-                    if p + 4 > u1:
-                        raise ValueError("truncated trun")
-                    (doff,) = struct.unpack_from(">i", payload, p)
-                    p += 4
-                    cursor = base + doff
-                if tflags & _TRUN_FIRST_SAMPLE_FLAGS:
-                    p += 4
-                per_sample = 4 * (
-                    bool(tflags & _TRUN_SAMPLE_DURATION)
-                    + bool(tflags & _TRUN_SAMPLE_SIZE)
-                    + bool(tflags & _TRUN_SAMPLE_FLAGS)
-                    + bool(tflags & _TRUN_SAMPLE_CTS)
-                )
-                if p + n * per_sample > u1:
-                    raise ValueError(
-                        f"trun sample fields ({n} x {per_sample}B) "
-                        "exceed box extent"
-                    )
-                if count_only:
-                    total += n
-                    continue
-                if cursor is None:
-                    if explicit_base:
-                        # spec default: the traf's first run starts AT
-                        # the explicit base_data_offset (older smooth-
-                        # streaming files omit trun data_offset)
-                        cursor = base
+                    base_mode = "implicit"
+                    if i == 0:
+                        base = moof_hdr
+                    elif prev_end is not None:
+                        base = prev_end
                     else:
-                        # with default-base-is-moof an offset-less
-                        # first run would start inside the moof box
-                        # itself — physically wrong; quarantine
                         raise ValueError(
-                            "first trun carries no data_offset"
+                            "implicit-base traf follows a traf whose "
+                            "data extent could not be resolved"
                         )
-                if not (tflags & _TRUN_SAMPLE_SIZE):
-                    if not default_size:
-                        raise ValueError(
-                            "no sample size in trun/tfhd/trex"
-                        )
-                    if cursor + n * default_size > len(payload):
-                        raise ValueError(
-                            "fragment run exceeds payload"
-                        )
-                sz_off = p + (
-                    4 if tflags & _TRUN_SAMPLE_DURATION else 0
-                )
-                for _ in range(n):
-                    if tflags & _TRUN_SAMPLE_SIZE:
-                        size = struct.unpack_from(
-                            ">I", payload, sz_off
-                        )[0]
-                    else:
-                        size = default_size
-                    sz_off += per_sample
-                    if cursor < 0 or cursor + size > len(payload):
-                        raise ValueError(
-                            f"fragment sample extent {cursor}+{size} "
-                            f"overruns payload ({len(payload)} bytes)"
-                        )
-                    samples.append((cursor, size))
-                    cursor += size
+            collect = tid == track_id
+            if not collect and not needs_chain:
+                prev_end = None  # not computed; nothing will need it
+                continue
+            prev_end = walk_truns(
+                tb0, tb1, base, base_mode, dsz, collect
+            )
     return total if count_only else samples
 
 
@@ -1030,11 +1067,13 @@ def decode_mp4(payload: bytes) -> dict:
 
     Fragmented files (DASH/CMAF — empty stbl, moof/trun sample runs,
     mvex defaults) are first-class since r18: n_frames sums the trun
-    runs, duration falls back to mvex/mehd when mvhd says 0, and
-    MJPEG fragments decode pixels through the same mp4_frames walk.
-    A track edit list shifts the first PRESENTED sample
-    (``_mp4_first_presented_sample``); multi-entry edit lists
-    quarantine loudly."""
+    runs (plus the stbl tier for hybrid files, r19), duration falls
+    back to mvex/mehd when mvhd says 0, and MJPEG fragments decode
+    pixels through the same mp4_frames walk — all three base-offset
+    modes, including the pre-CMAF implicit chain (r19). A track edit
+    list shifts the first PRESENTED sample
+    (``_mp4_first_presented_sample``), including multi-entry splice
+    programs (first real segment wins; rate!=0/1 quarantines)."""
     import struct
 
     moov = _mp4_find(payload, 0, len(payload), b"moov")
@@ -1539,18 +1578,19 @@ def _mp4_frame_period_us(payload: bytes):
     trak = _mp4_video_trak(payload)
     if trak is None:
         return None
-    stsz = _mp4_find(
-        payload, trak[0], trak[1], b"mdia", b"minf", b"stbl", b"stsz"
-    )
-    if stsz is None:
+    try:
+        n = _mp4_stsz_count(payload, trak[0], trak[1])
+    except ValueError:
+        return None  # period is best-effort metadata
+    if n is None:
         return None
-    n = struct.unpack_from(">I", payload, stsz[0] + 8)[0]
-    if n == 0 and _mp4_has_moof(payload):
-        # fragmented: count the trun runs and take the total from
-        # mehd, same fallbacks as decode_mp4 (r18) — frame timestamps
-        # in video_frame_sample stay real for DASH/CMAF files
+    if _mp4_has_moof(payload):
+        # fragmented: count the trun runs (added to the stbl tier for
+        # hybrid files, r19) and take the total from mehd, same
+        # fallbacks as decode_mp4 (r18) — frame timestamps in
+        # video_frame_sample stay real for DASH/CMAF files
         try:
-            n = _mp4_fragment_samples(
+            n += _mp4_fragment_samples(
                 payload, _mp4_tkhd_track_id(payload, trak[0], trak[1]),
                 count_only=True,
             )

@@ -1426,8 +1426,10 @@ def test_mp4_fragmented_metadata_and_quarantine_tiers():
     """The honest-tier contract over fragments: a metadata-only codec
     (stsd avc1) still reports n_frames from the trun runs with
     mean_value NULL; an implicit tfhd base (neither base_data_offset
-    nor default-base-is-moof) quarantines loudly; a forged huge trun
-    sample_count dies in O(1) on the extent pre-check."""
+    nor default-base-is-moof — the pre-CMAF legacy default, DECODED
+    since r19: first traf anchors at the moof start) extracts the
+    same frames; a forged huge trun sample_count dies in O(1) on the
+    extent pre-check."""
     import struct
 
     import pytest
@@ -1446,12 +1448,14 @@ def test_mp4_fragmented_metadata_and_quarantine_tiers():
     assert d["n_frames"] == 4 and d["mean_value"] is None
     assert d["sample_rate"] == 10  # duration came from mehd
 
-    # implicit tfhd base: clear the default-base-is-moof flag
+    # implicit tfhd base (r19): clearing default-base-is-moof leaves
+    # the §8.8.7 legacy default — the first traf in each moof anchors
+    # at the moof's first byte, so this single-track file extracts
+    # identically
     at = frag.index(b"tfhd")
     t = bytearray(frag)
     t[at + 4: at + 8] = struct.pack(">I", 0)
-    with pytest.raises(ValueError, match="base"):
-        list(mp4_frames(bytes(t)))
+    assert list(mp4_frames(bytes(t))) == frames
 
     # forged sample_count: 2^28 samples in a tiny trun box
     at = frag.index(b"trun")
@@ -2178,3 +2182,102 @@ def test_mp4_truncated_boxes_raise_valueerror_not_struct_error():
     moof = box(b"moof", box(b"traf", tfhd + box(b"trun", b"\x00\x00")))
     with pytest.raises(ValueError, match="truncated trun"):
         _mp4_fragment_samples(moof, 1)
+
+
+def test_mp4_implicit_base_multi_traf_chain():
+    """r19: the pre-CMAF implicit base chain (ISO 14496-12 §8.8.7) —
+    a moof whose SECOND traf carries neither base_data_offset nor
+    default-base-is-moof anchors at the end of the PRECEDING traf's
+    data. The preceding traf belongs to another track, so foreign
+    extents are load-bearing exactly here; when that extent cannot be
+    resolved the dependent traf quarantines; and when no traf needs
+    the chain, a malformed foreign traf stays ignored."""
+    import struct
+
+    import pytest
+
+    from quebic_spark.operators.multimodal import (
+        _TFHD_BASE_DATA_OFFSET,
+        _TRUN_DATA_OFFSET,
+        _TRUN_SAMPLE_SIZE,
+        decode_mp4,
+        mp4_frames,
+    )
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I4s", len(body) + 8, btype) + body
+
+    template, frames = _mjpeg_mp4(
+        n_frames=4, fragmented=True, frames_per_fragment=4
+    )
+    prefix = template[: template.index(b"moof") - 4]  # ftyp + moov
+    track2_data = b"\xAB" * 37  # the foreign track's payload bytes
+
+    mfhd = box(b"mfhd", b"\x00" * 4 + struct.pack(">I", 1))
+    # traf#1: track 2, IMPLICIT base (first traf -> moof start), trun
+    # with a data_offset into the mdat body and explicit sizes — its
+    # data extent ends where track 1's frames begin
+    trun1 = box(
+        b"trun",
+        struct.pack(">II", _TRUN_DATA_OFFSET | _TRUN_SAMPLE_SIZE, 1)
+        + struct.pack(">i", 0)  # patched once moof_size is known
+        + struct.pack(">I", len(track2_data)),
+    )
+    tfhd1 = box(b"tfhd", struct.pack(">II", 0, 2))
+    # traf#2: track 1, IMPLICIT base (= end of traf#1 data), trun
+    # with NO data_offset — samples start AT the chained base
+    tfhd2 = box(b"tfhd", struct.pack(">II", 0, 1))
+    trun2 = box(
+        b"trun",
+        struct.pack(">II", _TRUN_SAMPLE_SIZE, 4)
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+
+    def build(t1):
+        traf1 = box(b"traf", tfhd1 + t1)
+        traf2 = box(b"traf", tfhd2 + trun2)
+        moof = box(b"moof", mfhd + traf1 + traf2)
+        return prefix + moof + box(
+            b"mdat", track2_data + b"".join(frames)
+        )
+
+    # size the moof once, then patch trun1's data_offset to the mdat
+    # body start (moof-relative via the implicit first-traf anchor)
+    moof_size = (
+        len(build(trun1)) - len(prefix)
+        - (8 + len(track2_data) + len(b"".join(frames)))
+    )
+    trun1 = box(
+        b"trun",
+        struct.pack(">II", _TRUN_DATA_OFFSET | _TRUN_SAMPLE_SIZE, 1)
+        + struct.pack(">i", moof_size + 8)
+        + struct.pack(">I", len(track2_data)),
+    )
+    payload = build(trun1)
+    assert list(mp4_frames(payload)) == frames
+    assert decode_mp4(payload)["n_frames"] == 4
+
+    # unresolvable predecessor: traf#1's trun has neither sizes nor a
+    # trex default for track 2 -> traf#2's implicit base quarantines
+    trun1_nosize = box(
+        b"trun",
+        struct.pack(">II", _TRUN_DATA_OFFSET, 1)
+        + struct.pack(">i", moof_size + 8),
+    )
+    with pytest.raises(ValueError, match="could not be resolved"):
+        list(mp4_frames(build(trun1_nosize)))
+
+    # no traf needs the chain: make traf#2 explicit-base — the same
+    # size-less foreign traf is then skipped, not load-bearing.
+    # Frames are the file's last bytes, so the absolute base falls
+    # out of the built length; size tfhd2 with a placeholder base
+    # FIRST (the explicit field grows the box by 8) then patch.
+    tfhd2_explicit = lambda base: box(  # noqa: E731
+        b"tfhd",
+        struct.pack(">I", _TFHD_BASE_DATA_OFFSET)
+        + struct.pack(">I", 1) + struct.pack(">Q", base),
+    )
+    tfhd2 = tfhd2_explicit(0)
+    base_abs = len(build(trun1_nosize)) - len(b"".join(frames))
+    tfhd2 = tfhd2_explicit(base_abs)
+    assert list(mp4_frames(build(trun1_nosize))) == frames

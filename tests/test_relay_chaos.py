@@ -272,3 +272,58 @@ def test_consumer_driver_chaos_failure_counts_and_dlq(tmp_path):
     assert bad == [], bad[:2]
     assert any(r["saw_counts"] for r in results), results
     assert sum(r["killed"] for r in results) >= 1, results
+
+
+def test_relay_with_source_compaction_chaos(tmp_path):
+    """The full composition in one driver: StreamingConsumer with an
+    external checkpoint (exercising the durable registry across
+    process deaths), exactly-once queue_sink, and stream-safe source
+    compaction every 2 batches. Kill points span sink markers,
+    durable appends, pointer flips, and the in-foreachBatch
+    compaction; the sink must still hold every row exactly once."""
+    points = int(os.environ.get("RELAY_COMPACT_CHAOS_POINTS", "4"))
+    t = _count_mutations(str(tmp_path), "relay_compact", 8)
+    assert t > 10, t
+    rng = random.Random(f"{SEED}:relay_compact")
+    results = []
+
+    def trial(idx: int) -> dict:
+        base = os.path.join(str(tmp_path), f"rc-{idx}")
+        src, dst, ck = (
+            os.path.join(base, d) for d in ("src", "dst", "ck")
+        )
+        os.makedirs(base)
+        _fill_src(src, 8)
+        res = {"trial": idx, "killed": 0, "errors": []}
+        try:
+            kill_at = rng.randint(1, t)
+            p = _run_victim(src, dst, ck, "relay_compact", kill_at)
+            if p.returncode == -9:
+                res["killed"] = 1
+            elif "RELAYDONE" not in p.stdout:
+                res["errors"].append(
+                    f"victim neither killed nor done "
+                    f"(rc={p.returncode}): {p.stderr[-300:]}"
+                )
+            p = _run_victim(src, dst, ck, "relay_compact", 0)
+            if "RELAYDONE" not in p.stdout:
+                res["errors"].append(
+                    f"clean restart failed: {p.stderr[-300:]}"
+                )
+            got = _drain(dst)
+            want = [(i, f"V{i}") for i in range(8)]
+            if sorted(got) != want:
+                res["errors"].append(
+                    f"sink lost or duplicated rows: {sorted(got)}"
+                )
+        except Exception as exc:  # noqa: BLE001
+            res["errors"].append(f"harness: {exc!r}")
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+        return res
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(trial, range(points)))
+    bad = [r for r in results if r["errors"]]
+    assert bad == [], bad[:2]
+    assert sum(r["killed"] for r in results) >= 1, results

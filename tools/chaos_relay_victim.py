@@ -140,6 +140,45 @@ def main() -> None:
         )
         q.awaitTermination(180)
         print("RELAYDONE", flush=True)
+    elif scenario == "relay_compact":
+        # the full composition: StreamingConsumer (external checkpoint
+        # -> durable registry) + exactly-once queue_sink + stream-safe
+        # source compaction every 2 batches, all in one driver — kill
+        # points land across sink markers, durable appends, pointer
+        # flips, AND the in-foreachBatch compaction's deletes
+        dst = Queue(other, Schema(INTEGER, TEXT),
+                    auto_compact_files=None)
+        inner = queue_sink(dst, order_by=["c0"])
+        cons = StreamingConsumer(
+            spark, src, checkpoint_dir=ck_dir,
+            compact_every_batches=2,
+        )
+        orig_wrap = cons._wrap
+
+        def wrap(f):
+            handler = orig_wrap(f)
+
+            def on_batch(df, batch_id):
+                armed["on"] = True
+                try:
+                    handler(df, batch_id)
+                    gate()  # post-batch, pre-checkpoint-commit
+                finally:
+                    armed["on"] = False
+
+            return on_batch
+
+        cons._wrap = wrap
+
+        def relay(df, batch_id):
+            inner(
+                df.select("c0", F.upper(F.col("c1")).alias("c1")),
+                batch_id,
+            )
+
+        cons.run_available(relay, max_files_per_trigger=2,
+                           timeout_s=120)
+        print("RELAYDONE", flush=True)
     elif scenario == "consumer":
         out_path = other
         # compact_every_batches: the stream-safe compaction runs

@@ -1155,3 +1155,51 @@ def test_recover_discards_staged_for_external_checkpoint_cross_process(
     )
     assert redelivered == [], redelivered
     q2.dispose()
+
+
+def test_queue_sink_two_sinks_contend_with_replays(qpath, spark):
+    """Two sinks (distinct sink_ids) appending into ONE queue from
+    concurrent threads, each immediately replaying every batch: the
+    shared marker file's read-modify-write under the queue flock must
+    never clobber the other sink's entry, and every row lands exactly
+    once. (The cross-PROCESS twin ran as a verify drive — two Spark
+    drivers, same invariants.)"""
+    import threading
+
+    dst = Queue(qpath, SCHEMA, capacity=10000)
+    from quebic_spark.streaming import queue_sink
+
+    errors: list = []
+
+    def run(sid: str, base: int) -> None:
+        try:
+            sink = queue_sink(dst, order_by=["c0"], sink_id=sid)
+            for b in range(3):
+                df = spark.createDataFrame(
+                    [(base + b * 10 + i, f"{sid}{i}") for i in range(4)],
+                    "c0 int, c1 string",
+                )
+                sink(df, b)
+                sink(df, b)  # replay under live contention: no-op
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=run, args=("a", 100)),
+        threading.Thread(target=run, args=("b", 500)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    got = sorted(_drain_ids(dst))
+    want = sorted(
+        [100 + b * 10 + i for b in range(3) for i in range(4)]
+        + [500 + b * 10 + i for b in range(3) for i in range(4)]
+    )
+    assert got == want
+    marks = _sink_marks(dst)
+    assert marks["a"]["committed"] and marks["b"]["committed"]
+    assert marks["a"]["batch_id"] == marks["b"]["batch_id"] == 2
+    dst.dispose()

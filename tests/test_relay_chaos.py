@@ -20,8 +20,11 @@ Invariants:
   arbitrarily, regrouping micro-batches — found by this tier's first
   run and documented at read_queue_stream.)
 * consumer: durable failure counts never regress across driver
-  deaths; terminally, every non-poison row reached the side effect
-  (at-least-once) and the poison batch reached the DLQ.
+  deaths; terminally the poison row is DLQ-routed and never consumed,
+  and every other row reaches the side effect or the DLQ (its
+  batch's fate — WHICH rows ride with the poison is not fixed, since
+  a restart may regroup not-yet-WALed batches; at-least-once allows
+  a row in both places, never in neither).
 
 Victims are expensive (a Spark session each), so the sweep is small
 (~10-20 kills, per the adjudicated budget); RELAY_CHAOS_POINTS /
@@ -56,7 +59,7 @@ def _run_victim(src: str, other: str, ck: str, scenario: str,
     return subprocess.run(
         [sys.executable, VICTIM, src, other, ck, scenario,
          str(kill_at)],
-        capture_output=True, text=True, timeout=300,
+        capture_output=True, text=True, timeout=420,
         start_new_session=True,
     )
 
@@ -164,10 +167,15 @@ def _consumer_trial(root: str, idx: int, t: int) -> dict:
     prev: dict[str, int] = {}
     done = False
     try:
-        for _ in range(10):
-            # later attempts run DLQ-route mutations the fresh count
-            # never reaches — widen the sample window past T
-            kill_at = rng.randint(1, t + 4)
+        # random-kill attempts first, then GUARANTEED clean runs to
+        # the terminal state (mirrors the relay trial's final
+        # kill_at=0 — the first suite run under a loaded host showed
+        # ten random draws can keep landing kills and never let a
+        # drain finish, a harness flake, not an invariant breach; a
+        # clean run can still legitimately QUERYFAIL while the poison
+        # batch works toward its permit, so allow a few)
+        attempts = [rng.randint(1, t + 4) for _ in range(7)] + [0] * 4
+        for kill_at in attempts:
             p = _run_victim(src, out, ck, "consumer", kill_at)
             if p.returncode == -9:
                 res["killed"] += 1
@@ -197,21 +205,13 @@ def _consumer_trial(root: str, idx: int, t: int) -> dict:
             if done:
                 break
         if not done:
-            res["errors"].append("backlog never drained in 10 runs")
+            res["errors"].append(
+                "backlog never drained (incl. 4 clean runs)"
+            )
         consumed = set()
         if os.path.exists(out):
             with open(out) as f:
                 consumed = {int(x) for x in f.read().split()}
-        if not {0, 1, 4, 5} <= consumed:
-            res["errors"].append(
-                f"non-poison rows missing from side effect: "
-                f"{sorted(consumed)}"
-            )
-        if consumed & {2, 3}:
-            res["errors"].append(
-                f"poison-batch rows leaked into side effect: "
-                f"{sorted(consumed & {2, 3})}"
-            )
         dlq_ids: set[int] = set()
         import pyarrow.parquet as pq
 
@@ -220,9 +220,26 @@ def _consumer_trial(root: str, idx: int, t: int) -> dict:
                 pq.read_table(f, columns=["c0"]).column("c0")
                 .to_pylist()
             )
-        if not {2, 3} <= dlq_ids:
+        # grouping-AGNOSTIC invariants (found by this sweep's own
+        # first full run: a kill can make the restart re-list and
+        # REGROUP the not-yet-WALed batches, so WHICH rows ride with
+        # poison id 3 is not fixed — one trial DLQ'd {3,5} and
+        # consumed 2). What must hold regardless: the poison row is
+        # DLQ'd and never consumed; every other row reaches the side
+        # effect or the DLQ (its batch's fate) — no row vanishes. A
+        # row may appear in BOTH (consumed in a killed run whose
+        # checkpoint never committed, then DLQ'd with a regrouped
+        # poison batch) — that is at-least-once, not a violation.
+        if 3 not in dlq_ids:
             res["errors"].append(
-                f"poison batch not fully DLQ-routed: {sorted(dlq_ids)}"
+                f"poison row never DLQ-routed: {sorted(dlq_ids)}"
+            )
+        if 3 in consumed:
+            res["errors"].append("poison row leaked into side effect")
+        lost = {0, 1, 2, 4, 5} - (consumed | dlq_ids)
+        if lost:
+            res["errors"].append(
+                f"rows neither consumed nor DLQ-routed: {sorted(lost)}"
             )
     except Exception as exc:  # noqa: BLE001
         res["errors"].append(f"harness: {exc!r}")

@@ -177,7 +177,7 @@ def main() -> None:
             )
 
         cons.run_available(relay, max_files_per_trigger=2,
-                           timeout_s=120)
+                           timeout_s=240)
         print("RELAYDONE", flush=True)
     elif scenario == "consumer":
         out_path = other
@@ -214,8 +214,9 @@ def main() -> None:
                 fh.write("".join(f"{i}\n" for i in ids))
 
         try:
+            # generous drain budget: chaos sweeps run on a loaded host
             cons.run_available(f, max_files_per_trigger=2,
-                               timeout_s=120)
+                               timeout_s=240)
             print("CONSUMERDONE", flush=True)
         except Exception as exc:  # noqa: BLE001 — poison fails the query
             print(f"QUERYFAIL {type(exc).__name__}", flush=True)

@@ -1203,3 +1203,35 @@ def test_queue_sink_two_sinks_contend_with_replays(qpath, spark):
     assert marks["a"]["committed"] and marks["b"]["committed"]
     assert marks["a"]["batch_id"] == marks["b"]["batch_id"] == 2
     dst.dispose()
+
+
+def test_stream_checkpoint_registry_prunes_dead_entries(tmp_path):
+    """The durable external-checkpoint registry (r19) prunes entries
+    whose directory no longer exists on each registration — a stream
+    torn down and replaced must not leave the queue permanently
+    'attached' through a stale path (one stat per stale entry is the
+    accepted cost until the next write)."""
+    q = Queue(str(tmp_path / "q"), SCHEMA, capacity=100)
+    a, b = str(tmp_path / "ck_a"), str(tmp_path / "ck_b")
+    os.makedirs(a)
+    os.makedirs(b)
+    q.register_stream_checkpoint(a)
+    q.register_stream_checkpoint(b)
+    assert sorted(q._storage.registered_stream_checkpoints()) == [a, b]
+    assert q._stream_attached()
+    # checkpoint A is deleted (stream permanently gone); the next
+    # registration prunes it from the durable file
+    import shutil
+
+    shutil.rmtree(a)
+    c = str(tmp_path / "ck_c")
+    os.makedirs(c)
+    q.register_stream_checkpoint(c)
+    assert sorted(q._storage.registered_stream_checkpoints()) == [b, c]
+    # all dirs gone -> not attached (fresh object: durable signal only)
+    shutil.rmtree(b)
+    shutil.rmtree(c)
+    q.close()
+    q2 = Queue(str(tmp_path / "q"), SCHEMA, capacity=100)
+    assert not q2._stream_attached()
+    q2.dispose()

@@ -153,6 +153,13 @@ def queue_sink(queue: Queue, order_by: list[str],
     ``exactly_once=False`` restores the plain at-least-once append
     (no marker, queue-default durability).
 
+    Cost: the guarantee buys two fsynced marker writes plus the
+    durable append ordering (part fsyncs + fsynced pointer flip) —
+    measured ~160 ms per micro-batch on this box (424 vs 262 ms/batch
+    at 500 rows/batch), constant per batch, not per row. Negligible
+    at second-scale triggers; for a 200 ms-cadence stream where
+    duplicates are tolerable (or deduped downstream), opt out.
+
     Usage::
 
         df.writeStream.foreachBatch(queue_sink(out_q, ["ts"])).start()

@@ -643,6 +643,14 @@ class Queue:
                                    compression=self.codec.parquet_codec,
                                    row_group_size=bounded_row_group_rows(
                                        chunk))
+                    if self._storage.control_sync:
+                        # power-loss chain (r19): the manifest below
+                        # is written fsynced and durably AUTHORIZES
+                        # deleting the originals — the staged bytes
+                        # must be on the platter first, or a power
+                        # loss after the olds vanish replays a torn
+                        # chunk over the only copy of committed rows
+                        fsync_path(staged_path + ".tmp")
                     os.replace(staged_path + ".tmp", staged_path)
                     staged.append(staged_path)
                     new_files += 1
@@ -667,6 +675,11 @@ class Queue:
                 p for p in to_remove if p not in committed_targets
             ]
             if staged or removals:
+                if staged and self._storage.control_sync:
+                    # the staged RENAMES must be durable before the
+                    # manifest names them (fsynced content behind a
+                    # non-durable rename is not a durable .compact)
+                    fsync_path(self._storage.data_dir)
                 write_json_atomic(
                     self._storage.compact_manifest_path,
                     {"staged": staged, "remove": removals},
@@ -685,6 +698,14 @@ class Queue:
             for staged_path in staged:
                 os.replace(staged_path, staged_path[: -len(".compact")])
             if staged or removals:
+                if self._storage.control_sync:
+                    # cross-directory metadata can persist out of
+                    # order: the manifest unlink (queue root) must not
+                    # hit the platter before the data-dir renames and
+                    # removals it records — or a power loss leaves
+                    # "no manifest, olds gone, rows still .compact",
+                    # which no recovery tier is contracted to commit
+                    fsync_path(self._storage.data_dir)
                 os.remove(self._storage.compact_manifest_path)
             self._storage.drop_row_cache()
             self._batch_files_estimate = new_files + n_kept
@@ -865,7 +886,14 @@ class Queue:
             pq.write_table(merged, staged_path + ".tmp",
                            compression=self.codec.parquet_codec,
                            row_group_size=bounded_row_group_rows(merged))
+            if self._storage.control_sync:
+                # power-loss chain (r19, same as compact()): staged
+                # bytes and their rename must be durable before the
+                # fsynced manifest authorizes deleting the originals
+                fsync_path(staged_path + ".tmp")
             os.replace(staged_path + ".tmp", staged_path)
+            if self._storage.control_sync:
+                fsync_path(self._storage.data_dir)
             originals = [p for _, _, p in run]
             write_json_atomic(
                 self._storage.compact_manifest_path,
@@ -878,6 +906,10 @@ class Queue:
                 if os.path.exists(path):
                     os.remove(path)
             os.replace(staged_path, staged_path[: -len(".compact")])
+            if self._storage.control_sync:
+                # renames/removals durable before the manifest unlink
+                # can persist (cross-directory reordering)
+                fsync_path(self._storage.data_dir)
             os.remove(self._storage.compact_manifest_path)
             out.append((s, e, staged_path[: -len(".compact")]))
         return sorted(out)

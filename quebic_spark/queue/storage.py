@@ -557,6 +557,13 @@ class QueueStorage:
                 if os.path.exists(spath):
                     os.replace(spath, spath[: -len(".compact")])
                     touched.append(spath)
+            if self.control_sync and touched:
+                # power-loss ordering (r19): the manifest unlink lives
+                # in the queue ROOT while the replayed renames/removals
+                # live in data/ — cross-directory metadata can persist
+                # out of order, and a persisted unlink over unpersisted
+                # renames leaves torn state with its only record gone
+                fsync_path(self.data_dir)
             os.remove(self.compact_manifest_path)
             touched.append(self.compact_manifest_path)
             self.drop_row_cache()
@@ -648,14 +655,37 @@ class QueueStorage:
                 # disk (pre-manifest, no removal has happened) —
                 # and committing would republish the same rows under
                 # a brand-new file name the source then lists as
-                # fresh data: double delivery. Discarding is always
-                # safe here (the originals all still exist; only the
-                # compaction effort is lost) and the next
-                # in-foreachBatch merge simply redoes the work.
-                for _, _, spath in staged:
-                    os.remove(spath)
-                    touched.append(spath)
-                staged = []
+                # fresh data: double delivery. Discarding is safe
+                # BECAUSE the originals still exist (pre-manifest, no
+                # removal has happened) and the next in-foreachBatch
+                # merge simply redoes the work. Belt (r19): verify
+                # that premise per chunk — discard only spans fully
+                # covered by committed files; an uncovered chunk is
+                # the ONLY copy of its rows (no in-contract path
+                # produces this, but an unforeseen one must degrade
+                # to double delivery, never to data loss) and falls
+                # through to the containment commit below.
+                committed = self.list_batches(include_uncommitted=True)
+                only_copy = []
+                for s, e, spath in staged:
+                    # interval sweep (chunks can span millions of
+                    # seqs — never materialize the range)
+                    ivs = sorted(
+                        (max(cs, s), min(ce, e))
+                        for cs, ce, _ in committed
+                        if cs <= e and ce >= s
+                    )
+                    pos = s
+                    for a, b in ivs:
+                        if a > pos:
+                            break
+                        pos = max(pos, b + 1)
+                    if pos > e:
+                        os.remove(spath)
+                        touched.append(spath)
+                    else:
+                        only_copy.append((s, e, spath))
+                staged = only_copy
             if staged:
                 # raw view: recovery reasons about the physical
                 # directory (compaction staged its chunks from the

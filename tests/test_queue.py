@@ -2133,3 +2133,123 @@ def test_row_cache_busts_on_same_name_same_mtime_replacement(qpath):
     _os.utime(path, ns=(orig.st_atime_ns, orig.st_mtime_ns))
     assert reader.read_seq(2) is None
     assert reader.read_seq(1)["c1"] == "a"
+
+
+def test_fsync_mode_compaction_power_loss_ordering(qpath):
+    """r19 power-loss audit: in fsync mode, (a) every staged chunk's
+    BYTES must be fsynced before the manifest — which durably
+    authorizes deleting the originals — is written; (b) the data-dir
+    renames/removals must be fsynced before the manifest is unlinked
+    (cross-directory metadata can persist out of order, and a
+    persisted unlink over unpersisted renames leaves torn state with
+    its only record gone). Pinned by recording the call order."""
+    import os as _os
+
+    import quebic_spark.queue.queue as qq
+    import quebic_spark.queue.storage as qs
+
+    q = Queue(qpath, SCHEMA, capacity=10**6, fsync=True,
+              auto_compact_files=None)
+    pub = q.publisher()
+    for i in range(12):
+        pub.push([i, f"v{i}"])
+    q.subscriber().pop_n(3)  # make rewrite work for the compactor
+
+    events: list[tuple[str, str]] = []
+    real_fsync_path = qs.fsync_path
+    real_write_json = qs.write_json_atomic
+    real_remove = _os.remove
+
+    def rec_fsync(path):
+        events.append(("fsync", path))
+        return real_fsync_path(path)
+
+    def rec_write_json(path, obj, sync=True):
+        events.append(("write_json", path))
+        return real_write_json(path, obj, sync=sync)
+
+    def rec_remove(path, **kw):
+        events.append(("remove", path))
+        return real_remove(path, **kw)
+
+    qq.fsync_path = qs.fsync_path = rec_fsync
+    qq.write_json_atomic = rec_write_json
+    _os.remove = rec_remove
+    try:
+        q.compact(target_file_rows=4, small_file_rows=100)
+    finally:
+        qq.fsync_path = qs.fsync_path = real_fsync_path
+        qq.write_json_atomic = real_write_json
+        _os.remove = real_remove
+
+    manifest = q._storage.compact_manifest_path
+    idx_manifest_write = next(
+        i for i, (k, p) in enumerate(events)
+        if k == "write_json" and p == manifest
+    )
+    idx_manifest_unlink = next(
+        i for i, (k, p) in enumerate(events)
+        if k == "remove" and p == manifest
+    )
+    staged_syncs = [
+        i for i, (k, p) in enumerate(events)
+        if k == "fsync" and p.endswith(".compact.tmp")
+    ]
+    assert staged_syncs, "staged chunk bytes never fsynced"
+    assert all(i < idx_manifest_write for i in staged_syncs), events
+    datadir_syncs = [
+        i for i, (k, p) in enumerate(events)
+        if k == "fsync" and _os.path.normpath(p)
+        == _os.path.normpath(q._storage.data_dir)
+    ]
+    assert any(i < idx_manifest_write for i in datadir_syncs), (
+        "staged renames not durable before the manifest write"
+    )
+    assert any(
+        idx_manifest_write < i < idx_manifest_unlink
+        for i in datadir_syncs
+    ), "renames/removals not durable before the manifest unlink"
+    # and the data survived the adjudicated protocol
+    got = [r[0] for r in q.subscriber().pop_n(20)]
+    assert got == list(range(3, 12))
+    q.dispose()
+
+
+def test_recover_never_discards_only_copy_staged_chunk(qpath):
+    """r19 belt on the checkpoint-attached discard heuristic: its
+    safety premise is 'the originals all still exist'. If an
+    unforeseen state ever presents a staged chunk whose span is NOT
+    covered by committed files — the chunk is the only copy — recovery
+    must fall through to the containment COMMIT (double delivery at
+    worst), never delete the only copy."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    q = Queue(qpath, SCHEMA, capacity=10**6, auto_compact_files=None)
+    pub = q.publisher()
+    for i in range(6):
+        pub.push([i, f"v{i}"])
+    os.makedirs(os.path.join(qpath, "checkpoint"), exist_ok=True)
+    batches = q._storage.list_batches()
+    merged = pa.concat_tables(
+        [pq.read_table(p) for _, _, p in batches[1:3]]
+    )
+    staged = q._storage.batch_path(2, 3) + ".compact"
+    pq.write_table(merged, staged)
+    # the unforeseen state: originals gone, no manifest, chunk staged
+    for _, _, p in batches[1:3]:
+        os.remove(p)
+    q._closed = True
+    q._storage.close_handles()
+
+    q2 = Queue(qpath, SCHEMA, auto_compact_files=None)
+    spans = [(s, e) for s, e, _ in q2._storage.list_batches()]
+    assert (2, 3) in spans, (
+        f"only-copy staged chunk was not committed: {spans}"
+    )
+    got = [r[0] for r in q2.subscriber().pop_n(10)]
+    assert got == list(range(6)), got
+    q2.verify()
+    q2.dispose()

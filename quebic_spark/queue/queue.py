@@ -367,6 +367,21 @@ class Queue:
         self._external_stream_checkpoints.add(os.path.abspath(path))
         self._storage.register_stream_checkpoint(os.path.abspath(path))
 
+    def unregister_stream_checkpoint(self, path: str) -> None:
+        """Decommission an external stream's registration (r20
+        lifecycle): the registry only self-prunes when the checkpoint
+        DIRECTORY vanishes, so a retired stream whose checkpoint is
+        merely abandoned in place would otherwise hold this queue's
+        compaction in stream-safe mode forever. After this call (and
+        once no other checkpoint keeps the queue attached), full
+        compaction resumes. Only safe when the stream is permanently
+        done — a later restart from the same checkpoint would
+        rediscover compacted files under new names and redeliver."""
+        self._external_stream_checkpoints.discard(os.path.abspath(path))
+        self._storage.unregister_stream_checkpoint(
+            os.path.abspath(path)
+        )
+
     def _stream_attached(self) -> bool:
         # durable cross-process signal: StreamingConsumer's default
         # checkpoint lives inside the queue directory; its presence
@@ -1215,7 +1230,9 @@ class Queue:
     def append_dataframe(self, df, order_by: Sequence[str],
                          lifetime_ms: int = -1,
                          small_batch_rows: int = 1_000_000,
-                         durable: bool | None = None) -> int:
+                         durable: bool | None = None,
+                         staged_hook: Callable[[int], None]
+                         | None = None) -> int:
         """Bulk FIFO ingestion from a Spark DataFrame.
 
         ``order_by`` defines the FIFO order of this batch (global seq is
@@ -1261,10 +1278,20 @@ class Queue:
         what ``queue_sink``'s exactly-once protocol relies on),
         ``False`` forces the default prefix-committing order, ``None``
         (default) keeps the queue's configured mode.
+
+        ``staged_hook`` (transactional-sink hook, r20): called with the
+        FINAL staged row count after the staged output is counted and
+        capacity-checked but BEFORE any part is published or the
+        pointer flips — i.e. before anything this call does becomes
+        visible. A caller that durably records that count can later
+        prove, from the pointer alone, whether a crashed call's commit
+        happened (``queue_sink``'s provable replay attribution). Runs
+        under the queue flock; exceptions abort the ingest with
+        nothing published.
         """
         if durable is None or durable == self._storage.control_sync:
             return self._append_dataframe_impl(
-                df, order_by, lifetime_ms, small_batch_rows
+                df, order_by, lifetime_ms, small_batch_rows, staged_hook
             )
         # Per-call ordering override. Every consult of control_sync —
         # the publish-order branch below AND set_next_seq's fsync —
@@ -1277,14 +1304,17 @@ class Queue:
             self._storage.control_sync = durable
             try:
                 return self._append_dataframe_impl(
-                    df, order_by, lifetime_ms, small_batch_rows
+                    df, order_by, lifetime_ms, small_batch_rows,
+                    staged_hook
                 )
             finally:
                 self._storage.control_sync = prev
 
     def _append_dataframe_impl(self, df, order_by: Sequence[str],
                                lifetime_ms: int,
-                               small_batch_rows: int) -> int:
+                               small_batch_rows: int,
+                               staged_hook: Callable[[int], None]
+                               | None = None) -> int:
         self._check_open()
         from pyspark.sql import Window
         from pyspark.sql import functions as F
@@ -1435,6 +1465,11 @@ class Queue:
                 raise ValueError(
                     f"capacity exceeded: {actual} rows staged, room {room}"
                 )
+            if staged_hook is not None:
+                # the staged count is final here and nothing is
+                # published yet: whatever the hook records is durable
+                # BEFORE the first visible effect of this call
+                staged_hook(actual)
             # pre-commit orphan sweep — forced: the bulk path is
             # heavyweight, so it always pays the listdir and clears
             # any leftover at/beyond `start` regardless of trigger

@@ -485,7 +485,12 @@ class QueueStorage:
         pre-manifest staged-discard heuristic blind to external
         checkpoints, reproducing the r18 double-delivery window for
         that layout). Entries whose directory no longer exists are
-        pruned on each write; a stale survivor costs one stat()."""
+        pruned on each write; a stale survivor costs one stat().
+        The write is fsynced unconditionally (ADVICE r19: sync=False
+        made the registration only process-crash durable — a power
+        loss could revert the rename and reopen the very
+        double-delivery window the registry closes; registration is
+        rare, so the fsync is free)."""
         reg_path = os.path.join(self.path, "stream-checkpoints.json")
         with self.lock:
             paths = set(self.registered_stream_checkpoints())
@@ -496,7 +501,26 @@ class QueueStorage:
                     p for p in paths
                     if os.path.isdir(p) or p == os.path.abspath(path)
                 )},
-                sync=False,
+            )
+
+    def unregister_stream_checkpoint(self, path: str) -> None:
+        """Remove an external checkpoint registration (r20 lifecycle:
+        the registry otherwise prunes an entry only when its directory
+        VANISHES, so a decommissioned stream whose checkpoint dir is
+        merely abandoned would hold compaction in stream-safe mode
+        forever). Call when a stream is permanently retired; the next
+        full compaction then stops treating its checkpoint as
+        resumable. Unregistering a LIVE stream's checkpoint forfeits
+        the crash-recovery double-delivery protection for it.
+        Idempotent; fsynced for the same power-loss reason as
+        registration."""
+        reg_path = os.path.join(self.path, "stream-checkpoints.json")
+        with self.lock:
+            paths = set(self.registered_stream_checkpoints())
+            paths.discard(os.path.abspath(path))
+            write_json_atomic(
+                reg_path,
+                {"paths": sorted(p for p in paths if os.path.isdir(p))},
             )
 
     def registered_stream_checkpoints(self) -> list[str]:
@@ -664,8 +688,22 @@ class QueueStorage:
                 # the ONLY copy of its rows (no in-contract path
                 # produces this, but an unforeseen one must degrade
                 # to double delivery, never to data loss) and falls
-                # through to the containment commit below.
-                committed = self.list_batches(include_uncommitted=True)
+                # through to the containment commit below. Coverage
+                # counts COMMITTED files only (ADVICE r19: an
+                # uncommitted orphan part at/beyond the pointer —
+                # which the next pre-commit sweep deletes — must not
+                # count as the "other copy", or the discard-then-sweep
+                # pair loses the span the belt exists to protect);
+                # next_seq() self-repairs a torn ctrl file, and that
+                # repair's documented bound COMMITS orphan parts by
+                # extending the pointer over them, so post-repair the
+                # filter is consistent with what the sweep will keep
+                ns = self.next_seq()
+                committed = [
+                    r for r in
+                    self.list_batches(include_uncommitted=True)
+                    if r[1] < ns
+                ]
                 only_copy = []
                 for s, e, spath in staged:
                     # interval sweep (chunks can span millions of

@@ -66,6 +66,17 @@ def read_queue_stream(
     ``compact(stream_checkpoint=...)`` there, or disable compaction
     (``auto_compact_files=None``) for the stream's lifetime.
 
+    Decommission recipe (r20): external checkpoints registered via
+    ``Queue.register_stream_checkpoint`` (StreamingConsumer does this
+    for ``checkpoint_dir=``) keep the queue in stream-safe compaction
+    for as long as the checkpoint DIRECTORY exists — the registry
+    cannot tell an idle-but-resumable stream from a dead one. When a
+    stream is permanently retired, either delete its checkpoint
+    directory or call ``Queue.unregister_stream_checkpoint(path)``;
+    full compaction then resumes at the next call. Do NOT unregister
+    a stream that may restart: its next run would rediscover compacted
+    files under new names and redeliver every consumed row.
+
     Ordering note (r19 relay chaos): rows are seq-ordered WITHIN each
     micro-batch (StreamingConsumer sorts; queue_sink orders by
     ``order_by``), and micro-batches arrive in commit order — but the
@@ -129,29 +140,55 @@ def queue_sink(queue: Queue, order_by: list[str],
     so a naive sink duplicates it. This sink is a transactional writer
     in the Delta ``txnAppId``/``txnVersion`` mold: a per-``sink_id``
     commit marker (``<queue>/sink-commits.json``, atomic-rename JSON
-    under the queue flock) records ``(batch_id, start_seq, committed)``
-    around a DURABLE-ordered append (``append_dataframe(durable=True)``
-    — parts publish first, the fsynced pointer flip is the atomic
-    commit record). Replay decision table, evaluated under the flock:
+    under the queue flock) records ``(batch_id, start_seq, rows,
+    committed)`` around a DURABLE-ordered append
+    (``append_dataframe(durable=True)`` — parts publish first, the
+    fsynced pointer flip is the atomic commit record). ``rows`` is the
+    STAGED row count, written via ``append_dataframe``'s
+    ``staged_hook`` strictly before anything the append does becomes
+    visible — so after any crash the marker holds exactly how far the
+    recorded txn would have advanced the pointer, and replay
+    attribution is arithmetic, not inference (r20; the r19 protocol
+    attributed ANY pointer advance to the recorded intent, which a
+    concurrent producer racing the crash-replay gap could turn into
+    silent loss). Replay decision table, evaluated under the flock:
 
     * marker committed at this ``batch_id`` → the append committed,
       Spark's checkpoint didn't: no-op the replay.
-    * marker intent at this ``batch_id`` → the previous attempt died
-      mid-append: the pointer flip is the commit point, so pointer
-      moved past ``start_seq`` ⟺ committed (mark + skip); pointer
-      unmoved ⟺ nothing visible (unpublished parts are swept) → redo.
+    * marker intent at this ``batch_id`` without ``rows`` → the
+      previous attempt died before its staging finished, and the flip
+      comes after ``rows`` is recorded, so that attempt provably never
+      committed → redo (any pointer advance belongs to other
+      producers; the redo appends after them).
+    * marker intent WITH ``rows`` → compute the two reachable pointer
+      values from the markers alone: ``start_seq`` plus every OTHER
+      sink's marker that landed at/after ``start_seq`` (committed
+      markers contribute their ``rows``; other sinks' unresolved
+      intents contribute 0 or ``rows``, both branches kept), with and
+      without this txn's ``rows``. Pointer in the with-set only →
+      committed (mark + skip); in the without-set only → nothing
+      visible → redo; in both → ambiguous → fail loud; in neither →
+      a producer OUTSIDE the marker protocol advanced the pointer
+      during the crash-replay gap → fail loud (refuse to guess
+      between loss and duplication, same stance as the rewound
+      checkpoint below).
     * marker behind this ``batch_id`` → normal progress → append.
     * marker AHEAD of this ``batch_id`` → the checkpoint was reset or
       a second stream shares this ``sink_id``: fail loud rather than
       silently skip (lose) or double-append.
 
-    The guarantee requires this relay to be the queue's only producer
-    across a crash-replay gap (the standard transactional-sink
-    contract: the marker is the txn record, and pointer advancement is
-    attributed to the recorded txn). An out-of-band producer racing
-    exactly that gap degrades the in-flight batch to at-least-once.
-    ``exactly_once=False`` restores the plain at-least-once append
-    (no marker, queue-default durability).
+    Sibling ``queue_sink`` relays (distinct ``sink_id``) are therefore
+    fully accounted: their markers are part of the arithmetic.
+    Producers outside the protocol (``push``, plain
+    ``append_dataframe``) are safe while the relay is alive (the
+    flock serializes them) and detected — not absorbed — if they race
+    a crash-replay gap; the failure mode is a loud ``RuntimeError``,
+    never silent loss. Residual ambiguity: such a producer advancing
+    the pointer by EXACTLY the staged row count while the crashed
+    append never ran is misattributed as the commit (any
+    marker-external scheme shares this bound; use the marker protocol
+    for concurrent producers). ``exactly_once=False`` restores the
+    plain at-least-once append (no marker, queue-default durability).
 
     Cost: the guarantee buys two fsynced marker writes plus the
     durable append ordering (part fsyncs + fsynced pointer flip) —
@@ -199,27 +236,108 @@ def queue_sink(queue: Queue, order_by: list[str],
                 if int(m["batch_id"]) == batch_id:
                     if m["committed"]:
                         return  # replayed batch: already in the queue
-                    # intent from a crashed attempt of THIS batch: in
-                    # durable ordering the pointer flip IS the commit,
-                    # and this relay is the sole producer, so pointer
-                    # moved ⟺ the append landed in full
-                    if queue._storage.next_seq() > int(m["start_seq"]):
-                        marks[sink_id] = {**m, "committed": True}
-                        write_json_atomic(marks_path, marks)
-                        return
-                    # pointer unmoved: nothing committed (leftover
-                    # parts are invisible and swept) — fall through
+                    # intent from a crashed attempt of THIS batch: the
+                    # pointer flip is the commit point and ``rows``
+                    # was recorded strictly before it, so the set of
+                    # pointer values consistent with "this txn
+                    # committed" and the set consistent with "it did
+                    # not" are computable from the markers alone
+                    n = m.get("rows")
+                    if n is None:
+                        # died before staging finished → the flip
+                        # provably never ran → redo (fall through);
+                        # any pointer advance belongs to others
+                        pass
+                    else:
+                        start = int(m["start_seq"])
+                        base, optional = 0, []
+                        for sid, o in marks.items():
+                            if sid == sink_id:
+                                continue
+                            if int(o.get("start_seq", -1)) < start:
+                                continue  # already inside start_seq
+                            r = o.get("rows")
+                            if r is None:
+                                continue  # its flip provably never ran
+                            if o.get("committed"):
+                                base += int(r)
+                            else:
+                                optional.append(int(r))
+                        sums = {0}
+                        for r in optional:
+                            sums |= {s + r for s in sums}
+                        without = {start + base + s for s in sums}
+                        within = {v + int(n) for v in without}
+                        ptr = queue._storage.next_seq()
+                        if ptr in within and ptr in without and n:
+                            # another sink's unresolved intent of the
+                            # same size makes both readings consistent
+                            raise RuntimeError(
+                                f"queue_sink[{sink_id}]: replaying "
+                                f"batch {batch_id} found the queue "
+                                f"pointer at {ptr}, which is "
+                                "consistent BOTH with this sink's "
+                                f"recorded txn ({start}+{n} rows) "
+                                "having committed and with another "
+                                "sink's unresolved intent of the "
+                                "same size; refusing to guess "
+                                "between data loss and duplication "
+                                "— let the other sink's replay "
+                                "resolve its marker first, then "
+                                "restart this stream."
+                            )
+                        if ptr in within:
+                            # committed (a zero-row txn's commit and
+                            # skip are the same outcome)
+                            marks[sink_id] = {**m, "committed": True}
+                            write_json_atomic(marks_path, marks)
+                            return
+                        if ptr not in without:
+                            raise RuntimeError(
+                                f"queue_sink[{sink_id}]: replaying "
+                                f"batch {batch_id} found the queue "
+                                f"pointer at {ptr}, which no "
+                                "combination of this sink's recorded "
+                                f"txn ({start}+{n} rows) and the "
+                                "other sinks' markers explains "
+                                f"(consistent values: "
+                                f"{sorted(without | within)}) — a "
+                                "producer outside the marker protocol "
+                                "wrote during the crash-replay gap; "
+                                "refusing to guess between data loss "
+                                "and duplication. Drain and verify "
+                                "the queue, then resume with a fresh "
+                                "sink_id, or route concurrent "
+                                "producers through their own "
+                                "queue_sink so their txns are "
+                                "accounted."
+                            )
+                        # ptr in the without-set only: nothing of this
+                        # txn is visible (leftover parts are at/beyond
+                        # the pointer and swept) — fall through to redo
             start = queue._storage.next_seq()
+
+            def record_staged(actual: int) -> None:
+                # durable txn record: written before the append's
+                # first visible effect (under this same flock hold)
+                marks[sink_id] = {
+                    "batch_id": batch_id,
+                    "start_seq": start,
+                    "rows": int(actual),
+                    "committed": False,
+                }
+                write_json_atomic(marks_path, marks)
+
+            n_out = queue.append_dataframe(
+                batch_df, order_by=order_by, durable=True,
+                staged_hook=record_staged,
+            )
             marks[sink_id] = {
                 "batch_id": batch_id,
                 "start_seq": start,
-                "committed": False,
+                "rows": int(n_out),
+                "committed": True,
             }
-            write_json_atomic(marks_path, marks)
-            queue.append_dataframe(
-                batch_df, order_by=order_by, durable=True
-            )
-            marks[sink_id] = {**marks[sink_id], "committed": True}
             write_json_atomic(marks_path, marks)
 
     return on_batch

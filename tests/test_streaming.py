@@ -1235,3 +1235,166 @@ def test_stream_checkpoint_registry_prunes_dead_entries(tmp_path):
     q2 = Queue(str(tmp_path / "q"), SCHEMA, capacity=100)
     assert not q2._stream_attached()
     q2.dispose()
+
+
+def test_queue_sink_foreign_producer_during_gap_fails_loud(qpath, spark):
+    """r20 (ADVICE r19 medium): a producer OUTSIDE the marker protocol
+    advancing the pointer during a crash-replay gap used to be silently
+    absorbed by the pointer-moved heuristic — marking a batch committed
+    that may never have appended (at-most-once loss). With the staged
+    row count in the marker, an advance that matches no combination of
+    recorded txns must fail loud."""
+    from quebic_spark.queue.storage import read_json, write_json_atomic
+    from quebic_spark.streaming import queue_sink
+
+    dst = Queue(qpath, SCHEMA, capacity=10000)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(4)],
+                               "c0 int, c1 string")
+    sink = queue_sink(dst, order_by=["c0"])
+    sink(df, 0)
+    # crash window: append committed (pointer at start+4) but the
+    # committed-marker write never ran
+    path = os.path.join(dst._storage.path, "sink-commits.json")
+    marks = read_json(path)
+    assert marks["default"]["rows"] == 4  # staged count is recorded
+    marks["default"]["committed"] = False
+    write_json_atomic(path, marks)
+    # a foreign producer (plain push, no marker) races the gap
+    dst.publisher().push([99, "foreign"])
+    with pytest.raises(RuntimeError, match="outside the marker protocol"):
+        sink(df, 0)
+    dst.dispose()
+
+
+def test_queue_sink_foreign_advance_before_staging_redoes(qpath, spark):
+    """A crash BEFORE staging finished leaves an intent without
+    ``rows`` — that attempt provably never flipped the pointer, so a
+    foreign advance in the gap belongs to the foreign producer and the
+    replay must redo the append (exactly-once preserved, rows ordered
+    after the foreign ones)."""
+    from quebic_spark.queue.storage import write_json_atomic
+    from quebic_spark.streaming import queue_sink
+
+    dst = Queue(qpath, SCHEMA, capacity=10000)
+    write_json_atomic(
+        os.path.join(dst._storage.path, "sink-commits.json"),
+        {"default": {"batch_id": 0,
+                     "start_seq": dst._storage.next_seq(),
+                     "committed": False}},
+    )
+    dst.publisher().push([99, "foreign"])
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(3)],
+                               "c0 int, c1 string")
+    queue_sink(dst, order_by=["c0"])(df, 0)
+    assert _drain_ids(dst) == [99, 0, 1, 2]
+    dst.dispose()
+
+
+def test_queue_sink_sibling_sink_commit_during_gap_attributed(
+    qpath, spark
+):
+    """Sibling queue_sink relays (distinct sink_ids) are INSIDE the
+    protocol: their committed markers account for the pointer advance,
+    so a crash-replay alongside a sibling's append resolves correctly
+    in both directions (committed → skip; never-appended → redo)."""
+    from quebic_spark.queue.storage import read_json, write_json_atomic
+    from quebic_spark.streaming import queue_sink
+
+    dst = Queue(qpath, SCHEMA, capacity=10000)
+    path = os.path.join(dst._storage.path, "sink-commits.json")
+    df_a = spark.createDataFrame([(i, f"a{i}") for i in range(4)],
+                                 "c0 int, c1 string")
+    df_b = spark.createDataFrame([(10 + i, f"b{i}") for i in range(2)],
+                                 "c0 int, c1 string")
+    a = queue_sink(dst, order_by=["c0"], sink_id="a")
+    b = queue_sink(dst, order_by=["c0"], sink_id="b")
+    # direction 1: A committed (pointer flipped), marker torn back to
+    # intent, then B appends during the gap; A's replay must subtract
+    # B's accounted rows and attribute the remainder to its own txn
+    a(df_a, 0)
+    marks = read_json(path)
+    marks["a"]["committed"] = False
+    write_json_atomic(path, marks)
+    b(df_b, 0)
+    a(df_a, 0)  # replay: skip, not duplicate, not fail
+    assert sorted(_drain_ids(dst)) == [0, 1, 2, 3, 10, 11]
+    assert _sink_marks(dst)["a"]["committed"] is True
+
+    # direction 2: A's intent staged (rows recorded) but never
+    # flipped; B appends during the gap; A's replay must redo
+    marks = read_json(path)
+    marks["a"] = {"batch_id": 1,
+                  "start_seq": dst._storage.next_seq(),
+                  "rows": 4, "committed": False}
+    write_json_atomic(path, marks)
+    b(df_b, 1)
+    df_a1 = spark.createDataFrame([(20 + i, f"a{i}") for i in range(4)],
+                                  "c0 int, c1 string")
+    a(df_a1, 1)  # replay of the never-appended txn: redo after B
+    assert sorted(_drain_ids(dst)) == [10, 11, 20, 21, 22, 23]
+    dst.dispose()
+
+
+def test_queue_sink_ambiguous_sibling_intent_fails_loud(qpath, spark):
+    """Two unresolved intents of the SAME size with one of them
+    actually flipped: the pointer is consistent with either txn having
+    committed — the replay must refuse to guess."""
+    from quebic_spark.queue.storage import write_json_atomic
+    from quebic_spark.streaming import queue_sink
+
+    dst = Queue(qpath, SCHEMA, capacity=10000)
+    start = dst._storage.next_seq()
+    write_json_atomic(
+        os.path.join(dst._storage.path, "sink-commits.json"),
+        {"a": {"batch_id": 0, "start_seq": start,
+               "rows": 2, "committed": False},
+         "b": {"batch_id": 0, "start_seq": start,
+               "rows": 2, "committed": False}},
+    )
+    # exactly one of the two txns flipped before the crash (which one
+    # is unknowable from the pointer): fabricate via a plain append
+    dst.publisher().push([1, "x"])
+    dst.publisher().push([2, "y"])
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(2)],
+                               "c0 int, c1 string")
+    with pytest.raises(RuntimeError, match="consistent BOTH"):
+        queue_sink(dst, order_by=["c0"], sink_id="a")(df, 0)
+    dst.dispose()
+
+
+def test_unregister_stream_checkpoint_resumes_full_compaction(tmp_path):
+    """r20 lifecycle (VERDICT r19 #3): the registry prunes an entry
+    only when its directory VANISHES, so a decommissioned stream whose
+    checkpoint dir is merely abandoned held full compaction in
+    stream-safe mode forever. unregister_stream_checkpoint releases
+    it; a still-registered path keeps the safe mode."""
+    q = Queue(str(tmp_path / "q"), SCHEMA, capacity=1000,
+              auto_compact_files=None)
+    for i in range(6):
+        q.publisher().push([i, f"v{i}"])
+    assert len(q._storage.list_batches()) == 6
+    ck = str(tmp_path / "abandoned_ckpt")
+    os.makedirs(ck)
+    q.register_stream_checkpoint(ck)
+    # registered + dir exists -> attached; full merge is withheld
+    assert q._stream_attached()
+    q.compact(small_file_rows=65_536)
+    assert len(q._storage.list_batches()) == 6
+    # a fresh process sees the same (durable registry)
+    q.close()
+    q2 = Queue(str(tmp_path / "q"), SCHEMA, capacity=1000,
+               auto_compact_files=None)
+    assert q2._stream_attached()
+    # decommission: unregister while the abandoned dir still exists
+    q2.unregister_stream_checkpoint(ck)
+    assert not q2._stream_attached()
+    q2.compact(small_file_rows=65_536)
+    assert len(q2._storage.list_batches()) == 1  # full merge resumed
+    assert sorted(_drain_ids(q2)) == list(range(6))
+    # idempotent + durable across another reopen
+    q2.unregister_stream_checkpoint(ck)
+    q2.close()
+    q3 = Queue(str(tmp_path / "q"), SCHEMA, capacity=1000,
+               auto_compact_files=None)
+    assert not q3._stream_attached()
+    q3.dispose()

@@ -277,6 +277,35 @@ def wait_quiet(deadline: float, threshold: float = _QUIET_LOAD,
         time.sleep(min(poll_s, max(0.1, deadline - time.time())))
 
 
+_START_WAIT_S = float(os.environ.get("SPARK_GRAFT_START_WAIT_S", "120"))
+
+
+def quiet_start_gate(max_wait_s: float | None = None,
+                     threshold: float = _LOAD_CONTAMINATED) -> dict:
+    """Bounded wait for a quiet host BEFORE the first Spark job
+    (VERDICT r19 #6: the r18 and r19 driver runs both started at
+    loadavg 7-9, burned the retime budget on contamination, and left
+    the judge to adjudicate noise). Waits up to ``max_wait_s``
+    (``SPARK_GRAFT_START_WAIT_S``, default 120; 0 disables) for the
+    1-min loadavg to drop below ``threshold`` — the same bar that
+    marks a run ``contaminated_start_load``. Returns the record that
+    lands in the method string and BENCH_DETAIL.json: the loadavg
+    when the bench was invoked, the loadavg when it actually started,
+    and how long it waited. The wait can time out — the run then
+    proceeds (and self-flags contaminated) rather than never
+    benching."""
+    if max_wait_s is None:
+        max_wait_s = _START_WAIT_S
+    la0 = _loadavg()
+    if max_wait_s <= 0 or not la0 or la0[0] < threshold:
+        return {"waited_s": 0.0, "loadavg_invoked": la0,
+                "loadavg_start": la0}
+    t0 = time.time()
+    la = wait_quiet(t0 + max_wait_s, threshold=threshold)
+    return {"waited_s": round(time.time() - t0, 1),
+            "loadavg_invoked": la0, "loadavg_start": la}
+
+
 def isolated_queue_retime() -> dict:
     """Run bench_queue() once in a fresh interpreter (no Spark JVM in
     the process, run after the main session is stopped) and return its
@@ -430,7 +459,8 @@ def adjudication_flags(
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    load_start = _loadavg()
+    start_gate = quiet_start_gate()
+    load_start = start_gate["loadavg_start"]
     from quebic_spark.session import get_spark
 
     spark = get_spark(app_name="quebic_bench")
@@ -479,6 +509,8 @@ def main() -> None:
         ";floor_adjudication_fresh_quiet_retime_over_1.3x_floor"
         ";isolated_spot_times_fresh_process;queue_best_of_3"
         ";queue_isolated_retime_when_median_over_trigger_0.75p_0.35p"
+        f";start_gate_waited_{start_gate['waited_s']}s_for_load_under_"
+        f"{_LOAD_CONTAMINATED}"
     )
     contaminated = bool(load_start) and load_start[0] > _LOAD_CONTAMINATED
     flags = adjudication_flags(contaminated, retimed, floors)
@@ -518,6 +550,10 @@ def main() -> None:
                 # reflects the bench's own load (see _loadavg)
                 "loadavg_start": load_start,
                 "loadavg_end": load_end,
+                # the bounded pre-bench wait for a quiet host (r20):
+                # loadavg when invoked vs when the bench actually
+                # started, and the seconds spent waiting
+                "start_gate": start_gate,
             },
             fh,
             indent=1,

@@ -2253,3 +2253,173 @@ def test_recover_never_discards_only_copy_staged_chunk(qpath):
     assert got == list(range(6)), got
     q2.verify()
     q2.dispose()
+
+
+def test_recover_only_copy_belt_partial_coverage_matrix(tmp_path):
+    """VERDICT r19 #5: the only-copy belt's interval sweep
+    (storage.recover) under adversarial span layouts. The
+    checkpoint-attached discard heuristic may only discard a staged
+    chunk whose span is FULLY covered by committed files; partial
+    coverage — covered prefix, middle gap, sibling chunks, overlapping
+    committed intervals — must route each chunk to the right side:
+    covered → discard (originals deliver), uncovered → containment
+    commit (the chunk is the only copy of at least one row)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def build(name, n=8):
+        qdir = str(tmp_path / name)
+        q = Queue(qdir, SCHEMA, capacity=10**6,
+                  auto_compact_files=None)
+        pub = q.publisher()
+        for i in range(n):
+            pub.push([i, f"v{i}"])  # one file per seq, seq = i+1
+        os.makedirs(os.path.join(qdir, "checkpoint"), exist_ok=True)
+        return q
+
+    def stage(q, s, e):
+        batches = q._storage.list_batches()
+        run = [p for bs, be, p in batches if s <= bs and be <= e]
+        merged = pa.concat_tables([pq.read_table(p) for p in run])
+        out = q._storage.batch_path(s, e) + ".compact"
+        pq.write_table(merged, out)
+        return out
+
+    def reopen_and_drain(q, verify=True):
+        q._closed = True
+        q._storage.close_handles()
+        q2 = Queue(q._storage.path, SCHEMA, auto_compact_files=None)
+        got = [r[0] for r in q2.subscriber().pop_n(100)]
+        if verify:
+            q2.verify()
+        return q2, got
+
+    # covered prefix: staged (2,5), originals for 4-5 gone -> the
+    # chunk is the only copy of its tail -> containment commit
+    q = build("prefix")
+    staged = stage(q, 2, 5)
+    for bs, _be, p in q._storage.list_batches():
+        if bs in (4, 5):
+            os.remove(p)
+    q2, got = reopen_and_drain(q)
+    assert got == list(range(8)), got
+    assert not os.path.exists(staged)
+    q2.dispose()
+
+    # touching siblings: staged (2,3) fully covered -> discarded;
+    # staged (4,5) originals gone -> committed
+    q = build("touching")
+    a = stage(q, 2, 3)
+    b = stage(q, 4, 5)
+    for bs, _be, p in q._storage.list_batches():
+        if bs in (4, 5):
+            os.remove(p)
+    q2, got = reopen_and_drain(q)
+    assert got == list(range(8)), got
+    assert not os.path.exists(a) and not os.path.exists(b)
+    spans = [(s, e) for s, e, _ in q2._storage.list_batches()]
+    assert (2, 3) not in spans and (4, 5) in spans, spans
+    q2.dispose()
+
+    # middle gap: staged (2,6), only original 4 gone -> uncovered in
+    # the middle -> containment commit swallows the intact originals
+    q = build("gap")
+    staged = stage(q, 2, 6)
+    for bs, _be, p in q._storage.list_batches():
+        if bs == 4:
+            os.remove(p)
+    q2, got = reopen_and_drain(q)
+    assert got == list(range(8)), got
+    assert not os.path.exists(staged)
+    q2.dispose()
+
+    # overlapping committed intervals: fabricated files (2,4) and
+    # (3,6) jointly cover staged (2,6) -> discard is correct even
+    # though no single file contains the span and the intervals
+    # overlap (the pos-walk must merge, not double-count); the
+    # fabricated overlap itself may double-deliver 3-4 (out-of-
+    # contract state) — loss is the only violation
+    q = build("overlap")
+    staged = stage(q, 2, 6)
+    batches = q._storage.list_batches()
+    by_start = {bs: p for bs, _be, p in batches}
+    t_all = pa.concat_tables(
+        [pq.read_table(by_start[s]) for s in range(2, 7)]
+    )
+    pq.write_table(t_all.slice(0, 3), q._storage.batch_path(2, 4))
+    pq.write_table(t_all.slice(1, 4), q._storage.batch_path(3, 6))
+    for s in range(2, 7):
+        os.remove(by_start[s])
+    # the fabricated overlap is out-of-contract by construction, so
+    # verify() rightly flags it — loss is the only violation here
+    q2, got = reopen_and_drain(q, verify=False)
+    assert not os.path.exists(staged)
+    assert set(got) == set(range(8)), got  # no loss; dups tolerated
+    q2.dispose()
+
+
+def test_recover_only_copy_coverage_ignores_orphan_parts(tmp_path):
+    """ADVICE r19: the belt's coverage must count COMMITTED files
+    only. An uncommitted orphan part at/beyond the pointer is sweep
+    fodder — counting it as 'the other copy' lets recovery discard
+    the staged chunk while the orphan (here: torn garbage, the
+    realistic power-loss debris) holds the only remaining bytes.
+    With the fix the chunk is the only copy, the containment commit
+    replaces the garbage orphan with the good staged bytes, and the
+    span stays readable for any later out-of-contract adjudication
+    (e.g. a torn-pointer repair committing it)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    qdir = str(tmp_path / "q")
+    q = Queue(qdir, SCHEMA, capacity=10**6, auto_compact_files=None)
+    pub = q.publisher()
+    for i in range(8):
+        pub.push([i, f"v{i}"])  # seqs 1..8, next_seq == 9
+    os.makedirs(os.path.join(qdir, "checkpoint"), exist_ok=True)
+    # a GOOD staged chunk beyond the pointer (seqs 9-10) ...
+    t = pq.read_table(q._storage.list_batches()[0][2])
+    rows = pa.concat_tables([t, t])
+    seq_idx = rows.schema.get_field_index("seq")
+    c0_idx = rows.schema.get_field_index("c0")
+    rows = rows.set_column(
+        seq_idx, "seq", pa.array([9, 10], rows.schema.field("seq").type)
+    )
+    rows = rows.set_column(
+        c0_idx, "c0", pa.array([100, 101],
+                               rows.schema.field("c0").type)
+    )
+    staged = q._storage.batch_path(9, 10) + ".compact"
+    pq.write_table(rows, staged)
+    # ... and a torn orphan part claiming the same span
+    orphan = q._storage.batch_path(9, 10)
+    with open(orphan, "wb") as f:
+        f.write(b"\x00garbage not parquet\x00" * 8)
+    q._closed = True
+    q._storage.close_handles()
+
+    # assert at the recover() layer: the open-time truncation that
+    # runs LATER is a committed-state actor entitled to sweep
+    # beyond-pointer files — the belt's promise is that RECOVERY
+    # itself never deletes the only bytes of a span
+    from quebic_spark.queue.storage import QueueStorage
+
+    st = QueueStorage(qdir)
+    with st.lock:
+        st.recover()
+    assert not os.path.exists(staged)  # resolved, not left dangling
+    assert os.path.exists(orphan)
+    surviving = pq.read_table(orphan)  # readable: the staged bytes won
+    assert surviving.column("c0").to_pylist() == [100, 101]
+    st.close_handles()
+
+    # the full open remains contract-clean regardless
+    q2 = Queue(qdir, SCHEMA, auto_compact_files=None)
+    got = [r[0] for r in q2.subscriber().pop_n(100)]
+    assert got == list(range(8)), got  # beyond-pointer rows invisible
+    q2.verify()
+    q2.dispose()

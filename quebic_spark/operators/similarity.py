@@ -61,23 +61,39 @@ _FP_MEMO: dict[tuple, str] = {}
 
 
 def _corpus_fingerprint(sf_dir: str) -> str:
-    """Content md5 of the embeddings file, memoized on (path, size,
+    """Content md5 of the embeddings table, memoized on (path, size,
     mtime). Index keys include this so REGENERATING testdata in place
     invalidates every stored quantizer/corpus instead of silently
     loading artifacts trained on the old bytes — path+params alone
     could not tell the difference (r6 review finding). Content hash,
     not stat, goes into the key itself: identical files on another
-    machine still hit."""
+    machine still hit. The table may be a single parquet file (the
+    driver's testdata) or a directory of part files (every real
+    Spark-written table — r20): a directory hashes its data files in
+    sorted-name order, keyed on the total size and newest mtime."""
     path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    st = os.stat(path)
-    memo_key = (path, st.st_size, st.st_mtime_ns)
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, n) for n in os.listdir(path)
+            if n.endswith(".parquet")
+        )
+    else:
+        parts = [path]
+    stats = [os.stat(p) for p in parts]
+    memo_key = (
+        path,
+        sum(st.st_size for st in stats),
+        max((st.st_mtime_ns for st in stats), default=0),
+    )
     hit = _FP_MEMO.get(memo_key)
     if hit is not None:
         return hit
     h = hashlib.md5()
-    with open(path, "rb") as fh:
-        for chunk in iter(lambda: fh.read(1 << 20), b""):
-            h.update(chunk)
+    for p in parts:
+        h.update(os.path.basename(p).encode("utf-8"))
+        with open(p, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
     fp = h.hexdigest()
     _FP_MEMO[memo_key] = fp
     return fp

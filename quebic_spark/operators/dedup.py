@@ -1608,6 +1608,52 @@ def _lsh_recall_oracle() -> str:
 
 SEM_TAU = COSINE_DUP_THRESHOLD  # the corpus-calibrated near-dup bar
 
+# the classic ~256-points-per-centroid rule (same constant family as
+# similarity.py's training-slice sizing): cells of BOUNDED population,
+# so the intra-cell pair space grows linearly with the corpus instead
+# of quadratically. The r20 sf1 bench run measured the fixed-k=8
+# version at 16x time for 10x rows — cell population had grown 10x and
+# pairs 100x; with k ∝ n the pair space is ~n·SEM_TARGET_CELL_ROWS/2.
+SEM_TARGET_CELL_ROWS = 256
+# codegen bound: cell assignment is a greatest-of-dot-products
+# expression with one branch per centroid, and Forgy init collects k
+# rows from the row-capped training slice — past this, move to a
+# hierarchical (two-level) quantizer rather than a wider CASE chain
+SEM_MAX_CELLS = 4096
+
+
+def _sem_k_cells(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus-size-scaled cell count: max(N_CENTROIDS, ceil(n/256)),
+    capped. Parquet-footer count — no data scan. At the oracle's
+    sf0.01 and the bench's sf0.1 this resolves to exactly
+    N_CENTROIDS=8, so gate hashes and committed floors are unchanged;
+    growth only engages beyond ~2k vectors."""
+    from quebic_spark.operators import similarity as S
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    return min(
+        SEM_MAX_CELLS,
+        max(S.N_CENTROIDS, -(-n // SEM_TARGET_CELL_ROWS)),
+    )
+
+
+def _sem_train_kwargs(spark: SparkSession, sf_dir: str) -> dict:
+    """Quantizer-training knobs for semantic dedup's blocking cells.
+    At the default k (small corpora) everything stays at the ANN
+    family's defaults — byte-identical centroids, oracle-safe. When k
+    scales past the default, restarts drop to 2: best-of-R restarts
+    exist to escape a bad Forgy init, whose variance shrinks as k
+    grows, and dedup BLOCKING needs balanced cells, not the last few
+    points of ANN recall — while training cost is linear in restarts
+    (the one-time cost at 10x the bench scale measured ~24 s/restart,
+    r20)."""
+    from quebic_spark.operators import similarity as S
+
+    k = _sem_k_cells(spark, sf_dir)
+    if k == S.N_CENTROIDS:
+        return {"k_cells": k}
+    return {"k_cells": k, "seed_restarts": 2}
+
 
 def semantic_dedup(
     spark: SparkSession, sf_dir: str, tau: float = SEM_TAU,
@@ -1618,7 +1664,9 @@ def semantic_dedup(
     from quebic_spark.functions.graph import connected_components
     from quebic_spark.operators import similarity as S
 
-    cents = S.learned_centroids(spark, sf_dir)
+    cents = S.learned_centroids(
+        spark, sf_dir, **_sem_train_kwargs(spark, sf_dir)
+    )
     corpus = S._ivf_corpus(spark, sf_dir, cents)
     a, b = corpus.alias("a"), corpus.alias("b")
     # zero-norm guard (r15 review, the ANN-family _cos_expr rule):
@@ -1663,7 +1711,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame (connected_components' contract) — no extra copy needed
     labels = semantic_dedup(spark, sf_dir)
     corpus = S._ivf_corpus(
-        spark, sf_dir, S.learned_centroids(spark, sf_dir)
+        spark, sf_dir,
+        S.learned_centroids(
+            spark, sf_dir, **_sem_train_kwargs(spark, sf_dir)
+        ),
     )
     kept = labels.filter(F.col("is_kept")).select("vec_id")
     kc = corpus.join(kept, "vec_id")

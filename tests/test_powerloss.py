@@ -61,6 +61,19 @@ def test_powerloss_sweep_compaction_family(tmp_path):
     assert summary["scenarios"]["heal"]["journal_ops"] > 0
 
 
+def test_powerloss_sweep_consume_family(tmp_path):
+    """The fsynced ack-flip and DLQ-route chains: a power loss may
+    regress an ack (legal at-least-once redelivery) but never tears
+    consumer state into an unusable queue, never loses an un-acked
+    row, and never leaves a poison record in NEITHER the log nor the
+    DLQ (write_dlq's fsync chain lands before the ack flip)."""
+    summary = sweep(
+        seed=90210, points=_points(), rand_candidates=2,
+        scenarios=("consume", "dlq"), root=str(tmp_path), trials=2,
+    )
+    assert summary["total_violations"] == 0, summary
+
+
 def test_powerloss_sweep_sink_append(spark, tmp_path):
     """queue_sink's durable append + marker protocol under power loss:
     after every reconstructed state the micro-batch is REPLAYED (the

@@ -65,7 +65,7 @@ from quebic_spark import INTEGER, TEXT, Queue, Schema  # noqa: E402
 SCHEMA = Schema(INTEGER, TEXT)
 SCENARIOS = (
     "push", "push_all", "full_compact", "merge_undiscovered", "heal",
-    "sink_append",
+    "consume", "dlq", "sink_append",
 )
 
 
@@ -116,15 +116,10 @@ def trace_scenario(scenario: str, qdir: str, rng: random.Random,
             tr.mark("SINKDONE")
             _release(q)
         return tr.journal, tr.pre_files, spec
-    # compaction-family scenarios reuse the chaos drive's state
-    # fabrications (including the heal scenario's torn manifest and
-    # merge_undiscovered's fabricated checkpoint)
-    chaos_scenario = (
-        "merge_undiscovered" if scenario == "merge_undiscovered"
-        else "heal" if scenario == "heal"
-        else "full_compact"
-    )
-    spec = chaos_drive.build_state(qdir, chaos_scenario, rng,
+    # consume / DLQ / compaction-family scenarios reuse the chaos
+    # drive's state fabrications (including the heal scenario's torn
+    # manifest and merge_undiscovered's fabricated checkpoint)
+    spec = chaos_drive.build_state(qdir, scenario, rng,
                                    keep_open=False)
     with powerloss.Tracer(qdir) as tr:
         q = Queue(qdir, SCHEMA, capacity=10**6,
@@ -134,6 +129,31 @@ def trace_scenario(scenario: str, qdir: str, rng: random.Random,
         elif scenario == "merge_undiscovered":
             q.compact(merge_undiscovered=True, target_file_rows=8,
                       small_file_rows=100)
+        elif scenario == "consume":
+            # the fsynced ack-flip chain: a power loss may regress the
+            # ack (legal redelivery) but never tear it, and never
+            # loses an un-acked row
+            sub = q.subscriber()
+            while True:
+                r = sub.consume(lambda rec: rec)
+                if r is None:
+                    break
+                tr.mark(f"ACK {r[0]}")
+        elif scenario == "dlq":
+            # poison routing: write_dlq's fsync chain lands BEFORE the
+            # ack flip, so no power loss leaves a record in NEITHER
+            # the log nor the DLQ
+            sub = q.subscriber()
+
+            def boom(rec):
+                raise RuntimeError("poison")
+
+            while True:
+                try:
+                    if sub.consume(boom, error_permit=1) is None:
+                        break
+                except RuntimeError:
+                    pass
         # heal: the Queue open above already ran recover() /
         # replay_pending_compaction over the torn state — that IS the
         # traced protocol
@@ -162,6 +182,18 @@ def _spec_at(scenario: str, spec: dict, journal: list,
             list(out["allowed"]) if "SINKDONE" in marks else []
         )
         out["all_or_nothing"] = list(out["allowed"])
+    elif scenario == "consume":
+        # marked acks were REPORTED to the application; a durable ack
+        # may legally suppress redelivery, a reverted one redelivers
+        # (at-least-once). The single record between its ack write and
+        # its mark at the crash point is the usual in-flight allowance
+        # (consumption is FIFO, so it is exactly the next id).
+        acked = [int(m.split()[1]) for m in marks
+                 if m.startswith("ACK ")]
+        inflight = acked[-1] + 1 if acked else 0
+        out["must"] = [
+            i for i in out["must"] if i not in acked and i != inflight
+        ]
     return out
 
 

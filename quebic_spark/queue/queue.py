@@ -1027,11 +1027,24 @@ class Queue:
                     # capacity: durably shrink the file to the remainder
                     # BEFORE returning (write-then-rename; a crash in
                     # between redelivers the admitted rows — at least
-                    # once, never lost)
+                    # once, never lost). Power-loss ordering (r20, found
+                    # by the journal-replay harness's first dlq_replay
+                    # sweep): in fsync mode the remainder BYTES must be
+                    # on the platter before the rename — a persisted
+                    # rename over unsynced content garbages the ONLY
+                    # copy of the un-admitted rows (the admitted ones
+                    # are already durably re-committed; these are not).
+                    # The trailing dir fsync makes the shrink itself
+                    # durable, honoring "durably ... BEFORE returning";
+                    # a reverted rename alone would only re-deliver.
                     remainder = t.slice(admit)
                     tmp = path + ".tmp"
                     pq.write_table(remainder, tmp)
+                    if self._storage.control_sync:
+                        fsync_path(tmp)
                     os.replace(tmp, path)
+                    if self._storage.control_sync:
+                        fsync_path(dlq_dir)
                     break
         return replayed
 

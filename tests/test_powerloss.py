@@ -74,6 +74,23 @@ def test_powerloss_sweep_consume_family(tmp_path):
     assert summary["total_violations"] == 0, summary
 
 
+def test_powerloss_sweep_stream_safe_and_dlq_replay(tmp_path):
+    """stream-safe delete-only compaction (fabricated checkpoint,
+    whole-file deletes + ack advance) and replay_dlq's re-commit /
+    shrink chain under power loss. The dlq_replay sweep's FIRST run
+    found a real bug in then-current code: the capacity-shrink rewrite
+    renamed over unsynced remainder bytes, and a persisted rename over
+    lost content garbaged the only copy of the un-admitted rows
+    (fixed: tmp fsync -> rename -> dlq-dir fsync, pinned by
+    test_queue.py::test_fsync_mode_dlq_replay_shrink_power_loss_ordering)."""
+    summary = sweep(
+        seed=90210, points=_points(), rand_candidates=2,
+        scenarios=("stream_safe", "dlq_replay"), root=str(tmp_path),
+        trials=2,
+    )
+    assert summary["total_violations"] == 0, summary
+
+
 def test_powerloss_sweep_sink_append(spark, tmp_path):
     """queue_sink's durable append + marker protocol under power loss:
     after every reconstructed state the micro-batch is REPLAYED (the

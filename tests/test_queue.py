@@ -2423,3 +2423,102 @@ def test_recover_only_copy_coverage_ignores_orphan_parts(tmp_path):
     assert got == list(range(8)), got  # beyond-pointer rows invisible
     q2.verify()
     q2.dispose()
+
+
+def test_fsync_mode_dlq_replay_shrink_power_loss_ordering(tmp_path):
+    """r20, found by the journal-replay power-loss harness's first
+    dlq_replay sweep: when replay_dlq hits capacity and SHRINKS a
+    multi-row DLQ file to its un-admitted remainder, the remainder
+    BYTES must be fsynced before the rename (a persisted rename over
+    unsynced content garbages the only copy of those rows — the
+    admitted rows are already durably re-committed, the remainder is
+    not), and the rename itself is made durable by a dlq-dir fsync
+    before the call returns. Pinned by recording the call order."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import quebic_spark.queue.queue as qq
+    import quebic_spark.queue.storage as qs
+
+    qdir = str(tmp_path / "q")
+    q = Queue(qdir, SCHEMA, capacity=10, fsync=True,
+              auto_compact_files=None)
+    pub = q.publisher()
+    for i in range(6):
+        pub.push([i, f"p{i}"])
+    sub = q.subscriber()
+
+    def _boom(rec):
+        raise RuntimeError("poison")
+
+    while True:
+        try:
+            if sub.consume(_boom, error_permit=1) is None:
+                break
+        except RuntimeError:
+            pass
+    # one multi-row DLQ file (the batch-DLQ shape) so partial
+    # admission must shrink rather than remove
+    dlq_dir = q._storage.dlq_dir
+    parts = sorted(
+        _os.path.join(dlq_dir, n) for n in _os.listdir(dlq_dir)
+        if n.endswith(".parquet")
+    )
+    merged = pa.concat_tables([pq.read_table(p) for p in parts])
+    pq.write_table(merged, parts[0] + ".tmp")
+    _os.replace(parts[0] + ".tmp", parts[0])
+    for p in parts[1:]:
+        _os.remove(p)
+    for i in range(100, 107):
+        pub.push([i, f"v{i}"])  # room is now 3: replay must shrink
+
+    events: list[tuple[str, str]] = []
+    real_fsync_path = qs.fsync_path
+    real_replace = _os.replace
+
+    def rec_fsync(path):
+        events.append(("fsync", path))
+        return real_fsync_path(path)
+
+    def rec_replace(src, dst, **kw):
+        events.append(("replace", dst))
+        return real_replace(src, dst, **kw)
+
+    qq.fsync_path = qs.fsync_path = rec_fsync
+    _os.replace = rec_replace
+    try:
+        assert q.replay_dlq() == 3  # room-limited partial admission
+    finally:
+        qq.fsync_path = qs.fsync_path = real_fsync_path
+        _os.replace = real_replace
+
+    dlq_events = [
+        (kind, p) for kind, p in events
+        if p.startswith(dlq_dir)
+    ]
+    # exact chain: tmp fsync -> rename into place -> dir fsync
+    tmp_sync = next(
+        i for i, (k, p) in enumerate(dlq_events)
+        if k == "fsync" and p.endswith(".tmp")
+    )
+    ren = next(
+        i for i, (k, p) in enumerate(dlq_events)
+        if k == "replace" and p == parts[0]
+    )
+    dir_sync = next(
+        i for i, (k, p) in enumerate(dlq_events)
+        if k == "fsync" and p == dlq_dir
+    )
+    assert tmp_sync < ren < dir_sync, dlq_events
+    # the shrunk file holds exactly the un-admitted remainder
+    assert pq.read_table(parts[0]).num_rows == 3
+    # and nothing was lost: drain frees room, the remainder replays
+    first = [r[0] for r in sub.pop_n(100)]
+    assert sorted(first) == [0, 1, 2] + list(range(100, 107)), first
+    assert q.replay_dlq() == 3
+    second = [r[0] for r in sub.pop_n(100)]
+    assert sorted(second) == [3, 4, 5], second
+    q.verify()
+    q.dispose()

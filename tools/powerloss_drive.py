@@ -65,7 +65,7 @@ from quebic_spark import INTEGER, TEXT, Queue, Schema  # noqa: E402
 SCHEMA = Schema(INTEGER, TEXT)
 SCENARIOS = (
     "push", "push_all", "full_compact", "merge_undiscovered", "heal",
-    "consume", "dlq", "sink_append",
+    "consume", "dlq", "stream_safe", "dlq_replay", "sink_append",
 )
 
 
@@ -116,9 +116,66 @@ def trace_scenario(scenario: str, qdir: str, rng: random.Random,
             tr.mark("SINKDONE")
             _release(q)
         return tr.journal, tr.pre_files, spec
-    # consume / DLQ / compaction-family scenarios reuse the chaos
-    # drive's state fabrications (including the heal scenario's torn
-    # manifest and merge_undiscovered's fabricated checkpoint)
+    if scenario == "dlq_replay":
+        # partial-admission shape: 6 poison rows in the DLQ plus 7
+        # unacked live rows against capacity 10, so replay_dlq admits
+        # only 3 and must durably SHRINK the DLQ file to the remainder
+        # — the rewrite path whose power-loss ordering is under test
+        # (full-admission replay is already covered by the chaos
+        # SIGKILL tier; the rewrite only runs at capacity)
+        q = Queue(qdir, SCHEMA, capacity=10, auto_compact_files=None)
+        pub = q.publisher()
+        for i in range(6):
+            pub.push([i, f"p{i}"])
+        sub = q.subscriber()
+
+        def _boom(rec):
+            raise RuntimeError("poison")
+
+        while True:
+            try:
+                if sub.consume(_boom, error_permit=1) is None:
+                    break
+            except RuntimeError:
+                pass
+        # merge the per-record DLQ files into ONE multi-row file (the
+        # shape StreamingConsumer's batch DLQ route writes): partial
+        # admission then has to SHRINK the file, not just remove it
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        dlq_dir = q._storage.dlq_dir
+        parts = sorted(
+            os.path.join(dlq_dir, n) for n in os.listdir(dlq_dir)
+            if n.endswith(".parquet")
+        )
+        merged = pa.concat_tables([pq.read_table(p) for p in parts])
+        pq.write_table(merged, parts[0] + ".tmp")
+        os.replace(parts[0] + ".tmp", parts[0])
+        for p in parts[1:]:
+            os.remove(p)
+        for i in range(100, 107):
+            pub.push([i, f"v{i}"])
+        _release(q)
+        spec = {
+            "must": list(range(6)) + list(range(100, 107)),
+            "allowed": list(range(6)) + list(range(100, 107)),
+            "consumer": None,
+            "dlq_union": True,
+            "allow_duplicates": True,
+            "retry_replay": True,
+        }
+        with powerloss.Tracer(qdir) as tr:
+            q = Queue(qdir, SCHEMA, capacity=10,
+                      auto_compact_files=None, fsync=True)
+            q.replay_dlq()
+            _release(q)
+        return tr.journal, tr.pre_files, spec
+    # consume / DLQ / stream-safe / compaction-family scenarios reuse
+    # the chaos drive's state fabrications (including the heal
+    # scenario's torn manifest, stream_safe's fabricated checkpoint
+    # with committed/discovered files, and merge_undiscovered's empty
+    # checkpoint)
     spec = chaos_drive.build_state(qdir, scenario, rng,
                                    keep_open=False)
     with powerloss.Tracer(qdir) as tr:
@@ -126,6 +183,11 @@ def trace_scenario(scenario: str, qdir: str, rng: random.Random,
                   auto_compact_files=None, fsync=True)
         if scenario == "full_compact":
             q.compact(target_file_rows=8, small_file_rows=100)
+        elif scenario == "stream_safe":
+            # fabricated checkpoint attaches the stream: compact takes
+            # the delete-only path (whole committed files removed, ack
+            # advanced over the contiguous deleted prefix)
+            q.compact()
         elif scenario == "merge_undiscovered":
             q.compact(merge_undiscovered=True, target_file_rows=8,
                       small_file_rows=100)

@@ -20,9 +20,14 @@ is the flag to investigate):
   replicas are NOT near-duplicates of each other — minhash/jaccard
   candidate structure grows linearly, not quadratically, unlike the
   deliberate worst case in scale_sf1.py;
-* ``embeddings`` — vec_id shifted; every component nudged by a
-  per-replica constant so replicas are distinct points, not exact
-  duplicate vectors that would degenerate ANN top-k ties.
+* ``embeddings`` — vec_id shifted; components CYCLICALLY SHIFTED by
+  a per-replica offset (norm- and distribution-preserving, but the
+  cosine between a vector and its rotation is near-random), so
+  replicas are semantically unrelated points. A first attempt nudged
+  every component by a per-replica constant — cosine stayed ~1, every
+  10-family became a semantic-dup cluster, and semantic_dedup's sf1
+  time read 35x (correctly tracking the exploded pair OUTPUT, but
+  useless as a neutral scale point).
 
 Usage::
 
@@ -121,13 +126,19 @@ def build(spark, sf_dir: str, out_dir: str) -> None:
 
     replicate("documents", ["doc_id"], 8, extra=doc_extra)
 
+    emb_dim = len(
+        src("embeddings").select("embedding").first()["embedding"]
+    )
+
     def emb_extra(df, rep):
-        nudge = rep * 0.0037
+        off = (rep * max(1, emb_dim // FAMILY)) % emb_dim
+        if off == 0:
+            return df
         return df.withColumn(
             "embedding",
-            F.transform(
-                "embedding",
-                lambda x: (x + F.lit(nudge)).cast("float"),
+            F.expr(
+                f"concat(slice(embedding, {off + 1}, "
+                f"{emb_dim - off}), slice(embedding, 1, {off}))"
             ),
         )
 

@@ -1040,9 +1040,15 @@ LM_NLL_THRESHOLD = 3.55
 def _doc_bigrams(docs: DataFrame) -> DataFrame:
     from quebic_spark.functions.text import ngrams
 
+    # substring_index, not split()[0]: same value for every gram (the
+    # first token is the prefix before the first space in both
+    # spellings, including empty-token edges), but no regex engine and
+    # no array allocation per gram — this column is computed once per
+    # gram OCCURRENCE, corpus-scale (r20 profile: the scoring stage was
+    # 125 CPU-s at sf0.1, a third of it per-gram string work)
     return docs.select(
         "doc_id", F.explode(ngrams(F.col("text"), 2)).alias("bg")
-    ).withColumn("w1", F.split(F.col("bg"), " ")[0])
+    ).withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
 
 
 def _lm_uni(bi: DataFrame) -> DataFrame:
@@ -1050,7 +1056,7 @@ def _lm_uni(bi: DataFrame) -> DataFrame:
     often w1 is followed by anything) — vocab-sized input, no second
     corpus pass."""
     return (
-        bi.groupBy(F.split(F.col("bg"), " ")[0].alias("w1"))
+        bi.groupBy(F.substring_index(F.col("bg"), " ", 1).alias("w1"))
         .agg(F.sum("c12").alias("c1"))
     )
 
@@ -1062,24 +1068,62 @@ def _score_lm(
     vsz: DataFrame,
     threshold: float,
 ) -> DataFrame:
-    nll = F.round(
-        F.log(
-            (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vsz"))
-            / (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0))
-        ),
-        6,
-    ).cast("decimal(28,6)")
-    scored = (
-        grams.join(bi, "bg", "left")
-        .join(uni, "w1", "left")
-        # single-row frame: hint the broadcast explicitly (repo
-        # convention — AQE would pick it anyway, but the plan must not
-        # depend on AQE being on)
+    """Score per-doc average nll by JOINING precomputed per-key nll
+    values rather than computing log/round/decimal per gram occurrence.
+
+    The smoothed nll depends only on (c12, c1, vsz) — a function of
+    the VOCAB-sized tables, not of the corpus-sized gram stream. The
+    r19 shape evaluated ``round(log((c1+vsz)/(c12+1)),6)`` once per
+    gram occurrence (corpus-scale); here the identical expression is
+    evaluated once per distinct bigram / context / OOV case and the
+    resulting decimal rides the (unchanged) broadcast joins:
+
+      * bg seen:   nll(c12, c1)   — on the bigram table,
+      * bg unseen, w1 seen: nll(0, c1) — on the context table,
+      * w1 unseen: nll(0, 0)      — one scalar row.
+
+    Every c1 in the bigram table is non-null by construction (uni is
+    derived FROM bi), so the per-gram value is a 3-way coalesce of
+    joined decimals — bit-identical to the inline arithmetic because
+    the expression applied per distinct key is the same one the r19
+    plan applied per occurrence (guide §1.2 step 2 / §2.3: do the
+    per-row work on the smallest table that determines it)."""
+    def _nll(c12_col: Column, c1_col: Column) -> Column:
+        return F.round(
+            F.log(
+                (c1_col + F.col("vsz")) / (c12_col + F.lit(1.0))
+            ),
+            6,
+        ).cast("decimal(28,6)")
+
+    # single-row frame: hint the broadcasts explicitly (repo
+    # convention — AQE would pick them anyway, but the plan must not
+    # depend on AQE being on)
+    bi_nll = (
+        bi.join(uni, F.substring_index(F.col("bg"), " ", 1) == F.col("w1"))
         .crossJoin(F.broadcast(vsz))
+        .select("bg", _nll(F.col("c12"), F.col("c1")).alias("_nll_bg"))
+    )
+    uni_nll = (
+        uni.crossJoin(F.broadcast(vsz))
+        .select("w1", _nll(F.lit(0), F.col("c1")).alias("_nll_w1"))
+    )
+    oov_nll = vsz.select(_nll(F.lit(0), F.lit(0)).alias("_nll_oov"))
+    # the LM tables are vocab-bounded (scan-resident by design);
+    # explicit hints because bi_nll/uni_nll now carry a join + cross
+    # join whose size ESTIMATE defeats the auto-broadcast threshold —
+    # without them the corpus-sized gram stream sort-merge-shuffles by
+    # bg (measured: 4.3 MB shuffled at sf0.1, corpus-scale at 100 TB)
+    scored = (
+        grams.join(F.broadcast(bi_nll), "bg", "left")
+        .join(F.broadcast(uni_nll), "w1", "left")
+        .crossJoin(F.broadcast(oov_nll))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(nll).alias("_s"),
+            F.sum(
+                F.coalesce("_nll_bg", "_nll_w1", "_nll_oov")
+            ).alias("_s"),
         )
     )
     avg_nll = F.round(F.col("_s").cast("double") / F.col("n_bigrams"), 4)
@@ -1100,16 +1144,25 @@ def lm_perplexity_score(
     per-bigram negative log likelihood under a Laplace-smoothed bigram
     LM trained on the rows where ``is_train`` holds. Returns one row
     per document: ``doc_id, n_bigrams, avg_nll, high_ppl``."""
+    from quebic_spark.cache import register_cache
+
     grams = docs.select(
         "doc_id", is_train.alias("_is_train"), "text"
     )
     all_grams = _doc_bigrams(grams)
-    bi = (
+    # the LM itself is vocab-bounded; materialize it ONCE. Un-cached,
+    # the corpus-scale train-side gram aggregation ran for every
+    # consumer subtree (bigram-nll build, context table, vocab-size
+    # scalar — three full passes in the r20 profile). At 100 TB this
+    # is the stored counts table save_lm writes; cache is the in-plan
+    # equivalent.
+    bi = register_cache(
         _doc_bigrams(grams.filter(F.col("_is_train")))
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("c12"))
+        .cache()
     )
-    uni = _lm_uni(bi)
+    uni = register_cache(_lm_uni(bi).cache())
     vsz = uni.agg((F.count(F.lit(1)) + 1).alias("vsz"))
     return _score_lm(all_grams, bi, uni, vsz, threshold)
 

@@ -392,7 +392,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5("sh").alias("sh"))
         .cache()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    # doc-keyed and referenced THREE times (the min-size scalar below
+    # plus both sides of the final set-size join): materialize once —
+    # the r20 plan audit showed every reference re-aggregating the
+    # cached shingle stream (no ReusedExchange fires across the
+    # aliased subtrees)
+    sizes = register_cache(
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("set_size"))
+        .cache()
+    )
     m_row = sizes.agg(F.min("set_size").alias("m")).collect()
     m = m_row[0]["m"] or 0
     required_inter = math.ceil(
@@ -402,20 +411,32 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if n_hot:
         # hottest shingles by document frequency, deterministic
-        # tie-break; df >= 2 because df-1 shingles generate no pairs
-        hot = F.broadcast(
+        # tie-break; df >= 2 because df-1 shingles generate no pairs.
+        # Cached: the TakeOrdered ranking otherwise re-runs inside
+        # every consumer (anti-join build side + hot-signature join)
+        hot = register_cache(
             sh.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") >= 2)
             .orderBy(F.col("df").desc(), F.col("sh"))
             .limit(n_hot)
             .select("sh")
+            .cache()
         )
-        nonhot = sh.join(hot, "sh", "left_anti")
-        hot_sigs = (
-            sh.join(hot, "sh")
+        # the pruned inverted index feeds BOTH sides of the candidate
+        # self-join; at scale this is the persisted postings table a
+        # real pipeline writes once — cache is the in-plan equivalent
+        # (before: each side re-ran the anti-join over the full
+        # shingle stream)
+        nonhot = register_cache(
+            sh.join(F.broadcast(hot), "sh", "left_anti").cache()
+        )
+        # bounded per-doc arrays, joined against both pair sides
+        hot_sigs = register_cache(
+            sh.join(F.broadcast(hot), "sh")
             .groupBy("doc_id")
             .agg(F.sort_array(F.collect_list("sh")).alias("hot_sig"))
+            .cache()
         )
     else:
         nonhot, hot_sigs = sh, None

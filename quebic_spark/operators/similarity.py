@@ -25,7 +25,11 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from quebic_spark.functions.vector import dot_product
+from quebic_spark.functions.vector import (
+    dot_product,
+    dot_product_sql,
+    l2_norm_sql,
+)
 
 log = logging.getLogger(__name__)
 
@@ -99,16 +103,19 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     return fp
 
 
+def _array_sql(vec: list[float]) -> str:
+    """Literal double-array SQL fragment. The ``1.5D`` double-literal
+    suffix keeps repr's shortest-round-trip value exactly (verified:
+    bit-identical to ``F.lit(float)``)."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"
+
+
 def _array_lit(vec: list[float]) -> F.Column:
     """Literal double array via ONE parsed SQL expression. Building it
     as ``F.array(*[F.lit(x) ...])`` costs a py4j round-trip per element
     — ~0.35 s of driver chatter per 8x64 centroid set, paid at every
-    plan construction. The ``1.5D`` double-literal suffix keeps repr's
-    shortest-round-trip value exactly (verified: bit-identical to
-    ``F.lit(float)``)."""
-    return F.expr(
-        "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"
-    )
+    plan construction."""
+    return F.expr(_array_sql(vec))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,7 +150,7 @@ def _planes() -> list[list[float]]:
 _EXACT_TOPK_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _cos_expr(a, b, a_norm, b_norm):
+def _cos_expr(a: str, b: str, a_norm: str, b_norm: str) -> F.Column:
     """Precomputed-norm cosine with the zero-norm guard (r15 review,
     same rationale as functions/vector.cosine_similarity): 0/0 = NaN
     under IEEE double division, and BOTH engines order NaN above all
@@ -152,9 +159,17 @@ def _cos_expr(a, b, a_norm, b_norm):
     oracle, making the wrong results invisible to the gate harness.
     NULL instead: desc ordering places NULLs last in Spark and DuckDB
     alike, so zero vectors simply never rank. _COS_SQL is the DuckDB
-    twin; keep the arithmetic in lockstep."""
-    denom = a_norm * b_norm
-    return F.when(denom > 0, dot_product(a, b) / denom)
+    twin; keep the arithmetic in lockstep.
+
+    Args are column-name/SQL-fragment STRINGS: the whole guarded
+    cosine parses in one py4j call (r20 — the Column form's two
+    higher-order folds cost ~60 ms of driver chatter per plan
+    construction; arithmetic unchanged, CASE WHEN == F.when)."""
+    denom = f"({a_norm} * {b_norm})"
+    return F.expr(
+        f"CASE WHEN {denom} > 0 "
+        f"THEN {dot_product_sql(a, b)} / {denom} END"
+    )
 
 
 # DuckDB twin of _cos_expr — spliced into every top-k oracle so the
@@ -183,20 +198,16 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from quebic_spark.functions.vector import l2_norm
 
     # norms computed once per side before the join: one fold per pair
     # (bit-identical values, oracle unaffected)
-    emb = _emb(spark, sf_dir).withColumn("norm", l2_norm(F.col("embedding")))
+    emb = _emb(spark, sf_dir).withColumn("norm", F.expr(l2_norm_sql("embedding")))
     queries = emb.filter((F.col("vec_id") % QUERY_STRIDE) == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
     )
-    cos = _cos_expr(
-        F.col("q_emb"), F.col("embedding"),
-        F.col("q_norm"), F.col("norm"),
-    )
+    cos = _cos_expr("q_emb", "embedding", "q_norm", "norm")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
@@ -235,23 +246,22 @@ QUALIFY rank <= {TOP_K}
 # ---------------------------------------------------------------------------
 
 def _signature_col() -> F.Column:
-    bits = [
-        F.when(
-            dot_product(F.col("embedding"), _array_lit(plane)) >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
+    # one parsed expression for the whole plane bank (r20): the
+    # Column form cost a fold's worth of py4j chatter per plane
+    bits = ", ".join(
+        f"CASE WHEN {dot_product_sql('embedding', _array_sql(plane))}"
+        " >= 0 THEN '1' ELSE '0' END"
         for plane in _planes()
-    ]
-    return F.concat(*bits)
+    )
+    return F.expr(f"concat({bits})")
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from quebic_spark.functions.vector import l2_norm
 
     emb = (
         _emb(spark, sf_dir)
         .withColumn("bucket", _signature_col())
-        .withColumn("norm", l2_norm(F.col("embedding")))
+        .withColumn("norm", F.expr(l2_norm_sql("embedding")))
     )
     queries = emb.filter((F.col("vec_id") % QUERY_STRIDE) == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -259,10 +269,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("q_bucket"),
         F.col("norm").alias("q_norm"),
     )
-    cos = _cos_expr(
-        F.col("q_emb"), F.col("embedding"),
-        F.col("q_norm"), F.col("norm"),
-    )
+    cos = _cos_expr("q_emb", "embedding", "q_norm", "norm")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
@@ -340,7 +347,9 @@ def _cell_col(
     max inner product — a CASE chain, identical semantics in SQL."""
     cents = centroids if centroids is not None else _centroids()
     dots = [
-        dot_product(F.col("embedding"), _array_lit(c)).alias(f"d{i}")
+        F.expr(
+            dot_product_sql("embedding", _array_sql(c))
+        ).alias(f"d{i}")
         for i, c in enumerate(cents)
     ]
     best = F.greatest(*[F.col(f"d{i}") for i in range(len(cents))])
@@ -424,7 +433,6 @@ def append_ivf_vectors(
     conftest temp index dir)."""
     import contextlib
 
-    from quebic_spark.functions.vector import l2_norm
     from quebic_spark.queue.storage import FileLock
     from quebic_spark.sources.io import (
         fs_commit_rename,
@@ -453,7 +461,7 @@ def append_ivf_vectors(
         assigned = (
             new_vecs.select("vec_id", "embedding", *dots)
             .withColumn("cell", cell)
-            .withColumn("norm", l2_norm(F.col("embedding")))
+            .withColumn("norm", F.expr(l2_norm_sql("embedding")))
             .select("vec_id", "embedding", "cell", "norm")
         )
         if assigned.isEmpty():
@@ -577,7 +585,6 @@ def _ivf_corpus(
     of re-deriving cell assignments; the in-memory persist() then only
     caches a partition-pruned scan.
     """
-    from quebic_spark.functions.vector import l2_norm
     from quebic_spark.session import tune_for_query
 
     cent_key = (
@@ -598,7 +605,7 @@ def _ivf_corpus(
             _emb(spark, sf_dir)
             .select("vec_id", "embedding", *dots)
             .withColumn("cell", cell)
-            .withColumn("norm", l2_norm(F.col("embedding")))
+            .withColumn("norm", F.expr(l2_norm_sql("embedding")))
             .select("vec_id", "embedding", "cell", "norm")
         )
         # stage + rename so a crashed write never half-populates the
@@ -694,10 +701,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").alias("q_cell"),
         F.col("norm").alias("q_norm"),
     )
-    cos = _cos_expr(
-        F.col("q_emb"), F.col("embedding"),
-        F.col("q_norm"), F.col("norm"),
-    )
+    cos = _cos_expr("q_emb", "embedding", "q_norm", "norm")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
@@ -773,21 +777,19 @@ def _cell_ranking_col(
     """Array of the cell ids ordered by descending inner product
     (ties: lower id first) — slice the first nprobe to probe."""
     cents = centroids if centroids is not None else _centroids()
-    dots = [
-        dot_product(F.col("embedding"), _array_lit(c))
+    # ONE parsed expression for the whole ranking (r20): the Column
+    # form cost ~0.3 s of py4j lambda chatter per plan construction.
+    # Bit-identical (array_sort compares struct fields in order, the
+    # negated fold is the same fold; verified 0 mismatches).
+    structs = ", ".join(
+        "named_struct('neg_dot', "
+        f"-({dot_product_sql('embedding', _array_sql(c))}), "
+        f"'cell', {i})"
         for i, c in enumerate(cents)
-    ]
-    ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    (-d).alias("neg_dot"), F.lit(i).alias("cell")
-                )
-                for i, d in enumerate(dots)
-            ]
-        )
     )
-    return F.transform(ranked, lambda s: s["cell"])
+    return F.expr(
+        f"transform(array_sort(array({structs})), s -> s.cell)"
+    )
 
 
 def ivf_topk_nprobe(
@@ -807,10 +809,7 @@ def ivf_topk_nprobe(
             ).alias("q_cell"),
         )
     )
-    cos = _cos_expr(
-        F.col("q_emb"), F.col("embedding"),
-        F.col("q_norm"), F.col("norm"),
-    )
+    cos = _cos_expr("q_emb", "embedding", "q_norm", "norm")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
@@ -911,7 +910,6 @@ def learned_centroids(
     import math
 
     from quebic_spark.functions.clustering import kmeans
-    from quebic_spark.functions.vector import l2_norm
 
     key = (
         spark.sparkContext.applicationId, sf_dir, k_cells, train_iters,
@@ -945,7 +943,7 @@ def learned_centroids(
     emb = _train_slice(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     ).select("embedding")
-    norm = l2_norm(F.col("embedding"))
+    norm = F.expr(l2_norm_sql("embedding"))
     # materialize the unit vectors once for the whole Lloyd loop:
     # every iteration re-scans its input. The row-capped slice arrives
     # as ONE bounded partition (TakeOrderedAndProject output), so each
@@ -1107,7 +1105,7 @@ ORACLE_ANN_IVF_NPROBE2 = _ivf_nprobe_oracle(2)
 
 def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    norm = F.sqrt(dot_product(F.col("embedding"), F.col("embedding")))
+    norm = F.expr(l2_norm_sql("embedding"))
     return (
         emb.select("label", norm.alias("norm"))
         .groupBy("label")
@@ -1149,23 +1147,38 @@ GROUP BY label
 LEARNED_RECALL_FLOOR = 0.25
 
 
-def _recall_facts(exact, approximations):
+def _recall_facts(exact, approximations, extras=None):
     """Query-set x per-approximation hit counts -> one agg row:
     ``nq`` plus ``r_<name>`` mean recall@k per entry (left-joined so
     a query with zero hits still counts as recall 0). The ONE copy of
     the hits/recall machinery the learned-recall and PQ-recall gates
     both run (r15 review: two verbatim closure copies could drift —
     the r9 +eps guard was already applied asymmetrically around
-    them)."""
-    def hits(approx, name):
-        return (
-            exact.join(
-                approx.select("query_id", "vec_id"),
-                ["query_id", "vec_id"],
-            )
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias(name))
+    them).
+
+    r20 shape: the approximations are UNION'd with a source tag and
+    hit-counted in ONE join + ONE conditional aggregation instead of
+    a join+groupBy chain per approximation (one exchange fewer per
+    extra approximation; a per-query zero count equals the old
+    NULL-coalesce through the same ``coalesce(.., 0)``). ``extras``
+    (name -> single-row aggregate frame) are cross-joined into the
+    same plan so the whole gate needs ONE collect — ``train_n`` was
+    previously a second action."""
+    names = list(approximations)
+    tagged = None
+    for i, approx in enumerate(approximations.values()):
+        t = approx.select("query_id", "vec_id").withColumn(
+            "_src", F.lit(i)
         )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    hits = (
+        exact.join(tagged, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(*[
+            F.count(F.when(F.col("_src") == i, F.lit(1))).alias(n)
+            for i, n in enumerate(names)
+        ])
+    )
 
     def recall(name):
         return F.avg(
@@ -1174,20 +1187,23 @@ def _recall_facts(exact, approximations):
         )
 
     base = exact.select("query_id").distinct()
-    for name, approx in approximations.items():
-        base = base.join(hits(approx, name), "query_id", "left")
-    return base.agg(
+    out = base.join(hits, "query_id", "left").agg(
         F.count(F.lit(1)).alias("nq"),
-        *[recall(n).alias("r_" + n) for n in approximations],
-    ).collect()[0]
+        *[recall(n).alias("r_" + n) for n in names],
+    )
+    for df in (extras or {}).values():
+        out = out.crossJoin(df)
+    return out.collect()[0]
 
 
-def _train_n(spark, sf_dir):
-    """The quantizer's row-capped training-slice size — the portable
-    fact both recall oracles replay via _train_n_oracle_sql."""
+def _train_n_agg(spark, sf_dir):
+    """Single-row aggregate of the quantizer's row-capped training-
+    slice size — the portable fact both recall oracles replay via
+    _train_n_oracle_sql. A frame (not a count action) so the gates
+    can fold it into the one _recall_facts collect (r20)."""
     return _train_slice(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    ).count()
+    ).agg(F.count(F.lit(1)).alias("tn"))
 
 
 def q_ann_ivf_learned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1199,14 +1215,17 @@ def q_ann_ivf_learned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded = ivf_topk_nprobe(spark, sf_dir, nprobe=1)
 
     # ONE job measures both quantizers: query set x hit counts, single
-    # final agg (three scalars to the driver)
-    row = _recall_facts(exact, {"hl": learned, "hs": seeded})
+    # final agg (four scalars to the driver). The quantizer's
+    # row-capped training-slice size rides in the same action — it is
+    # a PORTABLE fact the oracle replays independently (VERDICT r8 #2
+    # / r9 #1): the gate thereby pins both the hash-order-LIMIT
+    # mechanism and that the cap holds (min(IVF_TRAIN_ROWS, corpus))
+    row = _recall_facts(
+        exact, {"hl": learned, "hs": seeded},
+        extras={"tn": _train_n_agg(spark, sf_dir)},
+    )
     r_learned, r_seeded, n_queries = row["r_hl"], row["r_hs"], row["nq"]
-    # the quantizer's row-capped training-slice size is a PORTABLE
-    # fact the oracle replays independently (VERDICT r8 #2 / r9 #1) —
-    # the gate thereby pins both the hash-order-LIMIT mechanism and
-    # that the cap holds (min(IVF_TRAIN_ROWS, corpus))
-    n_train = _train_n(spark, sf_dir)
+    n_train = int(row["tn"])
     # assemble the single-row result as a plan over literals so the
     # driver's collect() re-runs nothing heavy
     return spark.range(1).select(
@@ -1291,22 +1310,20 @@ def embedding_decontaminate(
     set; ``contaminated`` marks rows at or above ``tau``. Keeps every
     corpus row (callers filter) so the operator doubles as an audit
     report."""
-    from quebic_spark.functions.vector import l2_norm
 
     b = bench.select(
         F.col(vec_col).alias("_b_emb"),
-        l2_norm(F.col(vec_col)).alias("_b_norm"),
+        F.expr(l2_norm_sql(f"`{vec_col}`")).alias("_b_norm"),
     )
     # norms computed once per side BEFORE the join (bit-identical to
     # folding inside the pair expression — same sequential fold — but
     # |corpus| + |bench| folds instead of |corpus| * |bench|)
     cos = _cos_expr(
-        F.col(vec_col), F.col("_b_emb"),
-        F.col("_c_norm"), F.col("_b_norm"),
+        f"`{vec_col}`", "_b_emb", "_c_norm", "_b_norm"
     )
     other = [c for c in corpus.columns if c != vec_col]
     return (
-        corpus.withColumn("_c_norm", l2_norm(F.col(vec_col)))
+        corpus.withColumn("_c_norm", F.expr(l2_norm_sql(f"`{vec_col}`")))
         # LEFT join, not cross: an EMPTY benchmark set must yield every
         # corpus row with a NULL score, not an empty audit report that
         # reads as "nothing contaminated" (review catch)
@@ -1394,7 +1411,6 @@ def ivf_search(
     folds truncate to the shorter array, so a wrong-dim query would
     silently score a prefix — keep query embeddings the same width as
     the corpus')."""
-    from quebic_spark.functions.vector import l2_norm
 
     if k < 1 or nprobe < 1:
         raise ValueError("k and nprobe must be >= 1")
@@ -1407,7 +1423,7 @@ def ivf_search(
         .withColumn(
             "_cells", F.slice(_cell_ranking_col(centroids), 1, nprobe)
         )
-        .withColumn("q_norm", l2_norm(F.col("embedding")))
+        .withColumn("q_norm", F.expr(l2_norm_sql("embedding")))
         .select(
             "query_id",
             F.col("embedding").alias("q_emb"),
@@ -1415,10 +1431,7 @@ def ivf_search(
             F.explode("_cells").alias("q_cell"),
         )
     )
-    cos = _cos_expr(
-        F.col("q_emb"), F.col("embedding"),
-        F.col("q_norm"), F.col("norm"),
-    )
+    cos = _cos_expr("q_emb", "embedding", "q_norm", "norm")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
@@ -1495,7 +1508,6 @@ def train_pq_codebooks(
     cap) like the IVF quantizer, so a fresh process loads instead of
     retraining (deterministic either way)."""
     from quebic_spark.functions.clustering import kmeans
-    from quebic_spark.functions.vector import l2_norm
     from quebic_spark.sources.io import (
         fs_read_json_path,
         fs_write_json_path,
@@ -1508,7 +1520,7 @@ def train_pq_codebooks(
         return stored["codebooks"]
 
     emb = _train_slice(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
-    norm = l2_norm(F.col("embedding"))
+    norm = F.expr(l2_norm_sql("embedding"))
     # the slice arrives as one bounded partition (<= IVF_TRAIN_ROWS
     # rows, TakeOrderedAndProject output) — no coalesce needed
     unit = emb.select(
@@ -1781,14 +1793,11 @@ def _pq_rank(
             ).alias("q_cell"),
         )
     )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("lut"),
-            lambda c, row: F.element_at(row, c + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # one parsed expression (r20): same fold, no per-lambda py4j cost
+    adc = F.expr(
+        "aggregate(zip_with(codes, lut, "
+        "(c, row) -> element_at(row, c + 1)), "
+        "0.0D, (acc, x) -> acc + x)"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id")
@@ -1822,10 +1831,7 @@ def _pq_rank(
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
     )
-    exact = _cos_expr(
-        F.col("q_emb"), F.col("embedding"),
-        F.col("q_norm"), F.col("norm"),
-    )
+    exact = _cos_expr("q_emb", "embedding", "q_norm", "norm")
     emb = _ivf_corpus(spark, sf_dir, centroids)
     return (
         F.broadcast(shortlist)
@@ -1890,14 +1896,13 @@ def ivf_pq_search(
     quantizer's stored index (e.g. ``learned_centroids(...)`` — r9:
     the compressed path serves the trained index too, not only the
     seeded one)."""
-    from quebic_spark.functions.vector import l2_norm
 
     if k < 1 or nprobe < 1:
         raise ValueError("k and nprobe must be >= 1")
     qbase = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("embedding"),
-    ).withColumn("norm", l2_norm(F.col("embedding")))
+    ).withColumn("norm", F.expr(l2_norm_sql("embedding")))
     return _pq_rank(
         spark, sf_dir, qbase, nprobe, k, PQ_M, PQ_K, rerank,
         exclude_self=False, centroids=centroids,
@@ -1926,9 +1931,12 @@ def q_ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = ivf_topk_nprobe(spark, sf_dir, nprobe=2)
 
-    row = _recall_facts(exact, {"hp": pq, "hr": raw})
+    row = _recall_facts(
+        exact, {"hp": pq, "hr": raw},
+        extras={"tn": _train_n_agg(spark, sf_dir)},
+    )
     bytes_raw = EMB_DIM * 4
-    n_train = _train_n(spark, sf_dir)
+    n_train = int(row["tn"])
     return spark.range(1).select(
         F.lit(int(row["nq"])).cast("bigint").alias("n_queries"),
         F.lit(TOP_K).cast("int").alias("k"),
@@ -2110,7 +2118,6 @@ def diversity_filter(
     pass trained centroids (e.g. :func:`learned_centroids`) when the
     embedding dimension or corpus calls for them.
     """
-    from quebic_spark.functions.vector import l2_norm
 
     if not 0 < keep_pct <= 100:
         raise ValueError(f"keep_pct must be in (0, 100], got {keep_pct}")
@@ -2123,7 +2130,7 @@ def diversity_filter(
         )
         .select("_div_id", "embedding", *dots)
         .withColumn("cell", cell)
-        .withColumn("norm", l2_norm(F.col("embedding")))
+        .withColumn("norm", F.expr(l2_norm_sql("embedding")))
     )
     ranked = _rank_by_prototypicality(emb, "_div_id", cents, keep_pct)
     dropped = ranked.filter(F.col("_rk") > F.col("cell_keep")).select(

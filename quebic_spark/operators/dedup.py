@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 
 from quebic_spark.cache import register_cache
 from quebic_spark.functions.text import shingles, tokens
-from quebic_spark.functions.vector import dot_product
 
 N_MINHASH = 8
 N_BANDS = 4  # rows-per-band = 2
@@ -524,23 +523,24 @@ WHERE CAST(inter AS DOUBLE) / (za.set_size + zb.set_size - inter)
 # ---------------------------------------------------------------------------
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from quebic_spark.functions.vector import dot_product, l2_norm
+    from quebic_spark.functions.vector import dot_product_sql, l2_norm_sql
 
     # norms precomputed per vector BEFORE the pair join: one fold per
     # pair instead of three (the values are bit-identical either way,
     # so the oracle is unaffected)
     emb = _fan(
         spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    ).withColumn("norm", l2_norm(F.col("embedding")))
+    ).withColumn("norm", F.expr(l2_norm_sql("embedding")))
     a, b = emb.alias("a"), emb.alias("b")
     # zero-norm guard (r15 review, the ANN-family _cos_expr rule):
     # 0/0 = NaN orders above all doubles in BOTH engines, so one zero
     # vector passed the >= threshold against every blockmate while
-    # still hash-matching the oracle; NULL is inert in the filter
-    _denom = F.col("a.norm") * F.col("b.norm")
-    cos = F.when(
-        _denom > 0,
-        dot_product(F.col("a.embedding"), F.col("b.embedding")) / _denom,
+    # still hash-matching the oracle; NULL is inert in the filter.
+    # SQL-fragment form (r20): same fold, one parse.
+    cos = F.expr(
+        "CASE WHEN (a.norm * b.norm) > 0 THEN "
+        f"{dot_product_sql('a.embedding', 'b.embedding')}"
+        " / (a.norm * b.norm) END"
     )
     return (
         a.join(
@@ -1687,10 +1687,12 @@ def semantic_dedup(
     # 0/0 = NaN orders above all doubles in BOTH engines, so one zero
     # vector passed the >= threshold against every blockmate while
     # still hash-matching the oracle; NULL is inert in the filter
-    _denom = F.col("a.norm") * F.col("b.norm")
-    cos = F.when(
-        _denom > 0,
-        dot_product(F.col("a.embedding"), F.col("b.embedding")) / _denom,
+    from quebic_spark.functions.vector import dot_product_sql
+
+    cos = F.expr(
+        "CASE WHEN (a.norm * b.norm) > 0 THEN "
+        f"{dot_product_sql('a.embedding', 'b.embedding')}"
+        " / (a.norm * b.norm) END"
     )
     # materialize before fanning out to both orientations (same
     # registered-cache reasoning as q_dedup_clusters: the pair join
@@ -1730,43 +1732,60 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sf_dir, **_sem_train_kwargs(spark, sf_dir)
         ),
     )
+    from quebic_spark.functions.vector import dot_product_sql
+
     kept = labels.filter(F.col("is_kept")).select("vec_id")
     kc = corpus.join(kept, "vec_id")
     a, b = kc.alias("a"), kc.alias("b")
     # zero-norm guard (r15 review, the ANN-family _cos_expr rule):
     # 0/0 = NaN orders above all doubles in BOTH engines, so one zero
     # vector passed the >= threshold against every blockmate while
-    # still hash-matching the oracle; NULL is inert in the filter
-    _denom = F.col("a.norm") * F.col("b.norm")
-    cos = F.when(
-        _denom > 0,
-        dot_product(F.col("a.embedding"), F.col("b.embedding")) / _denom,
+    # still hash-matching the oracle; NULL is inert in the filter.
+    # SQL-fragment form (r20): same fold, one parse.
+    cos = F.expr(
+        "CASE WHEN (a.norm * b.norm) > 0 THEN "
+        f"{dot_product_sql('a.embedding', 'b.embedding')}"
+        " / (a.norm * b.norm) END"
     )
-    kept_near = (
+    # the four contract facts (near-pair count among keepers, label
+    # stats, dangling roots, corpus size) are independent single-row
+    # aggregates — cross-join them into ONE action instead of four
+    # sequential driver round-trips (r20; labels is a checkpointed
+    # frame, so each subtree reads materialized rows)
+    kept_near_agg = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(cos >= F.lit(float(SEM_TAU)))
-        .count()
+        .agg(F.count(F.lit(1)).alias("kept_near"))
     )
-    stats = labels.agg(
+    stats_agg = labels.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("vec_id").alias("n_distinct"),
         F.sum(
             F.when(F.col("canonical_id") > F.col("vec_id"), 1).otherwise(0)
         ).alias("bad_order"),
-    ).collect()[0]
+    )
     # every canonical must itself be kept (no dangling roots)
-    dangling = (
+    dangling_agg = (
         labels.filter(~F.col("is_kept"))
         .select(F.col("canonical_id").alias("vec_id"))
         .distinct()
         .join(kept, "vec_id", "left_anti")
-        .count()
+        .agg(F.count(F.lit(1)).alias("dangling"))
     )
-    n_vectors = corpus.count()
+    nv_agg = corpus.agg(F.count(F.lit(1)).alias("n_vectors"))
+    stats = (
+        stats_agg.crossJoin(kept_near_agg)
+        .crossJoin(dangling_agg)
+        .crossJoin(nv_agg)
+        .collect()[0]
+    )
+    kept_near = stats["kept_near"]
+    dangling = stats["dangling"]
+    n_vectors = stats["n_vectors"]
     conserved = (
         stats["n"] == n_vectors
         and stats["n_distinct"] == n_vectors

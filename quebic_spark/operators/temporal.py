@@ -339,6 +339,21 @@ def anomaly_scores(
     min_n: int = ANOMALY_MIN_N,
     z_threshold: float = ANOMALY_Z,
 ) -> DataFrame:
+    # Pin the window's shuffle width to the session's configured
+    # parallelism (r20, guide §2.5): the DECIMAL moving moments are
+    # compute-dense (~µs/row, not bytes-bound), and AQE's byte-based
+    # advisory coalescing squeezed the whole corpus into 3 post-shuffle
+    # partitions at sf0.1 (5.6 CPU-s serialized onto 3 tasks — 2.1 s
+    # wall; pinned: 0.9 s). An explicit numPartitions repartition is
+    # exempt from AQE coalescing, satisfies the window's required
+    # distribution (so it replaces, not adds to, the window exchange),
+    # and stays scale-adaptive through spark.sql.shuffle.partitions.
+    # Values are partitioning-independent (per-key ordered frame), so
+    # results are bit-identical (test_partition_invariance pins this).
+    events = events.repartition(
+        int(events.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        key_col,
+    )
     dv = F.col(value_col).cast("decimal(18,2)")
     w = (
         Window.partitionBy(key_col)

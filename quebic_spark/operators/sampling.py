@@ -746,9 +746,20 @@ def _cms_bucket(row: int, key) -> "F.Column":
     )
 
 
-def cms_sketch(keyed: DataFrame, key_col: str = "key") -> DataFrame:
-    """Build the (row, col, cell_count) sketch table from a keyed
-    frame — at most DEPTH * WIDTH rows."""
+def cms_sketch(
+    keyed: DataFrame, key_col: str = "key", weight_col: str | None = None,
+) -> DataFrame:
+    """Build the (row, col, cell_count) sketch table — at most
+    DEPTH * WIDTH rows.
+
+    ``weight_col=None`` (the occurrence form): one input row = one
+    occurrence, cell_count counts rows. A pre-aggregated
+    ``(key, count)`` frame may instead name its count column as
+    ``weight_col`` — cell_count sums the weights, which is the same
+    integer (the cell's occurrence total) computed with DEPTH md5s per
+    DISTINCT key instead of per occurrence (r20, guide §1.2 step 2:
+    do the per-row hash work on the smallest table that determines
+    the result)."""
     cells = F.array(*[
         F.struct(
             F.lit(i).alias("row"),
@@ -756,11 +767,18 @@ def cms_sketch(keyed: DataFrame, key_col: str = "key") -> DataFrame:
         )
         for i in range(CMS_DEPTH)
     ])
+    cell_count = (
+        F.count(F.lit(1)) if weight_col is None
+        else F.sum(weight_col)
+    ).alias("cell_count")
     return (
-        keyed.select(F.explode(cells).alias("cell"))
+        keyed.select(
+            F.explode(cells).alias("cell"),
+            *([] if weight_col is None else [weight_col]),
+        )
         .groupBy(F.col("cell.row").alias("row"),
                  F.col("cell.col").alias("col"))
-        .agg(F.count(F.lit(1)).alias("cell_count"))
+        .agg(cell_count)
     )
 
 
@@ -827,19 +845,39 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type"),
         ).alias("key")
     )
-    sketch = cms_sketch(keyed)
+    # ONE corpus aggregation feeds both the truth top-K and the
+    # sketch (r20): the gate needs the per-key counts anyway, and
+    # building the sketch from the counts table (weighted cells)
+    # computes the DEPTH md5 buckets once per DISTINCT key instead of
+    # once per occurrence — the same cell totals bit for bit. The
+    # counts cache is key-sized (users x event types), not
+    # corpus-sized; callers that only need a sketch keep the one-pass
+    # occurrence form of cms_sketch.
+    from quebic_spark.cache import register_cache
+
+    counts = register_cache(
+        keyed.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .cache()
+    )
+    sketch = cms_sketch(counts, weight_col="true_count")
     # The truth-side top-K runs as ONE distributed job
-    # (_cms_true_topk: TakeOrderedAndProject — per-partition top-K,
-    # tiny merge; never a global window, r7 review catch), and its
-    # <=CMS_TOP_K rows are MATERIALIZED to a literal frame: the rank
-    # derivation and the CMS probe both read the frame, and without
-    # guaranteed exchange reuse the billion-key truth aggregation
-    # executed once per read — measured three subplan copies in the r8
-    # plan (r8 advice). K rows is driver-small by contract (the gate
-    # emits exactly these rows). Ranks fall out of the collected order
-    # directly — row_number semantics under the same strict total
-    # order (keys are group-unique, ties impossible).
-    top_rows = _cms_true_topk(keyed).collect()
+    # (TakeOrderedAndProject on the cached counts — per-partition
+    # top-K, tiny merge; never a global window, r7 review catch), and
+    # its <=CMS_TOP_K rows are MATERIALIZED to a literal frame: the
+    # rank derivation and the CMS probe both read the frame, and
+    # without guaranteed exchange reuse the billion-key truth
+    # aggregation executed once per read — measured three subplan
+    # copies in the r8 plan (r8 advice). K rows is driver-small by
+    # contract (the gate emits exactly these rows). Ranks fall out of
+    # the collected order directly — row_number semantics under the
+    # same strict total order (keys are group-unique, ties
+    # impossible).
+    top_rows = (
+        counts.orderBy(F.desc("true_count"), F.col("key"))
+        .limit(CMS_TOP_K)
+        .collect()
+    )
     ranked = keyed.sparkSession.createDataFrame(
         [
             (r["key"], int(r["true_count"]), i + 1)

@@ -191,3 +191,20 @@ def test_cms_estimate_collapses_stale_cell_versions(spark):
         for r in cms_estimate(appended, probes).collect()
     }
     assert est["a"] >= 9 and est["b"] >= 4, est
+
+
+def test_cms_sketch_weighted_equals_occurrence_form(spark):
+    """A (key, count) frame sketched via weight_col produces the
+    IDENTICAL cell table as exploding the occurrences — the r20 gate
+    optimization's correctness contract."""
+    keys = [f"w{i}" for i in range(40) for _ in range(i % 7 + 1)]
+    occ = _keys_df(spark, keys)
+    counts = occ.groupBy("key").agg(F.count(F.lit(1)).alias("c"))
+    by_occ = {
+        (r.row, r.col): r.cell_count for r in cms_sketch(occ).collect()
+    }
+    by_weight = {
+        (r.row, r.col): r.cell_count
+        for r in cms_sketch(counts, weight_col="c").collect()
+    }
+    assert by_occ == by_weight

@@ -540,3 +540,28 @@ def test_salted_agg_reserved_columns_and_collect_list(spark):
         for k in range(3)
     }
     assert got == want
+
+
+def test_fan_out_split_estimate_matches_exact_probe(spark, sf_dir):
+    """The r20 stats-based split estimator must agree with the exact
+    df.rdd probe on bare file scans (the only frames operators pass),
+    and decline derived plans so fan_out falls back to the probe."""
+    from quebic_spark.plans.fanout import _scan_split_estimate, fan_out
+
+    for table in ("documents", "events", "embeddings", "lineitem"):
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        est = _scan_split_estimate(spark, df)
+        assert est == df.rdd.getNumPartitions(), table
+    derived = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "doc_id >= 0"
+    )
+    assert _scan_split_estimate(spark, derived) is None
+    # the decision is unchanged either way: tiny fixture scans fan out
+    # to the default parallelism, already-wide frames pass through
+    fanned = fan_out(
+        spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    assert (
+        fanned.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )

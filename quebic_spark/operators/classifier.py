@@ -37,6 +37,8 @@ from typing import NamedTuple
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quebic_spark.session import read_immutable_parquet
+
 from quebic_spark.functions.text import tokens
 
 N_BUCKETS = 256          # hashed token-feature width (weight table stays tiny)
@@ -259,7 +261,7 @@ def q_quality_classifier_eval(
 
     tune_for_query(spark)
     docs = fan_out(
-        spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
+        spark, read_immutable_parquet(spark, f"{sf_dir}/documents.parquet")
     )
     model = train_quality_classifier(docs)
     held_out = docs.filter(

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quebic_spark.session import read_immutable_parquet
+
 from quebic_spark.cache import register_cache
 from quebic_spark.functions.text import shingles, tokens
 
@@ -54,7 +56,7 @@ def _fan(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _fan(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return _fan(spark, read_immutable_parquet(spark, f"{sf_dir}/documents.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -529,7 +531,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair instead of three (the values are bit-identical either way,
     # so the oracle is unaffected)
     emb = _fan(
-        spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        spark, read_immutable_parquet(spark, f"{sf_dir}/embeddings.parquet")
     ).withColumn("norm", F.expr(l2_norm_sql("embedding")))
     a, b = emb.alias("a"), emb.alias("b")
     # zero-norm guard (r15 review, the ANN-family _cos_expr rule):
@@ -1644,7 +1646,7 @@ def _sem_k_cells(spark: SparkSession, sf_dir: str) -> int:
     growth only engages beyond ~2k vectors."""
     from quebic_spark.operators import similarity as S
 
-    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    n = read_immutable_parquet(spark, f"{sf_dir}/embeddings.parquet").count()
     return min(
         SEM_MAX_CELLS,
         max(S.N_CENTROIDS, -(-n // SEM_TARGET_CELL_ROWS)),

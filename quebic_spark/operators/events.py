@@ -24,6 +24,8 @@ import functools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quebic_spark.session import read_immutable_parquet
+
 SESSION_GAP = "30 minutes"
 
 
@@ -81,7 +83,7 @@ def _events_pinned_utc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = read_immutable_parquet(spark, f"{sf_dir}/events.parquet")
     if isinstance(raw.schema["ts"].dataType, LongType):
         # nanos generation: integer DIV, not `/` — double division of
         # ~1.7e18 ns epochs loses unit-microsecond precision (2^53).

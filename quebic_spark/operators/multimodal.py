@@ -30,16 +30,18 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quebic_spark.session import read_immutable_parquet
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quebic_spark.session import tune_for_query
 
     tune_for_query(spark)
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_immutable_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_immutable_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
 
 # ---------------------------------------------------------------------------

@@ -17,6 +17,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quebic_spark.session import read_immutable_parquet
+
 from quebic_spark.queue import Queue
 from quebic_spark.schema import INTEGER, REAL, Schema
 
@@ -25,7 +27,7 @@ N_ROWS = 1000
 
 def q_queue_fifo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        read_immutable_parquet(spark, f"{sf_dir}/orders.parquet")
         .orderBy("o_orderkey")
         .limit(N_ROWS)
         .select("o_orderkey", "o_totalprice")
@@ -96,7 +98,7 @@ def q_quebic_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        read_immutable_parquet(spark, f"{sf_dir}/documents.parquet")
         .filter(F.col("doc_id") % FORMAT_STRIDE == 0)
         .orderBy("doc_id")
         .select("doc_id", "text")

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from quebic_spark.session import read_immutable_parquet
+
 # Exact-decimal casts for money arithmetic. Derivation stays well under
 # DECIMAL(38,*) so neither engine ever truncates scale:
 #   price(10,2) * (1.00 - disc(4,2)) -> (16,4); * (1.00 + tax) -> (22,6)
@@ -43,7 +45,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from quebic_spark.session import tune_for_query
 
     tune_for_query(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_immutable_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def _dbl(c) -> F.Column:

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quebic_spark.session import read_immutable_parquet
+
 TRAIN_PCT = 90  # hash-mod buckets: [0,90) train, [90,95) val, [95,100) test
 VAL_PCT = 95
 N_SHARDS = 16
@@ -39,7 +41,7 @@ def _fan(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _fan(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return _fan(spark, read_immutable_parquet(spark, f"{sf_dir}/documents.parquet"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,7 +53,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session decodes as raw longs — operators/events.py:77 carries
     # the same toggle with a unit guard on the values it reads.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _fan(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return _fan(spark, read_immutable_parquet(spark, f"{sf_dir}/events.parquet"))
 
 
 def hash_bucket(key, n: int = 100):

@@ -25,6 +25,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from quebic_spark.session import read_immutable_parquet
+
 from quebic_spark.functions.vector import (
     dot_product,
     dot_product_sql,
@@ -126,7 +128,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quebic_spark.session import tune_for_query
 
     tune_for_query(spark)
-    return fan_out(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return fan_out(spark, read_immutable_parquet(spark, f"{sf_dir}/embeddings.parquet"))
 
 
 def _planes() -> list[list[float]]:
@@ -941,7 +943,7 @@ def learned_centroids(
         _LEARNED_CENTROIDS_CACHE[key] = out
         return out
     emb = _train_slice(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        read_immutable_parquet(spark, f"{sf_dir}/embeddings.parquet")
     ).select("embedding")
     norm = F.expr(l2_norm_sql("embedding"))
     # materialize the unit vectors once for the whole Lloyd loop:
@@ -1202,7 +1204,7 @@ def _train_n_agg(spark, sf_dir):
     _train_n_oracle_sql. A frame (not a count action) so the gates
     can fold it into the one _recall_facts collect (r20)."""
     return _train_slice(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        read_immutable_parquet(spark, f"{sf_dir}/embeddings.parquet")
     ).agg(F.count(F.lit(1)).alias("tn"))
 
 
@@ -1519,7 +1521,7 @@ def train_pq_codebooks(
     if stored is not None and stored.get("key") == disk_key:
         return stored["codebooks"]
 
-    emb = _train_slice(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = _train_slice(read_immutable_parquet(spark, f"{sf_dir}/embeddings.parquet"))
     norm = F.expr(l2_norm_sql("embedding"))
     # the slice arrives as one bounded partition (<= IVF_TRAIN_ROWS
     # rows, TakeOrderedAndProject output) — no coalesce needed

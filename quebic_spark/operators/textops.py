@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quebic_spark.session import read_immutable_parquet
+
 from quebic_spark.functions.text import (
     BPE_PATTERN,
     fingerprint,
@@ -40,7 +42,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quebic_spark.session import tune_for_query
 
     tune_for_query(spark)
-    return fan_out(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return fan_out(spark, read_immutable_parquet(spark, f"{sf_dir}/documents.parquet"))
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,8 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quebic_spark.session import read_immutable_parquet
+
 from quebic_spark.functions.text import tokens
 
 BPE_MERGES = 200
@@ -152,7 +154,7 @@ def q_bpe_tokenizer_eval(
 
     tune_for_query(spark)
     docs = fan_out(
-        spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
+        spark, read_immutable_parquet(spark, f"{sf_dir}/documents.parquet")
     )
     model = train_bpe_tokenizer(
         docs.filter(hash_bucket(F.col("doc_id")) < BPE_TRAIN_PCT)

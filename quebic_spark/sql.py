@@ -44,7 +44,7 @@ def register_testdata(
         if t == "events":
             df = _events(spark, sf_dir)
         else:
-            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            df = read_immutable_parquet(spark, f"{sf_dir}/{t}.parquet")
         df.createOrReplaceTempView(t)
         registered.append(t)
     return registered

@@ -565,3 +565,22 @@ def test_fan_out_split_estimate_matches_exact_probe(spark, sf_dir):
         fanned.rdd.getNumPartitions()
         == spark.sparkContext.defaultParallelism
     )
+
+
+def test_read_immutable_parquet_memoizes_schema_only(spark, sf_dir):
+    """The r20 schema memo must return frames identical to a direct
+    read (schema AND rows) — it stores plan-construction metadata,
+    never data: every action still scans the parquet files."""
+    from quebic_spark.session import _SCHEMA_MEMO, read_immutable_parquet
+
+    p = f"{sf_dir}/events.parquet"
+    direct = spark.read.parquet(p)
+    first = read_immutable_parquet(spark, p)
+    key = (spark.sparkContext.applicationId, p)
+    assert key in _SCHEMA_MEMO
+    memoized = read_immutable_parquet(spark, p)
+    assert first.schema == direct.schema == memoized.schema
+    assert memoized.count() == direct.count()
+    a = {tuple(r) for r in direct.limit(50).collect()}
+    b = {tuple(r) for r in memoized.limit(50).collect()}
+    assert a == b

@@ -102,31 +102,42 @@ def connected_components(
             .distinct()
         )
         if n_edges <= driver_max_edges:
-            labels = _driver_union_find(spark, edges, nodes)
-        else:
-            labels = _distributed_min_label(
-                spark, edges, nodes,
-                max_iters=max_iters, checkpoint_every=checkpoint_every,
-                n_edges=n_edges,
+            # single-pass assembly (r20, guide §2.4): the union-find
+            # labels are a TINY broadcastable frame covering exactly
+            # the endpoint set, so one LEFT join labels endpoints and
+            # isolated nodes in the same corpus scan —
+            # coalesce(label, doc_id) is "own cluster root" for every
+            # node without an incident edge. The previous shape
+            # (inner join + separate broadcast anti-join + union)
+            # scanned the corpus-sized nodes frame twice and built
+            # two broadcasts; results are identical row for row.
+            # Non-node endpoints are ignored by both shapes (the left
+            # side IS nodes).
+            uf = _driver_union_find(spark, edges)
+            return (
+                nodes.select("doc_id")
+                .join(F.broadcast(uf), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("cluster_id", F.col("doc_id")).alias(
+                        "cluster_id"
+                    ),
+                )
+                .localCheckpoint()
             )
-        # isolated nodes (no incident edge) are their own cluster
-        # root; they never touched either strategy, so all per-edge
-        # work was sized by the dup graph rather than the full node
-        # set. On the driver-bounded path the anti-join's big side
-        # never shuffles — with an EXPLICIT broadcast hint (r14
-        # review: endpoints derives from a localCheckpoint'd
-        # LogicalRDD whose size estimate defeats the auto-broadcast
-        # threshold, so Catalyst picked a SortMergeJoin that shuffled
-        # the corpus-sized nodes frame, exactly the cost the old
-        # comment promised never happens). Above the driver bound,
-        # endpoints is itself up to 2x a huge edge set — hinting it
-        # broadcast would OOM; Catalyst/AQE chooses there.
-        endpoints_side = (
-            F.broadcast(endpoints) if n_edges <= driver_max_edges
-            else endpoints
+        labels = _distributed_min_label(
+            spark, edges, nodes,
+            max_iters=max_iters, checkpoint_every=checkpoint_every,
+            n_edges=n_edges,
         )
+        # isolated nodes (no incident edge) are their own cluster
+        # root; they never touched the loop, so all per-edge work was
+        # sized by the dup graph rather than the full node set. Above
+        # the driver bound, endpoints is itself up to 2x a huge edge
+        # set — hinting it broadcast would OOM; Catalyst/AQE chooses
+        # the strategy here.
         isolated = nodes.select("doc_id").join(
-            endpoints_side, "doc_id", "left_anti"
+            endpoints, "doc_id", "left_anti"
         ).select("doc_id", F.col("doc_id").alias("cluster_id"))
         return (
             labels.select("doc_id", "cluster_id")
@@ -138,13 +149,16 @@ def connected_components(
 
 
 def _driver_union_find(
-    spark: SparkSession, edges: DataFrame, nodes: DataFrame
+    spark: SparkSession, edges: DataFrame
 ) -> DataFrame:
     """Exact union-find over a collected edge list (bounded by
     ``driver_max_edges`` — the caller measured it first). Root = min
     node id per component, matching the distributed semantics bit for
-    bit. Output is only ENDPOINT labels; the caller unions isolated
-    nodes distributedly."""
+    bit. Output is only ENDPOINT labels as a tiny local frame; the
+    caller attaches them to the node set with one broadcast left
+    join (r20: previously this function also restricted to the node
+    set with its own corpus-scan join — a second scan the caller's
+    single-pass assembly now avoids)."""
     parent: dict = {}
     seen: set = set()
 
@@ -171,17 +185,15 @@ def _driver_union_find(
         lo, hi = (ra, rb) if ra < rb else (rb, ra)
         parent[hi] = lo
     pairs = [(x, find(x)) for x in seen]
-    out = spark.createDataFrame(
+    # the caller's left join both attaches these labels AND restricts
+    # to its node set (a non-node endpoint simply never matches), so
+    # no corpus scan happens here
+    return spark.createDataFrame(
         pairs, schema=edges.select(
             F.col("src").alias("doc_id"),
             F.col("src").alias("cluster_id"),
         ).schema,
     )
-    # restrict to the caller's node set (contract: endpoints should be
-    # a subset of nodes; enforce rather than assume). `out` is the
-    # TINY side — broadcast it so the corpus-sized nodes frame never
-    # shuffles.
-    return nodes.select("doc_id").join(F.broadcast(out), "doc_id")
 
 
 def _distributed_min_label(

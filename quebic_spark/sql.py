@@ -14,6 +14,8 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, SparkSession
 
+from quebic_spark.session import read_immutable_parquet
+
 if TYPE_CHECKING:  # annotation-only: keep the SQL facade import-light
     # (eager Queue pulled pyarrow + the whole queue machinery into
     # every `import quebic_spark.sql`, r14 review; the module never

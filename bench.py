@@ -558,27 +558,34 @@ def main() -> None:
             fh,
             indent=1,
         )
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf_dir,
-                "method": method,
-                "loadavg": [load_start, load_end],
-                # start loadavg above 1.0 is an attribution HINT;
-                # self_certified=True is the verdict that every gate
-                # already sat at/below 1.3x its quiet floor and no
-                # retime was needed (retimed queries otherwise carry
-                # their fresh-quiet adjudication in this line)
-                **flags,
-                "retimed": sorted(retimed),
-                "detail_file": "BENCH_DETAIL.json",
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf_dir,
+            "method": method,
+            "loadavg": [load_start, load_end],
+            # start loadavg above 1.0 is an attribution HINT;
+            # self_certified=True is the verdict that every gate
+            # already sat at/below 1.3x its quiet floor and no
+            # retime was needed (retimed queries otherwise carry
+            # their fresh-quiet adjudication in this line)
+            **flags,
+            "retimed": sorted(retimed),
+            "detail_file": "BENCH_DETAIL.json",
+        }
     )
+    # the same one-line record also lands in a small file (r21,
+    # VERDICT r20 next #3): the driver's stdout tail capture truncated
+    # BENCH_r19's line mid-JSON and the whole round-over-round
+    # comparison fell back to hand reconstruction — a file can't be
+    # truncated by a tail window. Additions-only: stdout keeps the
+    # identical line, timed methodology unchanged.
+    with open(os.path.join(_REPO, "BENCH_LAST.json"), "w") as fh:
+        fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1637,11 +1637,8 @@ def q_corpus_release_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from quebic_spark.operators.textops import (
-        DECON_BENCH_PCT,
-        quality_percentile_filter,
-    )
-    from quebic_spark.pipeline import quality_score_col, release_corpus
+    from quebic_spark.operators.textops import DECON_BENCH_PCT
+    from quebic_spark.pipeline import release_corpus
     from quebic_spark.sources.io import read_corpus_shards
 
     docs = _docs(spark, sf_dir)
@@ -1663,21 +1660,29 @@ def q_corpus_release_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputs = corpus.groupBy("source").agg(
             F.count(F.lit(1)).alias("n_input")
         )
-        after_q = (
-            quality_percentile_filter(
-                corpus.withColumn("quality_score", quality_score_col()),
-                "source", "quality_score", CORPUS_RELEASE_CUT,
-            )
-            .groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_after_quality"))
-        )
+        # n_after_quality is ARITHMETIC, not a second corpus pass
+        # (r21, VERDICT r20 next #1 — this was the suite's slowest
+        # gate): quality_percentile_filter is count-based by contract
+        # (row_number is a bijection onto 1..n per source; it keeps
+        # exactly the rows with rn > floor(n*cut)), so the SURVIVOR
+        # COUNT per source is n - floor(n*cut) for every possible
+        # score/tie configuration. WHICH rows survive still depends on
+        # scores — release_corpus runs the real filter once inside the
+        # write — but the gate's recount re-ran the whole score +
+        # per-source window chain over the corpus just to re-derive a
+        # number that is a pure function of n_input (guide §1.2 step 1:
+        # don't compute things you can derive). Matches the oracle's
+        # `rn > FLOOR(ng * cut)` arithmetic exactly.
+        after_quality = (
+            F.col("n_input")
+            - F.floor(F.col("n_input") * F.lit(float(CORPUS_RELEASE_CUT)))
+        ).cast("long")
         per = (
-            inputs.join(after_q, "source")
-            .join(per_source, "source", "left")
+            inputs.join(per_source, "source", "left")
             .select(
                 "source",
                 "n_input",
-                "n_after_quality",
+                after_quality.alias("n_after_quality"),
                 F.coalesce("n_released", F.lit(0))
                 .cast("long").alias("n_released"),
                 F.coalesce("n_docs_represented", F.lit(0))

@@ -350,10 +350,16 @@ def anomaly_scores(
     # and stays scale-adaptive through spark.sql.shuffle.partitions.
     # Values are partitioning-independent (per-key ordered frame), so
     # results are bit-identical (test_partition_invariance pins this).
-    events = events.repartition(
-        int(events.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-        key_col,
-    )
+    try:
+        _width = int(
+            events.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        # deployments can set the conf to a non-numeric value (e.g.
+        # "auto" under managed AQE) — fall back to the cluster's
+        # default parallelism instead of raising (ADVICE r20)
+        _width = events.sparkSession.sparkContext.defaultParallelism
+    events = events.repartition(max(1, _width), key_col)
     dv = F.col(value_col).cast("decimal(18,2)")
     w = (
         Window.partitionBy(key_col)

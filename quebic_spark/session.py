@@ -148,13 +148,39 @@ def restore_session_tuning(spark: SparkSession) -> SparkSession:
 
 _SCHEMA_MEMO: dict = {}
 
+# confs that change what schema parquet footer inference produces for
+# the SAME bytes (r21, ADVICE r20): a first read under one value must
+# not hand its inferred schema to a later read under another — e.g.
+# spark.sql.legacy.parquet.nanosAsLong turns a nanos timestamp column
+# into LongType. Part of the memo key, read per call (cheap driver
+# conf lookups, no JVM job).
+_SCHEMA_INFER_CONFS = (
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.parquet.binaryAsString",
+    "spark.sql.parquet.int96AsTimestamp",
+    "spark.sql.parquet.inferTimestampNTZ.enabled",
+    "spark.sql.caseSensitive",
+)
+
+
+def _schema_conf_sig(spark: SparkSession) -> tuple:
+    sig = []
+    for key in _SCHEMA_INFER_CONFS:
+        try:
+            sig.append(spark.conf.get(key, None))
+        except Exception:
+            sig.append(None)
+    return tuple(sig)
+
 
 def read_immutable_parquet(spark: SparkSession, path: str):
-    """``spark.read.parquet(path)`` with per-(application, path) schema
-    reuse — skips repeated footer-based schema inference for the
-    immutable input tables operators read during query construction."""
+    """``spark.read.parquet(path)`` with per-(application, path,
+    inference-confs) schema reuse — skips repeated footer-based schema
+    inference for the immutable input tables operators read during
+    query construction."""
     try:
-        key = (spark.sparkContext.applicationId, path)
+        key = (spark.sparkContext.applicationId, path,
+               _schema_conf_sig(spark))
     except Exception:
         return spark.read.parquet(path)
     schema = _SCHEMA_MEMO.get(key)
@@ -163,3 +189,31 @@ def read_immutable_parquet(spark: SparkSession, path: str):
         _SCHEMA_MEMO[key] = df.schema
         return df
     return spark.read.schema(schema).parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Row-count memo for the same immutable tables (r21, VERDICT r20 next
+# #7): ``_sem_k_cells`` sized semantic_dedup's blocking cells with a
+# fresh parquet-footer count() JOB on every construction, and
+# q_semantic_dedup constructs twice — two Spark jobs per gate for a
+# number that cannot change within an application. Counts are data
+# facts independent of schema-inference confs, so the key is just
+# (applicationId, path).
+# ---------------------------------------------------------------------------
+
+_COUNT_MEMO: dict = {}
+
+
+def immutable_parquet_count(spark: SparkSession, path: str) -> int:
+    """Row count of an immutable parquet path, memoized per
+    (applicationId, path). The first call runs the parquet-footer
+    count job; later calls in the same application are a dict hit."""
+    try:
+        key = (spark.sparkContext.applicationId, path)
+    except Exception:
+        return read_immutable_parquet(spark, path).count()
+    n = _COUNT_MEMO.get(key)
+    if n is None:
+        n = read_immutable_parquet(spark, path).count()
+        _COUNT_MEMO[key] = n
+    return int(n)

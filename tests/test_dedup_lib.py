@@ -363,6 +363,39 @@ def test_semantic_dedup_invariants(spark, sf_dir):
     assert survivors == 0
 
 
+def test_sem_k_cells_pinned_and_memoized(spark):
+    """Blocking-cell count contract (VERDICT r20 #2/#7): at every
+    oracle/bench scale (sf0.001/0.01/0.1 = 500/500/2000 vectors)
+    ``_sem_k_cells`` must resolve to exactly N_CENTROIDS=8 — the cell
+    count is part of the declared gate's semantics at these scales —
+    and the footer count must be memoized per (application, path) so
+    re-construction costs no second Spark job."""
+    import os
+
+    from quebic_spark import session as sess
+    from quebic_spark.operators import similarity as S
+    from quebic_spark.operators.dedup import _sem_k_cells
+
+    app = spark.sparkContext.applicationId
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        if not os.path.isdir(sf):
+            continue
+        assert _sem_k_cells(spark, sf) == S.N_CENTROIDS == 8
+        key = (app, f"{sf}/embeddings.parquet")
+        assert key in sess._COUNT_MEMO
+        # memo hit, not a re-count: a poisoned memo value must be
+        # returned verbatim (restored after)
+        real = sess._COUNT_MEMO[key]
+        try:
+            sess._COUNT_MEMO[key] = real + 7
+            assert sess.immutable_parquet_count(
+                spark, f"{sf}/embeddings.parquet"
+            ) == real + 7
+        finally:
+            sess._COUNT_MEMO[key] = real
+
+
 def test_strip_and_detection_accounting_agree(spark, sf_dir):
     """Cross-operator coherence on the real corpus: for every affected
     doc, kept_tokens (strip_spans) + dup_tokens (dup_spans) must equal

@@ -188,12 +188,23 @@ def _driver_union_find(
     # the caller's left join both attaches these labels AND restricts
     # to its node set (a non-node endpoint simply never matches), so
     # no corpus scan happens here
-    return spark.createDataFrame(
-        pairs, schema=edges.select(
-            F.col("src").alias("doc_id"),
-            F.col("src").alias("cluster_id"),
-        ).schema,
-    )
+    schema = edges.select(
+        F.col("src").alias("doc_id"),
+        F.col("src").alias("cluster_id"),
+    ).schema
+    if not pairs:
+        return spark.createDataFrame([], schema)
+    # pandas input, not a list (r21): createDataFrame(list) always
+    # takes the parallelize+pickle path — 32 partitions whose every
+    # task spawns a Python worker just to unpickle a few label rows
+    # (profiled on dedup_clusters: an 11 CPU-s, 0.1-compute broadcast
+    # build stage). The pandas/Arrow path ships the batches into a
+    # JVM-side RDD with no Python workers at evaluation; coalesce(1)
+    # folds the slices so the broadcast build is one trivial task.
+    import pandas as pd
+
+    pdf_labels = pd.DataFrame(pairs, columns=["doc_id", "cluster_id"])
+    return spark.createDataFrame(pdf_labels, schema=schema).coalesce(1)
 
 
 def _distributed_min_label(

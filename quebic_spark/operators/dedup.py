@@ -1645,7 +1645,7 @@ def _sem_k_cells(spark: SparkSession, sf_dir: str) -> int:
     (its own `_ivf_corpus` plus `semantic_dedup`'s), which re-ran the
     count job each time (VERDICT r20 next #7). At the oracle's
     sf0.01 and the bench's sf0.1 this resolves to exactly
-    N_CENTROIDS=8 (pinned in tests/test_dedup_semantic.py), so gate
+    N_CENTROIDS=8 (pinned in tests/test_dedup_lib.py), so gate
     hashes and committed floors are unchanged; growth only engages
     beyond ~2k vectors."""
     from quebic_spark.operators import similarity as S

@@ -1063,12 +1063,26 @@ def _lm_uni(bi: DataFrame) -> DataFrame:
     )
 
 
+# bi_nll broadcast bound (r21, ADVICE r20 medium): the DISTINCT-BIGRAM
+# table is corpus-dependent (vocab^2 worst case), not vocab-bounded
+# like uni/oov — an unconditional broadcast hint OOMs the driver at
+# 100 TB bigram cardinalities. Callers MEASURE the count (the cached
+# table's count() doubles as its materialization barrier; score_with_lm
+# reads it from the artifact fingerprint it already collects) and only
+# hint below this bound. ~2M rows ≈ low hundreds of MB framed — inside
+# "a few hundred MB is fine" (guide §3.1) with wide margin to the 8 GB
+# broadcast cap. Above the bound the optimizer/AQE picks the join for
+# the gram stream, which at that scale genuinely must shuffle.
+LM_BI_BROADCAST_MAX_ROWS = 2_000_000
+
+
 def _score_lm(
     grams: DataFrame,
     bi: DataFrame,
     uni: DataFrame,
     vsz: DataFrame,
     threshold: float,
+    broadcast_bi: bool = True,
 ) -> DataFrame:
     """Score per-doc average nll by JOINING precomputed per-key nll
     values rather than computing log/round/decimal per gram occurrence.
@@ -1111,13 +1125,16 @@ def _score_lm(
         .select("w1", _nll(F.lit(0), F.col("c1")).alias("_nll_w1"))
     )
     oov_nll = vsz.select(_nll(F.lit(0), F.lit(0)).alias("_nll_oov"))
-    # the LM tables are vocab-bounded (scan-resident by design);
-    # explicit hints because bi_nll/uni_nll now carry a join + cross
-    # join whose size ESTIMATE defeats the auto-broadcast threshold —
-    # without them the corpus-sized gram stream sort-merge-shuffles by
-    # bg (measured: 4.3 MB shuffled at sf0.1, corpus-scale at 100 TB)
+    # uni/oov are vocab-bounded — always hint; bi_nll is hinted only
+    # when the CALLER measured the bigram count under
+    # LM_BI_BROADCAST_MAX_ROWS (its size estimate defeats the
+    # auto-broadcast threshold, so without the hint the gram stream
+    # sort-merge-shuffles by bg — measured 4.3 MB shuffled at sf0.1 —
+    # but above the bound that shuffle is the correct plan and the
+    # broadcast would OOM)
+    bi_side = F.broadcast(bi_nll) if broadcast_bi else bi_nll
     scored = (
-        grams.join(F.broadcast(bi_nll), "bg", "left")
+        grams.join(bi_side, "bg", "left")
         .join(F.broadcast(uni_nll), "w1", "left")
         .crossJoin(F.broadcast(oov_nll))
         .groupBy("doc_id")
@@ -1164,9 +1181,17 @@ def lm_perplexity_score(
         .agg(F.count(F.lit(1)).alias("c12"))
         .cache()
     )
+    # count() here is (a) the cache's materialization barrier — the
+    # broadcast builds below would otherwise trigger it anyway — and
+    # (b) the MEASURED size that decides whether the distinct-bigram
+    # nll table may be broadcast (see LM_BI_BROADCAST_MAX_ROWS)
+    n_bi = bi.count()
     uni = register_cache(_lm_uni(bi).cache())
     vsz = uni.agg((F.count(F.lit(1)) + 1).alias("vsz"))
-    return _score_lm(all_grams, bi, uni, vsz, threshold)
+    return _score_lm(
+        all_grams, bi, uni, vsz, threshold,
+        broadcast_bi=n_bi <= LM_BI_BROADCAST_MAX_ROWS,
+    )
 
 
 LM_FORMAT = "bigram-lm-v1"
@@ -1256,7 +1281,12 @@ def score_with_lm(
     vsz = spark.range(1).select(
         F.lit(int(meta["vsz"])).cast("bigint").alias("vsz")
     )
-    return _score_lm(_doc_bigrams(docs), bi, uni, vsz, threshold)
+    # the fingerprint row count above IS the measured bigram count —
+    # reuse it for the broadcast bound, no extra job
+    return _score_lm(
+        _doc_bigrams(docs), bi, uni, vsz, threshold,
+        broadcast_bi=int(fp["rows"]) <= LM_BI_BROADCAST_MAX_ROWS,
+    )
 
 
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:

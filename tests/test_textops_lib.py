@@ -168,6 +168,48 @@ def test_lm_score_matches_hand_computation(spark):
     assert out[1]["avg_nll"] == pytest.approx(round(want1, 4), abs=1e-9)
 
 
+def test_lm_score_identical_with_and_without_bi_broadcast(spark):
+    """broadcast_bi is a PLAN choice, never a result change (r21: the
+    hint is now gated on the measured distinct-bigram count because
+    that table is corpus-dependent — ADVICE r20). Both join strategies
+    must produce identical rows, and the big-table path must not carry
+    the broadcast hint in its plan."""
+    from quebic_spark.operators.textops import (
+        _doc_bigrams,
+        _lm_uni,
+        _score_lm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c d", True), (2, "a b x", False),
+         (3, "c d a", False)],
+        "doc_id long, text string, train boolean",
+    )
+    grams = _doc_bigrams(df.select("doc_id", "text"))
+    bi = (
+        _doc_bigrams(df.filter("train").select("doc_id", "text"))
+        .groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    )
+    uni = _lm_uni(bi)
+    vsz = uni.agg((F.count(F.lit(1)) + 1).alias("vsz"))
+
+    def rows(flag):
+        out = _score_lm(grams, bi, uni, vsz, 5.0, broadcast_bi=flag)
+        return sorted(map(tuple, out.collect()))
+
+    assert rows(True) == rows(False)
+    # the hinted logical plan carries one MORE broadcast hint (the
+    # bg-keyed side); the optimizer may still broadcast the unhinted
+    # side at this tiny size — that's its call, not the hint's
+    hinted = _score_lm(grams, bi, uni, vsz, 5.0, broadcast_bi=True)
+    unhinted = _score_lm(grams, bi, uni, vsz, 5.0, broadcast_bi=False)
+    logical_hinted = hinted._jdf.queryExecution().logical().toString()
+    logical_unhinted = unhinted._jdf.queryExecution().logical().toString()
+    assert logical_hinted.count("broadcast") > logical_unhinted.count(
+        "broadcast"
+    )
+
+
 def test_lm_score_oov_doc_scores_worse_and_single_token_survives(spark):
     from quebic_spark.operators.textops import lm_perplexity_score
 

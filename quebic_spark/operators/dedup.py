@@ -24,7 +24,7 @@ Scale design notes (these run on the full corpus at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quebic_spark.session import read_immutable_parquet
@@ -957,13 +957,40 @@ def _merged_spans(
             )
         ).alias("pos", "gh"),
     )
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("gh")
-    )
-    hits = grams.join(dup, "gh", "left_semi")
+    if min_docs == 2:
+        # One gram pass, not two (r21): the groupBy+semi-join shape
+        # recomputed the ENTIRE tokenize+md5 gram stream for each
+        # consumer (column pruning makes the two subtrees differ, so
+        # no ReusedExchange fires — two Scan+Generate pairs in the
+        # r21 before-plan), and at 100 TB the semi join must shuffle
+        # the gram stream by gh anyway once the dup side outgrows a
+        # broadcast. "Shared by >= 2 distinct docs" is exactly
+        # min(doc_id) != max(doc_id) within the gh partition, so ONE
+        # exchange-by-gh window computes the flag on the same pass
+        # that carries the positions (guide §2.4: two operations
+        # keyed the same way share one exchange; §1.2: one corpus
+        # pass instead of two).
+        wgh = Window.partitionBy("gh")
+        hits = (
+            grams.withColumn(
+                "_dup",
+                F.min("doc_id").over(wgh) != F.max("doc_id").over(wgh),
+            )
+            .filter(F.col("_dup"))
+            .drop("_dup")
+        )
+    else:
+        # general min_docs: distinct-doc counting needs the aggregate
+        # form (an exact count_distinct window would buffer per-row
+        # sets); callers beyond the default threshold keep the
+        # two-pass shape
+        dup = (
+            grams.groupBy("gh")
+            .agg(F.count_distinct("doc_id").alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
+            .select("gh")
+        )
+        hits = grams.join(dup, "gh", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("pos")
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     # Equal-length intervals sorted by start: [pos, pos+k-1] overlaps or
@@ -1213,7 +1240,12 @@ BLOOM_HASHES = 7
 
 def _bloom_hashes(hex_keys, m_bits: int):
     """(h1, h2) uint64 arrays from 32-hex md5 strings (h2 forced odd
-    so the double-hash probe sequence spans the table)."""
+    so the double-hash probe sequence spans the table).
+
+    Since r21 the hot paths derive the pair in JVM codegen
+    (:func:`_bloom_h_cols`) — this Python form is kept as the
+    REFERENCE implementation the bit-identity test compares against
+    (tests/test_dedup_lib.py::test_bloom_jvm_hash_matches_python)."""
     import numpy as np
 
     h1 = np.array(
@@ -1223,6 +1255,36 @@ def _bloom_hashes(hex_keys, m_bits: int):
         [int(s[16:32], 16) | 1 for s in hex_keys], dtype=np.uint64
     )
     return h1 % np.uint64(m_bits), h2
+
+
+def _bloom_h64(hk: Column, off: int) -> Column:
+    """Unsigned-64 bit pattern of an 8-byte half of a 32-hex md5
+    column, as a signed bigint. Two's-complement longs carry the
+    identical low-64 bits, which is all the Kirsch-Mitzenmacher
+    probe arithmetic ever reads — numpy re-views them as uint64."""
+    hi = F.conv(F.substring(hk, off, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(hk, off + 8, 8), 16, 10).cast("bigint")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def _bloom_h_cols(hk: Column, m_bits: int):
+    """(h1, h2, is_null) COLUMNS from a 32-hex md5 column — the
+    Kirsch-Mitzenmacher pair derived in JVM codegen (r21, guide §4.2):
+    previously every build/probe row shipped its 32-char hex string
+    over Arrow and a per-row Python ``int(s, 16)`` loop parsed it in
+    the worker — minutes-to-hours of pure Python at the 1e9-key
+    snapshot sizing this operator exists for. Now two bigints cross
+    the boundary per row (half the bytes) and the worker does only
+    vectorized numpy probe arithmetic. Bit-identical to
+    :func:`_bloom_hashes`: h1 pre-reduced mod the power-of-two m via
+    ``& (m-1)``, h2 forced odd via ``| 1``; NULL md5 (NULL key) maps
+    to the same (0, 1) placeholder the old probe used, with the null
+    flag forcing the result to False downstream."""
+    h1 = F.coalesce(
+        _bloom_h64(hk, 1).bitwiseAND(F.lit(m_bits - 1)), F.lit(0)
+    )
+    h2 = F.coalesce(_bloom_h64(hk, 17).bitwiseOR(F.lit(1)), F.lit(1))
+    return h1, h2, hk.isNull()
 
 
 def build_bloom(
@@ -1262,11 +1324,14 @@ def build_bloom(
             f"{1 << max(3, (m_bits - 1).bit_length()) if m_bits > 0 else 8}"
         )
     # NULL keys carry no information for the filter (md5(NULL) is NULL
-    # and _bloom_hashes would crash on it); the PROBE side handles
+    # and the hash pair would be NULL); the PROBE side handles
     # null-key batch rows explicitly, so dropping them here keeps the
-    # build/probe pair consistent
+    # build/probe pair consistent. The (h1, h2) pair is derived in JVM
+    # codegen (_bloom_h_cols) so only two bigints per key cross the
+    # Python boundary, not a 32-char hex string parsed row-at-a-time.
+    _h1c, _h2c, _ = _bloom_h_cols(F.md5(F.col(key_col)), m_bits)
     hashed = keys.filter(F.col(key_col).isNotNull()).select(
-        F.md5(F.col(key_col)).alias("hk")
+        _h1c.alias("h1"), _h2c.alias("h2")
     )
 
     def per_batch(batches):
@@ -1274,7 +1339,10 @@ def build_bloom(
         for pdf in batches:
             if not len(pdf):
                 continue
-            h1, h2 = _bloom_hashes(pdf["hk"], m_bits)
+            # signed-long bit patterns re-viewed as uint64 — exactly
+            # the values _bloom_hashes produced (h1 already mod m)
+            h1 = pdf["h1"].to_numpy(np.int64).view(np.uint64)
+            h2 = pdf["h2"].to_numpy(np.int64).view(np.uint64)
             for i in range(k):
                 pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
                 np.bitwise_or.at(
@@ -1307,7 +1375,14 @@ def build_bloom(
 
 def bloom_probe_udf(bloom: bytes, k: int = BLOOM_HASHES):
     """Vectorized might-contain over a built filter (closure-broadcast
-    bytes; Spark ships them once per executor with the task closure)."""
+    bytes; Spark ships them once per executor with the task closure).
+
+    Returns a callable applied to the 32-hex md5 COLUMN — the call
+    shape is unchanged (``probe(F.md5(col))``) — but since r21 the
+    hex→(h1, h2) derivation happens in JVM codegen (_bloom_h_cols), so
+    two bigints cross the Arrow boundary per row instead of a 32-char
+    string that a per-row Python ``int()`` loop then parsed (guide
+    §4.2: at 1e9-key probes that loop is the job)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -1315,18 +1390,12 @@ def bloom_probe_udf(bloom: bytes, k: int = BLOOM_HASHES):
     bits = np.frombuffer(bloom, dtype=np.uint8)
     m_bits = len(bits) * 8
 
-    def probe(s):
-        if not len(s):
+    def probe(h1s, h2s, nulls):
+        if not len(h1s):
             return pd.Series([], dtype=bool)
-        # NULL keys (md5(NULL) -> None): report "might contain" FALSE —
-        # the row then takes the definitely-new branch, exactly where
-        # the exact path's anti-join leaves null-key rows too (null
-        # never equi-matches), so both tiers agree. The placeholder
-        # hash below is only probed for non-null positions.
-        null_mask = s.isna()
-        s = s.fillna("0" * 32)
-        h1, h2 = _bloom_hashes(s, m_bits)
-        hit = np.ones(len(s), dtype=bool)
+        h1 = h1s.to_numpy(np.int64).view(np.uint64)
+        h2 = h2s.to_numpy(np.int64).view(np.uint64)
+        hit = np.ones(len(h1), dtype=bool)
         for i in range(k):
             pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
             # mask to the TARGET bit: without & 1 the test passes when
@@ -1339,11 +1408,22 @@ def bloom_probe_udf(bloom: bytes, k: int = BLOOM_HASHES):
                 )
                 & np.uint8(1)
             ).astype(bool)
-        hit[null_mask.to_numpy()] = False
+        # NULL keys (md5(NULL) -> None, mapped to the (0, 1)
+        # placeholder pair in the JVM): report "might contain" FALSE —
+        # the row then takes the definitely-new branch, exactly where
+        # the exact path's anti-join leaves null-key rows too (null
+        # never equi-matches), so both tiers agree.
+        hit[nulls.to_numpy(dtype=bool)] = False
         return pd.Series(hit)
 
     # deprecated PandasUDFType form dropped (SPARK-28264, r15)
-    return pandas_udf(probe, "boolean")
+    inner = pandas_udf(probe, "boolean")
+
+    def apply(hk_col: Column) -> Column:
+        h1, h2, isnull = _bloom_h_cols(hk_col, m_bits)
+        return inner(h1, h2, isnull)
+
+    return apply
 
 
 BLOOM_BITS_PER_KEY = 13  # ~0.16% fp at k=7 (the documented sizing)

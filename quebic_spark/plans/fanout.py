@@ -56,9 +56,43 @@ def _scan_split_estimate(spark: SparkSession, df: DataFrame) -> int | None:
             spark.conf.get("spark.sql.files.openCostInBytes", "4MB")
         ))
         par = max(1, spark.sparkContext.defaultParallelism)
-        bytes_per_core = (size + open_cost) // par
+        # per-FILE lengths from the relation's FileIndex (driver-local
+        # metadata, no job): Spark charges openCost once per file in
+        # bytesPerCore AND once per split piece during bin packing, so
+        # the single-openCost shortcut diverged on multi-file
+        # directories (ADVICE r20) — mirror the real packing instead.
+        statuses = plan.relation().location().allFiles()
+        n_files = statuses.size()
+        if n_files <= 0:
+            return None
+        lengths = [
+            int(statuses.apply(i).getLen()) for i in range(n_files)
+        ]
+        total = sum(lengths)
+        bytes_per_core = (total + n_files * open_cost) // par
         split = max(1, min(max_pb, max(open_cost, bytes_per_core)))
-        return -(-size // split)
+        if n_files == 1:
+            return -(-total // split)
+        # FilePartition.getFilePartitions: every file is cut into
+        # <=split pieces, ALL pieces are sorted by length descending,
+        # then packed greedily — each piece charged its bytes +
+        # openCost, partition closed when the next piece's bytes
+        # would overflow the split
+        pieces = []
+        for ln in lengths:
+            while ln > split:
+                pieces.append(split)
+                ln -= split
+            if ln > 0:
+                pieces.append(ln)
+        pieces.sort(reverse=True)
+        n_parts, current = 0, 0
+        for p in pieces:
+            if current + p > split and current > 0:
+                n_parts += 1
+                current = 0
+            current += p + open_cost
+        return n_parts + (1 if current > 0 else 0)
     except Exception:
         return None
 

@@ -160,6 +160,40 @@ def test_bloom_no_false_negatives_and_fp_rate(spark):
     assert rate < 0.05, f"false-positive rate {rate}"
 
 
+def test_bloom_jvm_hash_matches_python(spark):
+    """Bit-identity of the r21 JVM hash derivation: _bloom_h_cols
+    (conv/shiftleft/bitwise in codegen) must produce exactly the
+    (h1, h2) values the Python reference _bloom_hashes parses from the
+    md5 hex — for keys exercising both md5 halves' sign bits — and a
+    NULL key must map to the (0, 1) placeholder with the null flag
+    set. This is what makes the boundary change plan-only."""
+    import hashlib
+
+    import numpy as np
+
+    from quebic_spark.operators.dedup import _bloom_h_cols, _bloom_hashes
+
+    keys = [f"key-{i}" for i in range(257)] + ["", "a", "0" * 64]
+    m_bits = 1 << 14
+    df = spark.createDataFrame(
+        [(k,) for k in keys] + [(None,)], "k string"
+    )
+    h1c, h2c, nullc = _bloom_h_cols(F.md5("k"), m_bits)
+    rows = df.select(
+        "k", h1c.alias("h1"), h2c.alias("h2"), nullc.alias("isnull")
+    ).collect()
+    got = {r["k"]: (r["h1"] % 2**64, r["h2"] % 2**64, r["isnull"])
+           for r in rows}
+    hexes = [hashlib.md5(k.encode()).hexdigest() for k in keys]
+    h1ref, h2ref = _bloom_hashes(hexes, m_bits)
+    for k_, r1, r2 in zip(keys, h1ref, h2ref):
+        assert got[k_] == (int(r1), int(r2), False), k_
+    assert got[None] == (0, 1, True)
+    # sanity: at least one h2 exercises the sign bit (>= 2**63), so
+    # the signed-long view is actually being tested
+    assert any(int(r) >= 2**63 for r in h2ref)
+
+
 def test_bloom_incremental_matches_exact(spark):
     from quebic_spark.operators.dedup import (
         bloom_incremental_dedup,

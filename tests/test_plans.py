@@ -110,12 +110,21 @@ def test_cms_truth_side_has_no_global_window(spark, sf_dir):
         return len(line) - len(line.lstrip(" +-:"))
 
     lines = plan.splitlines()
+    # track the OPEN InMemoryRelation subtrees only (ADVICE r20): a
+    # recorded IMR's subtree ends when indentation returns to or above
+    # its level — comparing against a global running list would let a
+    # regressed live scan in a LATER disjoint subtree pass just
+    # because it sits deeper than some long-closed cache recipe
     imr_indents: list[int] = []
     for ln in lines:
+        if not ln.strip():
+            continue
+        ind = _indent(ln)
+        imr_indents = [i for i in imr_indents if ind > i]
         if "InMemoryRelation" in ln:
-            imr_indents.append(_indent(ln))
+            imr_indents.append(ind)
         if "Scan parquet" in ln:
-            assert any(i < _indent(ln) for i in imr_indents), (
+            assert imr_indents, (
                 "live events scan outside the cached counts recipe:\n"
                 + ln
             )
@@ -567,16 +576,47 @@ def test_fan_out_split_estimate_matches_exact_probe(spark, sf_dir):
     )
 
 
+def test_fan_out_split_estimate_multi_file_dirs(spark, tmp_path):
+    """Multi-file directories (ADVICE r20): Spark charges openCost per
+    file in bytesPerCore AND per piece during bin packing — the
+    estimator must mirror that and still agree with the exact probe,
+    including with a lowered maxPartitionBytes that forces several
+    files per split and several splits per file."""
+    from quebic_spark.plans.fanout import _scan_split_estimate
+
+    base = str(tmp_path / "multi")
+    spark.range(0, 200_000).selectExpr(
+        "id", "repeat('x', 64) as pad"
+    ).repartition(7).write.parquet(base)
+    for conf in (None, "64KB", "1MB"):
+        prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        try:
+            if conf is not None:
+                spark.conf.set("spark.sql.files.maxPartitionBytes", conf)
+            df = spark.read.parquet(base)
+            est = _scan_split_estimate(spark, df)
+            assert est == df.rdd.getNumPartitions(), conf
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
 def test_read_immutable_parquet_memoizes_schema_only(spark, sf_dir):
     """The r20 schema memo must return frames identical to a direct
     read (schema AND rows) — it stores plan-construction metadata,
     never data: every action still scans the parquet files."""
-    from quebic_spark.session import _SCHEMA_MEMO, read_immutable_parquet
+    from quebic_spark.session import (
+        _SCHEMA_MEMO,
+        _schema_conf_sig,
+        read_immutable_parquet,
+    )
 
     p = f"{sf_dir}/events.parquet"
     direct = spark.read.parquet(p)
     first = read_immutable_parquet(spark, p)
-    key = (spark.sparkContext.applicationId, p)
+    # r21: the key carries the schema-inference conf signature so a
+    # read under one conf never hands its schema to a read under
+    # another (ADVICE r20 — e.g. nanosAsLong changes events.ts type)
+    key = (spark.sparkContext.applicationId, p, _schema_conf_sig(spark))
     assert key in _SCHEMA_MEMO
     memoized = read_immutable_parquet(spark, p)
     assert first.schema == direct.schema == memoized.schema
@@ -584,3 +624,23 @@ def test_read_immutable_parquet_memoizes_schema_only(spark, sf_dir):
     a = {tuple(r) for r in direct.limit(50).collect()}
     b = {tuple(r) for r in memoized.limit(50).collect()}
     assert a == b
+    # a conf flip that affects inference must MISS the memo (fresh
+    # inference), not reuse the old schema — flip to the OPPOSITE of
+    # whatever an earlier test left set
+    prev = None
+    try:
+        try:
+            prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+        except Exception:
+            prev = None
+        flipped = "false" if str(prev).lower() == "true" else "true"
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", flipped)
+        key2 = (
+            spark.sparkContext.applicationId, p, _schema_conf_sig(spark)
+        )
+        assert key2 != key
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)

@@ -17,7 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from quebic_spark.session import read_immutable_parquet
+from quebic_spark.session import local_rows_frame, read_immutable_parquet
 
 from quebic_spark.queue import Queue
 from quebic_spark.schema import INTEGER, REAL, Schema
@@ -46,7 +46,7 @@ def q_queue_fifo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c1").alias("o_totalprice"),
         )
         # materialize before the temp dir is removed below
-        return spark.createDataFrame(pending.collect(), pending.schema)
+        return local_rows_frame(spark, pending.collect(), pending.schema)
     finally:
         # close() must not be able to skip the rmtree (r15 advice: an
         # exception here leaked the temp root this block exists to
@@ -124,7 +124,7 @@ def q_quebic_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize before the temp dir is removed (queue-gate
         # pattern); finally so a failing read cleans up too (r15)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_rows_frame(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from quebic_spark.session import read_immutable_parquet
+from quebic_spark.session import local_rows_frame, read_immutable_parquet
 
 TRAIN_PCT = 90  # hash-mod buckets: [0,90) train, [90,95) val, [95,100) test
 VAL_PCT = 95
@@ -880,7 +880,8 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(CMS_TOP_K)
         .collect()
     )
-    ranked = keyed.sparkSession.createDataFrame(
+    ranked = local_rows_frame(
+        keyed.sparkSession,
         [
             (r["key"], int(r["true_count"]), i + 1)
             for i, r in enumerate(top_rows)
@@ -1542,7 +1543,7 @@ def q_corpus_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         # materialize before the temp dir is removed
-        return spark.createDataFrame(back.collect(), back.schema)
+        return local_rows_frame(spark, back.collect(), back.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1700,8 +1701,8 @@ def q_corpus_release_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(manifest["total_rows"]),
             sum(r["n_docs_represented"] for r in rows),
         )
-        return spark.createDataFrame(
-            [tuple(r) for r in rows] + [total], per.schema
+        return local_rows_frame(
+            spark, [tuple(r) for r in rows] + [total], per.schema
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

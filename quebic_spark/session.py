@@ -204,6 +204,39 @@ def read_immutable_parquet(spark: SparkSession, path: str):
 _COUNT_MEMO: dict = {}
 
 
+def local_rows_frame(spark: SparkSession, rows, schema):
+    """``createDataFrame`` for SMALL driver-local row lists (gate
+    results materialized before a temp artifact is deleted, top-K
+    tables, manifest read-backs) via the pandas/Arrow path.
+
+    ``createDataFrame(list)`` always takes parallelize+pickle: the
+    list is split into defaultParallelism partitions and EVERY task
+    spawns a Python worker just to unpickle a few rows — profiled at
+    ~0.45 s per consuming action on local[32] (32 x ~0.3 s spawns,
+    the dominant cost of several sub-second gates' final collect).
+    The pandas/Arrow path ships the batch into a JVM-side RDD with no
+    Python workers at evaluation; coalesce(1) folds the empty slices
+    so the consumer reads one trivial task. Values are unchanged —
+    the oracle value-hash pins that — and any conversion failure
+    falls back to the original list path."""
+    from pyspark.sql.types import StructType
+
+    st = (
+        schema if isinstance(schema, StructType)
+        else spark.createDataFrame([], schema).schema
+    )
+    rows = [tuple(r) for r in rows]
+    if not rows:
+        return spark.createDataFrame([], st)
+    try:
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=st.names)
+        return spark.createDataFrame(pdf, schema=st).coalesce(1)
+    except Exception:
+        return spark.createDataFrame(rows, st)
+
+
 def immutable_parquet_count(spark: SparkSession, path: str) -> int:
     """Row count of an immutable parquet path, memoized per
     (applicationId, path). The first call runs the parquet-footer
